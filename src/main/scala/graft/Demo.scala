@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.engine.{MemGraph, ViewGraph}
+import graft.query.Fetch
+
+/** End-to-end smoke demo of the public API: build a graph, query it with the
+  * chain DSL (docstring example, graphydb.py:26-64), mutate + undo, then run
+  * the same engine over a star-schema projection of the driver testdata.
+  * Run: `sbt "runMain graft.Demo"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // -- the reference docstring example graph ------------------------------
+    val g = MemGraph(spark)
+    val anne = g.node("Person", "name" -> "Anne", "age" -> 22).save()
+    val bob = g.node("Person", "name" -> "Bob", "nickname" -> "Bobby", "age" -> 19).save()
+    val charlie = g.node("Person", "name" -> "Charlie", "age" -> 31).save()
+    val coffee = g.node("Drink", "sort" -> "Coffee").save()
+    val tea = g.node("Drink", "sort" -> "Tea").save()
+    g.edge(anne, "Likes", bob).save()
+    g.edge(charlie, "Likes", bob).save()
+    g.edge(anne, "Drinks", coffee, "strength" -> "strong").save()
+    g.edge(charlie, "Drinks", tea).save()
+    g.edge(bob, "Drinks", tea, "strength" -> "strong", "preference" -> 1).save()
+    g.edge(bob, "Drinks", coffee, "strength" -> "weak", "preference" -> 0).save()
+
+    println("== flagship fetch: coffee drinkers with strength ==")
+    val drinkers = g.fetchN("[p:Person,strength] -(e:Drinks)> (d:Drink)",
+      Seq("""d.data.sort = "Coffee""""), params = Map("strength" -> "e.data.strength"))
+    drinkers.toSeq.foreach(n => println(s"  ${n("name")} strength=${n.get("_strength").orNull}"))
+
+    println("== generated SQL (DEBUG contract) ==")
+    println(g.fetchSql("[p:Person,strength] -(e:Drinks)> (d:Drink)",
+      Seq("""d.data.sort = "Coffee""""), Map("strength" -> "e.data.strength")))
+
+    println("== traversal: bob.bothN ==")
+    println("  " + bob.bothN().toSeq
+      .map(n => n.get("name").orElse(n.get("sort")).getOrElse(n.uid).toString)
+      .sorted.mkString(", "))
+
+    println("== set algebra: drinkers - likers ==")
+    val likers = g.fetchN("[p] -(e:Likes)>")
+    println("  " + (drinkers - likers).toSeq.map(_.apply("name")).mkString(", "))
+
+    println("== journal + undo ==")
+    println(s"  changes=${g.countChanges}")
+    bob("nickname") = "Impaler"; bob.save()
+    println(s"  after modify: nickname=${g.getuid(bob.uid).get.apply("nickname")}")
+    g.undo()
+    println(s"  after undo:   nickname=${g.getuid(bob.uid).get.apply("nickname")}")
+
+    println("== FTS ==")
+    g.resetFts(nodeFields = Seq("name"))
+    Seq(anne, bob, charlie).foreach(n => n.updatefts("name" -> n("name").toString))
+    println("  An* -> " + g.fetchN("(n)", params = Map("n_fts" -> "An*"))
+      .toSeq.map(_.apply("name")).mkString(", "))
+
+    // -- same engine over driver testdata (star-schema projection) ----------
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val nodes =
+      customer.select(concat(lit("customer:"), col("c_custkey")).as("uid"),
+        lit("customer").as("kind"), lit(0.0).as("ctime"), lit(0.0).as("mtime"),
+        to_json(struct(col("c_name"), col("c_acctbal"))).as("props"))
+      .unionByName(nation.select(concat(lit("nation:"), col("n_nationkey")).as("uid"),
+        lit("nation").as("kind"), lit(0.0).as("ctime"), lit(0.0).as("mtime"),
+        to_json(struct(col("n_name"))).as("props")))
+    val edges = customer.select(
+      concat(lit("cn:"), col("c_custkey")).as("uid"), lit("InNation").as("kind"),
+      concat(lit("customer:"), col("c_custkey")).as("startuid"),
+      concat(lit("nation:"), col("c_nationkey")).as("enduid"),
+      lit(0.0).as("ctime"), lit(0.0).as("mtime"), lit("{}").as("props"))
+    val star = new ViewGraph(spark, nodes, edges)
+
+    println(s"== star projection fetch over $dir ==")
+    val df = Fetch.df(star, Fetch.Args(
+      chain = "[n:nation,members] <(e:InNation)- (c:customer)",
+      group = Some("n.uid"), order = Some("members DESC, uid"), limit = Some(5),
+      params = Map("members" -> "COUNT(c.uid)")))
+    df.show(truncate = false)
+    df.explain("formatted")
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.query
+
+/** SQLite → Spark SQL dialect translation for the predicate/expression
+  * strings the chain DSL passes through verbatim.
+  *
+  * The reference delegates WHERE/ORDER/GROUP/extra-column strings straight to
+  * SQLite (graphydb.py:810-811 "a thin wrapper around SQL"); the SQLite-isms
+  * its docs and tests actually exercise are:
+  *
+  *   - `x.data.y` JSON paths, rewritten by `jsonextract`
+  *     (graphydb.py:170-177) to `json_extract(x.data, "$.y")`
+  *   - `==` as equality (SQLite accepts both `=` and `==`)
+  *   - `GLOB` patterns (tests/test_graphdb.py:64-67)
+  *   - `:name` bind parameters (graphydb.py:846-848)
+  *   - double-quoted "string" literals (SQLite fallback-identifier quirk;
+  *     Spark SQL treats double quotes as string literals natively, so these
+  *     pass through untouched)
+  *
+  * Everything else is already shared SQL surface — Spark's is strictly
+  * larger. Translation is purely string-level, applied before `spark.sql`.
+  */
+object Dialect {
+
+  private val ParamRef = """:(\w+)""".r
+  private val JsonPath = """(\w+)\.data\.(\w+)""".r
+  private val GlobExpr = """(\S+)\s+GLOB\s+('(?:[^']|'')*')""".r
+
+  /** Full translation: bind params, then GLOB, then json paths, then `==`. */
+  def translate(s: String, params: Map[String, Any] = Map.empty): String = {
+    var out = bindParams(s, params)
+    out = rewriteGlob(out)
+    out = rewriteJsonPaths(out)
+    out = rewriteDoubleEquals(out)
+    out
+  }
+
+  /** `:name` → rendered SQL literal (injection-safe: values rendered, never
+    * spliced as code). Unknown params are left untouched so errors surface
+    * in Spark's parser with context. */
+  def bindParams(s: String, params: Map[String, Any]): String =
+    ParamRef.replaceAllIn(s, m => {
+      params.get(m.group(1)) match {
+        case Some(v) => java.util.regex.Matcher.quoteReplacement(renderLiteral(v))
+        case None    => m.matched
+      }
+    })
+
+  def renderLiteral(v: Any): String = v match {
+    case null                => "NULL"
+    case s: String           => "'" + s.replace("'", "''") + "'"
+    case b: Boolean          => if (b) "true" else "false"
+    case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+    case d: Double           => d.toString
+    case f: Float            => f.toString
+    case b: BigDecimal       => b.toString
+    case other               => "'" + other.toString.replace("'", "''") + "'"
+  }
+
+  /** `x.data.y` → `get_json_object(x.props, '$.y')`.
+    * One path component, same as the reference's `\w+` regex. */
+  def rewriteJsonPaths(s: String): String =
+    JsonPath.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+      s"get_json_object(${m.group(1)}.props, '$$.${m.group(2)}')"))
+
+  /** `expr GLOB 'pat'` → `expr RLIKE '^regex$'` (run after param binding so
+    * the pattern is a literal). */
+  def rewriteGlob(s: String): String =
+    GlobExpr.replaceAllIn(s, m => {
+      val lhs = m.group(1)
+      val quoted = m.group(2)
+      val pat = quoted.substring(1, quoted.length - 1).replace("''", "'")
+      val regex = globToRegex(pat).replace("'", "''")
+      java.util.regex.Matcher.quoteReplacement(s"$lhs RLIKE '$regex'")
+    })
+
+  /** SQLite GLOB (case-sensitive, `*` `?` `[seq]`) → anchored Java regex. */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          // copy the character class through verbatim (glob and regex agree)
+          val close = glob.indexOf(']', i + 1)
+          if (close < 0) { sb.append("\\[") }
+          else { sb.append(glob.substring(i, close + 1)); i = close }
+        case c if "\\.[]{}()<>+-=!$^|,".indexOf(c) >= 0 => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('$').toString
+  }
+
+  /** `==` → `=` (token-wise; leaves `!=`, `<=`, `>=` alone). */
+  def rewriteDoubleEquals(s: String): String = s.replaceAll("(?<![<>!=])==", "=")
+}

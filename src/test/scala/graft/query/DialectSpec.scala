@@ -1,0 +1,37 @@
+package graft.query
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DialectSpec extends AnyFunSuite {
+
+  test("json path rewrite (graphydb.py:170-177)") {
+    assert(Dialect.rewriteJsonPaths("""n.data.name = "Bob"""") ==
+      """get_json_object(n.props, '$.name') = "Bob"""")
+    assert(Dialect.rewriteJsonPaths("e.data.strength") ==
+      "get_json_object(e.props, '$.strength')")
+    // core columns untouched
+    assert(Dialect.rewriteJsonPaths("n.uid = m.uid") == "n.uid = m.uid")
+  }
+
+  test("double-equals to equals, comparisons preserved") {
+    assert(Dialect.rewriteDoubleEquals("n1.uid == n2.uid") == "n1.uid = n2.uid")
+    assert(Dialect.rewriteDoubleEquals("a != b AND c <= d AND e >= f") ==
+      "a != b AND c <= d AND e >= f")
+  }
+
+  test("param binding renders literals, string-escaped") {
+    assert(Dialect.bindParams("n.uid = :a AND n.x = :b", Map("a" -> "O'x", "b" -> 7)) ==
+      "n.uid = 'O''x' AND n.x = 7")
+  }
+
+  test("GLOB to RLIKE (tests/test_graphdb.py:64-67)") {
+    val t = Dialect.translate("n.uid GLOB :a", Map("a" -> "ABC1*"))
+    assert(t == "n.uid RLIKE '^ABC1.*$'")
+    assert(Dialect.globToRegex("a?c[xy]*") == "^a.c[xy].*$")
+  }
+
+  test("full translate composes") {
+    val t = Dialect.translate("""p.data.age == :min""", Map("min" -> 21))
+    assert(t == "get_json_object(p.props, '$.age') = 21")
+  }
+}
