@@ -1,13 +1,627 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.query.Fetch
+import graft.ops.{Dedup, Events, Similarity, TextAnalysis}
+
+/** Driver contract (SURVEY §5.2): one named query per implemented operator
+  * family, each with an exactly-equivalent DuckDB SQL twin in [[oracleSql]].
+  *
+  * Cross-engine determinism rules used throughout:
+  *   - money sums go through DECIMAL(18,2) (exact) and only the final result
+  *     is cast to DOUBLE;
+  *   - every computed column is aliased identically on both sides (the
+  *     driver's compare sorts columns by name before hashing);
+  *   - ratios/cosines are IEEE-deterministic ordered folds rounded to a fixed
+  *     number of digits;
+  *   - content hashes are md5-derived so both engines agree bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; read it as raw nanos and convert (micro truncation — no query
+    * emits a raw event timestamp, so cross-engine results are unaffected). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q04_region_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- scans / filters / aggregation ------------------------------------
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q02_topk_orders" -> ((s, d) => {
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q06_selective_filter" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01"
+          && col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- joins -------------------------------------------------------------
+    "q03_cust_orders_join" -> ((s, d) => {
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+    }),
+
+    "q04_region_revenue" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q05_part_brand" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("qty"))
+    }),
+
+    "q19_above_nation_avg" -> ((s, d) => {
+      val sup = t(s, d, "supplier")
+      val agg = sup.groupBy(col("s_nationkey").as("nk"))
+        .agg(sum(dec(col("s_acctbal"))).as("sm"), count(lit(1)).as("cnt"))
+      sup.join(broadcast(agg), col("s_nationkey") === col("nk"))
+        .filter(dec(col("s_acctbal")) * col("cnt") > col("sm"))
+        .select("s_suppkey")
+    }),
+
+    "q20_self_join_pairs" -> ((s, d) => {
+      val l1 = t(s, d, "lineitem").select(col("l_orderkey").as("k"), col("l_linenumber").as("n1"))
+      val l2 = t(s, d, "lineitem").select(col("l_orderkey").as("k"), col("l_linenumber").as("n2"))
+      l1.join(l2, "k").filter(col("n1") < col("n2")).agg(count(lit(1)).as("pairs"))
+    }),
+
+    // --- semi/anti/set operations -----------------------------------------
+    "q09_semi_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders").select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("cust_cnt"))
+    }),
+
+    "q10_anti_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders").select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("cust_cnt"))
+    }),
+
+    "q11_union_nationkeys" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+    }),
+
+    "q23_intersect_nationkeys" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+    }),
+
+    "q24_except_nationkeys" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+    }),
+
+    // --- distinct / grouping sets / having --------------------------------
+    "q07_distinct_flags" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    "q08_count_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("distinct_parts"))),
+
+    "q14_rollup" -> ((s, d) =>
+      t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))),
+
+    "q18_having" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 15)),
+
+    // --- windows -----------------------------------------------------------
+    "q12_window_topk_per_cust" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    }),
+
+    "q13_running_count" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("run_cnt", count(lit(1)).over(w))
+        .select("o_orderkey", "run_cnt")
+    }),
+
+    // --- expressions: case/string/date/json --------------------------------
+    "q15_case_bands" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("band", when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid").otherwise("high"))
+        .groupBy("band").agg(count(lit(1)).as("cnt"))),
+
+    "q16_string_funcs" -> ((s, d) =>
+      t(s, d, "part")
+        .select(upper(col("p_brand")).as("ub"),
+          substring(col("p_name"), 1, 3).as("pre"),
+          length(col("p_name")).as("len"))
+        .groupBy("ub", "pre", "len").agg(count(lit(1)).as("cnt"))),
+
+    "q17_date_parts" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("orders"),
+          countDistinct(col("o_custkey")).as("custs"))),
+
+    "q21_json_extract" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("int")).cast("long").as("k_sum"),
+          count(lit(1)).as("cnt"))),
+
+    "q22_daily_windows" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("value"))).cast("double").as("value_sum"))
+        .select(col("w.start").cast("date").as("day"), col("event_type"),
+          col("cnt"), col("value_sum"))),
+
+    // --- graph chain-DSL over the star projection --------------------------
+    "g01_order_counts" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "[c:customer,ordercount] <(e:PlacedBy)- (o:orders)",
+        group = Some("c.uid"),
+        params = Map("ordercount" -> "COUNT(o.uid)")))
+        .select("uid", "ordercount")
+    }),
+
+    "g02_asia_customers" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "[c:customer] -(e1:InNation)> (n:nation) -(e2:InRegion)> (r:region)",
+        where = Seq("""r.data.r_name = "ASIA"""")))
+        .select("uid")
+    }),
+
+    "g03_unordered_parts" -> ((s, d) => {
+      val g = StarGraph(s, d)
+      val parts = Fetch.df(g, Fetch.Args(chain = "(p:part)")).select("uid")
+      val ordered = Fetch.df(g, Fetch.Args(chain = "[p:part] <(e:Contains)-")).select("uid")
+      parts.join(ordered, Seq("uid"), "left_anti")
+    }),
+
+    "g04_region_reach_count" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "[c:customer] -(e1:InNation)> (n:nation) -(e2:InRegion)> (r:region)",
+        where = Seq("""r.data.r_name = "EUROPE""""), count = true))
+    }),
+
+    "g05_region_revenue_dsl" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "[r:region,revenue] <(e2:InRegion)- (n:nation) <(e1:InNation)- (c:customer) <(e3:PlacedBy)- (o:orders)",
+        group = Some("r.uid"),
+        params = Map("revenue" ->
+          "CAST(SUM(CAST(o.data.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")))
+        .select("uid", "revenue")
+    }),
+
+    "g06_glob_uid" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "(c:customer)", where = Seq("c.uid GLOB 'customer:1??'")))
+        .select("uid")
+    }),
+
+    "g07_fts_parts" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "(p:part)", params = Map("p_fts" -> "red")))
+        .select("uid")
+    }),
+
+    "g08_orders_of_customer" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "[o:orders] -(e:PlacedBy)> (c:customer)",
+        where = Seq("c.uid = 'customer:42'")))
+        .select("uid")
+    }),
+
+    // --- dedup family (documents) ------------------------------------------
+    "d01_exact_dedup_stats" -> ((s, d) =>
+      t(s, d, "documents").agg(
+        count(lit(1)).as("total_docs"),
+        countDistinct(md5(col("text"))).as("distinct_docs"),
+        countDistinct(TextAnalysis.fingerprint(col("text"), 32)).as("distinct_norm"))),
+
+    "d02_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", k = 3, threshold = 0.5)),
+
+    "d03_lsh_candidates" -> ((s, d) =>
+      Dedup.lshCandidates(t(s, d, "documents"), "doc_id", "text", k = 3, bands = 4, rowsPerBand = 4)),
+
+    "d04_simhash" -> ((s, d) =>
+      Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    "d05_embedding_dups" -> ((s, d) =>
+      Dedup.embeddingDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", "label", 0.35)),
+
+    // --- similarity search (embeddings) -------------------------------------
+    "s01_cosine_knn" -> ((s, d) =>
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", queryId = 0, k = 5)),
+
+    "s02_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", "label", queryId = 7, k = 5)),
+
+    // --- text analysis (documents) ------------------------------------------
+    "t01_lang_tokens" -> ((s, d) =>
+      t(s, d, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("total_tokens"),
+          sum(length(col("text"))).cast("long").as("total_chars"))),
+
+    "t02_quality_features" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(t(s, d, "documents"), "doc_id", "text")),
+
+    "t03_langid" -> ((s, d) =>
+      TextAnalysis.langId(t(s, d, "documents"), "doc_id", "text")),
+
+    "t04_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // --- event analytics ----------------------------------------------------
+    "e01_sessions" -> ((s, d) =>
+      Events.sessionStats(events(s, d), gapSeconds = 1800)),
+
+    "e02_funnel" -> ((s, d) =>
+      Events.funnelCount(events(s, d), Seq("view", "click", "purchase")))
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q06_selective_filter" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""".stripMargin,
+
+    "q03_cust_orders_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS order_cnt,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q04_region_revenue" ->
+      """SELECT r_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q05_part_brand" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "q19_above_nation_avg" ->
+      """SELECT s_suppkey FROM supplier
+        |JOIN (SELECT s_nationkey AS nk,
+        |        SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS sm, COUNT(*) AS cnt
+        |      FROM supplier GROUP BY s_nationkey) a ON s_nationkey = nk
+        |WHERE CAST(s_acctbal AS DECIMAL(18,2)) * cnt > sm""".stripMargin,
+
+    "q20_self_join_pairs" ->
+      """SELECT COUNT(*) AS pairs FROM lineitem l1
+        |JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber""".stripMargin,
+
+    "q09_semi_join" ->
+      """SELECT c_nationkey, COUNT(*) AS cust_cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "q10_anti_join" ->
+      """SELECT c_nationkey, COUNT(*) AS cust_cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "q11_union_nationkeys" ->
+      "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier",
+
+    "q23_intersect_nationkeys" ->
+      "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+
+    "q24_except_nationkeys" ->
+      "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier",
+
+    "q07_distinct_flags" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q08_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q14_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q18_having" ->
+      """SELECT o_custkey, COUNT(*) AS cnt FROM orders
+        |GROUP BY o_custkey HAVING COUNT(*) >= 15""".stripMargin,
+
+    "q12_window_topk_per_cust" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "q13_running_count" ->
+      """SELECT o_orderkey,
+        | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt
+        |FROM orders""".stripMargin,
+
+    "q15_case_bands" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |  WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS band,
+        | COUNT(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q16_string_funcs" ->
+      """SELECT UPPER(p_brand) AS ub, SUBSTRING(p_name, 1, 3) AS pre,
+        | CAST(LENGTH(p_name) AS INT) AS len, COUNT(*) AS cnt
+        |FROM part GROUP BY 1, 2, 3""".stripMargin,
+
+    "q17_date_parts" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mo,
+        | COUNT(*) AS orders, COUNT(DISTINCT o_custkey) AS custs
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q21_json_extract" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+        | COUNT(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q22_daily_windows" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day, event_type,
+        | COUNT(*) AS cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "g01_order_counts" ->
+      """SELECT 'customer:' || c_custkey AS uid, COUNT(*) AS ordercount
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "g02_asia_customers" ->
+      """SELECT 'customer:' || c_custkey AS uid
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'""".stripMargin,
+
+    "g03_unordered_parts" ->
+      """SELECT 'part:' || p_partkey AS uid FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+
+    "g04_region_reach_count" ->
+      """SELECT COUNT(DISTINCT c_custkey) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'""".stripMargin,
+
+    "g05_region_revenue_dsl" ->
+      """SELECT 'region:' || r_regionkey AS uid,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    "g06_glob_uid" ->
+      """SELECT 'customer:' || c_custkey AS uid FROM customer
+        |WHERE c_custkey BETWEEN 100 AND 199""".stripMargin,
+
+    "g07_fts_parts" ->
+      """SELECT 'part:' || p_partkey AS uid FROM part
+        |WHERE regexp_matches(LOWER(p_name), '\bred\b')""".stripMargin,
+
+    "g08_orders_of_customer" ->
+      "SELECT 'orders:' || o_orderkey AS uid FROM orders WHERE o_custkey = 42",
+
+    "d01_exact_dedup_stats" ->
+      """SELECT COUNT(*) AS total_docs,
+        | COUNT(DISTINCT md5(text)) AS distinct_docs,
+        | COUNT(DISTINCT substr(md5(LOWER(regexp_replace(text, '\s+', ' ', 'g'))), 1, 32)) AS distinct_norm
+        |FROM documents""".stripMargin,
+
+    "d02_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sized AS (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY doc_id) AS n FROM sh),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared,
+        |    ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        |  FROM sized a JOIN sized b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+        |FROM pairs WHERE ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5""".stripMargin,
+
+    "d03_lsh_candidates" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 4294967311 AS hh FROM sh),
+        |mh AS (SELECT doc_id, i, MIN(((101 + 37*i) * hh + 12345 + 789*i) % 4294967311) AS mh
+        |  FROM h CROSS JOIN range(0, 16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, i // 4 AS band,
+        |  string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig FROM mh GROUP BY 1, 2)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+
+    "d04_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |bits AS (SELECT doc_id, b,
+        |  CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+        |  FROM th CROSS JOIN range(0, 60) r(b) GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id""".stripMargin,
+
+    "d05_embedding_dups" ->
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin,
+
+    "s01_cosine_knn" ->
+      """WITH q AS (SELECT embedding AS qv,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+        |  FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id AS id,
+        |  ROUND(list_sum(list_transform(list_zip(embedding, q.qv),
+        |     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * q.qn), 4) AS cosine
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cosine DESC, id LIMIT 5""".stripMargin,
+
+    "s02_ann_ivf" ->
+      """WITH q AS (SELECT embedding AS qv, label AS ql,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+        |  FROM embeddings WHERE vec_id = 7)
+        |SELECT vec_id AS id,
+        |  ROUND(list_sum(list_transform(list_zip(embedding, q.qv),
+        |     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * q.qn), 4) AS cosine
+        |FROM embeddings, q WHERE vec_id <> 7 AND label = q.ql
+        |ORDER BY cosine DESC, id LIMIT 5""".stripMargin,
+
+    "t01_lang_tokens" ->
+      """SELECT lang, COUNT(*) AS docs,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        | CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "t02_quality_features" ->
+      """SELECT doc_id,
+        | CAST(LENGTH(text) AS INT) AS n_chars,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        | ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / len(string_split(text, ' ')), 4) AS lex_diversity,
+        | CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct,
+        | CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits
+        |FROM documents""".stripMargin,
+
+    "t03_langid" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist'))) AS score_de,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is'))) AS score_en,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('el','los','y','es','las'))) AS score_es,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('le','la','et','est','les'))) AS score_fr
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(score_de AS INT) AS score_de, CAST(score_en AS INT) AS score_en,
+        | CAST(score_es AS INT) AS score_es, CAST(score_fr AS INT) AS score_fr,
+        | CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+        |  WHEN score_de >= GREATEST(score_en, score_es, score_fr) THEN 'de'
+        |  WHEN score_en >= GREATEST(score_es, score_fr) THEN 'en'
+        |  WHEN score_es >= score_fr THEN 'es'
+        |  ELSE 'fr' END AS pred_lang
+        |FROM s""".stripMargin,
+
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        | substr(md5(LOWER(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
+        |FROM documents""".stripMargin,
+
+    "e01_sessions" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events)
+        |SELECT user_id,
+        | CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS sessions,
+        | COUNT(*) AS events
+        |FROM x GROUP BY user_id""".stripMargin,
+
+    "e02_funnel" ->
+      """WITH f AS (SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts END) AS view,
+        |  MIN(CASE WHEN event_type = 'click' THEN ts END) AS click,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase
+        | FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        | GROUP BY user_id)
+        |SELECT COUNT(*) AS users FROM f
+        |WHERE view IS NOT NULL AND click IS NOT NULL AND purchase IS NOT NULL
+        |  AND view < click AND click < purchase""".stripMargin
+  )
 }

@@ -1,0 +1,100 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Json, Rows}
+
+/** Distributed snapshot reconstruction from the change journal — the scale
+  * path of the storage inversion (SURVEY §7.2): the journal IS the database;
+  * the queryable node/edge tables are per-uid folds of change docs in seq
+  * order.
+  *
+  * Change-doc fold rule (mirrors reference semantics, graphydb.py:572-636):
+  * `payload ← (payload − removeKeys) ∪ addMap`; an item exists iff its folded
+  * payload is non-empty (a delete doc removes the full image, including core
+  * keys). Creates are full-image adds, modifies are key diffs — the same rule
+  * covers all three, so the fold needs no per-doc discrimination.
+  *
+  * Execution shape: ONE shuffle (groupByKey on uid) + a typed mapGroups fold.
+  * At 100 TB journal scale the fold stays bounded per uid (docs per item),
+  * and compaction (`WarehouseGraph.compact`) bounds journal length by
+  * rewriting the current snapshot as full-image creates.
+  */
+object Journal {
+
+  private final case class FoldedItem(
+      uid: String, kind: String, startuid: String, enduid: String,
+      ctime: Double, mtime: Double, props: String, isEdge: Boolean)
+
+  /** Fold a journal (changeSchema rows) into current node/edge snapshots. */
+  def snapshot(spark: SparkSession, changes: DataFrame): (DataFrame, DataFrame) =
+    snapshotAt(spark, changes, Long.MaxValue)
+
+  /** Time travel: state as of journal position `maxSeq` (inclusive). */
+  def snapshotAt(spark: SparkSession, changes: DataFrame, maxSeq: Long): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val folded: Dataset[FoldedItem] = changes
+      .filter(col("seq") <= maxSeq)
+      .select("uid", "seq", "add", "remove")
+      .as[(String, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        var payload = Map.empty[String, Any]
+        it.toSeq.sortBy(_._2).foreach { case (_, _, add, remove) =>
+          val rm = Option(remove).map(Json.parse).getOrElse(Map.empty)
+          val ad = Option(add).map(Json.parse).getOrElse(Map.empty)
+          payload = (payload -- rm.keys) ++ ad
+        }
+        if (payload.isEmpty) Iterator.empty
+        else {
+          def dbl(k: String): Double = payload.get(k) match {
+            case Some(x: Double) => x
+            case Some(x: Long) => x.toDouble
+            case Some(x) => x.toString.toDouble
+            case None => 0.0
+          }
+          val isEdge = payload.contains("startuid")
+          Iterator.single(FoldedItem(
+            uid,
+            payload.getOrElse("kind", "").toString,
+            payload.get("startuid").map(_.toString).orNull,
+            payload.get("enduid").map(_.toString).orNull,
+            dbl("ctime"), dbl("mtime"),
+            Json.render(payload -- Rows.Reserved),
+            isEdge))
+        }
+      }
+    val cached = folded.toDF().cache()
+    val nodes = cached.filter(!col("isEdge"))
+      .select("uid", "kind", "ctime", "mtime", "props")
+    val edges = cached.filter(col("isEdge"))
+      .select("uid", "kind", "startuid", "enduid", "ctime", "mtime", "props")
+    (nodes, edges)
+  }
+
+  /** Full-image create docs for a snapshot — the compaction rewrite. */
+  def snapshotAsChanges(nodes: DataFrame, edges: DataFrame, startSeq: Long): DataFrame = {
+    val nodeDocs = nodes.select(col("uid"),
+      to_json(struct(col("uid"), col("kind"), col("ctime"), col("mtime"))).as("core"),
+      col("props"), col("mtime"))
+    val edgeDocs = edges.select(col("uid"),
+      to_json(struct(col("uid"), col("kind"), col("startuid"), col("enduid"),
+        col("ctime"), col("mtime"))).as("core"),
+      col("props"), col("mtime"))
+    nodeDocs.unionByName(edgeDocs)
+      // any distinct seq assignment above startSeq is valid for creates; the
+      // global row_number is acceptable at compaction cadence (coarse, rare)
+      .withColumn("seq", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("uid")) + lit(startSeq - 1))
+      .select(col("seq").cast("long"),
+        col("uid"),
+        // splice user props into the core object: one full-image add doc
+        concat(expr("substring(core, 1, length(core)-1)"),
+          when(col("props").isNull || col("props") === "{}", lit("}"))
+            .otherwise(concat(lit(","), expr("substring(props, 2)")))).as("add"),
+        lit(null).cast("string").as("remove"),
+        col("mtime").as("time"),
+        md5(col("uid")).as("rev"),
+        lit(null).cast("string").as("batch"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Rows
+
+import java.nio.file.{Files, Paths}
+
+/** Durable graph on a Parquet warehouse directory — the analogue of opening
+  * a graphydb file (`Graph(path)`, graphydb.py:489-529), re-architected
+  * around the append-only journal (SURVEY §7.2):
+  *
+  * {{{
+  *   <path>/journal/   append-only change docs (the source of truth)
+  *   <path>/nodes/     compacted snapshot (bucket-friendly Parquet)
+  *   <path>/edges/
+  * }}}
+  *
+  * Reads resolve compacted snapshot ⊕ journal tail via [[Journal.snapshot]];
+  * `compact()` materializes the current state and truncates the journal —
+  * which also implements `clearchanges` (graphydb.py:536-543). Unlike the
+  * reference, undo history survives as long as compaction hasn't run.
+  *
+  * Writes are set-oriented (append a batch of change docs); the single-item
+  * OLTP path of the reference is served by [[MemGraph]] working sets and is
+  * an explicit non-goal at warehouse scale (BASELINE.md).
+  */
+final class WarehouseGraph(val spark: SparkSession, path: String) extends GraphSource {
+
+  private val journalDir = s"$path/journal"
+  private val nodesDir = s"$path/nodes"
+  private val edgesDir = s"$path/edges"
+
+  Files.createDirectories(Paths.get(journalDir))
+
+  private def emptyChanges: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Rows.changeSchema)
+
+  private def readDir(dir: String, fallback: DataFrame): DataFrame =
+    if (Files.exists(Paths.get(dir)) &&
+      Files.list(Paths.get(dir)).anyMatch(p => p.toString.endsWith(".parquet")))
+      spark.read.schema(fallback.schema).parquet(dir)
+    else fallback
+
+  def journal: DataFrame = readDir(journalDir, emptyChanges)
+
+  def maxSeq: Long = {
+    val row = journal.agg(max("seq")).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** Append a batch of change docs (rows in changeSchema). */
+  def append(changes: DataFrame): Unit =
+    changes.write.mode(SaveMode.Append).parquet(journalDir)
+
+  private def currentState: (DataFrame, DataFrame) = {
+    val base = Seq(nodesDir, edgesDir)
+    val compacted =
+      if (base.forall(d => Files.exists(Paths.get(d))))
+        Some((spark.read.schema(Rows.nodeSchema).parquet(nodesDir),
+          spark.read.schema(Rows.edgeSchema).parquet(edgesDir)))
+      else None
+    compacted match {
+      case None => Journal.snapshot(spark, journal)
+      case Some((n, e)) =>
+        // snapshot ⊕ tail: replay the tail over the compacted base
+        val baseDocs = Journal.snapshotAsChanges(n, e, startSeq = Long.MinValue + 1)
+        Journal.snapshot(spark, baseDocs.unionByName(journal))
+    }
+  }
+
+  def nodes: DataFrame = currentState._1
+  def edges: DataFrame = currentState._2
+
+  /** Materialize the snapshot, truncate the journal. Bucketing note: at
+    * cluster scale write with `.bucketBy(n, "uid")` via saveAsTable into a
+    * metastore; plain Parquet keeps this image-portable here. */
+  def compact(): Unit = {
+    val (n, e) = currentState
+    n.write.mode(SaveMode.Overwrite).parquet(nodesDir + "_tmp")
+    e.write.mode(SaveMode.Overwrite).parquet(edgesDir + "_tmp")
+    spark.read.parquet(nodesDir + "_tmp").write.mode(SaveMode.Overwrite).parquet(nodesDir)
+    spark.read.parquet(edgesDir + "_tmp").write.mode(SaveMode.Overwrite).parquet(edgesDir)
+    // truncate journal (clearchanges semantics)
+    val empty = emptyChanges
+    empty.write.mode(SaveMode.Overwrite).parquet(journalDir)
+  }
+}

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora (project north star;
+  * the reference engine has only uid-identity dedup, graphydb.py:283-287).
+  *
+  * All transforms are pure DataFrame pipelines: shuffles happen on shingle /
+  * band keys only, never on full text; every hash is expressed with
+  * deterministic SQL arithmetic (md5-derived 60-bit codes) so an external
+  * engine (the DuckDB oracle) can reproduce results bit-for-bit.
+  *
+  * Scale notes (100 TB posture):
+  *   - shingling explodes ~L rows per doc but carries only (id, 60-bit hash);
+  *   - candidate generation joins on shingle/band-signature — skew-prone keys
+  *     (ultra-common shingles) should be frequency-capped upstream via
+  *     [[commonShingleFilter]];
+  *   - MinHash-LSH replaces the quadratic all-pairs join with per-band
+  *     bucket joins: cost ~ sum over buckets of bucket².
+  */
+object Dedup {
+
+  /** 60-bit deterministic content hash: first 15 hex chars of md5.
+    * DuckDB twin: `('0x' || substr(md5(s), 1, 15))::BIGINT`. */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact duplicate groups by full content: one row per duplicated key. */
+  def exactDupGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("copies"), min(col(idCol)).as("keep_id"))
+      .filter(col("copies") > 1)
+
+  /** Exact dedup: keep the minimum-id row per content key (hash-groupBy —
+    * one shuffle on the key, map-side partial min). */
+  def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val keep = df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
+    df.join(keep, keyCols :+ idCol, "left_semi")
+  }
+
+  /** Distinct k-word shingles per document: (id, shingle STRING).
+    * Tokenization is a plain single-space split so the oracle can mirror it. */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // shingle i = tokens[i..i+k-1], i in 0..len-k (empty when doc shorter than k)
+    val sh = when(size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array())
+    df.select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Optional skew guard: drop shingles appearing in more than `maxDf` docs
+    * (they generate quadratic join fanout and carry no dedup signal). */
+  def commonShingleFilter(shingles: DataFrame, maxDf: Long): DataFrame = {
+    val rare = shingles.groupBy("shingle").count().filter(col("count") <= maxDf)
+    shingles.join(rare.select("shingle"), Seq("shingle"), "left_semi")
+  }
+
+  /** All-pairs n-gram Jaccard over shared shingles (self-blocking: only pairs
+    * sharing ≥1 shingle are generated). Returns id_a < id_b with
+    * `jaccard` = shared / (|A| + |B| - shared), rounded to 6 dp. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, k)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val withN = sh.join(sizes, "id")
+    val a = withN.select(col("id").as("id_a"), col("shingle"), col("n").as("na"))
+    val b = withN.select(col("id").as("id_b"), col("shingle"), col("n").as("nb"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("jaccard",
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash parameters shared with the DuckDB oracle: h ≡ hash60 mod P;
+    * mh_i = (A_i · h + B_i) mod P with A_i = 101 + 37 i (odd), B_i = 12345 +
+    * 789 i. P is a prime > 2^32; A_i·h < 2^48 so the arithmetic never
+    * overflows a 64-bit signed integer in either engine. */
+  val P: Long = 4294967311L
+  def aCoef(i: Int): Long = 101L + 37L * i
+  def bCoef(i: Int): Long = 12345L + 789L * i
+
+  /** MinHash signatures: (id, i, mh) for i in 0 until numHashes. */
+  def minhash(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, k)
+      .withColumn("h", pmod(hash60(col("shingle")), lit(P)))
+    sh.select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"), col("h"))
+      .withColumn("mh", pmod((lit(101) + lit(37) * col("i")) * col("h")
+        + lit(12345) + lit(789) * col("i"), lit(P)))
+      .groupBy("id", "i").agg(min("mh").as("mh"))
+  }
+
+  /** LSH candidate pairs: band docs by (band, concatenated band signature),
+    * join within buckets. bands × rowsPerBand must equal numHashes. */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = minhash(df, idCol, textCol, k, numHashes)
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+    // deterministic in-band order: aggregate per (id, band) with i-ordered concat
+    val bandSig = sigs.groupBy("id", "band")
+      .agg(concat_ws("_", transform(
+        array_sort(collect_list(struct(col("i"), col("mh")))),
+        s => s.getField("mh").cast("string"))).as("sig"))
+    val l = bandSig.select(col("id").as("id_a"), col("band"), col("sig"))
+    val r = bandSig.select(col("id").as("id_b"), col("band"), col("sig"))
+    l.join(r, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** 60-bit SimHash over distinct whitespace tokens: per bit b, the sign of
+    * Σ ±1 across token hashes decides the bit. Returns (id, simhash LONG). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .withColumn("th", hash60(col("tok")))
+    toks.select(col("id"), col("th"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("contrib",
+        when(expr("(shiftrightunsigned(th, cast(b as int)) & 1) = 1"), 1).otherwise(-1))
+      .groupBy("id", "b").agg(sum("contrib").as("s"))
+      .withColumn("bit", expr(
+        "case when s > 0 then shiftleft(cast(1 as bigint), cast(b as int)) else cast(0 as bigint) end"))
+      .groupBy("id").agg(sum("bit").as("simhash"))
+  }
+
+  /** Near-dup by embedding cosine: pairs with cosine ≥ threshold, blocked by
+    * an exact-match coarse key (same label) to avoid the full cross join. */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val withNorm = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(vecCol).as("v"),
+      sqrt(aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)).as("nrm"))
+    val a = withNorm.select(col("id").as("id_a"), col("blk"), col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col("id").as("id_b"), col("blk"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics over the `events` table shape (event_id, ts, user_id,
+  * event_type, value, props JSON). Batch forms here; the streaming twins live
+  * in [[graft.streaming.EventStreams]]. */
+object Events {
+
+  /** Sessionize by inactivity gap: a new session starts when the previous
+    * event of the same user is more than `gapSeconds` older. One window
+    * function pass — single shuffle on user_id. */
+  def sessionized(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        // fractional-second cast on both engines (DuckDB twin: epoch(ts)) —
+        // integer truncation would disagree on gaps within 1s of the cutoff
+        when(col("prev_ts").isNull ||
+          (col("ts").cast("double") - col("prev_ts").cast("double")) > gapSeconds.toDouble, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Sessions per user + events per session summary. */
+  def sessionStats(events: DataFrame, gapSeconds: Long): DataFrame =
+    sessionized(events, gapSeconds)
+      .groupBy("user_id")
+      .agg(max("session_idx").cast("long").as("sessions"),
+        count(lit(1)).as("events"))
+
+  /** Strict ordered funnel: users whose earliest occurrences of the steps are
+    * strictly increasing in time. Returns a single-row count. */
+  def funnelCount(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val firsts = events
+      .filter(col("event_type").isin(steps.map(lit): _*))
+      .groupBy("user_id")
+      .pivot("event_type", steps)
+      .agg(min("ts"))
+    val ordered = steps.sliding(2).map { case Seq(a, b) => col(a) < col(b) }
+      .reduce(_ && _)
+    firsts.filter(steps.map(col(_).isNotNull).reduce(_ && _) && ordered)
+      .agg(count(lit(1)).as("users"))
+  }
+}

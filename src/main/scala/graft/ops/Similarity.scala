@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`ARRAY<FLOAT>`). Part of the training-data-pipeline extension surface
+  * (north star; absent in the reference).
+  *
+  * Scale posture:
+  *   - [[bruteForceTopK]] is the exactness baseline: one pass over the corpus
+  *     per query batch, a broadcast of the (small) query set, and a
+  *     TakeOrderedAndProject top-k — no shuffle of the corpus itself.
+  *   - [[ivfTopK]] is the scale path: corpus pre-partitioned by a cluster
+  *     assignment (here the precomputed `label` column stands in for IVF
+  *     centroid assignment); a query probes only its cluster's partition,
+  *     cutting the scanned fraction to ~1/nlist.
+  *   - [[cosineLshTopK]] buckets by random-hyperplane sign bits (deterministic
+  *     md5-seeded planes) and scans only the query's bucket — recall tunable
+  *     by `bits`.
+  *
+  * All arithmetic is element-wise double fold in array order, reproducible by
+  * the DuckDB oracle (`list_transform`/`list_sum` over the same lists).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as an ordered left fold (deterministic summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Exact cosine top-k against one query vector (given as the row of
+    * `df` with `idCol == queryId`). Returns (id, cosine) — k rows, best
+    * first; the query row itself is excluded. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, roundTo: Int = 4): DataFrame = {
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+    df.filter(col(idCol) =!= queryId)
+      .join(broadcast(q))
+      .select(col(idCol).as("id"),
+        round(dot(col(vecCol), col("qv")) / (norm(col(vecCol)) * col("qn")), roundTo).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /** IVF-style probe: identical contract to [[bruteForceTopK]] but scans only
+    * rows whose `clusterCol` equals the query's cluster. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, clusterCol: String,
+      queryId: Long, k: Int, roundTo: Int = 4): DataFrame = {
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), norm(col(vecCol)).as("qn"), col(clusterCol).as("qc"))
+    df.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), col(clusterCol) === col("qc"))
+      .select(col(idCol).as("id"),
+        round(dot(col(vecCol), col("qv")) / (norm(col(vecCol)) * col("qn")), roundTo).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a value in [-0.5, 0.5) derived from md5 — reproducible everywhere. */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (conv(substring(md5(concat_ws(":", plane, dim)), 1, 8), 16, 10).cast("long")
+      .cast("double") / lit(4294967296.0)) - lit(0.5)
+
+  /** Sign-bit bucket id for a vector under `bits` random hyperplanes. */
+  def lshBucket(vec: Column, bits: Int): Column = {
+    val bitCols = (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(lit(p), i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** LSH-bucketed cosine top-k: only the query's bucket is scanned. */
+  def cosineLshTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, bits: Int = 8, roundTo: Int = 4): DataFrame = {
+    val bucketed = df.withColumn("_bucket", lshBucket(col(vecCol), bits))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), norm(col(vecCol)).as("qn"), col("_bucket").as("qb"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), col("_bucket") === col("qb"))
+      .select(col(idCol).as("id"),
+        round(dot(col(vecCol), col("qv")) / (norm(col(vecCol)) * col("qn")), roundTo).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation (extension surface): token
+  * counting, quality scoring, language-ID heuristic, fingerprinting. All are
+  * single-pass column expressions (whole-stage-codegen friendly, no UDFs) and
+  * reproducible in the DuckDB oracle. */
+object TextAnalysis {
+
+  /** Whitespace token count (single-space corpus convention). */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword count upper bound: word-boundary pieces + digit runs —
+    * a regex proxy for tokenizer cost estimation at ingest time. */
+  def subwordCount(text: Column): Column =
+    size(split(text, "(?<=[a-z])(?=[A-Z])|[^A-Za-z0-9]+"))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(split(text, " ")))
+
+  /** Quality features per document: lengths, lexical diversity, punctuation
+    * and digit density. Ratios rounded to 4 dp for cross-engine equality. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      distinctTokenCount(t).as("n_distinct"),
+      round(distinctTokenCount(t).cast("double") / tokenCount(t), 4).as("lex_diversity"),
+      (length(t) - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))).as("n_punct"),
+      (length(t) - length(regexp_replace(t, "[0-9]", ""))).as("n_digits"))
+  }
+
+  /** Stopword-hit language scores. The lists are tiny n-gram-style anchors —
+    * the heuristic part of a real lang-ID pass; the Spark shape (explode →
+    * semi-count per language) is the part that matters at scale. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "los", "y", "es", "las"))
+
+  /** Predict language by maximum stopword hits (ties broken by language code
+    * order); emits per-language scores too. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val scored = stopwords.toSeq.sortBy(_._1).foldLeft(df.select(col(idCol), toks.as("toks"))) {
+      case (acc, (lang, words)) =>
+        acc.withColumn(s"score_$lang",
+          size(filter(col("toks"), t => t.isin(words.map(lit): _*))))
+    }
+    val langs = stopwords.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored.withColumn("pred_lang",
+        when(greatest(langs.map(l => col(s"score_$l")): _*) === 0, lit("und"))
+          .otherwise(best.getField("l")))
+      .select(col(idCol) +: langs.map(l => col(s"score_$l")) :+ col("pred_lang"): _*)
+  }
+
+  /** Rolling-hash style document fingerprint: md5 prefix of the
+    * whitespace-normalized lowercased text — byte-identical across engines. */
+  def fingerprint(text: Column, hexChars: Int = 16): Column =
+    substring(md5(lower(regexp_replace(text, "\\s+", " "))), 1, hexChars)
+}
