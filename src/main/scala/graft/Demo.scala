@@ -81,6 +81,29 @@ object Demo {
       lit(0.0).as("ctime"), lit(0.0).as("mtime"), lit("{}").as("props"))
     val star = new ViewGraph(spark, nodes, edges)
 
+    println("== warehouse: journal append -> snapshot -> compact -> reopen ==")
+    val whDir = java.nio.file.Files.createTempDirectory("graft_demo_wh").toString
+    val wh = new graft.engine.WarehouseGraph(spark, whDir)
+    wh.append(g.changesDf)
+    println(s"  nodes=${wh.nodes.count()} edges=${wh.edges.count()} journal=${wh.journal.count()}")
+    wh.compact()
+    println(s"  after compact: nodes=${wh.nodes.count()} journal=${wh.journal.count()}")
+
+    println("== distributed traversals ==")
+    val seed = g.nodes.filter(col("uid") === bob.uid)
+    println("  bothN(bob) = " + graft.ops.Traversals.bothN(g, seed).count())
+    println("  2-hop(bob) = " + graft.ops.Traversals.kHop(g, seed, 2).count())
+    println("  pregel reach(bob) = " + graft.ops.Traversals.connectedReach(spark, g, bob.uid).count())
+
+    println("== streaming: journal tail of the warehouse ==")
+    val g3 = graft.engine.MemGraph(spark)
+    g3.node("Person", "name" -> "Late Arrival").save()
+    wh.append(g3.changesDf)
+    val tail = graft.streaming.EventStreams.runToMemory(spark,
+      graft.streaming.EventStreams.journalStream(spark, s"$whDir/journal"), "demo_tail",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    println(s"  streamed ${tail.count()} journal rows after compaction")
+
     println(s"== star projection fetch over $dir ==")
     val df = Fetch.df(star, Fetch.Args(
       chain = "[n:nation,members] <(e:InNation)- (c:customer)",

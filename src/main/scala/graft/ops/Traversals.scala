@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph, VertexId}
+import graft.engine.GraphSource
+
+/** Distributed graph traversals (SURVEY §2.12 scale forms).
+  *
+  * The reference's per-node helpers and N+1 set loops
+  * (graphydb.py:1335-1423, 1711-1772) collapse here into single
+  * frontier-join plans; iterative/whole-graph analytics bridge to GraphX
+  * via a uid→long dictionary.
+  *
+  * Scale notes: each hop is one shuffle (join on startuid/enduid). For
+  * repeated traversals over a stable graph, pre-bucketing edges by startuid
+  * (and nodes by uid) with the same bucket count makes hops shuffle-free.
+  */
+object Traversals {
+
+  /** Nodes reachable along outgoing edges from `frontier` (a DF with `uid`). */
+  def outN(g: GraphSource, frontier: DataFrame, kind: Option[String] = None): DataFrame = {
+    val e = kind.map(k => g.edges.filter(col("kind") === k)).getOrElse(g.edges)
+    val next = e.join(frontier.select(col("uid").as("startuid")), Seq("startuid"), "left_semi")
+      .select(col("enduid").as("uid")).distinct()
+    g.nodes.join(next, Seq("uid"), "left_semi")
+  }
+
+  def inN(g: GraphSource, frontier: DataFrame, kind: Option[String] = None): DataFrame = {
+    val e = kind.map(k => g.edges.filter(col("kind") === k)).getOrElse(g.edges)
+    val next = e.join(frontier.select(col("uid").as("enduid")), Seq("enduid"), "left_semi")
+      .select(col("startuid").as("uid")).distinct()
+    g.nodes.join(next, Seq("uid"), "left_semi")
+  }
+
+  def bothN(g: GraphSource, frontier: DataFrame): DataFrame =
+    SetOps.union(outN(g, frontier), inN(g, frontier))
+
+  /** k-hop expansion with visited-set pruning: frontierᵢ₊₁ = N(frontierᵢ) −
+    * visited. Returns all nodes within `hops` (excluding the seed set).
+    * Each hop = one join; beyond a few hops switch to [[connectedReach]]. */
+  def kHop(g: GraphSource, seeds: DataFrame, hops: Int, directed: Boolean = false): DataFrame = {
+    // eager checkpoints per hop: the iterative lineage would otherwise grow a
+    // plan Catalyst re-optimizes from scratch every hop (exponential planning)
+    var visited = seeds.select("uid").localCheckpoint(true)
+    var frontier = visited
+    var result = g.nodes.limit(0)
+    var hop = 0
+    var exhausted = false
+    while (hop < hops && !exhausted) {
+      val next0 = if (directed) outN(g, frontier) else bothN(g, frontier)
+      val next = SetOps.difference(next0, visited).localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        result = result.unionByName(next)
+        visited = visited.unionByName(next.select("uid")).distinct().localCheckpoint(true)
+        frontier = next.select("uid")
+      }
+      hop += 1
+    }
+    result.dropDuplicates("uid")
+  }
+
+  /** uid → dense VertexId dictionary for the GraphX bridge. */
+  def uidDictionary(g: GraphSource): DataFrame =
+    g.nodes.select("uid").distinct()
+      .withColumn("vid", monotonically_increasing_id())
+
+  /** Build a GraphX graph (vertex attr = uid, edge attr = kind) for
+    * iterative analytics: BFS, PageRank, connected components — anything
+    * where per-hop DataFrame joins would re-shuffle the world each step. */
+  def toGraphX(g: GraphSource, dict: DataFrame): GxGraph[String, String] = {
+    val verts = dict.select(col("vid"), col("uid")).rdd
+      .map(r => (r.getLong(0): VertexId, r.getString(1)))
+    val d1 = dict.select(col("uid").as("startuid"), col("vid").as("svid"))
+    val d2 = dict.select(col("uid").as("enduid"), col("vid").as("evid"))
+    val edges = g.edges.join(d1, "startuid").join(d2, "enduid")
+      .select(col("svid"), col("evid"), col("kind")).rdd
+      .map(r => GxEdge(r.getLong(0), r.getLong(1), r.getString(2)))
+    GxGraph(verts, edges)
+  }
+
+  /** Undirected reachable set from a seed uid via GraphX Pregel BFS —
+    * the large-k / whole-graph path. Returns a DF of reached uids. */
+  def connectedReach(spark: SparkSession, g: GraphSource, seedUid: String): DataFrame = {
+    val dict = uidDictionary(g).cache()
+    val gx = toGraphX(g, dict)
+    val seedVid = dict.filter(col("uid") === seedUid).head().getAs[Long]("vid")
+    val init = gx.mapVertices((vid, _) => vid == seedVid)
+    val reached = init.pregel[Boolean](false)(
+      (_, attr, msg) => attr || msg,
+      triplet =>
+        if (triplet.srcAttr && !triplet.dstAttr) Iterator((triplet.dstId, true))
+        else if (triplet.dstAttr && !triplet.srcAttr) Iterator((triplet.srcId, true))
+        else Iterator.empty,
+      (a, b) => a || b)
+    import spark.implicits._
+    val reachedIds = reached.vertices.filter(_._2).map(_._1).toDF("vid")
+    dict.join(reachedIds, "vid").select("uid")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface over the events shape (SURVEY §2.9 — absent
+  * in the reference; part of the engine's extension contract).
+  *
+  * Every transform takes/returns a streaming DataFrame so sources and sinks
+  * stay caller-chosen (`readStream` file/kafka → transforms → `writeStream`);
+  * batch DataFrames run through the same code paths (the transforms are
+  * source-agnostic), which is how the specs pin semantics against their
+  * batch twins in [[graft.ops.Events]].
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event_type with a watermark: the
+    * streaming twin of the q22 daily-window batch query. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("cnt"), col("value_sum"))
+
+  /** Sliding windows (length/slide), same aggregate shape. */
+  def slidingCounts(events: DataFrame, length: String, slide: String,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), length, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** Session windows by inactivity gap — built-in `session_window`, the
+    * streaming twin of [[graft.ops.Events.sessionized]]. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("events"))
+
+  final case class UserRunning(events: Long, valueSum: Double)
+  final case class UserUpdate(user_id: Long, events: Long, value_sum: Double)
+
+  /** Custom stateful aggregation via mapGroupsWithState: running per-user
+    * totals across micro-batches (the `KeyValueGroupedDataset` custom-state
+    * surface the brief calls for). */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "cast(value as double) as value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserRunning, UserUpdate](GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(0L, 0.0))
+          var n = prev.events; var v = prev.valueSum
+          rows.foreach { case (_, value) => n += 1; v += value }
+          val next = UserRunning(n, v)
+          state.update(next)
+          UserUpdate(user, next.events, next.valueSum)
+      }
+      .toDF()
+  }
+
+  /** Change-stream tailing of a graph journal directory (the reference's
+    * `changes` table as a live feed): file-source stream over the warehouse
+    * journal in change-doc schema. */
+  def journalStream(spark: SparkSession, journalDir: String): DataFrame =
+    spark.readStream
+      .schema(graft.core.Rows.changeSchema)
+      .parquet(journalDir)
+
+  /** Convenience memory-sink runner for tests/demos: processes all available
+    * input and returns the in-memory result table. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Update()): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.ops.SetOps
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** The scale-path storage contract (SURVEY §7.2): the distributed journal
+  * fold must reconstruct exactly the state the driver-side MemGraph holds,
+  * for any mutation sequence; plus time travel and warehouse round-trip. */
+class JournalSpec extends AnyFunSuite with SparkSpec {
+
+  private def randomMutations(g: MemGraph, rng: Random, steps: Int): Unit = {
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Node]
+    for (_ <- 1 to steps) {
+      rng.nextInt(5) match {
+        case 0 | 1 =>
+          nodes += g.node(s"K${rng.nextInt(3)}", "v" -> rng.nextInt(100)).save()
+        case 2 if nodes.size >= 2 =>
+          val a = nodes(rng.nextInt(nodes.size)); val b = nodes(rng.nextInt(nodes.size))
+          if (a.exists && b.exists) g.edge(a, "E", b).save()
+        case 3 if nodes.nonEmpty =>
+          val n = nodes(rng.nextInt(nodes.size))
+          if (n.exists) { n("v") = rng.nextInt(100); n.save() }
+        case _ if nodes.nonEmpty =>
+          val n = nodes(rng.nextInt(nodes.size))
+          if (n.exists) n.delete(disconnect = true)
+        case _ => ()
+      }
+    }
+  }
+
+  test("distributed snapshot fold ≡ driver-side state after random mutations") {
+    val g = MemGraph(spark)
+    randomMutations(g, new Random(42), 60)
+    val (nodes, edges) = Journal.snapshot(spark, g.changesDf)
+    assert(SetOps.setEquals(nodes, g.nodes), "node uid sets differ")
+    assert(SetOps.setEquals(edges, g.edges), "edge uid sets differ")
+    // full content equality, not just uids
+    val gotN = nodes.collect().map(r => (r.getString(0), r.getString(1), r.getString(4))).toSet
+    val wantN = g.nodes.collect().map(r => (r.getString(0), r.getString(1), r.getString(4))).toSet
+    assert(gotN == wantN)
+  }
+
+  test("time travel: snapshotAt(seq) replays a prefix") {
+    val g = MemGraph(spark)
+    val a = g.node("P", "name" -> "a").save()
+    val seqAfterCreate = g.countChanges
+    a("name") = "a2"; a.save()
+    a.delete()
+    val (n0, _) = Journal.snapshotAt(spark, g.changesDf, seqAfterCreate)
+    assert(n0.count() == 1)
+    val props = n0.head().getAs[String]("props")
+    assert(props.contains("\"a\""))
+    val (nFinal, _) = Journal.snapshot(spark, g.changesDf)
+    assert(nFinal.count() == 0)
+  }
+
+  test("warehouse append → snapshot → compact → reopen round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val g = MemGraph(spark)
+    val p1 = g.node("Person", "name" -> "Anne").save()
+    val p2 = g.node("Person", "name" -> "Bob").save()
+    g.edge(p1, "Likes", p2).save()
+
+    val wh = new WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    assert(wh.nodes.count() == 2 && wh.edges.count() == 1)
+    assert(wh.maxSeq == 3)
+
+    wh.compact()
+    assert(wh.journal.count() == 0, "compaction truncates the journal")
+    assert(wh.nodes.count() == 2 && wh.edges.count() == 1)
+
+    // post-compaction appends replay over the compacted base
+    val g2 = MemGraph(spark)
+    val p3 = g2.node("Person", "name" -> "Cate").save()
+    wh.append(g2.changesDf)
+    assert(wh.nodes.count() == 3)
+
+    val reopened = new WarehouseGraph(spark, dir)
+    assert(reopened.nodes.count() == 3 && reopened.edges.count() == 1)
+  }
+
+  test("fetch runs against a warehouse graph (same query path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh2").toString
+    val g = MemGraph(spark)
+    val a = g.node("Person", "name" -> "Anne").save()
+    val b = g.node("Person", "name" -> "Bob").save()
+    g.edge(a, "Likes", b).save()
+    val wh = new WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    val df = graft.query.Fetch.df(wh, graft.query.Fetch.Args(
+      chain = "[p:Person] -(e:Likes)> (q:Person)"))
+    assert(df.count() == 1)
+    assert(df.head().getAs[String]("uid") == a.uid)
+  }
+}

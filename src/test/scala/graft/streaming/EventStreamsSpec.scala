@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Events
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+// top-level so Spark can derive an Encoder without an outer-instance scope
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Streaming surface semantics pinned against batch twins using
+  * MemoryStream micro-batches (SURVEY §2.9). */
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val sample = Seq(
+    Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(5), 1, "click", 2.0),
+    Ev(3, ts(10), 2, "view", 3.0), Ev(4, ts(40), 1, "purchase", 4.0),
+    Ev(5, ts(59), 2, "view", 5.0))
+
+  test("windowed counts: stream (AvailableNow) ≡ batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val streamed = EventStreams.runToMemory(spark,
+      EventStreams.windowedCounts(mem.toDF(), "1 hour"), "win_counts",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val batch = EventStreams.windowedCounts(sample.toDF(), "1 hour")
+    val got = streamed.select("window_start", "event_type", "cnt").collect().toSet
+    val want = batch.select("window_start", "event_type", "cnt").collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("session windows produce gap-separated sessions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    // session-window aggregation only supports Append/Complete; Complete
+    // emits all sessions regardless of watermark progress
+    val sess = EventStreams.runToMemory(spark,
+      EventStreams.sessionWindows(mem.toDF(), gap = "30 minutes"), "sessions",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    // user 1: events at 0,5 then 40 → 2 sessions; user 2: 10 then 59 → 2
+    val perUser = sess.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perUser == Map(1L -> 2L, 2L -> 2L))
+    // agrees with the batch sessionizer
+    val batch = Events.sessionStats(sample.toDF(), gapSeconds = 1800)
+    val batchSessions = batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batchSessions == Map(1L -> 2L, 2L -> 2L))
+  }
+
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.runningUserTotals(spark, mem.toDF())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    mem.addData(sample.take(3): _*); q.processAllAvailable()
+    mem.addData(sample.drop(3): _*); q.processAllAvailable()
+    q.stop()
+    val last = spark.table("running")
+      .groupBy("user_id").agg(max("events").as("events"), max("value_sum").as("value_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(last == Set((1L, 3L, 7.0), (2L, 2L, 8.0)))
+  }
+
+  test("journal stream tails warehouse appends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_js").toString
+    val g = graft.engine.MemGraph(spark)
+    g.node("P", "name" -> "x").save()
+    val wh = new graft.engine.WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    val streamed = EventStreams.runToMemory(spark,
+      EventStreams.journalStream(spark, s"$dir/journal"), "journal_tail",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(streamed.count() == 1)
+    assert(streamed.head().getAs[String]("uid") == g.nodes.head().getAs[String]("uid"))
+  }
+}
