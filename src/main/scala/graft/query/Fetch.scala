@@ -113,7 +113,15 @@ object Fetch {
     if (conjuncts.nonEmpty) sb.append("\nWHERE ").append(conjuncts.mkString(" AND "))
 
     args.group.foreach(g => sb.append("\nGROUP BY ").append(tr(g)))
-    args.order.foreach(o => sb.append("\nORDER BY ").append(tr(o)))
+    // ORDER BY runs over the DISTINCT/aggregated output, where the collected
+    // link's columns are unqualified — strip its alias prefix (SQLite accepts
+    // qualified refs there, graphydb.py:961-962; Spark follows standard SQL).
+    // Ordering by a NON-collected alias under DISTINCT stays unsupported.
+    args.order.foreach { o =>
+      val stripped = tr(o).replaceAll(
+        "\\b" + java.util.regex.Pattern.quote(collect.alias) + "\\.", "")
+      sb.append("\nORDER BY ").append(stripped)
+    }
     args.limit.foreach(l => sb.append(s"\nLIMIT $l"))
     args.offset.foreach(o => sb.append(s" OFFSET $o"))
     sb.toString

@@ -1,0 +1,86 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterEach
+
+/** Coverage for reference behaviors not exercised by the ported suites:
+  * fnmatch filters (graphydb.py:1597-1618), column extraction getm
+  * (1630-1648), ORDER/LIMIT/OFFSET through fetch (968-971), bulk batch
+  * save/delete sharing one undo batch (1561-1573), discard, renew-like
+  * original(), DEBUG SQL shape. */
+class MoreEngineSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterEach {
+
+  var g: MemGraph = _
+
+  override def beforeEach(): Unit = {
+    g = MemGraph(spark)
+    Seq("Once Upon A Time", "Twice Shy", "Once Bitten").zipWithIndex.foreach {
+      case (t, i) => g.node("Doc", "title" -> t, "n" -> i).save()
+    }
+  }
+
+  test("filterGlob per-key fnmatch; missing key never matches") {
+    val docs = g.fetchN("(n)")
+    assert(docs.filterGlob("title" -> "Once*").size == 2)
+    assert(docs.filterGlob("title" -> "Once Upon *").one.get.apply("n") == 0L)
+    assert(docs.filterGlob("missing" -> "*").isEmpty)
+  }
+
+  test("get/getm column extraction with defaults") {
+    val docs = g.fetchN("(n)", order = Some("n.data.n"))
+    assert(docs.get("title").map(_.toString).toSet ==
+      Set("Once Upon A Time", "Twice Shy", "Once Bitten"))
+    assert(docs.get("missing", "dflt") == Seq("dflt", "dflt", "dflt"))
+    val m = docs.getm("title", "n")
+    assert(m.forall(_.length == 2))
+  }
+
+  test("ORDER/LIMIT/OFFSET through fetch") {
+    val page = g.fetchN("(n)", order = Some("n.data.n DESC"), limit = Some(2))
+    assert(page.get("n") == Seq(2L, 1L))
+    val off = g.fetchN("(n)", order = Some("n.data.n DESC"), limit = Some(2), offset = Some(1))
+    assert(off.get("n") == Seq(1L, 0L))
+  }
+
+  test("bulk set+save shares one batch; one undo reverts the whole group") {
+    val docs = g.fetchN("(n)")
+    docs.setAll("flag" -> true)
+    docs.save()
+    assert(g.fetchN("(n)", Seq("n.data.flag = true")).size == 3)
+    g.undo()
+    assert(g.fetchN("(n)", Seq("n.data.flag = true")).size == 0)
+  }
+
+  test("bulk delete cascades in one batch; undo restores all") {
+    val docs = g.fetchN("(n)")
+    docs.delete()
+    assert(g.fetchCount() == 0)
+    g.undo()
+    assert(g.fetchCount() == 3)
+  }
+
+  test("discard removes a key and journals it") {
+    val d = g.fetchN("(n)", Seq("""n.data.title = "Twice Shy"""")).one.get
+    d.discard("title")
+    d.save()
+    assert(g.getuid(d.uid).get.get("title").isEmpty)
+    g.undo()
+    assert(g.getuid(d.uid).get.apply("title") == "Twice Shy")
+  }
+
+  test("DEBUG returns SQL without executing (graphydb.py:977-978)") {
+    val sql = g.fetchSql("(n)", Seq("n.data.n > :min"), Map("min" -> 1))
+    assert(sql.contains("get_json_object(n.props, '$.n') > 1"))
+    assert(sql.contains("SELECT DISTINCT"))
+  }
+
+  test("DISTINCT=false keeps multigraph join fanout (graphydb.py:865)") {
+    val a = g.fetchN("(n)").toSeq
+    g.edge(a(0), "L", a(1)).save()
+    g.edge(a(0), "L", a(1)).save() // parallel edge: multigraph
+    val dfDistinct = g.fetchDf(graft.query.Fetch.Args(chain = "[x] -(e:L)>"))
+    val dfAll = g.fetchDf(graft.query.Fetch.Args(chain = "[x] -(e:L)>", distinct = false))
+    assert(dfDistinct.count() == 1 && dfAll.count() == 2)
+  }
+}
