@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.GraphSource
+
+/** Whole-graph analytics beyond the reference's operator set (it has none —
+  * SURVEY §2.12 ends at motif chains): degree distributions as plain
+  * aggregations, PageRank / connected components via the GraphX bridge.
+  * These are the "iterative analytics" escape hatch where per-hop DataFrame
+  * joins would re-shuffle the full graph every step. */
+object Analytics {
+
+  /** In/out/total degree per node — two aggregations + one outer join;
+    * nodes with no edges appear with zero degrees. */
+  def degrees(g: GraphSource): DataFrame = {
+    val out = g.edges.groupBy(col("startuid").as("uid")).agg(count(lit(1)).as("out_degree"))
+    val in = g.edges.groupBy(col("enduid").as("uid")).agg(count(lit(1)).as("in_degree"))
+    g.nodes.select("uid")
+      .join(out, Seq("uid"), "left_outer")
+      .join(in, Seq("uid"), "left_outer")
+      .select(col("uid"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .withColumn("degree", col("out_degree") + col("in_degree"))
+  }
+
+  /** Per-kind counts at scale with approximate distinct-uid counting — the
+    * 100 TB default for dedup-counting (SURVEY §2.4); exact mode for parity. */
+  def kindStats(g: GraphSource, exact: Boolean = true): DataFrame = {
+    val agg = if (exact) countDistinct(col("uid")) else approx_count_distinct(col("uid"))
+    g.nodes.groupBy("kind").agg(agg.as("nodes"))
+  }
+
+  def pageRank(spark: SparkSession, g: GraphSource, tol: Double = 0.001): DataFrame = {
+    val dict = Traversals.uidDictionary(g).cache()
+    val ranks = Traversals.toGraphX(g, dict).pageRank(tol).vertices
+    import spark.implicits._
+    val ranksDf = ranks.toDF("vid", "rank")
+    dict.join(ranksDf, "vid").select(col("uid"), col("rank"))
+  }
+
+  def connectedComponents(spark: SparkSession, g: GraphSource): DataFrame = {
+    val dict = Traversals.uidDictionary(g).cache()
+    val cc = Traversals.toGraphX(g, dict).connectedComponents().vertices
+    import spark.implicits._
+    val ccDf = cc.toDF("vid", "component_vid")
+    dict.join(ccDf, "vid").select(col("uid"), col("component_vid").as("component"))
+  }
+}

@@ -71,7 +71,10 @@ object Fetch {
     } else {
       val core = coreCols(collect.isEdge).map { c =>
         val ref = s"${collect.alias}.$c"
-        if (grouped) s"any_value($ref) AS $c" else s"$ref AS $c"
+        // group keys are uid-functional in every documented use, so any
+        // pick-one works; max (unlike any_value→first) keeps HashAggregate
+        // (first() forces SortAggregate) and is deterministic for oracles
+        if (grouped) s"max($ref) AS $c" else s"$ref AS $c"
       }
       val extras = collect.extras.map { name =>
         s"${tr(exprParams(name))} AS $name"

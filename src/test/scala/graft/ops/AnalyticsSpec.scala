@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.engine.MemGraph
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite with SparkSpec {
+
+  // two components: triangle a→b→c→a, pair d→e; isolated f
+  private def fixture(): (MemGraph, Map[String, String]) = {
+    val g = MemGraph(spark)
+    val ns = Seq("a", "b", "c", "d", "e", "f").map(n => n -> g.node("P", "name" -> n).save()).toMap
+    g.edge(ns("a"), "E", ns("b")).save(); g.edge(ns("b"), "E", ns("c")).save()
+    g.edge(ns("c"), "E", ns("a")).save(); g.edge(ns("d"), "E", ns("e")).save()
+    (g, ns.map { case (k, v) => k -> v.uid })
+  }
+
+  test("degrees include zero-degree nodes") {
+    val (g, ids) = fixture()
+    val d = Analytics.degrees(g).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(d(ids("a")) == ((1L, 1L)) && d(ids("d")) == ((1L, 0L)) && d(ids("f")) == ((0L, 0L)))
+  }
+
+  test("connected components split the triangle, the pair, and the isolate") {
+    val (g, ids) = fixture()
+    val cc = Analytics.connectedComponents(spark, g).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cc(ids("a")) == cc(ids("b")) && cc(ids("b")) == cc(ids("c")))
+    assert(cc(ids("d")) == cc(ids("e")))
+    assert(Set(cc(ids("a")), cc(ids("d")), cc(ids("f"))).size == 3)
+  }
+
+  test("pagerank: cycle members tie, sinks lower") {
+    val (g, ids) = fixture()
+    val pr = Analytics.pageRank(spark, g, tol = 0.0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(ids("a")) - pr(ids("b"))) < 1e-6, "symmetric cycle ranks equal")
+    assert(pr(ids("e")) > pr(ids("d")), "e receives d's rank")
+  }
+
+  test("kindStats exact vs approx within HLL tolerance") {
+    val (g, _) = fixture()
+    val exact = Analytics.kindStats(g, exact = true).head().getLong(1)
+    val approx = Analytics.kindStats(g, exact = false).head().getLong(1)
+    assert(exact == 6L && math.abs(approx - exact) <= 1)
+  }
+}
