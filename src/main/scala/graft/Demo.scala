@@ -81,6 +81,12 @@ object Demo {
       lit(0.0).as("ctime"), lit(0.0).as("mtime"), lit("{}").as("props"))
     val star = new ViewGraph(spark, nodes, edges)
 
+    println("== native expressions (GraftExtensions) ==")
+    graft.functions.GraftExtensions.register(spark)
+    println("  cosine_similarity = " + spark.sql(
+      "SELECT cosine_similarity(array(1.0F,2.0F,3.0F), array(3.0F,2.0F,1.0F))").head().getDouble(0))
+    println("  uid_base36()      = " + spark.sql("SELECT uid_base36()").head().getString(0))
+
     println("== warehouse: journal append -> snapshot -> compact -> reopen ==")
     val whDir = java.nio.file.Files.createTempDirectory("graft_demo_wh").toString
     val wh = new graft.engine.WarehouseGraph(spark, whDir)

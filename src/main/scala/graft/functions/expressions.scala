@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, LeafExpression, Nondeterministic}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (SURVEY §7.6 ledger): used where a Scala UDF
+  * would break whole-stage codegen in hot paths.
+  *
+  *   - [[CosineSimilarity]]: ordered-fold cosine over two float arrays —
+  *     numerically identical to the `aggregate(zip_with(...))` column form in
+  *     [[graft.ops.Similarity]] (same left-to-right double accumulation), but
+  *     one fused loop in generated code instead of three array traversals and
+  *     no per-element lambda closures.
+  *   - [[Base36Uid]]: the reference's 25-char base-36 random id
+  *     (graphydb.py:137-167) as a non-deterministic leaf, so id generation
+  *     can run inside codegen'd projections during distributed ingest.
+  *
+  * Registered on a session via [[GraftExtensions]] (SQL names
+  * `cosine_similarity`, `uid_base36`).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity expects float/double arrays, got ${left.dataType} / ${right.dataType}")
+  }
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  private def isDoubleArr(e: Expression) =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    val xd = isDoubleArr(left); val yd = isDoubleArr(right)
+    while (i < n) {
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val getX = if (isDoubleArr(left)) s"$x.getDouble($i)" else s"(double)$x.getFloat($i)"
+      val getY = if (isDoubleArr(right)) s"$y.getDouble($i)" else s"(double)$y.getFloat($i)"
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $getX; double $yi = $getY;
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |if ($nx == 0.0 || $ny == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny)); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 25-char base-36 random uid (uppercase, 36^25 ≈ 8.1e38 space). Marked
+  * non-deterministic: never folded, re-evaluated per row. CodegenFallback is
+  * deliberate — id generation is not a hot inner loop, and fallback keeps the
+  * per-partition RNG initialization contract simple. */
+case class Base36Uid() extends LeafExpression with Nondeterministic
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "uid_base36"
+
+  @transient private[this] var rng: java.util.Random = _
+  override protected def initializeInternal(partitionIndex: Int): Unit =
+    rng = new java.util.Random(java.security.SecureRandom.getInstance("SHA1PRNG").nextLong()
+      + partitionIndex)
+
+  private val Alphabet = graft.core.Uid.Alphabet
+
+  override protected def evalInternal(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val sb = new java.lang.StringBuilder(25)
+    var i = 0
+    while (i < 25) { sb.append(Alphabet.charAt(rng.nextInt(36))); i += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** SparkSessionExtensions hook: register the functions on any session with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`; for an already
+  * built session use [[GraftExtensions.register]]. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private[functions] val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("uid_base36"),
+      new ExpressionInfo(classOf[Base36Uid].getName, "uid_base36"),
+      (_: Seq[Expression]) => Base36Uid()))
+
+  /** Runtime registration into an existing session's function registry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

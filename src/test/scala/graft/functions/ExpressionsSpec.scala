@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpressionsSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val init: Unit = GraftExtensions.register(spark)
+
+  test("cosine_similarity expression ≡ column-fold form, through codegen") {
+    init
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f), Array(1.0f, 0.0f, 2.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (3L, Array(0.5f, -0.5f, 0.25f), Array(0.125f, 0.75f, -1.0f))
+    ).toDF("id", "a", "b")
+    val e = df.select(col("id"), expr("cosine_similarity(a, b)").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val f = df.select(col("id"),
+      (graft.ops.Similarity.dot(col("a"), col("b")) /
+        (graft.ops.Similarity.norm(col("a")) * graft.ops.Similarity.norm(col("b")))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(e.keySet == f.keySet)
+    e.foreach { case (k, v) => assert(v == f(k), s"id $k: $v != ${f(k)}") }
+    assert(math.abs(e(1L) - 1.0) < 1e-12 && math.abs(e(2L)) < 1e-12)
+  }
+
+  test("cosine_similarity null/zero-norm handling") {
+    init
+    import spark.implicits._
+    val df = Seq((1L, Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("id", "a", "b")
+    val out = df.select(expr("cosine_similarity(a, b)").as("c")).head()
+    assert(out.isNullAt(0), "zero-norm vector yields NULL, not NaN")
+  }
+
+  test("uid_base36 generates well-formed distinct ids per row") {
+    init
+    val df = spark.range(1000).select(expr("uid_base36()").as("uid"))
+    val uids = df.collect().map(_.getString(0))
+    assert(uids.forall(graft.core.Uid.isUid))
+    assert(uids.distinct.length == uids.length, "no collisions in 1000 draws")
+  }
+
+  test("expression survives whole-stage codegen in a filter+project pipeline") {
+    init
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, Array.fill(8)(i.toFloat), Array.fill(8)(1.0f)))
+      .toDF("id", "a", "b")
+    val n = df.filter(expr("cosine_similarity(a, b) > 0.99")).count()
+    assert(n == 100L, "constant-direction vectors all cosine≈1")
+  }
+}
