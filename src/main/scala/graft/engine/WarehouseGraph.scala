@@ -72,9 +72,22 @@ final class WarehouseGraph(val spark: SparkSession, path: String) extends GraphS
   def nodes: DataFrame = currentState._1
   def edges: DataFrame = currentState._2
 
-  /** Materialize the snapshot, truncate the journal. Bucketing note: at
-    * cluster scale write with `.bucketBy(n, "uid")` via saveAsTable into a
-    * metastore; plain Parquet keeps this image-portable here. */
+  /** Compact into BUCKETED tables (`<prefix>_nodes` on uid, `<prefix>_edges`
+    * on startuid, same bucket count) so traversal joins
+    * (edges.startuid = nodes.uid) are shuffle-free — the co-location story
+    * for hop queries at warehouse scale. Uses the session catalog
+    * (saveAsTable is how Spark persists bucketing metadata). */
+  def compactBucketed(buckets: Int, tablePrefix: String = "graft_wh"): Unit = {
+    val (n, e) = currentState
+    n.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "uid").sortBy("uid")
+      .saveAsTable(s"${tablePrefix}_nodes")
+    e.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "startuid").sortBy("startuid")
+      .saveAsTable(s"${tablePrefix}_edges")
+  }
+
+  /** Materialize the snapshot, truncate the journal. */
   def compact(): Unit = {
     val (n, e) = currentState
     n.write.mode(SaveMode.Overwrite).parquet(nodesDir + "_tmp")
