@@ -76,6 +76,22 @@ object Fts {
     }.mkString("\nINTERSECT\n")
   }
 
+  /** Incremental posting maintenance at scale (the distributed twin of
+    * `updatefts`, graphydb.py:1165-1196): drop every posting of the updated
+    * uids, append freshly tokenized ones. One anti-join + union — no
+    * full-index rebuild. `updates`: (uid, field→text columns as in
+    * [[postings]]). */
+  def upsertPostings(current: DataFrame, updates: DataFrame, uidCol: String,
+      fieldToTextCol: Map[String, String]): DataFrame = {
+    val fresh = postings(updates, uidCol, fieldToTextCol)
+    current.join(updates.select(col(uidCol).as("uid")).distinct(), Seq("uid"), "left_anti")
+      .unionByName(fresh)
+  }
+
+  /** Distributed `deletefts` (graphydb.py:1237-1244): drop postings by uid. */
+  def deletePostings(current: DataFrame, uids: DataFrame, uidCol: String = "uid"): DataFrame =
+    current.join(uids.select(col(uidCol).as("uid")).distinct(), Seq("uid"), "left_anti")
+
   /** Column-expression form of a match for DataFrame-side use. */
   def matchUids(postings: DataFrame, query: String): DataFrame = {
     val terms = parseMatch(query)

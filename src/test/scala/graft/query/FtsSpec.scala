@@ -1,0 +1,68 @@
+package graft.query
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Inverted-index FTS semantics (SURVEY §7.5): tokenization, match grammar
+  * subset (term / prefix* / field: scoping / implicit AND), incremental
+  * posting maintenance. */
+class FtsSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      ("u1", "Quantum Mechanics Primer", "intro text about waves"),
+      ("u2", "Classical Mechanics", "newton laws primer"),
+      ("u3", "Cooking 101", "quantum of flavor")
+    ).toDF("uid", "title", "body")
+  }
+
+  private def idx = Fts.postings(docs, "uid", Map("title" -> "title", "body" -> "body"))
+
+  private def uids(q: String): Set[String] =
+    Fts.matchUids(idx, q).collect().map(_.getString(0)).toSet
+
+  test("bare term matches any field, case-insensitive") {
+    assert(uids("quantum") == Set("u1", "u3"))
+    assert(uids("Quantum") == Set("u1", "u3"))
+  }
+
+  test("prefix term (FTS5 'pre*')") {
+    assert(uids("mech*") == Set("u1", "u2"))
+  }
+
+  test("field-scoped term ('title: Quantum')") {
+    assert(uids("title: quantum") == Set("u1"))
+    assert(uids("body:primer") == Set("u2"))
+  }
+
+  test("multiple terms AND (FTS5 implicit AND)") {
+    assert(uids("mechanics primer") == Set("u1", "u2"))
+    assert(uids("title:mechanics body:primer") == Set("u2"))
+  }
+
+  test("matchSql subquery form agrees with DataFrame form") {
+    idx.createOrReplaceTempView("fts_spec_idx")
+    val viaSql = spark.sql(Fts.matchSql("fts_spec_idx", "mech* primer"))
+      .collect().map(_.getString(0)).toSet
+    assert(viaSql == uids("mech* primer"))
+  }
+
+  test("upsertPostings replaces only the updated uid's postings") {
+    import spark.implicits._
+    val upd = Seq(("u3", "Quantum Cooking", "flavor waves")).toDF("uid", "title", "body")
+    val next = Fts.upsertPostings(idx, upd, "uid", Map("title" -> "title", "body" -> "body"))
+    val got = Fts.matchUids(next, "title: quantum").collect().map(_.getString(0)).toSet
+    assert(got == Set("u1", "u3"))
+    // old u3 title token gone
+    assert(Fts.matchUids(next, "title: cooking").collect().map(_.getString(0)).toSet == Set("u3"))
+    assert(Fts.matchUids(next, "101").collect().isEmpty)
+  }
+
+  test("deletePostings removes a uid from the index") {
+    import spark.implicits._
+    val next = Fts.deletePostings(idx, Seq("u1").toDF("uid"))
+    assert(Fts.matchUids(next, "quantum").collect().map(_.getString(0)).toSet == Set("u3"))
+  }
+}
