@@ -71,7 +71,12 @@ final class MemGraph(val spark: SparkSession) extends GraphSource {
 
   private[engine] def deleteItem(item: Item, batch: Option[String]): Unit = {
     val map = if (item.isEdge) edgesMap else nodesMap
-    if (journaling) addChange(item.uid, Some(item.cleanData), None, Set.empty, batch)
+    // journal the STORED image, not the handle's — a stale handle (item
+    // modified through another handle since this one was fetched) would
+    // otherwise make undo resurrect outdated data. (The reference journals
+    // `self.data` and shares the hazard, graphydb.py:1445-1447.)
+    val image = map.get(item.uid).getOrElse(item.cleanData)
+    if (journaling) addChange(item.uid, Some(image), None, Set.empty, batch)
     map.remove(item.uid)
     deleteFts(item.uid, item.isEdge)
     bump()

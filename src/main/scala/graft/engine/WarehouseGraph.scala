@@ -79,12 +79,28 @@ final class WarehouseGraph(val spark: SparkSession, path: String) extends GraphS
     * (saveAsTable is how Spark persists bucketing metadata). */
   def compactBucketed(buckets: Int, tablePrefix: String = "graft_wh"): Unit = {
     val (n, e) = currentState
-    n.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "uid").sortBy("uid")
-      .saveAsTable(s"${tablePrefix}_nodes")
-    e.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "startuid").sortBy("startuid")
-      .saveAsTable(s"${tablePrefix}_edges")
+    def replace(name: String)(write: => Unit): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      // a table dir orphaned by a previous JVM (in-memory catalog, durable
+      // warehouse dir) blocks CREATE even after DROP — clear it
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+      if (Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(loc).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+      write
+    }
+    replace(s"${tablePrefix}_nodes") {
+      n.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "uid").sortBy("uid")
+        .saveAsTable(s"${tablePrefix}_nodes")
+    }
+    replace(s"${tablePrefix}_edges") {
+      e.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "startuid").sortBy("startuid")
+        .saveAsTable(s"${tablePrefix}_edges")
+    }
   }
 
   /** Materialize the snapshot, truncate the journal. */
