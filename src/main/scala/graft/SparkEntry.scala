@@ -308,6 +308,40 @@ object SparkEntry {
     "s02_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", "label", queryId = 7, k = 5)),
 
+    "s03_vector_stats" -> ((s, d) =>
+      // array-function surface: per-label norm statistics over ARRAY<FLOAT>
+      t(s, d, "embeddings")
+        .select(col("label"), Similarity.norm(col("embedding")).as("nrm"),
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + abs(x.cast("double"))).as("l1"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(max(col("nrm")), 4).as("max_norm"),
+          round(max(col("l1")), 4).as("max_l1"))),
+
+    // ---- Spark-only operators (no DuckDB twin -> driver rows-only check) ----
+    "x01_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))),
+
+    "x02_pagerank" -> ((s, d) => {
+      // cache the projection: GraphX consumes it via several RDD passes
+      val g0 = StarGraph(s, d)
+      val g = new graft.engine.ViewGraph(s, g0.nodes.cache(), g0.edges.cache())
+      graft.ops.Analytics.pageRank(s, g, tol = 0.05)
+        .orderBy(col("rank").desc, col("uid")).limit(20)
+    }),
+
+    "x03_khop_reach" -> ((s, d) => {
+      // cache: each hop joins the projection twice (out + in direction)
+      val g0 = StarGraph(s, d)
+      val g = new graft.engine.ViewGraph(s, g0.nodes.cache(), g0.edges.cache())
+      val seed = g.nodes.filter(col("uid") === "nation:0")
+      graft.ops.Traversals.kHop(g, seed, hops = 2)
+        .groupBy("kind").agg(count(lit(1)).as("reached"))
+    }),
+
     // --- text analysis (documents) ------------------------------------------
     "t01_lang_tokens" -> ((s, d) =>
       t(s, d, "documents").groupBy("lang")
@@ -587,6 +621,12 @@ object SparkEntry {
         |   / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * q.qn), 4) AS cosine
         |FROM embeddings, q WHERE vec_id <> 7 AND label = q.ql
         |ORDER BY cosine DESC, id LIMIT 5""".stripMargin,
+
+    "s03_vector_stats" ->
+      """SELECT label, COUNT(*) AS n,
+        | ROUND(MAX(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS max_norm,
+        | ROUND(MAX(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))), 4) AS max_l1
+        |FROM embeddings GROUP BY label""".stripMargin,
 
     "t01_lang_tokens" ->
       """SELECT lang, COUNT(*) AS docs,

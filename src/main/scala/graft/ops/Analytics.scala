@@ -40,6 +40,16 @@ object Analytics {
     dict.join(ranksDf, "vid").select(col("uid"), col("rank"))
   }
 
+  /** Fixed-iteration PageRank: predictable cost (tol-based convergence can
+    * iterate arbitrarily long on graphs with many dangling vertices). */
+  def staticPageRank(spark: SparkSession, g: GraphSource, numIter: Int): DataFrame = {
+    val dict = Traversals.uidDictionary(g).cache()
+    val ranks = Traversals.toGraphX(g, dict).staticPageRank(numIter).vertices
+    import spark.implicits._
+    val ranksDf = ranks.toDF("vid", "rank")
+    dict.join(ranksDf, "vid").select(col("uid"), col("rank"))
+  }
+
   def connectedComponents(spark: SparkSession, g: GraphSource): DataFrame = {
     val dict = Traversals.uidDictionary(g).cache()
     val cc = Traversals.toGraphX(g, dict).connectedComponents().vertices

@@ -62,15 +62,22 @@ object Dialect {
     JsonPath.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
       s"get_json_object(${m.group(1)}.props, '$$.${m.group(2)}')"))
 
-  /** `expr GLOB 'pat'` → `expr RLIKE '^regex$'` (run after param binding so
-    * the pattern is a literal). */
+  /** `expr GLOB 'pat'` → pure-prefix patterns (`abc*`) become
+    * `LIKE 'abc%'` (pushed down to the scan as StartsWith); everything else
+    * becomes `RLIKE '^regex$'`. Run after param binding so the pattern is a
+    * literal. */
   def rewriteGlob(s: String): String =
     GlobExpr.replaceAllIn(s, m => {
       val lhs = m.group(1)
       val quoted = m.group(2)
       val pat = quoted.substring(1, quoted.length - 1).replace("''", "'")
-      val regex = globToRegex(pat).replace("'", "''")
-      java.util.regex.Matcher.quoteReplacement(s"$lhs RLIKE '$regex'")
+      val rewritten =
+        if (pat.nonEmpty && pat.endsWith("*") &&
+            !pat.dropRight(1).exists(c => "*?[%_".indexOf(c) >= 0))
+          s"$lhs LIKE '${pat.dropRight(1).replace("'", "''")}%'"
+        else
+          s"$lhs RLIKE '${globToRegex(pat).replace("'", "''")}'"
+      java.util.regex.Matcher.quoteReplacement(rewritten)
     })
 
   /** SQLite GLOB (case-sensitive, `*` `?` `[seq]`) → anchored Java regex. */

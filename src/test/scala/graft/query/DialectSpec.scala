@@ -24,9 +24,13 @@ class DialectSpec extends AnyFunSuite {
       "n.uid = 'O''x' AND n.x = 7")
   }
 
-  test("GLOB to RLIKE (tests/test_graphdb.py:64-67)") {
-    val t = Dialect.translate("n.uid GLOB :a", Map("a" -> "ABC1*"))
-    assert(t == "n.uid RLIKE '^ABC1.*$'")
+  test("GLOB translation (tests/test_graphdb.py:64-67)") {
+    // pure prefix glob → LIKE (pushdown-friendly StartsWith)
+    assert(Dialect.translate("n.uid GLOB :a", Map("a" -> "ABC1*")) ==
+      "n.uid LIKE 'ABC1%'")
+    // general glob → anchored RLIKE
+    assert(Dialect.translate("n.uid GLOB :a", Map("a" -> "A?C*")) ==
+      "n.uid RLIKE '^A.C.*$'")
     assert(Dialect.globToRegex("a?c[xy]*") == "^a.c[xy].*$")
   }
 
