@@ -34,6 +34,21 @@ object GraphSession {
     graft.functions.GraftExtensions.register(spark)
     new ViewGraph(spark, nodes, edges, nodeFts)
   }
+
+  /** Open node/edge datasets in any Spark source format (parquet, csv with
+    * header, json, orc, ...) laid out as `<path>/nodes` + `<path>/edges` in
+    * the fixed schemas. The format reader enforces the schema, so csv/json
+    * ingest exports from other systems directly. */
+  def fromFiles(spark: SparkSession, path: String, format: String = "parquet"): ViewGraph = {
+    graft.functions.GraftExtensions.register(spark)
+    def rd(sub: String, schema: org.apache.spark.sql.types.StructType) = {
+      val r = spark.read.format(format).schema(schema)
+      (if (format == "csv") r.option("header", "true") else r).load(s"$path/$sub")
+    }
+    new ViewGraph(spark,
+      rd("nodes", graft.core.Rows.nodeSchema),
+      rd("edges", graft.core.Rows.edgeSchema))
+  }
 }
 
 /** Query surface over a warehouse: lazy DataFrames only (the driver-side

@@ -57,6 +57,19 @@ sealed abstract class Item(val graph: MemGraph) {
   /** Fresh copy from the graph state (graphydb.py:1144-1148). */
   def original(): Option[Item] = graph.getuid(uid)
 
+  /** Reload from the graph, discarding local changes; `_`-prefixed local
+    * keys survive (graphydb.py:1150-1163). */
+  def renew(): this.type = {
+    original().foreach { fresh =>
+      val locals = data.filter { case (k, _) => k.startsWith("_") }
+      data.clear()
+      fresh.data.foreach { case (k, v) => data(k) = v }
+      locals.foreach { case (k, v) => data(k) = v }
+    }
+    setChanged(false)
+    this
+  }
+
   def cleanData: Map[String, Any] = Delta.clean(data.toMap)
 
   def save(force: Boolean = false, batch: Option[String] = None): this.type
@@ -99,6 +112,16 @@ final class Node private[engine] (
     graph.deleteItem(this, b)
     data("mtime") = MemGraph.now()
     setChanged(true); this
+  }
+
+  /** Shallow copy, optionally with a fresh uid (graphydb.py:1250-1262). */
+  def copyItem(newUid: Boolean = false): Node = {
+    val d = mutable.LinkedHashMap(data.toSeq: _*)
+    if (newUid) d("uid") = Uid.random()
+    val c = new Node(graph, d, changed0 = false)
+    c.changedKeys.clear(); c.changedKeys ++= changedKeys
+    if (newUid) c.changedKeys += "uid"
+    c
   }
 
   def inE(where: Seq[String] = Nil, params: Map[String, Any] = Map.empty): ESet =

@@ -75,6 +75,36 @@ class MoreEngineSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterEach 
     assert(sql.contains("SELECT DISTINCT"))
   }
 
+  test("renew discards local edits, keeps _-prefixed keys (graphydb.py:1150-1163)") {
+    val d = g.fetchN("(n)", Seq("""n.data.title = "Twice Shy"""")).one.get
+    d("title") = "Edited Away"
+    d("_scratch") = "local"
+    d.renew()
+    assert(d("title") == "Twice Shy" && d("_scratch") == "local" && !d.changed)
+  }
+
+  test("copyItem(newUid) clones payload under a fresh id (graphydb.py:1250-1262)") {
+    val d = g.fetchN("(n)", Seq("""n.data.title = "Once Bitten"""")).one.get
+    val c = d.copyItem(newUid = true)
+    assert(c.uid != d.uid && c("title") == "Once Bitten")
+    c.save()
+    assert(g.fetchN("(n)", Seq("""n.data.title = "Once Bitten"""")).size == 2)
+  }
+
+  test("GLOB prefix pushes down to the parquet scan as StartsWith") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pd").toString
+    val wh = new WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    wh.compact()
+    // read the compacted parquet directly through the warehouse fetch path
+    val someUid = g.fetchN("(n)").one.get.uid
+    val df = graft.query.Fetch.df(wh, graft.query.Fetch.Args(
+      chain = "(n)", where = Seq(s"n.uid GLOB '${someUid.take(6)}*'")))
+    assert(df.count() >= 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("StartsWith"), s"expected StartsWith pushdown in:\n$plan")
+  }
+
   test("DISTINCT=false keeps multigraph join fanout (graphydb.py:865)") {
     val a = g.fetchN("(n)").toSeq
     g.edge(a(0), "L", a(1)).save()

@@ -26,6 +26,24 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(hot.length == 1 && hot.head.getInt(0) == 1)
   }
 
+  test("GraphSession.fromFiles reads csv and json graph exports") {
+    val g = graft.engine.GraphSession.inMemory(spark)
+    val a = g.node("Person", "name" -> "Ann").save()
+    val b = g.node("Person", "name" -> "Ben").save()
+    g.edge(a, "Knows", b).save()
+    for (fmt <- Seq("csv", "json")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_$fmt").toString
+      val w = g.nodes.write.format(fmt)
+      (if (fmt == "csv") w.option("header", "true") else w).save(s"$dir/nodes")
+      val we = g.edges.write.format(fmt)
+      (if (fmt == "csv") we.option("header", "true") else we).save(s"$dir/edges")
+      val opened = graft.engine.GraphSession.fromFiles(spark, dir, fmt)
+      val res = graft.query.Fetch.df(opened, graft.query.Fetch.Args(
+        chain = "[p:Person] -(e:Knows)> (q:Person)"))
+      assert(res.count() == 1, s"format $fmt")
+    }
+  }
+
   test("GraphSession facade: working set merged into a warehouse") {
     val g = graft.engine.GraphSession.inMemory(spark)
     val a = g.node("Person", "name" -> "Ann").save()
