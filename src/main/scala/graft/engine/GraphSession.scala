@@ -63,6 +63,13 @@ final class WarehouseSession(val graph: WarehouseGraph) {
   def journal: DataFrame = graph.journal
   def append(changes: DataFrame): Unit = graph.append(changes)
   def compact(): Unit = graph.compact()
-  /** Apply a MemGraph working set's accumulated changes to the warehouse. */
-  def merge(working: MemGraph): Unit = graph.append(working.changesDf)
+  /** Apply a MemGraph working set's accumulated changes to the warehouse.
+    * Local seq numbers are rebased above the warehouse journal's current
+    * maximum so independent working sets never interleave out of order
+    * (each MemGraph counts from 1). Merge each working set once. */
+  def merge(working: MemGraph): Unit = {
+    val offset = graph.maxSeq
+    graph.append(working.changesDf
+      .withColumn("seq", org.apache.spark.sql.functions.col("seq") + offset))
+  }
 }

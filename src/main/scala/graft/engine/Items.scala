@@ -125,14 +125,14 @@ final class Node private[engine] (
   }
 
   def inE(where: Seq[String] = Nil, params: Map[String, Any] = Map.empty): ESet =
-    graph.fetchE("<(e)-", where = s"e.enduid = '$uid'" +: where, params = params)
+    graph.fetchE("<(e)-", where = s"e.enduid = ${graft.query.Dialect.renderLiteral(uid)}" +: where, params = params)
   def outE(where: Seq[String] = Nil, params: Map[String, Any] = Map.empty): ESet =
-    graph.fetchE("-(e)>", where = s"e.startuid = '$uid'" +: where, params = params)
+    graph.fetchE("-(e)>", where = s"e.startuid = ${graft.query.Dialect.renderLiteral(uid)}" +: where, params = params)
   def bothE(where: Seq[String] = Nil): ESet = inE(where) | outE(where)
   def inN(where: Seq[String] = Nil): NSet =
-    graph.fetchN("<(e)- [n]", where = s"e.enduid = '$uid'" +: where)
+    graph.fetchN("<(e)- [n]", where = s"e.enduid = ${graft.query.Dialect.renderLiteral(uid)}" +: where)
   def outN(where: Seq[String] = Nil): NSet =
-    graph.fetchN("-(e)> [n]", where = s"e.startuid = '$uid'" +: where)
+    graph.fetchN("-(e)> [n]", where = s"e.startuid = ${graft.query.Dialect.renderLiteral(uid)}" +: where)
   def bothN(where: Seq[String] = Nil): NSet = inN(where) | outN(where)
   // COUNT variants: the reference fetches both sides and dedups client-side
   // (graphydb.py:1367-1373); sets are lazy unions here so size() suffices
@@ -181,8 +181,8 @@ final class Edge private[engine] (
     setChanged(true); this
   }
 
-  def start: Node = graph.fetchN("(n)", where = Seq(s"n.uid = '$startuid'")).one.get
-  def end: Node = graph.fetchN("(n)", where = Seq(s"n.uid = '$enduid'")).one.get
+  def start: Node = graph.fetchN("(n)", where = Seq(s"n.uid = ${graft.query.Dialect.renderLiteral(startuid)}")).one.get
+  def end: Node = graph.fetchN("(n)", where = Seq(s"n.uid = ${graft.query.Dialect.renderLiteral(enduid)}")).one.get
 
   override def toString = s"($startuid)-[$uid:$kind]->($enduid)"
 }

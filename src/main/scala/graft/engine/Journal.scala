@@ -26,12 +26,26 @@ object Journal {
       uid: String, kind: String, startuid: String, enduid: String,
       ctime: Double, mtime: Double, props: String, isEdge: Boolean)
 
+  /** A folded snapshot: node/edge views over one cached backing DataFrame.
+    * Callers that re-fold (new journal appends) should `unpersist()` the
+    * previous snapshot to release executor storage. */
+  final case class Snapshot(nodes: DataFrame, edges: DataFrame, backing: DataFrame) {
+    def unpersist(): Unit = backing.unpersist()
+  }
+
   /** Fold a journal (changeSchema rows) into current node/edge snapshots. */
-  def snapshot(spark: SparkSession, changes: DataFrame): (DataFrame, DataFrame) =
-    snapshotAt(spark, changes, Long.MaxValue)
+  def snapshot(spark: SparkSession, changes: DataFrame): (DataFrame, DataFrame) = {
+    val s = fold(spark, changes, Long.MaxValue)
+    (s.nodes, s.edges)
+  }
 
   /** Time travel: state as of journal position `maxSeq` (inclusive). */
   def snapshotAt(spark: SparkSession, changes: DataFrame, maxSeq: Long): (DataFrame, DataFrame) = {
+    val s = fold(spark, changes, maxSeq)
+    (s.nodes, s.edges)
+  }
+
+  def fold(spark: SparkSession, changes: DataFrame, maxSeq: Long): Snapshot = {
     import spark.implicits._
     val folded: Dataset[FoldedItem] = changes
       .filter(col("seq") <= maxSeq)
@@ -65,11 +79,12 @@ object Journal {
         }
       }
     val cached = folded.toDF().cache()
-    val nodes = cached.filter(!col("isEdge"))
-      .select("uid", "kind", "ctime", "mtime", "props")
-    val edges = cached.filter(col("isEdge"))
-      .select("uid", "kind", "startuid", "enduid", "ctime", "mtime", "props")
-    (nodes, edges)
+    Snapshot(
+      cached.filter(!col("isEdge"))
+        .select("uid", "kind", "ctime", "mtime", "props"),
+      cached.filter(col("isEdge"))
+        .select("uid", "kind", "startuid", "enduid", "ctime", "mtime", "props"),
+      cached)
   }
 
   /** Full-image create docs for a snapshot — the compaction rewrite. */

@@ -64,7 +64,12 @@ final class MemGraph(val spark: SparkSession) extends GraphSource {
     val map = if (item.isEdge) edgesMap else nodesMap
     val old = map.get(item.uid)
     val clean = item.cleanData
-    if (journal && journaling) addChange(item.uid, old, Some(clean), item.changedKeys.toSet, batch)
+    // the write REPLACES the stored payload, so keys present in storage but
+    // absent from this handle are removed even if the handle never marked
+    // them dirty (stale handle) — widen the diff scope to record them,
+    // keeping journal replay ≡ driver state
+    val diffKeys = item.changedKeys.toSet ++ old.map(_.keySet -- clean.keySet).getOrElse(Set.empty)
+    if (journal && journaling) addChange(item.uid, old, Some(clean), diffKeys, batch)
     map(item.uid) = clean
     bump()
   }
@@ -73,13 +78,18 @@ final class MemGraph(val spark: SparkSession) extends GraphSource {
     val map = if (item.isEdge) edgesMap else nodesMap
     // journal the STORED image, not the handle's — a stale handle (item
     // modified through another handle since this one was fetched) would
-    // otherwise make undo resurrect outdated data. (The reference journals
-    // `self.data` and shares the hazard, graphydb.py:1445-1447.)
-    val image = map.get(item.uid).getOrElse(item.cleanData)
-    if (journaling) addChange(item.uid, Some(image), None, Set.empty, batch)
-    map.remove(item.uid)
-    deleteFts(item.uid, item.isEdge)
-    bump()
+    // otherwise make undo resurrect outdated data. A delete of an
+    // already-absent item journals nothing: a no-op must not give undo a
+    // phantom delete to revert. (The reference journals `self.data`
+    // unconditionally and shares both hazards, graphydb.py:1445-1447.)
+    map.get(item.uid) match {
+      case Some(image) =>
+        if (journaling) addChange(item.uid, Some(image), None, Set.empty, batch)
+        map.remove(item.uid)
+        deleteFts(item.uid, item.isEdge)
+        bump()
+      case None => ()
+    }
   }
 
   private[engine] def deleteItemByUid(uid: String, isEdge: Boolean, batch: Option[String]): Unit =
@@ -333,7 +343,20 @@ final class MemGraph(val spark: SparkSession) extends GraphSource {
 object MemGraph {
   def apply(spark: SparkSession): MemGraph = new MemGraph(spark)
 
-  private[engine] def now(): Double = System.currentTimeMillis() / 1000.0
+  /** Strictly monotonic epoch-seconds clock. Strictness matters for
+    * correctness, not just ordering: it guarantees every modify touches
+    * mtime on BOTH sides of its diff, so a modify doc always carries both
+    * `+` and `-` and can never be mistaken for a create (`+` only) or
+    * delete (`-` only) by `undo`'s doc-shape dispatch
+    * (graphydb.py:605-636 has the same dispatch; time.time()'s µs
+    * resolution merely made collisions unlikely there). */
+  private val lastNow = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[engine] def now(): Double = {
+    val micros = lastNow.updateAndGet { prev =>
+      math.max(prev + 1, System.currentTimeMillis() * 1000)
+    }
+    micros / 1e6
+  }
 
   private[engine] def fillDefaults(data: mutable.LinkedHashMap[String, Any]): Unit = {
     if (!data.contains("uid")) data("uid") = Uid.random()

@@ -132,7 +132,8 @@ final class NSet(initial: Seq[Node] = Nil) extends ItemSet[Node, NSet](initial) 
   protected def make(items: Seq[Node]): NSet = new NSet(items)
 
   private def g: MemGraph = list.head.graph
-  private def uidList: String = uids.map(u => s"'$u'").mkString("(", ",", ")")
+  private def uidList: String =
+    uids.map(graft.query.Dialect.renderLiteral(_)).mkString("(", ",", ")")
 
   /** Set-level traversals: ONE distributed query per call (the reference
     * loops members, N+1 queries — graphydb.py:1711-1772; SURVEY §2.12). */
@@ -150,7 +151,8 @@ final class ESet(initial: Seq[Edge] = Nil) extends ItemSet[Edge, ESet](initial) 
 
   private def g: MemGraph = list.head.graph
   private def uidIn(col: String): String =
-    toSeq.map(e => s"'${e.data(col)}'").distinct.mkString(s"n.uid IN (", ",", ")")
+    toSeq.map(e => graft.query.Dialect.renderLiteral(e.data(col)))
+      .distinct.mkString("n.uid IN (", ",", ")")
 
   /** Endpoint node sets — one query each (graphydb.py:1673-1691). */
   def start: NSet = if (isEmpty) new NSet() else g.fetchN("(n)", Seq(uidIn("startuid")))

@@ -49,23 +49,40 @@ final class WarehouseGraph(val spark: SparkSession, path: String) extends GraphS
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
-  /** Append a batch of change docs (rows in changeSchema). */
-  def append(changes: DataFrame): Unit =
+  /** Append a batch of change docs (rows in changeSchema). Seq numbers must
+    * already be above [[maxSeq]] — [[WarehouseSession.merge]] rebases working
+    * sets; raw streams of pre-ordered docs can append directly. */
+  def append(changes: DataFrame): Unit = {
     changes.write.mode(SaveMode.Append).parquet(journalDir)
+    invalidate()
+  }
 
-  private def currentState: (DataFrame, DataFrame) = {
-    val base = Seq(nodesDir, edgesDir)
-    val compacted =
-      if (base.forall(d => Files.exists(Paths.get(d))))
-        Some((spark.read.schema(Rows.nodeSchema).parquet(nodesDir),
-          spark.read.schema(Rows.edgeSchema).parquet(edgesDir)))
-      else None
-    compacted match {
-      case None => Journal.snapshot(spark, journal)
-      case Some((n, e)) =>
-        // snapshot ⊕ tail: replay the tail over the compacted base
-        val baseDocs = Journal.snapshotAsChanges(n, e, startSeq = Long.MinValue + 1)
-        Journal.snapshot(spark, baseDocs.unionByName(journal))
+  // one fold per journal version: nodes/edges share a cached backing; stale
+  // caches are unpersisted when appends/compaction invalidate them
+  private var stateVersion = 0L
+  private var cachedState: Option[(Long, Journal.Snapshot)] = None
+  private def invalidate(): Unit = synchronized { stateVersion += 1 }
+
+  private def currentState: (DataFrame, DataFrame) = synchronized {
+    cachedState match {
+      case Some((v, s)) if v == stateVersion => (s.nodes, s.edges)
+      case prev =>
+        prev.foreach(_._2.unpersist())
+        val base = Seq(nodesDir, edgesDir)
+        val compacted =
+          if (base.forall(d => Files.exists(Paths.get(d))))
+            Some((spark.read.schema(Rows.nodeSchema).parquet(nodesDir),
+              spark.read.schema(Rows.edgeSchema).parquet(edgesDir)))
+          else None
+        val snap = compacted match {
+          case None => Journal.fold(spark, journal, Long.MaxValue)
+          case Some((n, e)) =>
+            // snapshot ⊕ tail: replay the tail over the compacted base
+            val baseDocs = Journal.snapshotAsChanges(n, e, startSeq = Long.MinValue + 1)
+            Journal.fold(spark, baseDocs.unionByName(journal), Long.MaxValue)
+        }
+        cachedState = Some((stateVersion, snap))
+        (snap.nodes, snap.edges)
     }
   }
 
@@ -113,5 +130,6 @@ final class WarehouseGraph(val spark: SparkSession, path: String) extends GraphS
     // truncate journal (clearchanges semantics)
     val empty = emptyChanges
     empty.write.mode(SaveMode.Overwrite).parquet(journalDir)
+    invalidate()
   }
 }

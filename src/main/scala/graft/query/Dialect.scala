@@ -25,19 +25,48 @@ object Dialect {
   private val JsonPath = """(\w+)\.data\.(\w+)""".r
   private val GlobExpr = """(\S+)\s+GLOB\s+('(?:[^']|'')*')""".r
 
-  /** Full translation: bind params, then GLOB, then json paths, then `==`. */
+  /** Full translation: bind params, then GLOB, then json paths, then `==`.
+    * All rewrites except GLOB (which consumes its own quoted pattern) are
+    * quote-aware: text inside single-quoted literals passes through
+    * untouched — `'a==b'` or `'see :note'` stay literal. */
   def translate(s: String, params: Map[String, Any] = Map.empty): String = {
-    var out = bindParams(s, params)
+    var out = mapOutsideQuotes(s)(bindParamsRaw(_, params))
     out = rewriteGlob(out)
-    out = rewriteJsonPaths(out)
-    out = rewriteDoubleEquals(out)
+    out = mapOutsideQuotes(out)(seg => rewriteDoubleEqualsRaw(rewriteJsonPathsRaw(seg)))
     out
+  }
+
+  /** Apply `f` only to the segments of `s` outside single-quoted string
+    * literals ('' escapes handled). */
+  private[query] def mapOutsideQuotes(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inQuote && c == '\'') {
+        out.append(f(seg.toString)); seg.clear()
+        out.append(c); inQuote = true
+      } else if (inQuote && c == '\'') {
+        out.append(c)
+        if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+        else inQuote = false
+      } else if (inQuote) out.append(c)
+      else seg.append(c)
+      i += 1
+    }
+    out.append(f(seg.toString))
+    out.toString
   }
 
   /** `:name` → rendered SQL literal (injection-safe: values rendered, never
     * spliced as code). Unknown params are left untouched so errors surface
     * in Spark's parser with context. */
   def bindParams(s: String, params: Map[String, Any]): String =
+    mapOutsideQuotes(s)(bindParamsRaw(_, params))
+
+  private def bindParamsRaw(s: String, params: Map[String, Any]): String =
     ParamRef.replaceAllIn(s, m => {
       params.get(m.group(1)) match {
         case Some(v) => java.util.regex.Matcher.quoteReplacement(renderLiteral(v))
@@ -58,7 +87,9 @@ object Dialect {
 
   /** `x.data.y` → `get_json_object(x.props, '$.y')`.
     * One path component, same as the reference's `\w+` regex. */
-  def rewriteJsonPaths(s: String): String =
+  def rewriteJsonPaths(s: String): String = mapOutsideQuotes(s)(rewriteJsonPathsRaw)
+
+  private def rewriteJsonPathsRaw(s: String): String =
     JsonPath.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
       s"get_json_object(${m.group(1)}.props, '$$.${m.group(2)}')"))
 
@@ -89,10 +120,17 @@ object Dialect {
         case '*' => sb.append(".*")
         case '?' => sb.append('.')
         case '[' =>
-          // copy the character class through verbatim (glob and regex agree)
+          // copy the character class through (glob and regex agree), except
+          // fnmatch/SQLite negation `[!...]` → regex `[^...]`
           val close = glob.indexOf(']', i + 1)
           if (close < 0) { sb.append("\\[") }
-          else { sb.append(glob.substring(i, close + 1)); i = close }
+          else {
+            val body = glob.substring(i + 1, close)
+            sb.append('[')
+              .append(if (body.startsWith("!")) "^" + body.drop(1) else body)
+              .append(']')
+            i = close
+          }
         case c if "\\.[]{}()<>+-=!$^|,".indexOf(c) >= 0 => sb.append('\\').append(c)
         case c => sb.append(c)
       }
@@ -102,5 +140,7 @@ object Dialect {
   }
 
   /** `==` → `=` (token-wise; leaves `!=`, `<=`, `>=` alone). */
-  def rewriteDoubleEquals(s: String): String = s.replaceAll("(?<![<>!=])==", "=")
+  def rewriteDoubleEquals(s: String): String = mapOutsideQuotes(s)(rewriteDoubleEqualsRaw)
+
+  private def rewriteDoubleEqualsRaw(s: String): String = s.replaceAll("(?<![<>!=])==", "=")
 }

@@ -82,6 +82,55 @@ class JournalSpec extends AnyFunSuite with SparkSpec {
     assert(reopened.nodes.count() == 3 && reopened.edges.count() == 1)
   }
 
+  test("merge rebases working-set seqs so later merges fold after earlier ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebase").toString
+    val w = GraphSession.open(spark, dir)
+    val g1 = MemGraph(spark)
+    val n = g1.node("P", "v" -> 1).save()
+    w.merge(g1)
+    // second, independent working set modifies the same uid — its local seq
+    // also starts at 1 and would collide without the rebase
+    val g2 = MemGraph(spark)
+    val handle = g2.nodeFromData(Map("uid" -> n.uid, "kind" -> "P", "v" -> 1))
+    g2.saveItem(handle, None, journal = false) // seed silently
+    g2.clearChanges()
+    val fresh = g2.getuid(n.uid).get
+    fresh("v") = 2
+    fresh.save()
+    w.merge(g2)
+    val props = w.nodes.filter(org.apache.spark.sql.functions.col("uid") === n.uid)
+      .head().getAs[String]("props")
+    assert(props.contains("\"v\":2"), s"modify must fold after create, got $props")
+  }
+
+  test("no-op delete journals nothing (no phantom undo target)") {
+    val g = MemGraph(spark)
+    val a = g.node("P").save()
+    val b = g.node("P").save()
+    val h1 = g.getuid(a.uid).get
+    val h2 = g.getuid(a.uid).get
+    h1.delete()
+    val afterFirst = g.countChanges
+    h2.delete() // already gone: state no-op must not journal
+    assert(g.countChanges == afterFirst)
+    g.undo() // undoes the REAL delete, not a phantom
+    assert(g.existsUid(a.uid, isEdge = false) && g.existsUid(b.uid, isEdge = false))
+  }
+
+  test("stale handle save journals removed keys (journal replay ≡ state)") {
+    val g = MemGraph(spark)
+    val n = g.node("P").save()
+    val h2 = g.getuid(n.uid).get  // copied before "a" exists
+    val h1 = g.getuid(n.uid).get
+    h1("a") = 1; h1.save()
+    h2("b") = 2; h2.save()        // full-replace drops "a" from state
+    assert(g.getuid(n.uid).get.get("a").isEmpty)
+    val (nodes, _) = Journal.snapshot(spark, g.changesDf)
+    val props = nodes.head().getAs[String]("props")
+    assert(!props.contains("\"a\""), s"journal replay resurrected 'a': $props")
+    assert(props.contains("\"b\":2"))
+  }
+
   test("fetch runs against a warehouse graph (same query path)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wh2").toString
     val g = MemGraph(spark)

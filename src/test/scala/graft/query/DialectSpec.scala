@@ -38,4 +38,19 @@ class DialectSpec extends AnyFunSuite {
     val t = Dialect.translate("""p.data.age == :min""", Map("min" -> 21))
     assert(t == "get_json_object(p.props, '$.age') = 21")
   }
+
+  test("rewrites never touch single-quoted literals") {
+    assert(Dialect.translate("n.data.op = 'a==b'") ==
+      "get_json_object(n.props, '$.op') = 'a==b'")
+    assert(Dialect.translate("n.x = 'see :note'", Map("note" -> 1)) ==
+      "n.x = 'see :note'")
+    assert(Dialect.translate("n.y = 'x.data.y'") == "n.y = 'x.data.y'")
+    // escaped quotes inside literals stay intact
+    assert(Dialect.translate("n.z = 'it''s =='") == "n.z = 'it''s =='")
+  }
+
+  test("fnmatch/SQLite negated classes [!...] become [^...]") {
+    assert(Dialect.globToRegex("[!a]*") == "^[^a].*$")
+    assert("^[^a].*$".r.matches("bcd") && !"^[^a].*$".r.matches("abc"))
+  }
 }
