@@ -186,6 +186,24 @@ final class MemGraph(val spark: SparkSession) extends GraphSource {
   def countChanges: Long = journal.size.toLong
   def clearChanges(): Unit = { journal.clear(); seqCounter = 0 }
 
+  /** Remove one journal row by seq (reference `deletechange`,
+    * graphydb.py:568-570). */
+  def deleteChange(seq: Long): Unit = {
+    val i = journal.indexWhere(_.seq == seq)
+    if (i >= 0) journal.remove(i)
+  }
+
+  /** Drop all graph state — the reference's `reset()` re-creating the five
+    * tables (graphydb.py:508-529). */
+  def reset(): Unit = {
+    nodesMap.clear(); edgesMap.clear()
+    journal.clear(); seqCounter = 0
+    settingsMap.clear(); cacheMap.clear()
+    nodeFtsFields = None; edgeFtsFields = None
+    nodeFtsDocs.clear(); edgeFtsDocs.clear()
+    bump()
+  }
+
   /** Latest change; if batched, the whole batch in seq order
     * (graphydb.py:545-566). */
   def lastChanges(): Seq[JournalEntry] =

@@ -70,12 +70,14 @@ object Dedup {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("id").as("id_a"), col("h"))
     val b = sh.select(col("id").as("id_b"), col("h"))
+    // no broadcast hint on sizes: its cardinality is the document count, so
+    // at corpus scale it must stay a shuffle join (AQE broadcasts when small)
     a.join(b, Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("n").as("na"))), "id_a")
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("n").as("nb"))), "id_b")
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
       .withColumn("jaccard",
         round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
       .filter(col("jaccard") >= threshold)

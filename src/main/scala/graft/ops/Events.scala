@@ -36,13 +36,15 @@ object Events {
   /** Strict ordered funnel: users whose earliest occurrences of the steps are
     * strictly increasing in time. Returns a single-row count. */
   def funnelCount(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
     val firsts = events
       .filter(col("event_type").isin(steps.map(lit): _*))
       .groupBy("user_id")
       .pivot("event_type", steps)
       .agg(min("ts"))
-    val ordered = steps.sliding(2).map { case Seq(a, b) => col(a) < col(b) }
-      .reduce(_ && _)
+    val ordered =
+      if (steps.size < 2) lit(true)
+      else steps.sliding(2).map { case Seq(a, b) => col(a) < col(b) }.reduce(_ && _)
     firsts.filter(steps.map(col(_).isNotNull).reduce(_ && _) && ordered)
       .agg(count(lit(1)).as("users"))
   }

@@ -63,8 +63,10 @@ object Multimodal {
         when(greatest(col("width"), col("height")) > maxSide,
           lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
           .otherwise(lit(1.0)))
-      .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
-      .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
+      // round, not floor: the FP ratio can undershoot by 1 ulp, which floor
+      // would turn into a long side of maxSide-1
+      .withColumn("out_width", round(col("width") * col("scale")).cast("int"))
+      .withColumn("out_height", round(col("height") * col("scale")).cast("int"))
 
   /** Frame sampling plan for video rows: one output row per sampled frame
     * timestamp (explode of a generated sequence — a Generator, not a loop). */

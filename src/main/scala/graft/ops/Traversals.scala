@@ -61,10 +61,15 @@ object Traversals {
     result.dropDuplicates("uid")
   }
 
-  /** uid → dense VertexId dictionary for the GraphX bridge. */
+  /** uid → dense VertexId dictionary for the GraphX bridge. Eagerly
+    * checkpointed: monotonically_increasing_id over a shuffle is NOT stable
+    * under recomputation, and the dictionary is consumed twice (graph build
+    * + result join-back) — a recompute with different vids would silently
+    * join results to the wrong uids. */
   def uidDictionary(g: GraphSource): DataFrame =
     g.nodes.select("uid").distinct()
       .withColumn("vid", monotonically_increasing_id())
+      .localCheckpoint(true)
 
   /** Build a GraphX graph (vertex attr = uid, edge attr = kind) for
     * iterative analytics: BFS, PageRank, connected components — anything

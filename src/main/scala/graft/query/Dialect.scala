@@ -23,36 +23,37 @@ object Dialect {
 
   private val ParamRef = """:(\w+)""".r
   private val JsonPath = """(\w+)\.data\.(\w+)""".r
-  private val GlobExpr = """(\S+)\s+GLOB\s+('(?:[^']|'')*')""".r
 
-  /** Full translation: bind params, then GLOB, then json paths, then `==`.
-    * All rewrites except GLOB (which consumes its own quoted pattern) are
-    * quote-aware: text inside single-quoted literals passes through
-    * untouched — `'a==b'` or `'see :note'` stay literal. */
+  /** Full translation: GLOB first (its scanner consumes the `:param` or
+    * quoted pattern operand directly), then bind params, json paths, `==`.
+    * Every rewrite is quote-aware: text inside single- OR double-quoted
+    * string literals (Spark treats both as strings) passes through
+    * untouched — `'a==b'`, `"see :note"` stay literal. */
   def translate(s: String, params: Map[String, Any] = Map.empty): String = {
-    var out = mapOutsideQuotes(s)(bindParamsRaw(_, params))
-    out = rewriteGlob(out)
+    var out = rewriteGlobScan(s, params)
+    out = mapOutsideQuotes(out)(bindParamsRaw(_, params))
     out = mapOutsideQuotes(out)(seg => rewriteDoubleEqualsRaw(rewriteJsonPathsRaw(seg)))
     out
   }
 
-  /** Apply `f` only to the segments of `s` outside single-quoted string
-    * literals ('' escapes handled). */
+  /** Apply `f` only to the segments of `s` outside single/double-quoted
+    * string literals ('' escape handled inside single quotes). */
   private[query] def mapOutsideQuotes(s: String)(f: String => String): String = {
     val out = new StringBuilder
     val seg = new StringBuilder
     var i = 0
-    var inQuote = false
+    var quote: Char = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (!inQuote && c == '\'') {
+      if (quote == 0 && (c == '\'' || c == '"')) {
         out.append(f(seg.toString)); seg.clear()
-        out.append(c); inQuote = true
-      } else if (inQuote && c == '\'') {
+        out.append(c); quote = c
+      } else if (quote != 0 && c == quote) {
         out.append(c)
-        if (i + 1 < s.length && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
-        else inQuote = false
-      } else if (inQuote) out.append(c)
+        if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+          out.append('\''); i += 1
+        } else quote = 0
+      } else if (quote != 0) out.append(c)
       else seg.append(c)
       i += 1
     }
@@ -93,23 +94,77 @@ object Dialect {
     JsonPath.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
       s"get_json_object(${m.group(1)}.props, '$$.${m.group(2)}')"))
 
-  /** `expr GLOB 'pat'` → pure-prefix patterns (`abc*`) become
-    * `LIKE 'abc%'` (pushed down to the scan as StartsWith); everything else
-    * becomes `RLIKE '^regex$'`. Run after param binding so the pattern is a
-    * literal. */
-  def rewriteGlob(s: String): String =
-    GlobExpr.replaceAllIn(s, m => {
-      val lhs = m.group(1)
-      val quoted = m.group(2)
-      val pat = quoted.substring(1, quoted.length - 1).replace("''", "'")
-      val rewritten =
-        if (pat.nonEmpty && pat.endsWith("*") &&
-            !pat.dropRight(1).exists(c => "*?[%_".indexOf(c) >= 0))
-          s"$lhs LIKE '${pat.dropRight(1).replace("'", "''")}%'"
-        else
-          s"$lhs RLIKE '${globToRegex(pat).replace("'", "''")}'"
-      java.util.regex.Matcher.quoteReplacement(rewritten)
-    })
+  /** Quote-aware GLOB rewrite: scans for the `GLOB` keyword OUTSIDE string
+    * literals (a data value containing "GLOB '…'" is never rewritten) and
+    * replaces `GLOB <operand>` in place — the lhs stays where it is. The
+    * operand is either a `:param` (value taken from `params`) or a
+    * single-quoted literal. Pure-prefix patterns (`abc*`) become
+    * `LIKE 'abc%'` (pushed to the scan as StartsWith); everything else
+    * becomes `RLIKE '^regex$'`. Regex backslashes are doubled when rendered
+    * into the SQL literal — Spark's string parser consumes one level of
+    * backslash escapes, which would otherwise turn `\.` into a live `.`. */
+  def rewriteGlobScan(s: String, params: Map[String, Any]): String = {
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    def isWordBoundary(idx: Int): Boolean =
+      idx < 0 || idx >= s.length || !Character.isLetterOrDigit(s.charAt(idx))
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) {
+          if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            out.append('\''); i += 1
+          } else quote = 0
+        }
+        i += 1
+      } else if (c == '\'' || c == '"') {
+        out.append(c); quote = c; i += 1
+      } else if (s.regionMatches(i, "GLOB", 0, 4) &&
+          isWordBoundary(i - 1) && isWordBoundary(i + 4)) {
+        // parse the operand after GLOB: whitespace, then :param or 'literal'
+        var j = i + 4
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        val patternOpt: Option[(String, Int)] =
+          if (j < s.length && s.charAt(j) == ':') {
+            val m = ParamRef.pattern.matcher(s.substring(j))
+            if (m.lookingAt() && params.contains(m.group(1)))
+              Some((String.valueOf(params(m.group(1))), j + m.end()))
+            else None
+          } else if (j < s.length && s.charAt(j) == '\'') {
+            var k = j + 1
+            val lit = new StringBuilder
+            var closed = false
+            while (k < s.length && !closed) {
+              if (s.charAt(k) == '\'') {
+                if (k + 1 < s.length && s.charAt(k + 1) == '\'') { lit.append('\''); k += 2 }
+                else { closed = true; k += 1 }
+              } else { lit.append(s.charAt(k)); k += 1 }
+            }
+            if (closed) Some((lit.toString, k)) else None
+          } else None
+        patternOpt match {
+          case Some((pat, next)) =>
+            out.append(globOperatorSql(pat))
+            i = next
+          case None =>
+            out.append(c); i += 1 // malformed/unbound: leave for Spark's parser
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  private def globOperatorSql(pat: String): String =
+    if (pat.nonEmpty && pat.endsWith("*") &&
+        !pat.dropRight(1).exists(c => "*?[%_\\".indexOf(c) >= 0))
+      s"LIKE '${pat.dropRight(1).replace("\\", "\\\\").replace("'", "''")}%'"
+    else
+      s"RLIKE '${globToRegex(pat).replace("\\", "\\\\").replace("'", "''")}'"
+
+  /** Legacy single-string form (pattern must already be a literal). */
+  def rewriteGlob(s: String): String = rewriteGlobScan(s, Map.empty)
 
   /** SQLite GLOB (case-sensitive, `*` `?` `[seq]`) → anchored Java regex. */
   def globToRegex(glob: String): String = {

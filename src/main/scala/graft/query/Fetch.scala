@@ -136,8 +136,11 @@ object Fetch {
     src.spark.sql(sql(src, args))
   }
 
+  /** COUNT(DISTINCT uid) as a Long. With `group` set the reference returns
+    * the first group's count (fetchone, graphydb.py:988-990) — a quirk, so
+    * here the group is dropped and the total is returned. */
   def count(src: GraphSource, args: Args): Long =
-    df(src, args.copy(count = true)).head().getLong(0)
+    df(src, args.copy(count = true, group = None)).head().getLong(0)
 
   /** Whether the collected link (thus result row shape) is an edge. */
   def collectsEdges(args: Args): Boolean = {

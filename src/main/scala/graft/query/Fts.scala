@@ -34,7 +34,10 @@ object Fts {
 
   private final case class Term(text: String, prefix: Boolean, field: Option[String])
 
-  /** Parse an FTS5-subset match string into AND-ed terms. */
+  /** Parse an FTS5-subset match string into AND-ed terms. A punctuated term
+    * splits the same way the indexer tokenizes ("don't" → don AND t;
+    * "state-of-the-art" → four AND-ed tokens) so queries and postings agree;
+    * a trailing `*` applies prefix matching to the final token. */
   private def parseMatch(q: String): Seq[Term] = {
     // "field: term" — field scoping applies to the term following the colon
     val toks = q.trim.split("\\s+").toSeq
@@ -50,9 +53,11 @@ object Fts {
         }
         if (t.nonEmpty) {
           val prefix = t.endsWith("*")
-          val text = (if (prefix) t.dropRight(1) else t).toLowerCase
-            .replaceAll(TokenSplit, "")
-          if (text.nonEmpty) out += Term(text, prefix, field)
+          val pieces = (if (prefix) t.dropRight(1) else t).toLowerCase
+            .split(TokenSplit).filter(_.nonEmpty)
+          pieces.zipWithIndex.foreach { case (piece, idx) =>
+            out += Term(piece, prefix && idx == pieces.length - 1, field)
+          }
           field = None
         }
       }

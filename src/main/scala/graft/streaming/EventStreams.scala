@@ -57,7 +57,10 @@ object EventStreams {
   def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events
-      .selectExpr("user_id", "cast(value as double) as value")
+      // value is nullable in the events shape; a null deserialized into the
+      // primitive Double field would kill the whole streaming query
+      .selectExpr("user_id", "coalesce(cast(value as double), 0.0) as value")
+      .filter(col("user_id").isNotNull)
       .as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[UserRunning, UserUpdate](GroupStateTimeout.NoTimeout) {

@@ -69,6 +69,15 @@ class MoreEngineSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterEach 
     assert(g.getuid(d.uid).get.apply("title") == "Twice Shy")
   }
 
+  test("reset drops all state; deleteChange removes one journal row (graphydb.py:508-529, 568-570)") {
+    assert(g.fetchCount() == 3 && g.countChanges == 3)
+    g.deleteChange(2)
+    assert(g.countChanges == 2)
+    g.reset()
+    assert(g.fetchCount() == 0 && g.countChanges == 0)
+    assert(g.getSetting("anything") == null)
+  }
+
   test("DEBUG returns SQL without executing (graphydb.py:977-978)") {
     val sql = g.fetchSql("(n)", Seq("n.data.n > :min"), Map("min" -> 1))
     assert(sql.contains("get_json_object(n.props, '$.n') > 1"))

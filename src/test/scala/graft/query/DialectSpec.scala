@@ -53,4 +53,20 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.globToRegex("[!a]*") == "^[^a].*$")
     assert("^[^a].*$".r.matches("bcd") && !"^[^a].*$".r.matches("abc"))
   }
+
+  test("glob regex backslashes are doubled in the SQL literal") {
+    // Spark's string parser consumes one escape level: '\\.' in the SQL text
+    // is the regex '\.' at runtime
+    assert(Dialect.translate("n.x GLOB '*.md'") == "n.x RLIKE '^.*\\\\.md$'")
+  }
+
+  test("double-quoted literals are protected too") {
+    assert(Dialect.translate("""n.x == "a==b"""") == """n.x = "a==b"""")
+    assert(Dialect.translate("""n.x = "see :v"""", Map("v" -> 1)) == """n.x = "see :v"""")
+  }
+
+  test("GLOB keyword inside a bound string value is never rewritten") {
+    val t = Dialect.translate("note = :v", Map("v" -> "uses GLOB 'star'"))
+    assert(t == "note = 'uses GLOB ''star'''")
+  }
 }

@@ -42,6 +42,16 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
     assert(uids("title:mechanics body:primer") == Set("u2"))
   }
 
+  test("punctuated query terms split like the indexer tokenizes") {
+    import spark.implicits._
+    val d = Seq(("u9", "don't panic", "state-of-the-art prose")).toDF("uid", "title", "body")
+    val i2 = Fts.postings(d, "uid", Map("title" -> "title", "body" -> "body"))
+    def q(s: String) = Fts.matchUids(i2, s).collect().map(_.getString(0)).toSet
+    assert(q("don't") == Set("u9"), "splits to don AND t, both posted")
+    assert(q("state-of-the-art") == Set("u9"))
+    assert(q("state-of-nothing") == Set.empty)
+  }
+
   test("matchSql subquery form agrees with DataFrame form") {
     idx.createOrReplaceTempView("fts_spec_idx")
     val viaSql = spark.sql(Fts.matchSql("fts_spec_idx", "mech* primer"))
