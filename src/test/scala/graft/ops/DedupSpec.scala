@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct unit coverage of the dedup family on planted duplicates (the
+  * oracle queries d01–d05 cover cross-engine equality; these pin algorithmic
+  * behavior: recall of LSH vs exact jaccard, blocking filters, hamming
+  * locality of simhash). */
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDup = base.replace("today", "tonight") // 1-token edit
+    val half = "the quick brown fox sleeps all day long under a warm summer sun here"
+    val unrelated = "completely different words about spark engines and parquet columnar files"
+    Seq((1L, base), (2L, nearDup), (3L, half), (4L, unrelated), (5L, base))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id per identical text") {
+    val kept = Dedup.exactDedup(docs, "doc_id", Seq("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L), "doc 5 is an exact copy of 1")
+    val groups = Dedup.exactDupGroups(docs, "doc_id", Seq("text")).collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("keep_id") == 1L
+      && groups.head.getAs[Long]("copies") == 2L)
+  }
+
+  test("jaccard pairs rank exact copy > near-dup > unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 5L)) == 1.0)
+    assert(pairs((1L, 2L)) > 0.6 && pairs((1L, 2L)) < 1.0)
+    assert(!pairs.contains((1L, 4L)), "no shared shingle, pair never generated")
+  }
+
+  test("LSH candidates recall the high-jaccard pairs") {
+    val cands = Dedup.lshCandidates(docs, "doc_id", "text", k = 3, bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 5L)), "identical docs always collide in every band")
+    assert(cands.contains((1L, 2L)) || cands.contains((2L, 5L)),
+      "near-dup should collide in at least one band")
+    assert(!cands.contains((1L, 4L)) && !cands.contains((3L, 4L)),
+      "unrelated docs must not be candidates")
+  }
+
+  test("simhash: near-dups land within small hamming distance, unrelated far") {
+    val h = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(5L)) == 0)
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(4L)),
+      s"near-dup ${ham(h(1L), h(2L))} should beat unrelated ${ham(h(1L), h(4L))}")
+  }
+
+  test("commonShingleFilter drops high-df shingles") {
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", 3)
+    val filtered = Dedup.commonShingleFilter(sh, maxDf = 2)
+    val maxDf = filtered.groupBy("shingle").count().agg(max("count")).head().getLong(0)
+    assert(maxDf <= 2)
+    assert(filtered.count() < sh.count())
+  }
+
+  test("embedding dup pairs within blocks only") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.99f, 0.05f), 0),
+      (3L, Array(0.0f, 1.0f), 0), (4L, Array(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingDupPairs(vecs, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), "only the near-identical same-block pair")
+  }
+}
