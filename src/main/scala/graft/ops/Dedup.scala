@@ -67,9 +67,15 @@ object Dedup {
     // odds ~2^-61 per shingle pair), ~60% less shuffle payload
     val sh = wordShingles(df, idCol, textCol, k)
       .select(col("id"), hash60(col("shingle")).as("h"))
+    // |A|, |B| count ALL shingles — compute before any pruning
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("id").as("id_a"), col("h"))
-    val b = sh.select(col("id").as("id_b"), col("h"))
+    // shingles appearing in exactly one doc can never contribute to a pair;
+    // dropping them shrinks the quadratic join without changing the output
+    val paired = sh.join(
+      sh.groupBy("h").count().filter(col("count") >= 2).select("h"),
+      Seq("h"), "left_semi")
+    val a = paired.select(col("id").as("id_a"), col("h"))
+    val b = paired.select(col("id").as("id_b"), col("h"))
     // no broadcast hint on sizes: its cardinality is the document count, so
     // at corpus scale it must stay a shuffle join (AQE broadcasts when small)
     a.join(b, Seq("h"))
