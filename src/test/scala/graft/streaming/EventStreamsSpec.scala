@@ -57,6 +57,23 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(batchSessions == Map(1L -> 2L, 2L -> 2L))
   }
 
+  test("sliding windows emit one row per covering window") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val slid = EventStreams.runToMemory(spark,
+      EventStreams.slidingCounts(mem.toDF(), length = "1 hour", slide = "30 minutes"),
+      "sliding", org.apache.spark.sql.streaming.OutputMode.Update())
+    // event at 10:05 belongs to windows starting 09:30 and 10:00
+    val viewWindows = slid.filter(col("event_type") === "view")
+      .select("window_start").collect().map(_.getTimestamp(0).toString).toSet
+    assert(viewWindows.size >= 2, s"expected overlapping windows, got $viewWindows")
+    val total = slid.filter(col("event_type") === "view")
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+    assert(total == 6L, "3 view events x 2 covering windows each")
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
