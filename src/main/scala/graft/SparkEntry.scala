@@ -326,17 +326,13 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("exact_parts"))),
 
     "x02_pagerank" -> ((s, d) => {
-      // cache the projection: GraphX consumes it via several RDD passes
-      val g0 = StarGraph(s, d)
-      val g = new graft.engine.ViewGraph(s, g0.nodes.cache(), g0.edges.cache())
-      graft.ops.Analytics.pageRank(s, g, tol = 0.05)
+      // StarGraph memoizes + caches the projection per (session, dir)
+      graft.ops.Analytics.pageRank(s, StarGraph(s, d), tol = 0.05)
         .orderBy(col("rank").desc, col("uid")).limit(20)
     }),
 
     "x03_khop_reach" -> ((s, d) => {
-      // cache: each hop joins the projection twice (out + in direction)
-      val g0 = StarGraph(s, d)
-      val g = new graft.engine.ViewGraph(s, g0.nodes.cache(), g0.edges.cache())
+      val g = StarGraph(s, d)
       val seed = g.nodes.filter(col("uid") === "nation:0")
       graft.ops.Traversals.kHop(g, seed, hops = 2)
         .groupBy("kind").agg(count(lit(1)).as("reached"))

@@ -24,7 +24,20 @@ object StarGraph {
   private def uidOf(kind: String, key: org.apache.spark.sql.Column) =
     concat(lit(kind + ":"), key)
 
-  def apply(spark: SparkSession, dir: String): ViewGraph = {
+  // one cached projection per (session, dir): a query battery over the same
+  // scale factor reuses materialized node/edge/posting DataFrames instead of
+  // recomputing the to_json/concat projection per query
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), ViewGraph]()
+
+  def apply(spark: SparkSession, dir: String): ViewGraph =
+    memo.computeIfAbsent((spark, dir), { case (s, d) =>
+      val g = build(s, d)
+      new ViewGraph(s, g.nodes.cache(), g.edges.cache(),
+        nodeFtsDf = Some(g.nodeFts.cache()))
+    })
+
+  def build(spark: SparkSession, dir: String): ViewGraph = {
     def t(n: String): DataFrame = spark.read.parquet(s"$dir/$n.parquet")
 
     def nodeDf(df: DataFrame, kind: String, key: String, propCols: Seq[String]): DataFrame =
