@@ -26,7 +26,9 @@ object StarGraph {
 
   // one cached projection per (session, dir): a query battery over the same
   // scale factor reuses materialized node/edge/posting DataFrames instead of
-  // recomputing the to_json/concat projection per query
+  // recomputing the to_json/concat projection per query. Bounded by use-case
+  // (a handful of scale factors per process); `invalidate()` releases the
+  // cached blocks when the underlying parquet changes or a session retires.
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), ViewGraph]()
 
@@ -36,6 +38,15 @@ object StarGraph {
       new ViewGraph(s, g.nodes.cache(), g.edges.cache(),
         nodeFtsDf = Some(g.nodeFts.cache()))
     })
+
+  /** Unpersist and drop every memoized projection (all sessions/dirs). */
+  def invalidate(): Unit = {
+    import scala.jdk.CollectionConverters._
+    memo.values().asScala.foreach { g =>
+      g.nodes.unpersist(); g.edges.unpersist(); g.nodeFts.unpersist()
+    }
+    memo.clear()
+  }
 
   def build(spark: SparkSession, dir: String): ViewGraph = {
     def t(n: String): DataFrame = spark.read.parquet(s"$dir/$n.parquet")

@@ -35,7 +35,7 @@ object Json {
     case JString(s)  => s
     case JDouble(d)  => d
     case JDecimal(d) => d.toDouble
-    case JInt(i)     => if (i.isValidLong) i.toLong else i.toString
+    case JInt(i)     => if (i.isValidLong) i.toLong else i // BigInt beyond Long keeps its numeric type
     case JLong(l)    => l
     case JBool(b)    => b
     case JNull | JNothing => null

@@ -86,6 +86,12 @@ final class Node private[engine] (
 
   if (!data.contains("kind") || data("kind") == null)
     throw GraphyDBException("Must supply Node kind")
+  // edge-only reserved keys on a node would make the journal fold classify
+  // the folded payload as an edge (presence of startuid) — corrupting
+  // snapshots silently; the reference reserves these keys too (RESERVED,
+  // graphydb.py:130-131)
+  if (data.contains("startuid") || data.contains("enduid"))
+    throw GraphyDBException("startuid/enduid are reserved edge keys")
   MemGraph.fillDefaults(data)
   setChanged(changed0)
 

@@ -64,11 +64,14 @@ final class MemGraph(val spark: SparkSession) extends GraphSource {
     val map = if (item.isEdge) edgesMap else nodesMap
     val old = map.get(item.uid)
     val clean = item.cleanData
-    // the write REPLACES the stored payload, so keys present in storage but
-    // absent from this handle are removed even if the handle never marked
-    // them dirty (stale handle) — widen the diff scope to record them,
-    // keeping journal replay ≡ driver state
-    val diffKeys = item.changedKeys.toSet ++ old.map(_.keySet -- clean.keySet).getOrElse(Set.empty)
+    // the write REPLACES the stored payload, so ANY difference between the
+    // stored image and this handle's payload must be journaled — not just the
+    // handle's dirty keys (a stale handle reverts keys it never marked).
+    // Delta.diff only records keys whose values actually differ, so passing
+    // the full key universe keeps the journal ≡ driver state without
+    // over-journaling. (The reference restricts to _changedkeys and has the
+    // stale-handle divergence, graphydb.py:1322-1329.)
+    val diffKeys = old.map(_.keySet).getOrElse(Set.empty) ++ clean.keySet ++ item.changedKeys
     if (journal && journaling) addChange(item.uid, old, Some(clean), diffKeys, batch)
     map(item.uid) = clean
     bump()

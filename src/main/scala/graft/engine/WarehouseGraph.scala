@@ -36,11 +36,13 @@ final class WarehouseGraph(val spark: SparkSession, path: String) extends GraphS
   private def emptyChanges: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Rows.changeSchema)
 
-  private def readDir(dir: String, fallback: DataFrame): DataFrame =
-    if (Files.exists(Paths.get(dir)) &&
-      Files.list(Paths.get(dir)).anyMatch(p => p.toString.endsWith(".parquet")))
-      spark.read.schema(fallback.schema).parquet(dir)
-    else fallback
+  private def readDir(dir: String, fallback: DataFrame): DataFrame = {
+    val hasParquet = Files.exists(Paths.get(dir)) && {
+      val s = Files.list(Paths.get(dir))
+      try s.anyMatch(p => p.toString.endsWith(".parquet")) finally s.close()
+    }
+    if (hasParquet) spark.read.schema(fallback.schema).parquet(dir) else fallback
+  }
 
   def journal: DataFrame = readDir(journalDir, emptyChanges)
 
@@ -120,13 +122,24 @@ final class WarehouseGraph(val spark: SparkSession, path: String) extends GraphS
     }
   }
 
-  /** Materialize the snapshot, truncate the journal. */
+  private def replaceDir(from: String, to: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val toPath = Paths.get(to)
+    if (Files.exists(toPath))
+      Files.walk(toPath).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Files.move(Paths.get(from), toPath)
+  }
+
+  /** Materialize the snapshot, truncate the journal. The snapshot is written
+    * ONCE to a temp dir then renamed over the final location (atomic on one
+    * filesystem; a crash mid-compact leaves the journal intact, so the state
+    * is recoverable by re-folding). */
   def compact(): Unit = {
     val (n, e) = currentState
     n.write.mode(SaveMode.Overwrite).parquet(nodesDir + "_tmp")
     e.write.mode(SaveMode.Overwrite).parquet(edgesDir + "_tmp")
-    spark.read.parquet(nodesDir + "_tmp").write.mode(SaveMode.Overwrite).parquet(nodesDir)
-    spark.read.parquet(edgesDir + "_tmp").write.mode(SaveMode.Overwrite).parquet(edgesDir)
+    replaceDir(nodesDir + "_tmp", nodesDir)
+    replaceDir(edgesDir + "_tmp", edgesDir)
     // truncate journal (clearchanges semantics)
     val empty = emptyChanges
     empty.write.mode(SaveMode.Overwrite).parquet(journalDir)

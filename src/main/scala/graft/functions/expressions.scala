@@ -44,10 +44,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched lengths or null elements yield NULL — same as the
+    // aggregate(zip_with(...)) column form this expression mirrors
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     val xd = isDoubleArr(left); val yd = isDoubleArr(right)
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
       val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
@@ -63,14 +67,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val getX = if (isDoubleArr(left)) s"$x.getDouble($i)" else s"(double)$x.getFloat($i)"
       val getY = if (isDoubleArr(right)) s"$y.getDouble($i)" else s"(double)$y.getFloat($i)"
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $getX; double $yi = $getY;
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |if ($x.numElements() != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = $getX; double $yi = $getY;
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    if ($nx == 0.0 || $ny == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny)); }
+         |  }
          |}
-         |if ($nx == 0.0 || $ny == 0.0) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny)); }
        """.stripMargin
     })
 
