@@ -49,8 +49,8 @@ class FetchPropertySpec extends AnyFunSuite with SparkSpec {
       for (_ <- 1 to (ns.size * 2))
         g.edge(ns(rng.nextInt(ns.size)), edgeKinds(rng.nextInt(2)), ns(rng.nextInt(ns.size))).save()
 
-      for (q <- 1 to 5) {
-        val nLinks = 1 + 2 * rng.nextInt(2) // 1 or 3 links (node/edge alternating)
+      for (q <- 1 to 6) {
+        val nLinks = 1 + 2 * rng.nextInt(3) // 1, 3, or 5 links (node/edge alternating)
         val parts = (0 until nLinks).map { i =>
           val kind =
             if (i % 2 == 0) (if (rng.nextBoolean()) s":${nodeKinds(rng.nextInt(2))}" else "")
@@ -68,6 +68,9 @@ class FetchPropertySpec extends AnyFunSuite with SparkSpec {
           .select("uid").collect().map(_.getString(0)).toSet
         val want = naive(g, parsed.links, parsed.collectIdx)
         assert(got == want, s"round $round chain '$chain': got $got want $want")
+        // COUNT path = distinct-uid count of the same result
+        assert(Fetch.count(g, Fetch.Args(chain = chain)) == want.size,
+          s"round $round chain '$chain': COUNT mismatch")
       }
     }
   }
