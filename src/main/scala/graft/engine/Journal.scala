@@ -97,10 +97,12 @@ object Journal {
         col("ctime"), col("mtime"))).as("core"),
       col("props"), col("mtime"))
     nodeDocs.unionByName(edgeDocs)
-      // any distinct seq assignment above startSeq is valid for creates; the
-      // global row_number is acceptable at compaction cadence (coarse, rare)
-      .withColumn("seq", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("uid")) + lit(startSeq - 1))
+      // any distinct seq assignment at/above startSeq is valid for creates
+      // (each uid appears once, and the per-uid fold only needs base docs to
+      // sort before every journal-tail doc). monotonically_increasing_id is
+      // distinct and shuffle-free — a global row_number window would funnel
+      // the whole snapshot through one task, a hard wall at warehouse scale.
+      .withColumn("seq", monotonically_increasing_id() + lit(startSeq))
       .select(col("seq").cast("long"),
         col("uid"),
         // splice user props into the core object: one full-image add doc

@@ -82,6 +82,24 @@ class JournalSpec extends AnyFunSuite with SparkSpec {
     assert(reopened.nodes.count() == 3 && reopened.edges.count() == 1)
   }
 
+  test("compaction rewrite plans without a single-partition exchange") {
+    val g = MemGraph(spark)
+    randomMutations(g, new Random(7), 40)
+    val (nodes, edges) = Journal.snapshot(spark, g.changesDf)
+    val docs = Journal.snapshotAsChanges(nodes, edges, startSeq = 1L)
+    val plan = docs.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"seq assignment funnels through one task:\n$plan")
+    assert(!plan.contains("Window"), s"seq assignment still uses a global window:\n$plan")
+    // the rewrite is still a valid journal: folding it reproduces the state
+    val (n2, e2) = Journal.snapshot(spark, docs)
+    assert(SetOps.setEquals(n2, nodes) && SetOps.setEquals(e2, edges))
+    // seqs are distinct and at/above startSeq
+    import org.apache.spark.sql.functions.{col, countDistinct, min => smin}
+    val row = docs.agg(countDistinct(col("seq")), smin(col("seq")), org.apache.spark.sql.functions.count(col("seq"))).head()
+    assert(row.getLong(0) == row.getLong(2), "seq values must be distinct")
+    assert(row.getLong(1) >= 1L, "seq values must be at/above startSeq")
+  }
+
   test("merge rebases working-set seqs so later merges fold after earlier ones") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rebase").toString
     val w = GraphSession.open(spark, dir)
