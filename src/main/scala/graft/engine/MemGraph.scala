@@ -175,8 +175,10 @@ final class MemGraph(val spark: SparkSession) extends GraphSource {
       val payload = mutable.LinkedHashMap.empty[String, Any]
       core.foreach { c => payload(c) = row.get(row.fieldIndex(c)) }
       val props = Option(row.getAs[String]("props")).getOrElse("{}")
-      Json.parse(props).foreach { case (k, v) => payload(k) = v }
+      // drop the raw JSON core column BEFORE merging, so a user property
+      // literally named "props" survives the fetch (reference keeps all keys)
       payload.remove("props")
+      Json.parse(props).foreach { case (k, v) => payload(k) = v }
       // computed extras land as `_name` keys (graphydb.py:997-1002)
       extraCols.foreach { c => payload("_" + c) = row.get(row.fieldIndex(c)) }
       if (isEdge) new Edge(this, payload, changed0 = false)

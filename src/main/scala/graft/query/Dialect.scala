@@ -80,11 +80,19 @@ object Dialect {
     case s: String           => "'" + s.replace("'", "''") + "'"
     case b: Boolean          => if (b) "true" else "false"
     case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
-    case d: Double           => d.toString
-    case f: Float            => f.toString
+    case d: Double           => renderFloating(d)
+    case f: Float            => renderFloating(f.toDouble)
     case b: BigDecimal       => b.toString
     case other               => "'" + other.toString.replace("'", "''") + "'"
   }
+
+  // bare NaN/Infinity are not Spark SQL literals — render through double()
+  // so a non-finite bind param stays usable instead of a parser error
+  private def renderFloating(d: Double): String =
+    if (d.isNaN) "double('NaN')"
+    else if (d.isPosInfinity) "double('Infinity')"
+    else if (d.isNegInfinity) "double('-Infinity')"
+    else d.toString
 
   /** `x.data.y` → `get_json_object(x.props, '$.y')`.
     * One path component, same as the reference's `\w+` regex. */

@@ -121,8 +121,9 @@ object Fetch {
     // qualified refs there, graphydb.py:961-962; Spark follows standard SQL).
     // Ordering by a NON-collected alias under DISTINCT stays unsupported.
     args.order.foreach { o =>
-      val stripped = tr(o).replaceAll(
-        "\\b" + java.util.regex.Pattern.quote(collect.alias) + "\\.", "")
+      // quote-aware: a string literal containing "<alias>." must survive
+      val stripped = Dialect.mapOutsideQuotes(tr(o))(_.replaceAll(
+        "\\b" + java.util.regex.Pattern.quote(collect.alias) + "\\.", ""))
       sb.append("\nORDER BY ").append(stripped)
     }
     args.limit.foreach(l => sb.append(s"\nLIMIT $l"))

@@ -122,4 +122,20 @@ class MoreEngineSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterEach 
     val dfAll = g.fetchDf(graft.query.Fetch.Args(chain = "[x] -(e:L)>", distinct = false))
     assert(dfDistinct.count() == 1 && dfAll.count() == 2)
   }
+
+  test("a user property literally named 'props' survives fetch and save") {
+    val n = g.node("Weird", "props" -> "user-value").save()
+    val fetched = g.getuid(n.uid).get
+    assert(fetched.get("props").contains("user-value"))
+    fetched("other") = 1
+    fetched.save()
+    assert(g.getuid(n.uid).get.get("props").contains("user-value"))
+  }
+
+  test("ORDER BY string literal containing the collect alias is not corrupted") {
+    // 'n.' inside a quoted literal must pass through the alias-strip untouched
+    val df = g.fetchDf(graft.query.Fetch.Args(
+      chain = "[n:Doc]", order = Some("concat(n.uid, 'n.x') ASC")))
+    assert(df.count() == 3)
+  }
 }

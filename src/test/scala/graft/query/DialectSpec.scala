@@ -69,4 +69,12 @@ class DialectSpec extends AnyFunSuite {
     val t = Dialect.translate("note = :v", Map("v" -> "uses GLOB 'star'"))
     assert(t == "note = 'uses GLOB ''star'''")
   }
+
+  test("non-finite double bind params render as parseable double() literals") {
+    assert(Dialect.renderLiteral(Double.NaN) == "double('NaN')")
+    assert(Dialect.renderLiteral(Double.PositiveInfinity) == "double('Infinity')")
+    assert(Dialect.renderLiteral(Double.NegativeInfinity) == "double('-Infinity')")
+    assert(Dialect.renderLiteral(Float.NaN) == "double('NaN')")
+    assert(Dialect.renderLiteral(1.5) == "1.5")
+  }
 }
