@@ -72,4 +72,81 @@ final class WarehouseSession(val graph: WarehouseGraph) {
     graph.append(working.changesDf
       .withColumn("seq", org.apache.spark.sql.functions.col("seq") + offset))
   }
+
+  /** Totals + per-kind counts + durable-store fields (graphydb.py:704-739:
+    * 'File size' appears only for on-disk graphs; 'Spark version' mirrors
+    * 'SQLite version'). */
+  def stats: Map[String, Any] = {
+    def kindCounts(df: DataFrame): Map[String, Long] =
+      df.groupBy("kind").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val size = Files.walk(Paths.get(graph.path)).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+    val sizeStr =
+      if (size < 1000L) s"${size}B"
+      else if (size < 1000000L) s"${size / 1000}K"
+      else s"${size / 1000000}M"
+    Map(
+      "Total nodes" -> nodes.count(),
+      "Total edges" -> edges.count(),
+      "Node kinds" -> kindCounts(nodes),
+      "Edge kinds" -> kindCounts(edges),
+      "File size" -> sizeStr,
+      "Spark version" -> graph.spark.version,
+      "Changes" -> journal.count())
+  }
+
+  /** The last change batch as journal rows (reference `lastchanges`,
+    * graphydb.py:545-566): the max-seq doc, widened to its whole batch when
+    * the doc carries a batch uid. Empty journal → empty frame. */
+  def lastChanges(): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val j = graph.journal
+    j.orderBy(col("seq").desc).limit(1).collect().headOption match {
+      case None => j.limit(0)
+      case Some(r) => Option(r.getAs[String]("batch")) match {
+        case None    => j.filter(col("seq") === r.getAs[Long]("seq"))
+        case Some(b) => j.filter(col("batch") === b)
+      }
+    }
+  }
+
+  /** Undo the last change batch (reference semantics, graphydb.py:605-636)
+    * re-architected for an append-only journal: instead of consuming rows,
+    * append each doc's INVERSE (add/remove swapped — the fold rule
+    * `payload ← (payload − remove) ∪ add` makes the swap an exact reverse
+    * patch) with fresh seqs in reverse batch order. History survives, so
+    * undoing an undo is redo; compaction still truncates history.
+    *
+    * Fully distributed — the batch is never collected; new seqs come from
+    * the shuffle-free arithmetic `2·maxSeq + 1 − seq` (distinct, above
+    * maxSeq, reverse order). Returns the undone ops as (op, uid) rows in
+    * undo order: `-` deleted a create, `+` restored a delete, `*` reverse-
+    * patched a modify. */
+  def undo(): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val batch = lastChanges()
+    val maxSeq = graph.maxSeq
+    val ops = batch.orderBy(col("seq").desc).select(
+      when(col("add").isNotNull && col("remove").isNull, lit("-"))
+        .when(col("add").isNull && col("remove").isNotNull, lit("+"))
+        .otherwise(lit("*")).as("op"),
+      col("uid"))
+    if (maxSeq == 0L) return ops
+    val newBatch = graft.core.Uid.random()
+    val inverse = batch.select(
+      (lit(2L * maxSeq + 1L) - col("seq")).cast("long").as("seq"),
+      col("uid"),
+      col("remove").as("add"),
+      col("add").as("remove"),
+      lit(System.currentTimeMillis() / 1000.0).as("time"),
+      md5(concat_ws(":", col("uid"), col("seq"), lit(newBatch))).as("rev"),
+      lit(newBatch).as("batch"))
+    graph.append(inverse)
+    // `ops` stays correct after the append: its batch/seq filters can only
+    // match the pre-append rows (the inverse docs carry a fresh batch uid
+    // and higher seqs). Evaluate before compact() — compaction truncates.
+    ops
+  }
 }

@@ -25,7 +25,7 @@ import java.nio.file.{Files, Paths}
   * OLTP path of the reference is served by [[MemGraph]] working sets and is
   * an explicit non-goal at warehouse scale (BASELINE.md).
   */
-final class WarehouseGraph(val spark: SparkSession, path: String) extends GraphSource {
+final class WarehouseGraph(val spark: SparkSession, val path: String) extends GraphSource {
 
   private val journalDir = s"$path/journal"
   private val nodesDir = s"$path/nodes"

@@ -121,6 +121,68 @@ class JournalSpec extends AnyFunSuite with SparkSpec {
     assert(props.contains("\"v\":2"), s"modify must fold after create, got $props")
   }
 
+  test("warehouse undo: inverse docs restore pre-batch snapshot; journal append-only") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_undo").toString
+    val w = GraphSession.open(spark, dir)
+    val g1 = MemGraph(spark)
+    val n = g1.node("P", "name" -> "Anne", "v" -> 1).save()
+    w.merge(g1)
+    val len0 = w.journal.count()
+
+    // independent working set modifies the node, merged as the last batch
+    val g2 = MemGraph(spark)
+    g2.saveItem(g2.nodeFromData(
+      Map("uid" -> n.uid, "kind" -> "P", "name" -> "Anne", "v" -> 1)), None, journal = false)
+    g2.clearChanges()
+    val h = g2.getuid(n.uid).get
+    h("v") = 2; h.save()
+    w.merge(g2)
+    def props(): String =
+      w.nodes.filter(col("uid") === n.uid).head().getAs[String]("props")
+    assert(props().contains("\"v\":2"))
+
+    val ops = w.undo().collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(ops == Seq(("*", n.uid)), s"expected one reverse-patch op, got $ops")
+    assert(props().contains("\"v\":1"), "undo must reverse-patch the modify")
+    assert(w.journal.count() == len0 + 2, "undo appends inverse docs, never consumes")
+
+    // undo of the undo = redo (history survives in the append-only journal)
+    w.undo()
+    assert(props().contains("\"v\":2"))
+  }
+
+  test("warehouse undo reverts a whole bulk batch; parity with driver-side undo") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_undo2").toString
+    val w = GraphSession.open(spark, dir)
+    val g = MemGraph(spark)
+    Seq("a", "b", "c").foreach(x => g.node("D", "name" -> x).save())
+    g.fetchN("(n)").setAll("flag" -> true).save() // one shared batch
+    w.merge(g)
+    assert(w.fetchCount(graft.query.Fetch.Args(
+      chain = "(n)", where = Seq("n.data.flag = true"))) == 3)
+
+    val ops = w.undo().collect()
+    assert(ops.length == 3 && ops.forall(_.getString(0) == "*"))
+    assert(w.fetchCount(graft.query.Fetch.Args(
+      chain = "(n)", where = Seq("n.data.flag = true"))) == 0)
+
+    // parity: the driver-side MemGraph undo lands in the same state
+    g.undo()
+    val want = g.nodes.collect().map(r => (r.getString(0), r.getString(4))).toSet
+    val got = w.nodes.collect().map(r => (r.getString(0), r.getString(4))).toSet
+    assert(got == want, "warehouse undo state must equal driver undo state")
+
+    // undoing a create batch deletes the created items
+    val g2 = MemGraph(spark)
+    g2.node("E", "name" -> "x").save()
+    w.merge(g2)
+    assert(w.nodes.count() == 4)
+    val ops2 = w.undo().collect()
+    assert(ops2.map(_.getString(0)).toSeq == Seq("-"))
+    assert(w.nodes.count() == 3)
+  }
+
   test("no-op delete journals nothing (no phantom undo target)") {
     val g = MemGraph(spark)
     val a = g.node("P").save()
