@@ -128,21 +128,42 @@ abstract class ItemSet[T <: Item, Self <: ItemSet[T, Self]](initial: Seq[T]) { s
   def deletefts(): this.type = { list.foreach(_.deletefts()); this }
 }
 
+object ItemSet {
+  /** Above this many uids, traversal predicates switch from inline IN-lists
+    * to a temp-view semi-join — a million-row set would otherwise render a
+    * multi-MB SQL string the parser has to chew through. */
+  private[engine] val InListThreshold = 10000
+
+  /** Render `<colRef> IN (...)` either as literals (small sets) or as a
+    * subquery over a registered temp view of the uids (large sets — the
+    * optimizer turns it into a semi-join; the uid frame is broadcast-sized
+    * relative to the tables it probes). */
+  private[engine] def uidPredicate(spark: org.apache.spark.sql.SparkSession,
+      colRef: String, us: Seq[String]): String =
+    if (us.size <= InListThreshold)
+      us.map(graft.query.Dialect.renderLiteral(_)).mkString(s"$colRef IN (", ",", ")")
+    else {
+      val view = s"graft_uidset_${graft.core.Uid.random().toLowerCase}"
+      import spark.implicits._
+      spark.createDataset(us).toDF("uid").createOrReplaceTempView(view)
+      s"$colRef IN (SELECT uid FROM $view)"
+    }
+}
+
 final class NSet(initial: Seq[Node] = Nil) extends ItemSet[Node, NSet](initial) {
   protected def make(items: Seq[Node]): NSet = new NSet(items)
 
   private def g: MemGraph = list.head.graph
-  private def uidList: String =
-    uids.map(graft.query.Dialect.renderLiteral(_)).mkString("(", ",", ")")
+  private def uidIn(colRef: String): String = ItemSet.uidPredicate(g.spark, colRef, uids.toSeq)
 
   /** Set-level traversals: ONE distributed query per call (the reference
     * loops members, N+1 queries — graphydb.py:1711-1772; SURVEY §2.12). */
-  def inE(): ESet = if (isEmpty) new ESet() else g.fetchE("<(e)-", Seq(s"e.enduid IN $uidList"))
-  def outE(): ESet = if (isEmpty) new ESet() else g.fetchE("-(e)>", Seq(s"e.startuid IN $uidList"))
+  def inE(): ESet = if (isEmpty) new ESet() else g.fetchE("<(e)-", Seq(uidIn("e.enduid")))
+  def outE(): ESet = if (isEmpty) new ESet() else g.fetchE("-(e)>", Seq(uidIn("e.startuid")))
   def bothE(): ESet = if (isEmpty) new ESet()
-    else g.fetchE("-(e)>", Seq(s"(e.startuid IN $uidList OR e.enduid IN $uidList)"))
-  def inN(): NSet = if (isEmpty) new NSet() else g.fetchN("<(e)- [n]", Seq(s"e.enduid IN $uidList"))
-  def outN(): NSet = if (isEmpty) new NSet() else g.fetchN("-(e)> [n]", Seq(s"e.startuid IN $uidList"))
+    else g.fetchE("-(e)>", Seq(s"(${uidIn("e.startuid")} OR ${uidIn("e.enduid")})"))
+  def inN(): NSet = if (isEmpty) new NSet() else g.fetchN("<(e)- [n]", Seq(uidIn("e.enduid")))
+  def outN(): NSet = if (isEmpty) new NSet() else g.fetchN("-(e)> [n]", Seq(uidIn("e.startuid")))
   def bothN(): NSet = if (isEmpty) new NSet() else inN() | outN()
 }
 
@@ -150,9 +171,8 @@ final class ESet(initial: Seq[Edge] = Nil) extends ItemSet[Edge, ESet](initial) 
   protected def make(items: Seq[Edge]): ESet = new ESet(items)
 
   private def g: MemGraph = list.head.graph
-  private def uidIn(col: String): String =
-    toSeq.map(e => graft.query.Dialect.renderLiteral(e.data(col)))
-      .distinct.mkString("n.uid IN (", ",", ")")
+  private def uidIn(col: String): String = ItemSet.uidPredicate(
+    g.spark, "n.uid", toSeq.map(_.data(col).toString).distinct)
 
   /** Endpoint node sets — one query each (graphydb.py:1673-1691). */
   def start: NSet = if (isEmpty) new NSet() else g.fetchN("(n)", Seq(uidIn("startuid")))
