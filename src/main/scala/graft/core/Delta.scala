@@ -39,4 +39,24 @@ object Delta {
   /** Strip `_`-prefixed (local/temporary) keys before persisting
     * (reference `cleandata`, graphydb.py:196-201). */
   def clean(d: Map[String, Any]): Map[String, Any] = d.filter { case (k, _) => !k.startsWith("_") }
+
+  /** Recursive structural clone of a payload value (reference `deepcopy`,
+    * graphydb.py:1273-1284): nested maps/sequences are rebuilt so the clone
+    * shares no mutable structure; scalars (immutable) pass through. */
+  def deepClone(v: Any): Any = v match {
+    case m: scala.collection.mutable.Map[_, _] =>
+      val c = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+      m.foreach { case (k, x) => c(k) = deepClone(x) }
+      c
+    case m: scala.collection.Map[_, _] =>
+      m.foldLeft(Map.empty[Any, Any]) { case (acc, (k, x)) => acc + (k -> deepClone(x)) }
+    case s: scala.collection.mutable.Buffer[_] =>
+      val b = scala.collection.mutable.ArrayBuffer.empty[Any]
+      s.foreach(x => b += deepClone(x))
+      b
+    case s: Seq[_]    => s.map(deepClone)
+    case s: Set[_]    => s.map(deepClone)
+    case a: Array[_]  => a.map(deepClone)
+    case other        => other
+  }
 }

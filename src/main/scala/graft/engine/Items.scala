@@ -130,6 +130,15 @@ final class Node private[engine] (
     c
   }
 
+  /** Deep copy: nested payload structures are recursively cloned, so the
+    * copy shares no mutable state with the original (graphydb.py:1273-1284). */
+  def deepcopyItem(newUid: Boolean = false): Node = {
+    val c = copyItem(newUid)
+    val cloned = c.data.toSeq.map { case (k, v) => k -> graft.core.Delta.deepClone(v) }
+    c.data.clear(); cloned.foreach { case (k, v) => c.data(k) = v }
+    c
+  }
+
   def inE(where: Seq[String] = Nil, params: Map[String, Any] = Map.empty): ESet =
     graph.fetchE("<(e)-", where = s"e.enduid = ${graft.query.Dialect.renderLiteral(uid)}" +: where, params = params)
   def outE(where: Seq[String] = Nil, params: Map[String, Any] = Map.empty): ESet =
@@ -189,6 +198,25 @@ final class Edge private[engine] (
 
   def start: Node = graph.fetchN("(n)", where = Seq(s"n.uid = ${graft.query.Dialect.renderLiteral(startuid)}")).one.get
   def end: Node = graph.fetchN("(n)", where = Seq(s"n.uid = ${graft.query.Dialect.renderLiteral(enduid)}")).one.get
+
+  /** Shallow copy, optionally with a fresh uid (graphydb.py:1250-1262 — the
+    * reference's `copy` lives on Item, so edges have it too). */
+  def copyItem(newUid: Boolean = false): Edge = {
+    val d = mutable.LinkedHashMap(data.toSeq: _*)
+    if (newUid) d("uid") = Uid.random()
+    val c = new Edge(graph, d, changed0 = false)
+    c.changedKeys.clear(); c.changedKeys ++= changedKeys
+    if (newUid) c.changedKeys += "uid"
+    c
+  }
+
+  /** Deep copy (graphydb.py:1273-1284): nested payload structures cloned. */
+  def deepcopyItem(newUid: Boolean = false): Edge = {
+    val c = copyItem(newUid)
+    val cloned = c.data.toSeq.map { case (k, v) => k -> graft.core.Delta.deepClone(v) }
+    c.data.clear(); cloned.foreach { case (k, v) => c.data(k) = v }
+    c
+  }
 
   override def toString = s"($startuid)-[$uid:$kind]->($enduid)"
 }

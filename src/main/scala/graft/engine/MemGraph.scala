@@ -299,6 +299,11 @@ final class MemGraph(val spark: SparkSession) extends GraphSource {
       "Total edges" -> edges.count(),
       "Node kinds" -> kindCounts(nodes),
       "Edge kinds" -> kindCounts(edges),
+      // engine-version fields mirror 'SQLite version'/'GraphyDB version'
+      // (graphydb.py:733-736); 'File size' is durable-store-only there too,
+      // so the :memory: analogue rightly omits it (WarehouseSession has it)
+      "Spark version" -> spark.version,
+      "Graft version" -> getSetting("Graft version", "0.1.0"),
       "Changes" -> countChanges)
   }
 

@@ -123,6 +123,60 @@ class MoreEngineSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterEach 
     assert(dfDistinct.count() == 1 && dfAll.count() == 2)
   }
 
+  test("large NSet traversal switches to a temp-view semi-join (bounded SQL)") {
+    val many = (1 to ItemSet.InListThreshold + 1).map(i => f"U$i%06d")
+    val pred = ItemSet.uidPredicate(spark, "e.startuid", many)
+    assert(pred.length < 200, s"predicate must stay bounded, got ${pred.length} chars")
+    assert(pred.contains("SELECT uid FROM graft_uidset_"))
+    // traversal through the semi-join path returns the same edges
+    val a = g.fetchN("(n)").toSeq
+    g.edge(a(0), "L", a(1)).save()
+    val fakes = many.map(u => new Node(g,
+      scala.collection.mutable.LinkedHashMap[String, Any]("uid" -> u, "kind" -> "Doc"),
+      changed0 = false))
+    val big = new NSet(a ++ fakes)
+    val out = big.outE()
+    assert(out.size == 1 && out.one.get.data("startuid") == a(0).uid)
+    // small sets keep the inline IN-list (no view registration per call)
+    val small = ItemSet.uidPredicate(spark, "e.startuid", Seq("A", "B"))
+    assert(small == "e.startuid IN ('A','B')")
+  }
+
+  test("deepcopy clones nested structures; shallow copy shares them (graphydb.py:1273-1284)") {
+    val nested = scala.collection.mutable.LinkedHashMap[Any, Any]("inner" -> 1)
+    val n = g.node("Cfg", "meta" -> nested).save()
+    val shallow = n.copyItem()
+    val deep = n.deepcopyItem()
+    nested("inner") = 2
+    assert(shallow.data("meta").asInstanceOf[scala.collection.Map[Any, Any]]("inner") == 2,
+      "shallow copy shares the nested map")
+    assert(deep.data("meta").asInstanceOf[scala.collection.Map[Any, Any]]("inner") == 1,
+      "deep copy must not share the nested map")
+    val deep2 = n.deepcopyItem(newUid = true)
+    assert(deep2.uid != n.uid)
+    // edges get copy/deepcopy too (reference Item.copy)
+    val m = g.node("Cfg").save()
+    val e = g.edge(n, "L", m).save()
+    val ec = e.copyItem(newUid = true)
+    assert(ec.uid != e.uid && ec.startuid == n.uid)
+    assert(e.deepcopyItem().enduid == m.uid)
+  }
+
+  test("stats parity fields (graphydb.py:704-739)") {
+    val s = g.stats
+    assert(s("Total nodes") == 3L && s("Node kinds") == Map("Doc" -> 3L))
+    assert(s("Spark version").toString.startsWith("4."))
+    assert(s.contains("Graft version") && s.contains("Changes"))
+    assert(!s.contains("File size"), "in-memory graph has no file size, like :memory:")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    val w = GraphSession.open(spark, dir)
+    w.merge(g)
+    val ws = w.stats
+    assert(ws("Total nodes") == 3L && ws("Changes") == 3L)
+    assert(ws("File size").toString.matches("\\d+[BKM]"))
+  }
+
   test("a user property literally named 'props' survives fetch and save") {
     val n = g.node("Weird", "props" -> "user-value").save()
     val fetched = g.getuid(n.uid).get
