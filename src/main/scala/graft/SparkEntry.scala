@@ -301,6 +301,9 @@ object SparkEntry {
     "d05_embedding_dups" -> ((s, d) =>
       Dedup.embeddingDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", "label", 0.35)),
 
+    "d06_embedding_dups_lsh" -> ((s, d) =>
+      Dedup.embeddingDupPairsLsh(t(s, d, "embeddings"), "vec_id", "embedding", 0.35, bits = 4)),
+
     // --- similarity search (embeddings) -------------------------------------
     "s01_cosine_knn" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", queryId = 0, k = 5)),
@@ -572,9 +575,11 @@ object SparkEntry {
         |mh AS (SELECT doc_id, i, MIN(((101 + 37*i) * hh + 12345 + 789*i) % 4294967311) AS mh
         |  FROM h CROSS JOIN range(0, 16) r(i) GROUP BY 1, 2),
         |sig AS (SELECT doc_id, i // 4 AS band,
-        |  string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig FROM mh GROUP BY 1, 2)
+        |  string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig FROM mh GROUP BY 1, 2),
+        |fits AS (SELECT band, sig FROM sig GROUP BY band, sig HAVING COUNT(*) <= 1000)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+        |FROM sig a JOIN fits f ON a.band = f.band AND a.sig = f.sig
+        |JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
 
     "d04_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
@@ -595,6 +600,31 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin,
+
+    // mirrors Similarity.lshBucket: plane component (p, i) =
+    // md5("p:i")[0:8] as uint32 / 2^32 - 0.5; bucket = Σ sign-bits. The
+    // 4 planes are expanded literally; list_sum/list_transform keep the
+    // same left-fold summation order as Spark's `aggregate`.
+    "d06_embedding_dups_lsh" -> {
+      def proj(p: Int): String =
+        s"list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * " +
+        s"((('0x' || substr(md5(concat('$p:', i - 1)), 1, 8))::BIGINT / 4294967296.0) - 0.5)))"
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |eb AS (SELECT vec_id, embedding, nrm,
+        |    (CASE WHEN ${proj(0)} > 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN ${proj(1)} > 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN ${proj(2)} > 0 THEN 4 ELSE 0 END)
+        |  + (CASE WHEN ${proj(3)} > 0 THEN 8 ELSE 0 END) AS blk
+        |  FROM e)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM eb a JOIN eb b ON a.blk = b.blk AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin
+    },
 
     "s01_cosine_knn" ->
       """WITH q AS (SELECT embedding AS qv,

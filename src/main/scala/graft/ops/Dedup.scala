@@ -109,24 +109,53 @@ object Dedup {
       .groupBy("id", "i").agg(min("mh").as("mh"))
   }
 
-  /** LSH candidate pairs: band docs by (band, concatenated band signature),
-    * join within buckets. bands × rowsPerBand must equal numHashes. */
-  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+  /** Per-(id, band) LSH signatures (deterministic in-band order). */
+  private def bandSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigs = minhash(df, idCol, textCol, k, numHashes)
       .withColumn("band", (col("i") / rowsPerBand).cast("int"))
-    // deterministic in-band order: aggregate per (id, band) with i-ordered concat
-    val bandSig = sigs.groupBy("id", "band")
+    sigs.groupBy("id", "band")
       .agg(concat_ws("_", transform(
         array_sort(collect_list(struct(col("i"), col("mh")))),
         s => s.getField("mh").cast("string"))).as("sig"))
-    val l = bandSig.select(col("id").as("id_a"), col("band"), col("sig"))
-    val r = bandSig.select(col("id").as("id_b"), col("band"), col("sig"))
+  }
+
+  /** LSH candidate pairs: band docs by (band, concatenated band signature),
+    * join within buckets. bands × rowsPerBand must equal numHashes.
+    *
+    * Buckets larger than `maxBucket` are dropped BEFORE the self-join: one
+    * degenerate signature (e.g. thousands of empty/near-empty docs sharing a
+    * minhash) would otherwise cost bucket² pairs on one shuffle key. The
+    * pre-filter is a (band, sig) aggregate — same key as the join, linear.
+    * Audit what a cap dropped with [[lshOverflowBuckets]] (no silent caps). */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      maxBucket: Long = 1000L): DataFrame = {
+    val bandSig = bandSignatures(df, idCol, textCol, k, bands, rowsPerBand)
+    val fits = bandSig.groupBy("band", "sig")
+      .agg(count(lit(1)).as("bcount"))
+      .filter(col("bcount") <= maxBucket)
+      .select("band", "sig")
+    val kept = bandSig.join(fits, Seq("band", "sig"), "left_semi")
+    val l = kept.select(col("id").as("id_a"), col("band"), col("sig"))
+    val r = kept.select(col("id").as("id_b"), col("band"), col("sig"))
     l.join(r, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** The buckets a `maxBucket` cap would drop: (band, sig, bcount). Pipelines
+    * using [[lshCandidates]] should count/log these — a non-empty result
+    * means some docs (typically degenerate near-empty text) were exempted
+    * from candidate generation in that band. */
+  def lshOverflowBuckets(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      maxBucket: Long = 1000L): DataFrame =
+    bandSignatures(df, idCol, textCol, k, bands, rowsPerBand)
+      .groupBy("band", "sig")
+      .agg(count(lit(1)).as("bcount"))
+      .filter(col("bcount") > maxBucket)
 
   /** 60-bit SimHash over distinct whitespace tokens: per bit b, the sign of
     * Σ ±1 across token hashes decides the bit. Returns (id, simhash LONG). */
@@ -144,14 +173,9 @@ object Dedup {
       .groupBy("id").agg(sum("bit").as("simhash"))
   }
 
-  /** Near-dup by embedding cosine: pairs with cosine ≥ threshold, blocked by
-    * an exact-match coarse key (same label) to avoid the full cross join. */
-  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
-    val withNorm = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(vecCol).as("v"),
-      sqrt(aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, x) => acc + x)).as("nrm"))
+  /** Within-block cosine pairs over a (id, blk, v, nrm) frame: the join key
+    * is the block, so cost is Σ block² — never a full cross join. */
+  private def pairsByBlock(withNorm: DataFrame, threshold: Double): DataFrame = {
     val a = withNorm.select(col("id").as("id_a"), col("blk"), col("v").as("va"), col("nrm").as("na"))
     val b = withNorm.select(col("id").as("id_b"), col("blk"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
@@ -161,4 +185,22 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Near-dup by embedding cosine: pairs with cosine ≥ threshold, blocked by
+    * an exact-match coarse key (same label) to avoid the full cross join. */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame =
+    pairsByBlock(df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm")), threshold)
+
+  /** Near-dup pairs for UNLABELED corpora: blocks are random-hyperplane LSH
+    * buckets ([[Similarity.lshBucket]], deterministic md5-seeded planes), so
+    * no label column is needed and the cross join is still avoided.
+    * Approximate by construction: a pair split across buckets is missed;
+    * fewer `bits` → bigger buckets → higher recall at higher join cost. */
+  def embeddingDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 4): DataFrame =
+    pairsByBlock(df.select(col(idCol).as("id"),
+      Similarity.lshBucket(col(vecCol), bits).as("blk"),
+      col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm")), threshold)
 }

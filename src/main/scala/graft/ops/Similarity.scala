@@ -80,17 +80,36 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
-  /** LSH-bucketed cosine top-k: only the query's bucket is scanned. */
-  def cosineLshTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, bits: Int = 8, roundTo: Int = 4): DataFrame = {
-    val bucketed = df.withColumn("_bucket", lshBucket(col(vecCol), bits))
+  /** Precompute a reusable bucketed corpus for repeated LSH queries: adds
+    * `_bucket` (sign-bit id under `bits` hyperplanes) and `_norm`, clustered
+    * by bucket so each probe reads co-located partitions. Persist/write this
+    * once; per-query work then drops to one bucket scan with NO per-row
+    * hyperplane projections or norms recomputed. */
+  def bucketize(df: DataFrame, vecCol: String, bits: Int): DataFrame =
+    df.withColumn("_bucket", lshBucket(col(vecCol), bits))
+      .withColumn("_norm", norm(col(vecCol)))
+      .repartition(col("_bucket"))
+
+  /** LSH cosine top-k over a [[bucketize]]d corpus (must carry `_bucket` and
+    * `_norm`). Only the query's bucket is scanned. */
+  def cosineLshTopKPre(bucketed: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, roundTo: Int = 4): DataFrame = {
     val q = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("qv"), norm(col(vecCol)).as("qn"), col("_bucket").as("qb"))
+      .select(col(vecCol).as("qv"), col("_norm").as("qn"), col("_bucket").as("qb"))
     bucketed.filter(col(idCol) =!= queryId)
       .join(broadcast(q), col("_bucket") === col("qb"))
       .select(col(idCol).as("id"),
-        round(dot(col(vecCol), col("qv")) / (norm(col(vecCol)) * col("qn")), roundTo).as("cosine"))
+        round(dot(col(vecCol), col("qv")) / (col("_norm") * col("qn")), roundTo).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
+
+  /** One-shot LSH-bucketed cosine top-k. For repeated queries against the
+    * same corpus, [[bucketize]] once and use [[cosineLshTopKPre]]. */
+  def cosineLshTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, bits: Int = 8, roundTo: Int = 4): DataFrame =
+    cosineLshTopKPre(
+      df.withColumn("_bucket", lshBucket(col(vecCol), bits))
+        .withColumn("_norm", norm(col(vecCol))),
+      idCol, vecCol, queryId, k, roundTo)
 }

@@ -74,4 +74,43 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), "only the near-identical same-block pair")
   }
+
+  test("LSH-blocked embedding dedup recalls labeled-block dups without labels") {
+    import spark.implicits._
+    // near-identical pairs land in one hyperplane bucket with no label column
+    val vecs = Seq(
+      (1L, Array(1.00f, 0.02f, 0.01f)), (2L, Array(0.99f, 0.03f, 0.02f)),
+      (3L, Array(0.01f, 1.00f, 0.02f)), (4L, Array(0.02f, 0.99f, 0.01f)),
+      (5L, Array(0.01f, 0.02f, 1.00f)))
+      .toDF("vec_id", "embedding")
+    val labeled = Dedup.embeddingDupPairs(
+      vecs.withColumn("label", when(col("vec_id") <= 2, 0).when(col("vec_id") <= 4, 1).otherwise(2)),
+      "vec_id", "embedding", "label", 0.98)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingDupPairsLsh(vecs, "vec_id", "embedding", 0.98, bits = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labeled == Set((1L, 2L), (3L, 4L)))
+    assert(labeled.subsetOf(lsh), s"LSH blocking must recall the labeled dups, got $lsh")
+  }
+
+  test("LSH bucket cap: degenerate bucket is dropped, other candidates unchanged") {
+    import spark.implicits._
+    // 30 identical short docs form one degenerate bucket per band
+    val degenerate = (100L until 130L).map(i => (i, "x x x"))
+    val all = docs.union(degenerate.toDF("doc_id", "text"))
+    val uncapped = Dedup.lshCandidates(all, "doc_id", "text", maxBucket = Long.MaxValue)
+    val capped = Dedup.lshCandidates(all, "doc_id", "text", maxBucket = 10L)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val keptOfOriginal = cappedPairs.filter { case (a, b) => a < 100L && b < 100L }
+    val originalPairs = Dedup.lshCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keptOfOriginal == originalPairs,
+      "capping a degenerate bucket must not change candidates for the rest of the corpus")
+    assert(!cappedPairs.exists { case (a, b) => a >= 100L && b >= 100L },
+      "the 30-doc degenerate bucket must be dropped by the cap")
+    assert(uncapped.count() > capped.count(), "uncapped run pays the bucket² pairs")
+    // the drop is auditable, not silent
+    val overflow = Dedup.lshOverflowBuckets(all, "doc_id", "text", maxBucket = 10L).collect()
+    assert(overflow.nonEmpty && overflow.forall(_.getAs[Long]("bcount") == 30L))
+  }
 }
