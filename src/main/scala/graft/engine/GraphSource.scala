@@ -46,7 +46,7 @@ object GraphSource {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("term", StringType), StructField("field", StringType),
-      StructField("uid", StringType)))
+      StructField("uid", StringType), StructField("pos", IntegerType)))
   }
 
   def emptyFts(spark: SparkSession): DataFrame =

@@ -342,8 +342,11 @@ final class MemGraph(val spark: SparkSession) extends GraphSource {
   private def ftsRows(docs: mutable.LinkedHashMap[String, Map[String, String]]): java.util.List[Row] =
     docs.toSeq.flatMap { case (uid, fields) =>
       fields.toSeq.flatMap { case (field, text) =>
-        text.toLowerCase.split(Fts.TokenSplit).filter(_.nonEmpty).distinct.toSeq
-          .map(term => Row(term, field, uid))
+        // keep split indices as positions (phrase adjacency); one row per
+        // occurrence so tf scores count repeats, like Fts.postings
+        text.toLowerCase.split(Fts.TokenSplit).zipWithIndex
+          .filter(_._1.nonEmpty).toSeq
+          .map { case (term, pos) => Row(term, field, uid, pos) }
       }
     }.asJava
 

@@ -59,6 +59,35 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
     assert(viaSql == uids("mech* primer"))
   }
 
+  test("OR unions branches; AND keyword intersects like implicit AND") {
+    assert(uids("quantum OR newton") == Set("u1", "u2", "u3"))
+    assert(uids("title:quantum OR body:primer") == Set("u1", "u2"))
+    assert(uids("mechanics AND primer") == uids("mechanics primer"))
+    assert(uids("waves OR flavor OR laws") == Set("u1", "u2", "u3"))
+  }
+
+  test("quoted phrase requires positional adjacency") {
+    assert(uids("\"quantum mechanics\"") == Set("u1"))
+    assert(uids("\"mechanics quantum\"") == Set.empty, "reversed order must not match")
+    assert(uids("\"quantum of flavor\"") == Set("u3"), "3-token phrase")
+    assert(uids("\"quantum flavor\"") == Set.empty, "gap must not match")
+    assert(uids("title:\"classical mechanics\"") == Set("u2"))
+    assert(uids("title:\"newton laws\"") == Set.empty, "phrase is field-scoped")
+    assert(uids("\"newton laws\" OR \"quantum mechanics\"") == Set("u1", "u2"))
+  }
+
+  test("tf score counts matching posting occurrences") {
+    import spark.implicits._
+    val d = Seq(("u9", "spark spark spark", "tiny spark engine")).toDF("uid", "title", "body")
+    val i2 = Fts.postings(docs.union(d), "uid", Map("title" -> "title", "body" -> "body"))
+    val s = Fts.matchScores(i2, "spark").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s == Map("u9" -> 4L), "3 title + 1 body occurrences")
+    val s2 = Fts.matchScores(i2, "quantum OR \"newton laws\"").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s2 == Map("u1" -> 1L, "u3" -> 1L, "u2" -> 1L))
+  }
+
   test("upsertPostings replaces only the updated uid's postings") {
     import spark.implicits._
     val upd = Seq(("u3", "Quantum Cooking", "flavor waves")).toDF("uid", "title", "body")
