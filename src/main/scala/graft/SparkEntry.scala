@@ -264,6 +264,30 @@ object SparkEntry {
         .select("uid")
     }),
 
+    // FTS v2 grammar: OR branches + positional phrase, ranked by the tf
+    // score the match subquery exposes (ORDER passthrough = the reference's
+    // ranking route, graphydb.py:956-962)
+    "g10_fts_or_phrase" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "[p:part,score]",
+        params = Map(
+          "score" -> "p_fts.score",
+          "p_fts" -> "red OR widget OR \"red widget\""),
+        order = Some("score DESC, p.uid ASC"),
+        limit = Some(100)))
+        .select("uid", "score")
+    }),
+
+    // DISTINCT collect ordered by a NON-collected alias: customers ranked by
+    // their best order's totalprice (DISTINCT→GROUP BY rewrite, max for DESC)
+    "g11_order_by_joined" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "[c:customer] <(e:PlacedBy)- (o:orders)",
+        order = Some("CAST(o.data.o_totalprice AS DECIMAL(18,2)) DESC, c.uid ASC"),
+        limit = Some(20)))
+        .select("uid")
+    }),
+
     "g08_orders_of_customer" -> ((s, d) => {
       Fetch.df(StarGraph(s, d), Fetch.Args(
         chain = "[o:orders] -(e:PlacedBy)> (c:customer)",
@@ -540,6 +564,36 @@ object SparkEntry {
 
     "g08_orders_of_customer" ->
       "SELECT 'orders:' || o_orderkey AS uid FROM orders WHERE o_custkey = 42",
+
+    "g11_order_by_joined" ->
+      """SELECT 'customer:' || c_custkey AS uid
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey
+        |ORDER BY MAX(CAST(o_totalprice AS DECIMAL(18,2))) DESC, uid ASC
+        |LIMIT 20""".stripMargin,
+
+    // rebuilds the positional postings inline, then mirrors the three-atom
+    // match (two terms + one phrase) with the same tf score and tiebreak
+    "g10_fts_or_phrase" ->
+      """WITH t AS (SELECT 'part:' || p_partkey AS uid, string_split_regex(lower(p_name), '[^a-z0-9]+') AS toks FROM part),
+        |p AS (SELECT uid, u.s.t AS term, u.s.p AS pos
+        |      FROM t, unnest([{'t': toks[i], 'p': i - 1} for i in range(1, len(toks) + 1) if toks[i] <> '']) u(s)),
+        |m AS (
+        |  (SELECT DISTINCT uid FROM p WHERE term = 'red')
+        |  UNION
+        |  (SELECT DISTINCT uid FROM p WHERE term = 'widget')
+        |  UNION
+        |  (SELECT DISTINCT p0.uid AS uid FROM p p0 JOIN p p1 ON p1.uid = p0.uid AND p1.pos = p0.pos + 1 AND p1.term = 'widget' WHERE p0.term = 'red')
+        |),
+        |sc AS (SELECT uid, CAST(SUM(c) AS BIGINT) AS score FROM (
+        |  SELECT uid, COUNT(*) AS c FROM p WHERE term = 'red' GROUP BY uid
+        |  UNION ALL
+        |  SELECT uid, COUNT(*) AS c FROM p WHERE term = 'widget' GROUP BY uid
+        |  UNION ALL
+        |  SELECT p0.uid AS uid, COUNT(*) AS c FROM p p0 JOIN p p1 ON p1.uid = p0.uid AND p1.pos = p0.pos + 1 AND p1.term = 'widget' WHERE p0.term = 'red' GROUP BY p0.uid
+        |) parts GROUP BY uid)
+        |SELECT m.uid AS uid, sc.score AS score FROM m JOIN sc ON m.uid = sc.uid
+        |ORDER BY score DESC, uid ASC LIMIT 100""".stripMargin,
 
     "g09_order_limit_offset" ->
       """SELECT 'customer:' || c_custkey AS uid, COUNT(*) AS ordercount

@@ -115,14 +115,38 @@ object Fetch {
       collect.kind.map(k => s"${collect.alias}.kind = ${Dialect.renderLiteral(k)}")
     if (conjuncts.nonEmpty) sb.append("\nWHERE ").append(conjuncts.mkString(" AND "))
 
+    // ORDER BY a NON-collected alias under DISTINCT: SQL forbids it (the
+    // ordering column isn't in the distinct output; SQLite errors too). The
+    // fetch supports it by turning DISTINCT into GROUP BY over the projected
+    // row and ranking each row by min (ASC) / max (DESC) of the order
+    // expression across its joined matches — the order key is consumed by
+    // the aggregate, never projected.
+    val orderTr = args.order.map(tr)
+    val distinctOrderRewrite = args.distinct && !args.count && args.group.isEmpty &&
+      orderTr.exists(o => referencedAliases(o).exists(_ != collect.alias))
+
     args.group.foreach(g => sb.append("\nGROUP BY ").append(tr(g)))
-    // ORDER BY runs over the DISTINCT/aggregated output, where the collected
-    // link's columns are unqualified — strip its alias prefix (SQLite accepts
-    // qualified refs there, graphydb.py:961-962; Spark follows standard SQL).
-    // Ordering by a NON-collected alias under DISTINCT stays unsupported.
-    args.order.foreach { o =>
-      // quote-aware: a string literal containing "<alias>." must survive
-      val stripped = Dialect.mapOutsideQuotes(tr(o))(_.replaceAll(
+    if (distinctOrderRewrite) {
+      // DISTINCT ≡ GROUP BY every projected column (by ordinal)
+      val n = coreCols(collect.isEdge).length + collect.extras.length
+      sb.append("\nGROUP BY ").append((1 to n).mkString(", "))
+      val items = splitTopLevel(orderTr.get).map { item =>
+        val (expr, dir, suffix) = splitDirection(item)
+        if (referencedAliases(expr).forall(_ == collect.alias)) item
+        else s"${if (dir == "DESC") "max" else "min"}($expr)$suffix"
+      }
+      sb.append("\nORDER BY ").append(items.mkString(", "))
+      // the DISTINCT keyword was already emitted in the SELECT — remove it
+      // (GROUP BY over all projected columns subsumes it)
+      val i = sb.indexOf("SELECT DISTINCT ")
+      sb.replace(i, i + "SELECT DISTINCT ".length, "SELECT ")
+    } else orderTr.foreach { o =>
+      // ORDER BY runs over the DISTINCT/aggregated output, where the
+      // collected link's columns are unqualified — strip its alias prefix
+      // (SQLite accepts qualified refs there, graphydb.py:961-962; Spark
+      // follows standard SQL). Quote-aware: a string literal containing
+      // "<alias>." must survive.
+      val stripped = Dialect.mapOutsideQuotes(o)(_.replaceAll(
         "\\b" + java.util.regex.Pattern.quote(collect.alias) + "\\.", ""))
       sb.append("\nORDER BY ").append(stripped)
     }
@@ -130,6 +154,49 @@ object Fetch {
     args.offset.foreach(o => sb.append(s" OFFSET $o"))
     sb.toString
   }
+
+  private val AliasRef = "\\b([A-Za-z_]\\w*)\\.".r
+
+  /** Qualified alias names referenced outside string literals (`e.weight`,
+    * `p_fts.score`, the rewritten `get_json_object(o.props, …)` — but not
+    * numeric literals like `1.5`). */
+  private def referencedAliases(s: String): Set[String] = {
+    val found = Set.newBuilder[String]
+    Dialect.mapOutsideQuotes(s) { seg =>
+      AliasRef.findAllMatchIn(seg).foreach(m => found += m.group(1)); seg
+    }
+    found.result()
+  }
+
+  /** Split ORDER BY items on top-level commas (quote- and paren-aware). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur.append(c)
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  private val DirSuffix = "(?i)\\s+(ASC|DESC)(\\s+NULLS\\s+(?:FIRST|LAST))?\\s*$".r
+
+  /** (bare expression, direction ASC|DESC, original suffix incl. NULLS). */
+  private def splitDirection(item: String): (String, String, String) =
+    DirSuffix.findFirstMatchIn(item) match {
+      case Some(m) => (item.substring(0, m.start), m.group(1).toUpperCase,
+        item.substring(m.start))
+      case None => (item, "ASC", "")
+    }
 
   /** Lazy DataFrame for the fetch; columns = core cols (+ extras). */
   def df(src: GraphSource, args: Args): DataFrame = {

@@ -186,6 +186,25 @@ class MoreEngineSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterEach 
     assert(g.getuid(n.uid).get.get("props").contains("user-value"))
   }
 
+  test("ORDER BY a non-collected alias under DISTINCT ranks rows by min/max across joins") {
+    val a = g.fetchN("(n)", order = Some("n.data.n ASC")).toSeq
+    g.edge(a(0), "W", a(1), "w" -> 9).save()
+    g.edge(a(2), "W", a(1), "w" -> 5).save()
+    g.edge(a(2), "W", a(1), "w" -> 1).save() // parallel edge: a2's weights {5,1}
+    // DESC ranks each distinct source by its MAX edge weight: a0 (9) > a2 (5)
+    val desc = g.fetchN("[s] -(e:W)>", order = Some("CAST(e.data.w AS INT) DESC"))
+    assert(desc.get("uid") == Seq(a(0).uid, a(2).uid))
+    // ASC ranks by MIN weight: a2 (1) < a0 (9)
+    val asc = g.fetchN("[s] -(e:W)>", order = Some("CAST(e.data.w AS INT) ASC"))
+    assert(asc.get("uid") == Seq(a(2).uid, a(0).uid))
+    // rows stay DISTINCT (a2 appears once despite two matching edges)
+    assert(desc.size == 2 && asc.size == 2)
+    // mixed item referencing the collect alias still works alongside
+    val mixed = g.fetchN("[s] -(e:W)>",
+      order = Some("CAST(e.data.w AS INT) DESC, s.uid ASC"))
+    assert(mixed.get("uid") == Seq(a(0).uid, a(2).uid))
+  }
+
   test("ORDER BY string literal containing the collect alias is not corrupted") {
     // 'n.' inside a quoted literal must pass through the alias-strip untouched
     val df = g.fetchDf(graft.query.Fetch.Args(
