@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.query.Fetch
+import graft.query.{Fetch, Fts}
 import graft.ops.{Dedup, Events, Similarity, TextAnalysis}
 
 /** Driver contract (SURVEY §5.2): one named query per implemented operator
@@ -382,6 +382,16 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // Okapi BM25 ranking over the documents inverted index (two-atom OR —
+    // FP-addition order stays commutative-exact across engines)
+    "t05_bm25_rank" -> ((s, d) =>
+      Fts.matchBm25(
+        Fts.postings(t(s, d, "documents"), "doc_id", Map("text" -> "text")),
+        "spark OR vector")
+        .withColumnRenamed("uid", "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)),
+
     // --- event analytics ----------------------------------------------------
     "e01_sessions" -> ((s, d) =>
       Events.sessionStats(events(s, d), gapSeconds = 1800)),
@@ -746,6 +756,32 @@ object SparkEntry {
       """SELECT doc_id,
         | substr(md5(LOWER(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
         |FROM documents""".stripMargin,
+
+    // textually the same bm25 formula as Fts.bm25Sql (pre-folded 2.2 / 0.25
+    // literals, identical association) over identically-tokenized postings
+    "t05_bm25_rank" ->
+      """WITH p AS (SELECT doc_id AS uid, u.tok AS term
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS t FROM documents),
+        |       unnest([x for x in t if x <> '']) u(tok)),
+        |lens AS (SELECT uid, COUNT(*) AS len FROM p GROUP BY uid),
+        |stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+        |tf0 AS (SELECT uid, COUNT(*) AS c FROM p WHERE term = 'spark' GROUP BY uid),
+        |tf1 AS (SELECT uid, COUNT(*) AS c FROM p WHERE term = 'vector' GROUP BY uid),
+        |m AS ((SELECT DISTINCT uid FROM p WHERE term = 'spark')
+        |      UNION (SELECT DISTINCT uid FROM p WHERE term = 'vector')),
+        |parts AS (
+        |  SELECT t.uid AS uid,
+        |    LN(1 + (st.n - (SELECT COUNT(*) FROM tf0) + 0.5) / ((SELECT COUNT(*) FROM tf0) + 0.5))
+        |    * t.c * 2.2 / (t.c + 1.2 * (0.25 + 0.75 * l.len / st.avgdl)) AS part
+        |  FROM tf0 t JOIN lens l ON l.uid = t.uid CROSS JOIN stats st
+        |  UNION ALL
+        |  SELECT t.uid AS uid,
+        |    LN(1 + (st.n - (SELECT COUNT(*) FROM tf1) + 0.5) / ((SELECT COUNT(*) FROM tf1) + 0.5))
+        |    * t.c * 2.2 / (t.c + 1.2 * (0.25 + 0.75 * l.len / st.avgdl)) AS part
+        |  FROM tf1 t JOIN lens l ON l.uid = t.uid CROSS JOIN stats st)
+        |SELECT m.uid AS doc_id, ROUND(SUM(part), 4) AS score
+        |FROM m JOIN parts ON parts.uid = m.uid GROUP BY m.uid
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
 
     "e01_sessions" ->
       """WITH x AS (SELECT user_id, ts, event_id,

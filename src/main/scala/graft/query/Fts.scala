@@ -150,6 +150,43 @@ object Fts {
        |ON m.uid = s.uid""".stripMargin
   }
 
+  /** SQL subquery computing Okapi BM25 scores for a match (Lucene-style
+    * idf: `ln(1 + (N − df + 0.5)/(df + 0.5))`): (uid, score ROUND roundTo).
+    * Everything derives from the postings view — doc length = posting count
+    * per uid, N/avgdl from one aggregate over it — so the same SQL runs on
+    * any engine (the t05 oracle twin is textually the same formula). The
+    * reference reaches bm25 via FTS5 ORDER passthrough (graphydb.py:956-962);
+    * this is that surface re-expressed over the inverted index. */
+  def bm25Sql(postingsView: String, query: String,
+      k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4): String = {
+    val branches = parseQuery(query)
+    require(branches.nonEmpty, s"empty FTS match: '$query'")
+    val atoms = branches.flatten
+    val tfs = atoms.zipWithIndex.map { case (a, i) =>
+      s"tf$i AS (${scoreSelect(postingsView, a)})"
+    }
+    // (k1+1) and (1-b) are pre-folded so both engines parse the SAME literal
+    // (cross-engine '+' on inexact doubles can round differently)
+    val parts = atoms.indices.map { i =>
+      s"""SELECT t.uid AS uid,
+         |  LN(1 + (st.n - (SELECT COUNT(*) FROM tf$i) + 0.5) / ((SELECT COUNT(*) FROM tf$i) + 0.5))
+         |  * t.c * ${k1 + 1} / (t.c + $k1 * (${1 - b} + $b * l.len / st.avgdl)) AS part
+         |FROM tf$i t JOIN lens l ON l.uid = t.uid CROSS JOIN stats st""".stripMargin
+    }
+    val matches = branches
+      .map(atomsB => atomsB.map(matchSelect(postingsView, _)).mkString("\nINTERSECT\n"))
+      .map(bb => s"($bb)")
+      .mkString("\nUNION\n")
+    s"""WITH lens AS (SELECT uid, COUNT(*) AS len FROM $postingsView GROUP BY uid),
+       |stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+       |${tfs.mkString(",\n")}
+       |SELECT m.uid AS uid, ROUND(s.score, $roundTo) AS score
+       |FROM ($matches) AS m
+       |JOIN (SELECT uid, SUM(part) AS score
+       |      FROM (${parts.mkString("\nUNION ALL\n")}) AS parts GROUP BY uid) AS s
+       |ON m.uid = s.uid""".stripMargin
+  }
+
   /** Incremental posting maintenance at scale (the distributed twin of
     * `updatefts`, graphydb.py:1165-1196): drop every posting of the updated
     * uids, append freshly tokenized ones. One anti-join + union — no
@@ -182,5 +219,12 @@ object Fts {
   def matchScores(postings: DataFrame, query: String): DataFrame = {
     val (spark, view) = asView(postings)
     spark.sql(matchSql(view, query))
+  }
+
+  /** DataFrame form of [[bm25Sql]]: (uid, score). */
+  def matchBm25(postings: DataFrame, query: String,
+      k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4): DataFrame = {
+    val (spark, view) = asView(postings)
+    spark.sql(bm25Sql(view, query, k1, b, roundTo))
   }
 }

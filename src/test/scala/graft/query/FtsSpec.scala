@@ -88,6 +88,23 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
     assert(s2 == Map("u1" -> 1L, "u3" -> 1L, "u2" -> 1L))
   }
 
+  test("bm25: higher tf ranks higher; rarer term outscores common term") {
+    import spark.implicits._
+    val d = Seq(
+      ("u1", "spark spark spark filler filler filler"),
+      ("u2", "spark filler filler filler filler filler"),
+      ("u3", "rareword filler filler filler filler filler"),
+      ("u4", "filler words only in this document here"))
+      .toDF("uid", "body")
+    val idx = Fts.postings(d, "uid", Map("body" -> "body"))
+    val s = Fts.matchBm25(idx, "spark OR rareword").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s.keySet == Set("u1", "u2", "u3"))
+    assert(s("u1") > s("u2"), "tf 3 must outrank tf 1 for the same term")
+    assert(s("u3") > s("u2"), "df=1 term must outscore a df=2 term at equal tf")
+    assert(s.values.forall(_ > 0))
+  }
+
   test("upsertPostings replaces only the updated uid's postings") {
     import spark.implicits._
     val upd = Seq(("u3", "Quantum Cooking", "flavor waves")).toDF("uid", "title", "body")
