@@ -15,12 +15,11 @@ class FetchPropertySpec extends AnyFunSuite with SparkSpec {
   private val edgeKinds = Vector("X", "Y")
 
   /** Naive evaluator: enumerate all bindings of the chain links over the
-    * driver-side maps, collect the marked link's uids. */
-  private def naive(g: MemGraph, links: Vector[Chain.Link], collectIdx: Int): Set[String] = {
+    * driver-side maps (binding = per link the chosen (uid, leftKey, rightKey)). */
+  private def bindings(g: MemGraph, links: Vector[Chain.Link]): Seq[Vector[(String, String, String)]] = {
     val nodes = g.nodes.collect().map(r => (r.getString(0), r.getString(1))).toSeq
     val edges = g.edges.collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
-    // binding: per link, the chosen item (uid, leftKey, rightKey)
     def candidates(l: Chain.Link): Seq[(String, String, String)] =
       if (!l.isEdge)
         nodes.filter(n => l.kind.forall(_ == n._2)).map(n => (n._1, n._1, n._1))
@@ -37,8 +36,11 @@ class FetchPropertySpec extends AnyFunSuite with SparkSpec {
         }
       case _ => ()
     }
-    partials.map(p => p(collectIdx)._1).toSet
+    partials
   }
+
+  private def naive(g: MemGraph, links: Vector[Chain.Link], collectIdx: Int): Set[String] =
+    bindings(g, links).map(p => p(collectIdx)._1).toSet
 
   test("random chains ≡ naive evaluator on random graphs") {
     val rng = new Random(2024)
@@ -71,6 +73,52 @@ class FetchPropertySpec extends AnyFunSuite with SparkSpec {
         // COUNT path = distinct-uid count of the same result
         assert(Fetch.count(g, Fetch.Args(chain = chain)) == want.size,
           s"round $round chain '$chain': COUNT mismatch")
+      }
+    }
+  }
+
+  test("DISTINCT + ORDER BY non-collected alias ≡ min/max rank over naive bindings") {
+    val rng = new Random(77)
+    for (round <- 1 to 4) {
+      val g = MemGraph(spark)
+      val ns = (1 to (4 + rng.nextInt(4)))
+        .map(_ => g.node(nodeKinds(rng.nextInt(2))).save())
+      for (_ <- 1 to (ns.size * 2))
+        g.edge(ns(rng.nextInt(ns.size)), edgeKinds(rng.nextInt(2)), ns(rng.nextInt(ns.size))).save()
+
+      for (_ <- 1 to 4) {
+        val nLinks = 3 + 2 * rng.nextInt(2) // 3 or 5 links
+        val parts = (0 until nLinks).map { i =>
+          if (i % 2 == 0) s"(n$i)"
+          else if (rng.nextBoolean()) s"-(e$i)>" else s"<(e$i)-"
+        }
+        val collectIdx = rng.nextInt(nLinks)
+        var orderIdx = rng.nextInt(nLinks)
+        while (orderIdx == collectIdx) orderIdx = rng.nextInt(nLinks)
+        val chain = parts.zipWithIndex.map { case (p, i) =>
+          if (i == collectIdx) p.replace("(", "[").replace(")", "]") else p
+        }.mkString(" ")
+        val orderAlias = if (orderIdx % 2 == 0) s"n$orderIdx" else s"e$orderIdx"
+        val desc = rng.nextBoolean()
+        val order = s"$orderAlias.uid ${if (desc) "DESC" else "ASC"}"
+
+        val gotSeq = Fetch.df(g, Fetch.Args(chain = chain, order = Some(order)))
+          .select("uid").collect().map(_.getString(0)).toSeq
+        val bs = bindings(g, Chain.parse(chain)._1.links)
+        val ranks: Map[String, String] = bs.groupBy(_(collectIdx)._1).map {
+          case (uid, ps) =>
+            val keys = ps.map(_(orderIdx)._1)
+            uid -> (if (desc) keys.max else keys.min)
+        }
+        assert(gotSeq.toSet == ranks.keySet,
+          s"round $round '$chain' ORDER $order: set mismatch ${gotSeq.toSet} vs ${ranks.keySet}")
+        assert(gotSeq.size == gotSeq.distinct.size, "DISTINCT must survive the rewrite")
+        val seq = gotSeq.map(ranks)
+        val monotone = seq.sliding(2).forall {
+          case Seq(a, b) => if (desc) a >= b else a <= b
+          case _ => true
+        }
+        assert(monotone, s"round $round '$chain' ORDER $order: ranks $seq not monotone")
       }
     }
   }
