@@ -75,6 +75,18 @@ object EventStreams {
       .toDF()
   }
 
+  /** Streaming exact dedup of a document feed: the first-arriving row per
+    * content key is emitted, later copies dropped, with dedup state BOUNDED
+    * by the watermark (`dropDuplicatesWithinWatermark`) — a copy arriving
+    * more than `watermark` after its original may re-emit; that is the
+    * standard bounded-state tradeoff at ingest scale. Streaming twin of
+    * [[graft.ops.Dedup.exactDedup]] for the continuous-ingest pipeline. */
+  def dedupStream(docs: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Change-stream tailing of a graph journal directory (the reference's
     * `changes` table as a live feed): file-source stream over the warehouse
     * journal in change-doc schema. */

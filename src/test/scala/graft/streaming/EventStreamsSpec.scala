@@ -10,6 +10,7 @@ import java.sql.Timestamp
 // top-level so Spark can derive an Encoder without an outer-instance scope
 final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
+final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
 /** Streaming surface semantics pinned against batch twins using
   * MemoryStream micro-batches (SURVEY §2.9). */
@@ -88,6 +89,30 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       .groupBy("user_id").agg(max("events").as("events"), max("value_sum").as("value_sum"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(last == Set((1L, 3L, 7.0), (2L, 2L, 8.0)))
+  }
+
+  test("streaming dedup emits first copy per content key across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = EventStreams.dedupStream(mem.toDF(), "ts", Seq("text"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    mem.addData(
+      Doc(1, ts(0), "alpha body"), Doc(2, ts(1), "beta body"),
+      Doc(3, ts(2), "alpha body")) // dup of doc 1 in the same batch
+    q.processAllAvailable()
+    mem.addData(
+      Doc(4, ts(3), "alpha body"), // dup of doc 1 across batches
+      Doc(5, ts(4), "gamma body"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_stream").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(rows.map(_._2) == Set("alpha body", "beta body", "gamma body"),
+      "one row per distinct text")
+    assert(rows == Set((1L, "alpha body"), (2L, "beta body"), (5L, "gamma body")),
+      "the FIRST-arriving copy is the one emitted")
   }
 
   test("journal stream tails warehouse appends") {
