@@ -365,6 +365,16 @@ object SparkEntry {
         .groupBy("kind").agg(count(lit(1)).as("reached"))
     }),
 
+    // transitive dup clustering: LSH candidates → connected components →
+    // per-cluster sizes (Spark-only: recursive closure has no DuckDB twin)
+    "x04_dup_clusters" -> ((s, d) => {
+      val cands = Dedup.lshCandidates(t(s, d, "documents"), "doc_id", "text")
+      Dedup.dupClusters(s, cands)
+        .groupBy("cluster").agg(count(lit(1)).as("members"))
+        .groupBy("members").agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("members"))
+    }),
+
     // --- text analysis (documents) ------------------------------------------
     "t01_lang_tokens" -> ((s, d) =>
       t(s, d, "documents").groupBy("lang")

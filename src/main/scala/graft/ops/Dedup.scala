@@ -193,6 +193,31 @@ object Dedup {
     pairsByBlock(df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm")), threshold)
 
+  /** Transitive duplicate clusters from a candidate-pair frame
+    * (`id_a`/`id_b` LONG): connected components over the pair graph. Pair
+    * generation yields a–b and b–c but never a–c for borderline dups;
+    * clustering closes that transitively so each duplicate GROUP gets one
+    * keep-decision. Returns (id, cluster) where cluster = the smallest id in
+    * the component (GraphX CC invariant). Iterative by nature → GraphX, the
+    * same escape hatch as [[Analytics]] (per-iteration DataFrame joins would
+    * re-shuffle the full pair graph every step). */
+  def dupClusters(spark: org.apache.spark.sql.SparkSession, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+    val edgeRdd = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), ()))
+    val cc = GxGraph.fromEdges(edgeRdd, ()).connectedComponents().vertices
+    import spark.implicits._
+    cc.toDF("id", "cluster")
+  }
+
+  /** Keep ONE representative (the cluster id = min member id) per duplicate
+    * cluster; rows absent from `clusters` (never paired) survive untouched. */
+  def dedupByClusters(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val drop = clusters.filter(col("id") =!= col("cluster")).select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup pairs for UNLABELED corpora: blocks are random-hyperplane LSH
     * buckets ([[Similarity.lshBucket]], deterministic md5-seeded planes), so
     * no label column is needed and the cross join is still avoided.

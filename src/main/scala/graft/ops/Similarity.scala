@@ -104,6 +104,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe LSH top-k over a [[bucketize]]d corpus: probes the query's
+    * bucket plus every bucket at Hamming distance 1 (one hyperplane sign
+    * flipped). A near neighbor separated from the query by a single
+    * borderline plane — the dominant LSH miss mode — is recovered at
+    * (bits+1)× the probe cost, still ≪ a full scan. Probe values are
+    * distinct, so each corpus row joins at most once. */
+  def cosineLshTopKMultiProbe(bucketed: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, bits: Int, roundTo: Int = 4): DataFrame = {
+    val probes = array((0 until bits).map(i =>
+      col("_bucket").bitwiseXOR(lit(1L << i))) :+ col("_bucket"): _*)
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), col("_norm").as("qn"), explode(probes).as("qb"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), col("_bucket") === col("qb"))
+      .select(col(idCol).as("id"),
+        round(dot(col(vecCol), col("qv")) / (col("_norm") * col("qn")), roundTo).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** One-shot LSH-bucketed cosine top-k. For repeated queries against the
     * same corpus, [[bucketize]] once and use [[cosineLshTopKPre]]. */
   def cosineLshTopK(df: DataFrame, idCol: String, vecCol: String,

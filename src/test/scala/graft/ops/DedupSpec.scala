@@ -93,6 +93,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(labeled.subsetOf(lsh), s"LSH blocking must recall the labeled dups, got $lsh")
   }
 
+  test("dupClusters closes pairs transitively; dedupByClusters keeps min per group") {
+    import spark.implicits._
+    // pairs a-b, b-c but NOT a-c (the borderline-dup shape); separate pair 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(spark, pairs)
+    val byId = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == 1L && byId(2L) == 1L && byId(3L) == 1L,
+      "a-b + b-c must merge into one cluster without an a-c pair")
+    assert(byId(5L) == 5L && byId(6L) == 5L)
+    assert(!byId.contains(4L), "never-paired ids stay out of the cluster map")
+    val docs6 = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val kept = Dedup.dedupByClusters(docs6, "doc_id", clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L), "one representative per cluster + untouched singletons")
+  }
+
   test("LSH bucket cap: degenerate bucket is dropped, other candidates unchanged") {
     import spark.implicits._
     // 30 identical short docs form one degenerate bucket per band

@@ -43,6 +43,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(b(0L) == b(1L) && b(1L) == b(2L), "a tight cluster shares one bucket")
   }
 
+  test("multi-probe recovers at least the single-bucket candidates, cosines exact") {
+    val pre = Similarity.bucketize(vecs, "embedding", bits = 4).cache()
+    try {
+      val single = Similarity.cosineLshTopKPre(pre, "vec_id", "embedding", queryId = 0, k = 6)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val multi = Similarity.cosineLshTopKMultiProbe(pre, "vec_id", "embedding",
+        queryId = 0, k = 6, bits = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(single.keySet.subsetOf(multi.keySet),
+        "the query's own bucket is among the probes")
+      assert(multi.size >= single.size)
+      val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", queryId = 0, k = 6)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      multi.foreach { case (id, c) => assert(brute(id) == c, s"cosine for $id must be exact") }
+    } finally pre.unpersist()
+  }
+
   test("lsh top-k cosines agree with brute force on the shared ids") {
     val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", queryId = 0, k = 6)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
