@@ -328,6 +328,9 @@ object SparkEntry {
     "d06_embedding_dups_lsh" -> ((s, d) =>
       Dedup.embeddingDupPairsLsh(t(s, d, "embeddings"), "vec_id", "embedding", 0.35, bits = 4)),
 
+    "d07_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+
     // --- similarity search (embeddings) -------------------------------------
     "s01_cosine_knn" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", queryId = 0, k = 5)),
@@ -674,6 +677,23 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin,
+
+    // extends the d04 simhash CTEs with 15-bit band blocking + exact
+    // hamming verify (pigeonhole-complete for <=3 with 4 bands)
+    "d07_simhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |bits AS (SELECT doc_id, b,
+        |  CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+        |  FROM th CROSS JOIN range(0, 60) r(b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, r.b AS band, (simhash >> (CAST(r.b AS INT) * 15)) & 32767 AS slice
+        |  FROM sh CROSS JOIN range(0, 4) r(b))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM banded a JOIN banded b ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     // mirrors Similarity.lshBucket: plane component (p, i) =
     // md5("p:i")[0:8] as uint32 / 2^32 - 0.5; bucket = Σ sign-bits. The

@@ -193,6 +193,35 @@ object Dedup {
     pairsByBlock(df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm")), threshold)
 
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
+    * band-blocking: the 60-bit hash splits into `bands` equal slices, and by
+    * pigeonhole any pair within `bands − 1` flipped bits shares at least one
+    * EXACT band — so joining per (band, slice-value) buckets then verifying
+    * `bit_count(a XOR b) ≤ maxHamming` has complete recall for
+    * maxHamming ≤ bands − 1 (the default 3 with 4 bands). Shuffles carry
+    * (id, 60-bit hash) only; the verify step is one codegen'd expression. */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"band-blocking recall is only complete for maxHamming <= bands-1 ($maxHamming > ${bands - 1})")
+    val width = 60 / bands
+    val mask = (1L << width) - 1L
+    val sh = simhash(df, idCol, textCol)
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          (shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))).as("slice"))
+      }: _*)).as("bs"))
+      .select(col("id"), col("simhash"), col("bs.band").as("band"), col("bs.slice").as("slice"))
+    val a = banded.select(col("id").as("id_a"), col("simhash").as("ha"), col("band"), col("slice"))
+    val b = banded.select(col("id").as("id_b"), col("simhash").as("hb"), col("band"), col("slice"))
+    a.join(b, Seq("band", "slice"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
   /** Transitive duplicate clusters from a candidate-pair frame
     * (`id_a`/`id_b` LONG): connected components over the pair graph. Pair
     * generation yields a–b and b–c but never a–c for borderline dups;

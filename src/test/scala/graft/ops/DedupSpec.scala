@@ -93,6 +93,18 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(labeled.subsetOf(lsh), s"LSH blocking must recall the labeled dups, got $lsh")
   }
 
+  test("simhashDupPairs: identical docs at hamming 0, unrelated docs absent") {
+    val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 5L)) == 0, "identical docs share the exact simhash")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)),
+      "unrelated doc must not pair within hamming 3")
+    // recall-completeness guard: the pigeonhole bound is enforced
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 4, bands = 4)
+    }
+  }
+
   test("dupClusters closes pairs transitively; dedupByClusters keeps min per group") {
     import spark.implicits._
     // pairs a-b, b-c but NOT a-c (the borderline-dup shape); separate pair 5-6
