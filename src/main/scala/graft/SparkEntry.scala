@@ -410,7 +410,10 @@ object SparkEntry {
       Events.sessionStats(events(s, d), gapSeconds = 1800)),
 
     "e02_funnel" -> ((s, d) =>
-      Events.funnelCount(events(s, d), Seq("view", "click", "purchase")))
+      Events.funnelCount(events(s, d), Seq("view", "click", "purchase"))),
+
+    "e03_retention" -> ((s, d) =>
+      Events.retention(events(s, d)))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -821,6 +824,14 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS sessions,
         | COUNT(*) AS events
         |FROM x GROUP BY user_id""".stripMargin,
+
+    "e03_retention" ->
+      """WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id)
+        |SELECT fs.cohort_day AS cohort_day,
+        |  CAST(CAST(e.ts AS DATE) - fs.cohort_day AS INTEGER) AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS users
+        |FROM events e JOIN fs ON e.user_id = fs.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "e02_funnel" ->
       """WITH f AS (SELECT user_id,

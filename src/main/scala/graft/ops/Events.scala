@@ -33,6 +33,20 @@ object Events {
       .agg(max("session_idx").cast("long").as("sessions"),
         count(lit(1)).as("events"))
 
+  /** Cohort retention: users grouped by first-seen day; for each
+    * (cohort_day, day_offset) the distinct users still active. Two shuffles
+    * (first-seen agg on user_id, retention agg on the cohort cell) — the
+    * first-seen side is user-cardinality, broadcast-able when small, and the
+    * join key is user_id so no row ever carries event payloads. */
+  def retention(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+  }
+
   /** Strict ordered funnel: users whose earliest occurrences of the steps are
     * strictly increasing in time. Returns a single-row count. */
   def funnelCount(events: DataFrame, steps: Seq[String]): DataFrame = {
