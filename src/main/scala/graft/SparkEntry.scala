@@ -395,6 +395,14 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    "t06_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionFeatures(t(s, d, "documents"), "doc_id", "text")),
+
+    // context-window chunking: 16-token chunks, 4-token overlap
+    "t07_chunks" -> ((s, d) =>
+      TextAnalysis.chunkTokens(t(s, d, "documents"), "doc_id", "text",
+        size = 16, overlap = 4)),
+
     // Okapi BM25 ranking over the documents inverted index (two-atom OR —
     // FP-addition order stays commutative-exact across engines)
     "t05_bm25_rank" -> ((s, d) =>
@@ -789,6 +797,24 @@ object SparkEntry {
       """SELECT doc_id,
         | substr(md5(LOWER(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
         |FROM documents""".stripMargin,
+
+    "t06_repetition" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tokens,
+        |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_token_ratio,
+        |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_share
+        |FROM tc GROUP BY doc_id""".stripMargin,
+
+    // start sequence mirrors Spark's inclusive sequence(0, greatest(n-overlap-1, 0), stride)
+    "t07_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |  unnest(range(0, greatest(len(toks) - 4 - 1, 0) + 1, 12)) AS start FROM t)
+        |SELECT doc_id, CAST(start // 12 AS INTEGER) AS chunk_id,
+        |  array_to_string(toks[CAST(start + 1 AS INT) : CAST(start + 16 AS INT)], ' ') AS chunk,
+        |  CAST(least(16, len(toks) - start) AS INTEGER) AS chunk_tokens
+        |FROM s""".stripMargin,
 
     // textually the same bm25 formula as Fts.bm25Sql (pre-folded 2.2 / 0.25
     // literals, identical association) over identically-tokenized postings

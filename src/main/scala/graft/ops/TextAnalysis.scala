@@ -64,4 +64,36 @@ object TextAnalysis {
     * whitespace-normalized lowercased text — byte-identical across engines. */
   def fingerprint(text: Column, hexChars: Int = 16): Column =
     substring(md5(lower(regexp_replace(text, "\\s+", " "))), 1, hexChars)
+
+  /** Repetition signals (the CCNet/Gopher-rules style filters): duplicate-
+    * token ratio and the most-frequent token's share of the document. One
+    * explode + two aggregations — shuffles carry (id, token) only. */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("tokens"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum(col("c")), 6).as("dup_token_ratio"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_token_share"))
+
+  /** Context-window chunking for training-data prep: fixed `size`-token
+    * chunks with `overlap` tokens shared between neighbors. Chunk starts
+    * advance by `size − overlap`; the start sequence is capped so no chunk
+    * begins inside the final overlap (every token is covered, no chunk is a
+    * suffix-subset of its predecessor). One generator expression per doc —
+    * no shuffle at all; a downstream repartition distributes chunks. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < size, s"need 0 <= overlap < size ($overlap, $size)")
+    val stride = size - overlap
+    val toks = split(col(textCol), " ")
+    val starts = sequence(lit(0),
+      greatest(org.apache.spark.sql.functions.size(toks) - overlap - 1, lit(0)), lit(stride))
+    df.select(col(idCol), toks.as("toks"), explode(starts).as("start"))
+      .select(col(idCol),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(size))).as("chunk"),
+        least(lit(size), org.apache.spark.sql.functions.size(col("toks")) - col("start"))
+          .cast("int").as("chunk_tokens"))
+  }
 }

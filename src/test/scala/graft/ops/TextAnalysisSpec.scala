@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit pins for the text ops beyond the oracle queries: chunking coverage
+  * invariants and repetition-signal arithmetic. */
+class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
+
+  test("repetitionFeatures: dup-token ratio and top-token share") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionFeatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((4L, 0.5, 0.75)), "4 tokens, 2 distinct, 'a' holds 3/4")
+    assert(got(2L) == ((4L, 0.0, 0.25)), "all distinct")
+  }
+
+  test("chunkTokens covers every token; no chunk starts inside the final overlap") {
+    import spark.implicits._
+    val words = (1 to 25).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkTokens(df, "doc_id", "text", size = 8, overlap = 2)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3))).sortBy(_._1)
+    // stride 6, starts 0,6,12,18 → 4 chunks
+    assert(chunks.length == 4)
+    assert(chunks.head._2.startsWith("w1 ") && chunks.head._3 == 8)
+    assert(chunks.last._2.endsWith(" w25") && chunks.last._3 == 7, "tail chunk is partial")
+    // coverage: the union of chunk token sets is exactly the document
+    val covered = chunks.flatMap(_._2.split(" ")).toSet
+    assert(covered == words.toSet)
+    // neighbors share exactly `overlap` tokens
+    val c0 = chunks(0)._2.split(" ").toSet
+    val c1 = chunks(1)._2.split(" ").toSet
+    assert((c0 & c1).size == 2)
+    // short doc → one chunk, intact
+    val short = TextAnalysis.chunkTokens(
+      Seq((2L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 8, 2).collect()
+    assert(short.length == 1 && short.head.getString(2) == "a b c")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(df, "doc_id", "text", size = 4, overlap = 4)
+    }
+  }
+}
