@@ -1,0 +1,84 @@
+package graft.query
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Randomized equivalence for the hand-rolled FTS grammar: for random small
+  * corpora and random OR/AND/phrase/prefix/field query trees, the compiled
+  * match must return the same uid set as a naive in-driver evaluator of the
+  * FTS5-subset semantics. */
+class FtsPropertySpec extends AnyFunSuite with SparkSpec {
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+  private val fields = Vector("title", "body")
+
+  private final case class NDoc(uid: String, title: Seq[String], body: Seq[String]) {
+    def field(f: String): Seq[String] = if (f == "title") title else body
+  }
+
+  private sealed trait QAtom
+  private final case class QTerm(t: String, prefix: Boolean, field: Option[String]) extends QAtom
+  private final case class QPhrase(toks: Seq[String], field: Option[String]) extends QAtom
+
+  private def naiveAtom(d: NDoc, a: QAtom): Boolean = a match {
+    case QTerm(t, pre, f) =>
+      val toks = f.map(d.field).getOrElse(d.title ++ d.body)
+      if (pre) toks.exists(_.startsWith(t)) else toks.contains(t)
+    case QPhrase(ts, f) =>
+      val fieldsToCheck = f.map(Seq(_)).getOrElse(fields)
+      fieldsToCheck.exists { fl =>
+        val toks = d.field(fl)
+        toks.indices.exists(i => i + ts.size <= toks.size && toks.slice(i, i + ts.size) == ts)
+      }
+  }
+
+  private def render(branches: Seq[Seq[QAtom]]): String =
+    branches.map(_.map {
+      case QTerm(t, pre, f) =>
+        f.map(_ + ":").getOrElse("") + t + (if (pre) "*" else "")
+      case QPhrase(ts, f) =>
+        f.map(_ + ":").getOrElse("") + "\"" + ts.mkString(" ") + "\""
+    }.mkString(" ")).mkString(" OR ")
+
+  test("random OR/AND/phrase/prefix/field queries ≡ naive evaluator") {
+    val rng = new Random(4242)
+    for (round <- 1 to 5) {
+      val docs = (1 to (6 + rng.nextInt(4))).map { i =>
+        def ts() = Seq.fill(2 + rng.nextInt(5))(vocab(rng.nextInt(vocab.size)))
+        NDoc(s"u$i", ts(), ts())
+      }
+      import spark.implicits._
+      val df = docs.map(d => (d.uid, d.title.mkString(" "), d.body.mkString(" ")))
+        .toDF("uid", "title", "body")
+      val idx = Fts.postings(df, "uid", Map("title" -> "title", "body" -> "body"))
+
+      for (_ <- 1 to 6) {
+        def atom(): QAtom = {
+          val field = if (rng.nextBoolean()) None else Some(fields(rng.nextInt(2)))
+          if (rng.nextInt(3) == 0) {
+            // a phrase sampled from a real doc (random phrases rarely match)
+            val d = docs(rng.nextInt(docs.size))
+            val fl = field.getOrElse(fields(rng.nextInt(2)))
+            val toks = d.field(fl)
+            val n = 2 + rng.nextInt(2)
+            if (toks.size < n) QTerm(vocab(rng.nextInt(vocab.size)), prefix = false, field)
+            else {
+              val i = rng.nextInt(toks.size - n + 1)
+              QPhrase(toks.slice(i, i + n), field)
+            }
+          } else {
+            val t = vocab(rng.nextInt(vocab.size))
+            val prefix = rng.nextInt(4) == 0
+            QTerm(if (prefix) t.take(2) else t, prefix, field)
+          }
+        }
+        val branches = Seq.fill(1 + rng.nextInt(3))(Seq.fill(1 + rng.nextInt(2))(atom()))
+        val q = render(branches)
+        val got = Fts.matchUids(idx, q).collect().map(_.getString(0)).toSet
+        val want = docs.filter(d => branches.exists(_.forall(naiveAtom(d, _)))).map(_.uid).toSet
+        assert(got == want, s"round $round query <$q>: got $got want $want")
+      }
+    }
+  }
+}
