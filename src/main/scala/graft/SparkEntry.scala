@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.query.{Fetch, Fts}
-import graft.ops.{Dedup, Events, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Events, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract (SURVEY §5.2): one named query per implemented operator
   * family, each with an exactly-equivalent DuckDB SQL twin in [[oracleSql]].
@@ -331,6 +331,12 @@ object SparkEntry {
     "d07_simhash_pairs" -> ((s, d) =>
       Dedup.simhashDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
 
+    // benchmark-contamination: eval split = doc_id % 50 == 0, 5-gram shingles
+    "d08_contamination" -> ((s, d) =>
+      Dedup.contamination(t(s, d, "documents"), "doc_id", "text",
+        col("doc_id") % 50 === 0, k = 5)
+        .withColumnRenamed("id", "doc_id")),
+
     // --- similarity search (embeddings) -------------------------------------
     "s01_cosine_knn" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", queryId = 0, k = 5)),
@@ -348,6 +354,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(max(col("nrm")), 4).as("max_norm"),
           round(max(col("l1")), 4).as("max_l1"))),
+
+    // --- sampling (deterministic, hash-keyed) --------------------------------
+    "s04_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedExact(t(s, d, "embeddings"), "label", "vec_id", n = 3)
+        .select("vec_id", "label")),
+
+    "s05_hash_sample" -> ((s, d) =>
+      Sampling.hashSample(t(s, d, "documents"), "doc_id", fraction = 0.1)
+        .select("doc_id")),
 
     // ---- Spark-only operators (no DuckDB twin -> driver rows-only check) ----
     "x01_approx_distinct" -> ((s, d) =>
@@ -403,6 +418,24 @@ object SparkEntry {
       TextAnalysis.chunkTokens(t(s, d, "documents"), "doc_id", "text",
         size = 16, overlap = 4)),
 
+    // PII scrubbing over a contact-bearing derived column (the raw corpus is
+    // word-salad; the derivation is a deterministic transform of real ids)
+    "t08_pii_redact" -> ((s, d) => {
+      val contact = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via https://ex.org/d/"), col("doc_id").cast("string"),
+        lit(" or 555-000-"), lpad(col("doc_id").cast("string"), 4, "0"))
+      TextAnalysis.piiRedact(
+        t(s, d, "documents").withColumn("text", contact), "doc_id", "text")
+    }),
+
+    // sequence packing: 256-token next-fit bins per lang shard
+    "t09_pack_bins" -> ((s, d) =>
+      TextAnalysis.packBins(t(s, d, "documents"), "lang", "doc_id", "text", budget = 256)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_tokens")).cast("long").as("bin_tokens"))),
+
     // Okapi BM25 ranking over the documents inverted index (two-atom OR —
     // FP-addition order stays commutative-exact across engines)
     "t05_bm25_rank" -> ((s, d) =>
@@ -421,7 +454,12 @@ object SparkEntry {
       Events.funnelCount(events(s, d), Seq("view", "click", "purchase"))),
 
     "e03_retention" -> ((s, d) =>
-      Events.retention(events(s, d)))
+      Events.retention(events(s, d))),
+
+    // as-of join: each purchase matched to its user's most recent prior view
+    "e04_asof_join" -> ((s, d) =>
+      Events.asofJoin(events(s, d), leftType = "purchase", rightType = "view")
+        .withColumnRenamed("event_id", "purchase_id"))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -731,6 +769,35 @@ object SparkEntry {
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin
     },
 
+    // mirrors Dedup.contamination: distinct 5-gram shingles per eval doc,
+    // probed against the train split's distinct shingle hashes
+    "d08_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+        |    for i in range(1, len(t) - 3)])) AS shingle
+        |  FROM t WHERE len(t) >= 5),
+        |ev AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT ev.doc_id AS doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  ROUND(CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS contamination
+        |FROM ev LEFT JOIN tr ON ev.h = tr.h GROUP BY 1""".stripMargin,
+
+    "s04_stratified_sample" ->
+      """SELECT vec_id, label FROM (
+        |  SELECT vec_id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM embeddings) WHERE rk <= 3""".stripMargin,
+
+    // threshold = floor(0.1 * 2^32), the same literal Sampling.hashSample computes
+    "s05_hash_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 429496729""".stripMargin,
+
     "s01_cosine_knn" ->
       """WITH q AS (SELECT embedding AS qv,
         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
@@ -816,6 +883,36 @@ object SparkEntry {
         |  CAST(least(16, len(toks) - start) AS INTEGER) AS chunk_tokens
         |FROM s""".stripMargin,
 
+    // same derived contact column, same RE2-safe patterns, URL→EMAIL→PHONE
+    // replacement order; counts over the original text ('g' = replace all,
+    // Spark's regexp_replace default)
+    "t08_pii_redact" ->
+      """WITH x AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com via https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+        |    || ' or 555-000-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls,
+        | CAST(len(regexp_extract_all(text, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |     'https?://[^ ]+', '<URL>', 'g'),
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM x""".stripMargin,
+
+    // exclusive running token sum per lang shard → floor(cum/budget) bin
+    "t09_pack_bins" ->
+      """WITH x AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS toks FROM documents),
+        |c AS (SELECT lang, doc_id, toks,
+        |  COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        | FROM x)
+        |SELECT lang, CAST(FLOOR(cum / 256.0) AS INT) AS bin,
+        | COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
     // textually the same bm25 formula as Fts.bm25Sql (pre-folded 2.2 / 0.25
     // literals, identical association) over identically-tokenized postings
     "t05_bm25_rank" ->
@@ -858,6 +955,18 @@ object SparkEntry {
         |  COUNT(DISTINCT e.user_id) AS users
         |FROM events e JOIN fs ON e.user_id = fs.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // same (ts, event_id) total order as Events.asofJoin; ts truncated to
+    // microseconds so ordering agrees with Spark's micros-converted column
+    "e04_asof_join" ->
+      """WITH x AS (SELECT event_id, user_id, event_type,
+        |  LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id
+        |          ORDER BY date_trunc('microseconds', ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_id
+        | FROM events WHERE event_type IN ('purchase', 'view'))
+        |SELECT event_id AS purchase_id, user_id, asof_id
+        |FROM x WHERE event_type = 'purchase'""".stripMargin,
 
     "e02_funnel" ->
       """WITH f AS (SELECT user_id,

@@ -247,6 +247,28 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark-contamination check: for each eval-split document, the
+    * fraction of its distinct k-gram shingles that appear ANYWHERE in the
+    * train split. The train side collapses to distinct 60-bit shingle hashes
+    * before the probe join, so shuffles carry hashes only and cost is
+    * |eval shingles| + |distinct train shingles| — linear, never the
+    * quadratic doc×doc overlap. Eval sets are small by nature, so at scale
+    * the probe side broadcasts (AQE) while the train scan streams. */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+      isEval: Column, k: Int = 5): DataFrame = {
+    val flagged = df.withColumn("_eval", isEval)
+    val evalSh = wordShingles(flagged.filter(col("_eval")), idCol, textCol, k)
+      .select(col("id"), hash60(col("shingle")).as("h"))
+    val trainSh = wordShingles(flagged.filter(!col("_eval")), idCol, textCol, k)
+      .select(hash60(col("shingle")).as("h")).distinct()
+    evalSh.join(trainSh.withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("hit").isNotNull, 1).otherwise(0)).cast("long").as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Near-dup pairs for UNLABELED corpora: blocks are random-hyperplane LSH
     * buckets ([[Similarity.lshBucket]], deterministic md5-seeded planes), so
     * no label column is needed and the cross join is still avoided.

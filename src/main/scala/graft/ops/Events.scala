@@ -47,6 +47,23 @@ object Events {
       .agg(countDistinct(col("user_id")).as("users"))
   }
 
+  /** As-of join (point-in-time join), composed from built-in operators: for
+    * each `leftType` event, the id of the most recent strictly-prior
+    * `rightType` event of the same user, "prior" in the total order
+    * (ts, event_id). One window pass over the filtered union — a single
+    * shuffle on user_id — instead of a range join whose per-user candidate
+    * set is quadratic. This is the 100 TB shape for point-in-time feature
+    * lookups (training-example enrichment without label leakage). */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.filter(col("event_type").isin(leftType, rightType))
+      .withColumn("asof_id",
+        last(when(col("event_type") === rightType, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === leftType)
+      .select(col("event_id"), col("user_id"), col("asof_id"))
+  }
+
   /** Strict ordered funnel: users whose earliest occurrences of the steps are
     * strictly increasing in time. Returns a single-row count. */
   def funnelCount(events: DataFrame, steps: Seq[String]): DataFrame = {

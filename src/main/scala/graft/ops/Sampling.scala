@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation. Both operators key off
+  * md5 of the row id instead of an RNG, so a sample is reproducible across
+  * engines, runs and cluster sizes — re-running a 100 TB curation job yields
+  * the identical subset, and an external engine (the DuckDB oracle) can
+  * verify it bit-for-bit. The reference has no sampling surface (its sets are
+  * driver-side, graphydb.py:283-287); this is extension surface for the
+  * data-mixing stage of a corpus pipeline. */
+object Sampling {
+
+  /** Exact-count stratified sample: the first `n` rows per stratum in
+    * md5(id) order (id as tiebreak). One shuffle on the stratum key; each
+    * window partition is a single stratum, so the sort is per-stratum, never
+    * global. For strata too large to sort, take [[hashSample]] at a safe
+    * over-fraction first and stratify the survivors. */
+  def stratifiedExact(df: DataFrame, strataCol: String, idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive ($n)")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= n).drop("_rk")
+  }
+
+  /** Deterministic Bernoulli sample: keep rows whose md5(id) 32-bit prefix
+    * falls under fraction·2³². A pure filter — no shuffle, no window, no RNG
+    * state to coordinate — so it composes with scan pushdown and scales
+    * linearly; the scale path when exact per-stratum counts aren't needed. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range ($fraction)")
+    val threshold = (fraction * 4294967296.0).toLong
+    df.filter(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long") < threshold)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation (extension surface): token
@@ -75,6 +76,52 @@ object TextAnalysis {
         sum(col("c")).as("tokens"),
         round(lit(1.0) - count(lit(1)).cast("double") / sum(col("c")), 6).as("dup_token_ratio"),
         round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_token_share"))
+
+  /** PII patterns, RE2-safe (no lookaround/backreferences) so RE2-based
+    * engines — including the DuckDB oracle — apply identical semantics. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^ ]+"
+  val phoneRe = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing for corpus release: emails, URLs and phone-shaped digit
+    * runs replaced with typed placeholder tokens, with per-document match
+    * counts for the audit trail (counts are over the ORIGINAL text; URLs are
+    * redacted first so an email inside a URL counts once as a URL component,
+    * not again as an email). Single pass of codegen'd regexp expressions —
+    * no UDFs, scales as a mapper. */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, urlRe, "<URL>"),
+          emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>")
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(urlRe), lit(0))).as("n_urls"),
+      size(regexp_extract_all(t, lit(phoneRe), lit(0))).as("n_phones"),
+      redacted.as("redacted"))
+  }
+
+  /** Greedy contiguous sequence packing for training batches: within each
+    * shard, documents are laid out in id order and assigned
+    * bin = ⌊exclusive-running-token-sum / budget⌋ — the streaming next-fit
+    * packing a single writer would produce, expressed as one window sum.
+    * Packing is inherently sequential, so the scale unit is the SHARD (one
+    * window partition ≈ one output file's worth of data), never a global
+    * order — a global `Window.orderBy` would funnel the corpus through one
+    * task. */
+  def packBins(df: DataFrame, shardCol: String, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive ($budget)")
+    val w = Window.partitionBy(shardCol).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("doc_tokens", tokenCount(col(textCol)))
+      .withColumn("bin",
+        floor(coalesce(sum(col("doc_tokens")).over(w), lit(0L)) / lit(budget.toDouble))
+          .cast("int"))
+  }
 
   /** Context-window chunking for training-data prep: fixed `size`-token
     * chunks with `overlap` tokens shared between neighbors. Chunk starts

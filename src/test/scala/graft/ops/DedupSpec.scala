@@ -141,4 +141,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val overflow = Dedup.lshOverflowBuckets(all, "doc_id", "text", maxBucket = 10L).collect()
     assert(overflow.nonEmpty && overflow.forall(_.getAs[Long]("bcount") == 30L))
   }
+
+  test("contamination: verbatim eval copy scores 1.0, novel eval scores 0.0") {
+    import spark.implicits._
+    val trainText = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, trainText),
+      (2L, "some other training text with many different words in this row"),
+      (100L, trainText), // eval doc that copies train doc 1 verbatim
+      (150L, "entirely novel unseen holdout sentence sharing nothing at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contamination(df, "doc_id", "text", col("doc_id") >= 100L, k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(100L, 150L), "only eval docs are scored")
+    assert(got(100L)._3 == 1.0, "all shingles of a verbatim copy are in train")
+    assert(got(150L)._2 == 0L && got(150L)._3 == 0.0)
+    assert(got(100L)._1 == 10L, "12 tokens → 10 distinct 3-gram shingles")
+  }
 }

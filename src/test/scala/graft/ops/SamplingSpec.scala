@@ -1,0 +1,35 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Determinism and cardinality pins for the hash-keyed sampling operators
+  * (the oracle rows s04/s05 cover cross-engine equality). */
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+
+  test("stratifiedExact: exactly n per stratum, deterministic, a subset") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "grp")
+    val take = () => Sampling.stratifiedExact(df, "grp", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val s1 = take()
+    assert(s1 == take(), "re-running yields the identical sample")
+    assert(s1.groupBy(_._2).forall(_._2.length == 5), "5 rows per stratum")
+    assert(s1.map(_._1).forall(i => i >= 1 && i <= 100))
+    // n larger than a stratum keeps the whole stratum
+    val small = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    assert(Sampling.stratifiedExact(small, "grp", "id", 5).count() == 3)
+  }
+
+  test("hashSample: deterministic, near the fraction, monotone in fraction") {
+    import spark.implicits._
+    val df = (1 to 2000).map(_.toLong).toDF("id")
+    val at20 = Sampling.hashSample(df, "id", 0.2).collect().map(_.getLong(0)).toSet
+    assert(at20 == Sampling.hashSample(df, "id", 0.2).collect().map(_.getLong(0)).toSet)
+    assert(math.abs(at20.size / 2000.0 - 0.2) < 0.05, s"got ${at20.size} of 2000")
+    // a smaller fraction selects a subset of a larger one (same hash order)
+    val at10 = Sampling.hashSample(df, "id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(at10.subsetOf(at20))
+    assert(Sampling.hashSample(df, "id", 0.0).count() == 0)
+  }
+}

@@ -16,6 +16,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) == ((4L, 0.0, 0.25)), "all distinct")
   }
 
+  test("piiRedact replaces emails/urls/phones; counts are pre-redaction") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a@b.co and c.d@e.org see https://x.io/p?q=1 call 555-123-4567"),
+      (2L, "clean text only")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(got(1L) == ((2, 1, 1,
+      "mail <EMAIL> and <EMAIL> see <URL> call <PHONE>")))
+    assert(got(2L) == ((0, 0, 0, "clean text only")))
+  }
+
+  test("packBins: next-fit contiguous bins per shard from the running budget") {
+    import spark.implicits._
+    // shard A: 4 docs of 3 tokens, budget 6 → exclusive cums 0,3,6,9 → bins 0,0,1,1
+    // shard B: one 7-token doc overflowing the budget alone → bin 0
+    val df = Seq(
+      (1L, "A", "a b c"), (2L, "A", "d e f"), (3L, "A", "g h i"), (4L, "A", "j k l"),
+      (5L, "B", "a b c d e f g"))
+      .toDF("doc_id", "shard", "text")
+    val got = TextAnalysis.packBins(df, "shard", "doc_id", "text", budget = 6)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bin")).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packBins(df, "shard", "doc_id", "text", budget = 0)
+    }
+  }
+
   test("chunkTokens covers every token; no chunk starts inside the final overlap") {
     import spark.implicits._
     val words = (1 to 25).map(i => s"w$i")
