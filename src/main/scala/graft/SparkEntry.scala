@@ -364,6 +364,12 @@ object SparkEntry {
       Sampling.hashSample(t(s, d, "documents"), "doc_id", fraction = 0.1)
         .select("doc_id")),
 
+    // data mixing: explicit per-label counts (labels 0/1/3/7 at 5/2/4/1)
+    "s06_weighted_mix" -> ((s, d) =>
+      Sampling.weightedMix(t(s, d, "embeddings"), "label", "vec_id",
+        Map("0" -> 5, "1" -> 2, "3" -> 4, "7" -> 1))
+        .select("vec_id", "label")),
+
     // ---- Spark-only operators (no DuckDB twin -> driver rows-only check) ----
     "x01_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
@@ -797,6 +803,15 @@ object SparkEntry {
     "s05_hash_sample" ->
       """SELECT doc_id FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 429496729""".stripMargin,
+
+    "s06_weighted_mix" ->
+      """SELECT vec_id, label FROM (
+        |  SELECT vec_id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM embeddings)
+        |WHERE (label = 0 AND rk <= 5) OR (label = 1 AND rk <= 2)
+        |   OR (label = 3 AND rk <= 4) OR (label = 7 AND rk <= 1)""".stripMargin,
 
     "s01_cosine_knn" ->
       """WITH q AS (SELECT embedding AS qv,

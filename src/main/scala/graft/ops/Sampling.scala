@@ -25,6 +25,26 @@ object Sampling {
     df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= n).drop("_rk")
   }
 
+  /** Data-mixing sampler: exact per-stratum counts (mixture ratios made
+    * concrete — "5 parts label A to 2 parts label B"). Strata absent from
+    * `counts` contribute nothing. Rows are ranked by the same md5(id) order
+    * as [[stratifiedExact]]; the counts relation is tiny by nature and
+    * explicitly broadcast, so the only shuffle is the per-stratum window. */
+  def weightedMix(df: DataFrame, strataCol: String, idCol: String,
+      counts: Map[String, Int]): DataFrame = {
+    require(counts.nonEmpty && counts.values.forall(_ >= 0),
+      "counts must be non-empty and non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cdf = counts.toSeq.toDF("_stratum", "_take")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .join(broadcast(cdf), col(strataCol).cast("string") === col("_stratum"))
+      .filter(col("_rk") <= col("_take"))
+      .drop("_rk", "_stratum", "_take")
+  }
+
   /** Deterministic Bernoulli sample: keep rows whose md5(id) 32-bit prefix
     * falls under fraction·2³². A pure filter — no shuffle, no window, no RNG
     * state to coordinate — so it composes with scan pushdown and scales

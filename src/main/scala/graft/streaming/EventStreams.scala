@@ -87,6 +87,30 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * view events inside the preceding `interval` — the continuous-ingest
+    * candidate set behind [[graft.ops.Events.asofJoin]]. Both sides carry
+    * watermarks and the join predicate bounds event-time range, which is
+    * Spark's contract for evicting stream-stream join state (without it the
+    * join buffers forever). Works identically on batch frames, which is how
+    * the spec pins stream ≡ batch. */
+  def viewPurchaseJoin(events: DataFrame, interval: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(views,
+        col("v_user") === col("p_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $interval"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("view_id"))
+  }
+
   /** Change-stream tailing of a graph journal directory (the reference's
     * `changes` table as a live feed): file-source stream over the warehouse
     * journal in change-doc schema. */

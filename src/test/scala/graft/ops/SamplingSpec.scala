@@ -21,6 +21,21 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(Sampling.stratifiedExact(small, "grp", "id", 5).count() == 3)
   }
 
+  test("weightedMix: per-stratum exact counts; absent strata excluded") {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    val got = Sampling.weightedMix(df, "grp", "id", Map("g0" -> 4, "g2" -> 1))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == 5 && got.count(_._2 == "g0") == 4
+      && got.count(_._2 == "g2") == 1, "g1 is absent from the mix")
+    // shares stratifiedExact's ranking: the g0 picks ARE its top-4
+    val strat = Sampling.stratifiedExact(df, "grp", "id", 4)
+      .collect().filter(_.getString(1) == "g0").map(_.getLong(0)).toSet
+    assert(got.filter(_._2 == "g0").map(_._1).toSet == strat)
+    // a count larger than the stratum keeps the whole stratum
+    assert(Sampling.weightedMix(df, "grp", "id", Map("g1" -> 999)).count() == 20)
+  }
+
   test("hashSample: deterministic, near the fraction, monotone in fraction") {
     import spark.implicits._
     val df = (1 to 2000).map(_.toLong).toDF("id")

@@ -115,6 +115,24 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       "the FIRST-arriving copy is the one emitted")
   }
 
+  test("stream-stream interval join ≡ batch (views before purchase, bounded)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(sample: _*)
+    val streamed = EventStreams.runToMemory(spark,
+      EventStreams.viewPurchaseJoin(mem.toDF(), interval = "45 minutes"), "vp_join",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // purchase 4 (user 1, 10:40): only view 1 (10:00) is within 45 minutes
+    assert(got == Set((4L, 1L, 1L)))
+    // the same transform on a batch frame (watermarks eliminated) agrees
+    val batch = EventStreams.viewPurchaseJoin(sample.toDF(), interval = "45 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == got)
+  }
+
   test("journal stream tails warehouse appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft_js").toString
     val g = graft.engine.MemGraph(spark)
