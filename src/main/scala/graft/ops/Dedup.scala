@@ -174,10 +174,22 @@ object Dedup {
   }
 
   /** Within-block cosine pairs over a (id, blk, v, nrm) frame: the join key
-    * is the block, so cost is Σ block² — never a full cross join. */
-  private def pairsByBlock(withNorm: DataFrame, threshold: Double): DataFrame = {
-    val a = withNorm.select(col("id").as("id_a"), col("blk"), col("v").as("va"), col("nrm").as("na"))
-    val b = withNorm.select(col("id").as("id_b"), col("blk"), col("v").as("vb"), col("nrm").as("nb"))
+    * is the block, so cost is Σ block² — never a full cross join. Blocks
+    * larger than `maxBlock` are dropped BEFORE the self-join (same guard as
+    * [[lshCandidates]]'s bucket cap): one degenerate block — e.g. a coarse
+    * label covering half the corpus, or too few LSH bits for the corpus
+    * size — would otherwise re-quadratice the join on a single shuffle key.
+    * The default is far above the oracle fixtures, so capping only engages
+    * at corpus scale; audit what a cap dropped via [[overflowBlocks]]. */
+  private def pairsByBlock(withNorm: DataFrame, threshold: Double,
+      maxBlock: Long = 1000000L): DataFrame = {
+    val fits = withNorm.groupBy("blk")
+      .agg(count(lit(1)).as("bcount"))
+      .filter(col("bcount") <= maxBlock)
+      .select("blk")
+    val kept = withNorm.join(fits, Seq("blk"), "left_semi")
+    val a = kept.select(col("id").as("id_a"), col("blk"), col("v").as("va"), col("nrm").as("na"))
+    val b = kept.select(col("id").as("id_b"), col("blk"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
       .withColumn("dot", aggregate(zip_with(col("va"), col("vb"),
         (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x))
@@ -189,9 +201,16 @@ object Dedup {
   /** Near-dup by embedding cosine: pairs with cosine ≥ threshold, blocked by
     * an exact-match coarse key (same label) to avoid the full cross join. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame =
+      blockCol: String, threshold: Double, maxBlock: Long = 1000000L): DataFrame =
     pairsByBlock(df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm")), threshold)
+      col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm")), threshold, maxBlock)
+
+  /** The blocks a `maxBlock` cap would drop: (blk, bcount). Pipelines using
+    * the capped pair generators should count/log these — non-empty means
+    * some rows were exempted from pair generation (no silent caps). */
+  def overflowBlocks(df: DataFrame, blockCol: String, maxBlock: Long): DataFrame =
+    df.groupBy(col(blockCol).as("blk")).agg(count(lit(1)).as("bcount"))
+      .filter(col("bcount") > maxBlock)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
     * band-blocking: the 60-bit hash splits into `bands` equal slices, and by
@@ -275,8 +294,8 @@ object Dedup {
     * Approximate by construction: a pair split across buckets is missed;
     * fewer `bits` → bigger buckets → higher recall at higher join cost. */
   def embeddingDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 4): DataFrame =
+      threshold: Double, bits: Int = 4, maxBlock: Long = 1000000L): DataFrame =
     pairsByBlock(df.select(col(idCol).as("id"),
       Similarity.lshBucket(col(vecCol), bits).as("blk"),
-      col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm")), threshold)
+      col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm")), threshold, maxBlock)
 }

@@ -142,6 +142,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(overflow.nonEmpty && overflow.forall(_.getAs[Long]("bcount") == 30L))
   }
 
+  test("embedding block cap: degenerate block dropped, other pairs unchanged") {
+    import spark.implicits._
+    // block "big": 20 near-identical vectors; block "ok": one dup pair
+    val big = (100L until 120L).map(i => (i, "big", Array(1.0f, 0.01f * i)))
+    val ok = Seq((1L, "ok", Array(0.0f, 1.0f)), (2L, "ok", Array(0.0f, 2.0f)))
+    val df = (big ++ ok).toDF("vec_id", "label", "embedding")
+    val uncapped = Dedup.embeddingDupPairs(df, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.embeddingDupPairs(df, "vec_id", "embedding", "label", 0.9,
+      maxBlock = 10L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), "only the small block's pair survives the cap")
+    assert(uncapped.contains((1L, 2L)) && uncapped.size > capped.size,
+      "uncapped run pays the block² pairs")
+    val overflow = Dedup.overflowBlocks(df.select(col("vec_id"), col("label").as("blk")),
+      "blk", maxBlock = 10L).collect()
+    assert(overflow.length == 1 && overflow.head.getAs[Long]("bcount") == 20L)
+  }
+
   test("contamination: verbatim eval copy scores 1.0, novel eval scores 0.0") {
     import spark.implicits._
     val trainText = "the quick brown fox jumps over the lazy dog again and again"
