@@ -45,10 +45,15 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // per-query medians rounded to 4 dp: keeps the line short enough that a
+    // tail-capture of stdout can't truncate entries (BENCH_r03 lost its head)
+    def r4(v: Double): String = if (v < 0) "-1.0" else f"$v%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    // compact duplicate LAST so even a truncated tail keeps a parseable total
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -315,8 +315,11 @@ object SparkEntry {
     "d02_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", k = 3, threshold = 0.5)),
 
+    // explicit bucket cap (matches the oracle's HAVING <= 1000) — capping is
+    // opt-in since r4; production pipelines pair it with lshOverflowBuckets
     "d03_lsh_candidates" -> ((s, d) =>
-      Dedup.lshCandidates(t(s, d, "documents"), "doc_id", "text", k = 3, bands = 4, rowsPerBand = 4)),
+      Dedup.lshCandidates(t(s, d, "documents"), "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 4, maxBucket = 1000L)),
 
     "d04_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
@@ -336,6 +339,18 @@ object SparkEntry {
       Dedup.contamination(t(s, d, "documents"), "doc_id", "text",
         col("doc_id") % 50 === 0, k = 5)
         .withColumnRenamed("id", "doc_id")),
+
+    // production Jaccard: df-capped pairing (shingles in >2 docs are hot join
+    // keys — excluded from pairing, audited by d10). d02 is the uncapped
+    // correctness twin; this is the scale-path entry.
+    "d09_jaccard_capped" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.5, maxDf = 2)),
+
+    // the cap's audit: exactly which shingle hashes d09 refused to pair on
+    "d10_jaccard_overflow" -> ((s, d) =>
+      Dedup.jaccardOverflowShingles(t(s, d, "documents"), "doc_id", "text",
+        k = 3, maxDf = 2)),
 
     // --- similarity search (embeddings) -------------------------------------
     "s01_cosine_knn" -> ((s, d) =>
@@ -369,6 +384,22 @@ object SparkEntry {
       Sampling.weightedMix(t(s, d, "embeddings"), "label", "vec_id",
         Map("0" -> 5, "1" -> 2, "3" -> 4, "7" -> 1))
         .select("vec_id", "label")),
+
+    // batched ANN: one corpus pass answers a 3-query batch (bits=4 LSH
+    // buckets, same deterministic planes as d06)
+    "s07_ann_batch" -> ((s, d) => {
+      val bucketed = Similarity.bucketize(t(s, d, "embeddings"), "embedding", bits = 4)
+      Similarity.cosineLshTopKBatch(bucketed,
+        bucketed.filter(col("vec_id").isin(0, 7, 11)), "vec_id", "embedding", k = 5)
+    }),
+
+    // epoch-style fractional upsampling: label 0 ×2.5, label 1 ×0.5 (halved),
+    // label 3 ×1.25 — weights chosen with exact binary fractions so the
+    // hash-threshold comparison is FP-identical across engines
+    "s08_weighted_mix_frac" -> ((s, d) =>
+      Sampling.weightedMixFractional(t(s, d, "embeddings"), "label", "vec_id",
+        Map("0" -> 2.5, "1" -> 0.5, "3" -> 1.25))
+        .select("vec_id", "label", "copy_idx")),
 
     // ---- Spark-only operators (no DuckDB twin -> driver rows-only check) ----
     "x01_approx_distinct" -> ((s, d) =>
@@ -698,6 +729,34 @@ object SparkEntry {
         |  ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
         |FROM pairs WHERE ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5""".stripMargin,
 
+    // d02 with the df-cap: pairing restricted to shingles in 2..maxDf docs
+    // (|A|/|B| still count ALL shingles, mirroring the Spark side)
+    "d09_jaccard_capped" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |fits AS (SELECT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 2),
+        |sized AS (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY doc_id) AS n FROM sh),
+        |kept AS (SELECT s.doc_id, s.shingle, s.n FROM sized s
+        |  JOIN fits f ON ('0x' || substr(md5(s.shingle), 1, 15))::BIGINT = f.h),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared,
+        |    ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+        |FROM pairs WHERE ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5""".stripMargin,
+
+    "d10_jaccard_overflow" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h, COUNT(*) AS df
+        |FROM sh GROUP BY 1 HAVING COUNT(*) > 2""".stripMargin,
+
     "d03_lsh_candidates" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id,
@@ -812,6 +871,46 @@ object SparkEntry {
         |  FROM embeddings)
         |WHERE (label = 0 AND rk <= 5) OR (label = 1 AND rk <= 2)
         |   OR (label = 3 AND rk <= 4) OR (label = 7 AND rk <= 1)""".stripMargin,
+
+    // mirrors Similarity.bucketize(bits=4) + cosineLshTopKBatch: same
+    // hyperplane construction as the d06 oracle, per-query window top-k
+    "s07_ann_batch" -> {
+      def proj(p: Int): String =
+        s"list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * " +
+        s"((('0x' || substr(md5(concat('$p:', i - 1)), 1, 8))::BIGINT / 4294967296.0) - 0.5)))"
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |eb AS (SELECT vec_id, embedding, nrm,
+        |    (CASE WHEN ${proj(0)} > 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN ${proj(1)} > 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN ${proj(2)} > 0 THEN 4 ELSE 0 END)
+        |  + (CASE WHEN ${proj(3)} > 0 THEN 8 ELSE 0 END) AS blk
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, blk AS qb
+        |  FROM eb WHERE vec_id IN (0, 7, 11)),
+        |scored AS (SELECT q.query_id, eb.vec_id AS id,
+        |  ROUND(list_sum(list_transform(list_zip(eb.embedding, q.qv),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (eb.nrm * q.qn), 4) AS cosine
+        |  FROM eb JOIN q ON eb.blk = q.qb AND eb.vec_id <> q.query_id)
+        |SELECT query_id, id, cosine FROM (
+        |  SELECT query_id, id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin
+    },
+
+    "s08_weighted_mix_frac" ->
+      """WITH w(stratum, wt) AS (VALUES ('0', 2.5), ('1', 0.5), ('3', 1.25)),
+        |x AS (SELECT vec_id, label, wt,
+        |  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM embeddings JOIN w ON CAST(label AS VARCHAR) = stratum),
+        |c AS (SELECT vec_id, label,
+        |  CAST(FLOOR(wt) AS BIGINT)
+        |    + (CASE WHEN CAST(h AS DOUBLE) < (wt - FLOOR(wt)) * 4294967296.0 THEN 1 ELSE 0 END) AS copies
+        |  FROM x)
+        |SELECT vec_id, label, CAST(u.c AS BIGINT) AS copy_idx
+        |FROM c, unnest(range(0, copies)) u(c)
+        |WHERE copies > 0""".stripMargin,
 
     "s01_cosine_knn" ->
       """WITH q AS (SELECT embedding AS qv,

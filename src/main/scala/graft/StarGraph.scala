@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.ViewGraph
 import graft.query.Fts
@@ -21,83 +21,116 @@ import graft.query.Fts
   */
 object StarGraph {
 
-  private def uidOf(kind: String, key: org.apache.spark.sql.Column) =
-    concat(lit(kind + ":"), key)
+  private def uidOf(kind: String, key: Column) = concat(lit(kind + ":"), key)
 
-  // one cached projection per (session, dir): a query battery over the same
-  // scale factor reuses materialized node/edge/posting DataFrames instead of
-  // recomputing the to_json/concat projection per query. Bounded by use-case
-  // (a handful of scale factors per process); `invalidate()` releases the
-  // cached blocks when the underlying parquet changes or a session retires.
+  /** Caching is PER KIND, not per whole union: each kind's core frame
+    * (uid/endpoint/props — the expensive to_json projection) is cached
+    * individually, and the constant kind/ctime/mtime columns are re-applied
+    * lazily ABOVE the cache. Two consequences that the whole-union cache of
+    * rounds 2–3 lacked:
+    *   - Catalyst's constant-false folding still prunes untouched kinds out
+    *     of the union plan (the `kind` column stays a Project literal, never
+    *     an opaque cached column);
+    *   - a chain fills ONLY the caches of kinds it scans — a
+    *     region/nation/customer/orders walk never materializes the ~600k
+    *     lineitem-derived `Contains` edges, so no query pays another query's
+    *     multi-second fill (or its eviction churn) anymore.
+    */
+  private final case class Cached(graph: ViewGraph, frames: Seq[DataFrame])
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), ViewGraph]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Cached]()
 
   def apply(spark: SparkSession, dir: String): ViewGraph =
-    memo.computeIfAbsent((spark, dir), { case (s, d) =>
-      val g = build(s, d)
-      new ViewGraph(s, g.nodes.cache(), g.edges.cache(),
-        nodeFtsDf = Some(g.nodeFts.cache()))
-    })
+    memo.computeIfAbsent((spark, dir),
+      { case (s, d) => cachedBuild(s, d) }).graph
 
   /** Unpersist and drop every memoized projection (all sessions/dirs). */
   def invalidate(): Unit = {
     import scala.jdk.CollectionConverters._
-    memo.values().asScala.foreach { g =>
-      g.nodes.unpersist(); g.edges.unpersist(); g.nodeFts.unpersist()
-    }
+    memo.values().asScala.foreach(_.frames.foreach(_.unpersist()))
     memo.clear()
   }
 
-  def build(spark: SparkSession, dir: String): ViewGraph = {
-    def t(n: String): DataFrame = spark.read.parquet(s"$dir/$n.parquet")
+  // ------------------------------------------------------------- projection
 
-    def nodeDf(df: DataFrame, kind: String, key: String, propCols: Seq[String]): DataFrame =
-      df.select(
-        uidOf(kind, col(key)).as("uid"), lit(kind).as("kind"),
-        lit(0.0).as("ctime"), lit(0.0).as("mtime"),
+  private def t(spark: SparkSession, dir: String, n: String): DataFrame =
+    spark.read.parquet(s"$dir/$n.parquet")
+
+  /** Per-kind node cores: (kind, (uid, props)). */
+  private def nodeCores(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    def core(df: DataFrame, kind: String, key: String, propCols: Seq[String]) =
+      kind -> df.select(
+        uidOf(kind, col(key)).as("uid"),
         to_json(struct(propCols.map(col): _*)).as("props"))
+    Seq(
+      core(t(spark, dir, "customer"), "customer", "c_custkey", Seq("c_name", "c_acctbal", "c_mktsegment")),
+      core(t(spark, dir, "supplier"), "supplier", "s_suppkey", Seq("s_name", "s_acctbal")),
+      core(t(spark, dir, "nation"), "nation", "n_nationkey", Seq("n_name")),
+      core(t(spark, dir, "region"), "region", "r_regionkey", Seq("r_name")),
+      core(t(spark, dir, "part"), "part", "p_partkey", Seq("p_name", "p_brand", "p_type", "p_size")),
+      core(t(spark, dir, "orders"), "orders", "o_orderkey", Seq("o_orderstatus", "o_totalprice", "o_orderpriority")))
+  }
 
-    val customer = t("customer"); val supplier = t("supplier")
-    val nation = t("nation"); val region = t("region")
-    val part = t("part"); val orders = t("orders"); val lineitem = t("lineitem")
-
-    val nodes = Seq(
-      nodeDf(customer, "customer", "c_custkey", Seq("c_name", "c_acctbal", "c_mktsegment")),
-      nodeDf(supplier, "supplier", "s_suppkey", Seq("s_name", "s_acctbal")),
-      nodeDf(nation, "nation", "n_nationkey", Seq("n_name")),
-      nodeDf(region, "region", "r_regionkey", Seq("r_name")),
-      nodeDf(part, "part", "p_partkey", Seq("p_name", "p_brand", "p_type", "p_size")),
-      nodeDf(orders, "orders", "o_orderkey", Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
-    ).reduce(_ unionByName _)
-
-    def edgeDf(df: DataFrame, kind: String, uidExpr: org.apache.spark.sql.Column,
+  /** Per-kind edge cores: (kind, (uid, startuid, enduid, props)). */
+  private def edgeCores(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    def core(df: DataFrame, kind: String, uidExpr: Column,
         startKind: String, startKey: String, endKind: String, endKey: String,
-        props: org.apache.spark.sql.Column = lit("{}")): DataFrame =
-      df.select(uidExpr.as("uid"), lit(kind).as("kind"),
+        props: Column = lit("{}")) =
+      kind -> df.select(uidExpr.as("uid"),
         uidOf(startKind, col(startKey)).as("startuid"),
         uidOf(endKind, col(endKey)).as("enduid"),
-        lit(0.0).as("ctime"), lit(0.0).as("mtime"), props.as("props"))
-
-    val edges = Seq(
-      edgeDf(customer, "InNation", uidOf("cn", col("c_custkey")),
+        props.as("props"))
+    Seq(
+      core(t(spark, dir, "customer"), "InNation", uidOf("cn", col("c_custkey")),
         "customer", "c_custkey", "nation", "c_nationkey"),
-      edgeDf(supplier, "SuppNation", uidOf("sn", col("s_suppkey")),
+      core(t(spark, dir, "supplier"), "SuppNation", uidOf("sn", col("s_suppkey")),
         "supplier", "s_suppkey", "nation", "s_nationkey"),
-      edgeDf(nation, "InRegion", uidOf("nr", col("n_nationkey")),
+      core(t(spark, dir, "nation"), "InRegion", uidOf("nr", col("n_nationkey")),
         "nation", "n_nationkey", "region", "n_regionkey"),
-      edgeDf(orders, "PlacedBy", uidOf("oc", col("o_orderkey")),
+      core(t(spark, dir, "orders"), "PlacedBy", uidOf("oc", col("o_orderkey")),
         "orders", "o_orderkey", "customer", "o_custkey"),
-      edgeDf(lineitem, "Contains",
+      core(t(spark, dir, "lineitem"), "Contains",
         concat(lit("li:"), col("l_orderkey"), lit(":"), col("l_linenumber")),
         "orders", "l_orderkey", "part", "l_partkey",
-        to_json(struct(col("l_quantity"), col("l_extendedprice"))))
-    ).reduce(_ unionByName _)
+        to_json(struct(col("l_quantity"), col("l_extendedprice")))))
+  }
 
-    // FTS over part names (field "name") — the reference's resetfts analogue
-    val postings = Fts.postings(
-      part.select(uidOf("part", col("p_partkey")).as("uid"), col("p_name")),
+  // FTS over part names (field "name") — the reference's resetfts analogue
+  private def partPostings(spark: SparkSession, dir: String): DataFrame =
+    Fts.postings(
+      t(spark, dir, "part").select(
+        uidOf("part", col("p_partkey")).as("uid"), col("p_name")),
       "uid", Map("name" -> "p_name"))
 
-    new ViewGraph(spark, nodes, edges, nodeFtsDf = Some(postings))
+  /** Constant columns go ABOVE the (possibly cached) core so `kind` stays a
+    * foldable literal per union branch — the pruning hinge. */
+  private def decorateNode(kind: String, core: DataFrame): DataFrame =
+    core.select(col("uid"), lit(kind).as("kind"),
+      lit(0.0).as("ctime"), lit(0.0).as("mtime"), col("props"))
+
+  private def decorateEdge(kind: String, core: DataFrame): DataFrame =
+    core.select(col("uid"), lit(kind).as("kind"),
+      col("startuid"), col("enduid"),
+      lit(0.0).as("ctime"), lit(0.0).as("mtime"), col("props"))
+
+  private def assemble(spark: SparkSession,
+      nCores: Seq[(String, DataFrame)], eCores: Seq[(String, DataFrame)],
+      postings: DataFrame): ViewGraph =
+    new ViewGraph(spark,
+      nCores.map { case (k, c) => decorateNode(k, c) }.reduce(_ unionByName _),
+      eCores.map { case (k, c) => decorateEdge(k, c) }.reduce(_ unionByName _),
+      nodeFtsDf = Some(postings))
+
+  /** Uncached projection (pure DataFrame DAG over the parquet scans). */
+  def build(spark: SparkSession, dir: String): ViewGraph =
+    assemble(spark, nodeCores(spark, dir), edgeCores(spark, dir),
+      partPostings(spark, dir))
+
+  private def cachedBuild(spark: SparkSession, dir: String): Cached = {
+    val nCores = nodeCores(spark, dir).map { case (k, c) => (k, c.cache()) }
+    val eCores = edgeCores(spark, dir).map { case (k, c) => (k, c.cache()) }
+    val postings = partPostings(spark, dir).cache()
+    Cached(assemble(spark, nCores, eCores, postings),
+      nCores.map(_._2) ++ eCores.map(_._2) :+ postings)
   }
 }

@@ -81,8 +81,10 @@ final class WarehouseSession(val graph: WarehouseGraph) {
       df.groupBy("kind").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val size = Files.walk(Paths.get(graph.path)).iterator().asScala
-      .filter(Files.isRegularFile(_)).map(Files.size).sum
+    val walk = Files.walk(Paths.get(graph.path))
+    val size =
+      try walk.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally walk.close()
     val sizeStr =
       if (size < 1000L) s"${size}B"
       else if (size < 1000000L) s"${size / 1000}K"

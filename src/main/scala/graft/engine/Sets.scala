@@ -134,6 +134,13 @@ object ItemSet {
     * multi-MB SQL string the parser has to chew through. */
   private[engine] val InListThreshold = 10000
 
+  // uid-set views registered since the last drain, per session. ItemSet
+  // fetches are eager (collect on return), so traversal methods drain this
+  // right after the fetch — a long-lived session no longer accumulates
+  // catalog entries pinning driver-side uid data.
+  private val pendingViews =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, List[String]]()
+
   /** Render `<colRef> IN (...)` either as literals (small sets) or as a
     * subquery over a registered temp view of the uids (large sets — the
     * optimizer turns it into a semi-join; the uid frame is broadcast-sized
@@ -146,8 +153,14 @@ object ItemSet {
       val view = s"graft_uidset_${graft.core.Uid.random().toLowerCase}"
       import spark.implicits._
       spark.createDataset(us).toDF("uid").createOrReplaceTempView(view)
+      pendingViews.merge(spark, List(view), _ ++ _)
       s"$colRef IN (SELECT uid FROM $view)"
     }
+
+  /** Drop every uid-set view registered since the last drain. Call only
+    * AFTER the consuming query has materialized. */
+  private[engine] def dropPendingViews(spark: org.apache.spark.sql.SparkSession): Unit =
+    Option(pendingViews.remove(spark)).foreach(_.foreach(spark.catalog.dropTempView))
 }
 
 final class NSet(initial: Seq[Node] = Nil) extends ItemSet[Node, NSet](initial) {
@@ -155,15 +168,18 @@ final class NSet(initial: Seq[Node] = Nil) extends ItemSet[Node, NSet](initial) 
 
   private def g: MemGraph = list.head.graph
   private def uidIn(colRef: String): String = ItemSet.uidPredicate(g.spark, colRef, uids.toSeq)
+  // fetches are eager, so the uid-set views a predicate registered can be
+  // dropped as soon as the fetch returns
+  private def drained[A](fetched: A): A = { ItemSet.dropPendingViews(g.spark); fetched }
 
   /** Set-level traversals: ONE distributed query per call (the reference
     * loops members, N+1 queries — graphydb.py:1711-1772; SURVEY §2.12). */
-  def inE(): ESet = if (isEmpty) new ESet() else g.fetchE("<(e)-", Seq(uidIn("e.enduid")))
-  def outE(): ESet = if (isEmpty) new ESet() else g.fetchE("-(e)>", Seq(uidIn("e.startuid")))
+  def inE(): ESet = if (isEmpty) new ESet() else drained(g.fetchE("<(e)-", Seq(uidIn("e.enduid"))))
+  def outE(): ESet = if (isEmpty) new ESet() else drained(g.fetchE("-(e)>", Seq(uidIn("e.startuid"))))
   def bothE(): ESet = if (isEmpty) new ESet()
-    else g.fetchE("-(e)>", Seq(s"(${uidIn("e.startuid")} OR ${uidIn("e.enduid")})"))
-  def inN(): NSet = if (isEmpty) new NSet() else g.fetchN("<(e)- [n]", Seq(uidIn("e.enduid")))
-  def outN(): NSet = if (isEmpty) new NSet() else g.fetchN("-(e)> [n]", Seq(uidIn("e.startuid")))
+    else drained(g.fetchE("-(e)>", Seq(s"(${uidIn("e.startuid")} OR ${uidIn("e.enduid")})")))
+  def inN(): NSet = if (isEmpty) new NSet() else drained(g.fetchN("<(e)- [n]", Seq(uidIn("e.enduid"))))
+  def outN(): NSet = if (isEmpty) new NSet() else drained(g.fetchN("-(e)> [n]", Seq(uidIn("e.startuid"))))
   def bothN(): NSet = if (isEmpty) new NSet() else inN() | outN()
 }
 
@@ -173,8 +189,9 @@ final class ESet(initial: Seq[Edge] = Nil) extends ItemSet[Edge, ESet](initial) 
   private def g: MemGraph = list.head.graph
   private def uidIn(col: String): String = ItemSet.uidPredicate(
     g.spark, "n.uid", toSeq.map(_.data(col).toString).distinct)
+  private def drained[A](fetched: A): A = { ItemSet.dropPendingViews(g.spark); fetched }
 
   /** Endpoint node sets — one query each (graphydb.py:1673-1691). */
-  def start: NSet = if (isEmpty) new NSet() else g.fetchN("(n)", Seq(uidIn("startuid")))
-  def end: NSet = if (isEmpty) new NSet() else g.fetchN("(n)", Seq(uidIn("enduid")))
+  def start: NSet = if (isEmpty) new NSet() else drained(g.fetchN("(n)", Seq(uidIn("startuid"))))
+  def end: NSet = if (isEmpty) new NSet() else drained(g.fetchN("(n)", Seq(uidIn("enduid"))))
 }

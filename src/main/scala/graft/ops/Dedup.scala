@@ -60,9 +60,18 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard over shared shingles (self-blocking: only pairs
     * sharing ≥1 shingle are generated). Returns id_a < id_b with
-    * `jaccard` = shared / (|A| + |B| - shared), rounded to 6 dp. */
+    * `jaccard` = shared / (|A| + |B| - shared), rounded to 6 dp.
+    *
+    * `maxDf` is the production skew guard ([[commonShingleFilter]] semantics,
+    * applied on the 60-bit hashes): shingles in more than `maxDf` docs are
+    * excluded from PAIRING (|A|/|B| still count them), killing the hot join
+    * keys an ultra-common shingle would create at corpus scale. The default
+    * is uncapped — capping is an explicit opt-in, audited via
+    * [[jaccardOverflowShingles]] (no silent caps). Uncapped all-pairs remains
+    * quadratic in the worst case; at corpus scale prefer [[lshCandidates]]
+    * and use this as its correctness twin on samples. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5, maxDf: Long = Long.MaxValue): DataFrame = {
     // join on the 60-bit shingle hash, not the string: same pairs (collision
     // odds ~2^-61 per shingle pair), ~60% less shuffle payload
     val sh = wordShingles(df, idCol, textCol, k)
@@ -72,7 +81,8 @@ object Dedup {
     // shingles appearing in exactly one doc can never contribute to a pair;
     // dropping them shrinks the quadratic join without changing the output
     val paired = sh.join(
-      sh.groupBy("h").count().filter(col("count") >= 2).select("h"),
+      sh.groupBy("h").count()
+        .filter(col("count") >= 2 && col("count") <= maxDf).select("h"),
       Seq("h"), "left_semi")
     val a = paired.select(col("id").as("id_a"), col("h"))
     val b = paired.select(col("id").as("id_b"), col("h"))
@@ -89,6 +99,17 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** The shingle hashes a `maxDf` cap excludes from pairing: (h, df).
+    * Production Jaccard entries pair [[ngramJaccardPairs]]'s `maxDf` with
+    * this audit — a non-empty result names exactly which (hashed) shingles
+    * were too common to pair on, so the cap is never silent. */
+  def jaccardOverflowShingles(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxDf: Long = Long.MaxValue): DataFrame =
+    wordShingles(df, idCol, textCol, k)
+      .groupBy(hash60(col("shingle")).as("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
 
   /** MinHash parameters shared with the DuckDB oracle: h ≡ hash60 mod P;
     * mh_i = (A_i · h + B_i) mod P with A_i = 101 + 37 i (odd), B_i = 12345 +
@@ -128,10 +149,12 @@ object Dedup {
     * degenerate signature (e.g. thousands of empty/near-empty docs sharing a
     * minhash) would otherwise cost bucket² pairs on one shuffle key. The
     * pre-filter is a (band, sig) aggregate — same key as the join, linear.
-    * Audit what a cap dropped with [[lshOverflowBuckets]] (no silent caps). */
+    * The DEFAULT is uncapped: capping is an explicit opt-in that a production
+    * pipeline pairs with [[lshOverflowBuckets]] on the same `maxBucket`, so a
+    * cap is never silent. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-      maxBucket: Long = 1000L): DataFrame = {
+      maxBucket: Long = Long.MaxValue): DataFrame = {
     val bandSig = bandSignatures(df, idCol, textCol, k, bands, rowsPerBand)
     val fits = bandSig.groupBy("band", "sig")
       .agg(count(lit(1)).as("bcount"))
@@ -151,7 +174,7 @@ object Dedup {
     * from candidate generation in that band. */
   def lshOverflowBuckets(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-      maxBucket: Long = 1000L): DataFrame =
+      maxBucket: Long = Long.MaxValue): DataFrame =
     bandSignatures(df, idCol, textCol, k, bands, rowsPerBand)
       .groupBy("band", "sig")
       .agg(count(lit(1)).as("bcount"))
@@ -182,7 +205,7 @@ object Dedup {
     * The default is far above the oracle fixtures, so capping only engages
     * at corpus scale; audit what a cap dropped via [[overflowBlocks]]. */
   private def pairsByBlock(withNorm: DataFrame, threshold: Double,
-      maxBlock: Long = 1000000L): DataFrame = {
+      maxBlock: Long = Long.MaxValue): DataFrame = {
     val fits = withNorm.groupBy("blk")
       .agg(count(lit(1)).as("bcount"))
       .filter(col("bcount") <= maxBlock)
@@ -201,7 +224,7 @@ object Dedup {
   /** Near-dup by embedding cosine: pairs with cosine ≥ threshold, blocked by
     * an exact-match coarse key (same label) to avoid the full cross join. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double, maxBlock: Long = 1000000L): DataFrame =
+      blockCol: String, threshold: Double, maxBlock: Long = Long.MaxValue): DataFrame =
     pairsByBlock(df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm")), threshold, maxBlock)
 
@@ -271,8 +294,10 @@ object Dedup {
     * train split. The train side collapses to distinct 60-bit shingle hashes
     * before the probe join, so shuffles carry hashes only and cost is
     * |eval shingles| + |distinct train shingles| — linear, never the
-    * quadratic doc×doc overlap. Eval sets are small by nature, so at scale
-    * the probe side broadcasts (AQE) while the train scan streams. */
+    * quadratic doc×doc overlap. The probe is a plain hash join shuffling
+    * 8-byte hashes on both sides (eval is the LEFT side of a left-outer
+    * join, which Spark cannot broadcast; the vocabulary-scale train side
+    * should never be broadcast anyway) — linear and scale-safe. */
   def contamination(df: DataFrame, idCol: String, textCol: String,
       isEval: Column, k: Int = 5): DataFrame = {
     val flagged = df.withColumn("_eval", isEval)
@@ -294,7 +319,7 @@ object Dedup {
     * Approximate by construction: a pair split across buckets is missed;
     * fewer `bits` → bigger buckets → higher recall at higher join cost. */
   def embeddingDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 4, maxBlock: Long = 1000000L): DataFrame =
+      threshold: Double, bits: Int = 4, maxBlock: Long = Long.MaxValue): DataFrame =
     pairsByBlock(df.select(col(idCol).as("id"),
       Similarity.lshBucket(col(vecCol), bits).as("blk"),
       col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm")), threshold, maxBlock)

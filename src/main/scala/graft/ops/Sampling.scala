@@ -45,6 +45,35 @@ object Sampling {
       .drop("_rk", "_stratum", "_take")
   }
 
+  /** Epoch-style weighted mix with FRACTIONAL weights (upsampling): weight w
+    * replicates every row ⌊w⌋ times, plus one extra copy for the
+    * deterministic md5-keyed fraction frac(w) of rows — weight 2.5 means
+    * every row twice and (the same) half of the rows a third time, exactly
+    * reproducible across runs and engines (no RNG). Strata absent from
+    * `weights` contribute nothing; weight < 1 downsamples ([[hashSample]]
+    * semantics per stratum). Pure map-side work: a broadcast weight join and
+    * a codegen'd `explode(sequence)` — no shuffle, no window, scales
+    * linearly. Output adds `copy_idx` (0-based replica index) so downstream
+    * stages can spread replicas across partitions. */
+  def weightedMixFractional(df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0),
+      "weights must be non-empty and non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF("_stratum", "_w")
+    df.join(broadcast(wdf), col(strataCol).cast("string") === col("_stratum"))
+      .withColumn("_h32",
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"))
+      .withColumn("_copies",
+        floor(col("_w")).cast("long") +
+          when(col("_h32").cast("double") <
+            (col("_w") - floor(col("_w"))) * lit(4294967296.0), 1L).otherwise(0L))
+      .filter(col("_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_stratum", "_w", "_h32", "_copies")
+  }
+
   /** Deterministic Bernoulli sample: keep rows whose md5(id) 32-bit prefix
     * falls under fraction·2³². A pure filter — no shuffle, no window, no RNG
     * state to coordinate — so it composes with scan pushdown and scales

@@ -124,6 +124,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED LSH top-k: one pass answers a whole query SET (real pipelines
+    * probe thousands of queries at once — a per-query loop would rescan the
+    * corpus per query). `queries` must carry `_bucket` and `_norm` computed
+    * with the SAME planes/bits as the [[bucketize]]d corpus (corpus-derived
+    * query rows — e.g. `bucketed.filter(id isin ...)` — already do).
+    *
+    * The join stays on `_bucket` (each query touches one bucket; the query
+    * set is broadcast), and ranking is a per-query window top-k — partition
+    * = query id, so the sort is per-query, never global. Rows whose corpus
+    * id equals the query id are excluded (self-match). Returns
+    * (query_id, id, cosine): k rows per query. */
+  def cosineLshTopKBatch(bucketed: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, roundTo: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col("_norm").as("qn"), col("_bucket").as("qb"))
+    val scored = bucketed
+      .join(broadcast(q), col("_bucket") === col("qb") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("id"),
+        round(dot(col(vecCol), col("qv")) / (col("_norm") * col("qn")), roundTo).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** One-shot LSH-bucketed cosine top-k. For repeated queries against the
     * same corpus, [[bucketize]] once and use [[cosineLshTopKPre]]. */
   def cosineLshTopK(df: DataFrame, idCol: String, vecCol: String,

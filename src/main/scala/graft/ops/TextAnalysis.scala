@@ -85,10 +85,12 @@ object TextAnalysis {
 
   /** PII scrubbing for corpus release: emails, URLs and phone-shaped digit
     * runs replaced with typed placeholder tokens, with per-document match
-    * counts for the audit trail (counts are over the ORIGINAL text; URLs are
-    * redacted first so an email inside a URL counts once as a URL component,
-    * not again as an email). Single pass of codegen'd regexp expressions —
-    * no UDFs, scales as a mapper. */
+    * counts for the audit trail. Counts run over the ORIGINAL text
+    * independently per pattern, so an email embedded in a URL counts under
+    * BOTH n_urls and n_emails; only the redacted output applies URL-first
+    * precedence (the URL replacement consumes the email before the email
+    * pattern runs). The oracle mirrors both behaviors. Single pass of
+    * codegen'd regexp expressions — no UDFs, scales as a mapper. */
   def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val redacted =

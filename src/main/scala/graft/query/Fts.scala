@@ -203,28 +203,29 @@ object Fts {
   def deletePostings(current: DataFrame, uids: DataFrame, uidCol: String = "uid"): DataFrame =
     current.join(uids.select(col(uidCol).as("uid")).distinct(), Seq("uid"), "left_anti")
 
-  private def asView(postings: DataFrame): (SparkSession, String) = {
-    val view = s"graft_fts_${Integer.toHexString(System.identityHashCode(postings))}"
+  // monotonic view names (identity hashes can collide between live frames);
+  // each view is dropped as soon as spark.sql's EAGER analysis has resolved
+  // the plan, so match calls leak nothing into the session catalog
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def withView(postings: DataFrame)(sql: String => String): DataFrame = {
+    val spark = postings.sparkSession
+    val view = s"graft_fts_${viewCounter.incrementAndGet()}"
     postings.createOrReplaceTempView(view)
-    (postings.sparkSession, view)
+    try spark.sql(sql(view))
+    finally spark.catalog.dropTempView(view)
   }
 
   /** DataFrame form of a match: DISTINCT matching uids. */
-  def matchUids(postings: DataFrame, query: String): DataFrame = {
-    val (spark, view) = asView(postings)
-    spark.sql(matchSql(view, query)).select("uid")
-  }
+  def matchUids(postings: DataFrame, query: String): DataFrame =
+    withView(postings)(matchSql(_, query)).select("uid")
 
   /** DataFrame form with the tf ranking column: (uid, score). */
-  def matchScores(postings: DataFrame, query: String): DataFrame = {
-    val (spark, view) = asView(postings)
-    spark.sql(matchSql(view, query))
-  }
+  def matchScores(postings: DataFrame, query: String): DataFrame =
+    withView(postings)(matchSql(_, query))
 
   /** DataFrame form of [[bm25Sql]]: (uid, score). */
   def matchBm25(postings: DataFrame, query: String,
-      k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4): DataFrame = {
-    val (spark, view) = asView(postings)
-    spark.sql(bm25Sql(view, query, k1, b, roundTo))
-  }
+      k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4): DataFrame =
+    withView(postings)(bm25Sql(_, query, k1, b, roundTo))
 }

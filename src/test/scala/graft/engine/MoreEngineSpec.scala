@@ -135,8 +135,14 @@ class MoreEngineSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterEach 
       scala.collection.mutable.LinkedHashMap[String, Any]("uid" -> u, "kind" -> "Doc"),
       changed0 = false))
     val big = new NSet(a ++ fakes)
+    val viewsBefore = spark.catalog.listTables().count()
     val out = big.outE()
     assert(out.size == 1 && out.one.get.data("startuid") == a(0).uid)
+    // r4: the uid-set views are dropped once the fetch materializes — a
+    // long-lived session's catalog stays stable across large traversals
+    big.bothE()
+    assert(spark.catalog.listTables().count() <= viewsBefore,
+      "graft_uidset_* views must be dropped after traversal fetches")
     // small sets keep the inline IN-list (no view registration per call)
     val small = ItemSet.uidPredicate(spark, "e.startuid", Seq("A", "B"))
     assert(small == "e.startuid IN ('A','B')")
