@@ -288,6 +288,22 @@ object SparkEntry {
         .select("uid")
     }),
 
+    // FTS NEAR/n: both terms within a 3-token window in the same field
+    // (r4 — last reference-reachable grammar gap, FTS5 passthrough
+    // graphydb.py:876-898)
+    "g12_fts_near" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "(p:part)", params = Map("p_fts" -> "NEAR(red widget, 3)")))
+        .select("uid")
+    }),
+
+    // FTS binary NOT: red-matching parts minus widget-matching parts
+    "g13_fts_not" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "(p:part)", params = Map("p_fts" -> "red NOT widget")))
+        .select("uid")
+    }),
+
     "g08_orders_of_customer" -> ((s, d) => {
       Fetch.df(StarGraph(s, d), Fetch.Args(
         chain = "[o:orders] -(e:PlacedBy)> (c:customer)",
@@ -303,6 +319,51 @@ object SparkEntry {
         limit = Some(10), offset = Some(5),
         params = Map("ordercount" -> "COUNT(o.uid)")))
         .select("uid", "ordercount")
+    }),
+
+    // --- the same chains over the BUCKETED warehouse (r4) -------------------
+    // w* twins of g01/g05/g08: identical Fetch args, identical oracle SQL,
+    // but the graph lives in bucketed catalog tables (nodes by uid, edges by
+    // startuid) — startuid joins read co-located buckets with no exchange on
+    // either base table. BENCH w* vs g* measures the co-location story.
+    "w01_order_counts_wh" -> ((s, d) => {
+      Fetch.df(StarWarehouse(s, d), Fetch.Args(
+        chain = "[c:customer,ordercount] <(e:PlacedBy)- (o:orders)",
+        group = Some("c.uid"),
+        params = Map("ordercount" -> "COUNT(o.uid)")))
+        .select("uid", "ordercount")
+    }),
+
+    "w05_region_revenue_wh" -> ((s, d) => {
+      Fetch.df(StarWarehouse(s, d), Fetch.Args(
+        chain = "[r:region,revenue] <(e2:InRegion)- (n:nation) <(e1:InNation)- (c:customer) <(e3:PlacedBy)- (o:orders)",
+        group = Some("r.uid"),
+        params = Map("revenue" ->
+          "CAST(SUM(CAST(o.data.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")))
+        .select("uid", "revenue")
+    }),
+
+    "w08_orders_of_customer_wh" -> ((s, d) => {
+      Fetch.df(StarWarehouse(s, d), Fetch.Args(
+        chain = "[o:orders] -(e:PlacedBy)> (c:customer)",
+        where = Seq("c.uid = 'customer:42'")))
+        .select("uid")
+    }),
+
+    // 2-hop motif with ZERO shuffle exchanges: both Contains edges and the
+    // per-order aggregation key off startuid, which is the bucket column —
+    // the self-join reads co-located sorted buckets and the groupBy reuses
+    // the same clustering, so no data-bearing shuffle exists in the plan
+    // (BucketingSpec asserts this; PLANS.md captures it at sf0.1)
+    "w20_copart_pairs_wh" -> ((s, d) => {
+      val g = StarWarehouse(s, d)
+      def contains(as: String) = g.edges.filter(col("kind") === "Contains")
+        .select(col("startuid"), col("uid").as(as))
+      contains("uid_a").join(contains("uid_b"), "startuid")
+        .filter(col("uid_a") < col("uid_b"))
+        .groupBy("startuid")
+        .agg(count(lit(1)).as("pairs"))
+        .select(col("startuid").as("uid"), col("pairs"))
     }),
 
     // --- dedup family (documents) ------------------------------------------
@@ -501,7 +562,34 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracles
 
+  // shared by the g* chain queries and their bucketed-warehouse w* twins
+  // (identical data, identical semantics — only the storage layout differs)
+  private val OrderCountsSql =
+    """SELECT 'customer:' || c_custkey AS uid, COUNT(*) AS ordercount
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+  private val RegionRevenueDslSql =
+    """SELECT 'region:' || r_regionkey AS uid,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1""".stripMargin
+  private val OrdersOfCustomerSql =
+    "SELECT 'orders:' || o_orderkey AS uid FROM orders WHERE o_custkey = 42"
+
   def oracleSql: Map[String, String] = Map(
+    "w01_order_counts_wh" -> OrderCountsSql,
+    "w05_region_revenue_wh" -> RegionRevenueDslSql,
+    "w08_orders_of_customer_wh" -> OrdersOfCustomerSql,
+
+    // same string-ordered pair predicate as the edge uids ('li:<ok>:<ln>')
+    "w20_copart_pairs_wh" ->
+      """SELECT 'orders:' || l1.l_orderkey AS uid, COUNT(*) AS pairs
+        |FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |WHERE ('li:' || l1.l_orderkey || ':' || l1.l_linenumber)
+        |    < ('li:' || l2.l_orderkey || ':' || l2.l_linenumber)
+        |GROUP BY 1""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -634,10 +722,7 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    "g01_order_counts" ->
-      """SELECT 'customer:' || c_custkey AS uid, COUNT(*) AS ordercount
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1""".stripMargin,
+    "g01_order_counts" -> OrderCountsSql,
 
     "g02_asia_customers" ->
       """SELECT 'customer:' || c_custkey AS uid
@@ -655,13 +740,7 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'EUROPE'""".stripMargin,
 
-    "g05_region_revenue_dsl" ->
-      """SELECT 'region:' || r_regionkey AS uid,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1""".stripMargin,
+    "g05_region_revenue_dsl" -> RegionRevenueDslSql,
 
     "g06_glob_uid" ->
       """SELECT 'customer:' || c_custkey AS uid FROM customer
@@ -671,8 +750,7 @@ object SparkEntry {
       """SELECT 'part:' || p_partkey AS uid FROM part
         |WHERE regexp_matches(LOWER(p_name), '\bred\b')""".stripMargin,
 
-    "g08_orders_of_customer" ->
-      "SELECT 'orders:' || o_orderkey AS uid FROM orders WHERE o_custkey = 42",
+    "g08_orders_of_customer" -> OrdersOfCustomerSql,
 
     "g11_order_by_joined" ->
       """SELECT 'customer:' || c_custkey AS uid
@@ -703,6 +781,26 @@ object SparkEntry {
         |) parts GROUP BY uid)
         |SELECT m.uid AS uid, sc.score AS score FROM m JOIN sc ON m.uid = sc.uid
         |ORDER BY score DESC, uid ASC LIMIT 100""".stripMargin,
+
+    // mirrors the NEAR proximity join over inline-rebuilt positional postings
+    "g12_fts_near" ->
+      """WITH t AS (SELECT 'part:' || p_partkey AS uid, string_split_regex(lower(p_name), '[^a-z0-9]+') AS toks FROM part),
+        |p AS (SELECT uid, u.s.t AS term, u.s.p AS pos
+        |      FROM t, unnest([{'t': toks[i], 'p': i - 1} for i in range(1, len(toks) + 1) if toks[i] <> '']) u(s))
+        |SELECT DISTINCT o0.uid AS uid
+        |FROM (SELECT uid, pos FROM p WHERE term = 'red') o0
+        |JOIN (SELECT uid, pos FROM p WHERE term = 'widget') o1 ON o1.uid = o0.uid
+        |WHERE greatest(o0.pos, o1.pos) - least(o0.pos, o1.pos) <= 3""".stripMargin,
+
+    // mirrors the NOT set difference
+    "g13_fts_not" ->
+      """WITH t AS (SELECT 'part:' || p_partkey AS uid, string_split_regex(lower(p_name), '[^a-z0-9]+') AS toks FROM part),
+        |p AS (SELECT uid, u.s.t AS term, u.s.p AS pos
+        |      FROM t, unnest([{'t': toks[i], 'p': i - 1} for i in range(1, len(toks) + 1) if toks[i] <> '']) u(s))
+        |SELECT uid FROM (
+        |  (SELECT DISTINCT uid FROM p WHERE term = 'red')
+        |  EXCEPT
+        |  (SELECT DISTINCT uid FROM p WHERE term = 'widget'))""".stripMargin,
 
     "g09_order_limit_offset" ->
       """SELECT 'customer:' || c_custkey AS uid, COUNT(*) AS ordercount
@@ -850,6 +948,57 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
         |  ROUND(CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS contamination
         |FROM ev LEFT JOIN tr ON ev.h = tr.h GROUP BY 1""".stripMargin,
+
+    // r4: recursive-CTE twins for the two closure queries (PageRank x02 and
+    // HLL x01 stay Spark-only — no deterministic SQL equivalent)
+
+    // undirected 2-hop frontier from nation:0 over the star-projected edges;
+    // min-distance dedup, seed excluded — mirrors Traversals.kHop semantics
+    "x03_khop_reach" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT 'customer:' || c_custkey AS a, 'nation:' || c_nationkey AS b FROM customer
+        |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+        |  UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+        |  UNION ALL SELECT 'orders:' || o_orderkey, 'customer:' || o_custkey FROM orders
+        |  UNION ALL SELECT 'orders:' || l_orderkey, 'part:' || l_partkey FROM lineitem
+        |),
+        |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |reach(uid, d) AS (
+        |  SELECT 'nation:0', 0
+        |  UNION
+        |  SELECT u.b, r.d + 1 FROM reach r JOIN und u ON u.a = r.uid WHERE r.d < 2
+        |)
+        |SELECT split_part(uid, ':', 1) AS kind, COUNT(*) AS reached
+        |FROM (SELECT uid, MIN(d) AS d FROM reach GROUP BY uid)
+        |WHERE uid <> 'nation:0'
+        |GROUP BY 1""".stripMargin,
+
+    // transitive closure of the (uncapped) LSH candidate pairs by reachable-
+    // set min-label: cluster(id) = least(id, min reachable id) — the GraphX
+    // connectedComponents invariant — then the cluster-size histogram
+    "x04_dup_clusters" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 4294967311 AS hh FROM sh),
+        |mh AS (SELECT doc_id, i, MIN(((101 + 37*i) * hh + 12345 + 789*i) % 4294967311) AS mh
+        |  FROM h CROSS JOIN range(0, 16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, i // 4 AS band,
+        |  string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig FROM mh GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, r) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.r
+        |),
+        |clusters AS (SELECT id, LEAST(id, MIN(r)) AS cluster FROM walk GROUP BY id),
+        |sizes AS (SELECT cluster, COUNT(*) AS members FROM clusters GROUP BY cluster)
+        |SELECT members, COUNT(*) AS n_clusters FROM sizes GROUP BY members ORDER BY members""".stripMargin,
 
     "s04_stratified_sample" ->
       """SELECT vec_id, label FROM (

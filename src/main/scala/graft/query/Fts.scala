@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   * Match grammar — the FTS5 subset the reference exercises
   * (test_graphdb.py:107-110 prefix `An*`; docstring graphydb.py:855
   * column-scoped `title: Quantum`; implicit/explicit AND) plus `OR`
-  * branches and `"quoted phrases"`. Every match also carries a `score`
-  * column (term-frequency: total matching posting rows per uid), reachable
-  * from fetch ORDER/extras as `<alias>_fts.score` — the analogue of the
-  * reference ranking via ORDER passthrough (graphydb.py:956-962). NEAR,
-  * NOT, and bm25 weighting stay out of scope.
+  * branches, `"quoted phrases"`, binary `NOT` (set difference, as in FTS5:
+  * `a NOT b` = matches of a minus matches of b; each branch needs ≥1
+  * positive atom), and `NEAR(x y ..., n)` proximity groups (all members in
+  * the same (uid, field) within a position window of `n`, default 10 —
+  * phrase's `pos+1` self-join generalized to `greatest(pos…) − least(pos…)
+  * ≤ n`). Every match also carries a `score` column (term-frequency: total
+  * matching posting rows per uid; negated atoms contribute nothing),
+  * reachable from fetch ORDER/extras as `<alias>_fts.score` — the analogue
+  * of the reference ranking via ORDER passthrough (graphydb.py:956-962).
   */
 object Fts {
 
@@ -41,37 +45,93 @@ object Fts {
   private sealed trait Atom { def field: Option[String] }
   private final case class Term(text: String, prefix: Boolean, field: Option[String]) extends Atom
   private final case class Phrase(tokens: Seq[String], field: Option[String]) extends Atom
+  private final case class Near(members: Seq[Atom], dist: Int) extends Atom {
+    val field: Option[String] = None // members carry their own scoping
+  }
 
-  /** Parse an FTS5-subset match string into OR-ed groups of AND-ed atoms.
-    * A punctuated term splits the same way the indexer tokenizes ("don't" →
-    * don AND t) so queries and postings agree; a trailing `*` applies prefix
-    * matching to the final token; `"quoted text"` is a positional phrase;
-    * uppercase OR/AND combine (OR binds looser, as in FTS5). */
-  private def parseQuery(q: String): Seq[Seq[Atom]] = {
+  /** Terms/phrases inside a NEAR(...) group (no OR/NOT/nesting inside, as in
+    * FTS5); a punctuated bare member behaves as a phrase. */
+  private def parseMembers(s: String): Seq[Atom] = {
     val Tok = """(?:(\w+)\s*:\s*)?"([^"]*)"|(\S+)""".r
-    val branches = Seq.newBuilder[Seq[Atom]]
-    var group = Seq.newBuilder[Atom]
+    Tok.findAllMatchIn(s.trim).flatMap { m =>
+      if (m.group(2) != null) {
+        val field = Option(m.group(1)).map(_.toLowerCase)
+        val toks = m.group(2).toLowerCase.split(TokenSplit).filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) None
+        else if (toks.size == 1) Some(Term(toks.head, prefix = false, field))
+        else Some(Phrase(toks, field))
+      } else {
+        var t = m.group(3)
+        var field: Option[String] = None
+        if (t.contains(":")) {
+          val Array(f, rest) = t.split(":", 2)
+          field = Some(f.toLowerCase); t = rest
+        }
+        val prefix = t.endsWith("*")
+        val pieces = (if (prefix) t.dropRight(1) else t).toLowerCase
+          .split(TokenSplit).filter(_.nonEmpty).toSeq
+        if (pieces.isEmpty) None
+        else if (pieces.size == 1) Some(Term(pieces.head, prefix, field))
+        else Some(Phrase(pieces, field))
+      }
+    }.toSeq
+  }
+
+  /** Parse an FTS5-subset match string into OR-ed groups of AND-ed
+    * (atom, negated) pairs. A punctuated term splits the same way the
+    * indexer tokenizes ("don't" → don AND t) so queries and postings agree;
+    * a trailing `*` applies prefix matching to the final token; `"quoted
+    * text"` is a positional phrase; `NOT` negates the following atom (all
+    * pieces, for a splitting term); `NEAR(...)` groups are lifted out
+    * before tokenization (the token regex cannot span them); uppercase
+    * OR/AND combine (OR binds looser, as in FTS5). */
+  private def parseQuery(q: String): Seq[Seq[(Atom, Boolean)]] = {
+    val nears = scala.collection.mutable.ArrayBuffer.empty[Near]
+    val NearRe = """NEAR\(([^)]*)\)""".r
+    val cleaned = NearRe.replaceAllIn(q, m => {
+      val inner = m.group(1)
+      val i = inner.lastIndexOf(',')
+      val (body, dist) =
+        if (i >= 0 && inner.substring(i + 1).trim.matches("\\d+"))
+          (inner.substring(0, i), inner.substring(i + 1).trim.toInt)
+        else (inner, 10) // FTS5's default NEAR distance
+      nears += Near(parseMembers(body), dist)
+      " \u0001" + (nears.size - 1) + " "
+    })
+    val Tok = """(?:(\w+)\s*:\s*)?"([^"]*)"|(\S+)""".r
+    val branches = Seq.newBuilder[Seq[(Atom, Boolean)]]
+    var group = Seq.newBuilder[(Atom, Boolean)]
     var groupNonEmpty = false
     var pendingField: Option[String] = None
+    var pendingNot = false
     def takeField(inline: Option[String]): Option[String] = {
       val f = inline.map(_.toLowerCase).orElse(pendingField)
       pendingField = None
       f
     }
-    Tok.findAllMatchIn(q.trim).foreach { m =>
+    def takeNot(): Boolean = { val n = pendingNot; pendingNot = false; n }
+    // NO .trim here: trim strips every char <= 0x20 including a leading
+    // placeholder byte; the tokenizer skips whitespace on its own
+    Tok.findAllMatchIn(cleaned).foreach { m =>
       if (m.group(2) != null) {
         val field = takeField(Option(m.group(1)))
+        val neg = takeNot()
         val toks = m.group(2).toLowerCase.split(TokenSplit).filter(_.nonEmpty).toSeq
         if (toks.nonEmpty) {
-          group += (if (toks.size == 1) Term(toks.head, prefix = false, field)
-                    else Phrase(toks, field))
+          group += ((if (toks.size == 1) Term(toks.head, prefix = false, field)
+                     else Phrase(toks, field), neg))
           groupNonEmpty = true
         }
       } else m.group(3) match {
         case "OR" =>
           if (groupNonEmpty) branches += group.result()
-          group = Seq.newBuilder[Atom]; groupNonEmpty = false
+          group = Seq.newBuilder[(Atom, Boolean)]; groupNonEmpty = false
+          pendingNot = false
         case "AND" => ()
+        case "NOT" => pendingNot = true
+        case t0 if t0.startsWith("\u0001") =>
+          group += ((nears(t0.drop(1).toInt), takeNot()))
+          groupNonEmpty = true
         case t0 if t0.endsWith(":") =>
           pendingField = Some(t0.dropRight(1).toLowerCase)
         case t0 =>
@@ -84,10 +144,11 @@ object Fts {
           val field = takeField(inline)
           if (t.nonEmpty) {
             val prefix = t.endsWith("*")
+            val neg = takeNot()
             val pieces = (if (prefix) t.dropRight(1) else t).toLowerCase
               .split(TokenSplit).filter(_.nonEmpty)
             pieces.zipWithIndex.foreach { case (piece, idx) =>
-              group += Term(piece, prefix && idx == pieces.length - 1, field)
+              group += ((Term(piece, prefix && idx == pieces.length - 1, field), neg))
               groupNonEmpty = true
             }
           }
@@ -120,27 +181,66 @@ object Fts {
     s"FROM $view p0$joins\nWHERE $where"
   }
 
+  /** Occurrence rows (uid, field, pos) of one NEAR member. */
+  private def occSelect(view: String, a: Atom): String = a match {
+    case t: Term   => s"SELECT uid, field, pos FROM $view WHERE ${termCond(t)}"
+    case p: Phrase => s"SELECT p0.uid AS uid, p0.field AS field, p0.pos AS pos ${phraseBody(view, p)}"
+    case _: Near   => throw new IllegalArgumentException("NEAR groups cannot nest")
+  }
+
+  /** FROM/JOIN/WHERE body of a NEAR proximity join: every member in the same
+    * (uid, field), all member positions within the `dist` window (for
+    * phrases, the position is the phrase start). */
+  private def nearBody(view: String, n: Near): String = {
+    require(n.members.nonEmpty, "empty NEAR group")
+    val joins = n.members.zipWithIndex.tail.map { case (a, i) =>
+      s"\nJOIN (${occSelect(view, a)}) o$i ON o$i.uid = o0.uid AND o$i.field = o0.field"
+    }.mkString
+    val ps = n.members.indices.map(i => s"o$i.pos")
+    val window =
+      if (n.members.size == 1) "TRUE"
+      else s"greatest(${ps.mkString(", ")}) - least(${ps.mkString(", ")}) <= ${n.dist}"
+    s"FROM (${occSelect(view, n.members.head)}) o0$joins\nWHERE $window"
+  }
+
   private def matchSelect(view: String, a: Atom): String = a match {
     case t: Term   => s"SELECT DISTINCT uid FROM $view WHERE ${termCond(t)}"
     case p: Phrase => s"SELECT DISTINCT p0.uid AS uid ${phraseBody(view, p)}"
+    case n: Near   => s"SELECT DISTINCT o0.uid AS uid ${nearBody(view, n)}"
   }
 
   private def scoreSelect(view: String, a: Atom): String = a match {
     case t: Term   => s"SELECT uid, COUNT(*) AS c FROM $view WHERE ${termCond(t)} GROUP BY uid"
     case p: Phrase => s"SELECT p0.uid AS uid, COUNT(*) AS c ${phraseBody(view, p)} GROUP BY p0.uid"
+    // joins multiply rows, so the NEAR tf = distinct anchor positions that
+    // participate in at least one qualifying window
+    case n: Near   => s"SELECT o0.uid AS uid, COUNT(DISTINCT o0.pos) AS c ${nearBody(view, n)} GROUP BY o0.uid"
   }
 
+  /** One OR-branch: positive atoms INTERSECT, then each negated atom's match
+    * set is subtracted (FTS5 `a NOT b` set difference). */
+  private def branchMatch(view: String, atoms: Seq[(Atom, Boolean)], query: String): String = {
+    val pos = atoms.collect { case (a, false) => a }
+    val neg = atoms.collect { case (a, true) => a }
+    require(pos.nonEmpty, s"FTS branch needs at least one positive atom: '$query'")
+    val posSql = pos.map(matchSelect(view, _)).mkString("\nINTERSECT\n")
+    neg.map(matchSelect(view, _))
+      .foldLeft(s"($posSql)")((acc, n) => s"($acc\nEXCEPT\n($n))")
+  }
+
+  private def positives(branches: Seq[Seq[(Atom, Boolean)]]): Seq[Atom] =
+    branches.flatten.collect { case (a, false) => a }
+
   /** SQL subquery over a postings view returning matching uids with a tf
-    * `score` (total posting rows matched by any query atom). AND-ed atoms
-    * INTERSECT; OR branches UNION. */
+    * `score` (total posting rows matched by any POSITIVE query atom).
+    * AND-ed atoms INTERSECT; negated atoms EXCEPT; OR branches UNION. */
   def matchSql(postingsView: String, query: String): String = {
     val branches = parseQuery(query)
     require(branches.nonEmpty, s"empty FTS match: '$query'")
     val matches = branches
-      .map(atoms => atoms.map(matchSelect(postingsView, _)).mkString("\nINTERSECT\n"))
-      .map(b => s"($b)")
+      .map(atoms => branchMatch(postingsView, atoms, query))
       .mkString("\nUNION\n")
-    val scores = branches.flatten
+    val scores = positives(branches)
       .map(scoreSelect(postingsView, _))
       .mkString("\nUNION ALL\n")
     s"""SELECT m.uid AS uid, s.score AS score
@@ -161,7 +261,7 @@ object Fts {
       k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4): String = {
     val branches = parseQuery(query)
     require(branches.nonEmpty, s"empty FTS match: '$query'")
-    val atoms = branches.flatten
+    val atoms = positives(branches)
     val tfs = atoms.zipWithIndex.map { case (a, i) =>
       s"tf$i AS (${scoreSelect(postingsView, a)})"
     }
@@ -174,8 +274,7 @@ object Fts {
          |FROM tf$i t JOIN lens l ON l.uid = t.uid CROSS JOIN stats st""".stripMargin
     }
     val matches = branches
-      .map(atomsB => atomsB.map(matchSelect(postingsView, _)).mkString("\nINTERSECT\n"))
-      .map(bb => s"($bb)")
+      .map(atomsB => branchMatch(postingsView, atomsB, query))
       .mkString("\nUNION\n")
     s"""WITH lens AS (SELECT uid, COUNT(*) AS len FROM $postingsView GROUP BY uid),
        |stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),

@@ -21,6 +21,10 @@ class StarGraphSpec extends AnyFunSuite with SparkSpec {
     df.queryExecution.optimizedPlan.collect { case r: InMemoryRelation => r }.size
 
   test("uncached projection prunes untouched kinds to exactly the scanned parquet") {
+    // drop any memoized per-kind caches first: Spark's CacheManager would
+    // otherwise substitute matching plan fragments with InMemoryRelations
+    // even in a freshly built projection
+    StarGraph.invalidate()
     val g = StarGraph.build(spark, dir)
     assert(parquetLeaves(g.nodes.filter(col("kind") === "customer")) == 1)
     assert(parquetLeaves(g.edges.filter(col("kind") === "InNation")) == 1)

@@ -32,4 +32,33 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       s"expected shuffle-free bucketed join, found ${shuffles.length} exchanges:\n" +
         hop.queryExecution.executedPlan)
   }
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    // string-count so AQE-wrapped plans are included too
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+  }
+
+  test("star warehouse: 2-hop co-part motif + per-order agg has ZERO shuffle exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("w20_copart_pairs_wh")(spark, dir)
+    assert(df.count() > 0)
+    val collected = df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+    assert(collected.isEmpty && shuffleCount(df) == 0,
+      s"bucket-aligned motif must not shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("star warehouse chains return exactly the parquet-projection results") {
+    val dir = "/root/testdata/sf0.001"
+    for (pair <- Seq(
+        ("w01_order_counts_wh", "g01_order_counts"),
+        ("w08_orders_of_customer_wh", "g08_orders_of_customer"))) {
+      val (w, g) = pair
+      val wRows = graft.SparkEntry.queries(w)(spark, dir)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+      val gRows = graft.SparkEntry.queries(g)(spark, dir)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+      assert(wRows sameElements gRows, s"$w must equal $g")
+    }
+  }
 }

@@ -36,6 +36,33 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(Sampling.weightedMix(df, "grp", "id", Map("g1" -> 999)).count() == 20)
   }
 
+  test("weightedMixFractional: deterministic replication, exact floors, hash-keyed extras") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "grp")
+    val run = () => Sampling.weightedMixFractional(df, "grp", "id",
+      Map("g0" -> 2.5, "g1" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(x => (x._1, x._3)).toSeq
+    val s1 = run()
+    assert(s1 == run(), "re-running yields the identical replicated set")
+    // weight 2.5: every g0 row appears 2 or 3 times; ~half get the 3rd copy
+    val g0Copies = s1.filter(_._2 == "g0").groupBy(_._1).view.mapValues(_.length).toMap
+    assert(g0Copies.values.forall(c => c == 2 || c == 3))
+    assert(g0Copies.size == 200, "every g0 row keeps at least its floor copies")
+    val thirds = g0Copies.values.count(_ == 3)
+    assert(math.abs(thirds / 200.0 - 0.5) < 0.15, s"got $thirds third-copies of 200")
+    // weight 0.5 downsamples: each surviving row exactly once, ~half survive
+    val g1Rows = s1.filter(_._2 == "g1")
+    assert(g1Rows.groupBy(_._1).values.forall(_.length == 1))
+    assert(math.abs(g1Rows.length / 200.0 - 0.5) < 0.15)
+    // the 0.5-survivors are exactly the rows hashSample(0.5) keeps (same key)
+    val hs = Sampling.hashSample(df.filter($"grp" === "g1"), "id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(g1Rows.map(_._1).toSet == hs)
+    // copy_idx is a clean 0-based replica index
+    assert(s1.filter(_._3 == 0L).map(x => (x._1, x._2)).distinct.length ==
+      s1.map(x => (x._1, x._2)).distinct.length)
+  }
+
   test("hashSample: deterministic, near the fraction, monotone in fraction") {
     import spark.implicits._
     val df = (1 to 2000).map(_.toLong).toDF("id")

@@ -60,6 +60,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     } finally pre.unpersist()
   }
 
+  test("batched top-k equals the per-query loop (r4: one pass per query SET)") {
+    val pre = Similarity.bucketize(vecs, "embedding", bits = 4).cache()
+    try {
+      val ids = Seq(0L, 3L, 6L)
+      val batched = Similarity.cosineLshTopKBatch(pre,
+        pre.filter(col("vec_id").isin(ids: _*)), "vec_id", "embedding", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val looped = ids.flatMap { q =>
+        Similarity.cosineLshTopKPre(pre, "vec_id", "embedding", queryId = q, k = 3)
+          .collect().map(r => (q, r.getLong(0), r.getDouble(1)))
+      }.toSet
+      assert(batched == looped, s"batched $batched must equal per-query loop $looped")
+      assert(batched.nonEmpty)
+    } finally pre.unpersist()
+  }
+
   test("lsh top-k cosines agree with brute force on the shared ids") {
     val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", queryId = 0, k = 6)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

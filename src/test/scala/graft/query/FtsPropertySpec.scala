@@ -41,6 +41,80 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
         f.map(_ + ":").getOrElse("") + "\"" + ts.mkString(" ") + "\""
     }.mkString(" ")).mkString(" OR ")
 
+  // r4 grammar extensions: NEAR proximity groups and binary NOT
+  private def termPositions(toks: Seq[String], t: String): Seq[Int] =
+    toks.zipWithIndex.collect { case (x, i) if x == t => i }
+
+  private def naiveNear(d: NDoc, members: Seq[String], dist: Int): Boolean =
+    fields.exists { fl =>
+      val toks = d.field(fl)
+      val posLists = members.map(termPositions(toks, _))
+      posLists.forall(_.nonEmpty) && {
+        val combos = posLists.foldLeft(Seq(Seq.empty[Int])) {
+          (acc, ps) => acc.flatMap(c => ps.map(c :+ _))
+        }
+        combos.exists(c => c.max - c.min <= dist)
+      }
+    }
+
+  test("random NEAR/NOT trees ≡ naive evaluator") {
+    val rng = new Random(2024)
+    for (round <- 1 to 5) {
+      val docs = (1 to (6 + rng.nextInt(4))).map { i =>
+        def ts() = Seq.fill(3 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size)))
+        NDoc(s"u$i", ts(), ts())
+      }
+      import spark.implicits._
+      val df = docs.map(d => (d.uid, d.title.mkString(" "), d.body.mkString(" ")))
+        .toDF("uid", "title", "body")
+      val idx = Fts.postings(df, "uid", Map("title" -> "title", "body" -> "body"))
+
+      for (_ <- 1 to 8) {
+        val kind = rng.nextInt(3)
+        val (q, want) = kind match {
+          case 0 => // NEAR(t1 t2, n)
+            val t1 = vocab(rng.nextInt(vocab.size)); val t2 = vocab(rng.nextInt(vocab.size))
+            val n = rng.nextInt(4)
+            (s"NEAR($t1 $t2, $n)",
+              docs.filter(d => naiveNear(d, Seq(t1, t2), n)).map(_.uid).toSet)
+          case 1 => // a NOT b
+            val a = vocab(rng.nextInt(vocab.size)); val b = vocab(rng.nextInt(vocab.size))
+            def has(d: NDoc, t: String) = (d.title ++ d.body).contains(t)
+            (s"$a NOT $b",
+              docs.filter(d => has(d, a) && !has(d, b)).map(_.uid).toSet)
+          case _ => // (a NOT b) OR NEAR(c d, n): NOT binds inside its branch
+            val a = vocab(rng.nextInt(vocab.size)); val b = vocab(rng.nextInt(vocab.size))
+            val c = vocab(rng.nextInt(vocab.size)); val e = vocab(rng.nextInt(vocab.size))
+            val n = 1 + rng.nextInt(3)
+            def has(d: NDoc, t: String) = (d.title ++ d.body).contains(t)
+            (s"$a NOT $b OR NEAR($c $e, $n)",
+              docs.filter(d => (has(d, a) && !has(d, b)) || naiveNear(d, Seq(c, e), n))
+                .map(_.uid).toSet)
+        }
+        val got = Fts.matchUids(idx, q).collect().map(_.getString(0)).toSet
+        assert(got == want, s"round $round query <$q>: got $got want $want")
+      }
+    }
+  }
+
+  test("NEAR default distance is 10; phrase members anchor at phrase start") {
+    import spark.implicits._
+    val df = Seq(
+      ("d1", "alpha beta gamma delta eps zeta"),
+      ("d2", "alpha zeta beta other other other other other other other other gamma"),
+      ("d3", "gamma alpha beta")).toDF("uid", "body")
+    val idx = Fts.postings(df, "uid", Map("body" -> "body"))
+    // alpha..gamma within default 10 in d1 (Δ2) and d3 (Δ1); d2 has Δ11
+    assert(Fts.matchUids(idx, "NEAR(alpha gamma)").collect().map(_.getString(0)).toSet
+      == Set("d1", "d3"))
+    // phrase member: "alpha beta" starts at 0 (d1) / 1 (d3); gamma at 2 / 0
+    assert(Fts.matchUids(idx, "NEAR(\"alpha beta\" gamma, 2)")
+      .collect().map(_.getString(0)).toSet == Set("d1", "d3"))
+    assert(Fts.matchUids(idx, "NEAR(\"alpha beta\" gamma, 1)")
+      .collect().map(_.getString(0)).toSet == Set("d3"),
+      "d1's phrase-start 0 to gamma 2 exceeds a 1-token window")
+  }
+
   test("random OR/AND/phrase/prefix/field queries ≡ naive evaluator") {
     val rng = new Random(4242)
     for (round <- 1 to 5) {
