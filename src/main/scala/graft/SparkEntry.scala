@@ -304,6 +304,16 @@ object SparkEntry {
         .select("uid")
     }),
 
+    // SQLite iif() through the dialect (rewritten to Spark's if()): account
+    // balance banding aggregated over the fetch output
+    "g14_iif_band" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "[c:customer,band]",
+        params = Map("band" ->
+          "iif(CAST(c.data.c_acctbal AS DOUBLE) >= 5000, 'high', 'low')")))
+        .groupBy("band").agg(count(lit(1)).as("n"))
+    }),
+
     "g08_orders_of_customer" -> ((s, d) => {
       Fetch.df(StarGraph(s, d), Fetch.Args(
         chain = "[o:orders] -(e:PlacedBy)> (c:customer)",
@@ -751,6 +761,11 @@ object SparkEntry {
         |WHERE regexp_matches(LOWER(p_name), '\bred\b')""".stripMargin,
 
     "g08_orders_of_customer" -> OrdersOfCustomerSql,
+
+    "g14_iif_band" ->
+      """SELECT CASE WHEN CAST(c_acctbal AS DOUBLE) >= 5000 THEN 'high' ELSE 'low' END AS band,
+        | COUNT(*) AS n
+        |FROM customer GROUP BY 1""".stripMargin,
 
     "g11_order_by_joined" ->
       """SELECT 'customer:' || c_custkey AS uid

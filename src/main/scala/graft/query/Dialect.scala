@@ -32,7 +32,8 @@ object Dialect {
   def translate(s: String, params: Map[String, Any] = Map.empty): String = {
     var out = rewriteGlobScan(s, params)
     out = mapOutsideQuotes(out)(bindParamsRaw(_, params))
-    out = mapOutsideQuotes(out)(seg => rewriteDoubleEqualsRaw(rewriteJsonPathsRaw(seg)))
+    out = mapOutsideQuotes(out)(seg =>
+      rewriteSqliteFnsRaw(rewriteDoubleEqualsRaw(rewriteJsonPathsRaw(seg))))
     out
   }
 
@@ -206,4 +207,17 @@ object Dialect {
   def rewriteDoubleEquals(s: String): String = mapOutsideQuotes(s)(rewriteDoubleEqualsRaw)
 
   private def rewriteDoubleEqualsRaw(s: String): String = s.replaceAll("(?<![<>!=])==", "=")
+
+  /** SQLite-only scalar functions → their Spark equivalents: `iif(c,a,b)` →
+    * `if(c,a,b)`, `printf(fmt,…)` → `format_string(fmt,…)` (case-insensitive
+    * names, as SQLite resolves them). `typeof`/`ifnull`/`instr`/`substr`
+    * exist in Spark under the same names and pass through untouched (typeof
+    * returns Spark's type vocabulary — 'int' where SQLite says 'integer'). */
+  def rewriteSqliteFns(s: String): String = mapOutsideQuotes(s)(rewriteSqliteFnsRaw)
+
+  private val FnRenames = Seq("iif" -> "if", "printf" -> "format_string")
+  private def rewriteSqliteFnsRaw(s: String): String =
+    FnRenames.foldLeft(s) { case (acc, (from, to)) =>
+      acc.replaceAll(s"(?i)(?<![\\w.])$from\\s*\\(", to + "(")
+    }
 }

@@ -39,6 +39,18 @@ class DialectSpec extends AnyFunSuite {
     assert(t == "get_json_object(p.props, '$.age') = 21")
   }
 
+  test("SQLite-only scalars: iif -> if, printf -> format_string (case-insensitive, quote-safe)") {
+    assert(Dialect.translate("iif(n.data.a == 1, 'y', 'n')") ==
+      "if(get_json_object(n.props, '$.a') = 1, 'y', 'n')")
+    assert(Dialect.translate("PRINTF('%s-%d', n.kind, 3)") ==
+      "format_string('%s-%d', n.kind, 3)")
+    // names embedded in identifiers or literals are untouched
+    assert(Dialect.translate("verifiif(x)") == "verifiif(x)")
+    assert(Dialect.translate("n.s = 'iif(1,2,3)'") == "n.s = 'iif(1,2,3)'")
+    // Spark shares typeof/ifnull under the same names: passthrough
+    assert(Dialect.translate("ifnull(n.a, 0)") == "ifnull(n.a, 0)")
+  }
+
   test("rewrites never touch single-quoted literals") {
     assert(Dialect.translate("n.data.op = 'a==b'") ==
       "get_json_object(n.props, '$.op') = 'a==b'")
