@@ -464,6 +464,27 @@ object SparkEntry {
         bucketed.filter(col("vec_id").isin(0, 7, 11)), "vec_id", "embedding", k = 5)
     }),
 
+    // IVF with a REAL coarse quantizer (not the label stand-in of s02): the
+    // codebook = embeddings of rows 1/5/9, folded into one shuffle-free
+    // assignment expression; the query probes only its own centroid's cell
+    "s09_ann_ivf_codebook" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cb = emb.filter(col("vec_id").isin(1, 5, 9))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1).toSeq
+      val assigned = Similarity.assignByCodebook(emb, "embedding", cb)
+      val q = assigned.filter(col("vec_id") === 7)
+        .select(col("embedding").as("qv"),
+          Similarity.norm(col("embedding")).as("qn"), col("_cid").as("qcid"))
+      assigned.filter(col("vec_id") =!= 7)
+        .join(broadcast(q), col("_cid") === col("qcid"))
+        .select(col("vec_id").as("id"), col("_cid").as("cid"),
+          round(Similarity.dot(col("embedding"), col("qv"))
+            / (Similarity.norm(col("embedding")) * col("qn")), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("id")).limit(5)
+    }),
+
     // epoch-style fractional upsampling: label 0 ×2.5, label 1 ×0.5 (halved),
     // label 3 ×1.25 — weights chosen with exact binary fractions so the
     // hash-threshold comparison is FP-identical across engines
@@ -1062,6 +1083,29 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rk
         |  FROM scored) WHERE rk <= 5""".stripMargin
     },
+
+    // mirrors assignByCodebook (argmax cosine vs the 1/5/9 codebook, ties →
+    // lowest cid, sims rounded to 6 before ranking) + the cell-local probe
+    "s09_ann_ivf_codebook" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM e WHERE vec_id IN (1, 5, 9)),
+        |scored AS (SELECT e.vec_id, cb.cid,
+        |  ROUND(list_sum(list_transform(list_zip(e.embedding, cb.cvec),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * cb.cnrm), 6) AS sim
+        |  FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        |  FROM scored) WHERE rk = 1),
+        |q AS (SELECT e.vec_id, e.embedding AS qv, e.nrm AS qn, a.cid AS qcid
+        |  FROM e JOIN asg a ON a.vec_id = e.vec_id WHERE e.vec_id = 7)
+        |SELECT e.vec_id AS id, a.cid AS cid,
+        |  ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * q.qn), 4) AS cosine
+        |FROM e JOIN asg a ON a.vec_id = e.vec_id CROSS JOIN q
+        |WHERE e.vec_id <> 7 AND a.cid = q.qcid
+        |ORDER BY cosine DESC, id LIMIT 5""".stripMargin,
 
     "s08_weighted_mix_frac" ->
       """WITH w(stratum, wt) AS (VALUES ('0', 2.5), ('1', 0.5), ('3', 1.25)),

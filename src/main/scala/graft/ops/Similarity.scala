@@ -62,6 +62,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF coarse-quantizer assignment against an explicit codebook: every
+    * row gets `_cid` = the codebook id with the highest cosine to its
+    * vector (`_sim`, rounded; ties → lowest cid). The codebook is tiny by
+    * definition (learned offline, e.g. k-means over a sample), so it folds
+    * into ONE projected expression — the corpus is never shuffled, never
+    * joined, and the assignment is pure codegen'd map work: the only shape
+    * that scales to re-quantizing a 100 TB corpus. Cosines are computed as
+    * the same ordered fold as [[dot]]/[[norm]], so an external engine
+    * reproduces assignments bit-for-bit. */
+  def assignByCodebook(df: DataFrame, vecCol: String,
+      codebook: Seq[(Int, Seq[Double])], roundTo: Int = 6): DataFrame = {
+    require(codebook.nonEmpty, "empty codebook")
+    val v = col(vecCol)
+    val n = norm(v)
+    val scored = codebook.map { case (cid, cvec) =>
+      val cArr = array(cvec.map(lit): _*)
+      val cNorm = math.sqrt(cvec.map(x => x * x).sum)
+      // struct orders lexicographically: highest sim wins, then lowest cid
+      // (negated so the max picks the smallest id on ties)
+      struct(round(dot(v, cArr) / (n * lit(cNorm)), roundTo).as("sim"),
+        lit(-cid).as("negcid"))
+    }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    df.withColumn("_best", best)
+      .withColumn("_cid", -col("_best.negcid"))
+      .withColumn("_sim", col("_best.sim"))
+      .drop("_best")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a value in [-0.5, 0.5) derived from md5 — reproducible everywhere. */
   private def planeComponent(plane: Column, dim: Column): Column =

@@ -76,6 +76,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     } finally pre.unpersist()
   }
 
+  test("assignByCodebook: nearest centroid wins, ties break to lowest cid, no shuffle") {
+    import spark.implicits._
+    val cb = Seq(
+      (0, Seq(1.0, 0.0, 0.0)),   // x axis
+      (1, Seq(0.0, 1.0, 0.0)),   // y axis
+      (2, Seq(1.0, 0.0, 0.0)))   // duplicate of cid 0: tie-break target
+    val assigned = Similarity.assignByCodebook(vecs, "embedding", cb)
+      .select(col("vec_id"), col("_cid")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // x-cluster rows pick cid 0 (tie with identical cid 2 resolves low)
+    assert(Seq(0L, 1L, 2L).forall(assigned(_) == 0))
+    // y-cluster rows pick cid 1
+    assert(Seq(3L, 4L).forall(assigned(_) == 1))
+    // pure map work: the assignment plan contains no exchange at all
+    val plan = Similarity.assignByCodebook(vecs, "embedding", cb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must be shuffle-free:\n$plan")
+  }
+
   test("lsh top-k cosines agree with brute force on the shared ids") {
     val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", queryId = 0, k = 6)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
