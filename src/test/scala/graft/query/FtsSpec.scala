@@ -88,6 +88,20 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
     assert(s2 == Map("u1" -> 1L, "u3" -> 1L, "u2" -> 1L))
   }
 
+  test("NOT and NEAR compose with scoring forms (r4)") {
+    // NOT: quantum docs minus mechanics docs
+    assert(uids("quantum NOT mechanics") == Set("u3"))
+    // bm25 over a NOT query: negated atom restricts the match set but
+    // contributes nothing to the score
+    val bm = Fts.matchBm25(idx, "quantum NOT mechanics")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bm.keySet == Set("u3") && bm("u3") > 0)
+    // tf-score form over NEAR: only the proximity-matching doc scores
+    val near = Fts.matchScores(idx, "NEAR(quantum mechanics, 1)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(near.keySet == Set("u1") && near("u1") >= 1)
+  }
+
   test("bm25: higher tf ranks higher; rarer term outscores common term") {
     import spark.implicits._
     val d = Seq(

@@ -38,6 +38,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("deterministic sampling works unchanged on streams (stateless filters)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // hash-threshold sampling and fractional replication are pure row-wise
+    // transforms: applied to a stream they select/replicate EXACTLY the
+    // rows the batch twin does — reproducible curation over a live feed
+    val docs = (1L to 200L).map(i => Doc(i, ts((i % 60).toInt), s"text $i"))
+    val mem = MemoryStream[Doc]
+    mem.addData(docs: _*)
+    val streamed = EventStreams.runToMemory(spark,
+      graft.ops.Sampling.hashSample(mem.toDF(), "doc_id", 0.3), "stream_sample",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = graft.ops.Sampling.hashSample(docs.toDF(), "doc_id", 0.3)
+    assert(streamed.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      batch.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val streamedFrac = EventStreams.runToMemory(spark,
+      graft.ops.Sampling.weightedMixFractional(
+        mem.toDF().withColumn("shard", col("doc_id") % 2), "shard", "doc_id",
+        Map("0" -> 1.5, "1" -> 0.5)),
+      "stream_frac", org.apache.spark.sql.streaming.OutputMode.Append())
+    val batchFrac = graft.ops.Sampling.weightedMixFractional(
+      docs.toDF().withColumn("shard", col("doc_id") % 2), "shard", "doc_id",
+      Map("0" -> 1.5, "1" -> 0.5))
+    assert(streamedFrac.select("doc_id", "copy_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      batchFrac.select("doc_id", "copy_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(streamedFrac.count() > 0)
+  }
+
   test("session windows produce gap-separated sessions") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
