@@ -46,8 +46,12 @@ object Bench {
       name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
     // per-query medians rounded to 4 dp: keeps the line short enough that a
-    // tail-capture of stdout can't truncate entries (BENCH_r03 lost its head)
-    def r4(v: Double): String = if (v < 0) "-1.0" else f"$v%.4f"
+    // tail-capture of stdout can't truncate entries (BENCH_r03 lost its
+    // head). Locale.ROOT so a comma-decimal default locale can't corrupt
+    // the JSON.
+    def r4(v: Double): String =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -25,16 +25,21 @@ import java.nio.file.{Files, Paths}
 object StarWarehouse {
 
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), ViewGraph]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), ViewGraph]()
 
   def apply(spark: SparkSession, dir: String, buckets: Int = 16): ViewGraph =
-    memo.computeIfAbsent((spark, dir), { case (s, d) => build(s, d, buckets) })
+    memo.computeIfAbsent((spark, dir, buckets),
+      { case (s, d, b) => build(s, d, b) })
 
   /** Drop memoized graphs (tables stay in the catalog until replaced). */
   def invalidate(): Unit = memo.clear()
 
-  private def tablePrefix(dir: String): String =
-    s"graft_wstar_${Integer.toHexString(dir.hashCode)}"
+  /** md5-derived so distinct (dir, buckets) configurations can't collide on
+    * a 32-bit hashCode and silently overwrite each other's tables. */
+  private def tablePrefix(dir: String, buckets: Int): String =
+    s"graft_wstar_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir#$buckets".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
 
   /** DROP + clear any orphaned table dir (in-memory catalog, durable
     * warehouse dir — same hazard as WarehouseGraph.compactBucketed). */
@@ -44,14 +49,16 @@ object StarWarehouse {
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
     if (Files.exists(loc)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(loc).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(loc)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
     }
     write
   }
 
   private def build(spark: SparkSession, dir: String, buckets: Int): ViewGraph = {
     val g = StarGraph.build(spark, dir)
-    val p = tablePrefix(dir)
+    val p = tablePrefix(dir, buckets)
     replaceTable(spark, s"${p}_nodes") {
       g.nodes.write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, "uid").sortBy("uid")

@@ -134,12 +134,15 @@ object ItemSet {
     * multi-MB SQL string the parser has to chew through. */
   private[engine] val InListThreshold = 10000
 
-  // uid-set views registered since the last drain, per session. ItemSet
-  // fetches are eager (collect on return), so traversal methods drain this
-  // right after the fetch — a long-lived session no longer accumulates
-  // catalog entries pinning driver-side uid data.
+  // uid-set views registered since the last drain, per THREAD (a session-
+  // keyed map would let one thread's drain drop another in-flight fetch's
+  // view — Spark sessions are multi-thread-safe and the register/execute/
+  // drain cycle runs on the calling thread). ItemSet fetches are eager
+  // (collect on return), so traversal methods drain right after the fetch —
+  // a long-lived session no longer accumulates catalog entries pinning
+  // driver-side uid data.
   private val pendingViews =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, List[String]]()
+    ThreadLocal.withInitial[List[String]](() => Nil)
 
   /** Render `<colRef> IN (...)` either as literals (small sets) or as a
     * subquery over a registered temp view of the uids (large sets — the
@@ -153,14 +156,17 @@ object ItemSet {
       val view = s"graft_uidset_${graft.core.Uid.random().toLowerCase}"
       import spark.implicits._
       spark.createDataset(us).toDF("uid").createOrReplaceTempView(view)
-      pendingViews.merge(spark, List(view), _ ++ _)
+      pendingViews.set(view :: pendingViews.get())
       s"$colRef IN (SELECT uid FROM $view)"
     }
 
-  /** Drop every uid-set view registered since the last drain. Call only
-    * AFTER the consuming query has materialized. */
-  private[engine] def dropPendingViews(spark: org.apache.spark.sql.SparkSession): Unit =
-    Option(pendingViews.remove(spark)).foreach(_.foreach(spark.catalog.dropTempView))
+  /** Drop every uid-set view THIS THREAD registered since its last drain.
+    * Call only AFTER the consuming query has materialized (or failed). */
+  private[engine] def dropPendingViews(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val views = pendingViews.get()
+    pendingViews.remove()
+    views.foreach(spark.catalog.dropTempView)
+  }
 }
 
 final class NSet(initial: Seq[Node] = Nil) extends ItemSet[Node, NSet](initial) {
@@ -169,8 +175,9 @@ final class NSet(initial: Seq[Node] = Nil) extends ItemSet[Node, NSet](initial) 
   private def g: MemGraph = list.head.graph
   private def uidIn(colRef: String): String = ItemSet.uidPredicate(g.spark, colRef, uids.toSeq)
   // fetches are eager, so the uid-set views a predicate registered can be
-  // dropped as soon as the fetch returns
-  private def drained[A](fetched: A): A = { ItemSet.dropPendingViews(g.spark); fetched }
+  // dropped as soon as the fetch returns — or fails (finally)
+  private def drained[A](fetched: => A): A =
+    try fetched finally ItemSet.dropPendingViews(g.spark)
 
   /** Set-level traversals: ONE distributed query per call (the reference
     * loops members, N+1 queries — graphydb.py:1711-1772; SURVEY §2.12). */
@@ -189,7 +196,8 @@ final class ESet(initial: Seq[Edge] = Nil) extends ItemSet[Edge, ESet](initial) 
   private def g: MemGraph = list.head.graph
   private def uidIn(col: String): String = ItemSet.uidPredicate(
     g.spark, "n.uid", toSeq.map(_.data(col).toString).distinct)
-  private def drained[A](fetched: A): A = { ItemSet.dropPendingViews(g.spark); fetched }
+  private def drained[A](fetched: => A): A =
+    try fetched finally ItemSet.dropPendingViews(g.spark)
 
   /** Endpoint node sets — one query each (graphydb.py:1673-1691). */
   def start: NSet = if (isEmpty) new NSet() else drained(g.fetchN("(n)", Seq(uidIn("startuid"))))

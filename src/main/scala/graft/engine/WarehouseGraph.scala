@@ -106,7 +106,9 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
       if (Files.exists(loc)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(loc).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        val walk = Files.walk(loc)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally walk.close()
       }
       write
     }
@@ -125,8 +127,11 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
   private def replaceDir(from: String, to: String): Unit = {
     import scala.jdk.CollectionConverters._
     val toPath = Paths.get(to)
-    if (Files.exists(toPath))
-      Files.walk(toPath).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    if (Files.exists(toPath)) {
+      val walk = Files.walk(toPath)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
     Files.move(Paths.get(from), toPath)
   }
 

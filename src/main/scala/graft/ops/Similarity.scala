@@ -74,6 +74,10 @@ object Similarity {
   def assignByCodebook(df: DataFrame, vecCol: String,
       codebook: Seq[(Int, Seq[Double])], roundTo: Int = 6): DataFrame = {
     require(codebook.nonEmpty, "empty codebook")
+    // a zero-norm centroid would make every cosine NaN, and NaN sorts above
+    // every number in Spark — the whole corpus would silently land there
+    require(codebook.forall { case (_, v) => v.exists(_ != 0.0) },
+      "codebook contains a zero vector (undefined cosine)")
     val v = col(vecCol)
     val n = norm(v)
     val scored = codebook.map { case (cid, cvec) =>

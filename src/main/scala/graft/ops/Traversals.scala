@@ -49,6 +49,7 @@ object Traversals {
     * iterative lineage. Beyond a few hops switch to [[connectedReach]];
     * over a bucketed warehouse the endpoint joins are shuffle-free. */
   def kHop(g: GraphSource, seeds: DataFrame, hops: Int, directed: Boolean = false): DataFrame = {
+    if (hops <= 0) return g.nodes.limit(0) // don't pay the edge compaction
     val e = g.edges.select("startuid", "enduid").localCheckpoint(true)
     var visited = seeds.select("uid").localCheckpoint(true)
     var frontier = visited

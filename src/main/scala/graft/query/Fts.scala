@@ -85,19 +85,42 @@ object Fts {
     * pieces, for a splitting term); `NEAR(...)` groups are lifted out
     * before tokenization (the token regex cannot span them); uppercase
     * OR/AND combine (OR binds looser, as in FTS5). */
-  private def parseQuery(q: String): Seq[Seq[(Atom, Boolean)]] = {
+  /** Lift `NEAR(...)` groups out of the query, OUTSIDE double-quoted
+    * phrases only (a phrase whose text happens to contain "NEAR(" stays a
+    * literal phrase). Returns the rewritten string (placeholders
+    * `\u0001<idx>` — survives tokenization, cannot occur in input) and the
+    * lifted groups. */
+  private def liftNears(q: String): (String, Seq[Near]) = {
     val nears = scala.collection.mutable.ArrayBuffer.empty[Near]
-    val NearRe = """NEAR\(([^)]*)\)""".r
-    val cleaned = NearRe.replaceAllIn(q, m => {
-      val inner = m.group(1)
-      val i = inner.lastIndexOf(',')
-      val (body, dist) =
-        if (i >= 0 && inner.substring(i + 1).trim.matches("\\d+"))
-          (inner.substring(0, i), inner.substring(i + 1).trim.toInt)
-        else (inner, 10) // FTS5's default NEAR distance
-      nears += Near(parseMembers(body), dist)
-      " \u0001" + (nears.size - 1) + " "
-    })
+    val out = new StringBuilder
+    var i = 0
+    var inPhrase = false
+    def isWordBoundary(idx: Int): Boolean =
+      idx < 0 || idx >= q.length || !Character.isLetterOrDigit(q.charAt(idx))
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '"') { inPhrase = !inPhrase; out.append(c); i += 1 }
+      else if (!inPhrase && q.regionMatches(i, "NEAR(", 0, 5) && isWordBoundary(i - 1)) {
+        val close = q.indexOf(')', i + 5)
+        if (close < 0) { out.append(c); i += 1 } // unclosed: leave as text
+        else {
+          val inner = q.substring(i + 5, close)
+          val comma = inner.lastIndexOf(',')
+          val (body, dist) =
+            if (comma >= 0 && inner.substring(comma + 1).trim.matches("\\d+"))
+              (inner.substring(0, comma), inner.substring(comma + 1).trim.toInt)
+            else (inner, 10) // FTS5's default NEAR distance
+          nears += Near(parseMembers(body), dist)
+          out.append(" \u0001").append(nears.size - 1).append(' ')
+          i = close + 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    (out.toString, nears.toSeq)
+  }
+
+  private def parseQuery(q: String): Seq[Seq[(Atom, Boolean)]] = {
+    val (cleaned, nears) = liftNears(q)
     val Tok = """(?:(\w+)\s*:\s*)?"([^"]*)"|(\S+)""".r
     val branches = Seq.newBuilder[Seq[(Atom, Boolean)]]
     var group = Seq.newBuilder[(Atom, Boolean)]
@@ -130,7 +153,16 @@ object Fts {
         case "AND" => ()
         case "NOT" => pendingNot = true
         case t0 if t0.startsWith("\u0001") =>
-          group += ((nears(t0.drop(1).toInt), takeNot()))
+          // a pending `field:` scopes every member without its own scope
+          // (FTS5 column-scoped NEAR) and must be consumed either way
+          val field = takeField(None)
+          val near0 = nears(t0.drop(1).toInt)
+          val near = field.map(f => near0.copy(members = near0.members.map {
+            case t: Term if t.field.isEmpty   => t.copy(field = Some(f))
+            case p: Phrase if p.field.isEmpty => p.copy(field = Some(f))
+            case other => other
+          })).getOrElse(near0)
+          group += ((near, takeNot()))
           groupNonEmpty = true
         case t0 if t0.endsWith(":") =>
           pendingField = Some(t0.dropRight(1).toLowerCase)

@@ -102,6 +102,18 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
     assert(near.keySet == Set("u1") && near("u1") >= 1)
   }
 
+  test("field-scoped NEAR and quoted NEAR-literals (r4 review fixes)") {
+    // the pending field scopes the NEAR members
+    assert(uids("title: NEAR(quantum mechanics, 2)") == Set("u1"))
+    assert(uids("body: NEAR(quantum mechanics, 2)") == Set.empty)
+    // ...and is consumed: 'primer' after the NEAR stays unscoped (u2 has it
+    // only in body — a leaked title scope would wrongly drop u2)
+    assert(uids("title: NEAR(quantum mechanics, 2) OR primer") == Set("u1", "u2"))
+    // NEAR( inside a quoted phrase is literal phrase text, never lifted
+    assert(uids("\"quantum NEAR(of, 2)\"") == Set.empty)
+    assert(uids("\"quantum of\" OR \"NEAR(x)\"") == Set("u3"))
+  }
+
   test("bm25: higher tf ranks higher; rarer term outscores common term") {
     import spark.implicits._
     val d = Seq(
