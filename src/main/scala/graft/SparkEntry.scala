@@ -558,6 +558,23 @@ object SparkEntry {
         t(s, d, "documents").withColumn("text", contact), "doc_id", "text")
     }),
 
+    // domain-level corpus profile over a deterministic derived URL column
+    // (same derivation trick as t08 — the raw corpus carries no URLs)
+    "t10_domain_stats" -> ((s, d) => {
+      val domains = array(lit("example.com"), lit("data.org"), lit("corp.net"),
+        lit("news.io"), lit("wiki.edu"))
+      val url = concat(lit("https://"),
+        element_at(domains, (col("doc_id") % 5 + 1).cast("int")),
+        lit("/d/"), col("doc_id"))
+      TextAnalysis.domainStats(
+        t(s, d, "documents").withColumn("url", url), "url", "text")
+    }),
+
+    // exact interpolated token-length percentiles per lang shard — the cut
+    // points for corpus-relative length filtering
+    "t11_length_percentiles" -> ((s, d) =>
+      TextAnalysis.lengthPercentiles(t(s, d, "documents"), "lang", "text")),
+
     // sequence packing: 256-token next-fit bins per lang shard
     "t09_pack_bins" -> ((s, d) =>
       TextAnalysis.packBins(t(s, d, "documents"), "lang", "doc_id", "text", budget = 256)
@@ -1223,6 +1240,26 @@ object SparkEntry {
         |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |     '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
         |FROM x""".stripMargin,
+
+    // same synthesized URLs, same host regexp
+    "t10_domain_stats" ->
+      """WITH x AS (SELECT doc_id, text,
+        |  'https://' || (['example.com', 'data.org', 'corp.net', 'news.io', 'wiki.edu'])[CAST(doc_id % 5 + 1 AS INT)]
+        |    || '/d/' || doc_id AS url
+        | FROM documents)
+        |SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain,
+        | COUNT(*) AS docs,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |FROM x GROUP BY 1""".stripMargin,
+
+    // quantile_cont interpolates at rank p*(n-1), the same definition as
+    // Spark's exact percentile(); ROUND(...,4) absorbs FP ulps
+    "t11_length_percentiles" ->
+      """SELECT lang,
+        | ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 4) AS p50,
+        | ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 4) AS p90,
+        | COUNT(*) AS docs
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // exclusive running token sum per lang shard → floor(cum/budget) bin
     "t09_pack_bins" ->

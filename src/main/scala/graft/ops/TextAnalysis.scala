@@ -61,6 +61,32 @@ object TextAnalysis {
       .select(col(idCol) +: langs.map(l => col(s"score_$l")) :+ col("pred_lang"): _*)
   }
 
+  /** Per-domain corpus profile for web-crawl curation: the host extracted
+    * with one codegen'd regexp, then document and token mass per domain —
+    * the aggregation that drives domain-level allow/block lists and
+    * per-source mixing ratios. One shuffle on the (low-cardinality) domain
+    * key with map-side partial aggregation. */
+  def domainStats(df: DataFrame, urlCol: String, textCol: String): DataFrame =
+    df.select(regexp_extract(col(urlCol), "https?://([^/]+)", 1).as("domain"),
+        tokenCount(col(textCol)).as("n"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("docs"), sum(col("n")).cast("long").as("tokens"))
+
+  /** Exact interpolated length percentiles per shard — the cut points for
+    * length-based quality filtering (Gopher-style doc-length rules need the
+    * corpus' own distribution, not fixed thresholds). Exact `percentile`
+    * sorts within each shard group only; for corpus-scale sketches switch
+    * to `percentile_approx`, which is mergeable and single-pass. */
+  def lengthPercentiles(df: DataFrame, shardCol: String, textCol: String,
+      ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val aggs = ps.map(p =>
+      round(expr(s"percentile(n, $p)"), 4).as(s"p${(p * 100).toInt}")) :+
+      count(lit(1)).as("docs")
+    df.select(col(shardCol), tokenCount(col(textCol)).as("n"))
+      .groupBy(shardCol)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Rolling-hash style document fingerprint: md5 prefix of the
     * whitespace-normalized lowercased text — byte-identical across engines. */
   def fingerprint(text: Column, hexChars: Int = 16): Column =
