@@ -493,6 +493,12 @@ object SparkEntry {
         Map("0" -> 2.5, "1" -> 0.5, "3" -> 1.25))
         .select("vec_id", "label", "copy_idx")),
 
+    // epoch-2 deterministic shuffle into 4 shards: reproducible training
+    // order, per-shard windows only
+    "s10_epoch_shuffle" -> ((s, d) =>
+      Sampling.epochShuffle(t(s, d, "documents"), "doc_id", shards = 4, seed = 2)
+        .select(col("doc_id"), col("_shard").as("shard"), col("_pos").as("pos"))),
+
     // ---- Spark-only operators (no DuckDB twin -> driver rows-only check) ----
     "x01_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
@@ -1164,6 +1170,14 @@ object SparkEntry {
         | ROUND(MAX(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS max_norm,
         | ROUND(MAX(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))), 4) AS max_l1
         |FROM embeddings GROUP BY label""".stripMargin,
+
+    "s10_epoch_shuffle" ->
+      """SELECT doc_id,
+        | ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard,
+        | CAST(ROW_NUMBER() OVER (
+        |   PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+        |   ORDER BY md5('2:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
+        |FROM documents""".stripMargin,
 
     "t01_lang_tokens" ->
       """SELECT lang, COUNT(*) AS docs,

@@ -74,6 +74,23 @@ object Sampling {
       .drop("_stratum", "_w", "_h32", "_copies")
   }
 
+  /** Deterministic epoch shuffle for training data: rows land in `shards`
+    * by id hash and are ordered within each shard by a SEED-keyed hash —
+    * epoch N uses seed N for a fresh but exactly reproducible order, the
+    * property data loaders need for resumable training. The scale unit is
+    * the shard (one window partition ≈ one output file); there is
+    * deliberately no global order — a worker reads its shards in `_pos`
+    * order. Output adds `_shard` and `_pos` (1-based within shard). */
+  def epochShuffle(df: DataFrame, idCol: String, shards: Int, seed: Long): DataFrame = {
+    require(shards > 0, s"shards must be positive ($shards)")
+    val id = col(idCol).cast("string")
+    val w = Window.partitionBy("_shard")
+      .orderBy(md5(concat_ws(":", lit(seed), id)), col(idCol))
+    df.withColumn("_shard",
+        pmod(conv(substring(md5(id), 1, 8), 16, 10).cast("long"), lit(shards)))
+      .withColumn("_pos", row_number().over(w))
+  }
+
   /** Deterministic Bernoulli sample: keep rows whose md5(id) 32-bit prefix
     * falls under fraction·2³². A pure filter — no shuffle, no window, no RNG
     * state to coordinate — so it composes with scan pushdown and scales

@@ -63,6 +63,23 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       s1.map(x => (x._1, x._2)).distinct.length)
   }
 
+  test("epochShuffle: reproducible per seed, fresh order per epoch, stable shards") {
+    import spark.implicits._
+    val df = (1 to 300).map(_.toLong).toDF("id")
+    val run = (seed: Long) => Sampling.epochShuffle(df, "id", shards = 4, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+    val e1 = run(1)
+    assert(e1 == run(1), "same epoch seed reproduces the identical order")
+    val e2 = run(2)
+    // shard assignment is seed-independent; within-shard order is not
+    assert(e1.map(x => (x._1, x._2)) == e2.map(x => (x._1, x._2)))
+    assert(e1 != e2, "a new epoch seed must produce a different order")
+    // every shard is a 1..n dense ranking
+    e1.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted == (1 to rows.size).toSeq)
+    }
+  }
+
   test("hashSample: deterministic, near the fraction, monotone in fraction") {
     import spark.implicits._
     val df = (1 to 2000).map(_.toLong).toDF("id")
