@@ -304,6 +304,14 @@ object SparkEntry {
         .select("uid")
     }),
 
+    // FTS ^term initial-token anchor (r5 — postings carry positions, so the
+    // anchor compiles to `pos = 0`): parts whose NAME STARTS with "red"
+    "g15_fts_anchor" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "(p:part)", params = Map("p_fts" -> "^red")))
+        .select("uid")
+    }),
+
     // SQLite iif() through the dialect (rewritten to Spark's if()): account
     // balance banding aggregated over the fetch output
     "g14_iif_band" -> ((s, d) => {
@@ -411,17 +419,19 @@ object SparkEntry {
         col("doc_id") % 50 === 0, k = 5)
         .withColumnRenamed("id", "doc_id")),
 
-    // production Jaccard: df-capped pairing (shingles in >2 docs are hot join
+    // production Jaccard: df-capped pairing (shingles in >3 docs are hot join
     // keys — excluded from pairing, audited by d10). d02 is the uncapped
-    // correctness twin; this is the scale-path entry.
+    // correctness twin; this is the scale-path entry. maxDf=3 on this
+    // fixture yields 21 pairs vs d02's uncapped 25, so the twin check
+    // actually exercises the cap (maxDf=2 returned 0 rows — vacuous).
     "d09_jaccard_capped" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        k = 3, threshold = 0.5, maxDf = 2)),
+        k = 3, threshold = 0.5, maxDf = 3)),
 
     // the cap's audit: exactly which shingle hashes d09 refused to pair on
     "d10_jaccard_overflow" -> ((s, d) =>
       Dedup.jaccardOverflowShingles(t(s, d, "documents"), "doc_id", "text",
-        k = 3, maxDf = 2)),
+        k = 3, maxDf = 3)),
 
     // --- similarity search (embeddings) -------------------------------------
     "s01_cosine_knn" -> ((s, d) =>
@@ -505,14 +515,31 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))),
 
+    // FIXED-iteration PageRank so a DuckDB twin exists (r5): GraphX
+    // staticPageRank(5) is deterministic — 5 rounds of
+    // rank = 0.15 + 0.85 * Σ incoming rank/outdeg from rank₀ = 1, then a
+    // final rank *= N/Σrank normalization (PageRank.normalizeRankSum,
+    // confirmed against the spark-graphx 4.1.2 bytecode) — all plain SQL.
+    // ROUND before ranking per the determinism doctrine; uid tiebreak.
     "x02_pagerank" -> ((s, d) => {
       // StarGraph memoizes + caches the projection per (session, dir)
-      graft.ops.Analytics.pageRank(s, StarGraph(s, d), tol = 0.05)
+      graft.ops.Analytics.staticPageRank(s, StarGraph(s, d), numIter = 5)
+        .select(col("uid"), round(col("rank"), 4).as("rank"))
         .orderBy(col("rank").desc, col("uid")).limit(20)
     }),
 
     "x03_khop_reach" -> ((s, d) => {
       val g = StarGraph(s, d)
+      val seed = g.nodes.filter(col("uid") === "nation:0")
+      graft.ops.Traversals.kHop(g, seed, hops = 2)
+        .groupBy("kind").agg(count(lit(1)).as("reached"))
+    }),
+
+    // r5: the same 2-hop walk over the BUCKETED warehouse — the hop joins
+    // broadcast the frontier so the edge list is never shuffled (asserted
+    // in BucketingSpec); oracle identical to x03
+    "x03w_khop_bucketed" -> ((s, d) => {
+      val g = StarWarehouse(s, d)
       val seed = g.nodes.filter(col("uid") === "nation:0")
       graft.ops.Traversals.kHop(g, seed, hops = 2)
         .groupBy("kind").agg(count(lit(1)).as("reached"))
@@ -631,6 +658,68 @@ object SparkEntry {
       |GROUP BY 1""".stripMargin
   private val OrdersOfCustomerSql =
     "SELECT 'orders:' || o_orderkey AS uid FROM orders WHERE o_custkey = 42"
+
+  // shared by x03 (parquet StarGraph) and x03w (bucketed warehouse): the
+  // storage layout can't change a traversal's answer. Undirected 2-hop
+  // frontier from nation:0 over the star-projected edges; min-distance
+  // dedup, seed excluded — mirrors Traversals.kHop semantics.
+  private val KhopReachSql =
+    """WITH RECURSIVE
+      |edges AS (
+      |  SELECT 'customer:' || c_custkey AS a, 'nation:' || c_nationkey AS b FROM customer
+      |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+      |  UNION ALL SELECT 'orders:' || o_orderkey, 'customer:' || o_custkey FROM orders
+      |  UNION ALL SELECT 'orders:' || l_orderkey, 'part:' || l_partkey FROM lineitem
+      |),
+      |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |reach(uid, d) AS (
+      |  SELECT 'nation:0', 0
+      |  UNION
+      |  SELECT u.b, r.d + 1 FROM reach r JOIN und u ON u.a = r.uid WHERE r.d < 2
+      |)
+      |SELECT split_part(uid, ':', 1) AS kind, COUNT(*) AS reached
+      |FROM (SELECT uid, MIN(d) AS d FROM reach GROUP BY uid)
+      |WHERE uid <> 'nation:0'
+      |GROUP BY 1""".stripMargin
+
+  /** x02's twin: GraphX staticPageRank(5) unrolled — 5 rounds of
+    * rank = 0.15 + (1-0.15)·Σ rank/outdeg over the directed star edges
+    * (initial rank 1.0, dangling mass NOT redistributed), then the final
+    * rank·N/Σrank normalization GraphX applies (normalizeRankSum). Edge
+    * MULTIPLICITY matters: outdeg = COUNT(*) and each parallel edge sends
+    * its own message, exactly as aggregateMessages does. `(1.0 - 0.15)`
+    * instead of the literal 0.85: GraphX computes the damping factor by
+    * subtraction and the two doubles differ in the last ulp. */
+  private val PageRankSql = {
+    def iter(k: Int) =
+      s"""r$k AS (SELECT n.uid, 0.15 + (1.0 - 0.15) * COALESCE(m.s, 0) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.b AS uid, SUM(p.r / o.d) AS s
+         |    FROM edges e JOIN outdeg o ON o.a = e.a JOIN r${k - 1} p ON p.uid = e.a
+         |    GROUP BY e.b) m ON m.uid = n.uid)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT 'customer:' || c_custkey AS a, 'nation:' || c_nationkey AS b FROM customer
+       |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+       |  UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+       |  UNION ALL SELECT 'orders:' || o_orderkey, 'customer:' || o_custkey FROM orders
+       |  UNION ALL SELECT 'orders:' || l_orderkey, 'part:' || l_partkey FROM lineitem
+       |),
+       |nodes AS (
+       |  SELECT 'customer:' || c_custkey AS uid FROM customer
+       |  UNION ALL SELECT 'supplier:' || s_suppkey FROM supplier
+       |  UNION ALL SELECT 'nation:' || n_nationkey FROM nation
+       |  UNION ALL SELECT 'region:' || r_regionkey FROM region
+       |  UNION ALL SELECT 'part:' || p_partkey FROM part
+       |  UNION ALL SELECT 'orders:' || o_orderkey FROM orders
+       |),
+       |outdeg AS (SELECT a, COUNT(*) AS d FROM edges GROUP BY a),
+       |r0 AS (SELECT uid, CAST(1.0 AS DOUBLE) AS r FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")},
+       |norm AS (SELECT CAST(COUNT(*) AS DOUBLE) / SUM(r) AS f FROM r5)
+       |SELECT uid, ROUND(r * (SELECT f FROM norm), 4) AS rank
+       |FROM r5 ORDER BY rank DESC, uid LIMIT 20""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "w01_order_counts_wh" -> OrderCountsSql,
@@ -866,6 +955,13 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY ordercount DESC, uid LIMIT 10 OFFSET 5""".stripMargin,
 
+    // mirrors the ^anchor: same postings CTE, initial token only (pos = 0)
+    "g15_fts_anchor" ->
+      """WITH t AS (SELECT 'part:' || p_partkey AS uid, string_split_regex(lower(p_name), '[^a-z0-9]+') AS toks FROM part),
+        |p AS (SELECT uid, u.s.t AS term, u.s.p AS pos
+        |      FROM t, unnest([{'t': toks[i], 'p': i - 1} for i in range(1, len(toks) + 1) if toks[i] <> '']) u(s))
+        |SELECT DISTINCT uid FROM p WHERE term = 'red' AND pos = 0""".stripMargin,
+
     "d01_exact_dedup_stats" ->
       """SELECT COUNT(*) AS total_docs,
         | COUNT(DISTINCT md5(text)) AS distinct_docs,
@@ -894,7 +990,7 @@ object SparkEntry {
         |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
         |  FROM toks WHERE len(t) >= 3),
         |fits AS (SELECT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
-        |  FROM sh GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 2),
+        |  FROM sh GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 3),
         |sized AS (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY doc_id) AS n FROM sh),
         |kept AS (SELECT s.doc_id, s.shingle, s.n FROM sized s
         |  JOIN fits f ON ('0x' || substr(md5(s.shingle), 1, 15))::BIGINT = f.h),
@@ -912,7 +1008,7 @@ object SparkEntry {
         |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
         |  FROM toks WHERE len(t) >= 3)
         |SELECT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h, COUNT(*) AS df
-        |FROM sh GROUP BY 1 HAVING COUNT(*) > 2""".stripMargin,
+        |FROM sh GROUP BY 1 HAVING COUNT(*) > 3""".stripMargin,
 
     "d03_lsh_candidates" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1008,30 +1104,12 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS contamination
         |FROM ev LEFT JOIN tr ON ev.h = tr.h GROUP BY 1""".stripMargin,
 
-    // r4: recursive-CTE twins for the two closure queries (PageRank x02 and
-    // HLL x01 stay Spark-only — no deterministic SQL equivalent)
-
-    // undirected 2-hop frontier from nation:0 over the star-projected edges;
-    // min-distance dedup, seed excluded — mirrors Traversals.kHop semantics
-    "x03_khop_reach" ->
-      """WITH RECURSIVE
-        |edges AS (
-        |  SELECT 'customer:' || c_custkey AS a, 'nation:' || c_nationkey AS b FROM customer
-        |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
-        |  UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
-        |  UNION ALL SELECT 'orders:' || o_orderkey, 'customer:' || o_custkey FROM orders
-        |  UNION ALL SELECT 'orders:' || l_orderkey, 'part:' || l_partkey FROM lineitem
-        |),
-        |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-        |reach(uid, d) AS (
-        |  SELECT 'nation:0', 0
-        |  UNION
-        |  SELECT u.b, r.d + 1 FROM reach r JOIN und u ON u.a = r.uid WHERE r.d < 2
-        |)
-        |SELECT split_part(uid, ':', 1) AS kind, COUNT(*) AS reached
-        |FROM (SELECT uid, MIN(d) AS d FROM reach GROUP BY uid)
-        |WHERE uid <> 'nation:0'
-        |GROUP BY 1""".stripMargin,
+    // r4: recursive-CTE twins for the closure queries; r5 closed x02 with
+    // the unrolled fixed-iteration PageRank (only HLL x01 stays Spark-only —
+    // an approximate sketch has no deterministic SQL equivalent)
+    "x02_pagerank" -> PageRankSql,
+    "x03_khop_reach" -> KhopReachSql,
+    "x03w_khop_bucketed" -> KhopReachSql,
 
     // transitive closure of the (uncapped) LSH candidate pairs by reachable-
     // set min-label: cluster(id) = least(id, min reachable id) — the GraphX

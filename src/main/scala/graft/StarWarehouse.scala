@@ -21,6 +21,15 @@ import java.nio.file.{Files, Paths}
   * The build (projection + two bucketed writes) runs once per
   * (session, dir) and is memoized; bench reps after the first hit only the
   * catalog tables.
+  *
+  * ACROSS sessions the tables are reused, not rewritten (r5): the build
+  * stamps a source fingerprint — an md5 over the source dir's file listing
+  * (relative path, size, mtime); no data scan — into the nodes table's
+  * TBLPROPERTIES, and a later session whose catalog still has both tables
+  * with a matching fingerprint opens them with ZERO Spark jobs. A 100 TB
+  * deployment must never rewrite a valid bucketed warehouse just because
+  * the process restarted; the fingerprint invalidates it exactly when the
+  * source data changed.
   */
 object StarWarehouse {
 
@@ -56,18 +65,48 @@ object StarWarehouse {
     write
   }
 
+  /** Cheap change detector for the source dir: file listing only (relative
+    * path, size, mtime), never a data scan — listing 100 TB is O(files). */
+  private def sourceSignature(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    val walk = Files.walk(root)
+    val entries =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .map(p => s"${root.relativize(p)}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}")
+        .toSeq.sorted
+      finally walk.close()
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def storedFingerprint(spark: SparkSession, table: String): Option[String] =
+    try spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.get("graft.fingerprint")
+    catch { case _: Exception => None }
+
   private def build(spark: SparkSession, dir: String, buckets: Int): ViewGraph = {
-    val g = StarGraph.build(spark, dir)
     val p = tablePrefix(dir, buckets)
-    replaceTable(spark, s"${p}_nodes") {
-      g.nodes.write.mode(SaveMode.Overwrite)
-        .bucketBy(buckets, "uid").sortBy("uid")
-        .saveAsTable(s"${p}_nodes")
-    }
-    replaceTable(spark, s"${p}_edges") {
-      g.edges.write.mode(SaveMode.Overwrite)
-        .bucketBy(buckets, "startuid").sortBy("startuid")
-        .saveAsTable(s"${p}_edges")
+    val sig = sourceSignature(dir)
+    val reusable = spark.catalog.tableExists(s"${p}_nodes") &&
+      spark.catalog.tableExists(s"${p}_edges") &&
+      storedFingerprint(spark, s"${p}_nodes").contains(sig)
+    if (!reusable) {
+      val g = StarGraph.build(spark, dir)
+      replaceTable(spark, s"${p}_nodes") {
+        g.nodes.write.mode(SaveMode.Overwrite)
+          .bucketBy(buckets, "uid").sortBy("uid")
+          .saveAsTable(s"${p}_nodes")
+      }
+      replaceTable(spark, s"${p}_edges") {
+        g.edges.write.mode(SaveMode.Overwrite)
+          .bucketBy(buckets, "startuid").sortBy("startuid")
+          .saveAsTable(s"${p}_edges")
+      }
+      spark.sql(s"ALTER TABLE ${p}_nodes SET TBLPROPERTIES ('graft.fingerprint' = '$sig')")
     }
     new ViewGraph(spark, spark.table(s"${p}_nodes"), spark.table(s"${p}_edges"))
   }

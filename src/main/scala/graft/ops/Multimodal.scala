@@ -6,10 +6,15 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (brief: image/audio/video as opaque binary +
   * typed metadata). The Spark-side contract — schema, partition-friendly
-  * batch shape, per-partition decode loop — is real and tested; the actual
-  * media decode is STUBBED (`decodeStub`) because no image/audio codec
-  * libraries exist in this container. Swap `decodeStub` for a real decoder
-  * (JNI/FFI or a Pandas-UDF equivalent) without touching the pipeline shape.
+  * batch shape, per-partition decode loop — is real and tested.
+  *
+  * Decode status (r5): BMP (24-bit uncompressed) and WAV (PCM16) are decoded
+  * FOR REAL with zero-dependency JVM header parsers — `extractFeatures` is
+  * end-to-end real for those formats (grid-pooled luminance / windowed RMS
+  * energy). Compressed formats (PNG/JPEG/MP3/MP4) still go through
+  * `decodeStub` because no codec libraries exist in this container; swap the
+  * stub for a real decoder (JNI/FFI or a Pandas-UDF equivalent) without
+  * touching the pipeline shape.
   */
 object Multimodal {
 
@@ -39,6 +44,127 @@ object Multimodal {
     out
   }
 
+  // ------------------------------------------------- real header decoders
+
+  private def leInt(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def leShort(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** REAL decode of a 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB):
+    * returns (width, height, top-down raster of luminances in [0,1]).
+    * Handles the bottom-up row order and 4-byte row padding; negative
+    * biHeight (top-down files) handled too. None on anything that isn't a
+    * well-formed 24-bit BI_RGB BMP. */
+  def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    try {
+      val dataOffset = leInt(bytes, 10)
+      val width = leInt(bytes, 18)
+      val rawHeight = leInt(bytes, 22)
+      val bottomUp = rawHeight > 0
+      val height = math.abs(rawHeight)
+      val bpp = leShort(bytes, 28)
+      val compression = leInt(bytes, 30)
+      if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
+      val stride = ((width * 3 + 3) / 4) * 4
+      if (dataOffset < 54 || dataOffset.toLong + stride.toLong * height > bytes.length) return None
+      val lum = new Array[Float](width * height)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (bottomUp) height - 1 - y else y
+        val rowOff = dataOffset + srcRow * stride
+        var x = 0
+        while (x < width) {
+          val o = rowOff + x * 3 // pixel order on disk is B, G, R
+          val b = bytes(o) & 0xff; val g = bytes(o + 1) & 0xff; val r = bytes(o + 2) & 0xff
+          lum(y * width + x) = (0.114f * b + 0.587f * g + 0.299f * r) / 255.0f
+          x += 1
+        }
+        y += 1
+      }
+      Some((width, height, lum))
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** REAL decode of a PCM16 WAV: walks the RIFF chunk list, requires
+    * fmt.audioFormat = 1 (PCM) and 16 bits/sample, mixes interleaved
+    * channels down to mono. Returns (sampleRate, samples in [-1,1]). */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Float])] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
+    try {
+      var o = 12
+      var fmtOk = false
+      var channels = 1
+      var rate = 0
+      var data: Option[(Int, Int)] = None // (offset, size)
+      while (o + 8 <= bytes.length && (data.isEmpty || !fmtOk)) {
+        val id = new String(bytes, o, 4, "US-ASCII")
+        val size = leInt(bytes, o + 4)
+        if (size < 0 || o + 8 + size > bytes.length) return None
+        if (id == "fmt ") {
+          if (size < 16) return None
+          val audioFormat = leShort(bytes, o + 8)
+          channels = leShort(bytes, o + 10) max 1
+          rate = leInt(bytes, o + 12)
+          val bits = leShort(bytes, o + 22)
+          if (audioFormat != 1 || bits != 16) return None
+          fmtOk = true
+        } else if (id == "data") data = Some((o + 8, size))
+        o += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      (data, fmtOk) match {
+        case (Some((off, size)), true) =>
+          val frameBytes = 2 * channels
+          val nFrames = size / frameBytes
+          val samples = new Array[Float](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0.0f
+            var c = 0
+            while (c < channels) {
+              acc += leShort(bytes, off + f * frameBytes + c * 2).toShort / 32768.0f
+              c += 1
+            }
+            samples(f) = acc / channels
+            f += 1
+          }
+          Some((rate, samples))
+        case _ => None
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Pool a raster/sample stream into `dim` equal buckets: mean for
+    * luminance, RMS for audio energy. Deterministic ordered folds. */
+  private def pool(values: Array[Float], dim: Int, rms: Boolean): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = values.length
+    if (n == 0) return out
+    var b = 0
+    while (b < dim) {
+      val lo = (b.toLong * n / dim).toInt
+      val hi = ((b + 1).toLong * n / dim).toInt
+      if (hi > lo) {
+        var acc = 0.0; var i = lo
+        while (i < hi) { val v = values(i); acc += (if (rms) v * v else v); i += 1 }
+        val m = acc / (hi - lo)
+        out(b) = (if (rms) math.sqrt(m) else m).toFloat
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** Format-dispatched decode: real for BMP (pooled luminance grid) and
+    * PCM16 WAV (pooled RMS energy), `decodeStub` for everything else. */
+  def decode(bytes: Array[Byte], dim: Int): Array[Float] =
+    decodeBmp(bytes).map { case (_, _, lum) => pool(lum, dim, rms = false) }
+      .orElse(decodeWav(bytes).map { case (_, samples) => pool(samples, dim, rms = true) })
+      .getOrElse(decodeStub(bytes, dim))
+
   /** Per-partition decode/feature-extract over the opaque binary column —
     * the `mapInPandas`-equivalent batch shape for a JVM pipeline: one
     * decoder context per partition, streaming iterator, no row-at-a-time
@@ -51,7 +177,7 @@ object Multimodal {
         it.map { case (id, kind, bytes) =>
           MediaFeature(id, kind,
             if (bytes == null) 0L else bytes.length.toLong,
-            decodeStub(bytes, dim))
+            decode(bytes, dim))
         }
       }
   }

@@ -39,39 +39,67 @@ object Traversals {
   /** k-hop expansion with visited-set pruning: frontierᵢ₊₁ = N(frontierᵢ) −
     * visited. Returns all nodes within `hops` (excluding the seed set).
     *
-    * The edge list is compacted to its two endpoint columns and checkpointed
+    * The edge list is compacted to its two endpoint columns and persisted
     * ONCE up front — the hop loop then joins tiny frontiers against that
     * in-memory pair list instead of re-deriving the full node+edge
     * projection every hop (r4: per-hop full-graph rescans made a 2-hop walk
-    * ~7× slower than the single compaction pass). The node table enters
-    * exactly once, at the end, to materialize the reached rows. Eager
-    * checkpoints also stop Catalyst re-optimizing an exponentially growing
-    * iterative lineage. Beyond a few hops switch to [[connectedReach]];
-    * over a bucketed warehouse the endpoint joins are shuffle-free. */
-  def kHop(g: GraphSource, seeds: DataFrame, hops: Int, directed: Boolean = false): DataFrame = {
+    * ~7× slower than the single compaction pass) — and UNPERSISTED after
+    * the loop (r5: the checkpointed copy previously outlived the call, so
+    * repeated kHops accumulated whole-graph blocks in executor storage).
+    * `persist` instead of `localCheckpoint` keeps the (trivial, one
+    * projection) lineage, so blocks survive executor loss; the per-hop
+    * frontiers stay eagerly checkpointed because they ARE the result
+    * lineage and stop Catalyst re-optimizing an exponentially growing
+    * iterative plan. `visited` needs no checkpoint: its lineage is a
+    * bounded union of already-checkpointed frontiers. The node table enters
+    * exactly once, at the end, to materialize the reached rows. Beyond a
+    * few hops switch to [[connectedReach]].
+    *
+    * Frontier joins BROADCAST the frontier while it stays under
+    * `broadcastFrontierRows` (r5): a checkpointed frontier is a LogicalRDD
+    * with unknown stats, so the planner would otherwise pick a sort-merge
+    * join and SHUFFLE THE ENTIRE EDGE LIST once per hop — the exact
+    * scale-killer at 100 TB. Frontier counts are known exactly (the
+    * emptiness check already materializes them), so the hint is gated on
+    * real cardinality, not estimates; an over-threshold frontier (hub
+    * blowup) falls back to the shuffle join instead of OOMing the driver.
+    * With the broadcast, a hop never moves edge bytes at all — see
+    * BucketingSpec's zero-shuffle hop-join assert over the bucketed
+    * warehouse ([[graft.StarWarehouse]]). */
+  def kHop(g: GraphSource, seeds: DataFrame, hops: Int, directed: Boolean = false,
+      broadcastFrontierRows: Long = 4000000L): DataFrame = {
     if (hops <= 0) return g.nodes.limit(0) // don't pay the edge compaction
-    val e = g.edges.select("startuid", "enduid").localCheckpoint(true)
-    var visited = seeds.select("uid").localCheckpoint(true)
-    var frontier = visited
-    var reached = visited.limit(0)
-    var hop = 0
-    var exhausted = false
-    while (hop < hops && !exhausted) {
-      val out = e.join(frontier.select(col("uid").as("startuid")), Seq("startuid"), "left_semi")
-        .select(col("enduid").as("uid"))
-      val in = e.join(frontier.select(col("uid").as("enduid")), Seq("enduid"), "left_semi")
-        .select(col("startuid").as("uid"))
-      val next0 = (if (directed) out else out.unionByName(in)).distinct()
-      val next = next0.join(visited, Seq("uid"), "left_anti").localCheckpoint(true)
-      if (next.isEmpty) exhausted = true
-      else {
-        reached = reached.unionByName(next)
-        visited = visited.unionByName(next).distinct().localCheckpoint(true)
-        frontier = next
+    val e = g.edges.select("startuid", "enduid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      e.count() // eager fill: every hop reads the compacted pair list
+      var visited = seeds.select("uid").localCheckpoint(true)
+      var frontier = visited
+      var nFrontier = visited.count()
+      var reached = visited.limit(0)
+      var hop = 0
+      var exhausted = false
+      while (hop < hops && !exhausted) {
+        val fr =
+          if (nFrontier <= broadcastFrontierRows) broadcast(frontier) else frontier
+        val out = e.join(fr.select(col("uid").as("startuid")), Seq("startuid"), "left_semi")
+          .select(col("enduid").as("uid"))
+        val in = e.join(fr.select(col("uid").as("enduid")), Seq("enduid"), "left_semi")
+          .select(col("startuid").as("uid"))
+        val next0 = (if (directed) out else out.unionByName(in)).distinct()
+        val next = next0.join(visited, Seq("uid"), "left_anti").localCheckpoint(true)
+        val n = next.count()
+        if (n == 0) exhausted = true
+        else {
+          reached = reached.unionByName(next)
+          visited = visited.unionByName(next).distinct()
+          frontier = next
+          nFrontier = n
+        }
+        hop += 1
       }
-      hop += 1
-    }
-    g.nodes.join(reached.distinct(), Seq("uid"), "left_semi")
+      g.nodes.join(reached.distinct(), Seq("uid"), "left_semi")
+    } finally e.unpersist(false) // result lineage only references the frontiers
   }
 
   /** uid → dense VertexId dictionary for the GraphX bridge. Eagerly

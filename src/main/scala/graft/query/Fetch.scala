@@ -24,7 +24,7 @@ import graft.engine.GraphSource
   *   - COUNT returns `COUNT(DISTINCT alias.uid)` as a one-row DataFrame;
   *     `Fetch.count` collects it to a Long.
   */
-object Fetch {
+object Fetch extends org.apache.spark.internal.Logging {
 
   final case class Args(
       chain: String = "(n)",
@@ -206,9 +206,14 @@ object Fetch {
 
   /** COUNT(DISTINCT uid) as a Long. With `group` set the reference returns
     * the first group's count (fetchone, graphydb.py:988-990) — a quirk, so
-    * here the group is dropped and the total is returned. */
-  def count(src: GraphSource, args: Args): Long =
+    * here the group is dropped and the total is returned (with a warning,
+    * so the silent drop can't surprise a caller expecting per-group rows). */
+  def count(src: GraphSource, args: Args): Long = {
+    args.group.foreach(grp => logWarning(
+      s"Fetch.count ignores group='$grp' and returns the TOTAL distinct count " +
+        "(the reference's fetchone quirk, graphydb.py:988-990); use df() for per-group rows"))
     df(src, args.copy(count = true, group = None)).head().getLong(0)
+  }
 
   /** Whether the collected link (thus result row shape) is an edge. */
   def collectsEdges(args: Args): Boolean = {

@@ -43,8 +43,10 @@ object Fts {
   }
 
   private sealed trait Atom { def field: Option[String] }
-  private final case class Term(text: String, prefix: Boolean, field: Option[String]) extends Atom
-  private final case class Phrase(tokens: Seq[String], field: Option[String]) extends Atom
+  private final case class Term(text: String, prefix: Boolean, field: Option[String],
+      anchor: Boolean = false) extends Atom
+  private final case class Phrase(tokens: Seq[String], field: Option[String],
+      anchor: Boolean = false) extends Atom
   private final case class Near(members: Seq[Atom], dist: Int) extends Atom {
     val field: Option[String] = None // members carry their own scoping
   }
@@ -101,11 +103,31 @@ object Fts {
       val c = q.charAt(i)
       if (c == '"') { inPhrase = !inPhrase; out.append(c); i += 1 }
       else if (!inPhrase && q.regionMatches(i, "NEAR(", 0, 5) && isWordBoundary(i - 1)) {
-        val close = q.indexOf(')', i + 5)
+        // closing paren OUTSIDE double quotes: a quoted member containing
+        // ')' (NEAR("a ) b" c, 2)) must not truncate the group
+        var j = i + 5
+        var inQ = false
+        var close = -1
+        while (j < q.length && close < 0) {
+          val cj = q.charAt(j)
+          if (cj == '"') inQ = !inQ
+          else if (cj == ')' && !inQ) close = j
+          j += 1
+        }
         if (close < 0) { out.append(c); i += 1 } // unclosed: leave as text
         else {
           val inner = q.substring(i + 5, close)
-          val comma = inner.lastIndexOf(',')
+          // distance comma likewise only counts outside quotes
+          val comma = {
+            var k = 0; var last = -1; var qd = false
+            while (k < inner.length) {
+              val ck = inner.charAt(k)
+              if (ck == '"') qd = !qd
+              else if (ck == ',' && !qd) last = k
+              k += 1
+            }
+            last
+          }
           val (body, dist) =
             if (comma >= 0 && inner.substring(comma + 1).trim.matches("\\d+"))
               (inner.substring(0, comma), inner.substring(comma + 1).trim.toInt)
@@ -121,7 +143,8 @@ object Fts {
 
   private def parseQuery(q: String): Seq[Seq[(Atom, Boolean)]] = {
     val (cleaned, nears) = liftNears(q)
-    val Tok = """(?:(\w+)\s*:\s*)?"([^"]*)"|(\S+)""".r
+    // optional `^` before a quoted phrase = FTS5 initial-token anchor
+    val Tok = """(?:(\w+)\s*:\s*)?(\^)?"([^"]*)"|(\S+)""".r
     val branches = Seq.newBuilder[Seq[(Atom, Boolean)]]
     var group = Seq.newBuilder[(Atom, Boolean)]
     var groupNonEmpty = false
@@ -136,16 +159,17 @@ object Fts {
     // NO .trim here: trim strips every char <= 0x20 including a leading
     // placeholder byte; the tokenizer skips whitespace on its own
     Tok.findAllMatchIn(cleaned).foreach { m =>
-      if (m.group(2) != null) {
+      if (m.group(3) != null) {
         val field = takeField(Option(m.group(1)))
         val neg = takeNot()
-        val toks = m.group(2).toLowerCase.split(TokenSplit).filter(_.nonEmpty).toSeq
+        val anchor = m.group(2) != null
+        val toks = m.group(3).toLowerCase.split(TokenSplit).filter(_.nonEmpty).toSeq
         if (toks.nonEmpty) {
-          group += ((if (toks.size == 1) Term(toks.head, prefix = false, field)
-                     else Phrase(toks, field), neg))
+          group += ((if (toks.size == 1) Term(toks.head, prefix = false, field, anchor)
+                     else Phrase(toks, field, anchor), neg))
           groupNonEmpty = true
         }
-      } else m.group(3) match {
+      } else m.group(4) match {
         case "OR" =>
           if (groupNonEmpty) branches += group.result()
           group = Seq.newBuilder[(Atom, Boolean)]; groupNonEmpty = false
@@ -174,13 +198,17 @@ object Fts {
             inline = Some(f); t = rest
           }
           val field = takeField(inline)
+          // `^term` (or `field:^term`): anchor the first produced token
+          val anchor = t.startsWith("^")
+          if (anchor) t = t.drop(1)
           if (t.nonEmpty) {
             val prefix = t.endsWith("*")
             val neg = takeNot()
             val pieces = (if (prefix) t.dropRight(1) else t).toLowerCase
               .split(TokenSplit).filter(_.nonEmpty)
             pieces.zipWithIndex.foreach { case (piece, idx) =>
-              group += ((Term(piece, prefix && idx == pieces.length - 1, field), neg))
+              group += ((Term(piece, prefix && idx == pieces.length - 1, field,
+                anchor && idx == 0), neg))
               groupNonEmpty = true
             }
           }
@@ -197,7 +225,10 @@ object Fts {
     val base =
       if (t.prefix) s"${p}term LIKE '${esc(t.text)}%'"
       else s"${p}term = '${esc(t.text)}'"
-    t.field.map(f => s"$base AND ${p}field = '${esc(f)}'").getOrElse(base)
+    val scoped = t.field.map(f => s"$base AND ${p}field = '${esc(f)}'").getOrElse(base)
+    // FTS5 `^term`: initial-token anchor — postings carry positions, so the
+    // anchor is just pos = 0 within the (uid, field)
+    if (t.anchor) s"$scoped AND ${p}pos = 0" else scoped
   }
 
   /** FROM/JOIN/WHERE body of a positional phrase self-join: token i must sit
@@ -209,7 +240,8 @@ object Fts {
         s" AND $a.pos = p0.pos + ${i + 1} AND $a.term = '${esc(tok)}'"
     }.mkString
     val where = s"p0.term = '${esc(ph.tokens.head)}'" +
-      ph.field.map(f => s" AND p0.field = '${esc(f)}'").getOrElse("")
+      ph.field.map(f => s" AND p0.field = '${esc(f)}'").getOrElse("") +
+      (if (ph.anchor) " AND p0.pos = 0" else "")
     s"FROM $view p0$joins\nWHERE $where"
   }
 
@@ -343,8 +375,14 @@ object Fts {
     val spark = postings.sparkSession
     val view = s"graft_fts_${viewCounter.incrementAndGet()}"
     postings.createOrReplaceTempView(view)
+    // Drop via the SESSION catalog, not spark.catalog: the public API's
+    // dropTempView also runs CacheManager.uncacheQuery on the view's plan,
+    // and since a View canonicalizes to its child that same-result-matches
+    // any `.cache()` entry held for the postings DataFrame itself (e.g.
+    // StarGraph's per-kind cache) — silently unpersisting it. The internal
+    // drop only removes the catalog entry.
     try spark.sql(sql(view))
-    finally spark.catalog.dropTempView(view)
+    finally spark.sessionState.catalog.dropTempView(view)
   }
 
   /** DataFrame form of a match: DISTINCT matching uids. */

@@ -48,6 +48,92 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       s"bucket-aligned motif must not shuffle:\n${df.queryExecution.executedPlan}")
   }
 
+  test("kHop hop-join over the warehouse never shuffles the edge list (broadcast frontier)") {
+    // the exact join shape Traversals.kHop builds per hop: edge pair list
+    // vs a small checkpointed frontier, frontier broadcast. The edge side
+    // must reach the join with ZERO shuffle exchanges — at 100 TB the edge
+    // list is the table you can never afford to move.
+    val g = graft.StarWarehouse(spark, "/root/testdata/sf0.001")
+    val e = g.edges.select("startuid", "enduid")
+    val frontier = g.nodes.filter(col("uid") === "nation:0")
+      .select("uid").localCheckpoint(true)
+    val hop = e.join(
+        broadcast(frontier.select(col("uid").as("startuid"))), Seq("startuid"), "left_semi")
+      .select(col("enduid").as("uid"))
+    assert(hop.count() > 0)
+    val collected = hop.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+    assert(collected.isEmpty && shuffleCount(hop) == 0,
+      s"hop join must broadcast the frontier, not shuffle edges:\n${hop.queryExecution.executedPlan}")
+
+    // and the full traversal over the warehouse agrees with the parquet graph
+    val seedW = g.nodes.filter(col("uid") === "nation:0")
+    val viaWh = graft.ops.Traversals.kHop(g, seedW, hops = 2)
+      .select("uid").collect().map(_.getString(0)).toSet
+    val gp = graft.StarGraph(spark, "/root/testdata/sf0.001")
+    val seedP = gp.nodes.filter(col("uid") === "nation:0")
+    val viaParquet = graft.ops.Traversals.kHop(gp, seedP, hops = 2)
+      .select("uid").collect().map(_.getString(0)).toSet
+    assert(viaWh == viaParquet && viaWh.nonEmpty)
+  }
+
+  test("star warehouse reuse: a second open with matching fingerprint runs zero jobs") {
+    val dir = "/root/testdata/sf0.001"
+    graft.StarWarehouse.invalidate()
+    val g1 = graft.StarWarehouse(spark, dir)
+    val n1 = g1.nodes.count()
+    assert(n1 > 0)
+
+    // fresh-session simulation: memo gone, catalog (SharedState) persists
+    graft.StarWarehouse.invalidate()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val g2 = graft.StarWarehouse(spark, dir)
+      assert(jobs.get() == 0,
+        "re-opening a valid bucketed warehouse must be metadata-only (no write, no scan)")
+      assert(g2.nodes.count() == n1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("star warehouse reuse: a changed source fingerprint triggers a rebuild") {
+    // private copy of the sources so we can legally touch an mtime
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh_src")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(src).iterator().asScala.foreach { p =>
+      java.nio.file.Files.copy(p, dir.resolve(p.getFileName.toString))
+    }
+    graft.StarWarehouse.invalidate()
+    val g1 = graft.StarWarehouse(spark, dir.toString)
+    // count BEFORE the rebuild: the rebuild overwrites the table's parquet
+    // files, so re-executing g1's plan afterwards would read deleted files
+    val n1 = g1.nodes.count()
+    assert(n1 > 0)
+
+    // simulate upstream data change: bump one source file's mtime
+    val touched = dir.resolve("region.parquet")
+    java.nio.file.Files.setLastModifiedTime(touched,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    graft.StarWarehouse.invalidate()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val g2 = graft.StarWarehouse(spark, dir.toString)
+      assert(jobs.get() > 0, "a stale fingerprint must trigger a rebuild")
+      assert(g2.nodes.count() == n1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("star warehouse chains return exactly the parquet-projection results") {
     val dir = "/root/testdata/sf0.001"
     for (pair <- Seq(

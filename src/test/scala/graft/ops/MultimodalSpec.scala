@@ -6,9 +6,81 @@ import org.scalatest.funsuite.AnyFunSuite
 import scala.jdk.CollectionConverters._
 
 /** The multimodal plumbing contract: schema, per-partition batch shape, and
-  * plan-level transforms are real; the decode itself is a deterministic stub
+  * plan-level transforms are real. BMP/WAV decode is REAL (zero-dependency
+  * header parsers, r5); compressed formats still use the deterministic stub
   * (no codec libs in this container — see Multimodal.decodeStub). */
 class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  /** Handcraft a 24-bit bottom-up BMP from a top-down pixel raster of
+    * (r, g, b) rows. */
+  private def bmp(pixels: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels.head.length
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataSize = stride * h
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    out.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER, positive h = bottom-up
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- (h - 1) to 0 by -1) { // rows stored bottom-up
+      for ((r, g, b) <- pixels(y)) out.put(b.toByte).put(g.toByte).put(r.toByte)
+      for (_ <- w * 3 until stride) out.put(0.toByte) // row padding
+    }
+    out.array()
+  }
+
+  /** Handcraft a PCM16 WAV (RIFF/fmt/data) from interleaved samples. */
+  private def wav(samples: Seq[Short], channels: Int = 1, rate: Int = 8000): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(s => out.putShort(s))
+    out.array()
+  }
+
+  test("BMP decode is real: luminance grid tracks the actual pixels") {
+    val white = (255, 255, 255); val black = (0, 0, 0)
+    val img = bmp(Seq(Seq(white, black), Seq(black, black)))
+    val (w, h, lum) = Multimodal.decodeBmp(img).get
+    assert(w == 2 && h == 2)
+    // top-down raster: top-left pixel first despite bottom-up storage
+    assert(math.abs(lum(0) - 1.0f) < 1e-3 && lum.drop(1).forall(_ < 1e-3))
+
+    // dim = pixel count -> one bucket per pixel; flipping one pixel moves
+    // exactly that bucket
+    val f1 = Multimodal.decode(img, 4)
+    assert(math.abs(f1(0) - 1.0f) < 1e-3 && f1(3) < 1e-3)
+    val img2 = bmp(Seq(Seq(white, black), Seq(black, white)))
+    val f2 = Multimodal.decode(img2, 4)
+    assert(math.abs(f2(3) - 1.0f) < 1e-3, "changed pixel must change its feature")
+    assert(!f1.sameElements(f2))
+  }
+
+  test("WAV decode is real: windowed RMS tracks the actual samples") {
+    val loud = Seq.fill(4)(16384.toShort) // 0.5 full-scale
+    val quiet = Seq.fill(4)(0.toShort)
+    val f = Multimodal.decode(wav(loud ++ quiet), 2)
+    assert(math.abs(f(0) - 0.5f) < 1e-3 && f(1) < 1e-6)
+    // stereo mixes down: L=0.5, R=-0.5 cancel to silence
+    val st = wav(Seq(16384, -16384, 16384, -16384).map(_.toShort), channels = 2)
+    val fs = Multimodal.decode(st, 1)
+    assert(math.abs(fs(0)) < 1e-3)
+  }
+
+  test("non-BMP/WAV payloads still route to the deterministic stub") {
+    val junk = Array[Byte](1, 2, 3)
+    assert(Multimodal.decodeBmp(junk).isEmpty && Multimodal.decodeWav(junk).isEmpty)
+    assert(Multimodal.decode(junk, 4).sameElements(Multimodal.decodeStub(junk, 4)))
+  }
 
   private def mediaDf = spark.createDataFrame(Seq(
     Row(1L, "image", Array[Byte](1, 2, 3), "image/png", 4000, 1000, null),

@@ -18,27 +18,35 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
   }
 
   private sealed trait QAtom
-  private final case class QTerm(t: String, prefix: Boolean, field: Option[String]) extends QAtom
-  private final case class QPhrase(toks: Seq[String], field: Option[String]) extends QAtom
+  private final case class QTerm(t: String, prefix: Boolean, field: Option[String],
+      anchor: Boolean = false) extends QAtom
+  private final case class QPhrase(toks: Seq[String], field: Option[String],
+      anchor: Boolean = false) extends QAtom
 
   private def naiveAtom(d: NDoc, a: QAtom): Boolean = a match {
-    case QTerm(t, pre, f) =>
-      val toks = f.map(d.field).getOrElse(d.title ++ d.body)
-      if (pre) toks.exists(_.startsWith(t)) else toks.contains(t)
-    case QPhrase(ts, f) =>
+    case QTerm(t, pre, f, anchor) =>
       val fieldsToCheck = f.map(Seq(_)).getOrElse(fields)
       fieldsToCheck.exists { fl =>
         val toks = d.field(fl)
-        toks.indices.exists(i => i + ts.size <= toks.size && toks.slice(i, i + ts.size) == ts)
+        // FTS5 `^term`: only the field's first token can match
+        val cand = if (anchor) toks.take(1) else toks
+        if (pre) cand.exists(_.startsWith(t)) else cand.contains(t)
+      }
+    case QPhrase(ts, f, anchor) =>
+      val fieldsToCheck = f.map(Seq(_)).getOrElse(fields)
+      fieldsToCheck.exists { fl =>
+        val toks = d.field(fl)
+        val starts = if (anchor) Seq(0).filter(_ => toks.nonEmpty) else toks.indices
+        starts.exists(i => i + ts.size <= toks.size && toks.slice(i, i + ts.size) == ts)
       }
   }
 
   private def render(branches: Seq[Seq[QAtom]]): String =
     branches.map(_.map {
-      case QTerm(t, pre, f) =>
-        f.map(_ + ":").getOrElse("") + t + (if (pre) "*" else "")
-      case QPhrase(ts, f) =>
-        f.map(_ + ":").getOrElse("") + "\"" + ts.mkString(" ") + "\""
+      case QTerm(t, pre, f, anchor) =>
+        f.map(_ + ":").getOrElse("") + (if (anchor) "^" else "") + t + (if (pre) "*" else "")
+      case QPhrase(ts, f, anchor) =>
+        f.map(_ + ":").getOrElse("") + (if (anchor) "^" else "") + "\"" + ts.mkString(" ") + "\""
     }.mkString(" ")).mkString(" OR ")
 
   // r4 grammar extensions: NEAR proximity groups and binary NOT
@@ -139,12 +147,13 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
             if (toks.size < n) QTerm(vocab(rng.nextInt(vocab.size)), prefix = false, field)
             else {
               val i = rng.nextInt(toks.size - n + 1)
-              QPhrase(toks.slice(i, i + n), field)
+              QPhrase(toks.slice(i, i + n), field, anchor = rng.nextInt(4) == 0)
             }
           } else {
             val t = vocab(rng.nextInt(vocab.size))
             val prefix = rng.nextInt(4) == 0
-            QTerm(if (prefix) t.take(2) else t, prefix, field)
+            // r5 grammar extension: ^term initial-token anchor
+            QTerm(if (prefix) t.take(2) else t, prefix, field, anchor = rng.nextInt(4) == 0)
           }
         }
         val branches = Seq.fill(1 + rng.nextInt(3))(Seq.fill(1 + rng.nextInt(2))(atom()))
