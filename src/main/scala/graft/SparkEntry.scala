@@ -509,11 +509,19 @@ object SparkEntry {
       Sampling.epochShuffle(t(s, d, "documents"), "doc_id", shards = 4, seed = 2)
         .select(col("doc_id"), col("_shard").as("shard"), col("_pos").as("pos"))),
 
-    // ---- Spark-only operators (no DuckDB twin -> driver rows-only check) ----
+    // HLL sketch vs exact (r5: oracle-checkable after all). The raw sketch
+    // value has no DuckDB twin (different HLL implementations), but the
+    // sketch's CONTRACT does: |approx − exact| ≤ 10% · exact (HLL++ default
+    // rsd is 5%; 2× headroom). Spark's HLL is deterministic for fixed data,
+    // so the boolean is stable; DuckDB's twin asserts the same rows with a
+    // literal TRUE — a dishonest sketch hash-mismatches.
     "x01_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts"))
+            <= col("exact_parts") * 0.1).as("approx_ok"))),
 
     // FIXED-iteration PageRank so a DuckDB twin exists (r5): GraphX
     // staticPageRank(5) is deterministic — 5 rounds of
@@ -1105,8 +1113,13 @@ object SparkEntry {
         |FROM ev LEFT JOIN tr ON ev.h = tr.h GROUP BY 1""".stripMargin,
 
     // r4: recursive-CTE twins for the closure queries; r5 closed x02 with
-    // the unrolled fixed-iteration PageRank (only HLL x01 stays Spark-only —
-    // an approximate sketch has no deterministic SQL equivalent)
+    // the unrolled fixed-iteration PageRank and x01 via its error-contract
+    // form — every query in the battery is now oracle-checked
+    "x01_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     "x02_pagerank" -> PageRankSql,
     "x03_khop_reach" -> KhopReachSql,
     "x03w_khop_bucketed" -> KhopReachSql,

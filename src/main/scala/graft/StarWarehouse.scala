@@ -24,9 +24,15 @@ import java.nio.file.{Files, Paths}
   *
   * ACROSS sessions the tables are reused, not rewritten (r5): the build
   * stamps a source fingerprint — an md5 over the source dir's file listing
-  * (relative path, size, mtime); no data scan — into the nodes table's
-  * TBLPROPERTIES, and a later session whose catalog still has both tables
-  * with a matching fingerprint opens them with ZERO Spark jobs. A 100 TB
+  * (relative path, size, mtime); no data scan — into the tables'
+  * TBLPROPERTIES and a sidecar metadata file next to the table dirs. A
+  * later session whose catalog still has both tables with a matching
+  * fingerprint opens them with ZERO Spark jobs; a FRESH JVM (this repo runs
+  * the in-memory catalog — no Hive metastore — so catalog entries die with
+  * the process) finds the sidecar + table dirs and re-registers the
+  * existing files with a metadata-only `CREATE TABLE ... LOCATION` — no
+  * write, no scan. The tables are EXTERNAL (explicit path) so a catalog
+  * drop never deletes the data that makes this possible. A 100 TB
   * deployment must never rewrite a valid bucketed warehouse just because
   * the process restarted; the fingerprint invalidates it exactly when the
   * source data changed.
@@ -88,25 +94,92 @@ object StarWarehouse {
       .properties.get("graft.fingerprint")
     catch { case _: Exception => None }
 
+  private[graft] def tableNames(dir: String, buckets: Int = 16): (String, String) = {
+    val p = tablePrefix(dir, buckets)
+    (s"${p}_nodes", s"${p}_edges")
+  }
+
+  private def tableLocation(spark: SparkSession, table: String): java.nio.file.Path =
+    Paths.get(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+
+  // ------------------------------------------- cross-JVM sidecar metadata
+
+  /** Tab-separated key/value lines: sig, buckets, and the two schema DDLs
+    * (none of which can contain tabs or newlines). Lives next to the table
+    * dirs so warehouse data + its registration recipe travel together. */
+  private def sidecarPath(spark: SparkSession, p: String): java.nio.file.Path =
+    tableLocation(spark, s"${p}_meta.tsv")
+
+  private def writeSidecar(spark: SparkSession, p: String, sig: String,
+      buckets: Int, nodesDdl: String, edgesDdl: String): Unit = {
+    val body = Seq(
+      s"sig\t$sig", s"buckets\t$buckets",
+      s"nodes_schema\t$nodesDdl", s"edges_schema\t$edgesDdl").mkString("\n")
+    Files.write(sidecarPath(spark, p), body.getBytes("UTF-8"))
+    ()
+  }
+
+  private def readSidecar(spark: SparkSession, p: String): Option[Map[String, String]] = {
+    val f = sidecarPath(spark, p)
+    if (!Files.isRegularFile(f)) None
+    else try {
+      import scala.jdk.CollectionConverters._
+      Some(Files.readAllLines(f).asScala
+        .filter(_.contains('\t'))
+        .map { l => val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1) }
+        .toMap)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Fresh-JVM path: the in-memory catalog lost the tables but the bucketed
+    * files + sidecar survive — re-CREATE the table entries over the existing
+    * LOCATIONs. Pure metadata: no write job, no data scan. Bucket ids are
+    * encoded in the datasource file names, so the re-registered tables keep
+    * their shuffle-free join layout. */
+  private def reRegister(spark: SparkSession, p: String, buckets: Int, sig: String): Boolean = {
+    def create(table: String, ddl: String, bucketCol: String): Unit =
+      spark.sql(
+        s"""CREATE TABLE $table ($ddl) USING PARQUET
+           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
+           |LOCATION '${tableLocation(spark, table).toUri}'
+           |TBLPROPERTIES ('graft.fingerprint' = '$sig')""".stripMargin)
+    readSidecar(spark, p).exists { m =>
+      m.get("sig").contains(sig) && m.get("buckets").contains(buckets.toString) &&
+        m.contains("nodes_schema") && m.contains("edges_schema") &&
+        Files.isDirectory(tableLocation(spark, s"${p}_nodes")) &&
+        Files.isDirectory(tableLocation(spark, s"${p}_edges")) &&
+        !spark.catalog.tableExists(s"${p}_nodes") &&
+        !spark.catalog.tableExists(s"${p}_edges") && {
+          create(s"${p}_nodes", m("nodes_schema"), "uid")
+          create(s"${p}_edges", m("edges_schema"), "startuid")
+          true
+        }
+    }
+  }
+
   private def build(spark: SparkSession, dir: String, buckets: Int): ViewGraph = {
     val p = tablePrefix(dir, buckets)
     val sig = sourceSignature(dir)
-    val reusable = spark.catalog.tableExists(s"${p}_nodes") &&
+    val inCatalog = spark.catalog.tableExists(s"${p}_nodes") &&
       spark.catalog.tableExists(s"${p}_edges") &&
       storedFingerprint(spark, s"${p}_nodes").contains(sig)
-    if (!reusable) {
+    if (!inCatalog && !reRegister(spark, p, buckets, sig)) {
       val g = StarGraph.build(spark, dir)
       replaceTable(spark, s"${p}_nodes") {
         g.nodes.write.mode(SaveMode.Overwrite)
+          .option("path", tableLocation(spark, s"${p}_nodes").toString)
           .bucketBy(buckets, "uid").sortBy("uid")
           .saveAsTable(s"${p}_nodes")
       }
       replaceTable(spark, s"${p}_edges") {
         g.edges.write.mode(SaveMode.Overwrite)
+          .option("path", tableLocation(spark, s"${p}_edges").toString)
           .bucketBy(buckets, "startuid").sortBy("startuid")
           .saveAsTable(s"${p}_edges")
       }
       spark.sql(s"ALTER TABLE ${p}_nodes SET TBLPROPERTIES ('graft.fingerprint' = '$sig')")
+      spark.sql(s"ALTER TABLE ${p}_edges SET TBLPROPERTIES ('graft.fingerprint' = '$sig')")
+      writeSidecar(spark, p, sig, buckets, g.nodes.schema.toDDL, g.edges.schema.toDDL)
     }
     new ViewGraph(spark, spark.table(s"${p}_nodes"), spark.table(s"${p}_edges"))
   }

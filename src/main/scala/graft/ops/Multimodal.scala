@@ -52,11 +52,11 @@ object Multimodal {
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
 
   /** REAL decode of a 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB):
-    * returns (width, height, top-down raster of luminances in [0,1]).
-    * Handles the bottom-up row order and 4-byte row padding; negative
-    * biHeight (top-down files) handled too. None on anything that isn't a
+    * (width, height, top-down raster of 0xRRGGBB ints). Handles the
+    * bottom-up row order and 4-byte row padding; negative biHeight
+    * (top-down files) handled too. None on anything that isn't a
     * well-formed 24-bit BI_RGB BMP. */
-  def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  def decodeBmpPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
     try {
       val dataOffset = leInt(bytes, 10)
@@ -69,7 +69,7 @@ object Multimodal {
       if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
       val stride = ((width * 3 + 3) / 4) * 4
       if (dataOffset < 54 || dataOffset.toLong + stride.toLong * height > bytes.length) return None
-      val lum = new Array[Float](width * height)
+      val px = new Array[Int](width * height)
       var y = 0
       while (y < height) {
         val srcRow = if (bottomUp) height - 1 - y else y
@@ -77,15 +77,83 @@ object Multimodal {
         var x = 0
         while (x < width) {
           val o = rowOff + x * 3 // pixel order on disk is B, G, R
-          val b = bytes(o) & 0xff; val g = bytes(o + 1) & 0xff; val r = bytes(o + 2) & 0xff
-          lum(y * width + x) = (0.114f * b + 0.587f * g + 0.299f * r) / 255.0f
+          px(y * width + x) = ((bytes(o + 2) & 0xff) << 16) |
+            ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
           x += 1
         }
         y += 1
       }
-      Some((width, height, lum))
+      Some((width, height, px))
     } catch { case _: IndexOutOfBoundsException => None }
   }
+
+  /** Luminance view of [[decodeBmpPixels]]: values in [0,1], top-down. */
+  def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    decodeBmpPixels(bytes).map { case (w, h, px) =>
+      val lum = new Array[Float](px.length)
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        lum(i) = (0.299f * ((p >> 16) & 0xff) + 0.587f * ((p >> 8) & 0xff) +
+          0.114f * (p & 0xff)) / 255.0f
+        i += 1
+      }
+      (w, h, lum)
+    }
+
+  /** Encode a top-down 0xRRGGBB raster as a 24-bit bottom-up BI_RGB BMP. */
+  def encodeBmp(width: Int, height: Int, px: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && px.length == width * height, "bad raster")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val out = java.nio.ByteBuffer.allocate(54 + stride * height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + stride * height)
+      .putInt(0).putInt(54)
+    out.putInt(40).putInt(width).putInt(height) // positive height = bottom-up
+      .putShort(1).putShort(24).putInt(0)
+      .putInt(stride * height).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1
+    while (y >= 0) { // rows bottom-up
+      var x = 0
+      while (x < width) {
+        val p = px(y * width + x)
+        out.put((p & 0xff).toByte).put(((p >> 8) & 0xff).toByte)
+          .put(((p >> 16) & 0xff).toByte)
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < stride) { out.put(0.toByte); pad += 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
+  /** REAL nearest-neighbor resize of a 24-bit BMP so the longer side is at
+    * most `maxSide` (never upscales). Returns a valid BMP payload; None for
+    * anything [[decodeBmpPixels]] can't read. Same scale rule as
+    * [[resizePlan]]. */
+  def resizeBmp(bytes: Array[Byte], maxSide: Int): Option[Array[Byte]] =
+    decodeBmpPixels(bytes).map { case (w, h, px) =>
+      val long = math.max(w, h)
+      if (long <= maxSide) encodeBmp(w, h, px)
+      else {
+        val scale = maxSide.toDouble / long
+        val ow = math.max(1, math.round(w * scale).toInt)
+        val oh = math.max(1, math.round(h * scale).toInt)
+        val out = new Array[Int](ow * oh)
+        var y = 0
+        while (y < oh) {
+          val sy = math.min(h - 1, y * h / oh)
+          var x = 0
+          while (x < ow) {
+            out(y * ow + x) = px(sy * w + math.min(w - 1, x * w / ow))
+            x += 1
+          }
+          y += 1
+        }
+        encodeBmp(ow, oh, out)
+      }
+    }
 
   /** REAL decode of a PCM16 WAV: walks the RIFF chunk list, requires
     * fmt.audioFormat = 1 (PCM) and 16 bits/sample, mixes interleaved
@@ -182,8 +250,31 @@ object Multimodal {
       }
   }
 
-  /** Image resize contract (stub): metadata transform is real, pixel work is
-    * the stubbed part. Demonstrates pushdown-friendly select shape. */
+  final case class ResizedMedia(media_id: Long, kind: String, resized: Boolean,
+      out_width: Int, out_height: Int, bytes: Array[Byte])
+
+  /** Distributed image resize over the binary column: REAL pixel work for
+    * BMP payloads ([[resizeBmp]]), passthrough (resized = false,
+    * dims −1) for formats the container can't decode. Same per-partition
+    * batch shape as [[extractFeatures]]. */
+  def resizeImages(spark: SparkSession, media: DataFrame, maxSide: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select("media_id", "kind", "bytes").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, bytes) =>
+          resizeBmp(bytes, maxSide) match {
+            case Some(out) =>
+              val (w, h, _) = decodeBmpPixels(out).get // own encoder: always readable
+              ResizedMedia(id, kind, resized = true, w, h, out)
+            case None => ResizedMedia(id, kind, resized = false, -1, -1, bytes)
+          }
+        }
+      }
+  }
+
+  /** Plan-level resize contract: metadata transform only — computes bounded
+    * output dims without touching pixels (pushdown-friendly select shape);
+    * [[resizeImages]] is the operator that actually moves pixels. */
   def resizePlan(media: DataFrame, maxSide: Int): DataFrame =
     media.withColumn("scale",
         when(greatest(col("width"), col("height")) > maxSide,

@@ -141,8 +141,41 @@ object Fts {
     (out.toString, nears.toSeq)
   }
 
+  /** FTS5 column-LIST filter `{col1 col2}: atom` (r5): rewrite the braced
+    * list — outside double quotes only — into a standalone comma-joined
+    * field token `col1,col2:`, which then scopes the following atom through
+    * the existing `pendingField` mechanism (same path as `field:` before a
+    * NEAR placeholder). A `{...}` without a following `:` is left as text,
+    * matching FTS5's treatment of it as a syntax error rather than a match.
+    * Runs BEFORE liftNears so `{a b}: NEAR(x y, 2)` scopes the group. */
+  private def liftColumnLists(q: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inPhrase = false
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '"') { inPhrase = !inPhrase; out.append(c); i += 1 }
+      else if (!inPhrase && c == '{') {
+        val close = q.indexOf('}', i + 1)
+        // the colon must follow the brace (whitespace allowed, FTS5 form)
+        var k = if (close < 0) -1 else close + 1
+        while (k >= 0 && k < q.length && Character.isWhitespace(q.charAt(k))) k += 1
+        if (close < 0 || k < 0 || k >= q.length || q.charAt(k) != ':') {
+          out.append(c); i += 1 // not a column list: literal text
+        } else {
+          val cols = q.substring(i + 1, close).trim
+            .split("\\s+").filter(_.nonEmpty)
+          // `{}:` scopes to nothing sensible: drop the filter entirely
+          if (cols.nonEmpty) out.append(' ').append(cols.mkString(",")).append(": ")
+          i = k + 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   private def parseQuery(q: String): Seq[Seq[(Atom, Boolean)]] = {
-    val (cleaned, nears) = liftNears(q)
+    val (cleaned, nears) = liftNears(liftColumnLists(q))
     // optional `^` before a quoted phrase = FTS5 initial-token anchor
     val Tok = """(?:(\w+)\s*:\s*)?(\^)?"([^"]*)"|(\S+)""".r
     val branches = Seq.newBuilder[Seq[(Atom, Boolean)]]
@@ -220,12 +253,22 @@ object Fts {
 
   private def esc(s: String) = s.replace("'", "''")
 
+  /** A field scope is a comma-joined list (single `field:` or the r5
+    * `{col1 col2}:` column list — match in ANY listed field). */
+  private def fieldCond(f: String, col: String): Option[String] = {
+    val fs = f.split(',').filter(_.nonEmpty)
+    if (fs.isEmpty) None
+    else if (fs.length == 1) Some(s"$col = '${esc(fs.head)}'")
+    else Some(s"$col IN (${fs.map(x => s"'${esc(x)}'").mkString(", ")})")
+  }
+
   private def termCond(t: Term, alias: String = ""): String = {
     val p = if (alias.isEmpty) "" else s"$alias."
     val base =
       if (t.prefix) s"${p}term LIKE '${esc(t.text)}%'"
       else s"${p}term = '${esc(t.text)}'"
-    val scoped = t.field.map(f => s"$base AND ${p}field = '${esc(f)}'").getOrElse(base)
+    val scoped = t.field.flatMap(fieldCond(_, s"${p}field"))
+      .map(fc => s"$base AND $fc").getOrElse(base)
     // FTS5 `^term`: initial-token anchor — postings carry positions, so the
     // anchor is just pos = 0 within the (uid, field)
     if (t.anchor) s"$scoped AND ${p}pos = 0" else scoped
@@ -240,7 +283,7 @@ object Fts {
         s" AND $a.pos = p0.pos + ${i + 1} AND $a.term = '${esc(tok)}'"
     }.mkString
     val where = s"p0.term = '${esc(ph.tokens.head)}'" +
-      ph.field.map(f => s" AND p0.field = '${esc(f)}'").getOrElse("") +
+      ph.field.flatMap(fieldCond(_, "p0.field")).map(" AND " + _).getOrElse("") +
       (if (ph.anchor) " AND p0.pos = 0" else "")
     s"FROM $view p0$joins\nWHERE $where"
   }

@@ -100,6 +100,43 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("star warehouse reuse: a FRESH JVM re-registers existing files without a write") {
+    // this repo runs the in-memory catalog (no metastore): a JVM restart
+    // loses the catalog entries but keeps the external table files + the
+    // sidecar. Simulate the restart by dropping the catalog entries —
+    // external tables, so the data stays — and clearing the memo.
+    val dir = "/root/testdata/sf0.001"
+    graft.StarWarehouse.invalidate()
+    val n1 = graft.StarWarehouse(spark, dir).nodes.count()
+    val (nodesT, edgesT) = graft.StarWarehouse.tableNames(dir)
+    spark.sql(s"DROP TABLE $nodesT")
+    spark.sql(s"DROP TABLE $edgesT")
+    assert(!spark.catalog.tableExists(nodesT), "catalog entry gone (restart simulated)")
+    graft.StarWarehouse.invalidate()
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val g2 =
+      try {
+        val g = graft.StarWarehouse(spark, dir)
+        assert(jobs.get() == 0,
+          "re-registering a valid on-disk warehouse must be metadata-only (no write, no scan)")
+        g
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(g2.nodes.count() == n1)
+
+    // and the re-registered tables keep the bucketed layout: the motif
+    // query over them is still exchange-free
+    val df = graft.SparkEntry.queries("w20_copart_pairs_wh")(spark, dir)
+    assert(df.count() > 0 && shuffleCount(df) == 0,
+      s"re-registered tables must keep bucket co-location:\n${df.queryExecution.executedPlan}")
+  }
+
   test("star warehouse reuse: a changed source fingerprint triggers a rebuild") {
     // private copy of the sources so we can legally touch an mtime
     val src = java.nio.file.Paths.get("/root/testdata/sf0.001")

@@ -76,6 +76,38 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(fs(0)) < 1e-3)
   }
 
+  test("BMP resize is real: nearest-neighbor pixels, valid re-encoded payload") {
+    val R = (255, 0, 0); val G = (0, 255, 0); val B = (0, 0, 255)
+    val W = (255, 255, 255); val K = (0, 0, 0)
+    // 4x4 with quadrant markers at even coordinates — nearest-neighbor to
+    // 2x2 picks exactly pixels (0,0) (2,0) (0,2) (2,2)
+    val img = bmp(Seq(
+      Seq(R, K, G, K),
+      Seq(K, K, K, K),
+      Seq(B, K, W, K),
+      Seq(K, K, K, K)))
+    val out = Multimodal.resizeBmp(img, maxSide = 2).get
+    val (w, h, px) = Multimodal.decodeBmpPixels(out).get
+    assert(w == 2 && h == 2)
+    assert(px.toSeq == Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+    // under the bound: re-encoded but pixel-identical
+    val same = Multimodal.resizeBmp(img, maxSide = 10).get
+    assert(Multimodal.decodeBmpPixels(same).get._3.toSeq
+      == Multimodal.decodeBmpPixels(img).get._3.toSeq)
+
+    // the distributed operator resizes BMPs and passes through the rest
+    val rows = spark.createDataFrame(Seq(
+      Row(1L, "image", img, "image/bmp", 4, 4, null),
+      Row(2L, "image", Array[Byte](1, 2, 3), "image/png", 100, 50, null)
+    ).asJava, Multimodal.mediaSchema)
+    val res = Multimodal.resizeImages(spark, rows, maxSide = 2)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(res(1L).resized && res(1L).out_width == 2 && res(1L).out_height == 2)
+    assert(Multimodal.decodeBmpPixels(res(1L).bytes).get._3.toSeq
+      == Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+    assert(!res(2L).resized && res(2L).bytes.toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("non-BMP/WAV payloads still route to the deterministic stub") {
     val junk = Array[Byte](1, 2, 3)
     assert(Multimodal.decodeBmp(junk).isEmpty && Multimodal.decodeWav(junk).isEmpty)

@@ -23,30 +23,40 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
   private final case class QPhrase(toks: Seq[String], field: Option[String],
       anchor: Boolean = false) extends QAtom
 
+  // a field scope is comma-joined: "title" or the r5 column list "title,body"
+  private def scopeFields(f: Option[String]): Seq[String] =
+    f.map(_.split(',').toSeq).getOrElse(fields)
+
   private def naiveAtom(d: NDoc, a: QAtom): Boolean = a match {
     case QTerm(t, pre, f, anchor) =>
-      val fieldsToCheck = f.map(Seq(_)).getOrElse(fields)
-      fieldsToCheck.exists { fl =>
+      scopeFields(f).exists { fl =>
         val toks = d.field(fl)
         // FTS5 `^term`: only the field's first token can match
         val cand = if (anchor) toks.take(1) else toks
         if (pre) cand.exists(_.startsWith(t)) else cand.contains(t)
       }
     case QPhrase(ts, f, anchor) =>
-      val fieldsToCheck = f.map(Seq(_)).getOrElse(fields)
-      fieldsToCheck.exists { fl =>
+      scopeFields(f).exists { fl =>
         val toks = d.field(fl)
         val starts = if (anchor) Seq(0).filter(_ => toks.nonEmpty) else toks.indices
         starts.exists(i => i + ts.size <= toks.size && toks.slice(i, i + ts.size) == ts)
       }
   }
 
+  // single field renders inline (`title:x`); a multi-field scope renders as
+  // the FTS5 column-list form (`{title body}: x`)
+  private def renderScope(f: Option[String]): String = f match {
+    case Some(s) if s.contains(',') => "{" + s.split(',').mkString(" ") + "}: "
+    case Some(s) => s + ":"
+    case None => ""
+  }
+
   private def render(branches: Seq[Seq[QAtom]]): String =
     branches.map(_.map {
       case QTerm(t, pre, f, anchor) =>
-        f.map(_ + ":").getOrElse("") + (if (anchor) "^" else "") + t + (if (pre) "*" else "")
+        renderScope(f) + (if (anchor) "^" else "") + t + (if (pre) "*" else "")
       case QPhrase(ts, f, anchor) =>
-        f.map(_ + ":").getOrElse("") + (if (anchor) "^" else "") + "\"" + ts.mkString(" ") + "\""
+        renderScope(f) + (if (anchor) "^" else "") + "\"" + ts.mkString(" ") + "\""
     }.mkString(" ")).mkString(" OR ")
 
   // r4 grammar extensions: NEAR proximity groups and binary NOT
@@ -137,7 +147,13 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
 
       for (_ <- 1 to 6) {
         def atom(): QAtom = {
-          val field = if (rng.nextBoolean()) None else Some(fields(rng.nextInt(2)))
+          // r5: occasionally a `{...}:` column list (comma-joined internal
+          // form) of 1 or 2 distinct fields
+          val field = rng.nextInt(6) match {
+            case 0 | 1 => Some(fields(rng.nextInt(2)))
+            case 2     => Some(Seq.fill(1 + rng.nextInt(2))(fields(rng.nextInt(2))).distinct.mkString(","))
+            case _     => None
+          }
           if (rng.nextInt(3) == 0) {
             // a phrase sampled from a real doc (random phrases rarely match)
             val d = docs(rng.nextInt(docs.size))

@@ -37,6 +37,24 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
     assert(uids("body:primer") == Set("u2"))
   }
 
+  test("column-list filter ('{title body}: term', r5)") {
+    // quantum appears in u1.title and u3.body
+    assert(uids("{title}: quantum") == Set("u1"))
+    assert(uids("{body}: quantum") == Set("u3"))
+    assert(uids("{title body}: quantum") == Set("u1", "u3"))
+    // scopes only the following atom; composes with anchors and phrases
+    assert(uids("{title body}: primer mechanics") == Set("u1", "u2"),
+      "primer in either field AND unscoped mechanics (u1 has both in title)")
+    assert(uids("{body}: primer mechanics") == Set("u2"),
+      "body-scoped primer excludes u1 (title-only)")
+    assert(uids("{body}: ^newton") == Set("u2"))
+    assert(uids("{title}: \"quantum mechanics\"") == Set("u1"))
+    // `{...}` without a colon is NOT a filter: the braces tokenize to the
+    // junk terms `title`/`body`, which match no document (FTS5 errors here;
+    // we degrade to an empty AND match)
+    assert(uids("{title body} quantum") == Set.empty[String])
+  }
+
   test("multiple terms AND (FTS5 implicit AND)") {
     assert(uids("mechanics primer") == Set("u1", "u2"))
     assert(uids("title:mechanics body:primer") == Set("u2"))
