@@ -918,9 +918,9 @@ object SparkEntry {
     // rebuilds the positional postings inline, then mirrors the three-atom
     // match (two terms + one phrase) with the same tf score and tiebreak
     "g10_fts_or_phrase" ->
-      """WITH t AS (SELECT 'part:' || p_partkey AS uid, string_split_regex(lower(p_name), '[^a-z0-9]+') AS toks FROM part),
+      """WITH t AS (SELECT 'part:' || p_partkey AS uid, list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> x <> '') AS toks FROM part),
         |p AS (SELECT uid, u.s.t AS term, u.s.p AS pos
-        |      FROM t, unnest([{'t': toks[i], 'p': i - 1} for i in range(1, len(toks) + 1) if toks[i] <> '']) u(s)),
+        |      FROM t, unnest([{'t': toks[i], 'p': i - 1} for i in range(1, len(toks) + 1)]) u(s)),
         |m AS (
         |  (SELECT DISTINCT uid FROM p WHERE term = 'red')
         |  UNION
@@ -940,9 +940,9 @@ object SparkEntry {
 
     // mirrors the NEAR proximity join over inline-rebuilt positional postings
     "g12_fts_near" ->
-      """WITH t AS (SELECT 'part:' || p_partkey AS uid, string_split_regex(lower(p_name), '[^a-z0-9]+') AS toks FROM part),
+      """WITH t AS (SELECT 'part:' || p_partkey AS uid, list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> x <> '') AS toks FROM part),
         |p AS (SELECT uid, u.s.t AS term, u.s.p AS pos
-        |      FROM t, unnest([{'t': toks[i], 'p': i - 1} for i in range(1, len(toks) + 1) if toks[i] <> '']) u(s))
+        |      FROM t, unnest([{'t': toks[i], 'p': i - 1} for i in range(1, len(toks) + 1)]) u(s))
         |SELECT DISTINCT o0.uid AS uid
         |FROM (SELECT uid, pos FROM p WHERE term = 'red') o0
         |JOIN (SELECT uid, pos FROM p WHERE term = 'widget') o1 ON o1.uid = o0.uid
@@ -950,9 +950,9 @@ object SparkEntry {
 
     // mirrors the NOT set difference
     "g13_fts_not" ->
-      """WITH t AS (SELECT 'part:' || p_partkey AS uid, string_split_regex(lower(p_name), '[^a-z0-9]+') AS toks FROM part),
+      """WITH t AS (SELECT 'part:' || p_partkey AS uid, list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> x <> '') AS toks FROM part),
         |p AS (SELECT uid, u.s.t AS term, u.s.p AS pos
-        |      FROM t, unnest([{'t': toks[i], 'p': i - 1} for i in range(1, len(toks) + 1) if toks[i] <> '']) u(s))
+        |      FROM t, unnest([{'t': toks[i], 'p': i - 1} for i in range(1, len(toks) + 1)]) u(s))
         |SELECT uid FROM (
         |  (SELECT DISTINCT uid FROM p WHERE term = 'red')
         |  EXCEPT
@@ -963,11 +963,14 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY ordercount DESC, uid LIMIT 10 OFFSET 5""".stripMargin,
 
-    // mirrors the ^anchor: same postings CTE, initial token only (pos = 0)
+    // mirrors the ^anchor: same postings CTE, initial token only (pos = 0).
+    // Positions number the FILTERED token list (empty split slots dropped
+    // before numbering), matching Fts.postings' FTS5-style token positions.
     "g15_fts_anchor" ->
-      """WITH t AS (SELECT 'part:' || p_partkey AS uid, string_split_regex(lower(p_name), '[^a-z0-9]+') AS toks FROM part),
+      """WITH t AS (SELECT 'part:' || p_partkey AS uid,
+        |  list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> x <> '') AS toks FROM part),
         |p AS (SELECT uid, u.s.t AS term, u.s.p AS pos
-        |      FROM t, unnest([{'t': toks[i], 'p': i - 1} for i in range(1, len(toks) + 1) if toks[i] <> '']) u(s))
+        |      FROM t, unnest([{'t': toks[i], 'p': i - 1} for i in range(1, len(toks) + 1)]) u(s))
         |SELECT DISTINCT uid FROM p WHERE term = 'red' AND pos = 0""".stripMargin,
 
     "d01_exact_dedup_stats" ->

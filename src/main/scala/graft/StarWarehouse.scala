@@ -49,12 +49,14 @@ object StarWarehouse {
   /** Drop memoized graphs (tables stay in the catalog until replaced). */
   def invalidate(): Unit = memo.clear()
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** md5-derived so distinct (dir, buckets) configurations can't collide on
     * a 32-bit hashCode and silently overwrite each other's tables. */
   private def tablePrefix(dir: String, buckets: Int): String =
-    s"graft_wstar_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$buckets".getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
+    "graft_wstar_" + md5Hex(s"$dir#$buckets").take(16)
 
   /** DROP + clear any orphaned table dir (in-memory catalog, durable
     * warehouse dir — same hazard as WarehouseGraph.compactBucketed). */
@@ -72,7 +74,10 @@ object StarWarehouse {
   }
 
   /** Cheap change detector for the source dir: file listing only (relative
-    * path, size, mtime), never a data scan — listing 100 TB is O(files). */
+    * path, size, mtime), never a data scan — listing 100 TB is O(files).
+    * Full FileTime precision (this host stamps nanoseconds): truncating to
+    * millis would make a same-size same-millisecond rewrite invisible and
+    * silently serve a stale warehouse. */
   private def sourceSignature(dir: String): String = {
     import scala.jdk.CollectionConverters._
     val root = Paths.get(dir)
@@ -80,12 +85,11 @@ object StarWarehouse {
     val entries =
       try walk.iterator().asScala
         .filter(p => Files.isRegularFile(p))
-        .map(p => s"${root.relativize(p)}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}")
+        .map(p => s"${root.relativize(p)}|${Files.size(p)}|" +
+          Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
         .toSeq.sorted
       finally walk.close()
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(entries.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    md5Hex(entries.mkString("\n"))
   }
 
   private def storedFingerprint(spark: SparkSession, table: String): Option[String] =

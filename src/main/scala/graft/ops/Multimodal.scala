@@ -66,7 +66,9 @@ object Multimodal {
       val height = math.abs(rawHeight)
       val bpp = leShort(bytes, 28)
       val compression = leInt(bytes, 30)
-      if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
+      // height <= 0 (not == 0): abs(Int.MinValue) is still negative, and a
+      // negative height would otherwise reach the array allocation
+      if (width <= 0 || height <= 0 || bpp != 24 || compression != 0) return None
       val stride = ((width * 3 + 3) / 4) * 4
       if (dataOffset < 54 || dataOffset.toLong + stride.toLong * height > bytes.length) return None
       val px = new Array[Int](width * height)
@@ -171,7 +173,9 @@ object Multimodal {
       while (o + 8 <= bytes.length && (data.isEmpty || !fmtOk)) {
         val id = new String(bytes, o, 4, "US-ASCII")
         val size = leInt(bytes, o + 4)
-        if (size < 0 || o + 8 + size > bytes.length) return None
+        // long arithmetic: a near-Int.MaxValue declared size must fail the
+        // bounds check, not wrap negative and reach a huge allocation
+        if (size < 0 || o + 8L + size > bytes.length) return None
         if (id == "fmt ") {
           if (size < 16) return None
           val audioFormat = leShort(bytes, o + 8)

@@ -63,11 +63,14 @@ object Traversals {
     * emptiness check already materializes them), so the hint is gated on
     * real cardinality, not estimates; an over-threshold frontier (hub
     * blowup) falls back to the shuffle join instead of OOMing the driver.
-    * With the broadcast, a hop never moves edge bytes at all — see
-    * BucketingSpec's zero-shuffle hop-join assert over the bucketed
-    * warehouse ([[graft.StarWarehouse]]). */
+    * The default (1M rows ≈ tens of MB of uid strings, a few hundred MB
+    * hashed) targets multi-GB executor/driver heaps; it gates on rows
+    * because uid width is bounded in practice — size the threshold down on
+    * small drivers. With the broadcast, a hop never moves edge bytes at
+    * all — see BucketingSpec's zero-shuffle hop-join assert over the
+    * bucketed warehouse ([[graft.StarWarehouse]]). */
   def kHop(g: GraphSource, seeds: DataFrame, hops: Int, directed: Boolean = false,
-      broadcastFrontierRows: Long = 4000000L): DataFrame = {
+      broadcastFrontierRows: Long = 1000000L): DataFrame = {
     if (hops <= 0) return g.nodes.limit(0) // don't pay the edge compaction
     val e = g.edges.select("startuid", "enduid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -29,14 +29,20 @@ object Fts {
 
   val TokenSplit = "[^\\p{L}\\p{N}]+"
 
-  /** Posting rows for (uid, field, text) triples: lower → split → posexplode.
-    * One row PER OCCURRENCE (positions feed phrases, multiplicity feeds tf
-    * scores); match sets always project DISTINCT uids. */
+  /** Posting rows for (uid, field, text) triples: lower → split → drop empty
+    * slots → posexplode. One row PER OCCURRENCE (positions feed phrases,
+    * multiplicity feeds tf scores); match sets always project DISTINCT uids.
+    *
+    * Empty slots are filtered BEFORE posexplode (r5): a field starting with
+    * punctuation ("(red) october") splits to an empty first element, and
+    * numbering the raw array would put the first real token at pos 1 —
+    * breaking the `^anchor`'s `pos = 0` compile against FTS5 semantics,
+    * where positions count tokens, not separator slots. */
   def postings(df: DataFrame, uidCol: String, fieldToTextCol: Map[String, String]): DataFrame = {
     val perField = fieldToTextCol.toSeq.map { case (field, textCol) =>
       df.select(col(uidCol).as("uid"),
-          posexplode(split(lower(col(textCol)), TokenSplit)).as(Seq("pos", "term")))
-        .filter(col("term") =!= "")
+          posexplode(filter(split(lower(col(textCol)), TokenSplit),
+            t => t =!= "")).as(Seq("pos", "term")))
         .select(col("term"), lit(field).as("field"), col("uid"), col("pos"))
     }
     perField.reduce(_ unionByName _)
@@ -52,29 +58,34 @@ object Fts {
   }
 
   /** Terms/phrases inside a NEAR(...) group (no OR/NOT/nesting inside, as in
-    * FTS5); a punctuated bare member behaves as a phrase. */
+    * FTS5); a punctuated bare member behaves as a phrase. `^` anchors a
+    * member to the field's first token, as outside NEAR (r5 review fix:
+    * previously the caret was silently stripped by tokenization). */
   private def parseMembers(s: String): Seq[Atom] = {
-    val Tok = """(?:(\w+)\s*:\s*)?"([^"]*)"|(\S+)""".r
+    val Tok = """(?:(\w+)\s*:\s*)?(\^)?"([^"]*)"|(\S+)""".r
     Tok.findAllMatchIn(s.trim).flatMap { m =>
-      if (m.group(2) != null) {
+      if (m.group(3) != null) {
         val field = Option(m.group(1)).map(_.toLowerCase)
-        val toks = m.group(2).toLowerCase.split(TokenSplit).filter(_.nonEmpty).toSeq
+        val anchor = m.group(2) != null
+        val toks = m.group(3).toLowerCase.split(TokenSplit).filter(_.nonEmpty).toSeq
         if (toks.isEmpty) None
-        else if (toks.size == 1) Some(Term(toks.head, prefix = false, field))
-        else Some(Phrase(toks, field))
+        else if (toks.size == 1) Some(Term(toks.head, prefix = false, field, anchor))
+        else Some(Phrase(toks, field, anchor))
       } else {
-        var t = m.group(3)
+        var t = m.group(4)
         var field: Option[String] = None
         if (t.contains(":")) {
           val Array(f, rest) = t.split(":", 2)
           field = Some(f.toLowerCase); t = rest
         }
+        val anchor = t.startsWith("^")
+        if (anchor) t = t.drop(1)
         val prefix = t.endsWith("*")
         val pieces = (if (prefix) t.dropRight(1) else t).toLowerCase
           .split(TokenSplit).filter(_.nonEmpty).toSeq
         if (pieces.isEmpty) None
-        else if (pieces.size == 1) Some(Term(pieces.head, prefix, field))
-        else Some(Phrase(pieces, field))
+        else if (pieces.size == 1) Some(Term(pieces.head, prefix, field, anchor))
+        else Some(Phrase(pieces, field, anchor))
       }
     }.toSeq
   }

@@ -39,6 +39,19 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       .findAllIn(df.queryExecution.executedPlan.toString).size
   }
 
+  /** Runs `body` under a job-counting listener; returns (result, jobCount). */
+  private def withJobCount[A](body: => A): (A, Int) = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try (body, jobs.get())
+    finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("star warehouse: 2-hop co-part motif + per-order agg has ZERO shuffle exchanges") {
     val dir = "/root/testdata/sf0.001"
     val df = graft.SparkEntry.queries("w20_copart_pairs_wh")(spark, dir)
@@ -85,19 +98,10 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
 
     // fresh-session simulation: memo gone, catalog (SharedState) persists
     graft.StarWarehouse.invalidate()
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val g2 = graft.StarWarehouse(spark, dir)
-      assert(jobs.get() == 0,
-        "re-opening a valid bucketed warehouse must be metadata-only (no write, no scan)")
-      assert(g2.nodes.count() == n1)
-    } finally spark.sparkContext.removeSparkListener(listener)
+    val (g2, jobCount) = withJobCount(graft.StarWarehouse(spark, dir))
+    assert(jobCount == 0,
+      "re-opening a valid bucketed warehouse must be metadata-only (no write, no scan)")
+    assert(g2.nodes.count() == n1)
   }
 
   test("star warehouse reuse: a FRESH JVM re-registers existing files without a write") {
@@ -114,20 +118,9 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     assert(!spark.catalog.tableExists(nodesT), "catalog entry gone (restart simulated)")
     graft.StarWarehouse.invalidate()
 
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    val g2 =
-      try {
-        val g = graft.StarWarehouse(spark, dir)
-        assert(jobs.get() == 0,
-          "re-registering a valid on-disk warehouse must be metadata-only (no write, no scan)")
-        g
-      } finally spark.sparkContext.removeSparkListener(listener)
+    val (g2, jobCount) = withJobCount(graft.StarWarehouse(spark, dir))
+    assert(jobCount == 0,
+      "re-registering a valid on-disk warehouse must be metadata-only (no write, no scan)")
     assert(g2.nodes.count() == n1)
 
     // and the re-registered tables keep the bucketed layout: the motif
@@ -157,18 +150,9 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     java.nio.file.Files.setLastModifiedTime(touched,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
     graft.StarWarehouse.invalidate()
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val g2 = graft.StarWarehouse(spark, dir.toString)
-      assert(jobs.get() > 0, "a stale fingerprint must trigger a rebuild")
-      assert(g2.nodes.count() == n1)
-    } finally spark.sparkContext.removeSparkListener(listener)
+    val (g2, jobCount) = withJobCount(graft.StarWarehouse(spark, dir.toString))
+    assert(jobCount > 0, "a stale fingerprint must trigger a rebuild")
+    assert(g2.nodes.count() == n1)
   }
 
   test("star warehouse chains return exactly the parquet-projection results") {

@@ -114,6 +114,22 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decode(junk, 4).sameElements(Multimodal.decodeStub(junk, 4)))
   }
 
+  test("malformed headers return None instead of crashing (r5 review fixes)") {
+    // BMP with biHeight = Int.MinValue: abs() stays negative — must not
+    // reach the array allocation
+    val evilBmp = bmp(Seq(Seq((1, 2, 3))))
+    val bb = java.nio.ByteBuffer.wrap(evilBmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, Int.MinValue)
+    assert(Multimodal.decodeBmp(evilBmp).isEmpty)
+
+    // WAV whose data chunk declares a near-Int.MaxValue size: the bounds
+    // check must fail (long arithmetic), not wrap negative and allocate GBs
+    val evilWav = wav(Seq(1, 2, 3, 4).map(_.toShort))
+    val wb = java.nio.ByteBuffer.wrap(evilWav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wb.putInt(40, Int.MaxValue - 8) // 'data' chunk size field
+    assert(Multimodal.decodeWav(evilWav).isEmpty)
+  }
+
   private def mediaDf = spark.createDataFrame(Seq(
     Row(1L, "image", Array[Byte](1, 2, 3), "image/png", 4000, 1000, null),
     Row(2L, "image", Array[Byte](10, 20), "image/jpeg", 100, 50, null),
@@ -130,6 +146,17 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(f1.feature(0) - 1 / 255.0f) < 1e-6)
     val f3 = feats.find(_.media_id == 3L).get
     assert(f3.n_bytes == 0 && f3.feature.forall(_ == 0.0f))
+  }
+
+  test("feature extraction is end-to-end REAL for WAV payloads through Spark") {
+    val payload = wav(Seq.fill(4)(16384.toShort) ++ Seq.fill(4)(0.toShort))
+    val df = spark.createDataFrame(Seq(
+      Row(7L, "audio", payload, "audio/wav", null, null, 1L)
+    ).asJava, Multimodal.mediaSchema)
+    val f = Multimodal.extractFeatures(spark, df, dim = 2).collect().head
+    assert(f.media_id == 7L && f.n_bytes == payload.length)
+    // real decode: windowed RMS of the actual samples, not the byte stub
+    assert(math.abs(f.feature(0) - 0.5f) < 1e-3 && f.feature(1) < 1e-6)
   }
 
   test("resize plan computes bounded output dims without touching pixels") {

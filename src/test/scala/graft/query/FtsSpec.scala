@@ -132,6 +132,34 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
     assert(uids("\"quantum of\" OR \"NEAR(x)\"") == Set("u3"))
   }
 
+  test("^anchor counts tokens, not separator slots; NEAR members honor ^ (r5 review fixes)") {
+    import spark.implicits._
+    val d = Seq(
+      ("p1", "(red) october hunt"),  // leading punctuation: red IS the first token
+      ("p2", "hunt for red october")
+    ).toDF("uid", "body")
+    val i2 = Fts.postings(d, "uid", Map("body" -> "body"))
+    def u(q: String) = Fts.matchUids(i2, q).collect().map(_.getString(0)).toSet
+    assert(u("^red") == Set("p1"), "FTS5 positions number tokens — '(red...' anchors")
+    assert(u("^hunt") == Set("p2"))
+    assert(u("^\"red october\"") == Set("p1"))
+    // inside NEAR: ^ restricts the member to the field-initial occurrence
+    assert(u("NEAR(^red october, 3)") == Set("p1"),
+      "p2's red is not field-initial, so the anchored member can't match")
+    assert(u("NEAR(red october, 3)") == Set("p1", "p2"))
+  }
+
+  test("NEAR group end scans outside quotes (r5 review fix)") {
+    // a quoted member containing ')' must not truncate the group: ')' and
+    // ',' vanish in tokenization, so these behave as the plain forms
+    assert(uids("NEAR(\"quantum ) mechanics\" primer, 2)")
+      == uids("NEAR(\"quantum mechanics\" primer, 2)"))
+    assert(uids("NEAR(\"quantum , mechanics\" primer, 2)")
+      == uids("NEAR(\"quantum mechanics\" primer, 2)"))
+    assert(uids("NEAR(\"quantum mechanics\" primer, 2)") == Set("u1"),
+      "sanity: the plain form matches u1")
+  }
+
   test("bm25: higher tf ranks higher; rarer term outscores common term") {
     import spark.implicits._
     val d = Seq(
