@@ -119,9 +119,37 @@ object StarWarehouse {
     val body = Seq(
       s"sig\t$sig", s"buckets\t$buckets",
       s"nodes_schema\t$nodesDdl", s"edges_schema\t$edgesDdl").mkString("\n")
-    Files.write(sidecarPath(spark, p), body.getBytes("UTF-8"))
+    // temp + atomic rename: a concurrent reader never sees a torn sidecar
+    val target = sidecarPath(spark, p)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
+
+  /** Cross-PROCESS build exclusion: an advisory file lock on
+    * `<prefix>.lock` in the warehouse dir (plus a JVM-global monitor, since
+    * OS file locks are per-process). Two JVMs racing an initial build would
+    * otherwise interleave replaceTable's recursive delete with the other
+    * writer's bucket files and then fingerprint the mixed result as valid.
+    * Readers are NOT serialized against a concurrent rebuild — this is a
+    * plain-parquet layout, not a transactional table format; a deployment
+    * that rebuilds while serving queries needs a snapshot/transactional
+    * format (or single-writer discipline), which is out of scope here. */
+  private val jvmBuildLock = new Object
+  private def withBuildLock[A](spark: SparkSession, p: String)(body: => A): A =
+    jvmBuildLock.synchronized {
+      val lockPath = tableLocation(spark, s"$p.lock")
+      Files.createDirectories(lockPath.getParent)
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until any other process's build ends
+        try body finally lock.release()
+      } finally ch.close()
+    }
 
   private def readSidecar(spark: SparkSession, p: String): Option[Map[String, String]] = {
     val f = sidecarPath(spark, p)
@@ -164,6 +192,13 @@ object StarWarehouse {
   private def build(spark: SparkSession, dir: String, buckets: Int): ViewGraph = {
     val p = tablePrefix(dir, buckets)
     val sig = sourceSignature(dir)
+    withBuildLock(spark, p) { buildLocked(spark, dir, buckets, p, sig) }
+  }
+
+  /** The check-then-act below runs entirely under the build lock, so the
+    * existence/fingerprint checks can't race another builder's delete. */
+  private def buildLocked(spark: SparkSession, dir: String, buckets: Int,
+      p: String, sig: String): ViewGraph = {
     val inCatalog = spark.catalog.tableExists(s"${p}_nodes") &&
       spark.catalog.tableExists(s"${p}_edges") &&
       storedFingerprint(spark, s"${p}_nodes").contains(sig)

@@ -69,8 +69,14 @@ object Multimodal {
       // height <= 0 (not == 0): abs(Int.MinValue) is still negative, and a
       // negative height would otherwise reach the array allocation
       if (width <= 0 || height <= 0 || bpp != 24 || compression != 0) return None
-      val stride = ((width * 3 + 3) / 4) * 4
-      if (dataOffset < 54 || dataOffset.toLong + stride.toLong * height > bytes.length) return None
+      // stride in LONG: width near Int.MaxValue overflows `width * 3` and a
+      // negative stride would pass the size guard below and reach the
+      // allocation (r5 review fix). The guard also bounds width·height: a
+      // payload can't be well-formed unless all pixel bytes fit in it, so
+      // width*height*3 ≤ bytes.length < 2³¹ keeps the Int allocation safe.
+      val strideL = ((width.toLong * 3 + 3) / 4) * 4
+      if (dataOffset < 54 || dataOffset.toLong + strideL * height > bytes.length) return None
+      val stride = strideL.toInt
       val px = new Array[Int](width * height)
       var y = 0
       while (y < height) {

@@ -95,13 +95,18 @@ object Traversals {
         if (n == 0) exhausted = true
         else {
           reached = reached.unionByName(next)
-          visited = visited.unionByName(next).distinct()
+          // no distinct: each next is anti-joined against visited, so the
+          // frontiers are pairwise disjoint by construction — visited stays
+          // a FLAT union of checkpointed RDDs (a per-hop distinct would nest
+          // one shuffle per hop into the anti-join's re-executed lineage)
+          visited = visited.unionByName(next)
           frontier = next
           nFrontier = n
         }
         hop += 1
       }
-      g.nodes.join(reached.distinct(), Seq("uid"), "left_semi")
+      // reached = union of disjoint frontiers: distinct-free semi-join
+      g.nodes.join(reached, Seq("uid"), "left_semi")
     } finally e.unpersist(false) // result lineage only references the frontiers
   }
 

@@ -39,17 +39,25 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       .findAllIn(df.queryExecution.executedPlan.toString).size
   }
 
-  /** Runs `body` under a job-counting listener; returns (result, jobCount). */
+  /** Runs `body` under a job-counting listener; returns (result, jobCount).
+    * The listener bus is drained before attaching (so a previous action's
+    * in-flight JobStart can't leak into the count) and before reading the
+    * counter (so the body's own jobs are all delivered). */
   private def withJobCount[A](body: => A): (A, Int) = {
+    import org.apache.spark.grafttest.ListenerDrain.drain
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(); ()
       }
     }
+    drain(spark.sparkContext)
     spark.sparkContext.addSparkListener(listener)
-    try (body, jobs.get())
-    finally spark.sparkContext.removeSparkListener(listener)
+    try {
+      val result = body
+      drain(spark.sparkContext)
+      (result, jobs.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("star warehouse: 2-hop co-part motif + per-order agg has ZERO shuffle exchanges") {
