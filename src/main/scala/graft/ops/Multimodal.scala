@@ -215,6 +215,71 @@ object Multimodal {
     } catch { case _: IndexOutOfBoundsException => None }
   }
 
+  /** Encode mono [-1,1] samples as a PCM16 WAV at `rate` Hz. */
+  def encodeWav(rate: Int, samples: Array[Float]): Array[Byte] = {
+    require(rate > 0, "bad rate")
+    val dataSize = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate)
+      .putInt(rate * 2).putShort(2).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) {
+      val clamped = math.max(-1.0f, math.min(1.0f, samples(i)))
+      out.putShort(math.round(clamped * 32767.0f).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** REAL nearest-sample resample of a PCM16 WAV to `targetRate` (stereo is
+    * mixed down by the decode). Returns a valid mono PCM16 WAV; None for
+    * anything [[decodeWav]] can't read. Nearest-sample (not windowed-sinc)
+    * is the deterministic zero-dependency baseline — swap the inner loop
+    * for a real resampler without touching the contract. */
+  def resampleWav(bytes: Array[Byte], targetRate: Int): Option[Array[Byte]] = {
+    require(targetRate > 0, "bad target rate")
+    decodeWav(bytes).map { case (rate, samples) =>
+      if (rate == targetRate) encodeWav(rate, samples)
+      else {
+        val n = math.max(1, (samples.length.toLong * targetRate / rate).toInt)
+        val out = new Array[Float](n)
+        var j = 0
+        while (j < n) {
+          out(j) = samples(math.min(samples.length - 1,
+            (j.toLong * rate / targetRate).toInt))
+          j += 1
+        }
+        encodeWav(targetRate, out)
+      }
+    }
+  }
+
+  final case class ResampledMedia(media_id: Long, kind: String, resampled: Boolean,
+      out_rate: Int, n_samples: Int, bytes: Array[Byte])
+
+  /** Distributed audio resample over the binary column: REAL sample work
+    * for PCM16 WAV payloads, passthrough for formats the container can't
+    * decode. Same per-partition batch shape as [[extractFeatures]]. */
+  def resampleAudio(spark: SparkSession, media: DataFrame, targetRate: Int): Dataset[ResampledMedia] = {
+    import spark.implicits._
+    media.select("media_id", "kind", "bytes").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, bytes) =>
+          resampleWav(bytes, targetRate) match {
+            case Some(out) =>
+              val (rate, samples) = decodeWav(out).get // own encoder: always readable
+              ResampledMedia(id, kind, resampled = true, rate, samples.length, out)
+            case None => ResampledMedia(id, kind, resampled = false, -1, -1, bytes)
+          }
+        }
+      }
+  }
+
   /** Pool a raster/sample stream into `dim` equal buckets: mean for
     * luminance, RMS for audio energy. Deterministic ordered folds. */
   private def pool(values: Array[Float], dim: Int, rms: Boolean): Array[Float] = {

@@ -114,6 +114,32 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decode(junk, 4).sameElements(Multimodal.decodeStub(junk, 4)))
   }
 
+  test("WAV resample is real: nearest-sample values at the new rate") {
+    // 8 samples at 8000 Hz: ramp 0..7 (scaled small to dodge clamping)
+    val ramp = (0 until 8).map(i => (i * 100).toShort)
+    val in = wav(ramp, channels = 1, rate = 8000)
+    // downsample 2x: every second sample survives
+    val down = Multimodal.resampleWav(in, 4000).get
+    val (r1, s1) = Multimodal.decodeWav(down).get
+    assert(r1 == 4000 && s1.length == 4)
+    assert(s1.map(v => math.round(v * 32767)).toSeq == Seq(0, 200, 400, 600))
+    // upsample 2x: samples duplicate
+    val up = Multimodal.resampleWav(in, 16000).get
+    val (r2, s2) = Multimodal.decodeWav(up).get
+    assert(r2 == 16000 && s2.length == 16)
+    assert(math.round(s2(0) * 32767) == 0 && math.round(s2(2) * 32767) == 100)
+
+    // distributed operator: resamples WAVs, passes through the rest
+    val rows = spark.createDataFrame(Seq(
+      Row(1L, "audio", in, "audio/wav", null, null, 1L),
+      Row(2L, "audio", Array[Byte](9, 9), "audio/mp3", null, null, 1L)
+    ).asJava, Multimodal.mediaSchema)
+    val res = Multimodal.resampleAudio(spark, rows, targetRate = 4000)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(res(1L).resampled && res(1L).out_rate == 4000 && res(1L).n_samples == 4)
+    assert(!res(2L).resampled && res(2L).bytes.toSeq == Seq[Byte](9, 9))
+  }
+
   test("malformed headers return None instead of crashing (r5 review fixes)") {
     // BMP with biHeight = Int.MinValue: abs() stays negative — must not
     // reach the array allocation
