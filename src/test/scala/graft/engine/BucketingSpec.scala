@@ -138,6 +138,32 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       s"re-registered tables must keep bucket co-location:\n${df.queryExecution.executedPlan}")
   }
 
+  test("star warehouse: concurrent opens serialize through the build lock") {
+    // two threads racing the initial build of the same (dir, buckets) must
+    // not interleave delete/write on the table dirs — the second entrant
+    // waits, then takes the reuse path. (Same-JVM exclusion is the monitor;
+    // the file lock extends it cross-process.)
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh_race")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(src).iterator().asScala.foreach { p =>
+      java.nio.file.Files.copy(p, dir.resolve(p.getFileName.toString))
+    }
+    graft.StarWarehouse.invalidate()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // bypass the memo (computeIfAbsent would serialize for us): two distinct
+    // sessions so each runs the full check-then-build path
+    val s2 = spark.newSession()
+    val counts = Await.result(Future.sequence(Seq(
+      Future(graft.StarWarehouse(spark, dir.toString).nodes.count()),
+      Future(graft.StarWarehouse(s2, dir.toString).nodes.count())
+    )), 120.seconds)
+    assert(counts.toSet.size == 1 && counts.head > 0,
+      s"racing builders must agree on the data: $counts")
+  }
+
   test("star warehouse reuse: a changed source fingerprint triggers a rebuild") {
     // private copy of the sources so we can legally touch an mtime
     val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
