@@ -59,14 +59,19 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
         renderScope(f) + (if (anchor) "^" else "") + "\"" + ts.mkString(" ") + "\""
     }.mkString(" ")).mkString(" OR ")
 
-  // r4 grammar extensions: NEAR proximity groups and binary NOT
+  // r4 grammar extensions: NEAR proximity groups and binary NOT;
+  // r5: members may be ^anchored (position list restricted to {0})
   private def termPositions(toks: Seq[String], t: String): Seq[Int] =
     toks.zipWithIndex.collect { case (x, i) if x == t => i }
 
-  private def naiveNear(d: NDoc, members: Seq[String], dist: Int): Boolean =
-    fields.exists { fl =>
+  private def naiveNear(d: NDoc, members: Seq[(String, Boolean)], dist: Int,
+      scope: Seq[String] = fields): Boolean =
+    scope.exists { fl =>
       val toks = d.field(fl)
-      val posLists = members.map(termPositions(toks, _))
+      val posLists = members.map { case (t, anchored) =>
+        val ps = termPositions(toks, t)
+        if (anchored) ps.filter(_ == 0) else ps
+      }
       posLists.forall(_.nonEmpty) && {
         val combos = posLists.foldLeft(Seq(Seq.empty[Int])) {
           (acc, ps) => acc.flatMap(c => ps.map(c :+ _))
@@ -74,6 +79,8 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
         combos.exists(c => c.max - c.min <= dist)
       }
     }
+  private def naiveNear(d: NDoc, members: Seq[String], dist: Int): Boolean =
+    naiveNear(d, members.map(_ -> false), dist)
 
   test("random NEAR/NOT trees ≡ naive evaluator") {
     val rng = new Random(2024)
@@ -109,6 +116,36 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
               docs.filter(d => (has(d, a) && !has(d, b)) || naiveNear(d, Seq(c, e), n))
                 .map(_.uid).toSet)
         }
+        val got = Fts.matchUids(idx, q).collect().map(_.getString(0)).toSet
+        assert(got == want, s"round $round query <$q>: got $got want $want")
+      }
+    }
+  }
+
+  test("random anchored/column-scoped NEAR groups ≡ naive evaluator (r5)") {
+    val rng = new Random(777)
+    for (round <- 1 to 4) {
+      val docs = (1 to (6 + rng.nextInt(4))).map { i =>
+        def ts() = Seq.fill(3 + rng.nextInt(5))(vocab(rng.nextInt(vocab.size)))
+        NDoc(s"u$i", ts(), ts())
+      }
+      import spark.implicits._
+      val df = docs.map(d => (d.uid, d.title.mkString(" "), d.body.mkString(" ")))
+        .toDF("uid", "title", "body")
+      val idx = Fts.postings(df, "uid", Map("title" -> "title", "body" -> "body"))
+
+      for (_ <- 1 to 6) {
+        val m1 = (vocab(rng.nextInt(vocab.size)), rng.nextInt(3) == 0)
+        val m2 = (vocab(rng.nextInt(vocab.size)), rng.nextInt(3) == 0)
+        val n = rng.nextInt(4)
+        def mr(m: (String, Boolean)) = (if (m._2) "^" else "") + m._1
+        val (scopePrefix, scope) = rng.nextInt(3) match {
+          case 0 => ("", fields)
+          case 1 => val f = fields(rng.nextInt(2)); (s"$f: ", Seq(f))
+          case _ => ("{title body}: ", fields)
+        }
+        val q = s"${scopePrefix}NEAR(${mr(m1)} ${mr(m2)}, $n)"
+        val want = docs.filter(d => naiveNear(d, Seq(m1, m2), n, scope)).map(_.uid).toSet
         val got = Fts.matchUids(idx, q).collect().map(_.getString(0)).toSet
         assert(got == want, s"round $round query <$q>: got $got want $want")
       }
