@@ -8,15 +8,28 @@ import org.apache.spark.sql.types._
   * typed metadata). The Spark-side contract — schema, partition-friendly
   * batch shape, per-partition decode loop — is real and tested.
   *
-  * Decode status (r5): BMP (24-bit uncompressed) and WAV (PCM16) are decoded
-  * FOR REAL with zero-dependency JVM header parsers — `extractFeatures` is
-  * end-to-end real for those formats (grid-pooled luminance / windowed RMS
-  * energy). Compressed formats (PNG/JPEG/MP3/MP4) still go through
-  * `decodeStub` because no codec libraries exist in this container; swap the
-  * stub for a real decoder (JNI/FFI or a Pandas-UDF equivalent) without
-  * touching the pipeline shape.
+  * Decode status (r5): images are decoded FOR REAL — BMP (24-bit BI_RGB) by
+  * a zero-copy header parser, and PNG/JPEG/GIF by the JDK's own
+  * `javax.imageio` readers (part of `java.desktop`, zero external
+  * dependencies, headless-safe). Audio is real for PCM16 WAV via the header
+  * parser, with a `javax.sound.sampled` fallback that converts any
+  * JDK-readable encoding (PCM8/24/32, float, a-law/µ-law WAV, AIFF, AU) to
+  * PCM16. Only true video/compressed-audio codecs (MP4/MP3/...) remain on
+  * `decodeStub` — the JDK has no decoder for them; swap the stub for a real
+  * decoder (JNI/FFI or a Pandas-UDF equivalent) without touching the
+  * pipeline shape.
   */
 object Multimodal {
+
+  // ImageIO's default scratch cache is a temp FILE per read — pure overhead
+  // for byte-array payloads decoded executor-side. Headless is forced so a
+  // mis-provisioned DISPLAY on a cluster node can't make AWT try to connect.
+  private lazy val imageIoReady: Boolean = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
 
   /** Canonical multimodal row: opaque payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -95,19 +108,50 @@ object Multimodal {
     } catch { case _: IndexOutOfBoundsException => None }
   }
 
+  /** REAL decode of PNG/JPEG/GIF (and anything else the JDK ships a reader
+    * for) via `javax.imageio`: (width, height, top-down 0xRRGGBB raster).
+    * Alpha is dropped so the raster shape matches [[decodeBmpPixels]].
+    * None when no installed reader claims the payload. */
+  def decodeJdkPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 8 || !imageIoReady) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue) return None
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < px.length) { px(i) &= 0xffffff; i += 1 }
+      Some((w, h, px))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Format-dispatched pixel decode: the zero-copy BMP parser first (BMP is
+    * the bulk-storage format this pipeline re-encodes to), then the JDK
+    * readers for PNG/JPEG/GIF. */
+  def decodeImagePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeBmpPixels(bytes).orElse(decodeJdkPixels(bytes))
+
+  private def luminance(px: Array[Int]): Array[Float] = {
+    val lum = new Array[Float](px.length)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      lum(i) = (0.299f * ((p >> 16) & 0xff) + 0.587f * ((p >> 8) & 0xff) +
+        0.114f * (p & 0xff)) / 255.0f
+      i += 1
+    }
+    lum
+  }
+
   /** Luminance view of [[decodeBmpPixels]]: values in [0,1], top-down. */
   def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
-    decodeBmpPixels(bytes).map { case (w, h, px) =>
-      val lum = new Array[Float](px.length)
-      var i = 0
-      while (i < px.length) {
-        val p = px(i)
-        lum(i) = (0.299f * ((p >> 16) & 0xff) + 0.587f * ((p >> 8) & 0xff) +
-          0.114f * (p & 0xff)) / 255.0f
-        i += 1
-      }
-      (w, h, lum)
-    }
+    decodeBmpPixels(bytes).map { case (w, h, px) => (w, h, luminance(px)) }
+
+  /** Luminance view of [[decodeImagePixels]] — real for BMP/PNG/JPEG/GIF. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    decodeImagePixels(bytes).map { case (w, h, px) => (w, h, luminance(px)) }
 
   /** Encode a top-down 0xRRGGBB raster as a 24-bit bottom-up BI_RGB BMP. */
   def encodeBmp(width: Int, height: Int, px: Array[Int]): Array[Byte] = {
@@ -136,30 +180,65 @@ object Multimodal {
     out.array()
   }
 
+  /** Nearest-neighbor resample of a top-down raster so the longer side is
+    * at most `maxSide` (never upscales; same scale rule as [[resizePlan]]). */
+  private def nnResize(w: Int, h: Int, px: Array[Int], maxSide: Int): (Int, Int, Array[Int]) = {
+    val long = math.max(w, h)
+    if (long <= maxSide) (w, h, px)
+    else {
+      val scale = maxSide.toDouble / long
+      val ow = math.max(1, math.round(w * scale).toInt)
+      val oh = math.max(1, math.round(h * scale).toInt)
+      val out = new Array[Int](ow * oh)
+      var y = 0
+      while (y < oh) {
+        val sy = math.min(h - 1, y * h / oh)
+        var x = 0
+        while (x < ow) {
+          out(y * ow + x) = px(sy * w + math.min(w - 1, x * w / ow))
+          x += 1
+        }
+        y += 1
+      }
+      (ow, oh, out)
+    }
+  }
+
+  /** Encode a top-down 0xRRGGBB raster as PNG via the JDK writer (lossless —
+    * a [[decodeImagePixels]] round-trip returns the identical raster). */
+  def encodePng(width: Int, height: Int, px: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && px.length == width * height, "bad raster")
+    require(imageIoReady)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, px, 0, width)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** REAL nearest-neighbor resize of a 24-bit BMP so the longer side is at
     * most `maxSide` (never upscales). Returns a valid BMP payload; None for
     * anything [[decodeBmpPixels]] can't read. Same scale rule as
     * [[resizePlan]]. */
   def resizeBmp(bytes: Array[Byte], maxSide: Int): Option[Array[Byte]] =
     decodeBmpPixels(bytes).map { case (w, h, px) =>
-      val long = math.max(w, h)
-      if (long <= maxSide) encodeBmp(w, h, px)
-      else {
-        val scale = maxSide.toDouble / long
-        val ow = math.max(1, math.round(w * scale).toInt)
-        val oh = math.max(1, math.round(h * scale).toInt)
-        val out = new Array[Int](ow * oh)
-        var y = 0
-        while (y < oh) {
-          val sy = math.min(h - 1, y * h / oh)
-          var x = 0
-          while (x < ow) {
-            out(y * ow + x) = px(sy * w + math.min(w - 1, x * w / ow))
-            x += 1
-          }
-          y += 1
-        }
-        encodeBmp(ow, oh, out)
+      val (ow, oh, out) = nnResize(w, h, px, maxSide)
+      encodeBmp(ow, oh, out)
+    }
+
+  /** REAL resize for any decodable image: BMP payloads re-encode as BMP
+    * (cheap fixed-layout writer), JDK-decoded formats (PNG/JPEG/GIF)
+    * re-encode as lossless PNG — resized JPEGs don't take another
+    * generation loss. None when nothing can decode the payload. */
+  def resizeImage(bytes: Array[Byte], maxSide: Int): Option[Array[Byte]] =
+    decodeBmpPixels(bytes) match {
+      case Some((w, h, px)) =>
+        val (ow, oh, out) = nnResize(w, h, px, maxSide)
+        Some(encodeBmp(ow, oh, out))
+      case None => decodeJdkPixels(bytes).map { case (w, h, px) =>
+        val (ow, oh, out) = nnResize(w, h, px, maxSide)
+        encodePng(ow, oh, out)
       }
     }
 
@@ -215,6 +294,51 @@ object Multimodal {
     } catch { case _: IndexOutOfBoundsException => None }
   }
 
+  /** REAL decode of any audio the JDK can read (PCM8/24/32 and float WAV,
+    * a-law/µ-law, AIFF, AU) via `javax.sound.sampled`, converting to signed
+    * PCM16 and mixing to mono. Fallback behind the faster PCM16 parser. */
+  def decodeJdkAudio(bytes: Array[Byte]): Option[(Int, Array[Float])] = {
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val src = in.getFormat
+        val rate = math.round(src.getSampleRate)
+        if (rate <= 0) return None
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          2 * src.getChannels, src.getSampleRate, false) // little-endian
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        try {
+          val raw = pcm.readAllBytes()
+          val channels = src.getChannels max 1
+          val frameBytes = 2 * channels
+          val nFrames = raw.length / frameBytes
+          val samples = new Array[Float](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0.0f
+            var c = 0
+            while (c < channels) {
+              acc += leShort(raw, f * frameBytes + c * 2).toShort / 32768.0f
+              c += 1
+            }
+            samples(f) = acc / channels
+            f += 1
+          }
+          Some((rate, samples))
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Format-dispatched audio decode: the zero-copy PCM16 parser first, then
+    * the JDK converters for every other JDK-readable encoding. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Array[Float])] =
+    decodeWav(bytes).orElse(decodeJdkAudio(bytes))
+
   /** Encode mono [-1,1] samples as a PCM16 WAV at `rate` Hz. */
   def encodeWav(rate: Int, samples: Array[Float]): Array[Byte] = {
     require(rate > 0, "bad rate")
@@ -243,7 +367,7 @@ object Multimodal {
     * for a real resampler without touching the contract. */
   def resampleWav(bytes: Array[Byte], targetRate: Int): Option[Array[Byte]] = {
     require(targetRate > 0, "bad target rate")
-    decodeWav(bytes).map { case (rate, samples) =>
+    decodeAudio(bytes).map { case (rate, samples) =>
       if (rate == targetRate) encodeWav(rate, samples)
       else {
         val n = math.max(1, (samples.length.toLong * targetRate / rate).toInt)
@@ -263,8 +387,10 @@ object Multimodal {
       out_rate: Int, n_samples: Int, bytes: Array[Byte])
 
   /** Distributed audio resample over the binary column: REAL sample work
-    * for PCM16 WAV payloads, passthrough for formats the container can't
-    * decode. Same per-partition batch shape as [[extractFeatures]]. */
+    * for any JDK-readable audio (PCM16 fast path + [[decodeJdkAudio]]
+    * fallback), passthrough for formats the JDK can't decode (MP3/...).
+    * Output is always mono PCM16 WAV. Same per-partition batch shape as
+    * [[extractFeatures]]. */
   def resampleAudio(spark: SparkSession, media: DataFrame, targetRate: Int): Dataset[ResampledMedia] = {
     import spark.implicits._
     media.select("media_id", "kind", "bytes").as[(Long, String, Array[Byte])]
@@ -301,11 +427,12 @@ object Multimodal {
     out
   }
 
-  /** Format-dispatched decode: real for BMP (pooled luminance grid) and
-    * PCM16 WAV (pooled RMS energy), `decodeStub` for everything else. */
+  /** Format-dispatched decode: real for BMP/PNG/JPEG/GIF (pooled luminance
+    * grid) and any JDK-readable audio (pooled RMS energy); `decodeStub`
+    * only for payloads nothing in the JDK can read (MP3/MP4/...). */
   def decode(bytes: Array[Byte], dim: Int): Array[Float] =
-    decodeBmp(bytes).map { case (_, _, lum) => pool(lum, dim, rms = false) }
-      .orElse(decodeWav(bytes).map { case (_, samples) => pool(samples, dim, rms = true) })
+    decodeImage(bytes).map { case (_, _, lum) => pool(lum, dim, rms = false) }
+      .orElse(decodeAudio(bytes).map { case (_, samples) => pool(samples, dim, rms = true) })
       .getOrElse(decodeStub(bytes, dim))
 
   /** Per-partition decode/feature-extract over the opaque binary column —
@@ -329,17 +456,17 @@ object Multimodal {
       out_width: Int, out_height: Int, bytes: Array[Byte])
 
   /** Distributed image resize over the binary column: REAL pixel work for
-    * BMP payloads ([[resizeBmp]]), passthrough (resized = false,
-    * dims −1) for formats the container can't decode. Same per-partition
-    * batch shape as [[extractFeatures]]. */
+    * BMP/PNG/JPEG/GIF payloads ([[resizeImage]]), passthrough
+    * (resized = false, dims −1) for anything undecodable. Same
+    * per-partition batch shape as [[extractFeatures]]. */
   def resizeImages(spark: SparkSession, media: DataFrame, maxSide: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.select("media_id", "kind", "bytes").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, bytes) =>
-          resizeBmp(bytes, maxSide) match {
+          resizeImage(bytes, maxSide) match {
             case Some(out) =>
-              val (w, h, _) = decodeBmpPixels(out).get // own encoder: always readable
+              val (w, h, _) = decodeImagePixels(out).get // own encoders: always readable
               ResizedMedia(id, kind, resized = true, w, h, out)
             case None => ResizedMedia(id, kind, resized = false, -1, -1, bytes)
           }

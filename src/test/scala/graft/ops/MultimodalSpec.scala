@@ -108,10 +108,103 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!res(2L).resized && res(2L).bytes.toSeq == Seq[Byte](1, 2, 3))
   }
 
-  test("non-BMP/WAV payloads still route to the deterministic stub") {
+  test("undecodable payloads still route to the deterministic stub") {
     val junk = Array[Byte](1, 2, 3)
-    assert(Multimodal.decodeBmp(junk).isEmpty && Multimodal.decodeWav(junk).isEmpty)
+    assert(Multimodal.decodeImagePixels(junk).isEmpty && Multimodal.decodeAudio(junk).isEmpty)
     assert(Multimodal.decode(junk, 4).sameElements(Multimodal.decodeStub(junk, 4)))
+  }
+
+  /** Encode a top-down 0xRRGGBB raster via the JDK writer (png/gif/jpg). */
+  private def jdkImage(fmt: String, w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+    bos.toByteArray
+  }
+
+  test("PNG and GIF decode are real: JDK readers return the exact raster") {
+    val png = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000, 0x808080)
+    val bytes = jdkImage("png", 3, 2, png)
+    assert(Multimodal.decodeBmpPixels(bytes).isEmpty, "png must not parse as BMP")
+    val (w, h, got) = Multimodal.decodeImagePixels(bytes).get
+    assert(w == 3 && h == 2 && got.toSeq == png.toSeq, "png raster")
+    // GIF fixture is 16x8 2-color quadrants: the JDK GIF *writer*'s LZW
+    // encoder corrupts tiny rasters (verified: a 3x2 write round-trips
+    // wrong through ImageIO alone), so the fixture stays above that bug —
+    // the decode under test is format-side, not writer-side
+    val gw = 16; val gh = 8
+    val gif = Array.tabulate(gw * gh) { i =>
+      if ((i / gw < 4) ^ (i % gw < 8)) 0xff0000 else 0x00ff00
+    }
+    val gifBytes = jdkImage("gif", gw, gh, gif)
+    assert(Multimodal.decodeBmpPixels(gifBytes).isEmpty, "gif must not parse as BMP")
+    val (w2, h2, got2) = Multimodal.decodeImagePixels(gifBytes).get
+    assert(w2 == gw && h2 == gh && got2.toSeq == gif.toSeq, "gif raster")
+    // features now track actual pixels for PNG, same as the BMP test above
+    val f1 = Multimodal.decode(jdkImage("png", 2, 2,
+      Array(0xffffff, 0, 0, 0)), 4)
+    assert(math.abs(f1(0) - 1.0f) < 1e-3 && f1(3) < 1e-3)
+    val f2 = Multimodal.decode(jdkImage("png", 2, 2,
+      Array(0xffffff, 0, 0, 0xffffff)), 4)
+    assert(math.abs(f2(3) - 1.0f) < 1e-3, "changed pixel must change its feature")
+  }
+
+  test("JPEG decode is real: dims exact, luminance close despite lossy codec") {
+    val px = Array.fill(64)(0xc0c0c0) // flat gray survives JPEG nearly intact
+    val bytes = jdkImage("jpg", 8, 8, px)
+    val (w, h, got) = Multimodal.decodeImagePixels(bytes).get
+    assert(w == 8 && h == 8)
+    val lum = Multimodal.decodeImage(bytes).get._3
+    assert(lum.forall(v => math.abs(v - 0xc0 / 255.0f) < 0.05f))
+    assert(!Multimodal.decode(bytes, 4).sameElements(Multimodal.decodeStub(bytes, 4)))
+  }
+
+  test("PNG resize is real through the distributed operator; output lossless") {
+    // same quadrant-marker raster as the BMP resize test, as a PNG
+    val px = Array(
+      0xff0000, 0, 0x00ff00, 0,
+      0, 0, 0, 0,
+      0x0000ff, 0, 0xffffff, 0,
+      0, 0, 0, 0)
+    val png = jdkImage("png", 4, 4, px)
+    val rows = spark.createDataFrame(Seq(
+      Row(1L, "image", png, "image/png", 4, 4, null),
+      Row(2L, "image", Array[Byte](1, 2, 3), "image/mp4ish", 0, 0, null)
+    ).asJava, Multimodal.mediaSchema)
+    val res = Multimodal.resizeImages(spark, rows, maxSide = 2)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(res(1L).resized && res(1L).out_width == 2 && res(1L).out_height == 2)
+    // re-encoded as PNG (lossless): the nearest-neighbor picks are exact
+    assert(Multimodal.decodeImagePixels(res(1L).bytes).get._3.toSeq
+      == Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+    assert(!res(2L).resized)
+  }
+
+  test("non-PCM16 audio decodes through the javax.sound fallback") {
+    // 8-bit unsigned PCM WAV: the header parser rejects it (bits != 16),
+    // AudioSystem converts it. 4 samples at full/zero amplitude.
+    val dataSize = 4
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000)
+      .putInt(8000).putShort(1).putShort(8)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    b.put(255.toByte).put(255.toByte).put(128.toByte).put(128.toByte) // loud, loud, mid, mid
+    val bytes = b.array()
+    assert(Multimodal.decodeWav(bytes).isEmpty, "PCM16 parser must reject 8-bit")
+    val (rate, samples) = Multimodal.decodeAudio(bytes).get
+    assert(rate == 8000 && samples.length == 4)
+    // unsigned 8-bit: 255 ≈ full positive, 128 ≈ zero
+    assert(samples(0) > 0.9f && math.abs(samples(2)) < 0.02f)
+    // end-to-end: resample routes through the fallback too
+    val out = Multimodal.resampleWav(bytes, 4000).get
+    val (r2, s2) = Multimodal.decodeWav(out).get
+    assert(r2 == 4000 && s2.length == 2)
   }
 
   test("WAV resample is real: nearest-sample values at the new rate") {
