@@ -509,6 +509,26 @@ object SparkEntry {
       Sampling.epochShuffle(t(s, d, "documents"), "doc_id", shards = 4, seed = 2)
         .select(col("doc_id"), col("_shard").as("shard"), col("_pos").as("pos"))),
 
+    // product quantization + asymmetric-distance scan: 64-dim vectors tile
+    // into 4×16-dim subspaces, codebooks = subvector slices of rows 1/5/9
+    // (the offline-learned-codebook stand-in, same recipe as s09), corpus
+    // compresses to 4 small codes, and the query ranks by summed lookup-
+    // table entries — pure map work + physical top-k, no join, no shuffle
+    "s11_pq_adc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val rows = emb.filter(col("vec_id").isin(1, 5, 9))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1).toSeq
+      val books: Similarity.PqCodebooks =
+        (0 until 4).map(j => rows.map { case (cid, v) => (cid, v.slice(j * 16, (j + 1) * 16)) })
+      val q = emb.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.pqTopK(
+        Similarity.encodePq(emb.filter(col("vec_id") =!= 7), "embedding", books),
+        "vec_id", q, books, k = 5)
+    }),
+
     // HLL sketch vs exact (r5: oracle-checkable after all). The raw sketch
     // value has no DuckDB twin (different HLL implementations), but the
     // sketch's CONTRACT does: |approx − exact| ≤ 10% · exact (HLL++ default
@@ -1223,6 +1243,33 @@ object SparkEntry {
         |FROM e JOIN asg a ON a.vec_id = e.vec_id CROSS JOIN q
         |WHERE e.vec_id <> 7 AND a.cid = q.qcid
         |ORDER BY cosine DESC, id LIMIT 5""".stripMargin,
+
+    // mirrors encodePq + pqTopK: per-subspace squared-L2 to the 1/5/9
+    // subvector centroids (rounded to 6 before the argmin, ties → lowest
+    // cid), then ADC = left-associated sum of the query's table entries for
+    // the assigned cids, rounded to 4 before ranking. The query row (7) is
+    // excluded from the corpus on both sides.
+    "s11_pq_adc" ->
+      """WITH sub AS (SELECT vec_id, j, list_slice(embedding, j*16+1, j*16+16) AS se
+        |  FROM embeddings, (SELECT UNNEST(range(4)) AS j) js),
+        |cb AS (SELECT j, vec_id AS cid, se AS ce FROM sub WHERE vec_id IN (1, 5, 9)),
+        |dist AS (SELECT sub.vec_id, sub.j, cb.cid,
+        |  ROUND(list_sum(list_transform(list_zip(sub.se, cb.ce),
+        |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS d
+        |  FROM sub JOIN cb ON cb.j = sub.j),
+        |asg AS (SELECT vec_id, j, cid FROM (
+        |  SELECT vec_id, j, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rk
+        |  FROM dist) WHERE rk = 1),
+        |qd AS (SELECT j, cid, d FROM dist WHERE vec_id = 7),
+        |terms AS (SELECT a.vec_id, a.j, q.d
+        |  FROM asg a JOIN qd q ON q.j = a.j AND q.cid = a.cid WHERE a.vec_id <> 7)
+        |SELECT vec_id AS id,
+        |  ROUND(((MAX(CASE WHEN j = 0 THEN d END) + MAX(CASE WHEN j = 1 THEN d END))
+        |       + MAX(CASE WHEN j = 2 THEN d END)) + MAX(CASE WHEN j = 3 THEN d END), 4) AS approx_dist
+        |FROM terms GROUP BY vec_id
+        |ORDER BY approx_dist, id LIMIT 5""".stripMargin,
 
     "s08_weighted_mix_frac" ->
       """WITH w(stratum, wt) AS (VALUES ('0', 2.5), ('1', 0.5), ('3', 1.25)),

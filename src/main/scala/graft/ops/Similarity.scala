@@ -191,4 +191,125 @@ object Similarity {
       df.withColumn("_bucket", lshBucket(col(vecCol), bits))
         .withColumn("_norm", norm(col(vecCol))),
       idCol, vecCol, queryId, k, roundTo)
+
+  // ----------------------------------------------------- product quantization
+
+  /** Squared L2 distance between two array columns as an ordered left fold
+    * (deterministic summation order, like [[dot]]). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ codebooks: `codebooks(j)` is subspace `j`'s centroid list
+    * (cid, centroid subvector). Subspaces tile the vector in order; every
+    * centroid in a subspace must share one length, which defines the tile. */
+  type PqCodebooks = Seq[Seq[(Int, Seq[Double])]]
+
+  /** Product-quantization encode: each vector is split into `codebooks.size`
+    * consecutive subvectors, and each subvector is replaced by the id of its
+    * nearest centroid (squared L2, rounded to `roundTo` before the argmin;
+    * ties → lowest cid). Adds `_code` = ARRAY<INT> of length M.
+    *
+    * This is the compact-code scale path for ANN over 100 TB of vectors:
+    * like [[assignByCodebook]], the (tiny, offline-learned) codebooks fold
+    * into ONE projected expression — encoding is pure codegen'd map work
+    * with no shuffle and no join, and the stored corpus shrinks from
+    * D floats to M bytes per row. Train with [[trainPqCodebooks]] or plug
+    * in externally-learned centroids. */
+  def encodePq(df: DataFrame, vecCol: String, codebooks: PqCodebooks,
+      roundTo: Int = 6): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+    var off = 1 // Spark slice() is 1-based
+    val codes = codebooks.map { cents =>
+      val len = cents.head._2.length
+      require(cents.forall(_._2.length == len), "ragged centroids in one subspace")
+      val sub = slice(col(vecCol), off, len)
+      off += len
+      val scored = cents.map { case (cid, cvec) =>
+        // struct orders lexicographically: least() takes the smallest
+        // distance, then the smallest cid
+        struct(round(sqDist(sub, array(cvec.map(lit): _*)), roundTo).as("d"),
+          lit(cid).as("cid"))
+      }
+      val best = if (scored.size == 1) scored.head else least(scored: _*)
+      best.getField("cid")
+    }
+    df.withColumn("_code", array(codes: _*))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-[[encodePq]]d corpus: the
+    * query stays exact; each row's approximate squared distance is the sum
+    * of per-subspace lookup-table entries `d(q_sub_j, centroid(code_j))`,
+    * computed driver-side from the tiny codebooks and folded into the
+    * projection as a literal map per subspace. The scan is pure map work +
+    * a physical top-k (TakeOrderedAndProject) — no join, no shuffle, and
+    * only the M-byte codes are read, never the full vectors: the query
+    * shape that makes PQ the standard billion-vector ANN layout. Returns
+    * (id, approx_dist), nearest first, ties → lowest id. */
+  def pqTopK(encoded: DataFrame, idCol: String, query: Seq[Double],
+      codebooks: PqCodebooks, k: Int, roundTo: Int = 4,
+      tableRoundTo: Int = 6): DataFrame = {
+    val dims = codebooks.map(_.head._2.length)
+    require(dims.sum == query.length,
+      s"query dim ${query.length} != codebook tiling ${dims.sum}")
+    var off = 0
+    val terms = codebooks.zipWithIndex.map { case (cents, j) =>
+      val len = cents.head._2.length
+      val qSub = query.slice(off, off + len)
+      off += len
+      val table = cents.flatMap { case (cid, cvec) =>
+        // same ordered fold as sqDist, same rounding both engines
+        val d = qSub.zip(cvec).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+        Seq(lit(cid), lit(BigDecimal(d).setScale(tableRoundTo, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      element_at(map(table: _*), element_at(col("_code"), j + 1))
+    }
+    encoded.select(col(idCol).as("id"),
+        round(terms.reduce(_ + _), roundTo).as("approx_dist"))
+      .orderBy(col("approx_dist").asc, col("id"))
+      .limit(k)
+  }
+
+  /** Train PQ codebooks with Lloyd's k-means per subspace, initialized from
+    * the subvectors of the `k` lowest-id rows (deterministic start). Each
+    * iteration is one distributed pass: [[encodePq]] assigns (map-only),
+    * then a groupBy-per-subspace averages assigned subvectors — shuffles
+    * carry M×k centroid partials, never vectors. Returns codebooks with
+    * cids 0..k-1 per subspace. Exact FP determinism of the trained values
+    * is not guaranteed (float sums commute differently across partitions);
+    * downstream oracle-checked paths should use fixed codebooks. */
+  def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int = 5): PqCodebooks = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val len = dim / m
+    val init: PqCodebooks = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().zipWithIndex.map { case (r, cid) =>
+        (cid, r.getSeq[Float](0).map(_.toDouble).toSeq)
+      }.toSeq match {
+        case rows => (0 until m).map(j => rows.map { case (cid, v) =>
+          (cid, v.slice(j * len, (j + 1) * len)) })
+      }
+    (1 to iters).foldLeft(init) { (books, _) =>
+      val coded = encodePq(df, vecCol, books)
+      // one pass: explode (subspace j, code, subvector) then average —
+      // partial aggregation keeps the shuffle at M×k rows of length-len sums
+      val parts = (0 until m).map { j =>
+        coded.select(lit(j).as("j"), element_at(col("_code"), j + 1).as("cid"),
+          slice(col(vecCol), j * len + 1, len).as("sub"))
+      }.reduce(_ unionAll _)
+      val means = parts.groupBy("j", "cid")
+        .agg(count(lit(1)).as("n"),
+          array((0 until len).map(i =>
+            sum(element_at(col("sub"), i + 1).cast("double"))): _*).as("sums"))
+        .collect().map { r =>
+          val n = r.getLong(2).toDouble
+          ((r.getInt(0), r.getInt(1)), r.getSeq[Double](3).map(_ / n).toSeq)
+        }.toMap
+      (0 until m).map(j => books(j).map { case (cid, old) =>
+        (cid, means.getOrElse((j, cid), old)) // empty cluster keeps its centroid
+      })
+    }
+  }
 }

@@ -105,4 +105,77 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       assert(brute(id) == c, s"cosine for $id must match brute force")
     }
   }
+
+  // 4-dim vectors, 2 subspaces of 2: clusters on each half
+  private def pqVecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.9f, 0.1f, 0.1f, 0.9f)),  // near 0 in both halves
+      (2L, Array(0.0f, 1.0f, 1.0f, 0.0f)),  // opposite in both halves
+      (3L, Array(1.0f, 0.0f, 1.0f, 0.0f)),  // half like 0, half like 2
+      (4L, Array(1.0f, 0.0f, 0.0f, 1.0f)))  // duplicate of 0
+      .toDF("vec_id", "embedding")
+  }
+
+  private val pqBooks: Similarity.PqCodebooks = Seq(
+    Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0)),  // subspace 0 centroids
+    Seq(0 -> Seq(0.0, 1.0), 1 -> Seq(1.0, 0.0)))  // subspace 1 centroids
+
+  test("encodePq assigns each subvector to its nearest centroid, shuffle-free") {
+    val coded = Similarity.encodePq(pqVecs, "embedding", pqBooks)
+    val codes = coded.select(col("vec_id"), col("_code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes(0L) == Seq(0, 0) && codes(1L) == Seq(0, 0) && codes(4L) == Seq(0, 0))
+    assert(codes(2L) == Seq(1, 1))
+    assert(codes(3L) == Seq(0, 1), "halves quantize independently")
+    val plan = coded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"PQ encode must be shuffle-free:\n$plan")
+  }
+
+  test("pqTopK: ADC ranks by true subspace structure; query duplicate at distance 0") {
+    val coded = Similarity.encodePq(pqVecs, "embedding", pqBooks)
+    val top = Similarity.pqTopK(coded, "vec_id", Seq(1.0, 0.0, 0.0, 1.0),
+      pqBooks, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // rows 0/1/4 share the query's cells → approx 0; row 3 one cell off;
+    // row 2 both cells off (tie at each level breaks to the lowest id)
+    assert(top.map(_._1).toSeq == Seq(0L, 1L, 4L, 3L, 2L))
+    assert(top.take(3).forall(_._2 == 0.0), "same-cell rows collapse to table distance 0")
+    assert(top(3)._2 > 0 && top(4)._2 > top(3)._2)
+    // plan shape on a distributed (non-LocalRelation) corpus: the tiny Seq
+    // fixture constant-folds to a LocalTableScan, so force real partitions —
+    // and k < corpus size, else EliminateLimits drops the provably-
+    // redundant limit and the physical top-k with it
+    val dist = Similarity.encodePq(pqVecs.repartition(2), "embedding", pqBooks)
+    val plan = Similarity.pqTopK(dist, "vec_id", Seq(1.0, 0.0, 0.0, 1.0), pqBooks, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"physical top-k expected:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"ADC scan must not shuffle the corpus:\n$plan")
+  }
+
+  test("trainPqCodebooks: Lloyd converges to per-cluster subvector means") {
+    import spark.implicits._
+    // two clean clusters per half; k=2, m=2 must recover the half-means
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 8.0f, 8.0f)),
+      (1L, Array(1.2f, 0.2f, 8.2f, 8.2f)),
+      (2L, Array(5.0f, 5.0f, 0.0f, 1.0f)),
+      (3L, Array(5.2f, 5.2f, 0.2f, 1.2f)))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.trainPqCodebooks(df, "vec_id", "embedding", m = 2, k = 2, iters = 4)
+    assert(books.size == 2 && books.forall(_.size == 2))
+    // subspace 0 centroids ≈ {(1.1, 0.1), (5.1, 5.1)} in some cid order
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-5 }
+    assert(books(0).map(_._2).exists(close(_, Seq(1.1, 0.1))))
+    assert(books(0).map(_._2).exists(close(_, Seq(5.1, 5.1))))
+    assert(books(1).map(_._2).exists(close(_, Seq(8.1, 8.1))))
+    assert(books(1).map(_._2).exists(close(_, Seq(0.1, 1.1))))
+    // encoding with the trained books separates the clusters
+    val codes = Similarity.encodePq(df, "embedding", books)
+      .select(col("vec_id"), col("_code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes(0L) == codes(1L) && codes(2L) == codes(3L) && codes(0L) != codes(2L))
+  }
 }
