@@ -636,6 +636,11 @@ object SparkEntry {
     "t11_length_percentiles" -> ((s, d) =>
       TextAnalysis.lengthPercentiles(t(s, d, "documents"), "lang", "text")),
 
+    // corpus vocabulary profile: top-50 tokens by term frequency with doc
+    // frequency — one token aggregation + physical top-k
+    "t12_vocab_topk" -> ((s, d) =>
+      TextAnalysis.vocabProfile(t(s, d, "documents"), "doc_id", "text", k = 50)),
+
     // sequence packing: 256-token next-fit bins per lang shard
     "t09_pack_bins" -> ((s, d) =>
       TextAnalysis.packBins(t(s, d, "documents"), "lang", "doc_id", "text", budget = 256)
@@ -1415,6 +1420,14 @@ object SparkEntry {
         | ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 4) AS p90,
         | COUNT(*) AS docs
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // mirrors vocabProfile: single-space tokenization, tf DESC then token
+    // ASC (both engines order ASCII strings bytewise)
+    "t12_vocab_topk" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+        | CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin,
 
     // exclusive running token sum per lang shard → floor(cum/budget) bin
     "t09_pack_bins" ->

@@ -103,6 +103,20 @@ object TextAnalysis {
         round(lit(1.0) - count(lit(1)).cast("double") / sum(col("c")), 6).as("dup_token_ratio"),
         round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_token_share"))
 
+  /** Corpus vocabulary profile: the top-k tokens by total term frequency
+    * (ties → token ascending), each with its document frequency — the
+    * vocab-coverage / tokenizer-fit check run before training. One explode
+    * feeding one aggregation (map-side partials mean the shuffle carries
+    * per-partition (token, count) rows, never raw text) and a physical
+    * top-k; df = COUNT(DISTINCT doc) adds the standard two-phase distinct
+    * aggregation on the same token partitioning, no extra wide stage. */
+  def vocabProfile(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("_vdoc"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("_vdoc")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+
   /** PII patterns, RE2-safe (no lookaround/backreferences) so RE2-based
     * engines — including the DuckDB oracle — apply identical semantics. */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -16,6 +16,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) == ((4L, 0.0, 0.25)), "all distinct")
   }
 
+  test("vocabProfile: top-k by tf with doc frequency, ties break by token") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b c"), (2L, "a b d"), (3L, "b c")).toDF("doc_id", "text")
+    // tf: a=3 b=3 c=2 d=1; df: a=2 b=3 c=2 d=1; tie a/b at tf 3 → 'a' first
+    val got = TextAnalysis.vocabProfile(df, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 3L, 2L), ("b", 3L, 3L), ("c", 2L, 2L)))
+  }
+
   test("piiRedact replaces emails/urls/phones; counts are pre-redaction") {
     import spark.implicits._
     val df = Seq(
