@@ -433,6 +433,15 @@ object SparkEntry {
       Dedup.jaccardOverflowShingles(t(s, d, "documents"), "doc_id", "text",
         k = 3, maxDf = 3)),
 
+    // repeated-n-gram scrub (fixed-length exact-substring dedup): n=3 grams
+    // in >= 3 distinct docs are boilerplate; covered positions drop.
+    // Fixture-scaled parameters (2275 hot grams, 498/500 docs touched —
+    // non-vacuous); production uses n >= 10 and a high minDf
+    "d11_ngram_scrub" -> ((s, d) =>
+      Dedup.scrubRepeatedNgrams(t(s, d, "documents"), "doc_id", "text", n = 3, minDf = 3)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+          col("cleaned_text"))),
+
     // --- similarity search (embeddings) -------------------------------------
     "s01_cosine_knn" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", queryId = 0, k = 5)),
@@ -1045,6 +1054,28 @@ object SparkEntry {
         |  FROM toks WHERE len(t) >= 3)
         |SELECT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h, COUNT(*) AS df
         |FROM sh GROUP BY 1 HAVING COUNT(*) > 3""".stripMargin,
+
+    // mirrors scrubRepeatedNgrams: 0-based gram starts, hot = 3-gram hash in
+    // >= 3 distinct docs, covered positions dropped, survivors rejoin in
+    // original order; LEFT JOIN keeps fully-scrubbed docs as empty strings
+    "d11_ngram_scrub" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, i AS start,
+        |  ('0x' || substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 15))::BIGINT AS gram
+        |  FROM d, UNNEST(range(len(toks) - 2)) AS u(i) WHERE len(toks) >= 3),
+        |hot AS (SELECT gram FROM (
+        |  SELECT gram, COUNT(DISTINCT doc_id) AS gdf FROM g GROUP BY gram) WHERE gdf >= 3),
+        |cov AS (SELECT DISTINCT g.doc_id, p.pos
+        |  FROM g JOIN hot USING (gram), UNNEST(range(g.start, g.start + 3)) AS p(pos)),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos FROM d),
+        |kept AS (SELECT t.doc_id, COUNT(*) AS n_kept,
+        |  string_agg(t.tok, ' ' ORDER BY t.pos) AS cleaned_text
+        |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+        |  WHERE c.pos IS NULL GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.toks) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(k.cleaned_text, '') AS cleaned_text
+        |FROM d LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     "d03_lsh_candidates" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -313,6 +313,53 @@ object Dedup {
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Repeated-n-gram scrub — the fixed-length analog of exact-substring
+    * dedup (remove corpus-wide boilerplate spans from every document, not
+    * whole near-dup documents): any n-gram appearing in at least `minDf`
+    * DISTINCT documents is "hot", and every token position covered by a hot
+    * n-gram occurrence is dropped; survivors re-join in original order.
+    * Returns (id, n_tokens, n_removed, cleaned_text) — one row per input
+    * document, including documents scrubbed to empty.
+    *
+    * Scale shape: the n-gram df aggregation and the hot-gram semi-join
+    * shuffle (gram-hash, id, position) rows only — never document text; the
+    * rebuild groups by id with a per-doc `sort_array` (positions within one
+    * document, bounded by doc length — no global order anywhere). The hot
+    * set is usually tiny (boilerplate) but is NOT broadcast-assumed: at
+    * web-corpus scale it can exceed driver memory, so the plan keeps it a
+    * distributed semi-join and lets AQE downgrade to broadcast when small.
+    * Production n is 10+ with a high `minDf`; tests/fixtures use small n. */
+  def scrubRepeatedNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    require(n >= 1 && minDf >= 2, "need n >= 1 and minDf >= 2")
+    val docs = df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+    val grams = docs.select(col("id"),
+        posexplode(when(size(col("toks")) >= n,
+            transform(sequence(lit(0), size(col("toks")) - n),
+              i => hash60(concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+          .otherwise(array())))
+      .toDF("id", "start", "gram")
+    val hot = grams.groupBy("gram")
+      .agg(countDistinct(col("id")).as("gdf"))
+      .filter(col("gdf") >= minDf)
+      .select("gram")
+    val covered = grams.join(hot, Seq("gram"), "left_semi")
+      .select(col("id"), explode(sequence(col("start"), col("start") + n - 1)).as("pos"))
+      .distinct()
+    val toks = docs.select(col("id"), posexplode(col("toks"))).toDF("id", "pos", "tok")
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("cleaned_text"))
+    docs.select(col("id"), size(col("toks")).as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Near-dup pairs for UNLABELED corpora: blocks are random-hyperplane LSH
     * buckets ([[Similarity.lshBucket]], deterministic md5-seeded planes), so
     * no label column is needed and the cross join is still avoided.

@@ -64,6 +64,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(filtered.count() < sh.count())
   }
 
+  test("scrubRepeatedNgrams drops hot-gram spans, keeps order, keeps empty docs") {
+    import spark.implicits._
+    // "x y" (n=2) appears in docs 1, 2, 3 -> hot at minDf=3; "p q" only in
+    // docs 1 and 4 -> cold. Doc 3 is exactly the hot gram -> scrubbed empty.
+    val df = Seq(
+      (1L, "a x y b p q"),
+      (2L, "x y c x y"),
+      (3L, "x y"),
+      (4L, "p q r s t")).toDF("doc_id", "text")
+    val got = Dedup.scrubRepeatedNgrams(df, "doc_id", "text", n = 2, minDf = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((6L, 2L, "a b p q")), "hot span removed, order kept")
+    assert(got(2L) == ((5L, 4L, "c")), "both hot occurrences covered, middle token survives")
+    assert(got(3L) == ((2L, 2L, "")), "fully-scrubbed doc still returns a row")
+    assert(got(4L) == ((5L, 0L, "p q r s t")), "cold grams untouched")
+  }
+
   test("embedding dup pairs within blocks only") {
     import spark.implicits._
     val vecs = Seq(
