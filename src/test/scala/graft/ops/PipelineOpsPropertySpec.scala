@@ -76,6 +76,37 @@ class PipelineOpsPropertySpec extends AnyFunSuite with SparkSpec {
     assert(got == naive)
   }
 
+  test("scrubRepeatedNgrams ≡ naive hot-span masking on random corpora") {
+    import spark.implicits._
+    val rnd = new Random(20260813L)
+    for ((n, minDf) <- Seq((2, 2), (3, 2), (3, 3))) {
+      // tiny vocab forces heavy n-gram collisions across docs
+      val vocab = Seq("a", "b", "c", "d")
+      val docs = (1 to 30).map { i =>
+        val len = 1 + rnd.nextInt(10) // includes docs shorter than n
+        (i.toLong, (1 to len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val grams = docs.flatMap { case (id, text) =>
+        text.split(" ").sliding(n).filter(_.length == n).map(g => (id, g.mkString(" ")))
+      }
+      val hot = grams.distinct.groupBy(_._2).filter(_._2.size >= minDf).keySet
+      val naive = docs.map { case (id, text) =>
+        val toks = text.split(" ")
+        val covered = toks.sliding(n).zipWithIndex
+          .filter { case (g, _) => g.length == n && hot(g.mkString(" ")) }
+          .flatMap { case (_, s) => s until s + n }.toSet
+        val keptToks = toks.zipWithIndex.filterNot(t => covered(t._2)).map(_._1)
+        id -> ((toks.length.toLong, (toks.length - keptToks.length).toLong,
+          keptToks.mkString(" ")))
+      }.toMap
+      val got = Dedup.scrubRepeatedNgrams(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n, minDf)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == naive, s"(n=$n, minDf=$minDf) diverged from the naive evaluator")
+    }
+  }
+
   test("contamination ratio equals the naive shingle-set intersection") {
     import spark.implicits._
     val rnd = new Random(99L)
