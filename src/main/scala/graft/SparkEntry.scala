@@ -572,6 +572,14 @@ object SparkEntry {
         .groupBy("kind").agg(count(lit(1)).as("reached"))
     }),
 
+    // whole-graph BFS distances from one seed (GraphX Pregel, one superstep
+    // per level) histogrammed by (kind, dist) — the unbounded-k counterpart
+    // of x03; oracle = recursive CTE with a depth bound above the diameter
+    "x05_hop_distances" -> ((s, d) =>
+      graft.ops.Analytics.hopDistances(s, StarGraph(s, d), "nation:0")
+        .select(split(col("uid"), ":").getItem(0).as("kind"), col("dist"))
+        .groupBy("kind", "dist").agg(count(lit(1)).as("n"))),
+
     // r5: the same 2-hop walk over the BUCKETED warehouse — the hop joins
     // broadcast the frontier so the edge list is never shuffled (asserted
     // in BucketingSpec); oracle identical to x03
@@ -1182,6 +1190,28 @@ object SparkEntry {
     "x02_pagerank" -> PageRankSql,
     "x03_khop_reach" -> KhopReachSql,
     "x03w_khop_bucketed" -> KhopReachSql,
+
+    // BFS distances: same undirected star edges as x03, recursion bounded at
+    // d < 8 (star-graph eccentricity from nation:0 is ~5), MIN(d) per uid =
+    // the exact BFS level Pregel computes
+    "x05_hop_distances" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT 'customer:' || c_custkey AS a, 'nation:' || c_nationkey AS b FROM customer
+        |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+        |  UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+        |  UNION ALL SELECT 'orders:' || o_orderkey, 'customer:' || o_custkey FROM orders
+        |  UNION ALL SELECT 'orders:' || l_orderkey, 'part:' || l_partkey FROM lineitem
+        |),
+        |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |reach(uid, d) AS (
+        |  SELECT 'nation:0', 0
+        |  UNION
+        |  SELECT u.b, r.d + 1 FROM reach r JOIN und u ON u.a = r.uid WHERE r.d < 8
+        |)
+        |SELECT split_part(uid, ':', 1) AS kind, CAST(d AS INT) AS dist, COUNT(*) AS n
+        |FROM (SELECT uid, MIN(d) AS d FROM reach GROUP BY uid)
+        |GROUP BY 1, 2""".stripMargin,
 
     // transitive closure of the (uncapped) LSH candidate pairs by reachable-
     // set min-label: cluster(id) = least(id, min reachable id) — the GraphX

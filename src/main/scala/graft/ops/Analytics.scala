@@ -50,6 +50,35 @@ object Analytics {
     dict.join(ranksDf, "vid").select(col("uid"), col("rank"))
   }
 
+  /** Single-source BFS hop distances (undirected) via GraphX Pregel — the
+    * whole-graph generalization of [[Traversals.kHop]]: one superstep per
+    * BFS level instead of one DataFrame join per hop, so a diameter-D graph
+    * costs D Pregel rounds over the partitioned edge RDD with no
+    * re-planning between rounds. Returns (uid, dist) for every REACHABLE
+    * node, seed included at dist 0. Distances are exact minima (messages
+    * merge with min), so results are deterministic regardless of
+    * partitioning or edge multiplicity. */
+  def hopDistances(spark: SparkSession, g: GraphSource, seedUid: String): DataFrame = {
+    val dict = Traversals.uidDictionary(g).cache()
+    val gx = Traversals.toGraphX(g, dict)
+    val seedVid = dict.filter(col("uid") === seedUid).head().getAs[Long]("vid")
+    val init = gx.mapVertices((vid, _) => if (vid == seedVid) 0 else Int.MaxValue)
+    val res = init.pregel(Int.MaxValue)(
+      (_, attr, msg) => math.min(attr, msg),
+      t => {
+        val out = List.newBuilder[(org.apache.spark.graphx.VertexId, Int)]
+        if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+          out += ((t.dstId, t.srcAttr + 1))
+        if (t.dstAttr != Int.MaxValue && t.dstAttr + 1 < t.srcAttr)
+          out += ((t.srcId, t.dstAttr + 1))
+        out.result().iterator
+      },
+      math.min)
+    import spark.implicits._
+    val distDf = res.vertices.filter(_._2 != Int.MaxValue).toDF("vid", "dist")
+    dict.join(distDf, "vid").select(col("uid"), col("dist"))
+  }
+
   def connectedComponents(spark: SparkSession, g: GraphSource): DataFrame = {
     val dict = Traversals.uidDictionary(g).cache()
     val cc = Traversals.toGraphX(g, dict).connectedComponents().vertices

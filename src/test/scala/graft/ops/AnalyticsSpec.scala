@@ -39,6 +39,19 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(pr(ids("e")) > pr(ids("d")), "e receives d's rank")
   }
 
+  test("hopDistances: exact undirected BFS levels; unreachable absent") {
+    val (g, ids) = fixture()
+    // chain the pair onto the triangle: c→d makes a..e one component at
+    // known distances from a; f stays unreachable
+    g.edge(ids("c"), "E", ids("d")).save()
+    val d = Analytics.hopDistances(spark, g, ids("a")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d(ids("a")) == 0 && d(ids("b")) == 1 && d(ids("c")) == 1)
+    assert(d(ids("d")) == 2, "via c, not the long way")
+    assert(d(ids("e")) == 3)
+    assert(!d.contains(ids("f")), "unreachable nodes are absent, not MaxValue")
+  }
+
   test("kindStats exact vs approx within HLL tolerance") {
     val (g, _) = fixture()
     val exact = Analytics.kindStats(g, exact = true).head().getLong(1)
