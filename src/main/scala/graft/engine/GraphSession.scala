@@ -35,6 +35,17 @@ object GraphSession {
     new ViewGraph(spark, nodes, edges, nodeFts)
   }
 
+  /** Open a reference graphydb SQLite `.gdb` file directly — the migration
+    * path for existing databases: a zero-dependency SQLite b-tree reader
+    * ([[graft.sources.SqliteFile]]) loads nodes/edges/settings/cache and
+    * the full change journal, so fetch, traversals AND undo keep working
+    * against imported history. Rebuild FTS with `resetfts` (the reference's
+    * FTS5 shadow tables are tokenizer-bound and not imported). */
+  def fromSqlite(spark: SparkSession, path: String): MemGraph = {
+    graft.functions.GraftExtensions.register(spark)
+    MemGraph.fromSqlite(spark, path)
+  }
+
   /** Open node/edge datasets in any Spark source format (parquet, csv with
     * header, json, orc, ...) laid out as `<path>/nodes` + `<path>/edges` in
     * the fixed schemas. The format reader enforces the schema, so csv/json

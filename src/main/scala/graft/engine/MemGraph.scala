@@ -272,6 +272,28 @@ final class MemGraph(val spark: SparkSession) extends GraphSource {
     nodeFtsDocs.clear(); edgeFtsDocs.clear(); bump()
   }
 
+  /** Re-index every EXISTING item's configured FTS fields from its stored
+    * data (string-valued props only) — the bulk counterpart of per-item
+    * `updatefts` calls for graphs whose content predates the index: set the
+    * config with [[resetFts]], then one call makes an imported graph (e.g.
+    * [[MemGraph.fromSqlite]]) searchable. The reference has no analogue
+    * because SQLite's FTS5 tables persist with the database; a migrated or
+    * re-configured index must re-read content either way. */
+  def reindexFts(): Unit = {
+    def index(docs: mutable.LinkedHashMap[String, Map[String, String]],
+        allowed: Option[Set[String]],
+        items: mutable.LinkedHashMap[String, Map[String, Any]]): Unit =
+      allowed.foreach { fields =>
+        items.foreach { case (uid, data) =>
+          val kept = data.collect { case (k, v: String) if fields.contains(k) => k -> v }
+          if (kept.nonEmpty) docs(uid) = kept
+        }
+      }
+    index(nodeFtsDocs, nodeFtsFields, nodesMap)
+    index(edgeFtsDocs, edgeFtsFields, edgesMap)
+    bump()
+  }
+
   private[engine] def updateFts(item: Item, fields: Map[String, String]): Unit = {
     val allowed = (if (item.isEdge) edgeFtsFields else nodeFtsFields).getOrElse(Set.empty)
     val kept = fields.filter { case (k, _) => allowed.contains(k) }
@@ -393,5 +415,62 @@ object MemGraph {
     if (!data.contains("uid")) data("uid") = Uid.random()
     if (!data.contains("ctime")) data("ctime") = now()
     if (!data.contains("mtime")) data("mtime") = now()
+  }
+
+  /** Open a reference graphydb SQLite database file directly (the migration
+    * path for existing `.gdb` files): nodes, edges, settings, cache and the
+    * change journal all load into a working-set graph with identical
+    * fetch/traversal/undo semantics. The `data` JSON column is the
+    * authoritative item image (graphydb.py:1325-1326 stores the full
+    * underscore-cleaned dict there); the journal's seq counter resumes from
+    * the imported maximum so new mutations append after history. FTS
+    * postings are NOT imported — they live in SQLite FTS5 shadow tables
+    * bound to SQLite's tokenizer; call `resetfts` to rebuild them from
+    * content, exactly as the reference does after config changes. */
+  def fromSqlite(spark: SparkSession, path: String): MemGraph = {
+    import graft.sources.SqliteFile
+    val g = new MemGraph(spark)
+    val have = SqliteFile.tables(path).keySet
+    def s(a: Any): String = a.asInstanceOf[String]
+    def asMap(a: Any): Map[String, Any] = a.asInstanceOf[Map[String, Any]]
+    // SQLite may store a REAL written with an integral value as an integer
+    // (e.g. a whole-second ctime); our DataFrame schemas require Double
+    def numFix(m: Map[String, Any]): Map[String, Any] =
+      m ++ Seq("ctime", "mtime").flatMap(k => m.get(k).collect {
+        case l: Long => k -> l.toDouble
+        case i: BigInt => k -> i.toDouble
+      })
+    if (have("nodes")) SqliteFile.readTable(path, "nodes").foreach { r =>
+      // DDL order (graphydb.py:521): uid, kind, ctime, mtime, data
+      g.nodesMap(s(r.values(0))) = numFix(Json.parse(s(r.values(4))))
+    }
+    if (have("edges")) SqliteFile.readTable(path, "edges").foreach { r =>
+      // DDL order (graphydb.py:522): uid, kind, startuid, enduid, ctime, mtime, data
+      g.edgesMap(s(r.values(0))) = numFix(Json.parse(s(r.values(6))))
+    }
+    if (have("settings")) SqliteFile.readTable(path, "settings").foreach { r =>
+      g.settingsMap(s(r.values(0))) = Json.parseAny(s(r.values(1)))
+    }
+    if (have("cache")) SqliteFile.readTable(path, "cache").foreach { r =>
+      g.cacheMap(s(r.values(0))) = Json.parseAny(s(r.values(1)))
+    }
+    if (have("changes")) SqliteFile.readTable(path, "changes").foreach { r =>
+      // changes(id INTEGER PRIMARY KEY, change): id is a rowid alias (reads
+      // back NULL — substitute rowid); change doc = {uid, "+"?, "-"?, time,
+      // rev, batch?} (graphydb.py:572-603)
+      val doc = Json.parse(s(r.values(1)))
+      def dbl(a: Any): Double = a match {
+        case d: Double => d
+        case l: Long => l.toDouble
+        case i: BigInt => i.toDouble
+      }
+      g.journal += g.JournalEntry(r.rowid, s(doc("uid")),
+        doc.get("+").map(asMap), doc.get("-").map(asMap),
+        doc.get("time").map(dbl).getOrElse(0.0),
+        doc.get("rev").map(s).getOrElse(""),
+        doc.get("batch").map(s))
+      g.seqCounter = math.max(g.seqCounter, r.rowid)
+    }
+    g
   }
 }
