@@ -40,7 +40,16 @@ object GraphSession {
     * ([[graft.sources.SqliteFile]]) loads nodes/edges/settings/cache and
     * the full change journal, so fetch, traversals AND undo keep working
     * against imported history. Rebuild FTS with `resetfts` (the reference's
-    * FTS5 shadow tables are tokenizer-bound and not imported). */
+    * FTS5 shadow tables are tokenizer-bound and not imported).
+    *
+    * Scope: returns a driver-side [[MemGraph]], deliberately. The reference
+    * targets "moderate sized problems" (graphydb.py:19-21) and its `.gdb`
+    * files are megabytes, so the whole-file read is the right cost; a
+    * durable deployment migrates ONCE by merging the imported graph into a
+    * parquet warehouse — `open(spark, dir).merge(fromSqlite(spark, path))`
+    * carries items AND journal history across — after which sessions open
+    * the warehouse directly and the SQLite file is out of the serving
+    * path. */
   def fromSqlite(spark: SparkSession, path: String): MemGraph = {
     graft.functions.GraftExtensions.register(spark)
     MemGraph.fromSqlite(spark, path)

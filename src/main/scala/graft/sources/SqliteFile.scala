@@ -14,9 +14,9 @@ import java.nio.file.{Files, Paths}
   * targets "moderate sized problems" of ~10k items, graphydb.py:19-21 —
   * its databases are megabytes); FTS5 virtual-table shadow tables are
   * ignored (the engine rebuilds its own postings via `resetfts`); a
-  * surviving `-wal`/`-journal` sidecar is not replayed — callers should
-  * read cleanly-closed databases (the normal state of a file being
-  * migrated).
+  * surviving non-empty `-wal`/`-journal` sidecar is not replayed — opening
+  * such a file throws with checkpoint instructions rather than silently
+  * returning a possibly-stale graph (see [[requireCleanlyClosed]]).
   */
 object SqliteFile {
 
@@ -170,15 +170,35 @@ object SqliteFile {
       }
     }.toMap
 
+  /** This reader does not replay write-ahead logs or rollback journals: a
+    * non-empty `-wal`/`-journal` sidecar means the main file may be missing
+    * committed transactions (or contain uncommitted ones), and silently
+    * migrating it would hand back a stale graph. Fail loudly with the fix
+    * instead — the normal state of a file being migrated is cleanly closed,
+    * where SQLite removes both sidecars. */
+  private def requireCleanlyClosed(path: String): Unit =
+    for (suffix <- Seq("-wal", "-journal")) {
+      val sidecar = Paths.get(path + suffix)
+      if (Files.exists(sidecar) && Files.size(sidecar) > 0)
+        throw new IllegalStateException(
+          s"'$path' has a non-empty '$suffix' sidecar: the database was not cleanly " +
+            "closed and this reader does not replay logs, so reading now could return " +
+            "stale or torn data. Close every connection (or run `PRAGMA wal_checkpoint" +
+            "(TRUNCATE)` from sqlite3) and retry.")
+    }
+
   /** Table name → b-tree root page, from sqlite_schema (root page 1).
     * Virtual tables (FTS5) have rootpage 0 and are excluded. */
-  def tables(path: String): Map[String, Int] =
+  def tables(path: String): Map[String, Int] = {
+    requireCleanlyClosed(path)
     tablesOf(new Db(Files.readAllBytes(Paths.get(path))))
+  }
 
   /** All rows of `table`, in rowid order. A column declared INTEGER PRIMARY
     * KEY is a rowid alias and reads back as NULL — callers substitute
     * `rowid` (the reference's `changes.id` is the one such column). */
   def readTable(path: String, table: String): Vector[Rec] = {
+    requireCleanlyClosed(path)
     val db = new Db(Files.readAllBytes(Paths.get(path)))
     val roots = tablesOf(db)
     val root = roots.getOrElse(table,

@@ -69,6 +69,26 @@ class SqliteMigrateSpec extends AnyFunSuite with SparkSpec {
     assert(g.countChanges == 8L)
   }
 
+  test("hot -wal sidecar fails loudly instead of returning stale data (r6)") {
+    val dir = java.nio.file.Files.createTempDirectory("walguard")
+    val db = dir.resolve("hot.gdb")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixture), db)
+    val wal = dir.resolve("hot.gdb-wal")
+    try {
+      // empty sidecar (fully checkpointed, persisted WAL file): fine to read
+      java.nio.file.Files.write(wal, Array.emptyByteArray)
+      assert(SqliteFile.tables(db.toString).contains("nodes"))
+      // non-empty sidecar: unreplayed committed frames may exist — refuse
+      java.nio.file.Files.write(wal, Array[Byte](1, 2, 3))
+      val e = intercept[IllegalStateException](SqliteFile.readTable(db.toString, "nodes"))
+      assert(e.getMessage.contains("wal_checkpoint"), "message must carry the fix")
+    } finally {
+      java.nio.file.Files.deleteIfExists(wal)
+      java.nio.file.Files.deleteIfExists(db)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("fromSqlite: FTS rebuilds from imported content") {
     val g = GraphSession.fromSqlite(spark, fixture)
     g.resetFts(nodeFields = Seq("name"))
