@@ -29,6 +29,12 @@ trait GraphSource {
   def nodeFtsView: String = s"graft_nodefts_$id"
   def edgeFtsView: String = s"graft_edgefts_$id"
 
+  /** Monotonic state version for caches keyed on this source (the GraphX
+    * dictionary memo in [[graft.ops.Traversals]]). Immutable sources (parquet
+    * warehouses, ad-hoc views) stay at 0; mutable sources must bump it on
+    * every write or stale analytics results would be served silently. */
+  def analyticsVersion: Long = 0L
+
   /** (Re-)register temp views for SQL-based query compilation. Cheap; called
     * per fetch so mutable sources always expose current state. */
   def registerViews(): Unit = {

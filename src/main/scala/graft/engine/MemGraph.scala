@@ -44,6 +44,10 @@ final class MemGraph(val spark: SparkSession) extends GraphSource {
   private var version = 0L
   private def bump(): Unit = version += 1
 
+  /** Every mutation bumps `version` (it already invalidates the node/edge
+    * DataFrame caches below), so it doubles as the analytics-memo key. */
+  override def analyticsVersion: Long = version
+
   // ---------------------------------------------------------------- builders
 
   def node(kind: String, attrs: (String, Any)*): Node =

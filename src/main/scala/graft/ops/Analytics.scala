@@ -33,8 +33,8 @@ object Analytics {
   }
 
   def pageRank(spark: SparkSession, g: GraphSource, tol: Double = 0.001): DataFrame = {
-    val dict = Traversals.uidDictionary(g).cache()
-    val ranks = Traversals.toGraphX(g, dict).pageRank(tol).vertices
+    val (dict, gx) = Traversals.graphXOf(g)
+    val ranks = gx.pageRank(tol).vertices
     import spark.implicits._
     val ranksDf = ranks.toDF("vid", "rank")
     dict.join(ranksDf, "vid").select(col("uid"), col("rank"))
@@ -43,8 +43,8 @@ object Analytics {
   /** Fixed-iteration PageRank: predictable cost (tol-based convergence can
     * iterate arbitrarily long on graphs with many dangling vertices). */
   def staticPageRank(spark: SparkSession, g: GraphSource, numIter: Int): DataFrame = {
-    val dict = Traversals.uidDictionary(g).cache()
-    val ranks = Traversals.toGraphX(g, dict).staticPageRank(numIter).vertices
+    val (dict, gx) = Traversals.graphXOf(g)
+    val ranks = gx.staticPageRank(numIter).vertices
     import spark.implicits._
     val ranksDf = ranks.toDF("vid", "rank")
     dict.join(ranksDf, "vid").select(col("uid"), col("rank"))
@@ -59,8 +59,7 @@ object Analytics {
     * merge with min), so results are deterministic regardless of
     * partitioning or edge multiplicity. */
   def hopDistances(spark: SparkSession, g: GraphSource, seedUid: String): DataFrame = {
-    val dict = Traversals.uidDictionary(g).cache()
-    val gx = Traversals.toGraphX(g, dict)
+    val (dict, gx) = Traversals.graphXOf(g)
     val seedVid = dict.filter(col("uid") === seedUid).head().getAs[Long]("vid")
     val init = gx.mapVertices((vid, _) => if (vid == seedVid) 0 else Int.MaxValue)
     val res = init.pregel(Int.MaxValue)(
@@ -80,8 +79,8 @@ object Analytics {
   }
 
   def connectedComponents(spark: SparkSession, g: GraphSource): DataFrame = {
-    val dict = Traversals.uidDictionary(g).cache()
-    val cc = Traversals.toGraphX(g, dict).connectedComponents().vertices
+    val (dict, gx) = Traversals.graphXOf(g)
+    val cc = gx.connectedComponents().vertices
     import spark.implicits._
     val ccDf = cc.toDF("vid", "component_vid")
     dict.join(ccDf, "vid").select(col("uid"), col("component_vid").as("component"))

@@ -120,25 +120,62 @@ object Traversals {
       .withColumn("vid", monotonically_increasing_id())
       .localCheckpoint(true)
 
+  /** Memoized (dictionary, GraphX graph) per source: every analytics entry
+    * point (PageRank, CC, BFS, reach) needs both, and before round 6 each
+    * call re-built and re-cached them — a bench pass running x02+x04+x05
+    * paid the dictionary checkpoint and the edge join three times, and
+    * executor storage churned a new uid dict per call. Keyed on
+    * (source identity, [[GraphSource.analyticsVersion]]): immutable sources
+    * hit forever; a mutated MemGraph misses, the stale graph's blocks are
+    * dropped, and a fresh pair is built. WeakHashMap so a dropped source
+    * lets the ContextCleaner reclaim the checkpointed RDDs. */
+  private val gxMemo =
+    new java.util.WeakHashMap[GraphSource, (Long, DataFrame, GxGraph[String, String])]()
+
+  def graphXOf(g: GraphSource): (DataFrame, GxGraph[String, String]) = gxMemo.synchronized {
+    val hit = gxMemo.get(g)
+    if (hit != null && hit._1 == g.analyticsVersion) (hit._2, hit._3)
+    else {
+      if (hit != null) hit._3.unpersist(blocking = false)
+      val dict = uidDictionary(g)
+      val gx = toGraphX(g, dict).cache()
+      gxMemo.put(g, (g.analyticsVersion, dict, gx))
+      (dict, gx)
+    }
+  }
+
   /** Build a GraphX graph (vertex attr = uid, edge attr = kind) for
     * iterative analytics: BFS, PageRank, connected components — anything
     * where per-hop DataFrame joins would re-shuffle the world each step. */
   def toGraphX(g: GraphSource, dict: DataFrame): GxGraph[String, String] = {
+    // Partition count: iterative GraphX algorithms launch one stage PER
+    // SUPERSTEP over these RDDs, so task count multiplies across the whole
+    // run (PageRank(5) ≈ 40+ stages — 32 partitions ⇒ 1300+ task
+    // dispatches for a 790 k-edge graph). Scale partitions to the smaller
+    // of cluster width and the SQL-side layout: on local[32] a sub-million-
+    // edge graph gets a handful of fat partitions (per-task dispatch is
+    // the dominant cost, measured r6); on a real cluster defaultParallelism
+    // keeps the graph spread across executors.
+    val spark = g.spark
+    val nParts = math.max(2, math.min(
+      spark.sparkContext.defaultParallelism / 4,
+      g.edges.rdd.getNumPartitions))
     val verts = dict.select(col("vid"), col("uid")).rdd
       .map(r => (r.getLong(0): VertexId, r.getString(1)))
+      .coalesce(nParts)
     val d1 = dict.select(col("uid").as("startuid"), col("vid").as("svid"))
     val d2 = dict.select(col("uid").as("enduid"), col("vid").as("evid"))
     val edges = g.edges.join(d1, "startuid").join(d2, "enduid")
       .select(col("svid"), col("evid"), col("kind")).rdd
       .map(r => GxEdge(r.getLong(0), r.getLong(1), r.getString(2)))
+      .coalesce(nParts)
     GxGraph(verts, edges)
   }
 
   /** Undirected reachable set from a seed uid via GraphX Pregel BFS —
     * the large-k / whole-graph path. Returns a DF of reached uids. */
   def connectedReach(spark: SparkSession, g: GraphSource, seedUid: String): DataFrame = {
-    val dict = uidDictionary(g).cache()
-    val gx = toGraphX(g, dict)
+    val (dict, gx) = graphXOf(g)
     val seedVid = dict.filter(col("uid") === seedUid).head().getAs[Long]("vid")
     val init = gx.mapVertices((vid, _) => vid == seedVid)
     val reached = init.pregel[Boolean](false)(
