@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 2× the JDK17 default: a full battery compiles ~300 Janino classes per
+  // pass; a full code cache silently disables the JIT (PLANS.md §codegen)
+  "-XX:ReservedCodeCacheSize=512m",
 )
