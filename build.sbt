@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 2× the JDK17 default: a full battery compiles ~300 Janino classes per
   // pass; a full code cache silently disables the JIT (PLANS.md §codegen)
   "-XX:ReservedCodeCacheSize=512m",
+  // Throughput collector: G1 charged 1.7-3.6 s of GC to a 6 s join stage on
+  // this host (PLANS.md §Bench-degradation); batch queries have no latency
+  // SLO, so trade pauses for throughput everywhere we fork a JVM
+  "-XX:+UseParallelGC",
 )
