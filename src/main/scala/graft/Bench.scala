@@ -13,9 +13,12 @@ import scala.collection.mutable
   * voided by a timeout; BENCH_r05 was rc=124 with ZERO numbers recorded):
   *
   *   1. ONE FORKED CHILD JVM, WARMUP THEN MEASURE. The parent forks a single
-  *      child that first runs the whole battery once against a tiny scale
-  *      factor (SPARK_GRAFT_WARMUP_DIR, default sf0.001, emitted as pass 0)
-  *      and then runs SPARK_GRAFT_REPS measured passes at the target SF.
+  *      child that first runs the whole battery once as warmup (pass 0) —
+  *      against SPARK_GRAFT_WARMUP_DIR, which DEFAULTS TO THE TARGET SF dir:
+  *      a tiny-sf warmup loads code but leaves the data-sized hot loops
+  *      under JIT thresholds (measured r6 — pass 1 after an sf0.001 warmup
+  *      still ran 5-20× slow) — and then runs SPARK_GRAFT_REPS measured
+  *      passes at the target SF.
   *      Why not fresh-JVM-per-pass: a cold JVM pays ~300-450 s of
   *      driver-side warmup (Catalyst analysis + Janino + JIT of the Spark
   *      stack itself) spread over the first ~30 queries — measured r6 at
@@ -40,13 +43,16 @@ import scala.collection.mutable
   *      completed measurement (round 5 printed everything at the end, so
   *      rc=124 destroyed ~400 completed numbers).
   *   4. PER-QUERY WATCHDOG. Each query runs on a cancellable thread; past
-  *      SPARK_GRAFT_QUERY_TIMEOUT_SEC (default 60) its job group is
+  *      SPARK_GRAFT_QUERY_TIMEOUT_SEC (default 120) its job group is
   *      cancelled (interruptOnCancel) and the entry records -1 — one
   *      pathological query degrades one number instead of voiding the run.
-  *      The warmup pass additionally has a global budget
-  *      (SPARK_GRAFT_WARMUP_BUDGET_SEC, default 900): past it, remaining
-  *      warmup queries are skipped so warmup can never eat the measured
-  *      passes' window.
+  *      A query that times out in 2 passes (warmup included) is SKIPPED in
+  *      later passes (instant -1): r6 spent its entire budget re-timing-out
+  *      the same queries at 75 s wall each until the parent deadline killed
+  *      pass 1 mid-flight, voiding half the battery. The warmup pass
+  *      additionally has a global budget (SPARK_GRAFT_WARMUP_BUDGET_SEC,
+  *      default 900): past it, remaining warmup queries are skipped so
+  *      warmup can never eat the measured passes' window.
   *   5. PARENT BUDGET + ONE RETRY. The parent kills a child that exceeds
   *      the overall budget (SPARK_GRAFT_TOTAL_BUDGET_SEC, default
   *      warmup + reps × SPARK_GRAFT_PASS_TIMEOUT_SEC (300) + slack) and, if
@@ -107,6 +113,11 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
+  /** Default to every host core: r1-4 baselines were recorded at local[32]
+    * and a silent fall-back to local[4] (the old default) makes every
+    * number 4-8× worse and blows the pass budgets. */
+  private def defaultCpus: String = Runtime.getRuntime.availableProcessors().toString
+
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -139,6 +150,13 @@ object Bench {
     * column — count() would let Catalyst prune projection-only work down to
     * a row count (round 4's Probe made exactly that mistake and
     * mis-adjudicated a real 9 s q01 as host noise). */
+  /** Per-JVM count of watchdog timeouts per query: at [[skipAfterTimeouts]]
+    * the query is skipped for the rest of this JVM's passes. Each timeout
+    * costs up to (timeout + 15 s) WALL — r6 burned its whole parent budget
+    * re-timing-out the same queries pass after pass. */
+  private val timeoutCounts = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private val skipAfterTimeouts = 2
+
   private def timedRun(spark: SparkSession, name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       sfDir: String, timeoutSec: Long): Double = {
@@ -163,11 +181,19 @@ object Bench {
       spark.sparkContext.cancelJobGroup(group)
       th.join(15000L)
       if (th.isAlive) th.interrupt()
+      timeoutCounts.updateWith(name) { c => Some(c.getOrElse(0) + 1) }
       -1.0
     } else out
   }
 
+  /** Warmup (pass-0) queries that actually completed, in THIS JVM: bumped
+    * by the in-process path here and by the parent's reader for relayed
+    * child lines — so the total line's "warmed" field reports what
+    * happened, not what the env requested. */
+  private val pass0Done = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def emitQueryLine(name: String, pass: Int, sec: Double): Unit = {
+    if (pass == 0 && sec >= 0) pass0Done.incrementAndGet()
     println(s"""{"metric":"query","name":"$name","pass":$pass,"sec":${r4(sec)}}""")
     System.out.flush()
   }
@@ -213,6 +239,7 @@ object Bench {
          if only.pattern.matcher(name).matches()) {
       val sec =
         if (System.nanoTime() > deadlineNanos) -1.0
+        else if (timeoutCounts.getOrElse(name, 0) >= skipAfterTimeouts) -1.0
         else timedRun(spark, name, fn, sfDir, timeoutSec)
       emitQueryLine(name, pass, sec)
       record(name, pass, sec)
@@ -220,66 +247,29 @@ object Bench {
     emitJvmState(pass, "end")
   }
 
-  /** Concurrent warmup battery: every query once, `threads`-way parallel,
-    * each under its own watchdog. Lines are emitted as pass 0 when each
-    * query finishes (coverage markers — contended timings are not data).
-    * Queries whose slot opens after the deadline are skipped as -1. */
-  private def warmupConcurrent(spark: SparkSession, sfDir: String,
-      timeoutSec: Long, threads: Int, deadlineNanos: Long): Unit = {
-    spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
-    emitJvmState(0, "start")
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads, r => {
-      val th = new Thread(r, "bench-warmup"); th.setDaemon(true); th
-    })
-    val only = env("SPARK_GRAFT_ONLY", ".*").r
-    val tasks = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.pattern.matcher(n).matches() }
-      .map { case (name, fn) =>
-      pool.submit(new Runnable {
-        override def run(): Unit = {
-          val sec =
-            if (System.nanoTime() > deadlineNanos) -1.0
-            else timedRun(spark, name, fn, sfDir, timeoutSec)
-          emitQueryLine(name, 0, sec)
-        }
-      })
-    }
-    pool.shutdown()
-    // drain with a hard stop at deadline + one query timeout: in-flight
-    // watchdogs bound each straggler, and anything still queued is skipped
-    val grace = math.max(1L, deadlineNanos - System.nanoTime()) +
-      (timeoutSec + 20L) * 1000000000L
-    if (!pool.awaitTermination(grace, TimeUnit.NANOSECONDS)) {
-      tasks.foreach(_.cancel(true))
-      pool.shutdownNow()
-    }
-    emitJvmState(0, "end")
-  }
-
   /** Warmup battery + measured passes firstPass..reps, in THIS JVM. */
   private def runAll(spark: SparkSession, firstPass: Int,
       record: (String, Int, Double) => Unit): Unit = {
     val sfDir = env("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = env("SPARK_GRAFT_REPS", "3").toInt
-    val queryTimeoutSec = env("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "60").toLong
+    val queryTimeoutSec = env("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "120").toLong
     if (env("SPARK_GRAFT_WARMUP", "1") != "0") {
       // warmup at the TARGET sf by default: a tiny-sf warmup loads code but
       // leaves the data-sized hot loops under JIT thresholds (measured r6 —
       // pass 1 after an sf0.001 warmup still ran 5-20× slow), and the
       // measured passes then pay the residue. Pass 0 at the target sf is
       // exactly round-4's "median discards the cold pass", made explicit.
-      // CONCURRENT (default 4-way): cold per-query cost is dominated by
-      // driver-side planning + JIT, which overlaps fine across queries —
-      // wall-clock drops ~3-4× and warmup coverage of the 900 s budget goes
-      // from ~a third of the battery to all of it. Timings under contention
-      // are meaningless, so pass-0 lines are coverage markers, not numbers;
-      // measured passes stay strictly serial.
+      // SERIAL (r7; r6 ran warmup 4-way concurrent and the round's numbers
+      // died): under contention the heavy queries blow the per-query
+      // watchdog, so exactly the queries that most need JIT warmth get
+      // cancelled mid-flight — and each cancellation can strand an
+      // interrupt-insensitive task on an executor slot for good. A serial
+      // cold pass at local[allcores] fits the 900 s budget and leaves the
+      // JVM clean; the budget deadline still skips stragglers.
       val warmupDir = env("SPARK_GRAFT_WARMUP_DIR", sfDir)
       val budget = env("SPARK_GRAFT_WARMUP_BUDGET_SEC", "900").toLong
       val deadline = System.nanoTime() + budget * 1000000000L
-      val threads = env("SPARK_GRAFT_WARMUP_THREADS", "4").toInt
-      warmupConcurrent(spark, warmupDir, queryTimeoutSec, threads, deadline)
+      runPass(spark, warmupDir, 0, queryTimeoutSec, (_, _, _) => (), deadline)
     }
     for (pass <- firstPass to reps)
       runPass(spark, sfDir, pass, queryTimeoutSec, record)
@@ -287,7 +277,7 @@ object Bench {
 
   private def childMain(): Unit = {
     val firstPass = env("SPARK_GRAFT_BENCH_PASS", "1").toInt
-    val spark = buildSession(env("SPARK_GRAFT_CPUS", "4"))
+    val spark = buildSession(env("SPARK_GRAFT_CPUS", defaultCpus))
     runAll(spark, firstPass, (_, _, _) => ())
     spark.stop()
     // leaked watchdog threads are daemon, but a cancelled-but-stuck Spark
@@ -351,6 +341,7 @@ object Bench {
         line match {
           case lineRe(name, pass, sec) =>
             println(line); System.out.flush() // relay verbatim, incrementally
+            if (pass.toInt == 0 && sec.toDouble >= 0) pass0Done.incrementAndGet()
             record(name, pass.toInt, sec.toDouble)
           case _ if line.startsWith("{\"metric\":\"jvmstate\"") =>
             println(line); System.out.flush() // telemetry: relay, don't record
@@ -375,7 +366,7 @@ object Bench {
   private def parentMain(): Unit = {
     val sfDir = env("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = env("SPARK_GRAFT_REPS", "3").toInt
-    val queryTimeoutSec = env("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "60").toLong
+    val queryTimeoutSec = env("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "120").toLong
     val passTimeoutSec = env("SPARK_GRAFT_PASS_TIMEOUT_SEC", "300").toLong
     val warmupBudgetSec =
       if (env("SPARK_GRAFT_WARMUP", "1") != "0")
@@ -418,10 +409,12 @@ object Bench {
     // last resort: forking unavailable, or children died without covering a
     // single pass (instant crash) — run in-process while budget remains.
     // Per-query watchdogs still bound each entry and lines still stream.
+    var ranInProcess = false
     if (firstIncompletePass <= reps &&
         (!forkWorks || times.synchronized(times.valuesIterator.forall(_.forall(_.isNaN)))) &&
         deadline - System.nanoTime() > 60L * 1000000000L) {
-      val spark = buildSession(env("SPARK_GRAFT_CPUS", "4"))
+      ranInProcess = true
+      val spark = buildSession(env("SPARK_GRAFT_CPUS", defaultCpus))
       runAll(spark, firstIncompletePass, record) // runPass already emits lines
       spark.stop()
     }
@@ -440,7 +433,13 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"forked":$fork,"warmed":${env("SPARK_GRAFT_WARMUP", "1") != "0"},"query_timeout_sec":$queryTimeoutSec}""")
+    // forked/warmed report what HAPPENED, not what the env requested: a
+    // fork failure or budget-skipped warmup must be readable from the
+    // artifact alone (r6 advice). pass0Done counts completed warmup queries
+    // — relayed child lines and the in-process path both bump it.
+    val forkedActual = fork && !ranInProcess
+    val warmedActual = pass0Done.get() > 0
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"forked":$forkedActual,"warmed":$warmedActual,"warmup_queries_done":${pass0Done.get()},"cpus":"${env("SPARK_GRAFT_CPUS", defaultCpus)}","query_timeout_sec":$queryTimeoutSec}""")
     println(s"""{"metric":"per_rep","unit":"sec","times":$perRep,"sf":"$sfDir","reps":$reps}""")
     // compact duplicate LAST so even a truncated tail keeps a parseable
     // total; named total_compact so metric names stay unique per run

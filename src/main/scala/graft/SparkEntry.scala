@@ -26,18 +26,33 @@ object SparkEntry {
     * inference alone cost minutes of pure driver overhead. The returned
     * DataFrame is an immutable logical plan over a cached FileIndex: reusing
     * it skips listing and schema work while scans still re-read current
-    * file bytes. Keyed per session (weakly — sessions are not leaked) so
-    * tests with separate sessions don't cross-talk; the testdata dirs are
-    * immutable, so no invalidation is needed. */
+    * file bytes. Keyed per session so tests with separate sessions don't
+    * cross-talk; the testdata dirs are immutable, so no invalidation is
+    * needed. BOUNDED access-order LRU (not a WeakHashMap: the cached
+    * DataFrames strongly reference their SparkSession, so weak keys could
+    * never be reclaimed and every test session would be pinned for the JVM
+    * lifetime) — at most the 4 most recently used sessions stay pinned, and
+    * a long-running process cycling sessions evicts the oldest entries. */
+  private val tMemoMaxSessions = 4
   private val tMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    new java.util.LinkedHashMap[String,
+        (SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame])](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            (SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame])]): Boolean =
+        size() > tMemoMaxSessions
+    }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = tMemo.synchronized {
-      var m = tMemo.get(s)
-      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; tMemo.put(s, m) }
-      m
+      val key = System.identityHashCode(s).toString
+      var e = tMemo.get(key)
+      if (e == null || !(e._1 eq s)) { // hash reuse after GC: replace entry
+        e = (s, scala.collection.concurrent.TrieMap.empty)
+        tMemo.put(key, e)
+      }
+      e._2
     }
     perSession.getOrElseUpdate(s"$dir/$name.parquet",
       s.read.parquet(s"$dir/$name.parquet"))

@@ -30,9 +30,11 @@ trait GraphSource {
   def edgeFtsView: String = s"graft_edgefts_$id"
 
   /** Monotonic state version for caches keyed on this source (the GraphX
-    * dictionary memo in [[graft.ops.Traversals]]). Immutable sources (parquet
-    * warehouses, ad-hoc views) stay at 0; mutable sources must bump it on
-    * every write or stale analytics results would be served silently. */
+    * dictionary memo in [[graft.ops.Traversals]]). Immutable sources (ad-hoc
+    * views over fixed DataFrames) stay at 0; mutable sources — MemGraph AND
+    * journal-backed warehouses, whose append/merge/undo/compact all change
+    * visible state — must bump it on every write or stale analytics results
+    * would be served silently. */
   def analyticsVersion: Long = 0L
 
   /** (Re-)register temp views for SQL-based query compilation. Cheap; called

@@ -65,6 +65,11 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
   private var cachedState: Option[(Long, Journal.Snapshot)] = None
   private def invalidate(): Unit = synchronized { stateVersion += 1 }
 
+  /** Warehouses mutate (append/merge/undo/compact all bump stateVersion), so
+    * analytics memos keyed on this source must observe every write — without
+    * this override the GraphX bridge would serve pre-mutation results. */
+  override def analyticsVersion: Long = synchronized { stateVersion }
+
   private def currentState: (DataFrame, DataFrame) = synchronized {
     cachedState match {
       case Some((v, s)) if v == stateVersion => (s.nodes, s.edges)

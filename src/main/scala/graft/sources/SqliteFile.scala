@@ -176,12 +176,27 @@ object SqliteFile {
     * migrating it would hand back a stale graph. Fail loudly with the fix
     * instead — the normal state of a file being migrated is cleanly closed,
     * where SQLite removes both sidecars. */
+  /** A rollback journal is only "hot" (holds an uncommitted transaction this
+    * reader would need to roll back) when it starts with the 8-byte journal
+    * magic; journal_mode=PERSIST leaves a non-empty journal with a zeroed
+    * header after a perfectly clean close, which is safe to ignore. */
+  private val hotJournalMagic =
+    Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7).map(_.toByte)
+
   private def requireCleanlyClosed(path: String): Unit =
     for (suffix <- Seq("-wal", "-journal")) {
       val sidecar = Paths.get(path + suffix)
-      if (Files.exists(sidecar) && Files.size(sidecar) > 0)
+      val hot = Files.exists(sidecar) && Files.size(sidecar) > 0 && (suffix match {
+        case "-journal" =>
+          val head = new Array[Byte](8)
+          val in = Files.newInputStream(sidecar)
+          val n = try in.readNBytes(head, 0, 8) finally in.close()
+          n == 8 && java.util.Arrays.equals(head, hotJournalMagic)
+        case _ => true // any non-empty -wal may hold committed frames
+      })
+      if (hot)
         throw new IllegalStateException(
-          s"'$path' has a non-empty '$suffix' sidecar: the database was not cleanly " +
+          s"'$path' has a hot '$suffix' sidecar: the database was not cleanly " +
             "closed and this reader does not replay logs, so reading now could return " +
             "stale or torn data. Close every connection (or run `PRAGMA wal_checkpoint" +
             "(TRUNCATE)` from sqlite3) and retry.")
