@@ -80,12 +80,27 @@ object SparkEntry {
     if (bytes < 64L * 1024 * 1024) df.repartition(s.sparkContext.defaultParallelism) else df
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as raw nanos and convert (micro truncation — no query
-    * emits a raw event timestamp, so cross-engine results are unaffected). */
+  /** Schema-adaptive `events` loader. The testdata generator has shipped
+    * `ts` two ways across rounds — parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects unless read as raw nanos) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark reads as
+    * TIMESTAMP_NTZ) — so branch on the type the reader actually infers
+    * instead of assuming either. All downstream forms normalize to
+    * session-TZ TimestampType: sessions are run with
+    * spark.sql.session.timeZone=UTC, so the NTZ→timestamp cast is a
+    * wall-clock identity and date/epoch/window results hash-match DuckDB's
+    * naive-timestamp reading of the same file. */
   private def events(s: SparkSession, dir: String): DataFrame = {
+    // harmless for non-NANOS files; required before the read for NANOS ones
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as raw nanos
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already session-TZ TimestampType
+    }
   }
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
