@@ -155,19 +155,29 @@ object Bench {
     * costs up to (timeout + 15 s) WALL — r6 burned its whole parent budget
     * re-timing-out the same queries pass after pass. */
   private val timeoutCounts = scala.collection.concurrent.TrieMap.empty[String, Int]
-  private val skipAfterTimeouts = 2
+  /** One measured-pass watchdog kill evicts the query for the rest of this
+    * JVM (r8, was 2): with warmup kills exempt (countTimeout = pass > 0) a
+    * threshold of 2 could never fire before the final pass, so a
+    * perpetually-hanging query burned (timeout + 15 s) wall in EVERY
+    * measured pass. The 120 s per-query watchdog is ~15× any healthy
+    * query's warm time on this host, so a measured-pass kill means a hang,
+    * not a spike; evicting on the first one caps the damage at one
+    * timeout's wall and the median over the remaining passes still reports
+    * the query if any pass completed. */
+  private val skipAfterTimeouts = 1
 
-  /** Default budget envelope (r7): the driver's outer timeout is ~36-38 min
-    * of sbt wall (BENCH_r06 completed at 2139 s; BENCH_r05 was killed at
-    * ~38 min), and a measured serial battery pass costs ~600 s on this host
-    * (~6.8 s/query × 88 — the 300-600 ms/stage scheduling floor recorded in
-    * BASELINE.md, not plan cost). Three reps cannot fit: 960 + 3×600 ≫ the
-    * window, which is how round 6 lost half its entries. Two warm passes
-    * inside a 600 s warmup budget + 2×600 s + slack ≈ 33 min DOES fit, and
-    * a per-query median over two warm passes still discards a one-pass host
-    * spike via the min-ward mean. Raise SPARK_GRAFT_REPS back up only with
-    * a larger SPARK_GRAFT_TOTAL_BUDGET_SEC. */
-  private val defaultReps = "2"
+  /** Default budget envelope (r8): warm battery passes measure ~40-200 s at
+    * sf0.1 since the memoized scans + GraphX bridge landed (BENCH_r07:
+    * 86 queries, 85.2 s summed medians), so three measured passes fit the
+    * driver's ~36-38 min outer window with room: 660 s warmup + 3×600 s
+    * pass ceilings + slack ≈ worst-case 42 min, but the per-pass deadline
+    * (enforced in [[runPass]] since r8) turns a pathological pass into
+    * skipped -1 entries instead of a child kill, and a NORMAL run finishes
+    * in ~15-20 min. Three reps make the per-query median a true outlier
+    * filter — with two, the median equals the mean and a one-pass host
+    * spike is only diluted 2×, which is exactly the q19/t12 variance r7
+    * recorded. */
+  private val defaultReps = "3"
   private val defaultWarmupBudgetSec = "600"
   private val defaultPassTimeoutSec = "600"
 
@@ -288,8 +298,17 @@ object Bench {
       val deadline = System.nanoTime() + budget * 1000000000L
       runPass(spark, warmupDir, 0, queryTimeoutSec, (_, _, _) => (), deadline)
     }
-    for (pass <- firstPass to reps)
-      runPass(spark, sfDir, pass, queryTimeoutSec, record)
+    // measured passes get a REAL per-pass deadline (r8): before this, the
+    // pass ceiling only existed in the parent's total-budget arithmetic, so
+    // an overrunning pass ran until the parent killed the whole child —
+    // exactly the r6 failure mode. Queries starting past the deadline are
+    // skipped as -1 within the pass; the next pass starts fresh, and the
+    // median over completed passes still covers every skipped query.
+    val passTimeoutSec = env("SPARK_GRAFT_PASS_TIMEOUT_SEC", defaultPassTimeoutSec).toLong
+    for (pass <- firstPass to reps) {
+      val passDeadline = System.nanoTime() + passTimeoutSec * 1000000000L
+      runPass(spark, sfDir, pass, queryTimeoutSec, record, passDeadline)
+    }
   }
 
   private def childMain(): Unit = {
@@ -456,10 +475,13 @@ object Bench {
     // — relayed child lines and the in-process path both bump it.
     val forkedActual = fork && !ranInProcess
     val warmedActual = pass0Done.get() > 0
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"forked":$forkedActual,"warmed":$warmedActual,"warmup_queries_done":${pass0Done.get()},"cpus":"${env("SPARK_GRAFT_CPUS", defaultCpus)}","query_timeout_sec":$queryTimeoutSec}""")
+    // emission order matters: the driver tail-captures the END of stdout,
+    // and BENCH_r07's tail lost part of the median map because the bulky
+    // per_rep line sat between it and EOF. Bulky diagnostics FIRST, the
+    // full median map second-to-last, and the compact total LAST — any
+    // truncation eats per_rep before it can touch a median.
     println(s"""{"metric":"per_rep","unit":"sec","times":$perRep,"sf":"$sfDir","reps":$reps}""")
-    // compact duplicate LAST so even a truncated tail keeps a parseable
-    // total; named total_compact so metric names stay unique per run
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"forked":$forkedActual,"warmed":$warmedActual,"warmup_queries_done":${pass0Done.get()},"cpus":"${env("SPARK_GRAFT_CPUS", defaultCpus)}","query_timeout_sec":$queryTimeoutSec}""")
     println(s"""{"metric":"total_compact","value":${r4(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","reps":$reps}""")
   }
 }

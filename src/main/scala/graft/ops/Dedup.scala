@@ -119,27 +119,50 @@ object Dedup {
   def aCoef(i: Int): Long = 101L + 37L * i
   def bCoef(i: Int): Long = 12345L + 789L * i
 
-  /** MinHash signatures: (id, i, mh) for i in 0 until numHashes. */
-  def minhash(df: DataFrame, idCol: String, textCol: String,
+  /** WIDE MinHash signatures: (id, mh_0 .. mh_{numHashes-1}) in ONE shuffle.
+    *
+    * The r7 shape exploded every (id, shingle) row numHashes× and shuffled
+    * the multiplied rows on (id, i) — for a 16-hash signature that is 16×
+    * the shuffle payload and 16× the rows through the aggregate, and it was
+    * the measured bottleneck of the whole LSH family (d03/x04 ≈ 5.7 s of
+    * the 55.8 s battery). All numHashes mins over the SAME shingle-hash
+    * stream are instead computed as parallel min-aggregate columns: rows
+    * shuffle once on id, partial mins combine map-side, and the ×numHashes
+    * work happens inside whole-stage codegen on in-memory columns. At
+    * corpus scale the shuffle carries one row per (doc, distinct shingle)
+    * — the minimum any shingle-based signature needs. */
+  def minhashWide(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 16): DataFrame = {
     val sh = wordShingles(df, idCol, textCol, k)
       .withColumn("h", pmod(hash60(col("shingle")), lit(P)))
-    sh.select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"), col("h"))
-      .withColumn("mh", pmod((lit(101) + lit(37) * col("i")) * col("h")
-        + lit(12345) + lit(789) * col("i"), lit(P)))
-      .groupBy("id", "i").agg(min("mh").as("mh"))
+    val mins = (0 until numHashes).map(i =>
+      min(pmod(lit(aCoef(i)) * col("h") + lit(bCoef(i)), lit(P))).as(s"mh_$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
-  /** Per-(id, band) LSH signatures (deterministic in-band order). */
+  /** MinHash signatures in long format: (id, i, mh) for i in 0 until
+    * numHashes — a posexplode over [[minhashWide]], same values as ever. */
+  def minhash(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16): DataFrame =
+    minhashWide(df, idCol, textCol, k, numHashes)
+      .select(col("id"),
+        posexplode(array((0 until numHashes).map(i => col(s"mh_$i")): _*)))
+      .toDF("id", "i", "mh")
+
+  /** Per-(id, band) LSH signatures (deterministic in-band order): bands are
+    * sliced out of the wide signature row with no extra shuffle — the r7
+    * shape re-aggregated the long format on (id, band), paying a second
+    * exchange for a concat the wide columns give for free. */
   private def bandSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sigs = minhash(df, idCol, textCol, k, numHashes)
-      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
-    sigs.groupBy("id", "band")
-      .agg(concat_ws("_", transform(
-        array_sort(collect_list(struct(col("i"), col("mh")))),
-        s => s.getField("mh").cast("string"))).as("sig"))
+    val wide = minhashWide(df, idCol, textCol, k, bands * rowsPerBand)
+    val perBand = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          col(s"mh_${b * rowsPerBand + r}").cast("string")): _*).as("sig"))
+    }
+    wide.select(col("id"), explode(array(perBand: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
   /** LSH candidate pairs: band docs by (band, concatenated band signature),
@@ -181,19 +204,23 @@ object Dedup {
       .filter(col("bcount") > maxBucket)
 
   /** 60-bit SimHash over distinct whitespace tokens: per bit b, the sign of
-    * Σ ±1 across token hashes decides the bit. Returns (id, simhash LONG). */
+    * Σ ±1 across token hashes decides the bit. Returns (id, simhash LONG).
+    *
+    * Same wide-aggregate shape as [[minhashWide]] (r8): the r7 form exploded
+    * every (id, token) row 60× and paid two exchanges (sum on (id, b), then
+    * re-sum on id); the 60 per-bit sums are instead parallel aggregate
+    * columns over the un-multiplied token stream — one shuffle on id, 60×
+    * less shuffle payload, bit assembly in a final codegen projection. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(array_distinct(split(col(textCol), " "))).as("tok"))
       .withColumn("th", hash60(col("tok")))
-    toks.select(col("id"), col("th"),
-        explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("contrib",
-        when(expr("(shiftrightunsigned(th, cast(b as int)) & 1) = 1"), 1).otherwise(-1))
-      .groupBy("id", "b").agg(sum("contrib").as("s"))
-      .withColumn("bit", expr(
-        "case when s > 0 then shiftleft(cast(1 as bigint), cast(b as int)) else cast(0 as bigint) end"))
-      .groupBy("id").agg(sum("bit").as("simhash"))
+    val sums = (0 until 60).map(b =>
+      sum(when(expr(s"(shiftrightunsigned(th, $b) & 1) = 1"), 1).otherwise(-1)).as(s"s_$b"))
+    toks.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until 60).map(b =>
+          when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
 
   /** Within-block cosine pairs over a (id, blk, v, nrm) frame: the join key
@@ -274,9 +301,18 @@ object Dedup {
     * re-shuffle the full pair graph every step). */
   def dupClusters(spark: org.apache.spark.sql.SparkSession, pairs: DataFrame): DataFrame = {
     import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+    // Fat partitions for the iterative CC (r8, same sizing as
+    // Traversals.toGraphX): CC launches one stage per superstep, so task
+    // count multiplies across the run, and the candidate-pair graph is
+    // post-blocking SMALL relative to the corpus — inheriting the SQL
+    // shuffle width (32 here) pays ~15× per-superstep dispatch overhead
+    // for parallelism the data can't use. defaultParallelism/4 keeps every
+    // executor busy on a real cluster while quartering the dispatch bill.
+    val nParts = math.max(2, spark.sparkContext.defaultParallelism / 4)
     val edgeRdd = pairs
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), ()))
+      .coalesce(nParts)
     val cc = GxGraph.fromEdges(edgeRdd, ()).connectedComponents().vertices
     import spark.implicits._
     cc.toDF("id", "cluster")

@@ -427,13 +427,48 @@ object Multimodal {
     out
   }
 
+  /** Container-magic sniff for codec families the JDK cannot decode. A
+    * payload carrying one of these signatures is REAL compressed media —
+    * handing it to [[decodeStub]] would return plausible-looking garbage
+    * features, which is strictly worse than failing. Returns the format
+    * name, or None for anything unrecognized (synthetic test payloads,
+    * truncated blobs) where the stub's deterministic fake remains the
+    * honest "no decoder claimed this" placeholder. */
+  def sniffUnsupportedCodec(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 12) return None
+    def ascii(o: Int, s: String) = s.indices.forall(i => bytes(o + i) == s(i).toByte)
+    if (ascii(0, "ID3")) Some("MP3 (ID3)")
+    // MPEG audio frame sync: 11 set bits, then a valid (non-reserved) version
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0 && (bytes(1) & 0x18) != 0x08)
+      Some("MP3/MPEG-audio")
+    else if (ascii(4, "ftyp")) Some("MP4/ISO-BMFF")
+    else if (ascii(0, "OggS")) Some("Ogg")
+    else if (ascii(0, "fLaC")) Some("FLAC")
+    else if ((bytes(0) & 0xff) == 0x1a && (bytes(1) & 0xff) == 0x45 &&
+      (bytes(2) & 0xff) == 0xdf && (bytes(3) & 0xff) == 0xa3) Some("Matroska/WebM")
+    else None
+  }
+
   /** Format-dispatched decode: real for BMP/PNG/JPEG/GIF (pooled luminance
-    * grid) and any JDK-readable audio (pooled RMS energy); `decodeStub`
-    * only for payloads nothing in the JDK can read (MP3/MP4/...). */
+    * grid) and any JDK-readable audio (pooled RMS energy). Payloads that
+    * sniff as a REAL codec this environment cannot decode (MP3/MP4/Ogg/
+    * FLAC/WebM — the JDK ships no decoder and the container has no codec
+    * libraries) fail loudly instead of producing garbage vectors (r8);
+    * `decodeStub` only covers payloads no decoder OR sniffer claims. */
   def decode(bytes: Array[Byte], dim: Int): Array[Float] =
     decodeImage(bytes).map { case (_, _, lum) => pool(lum, dim, rms = false) }
       .orElse(decodeAudio(bytes).map { case (_, samples) => pool(samples, dim, rms = true) })
-      .getOrElse(decodeStub(bytes, dim))
+      .getOrElse {
+        sniffUnsupportedCodec(bytes).foreach { fmt =>
+          throw new UnsupportedOperationException(
+            s"payload is $fmt, and no codec for it exists in this environment " +
+              "(JDK imageio/sound only — no MP3/MP4-class decoder is installed). " +
+              "Refusing to emit fake features for real media; plug a real decoder " +
+              "into Multimodal.decode (JNI/FFI or a Pandas-UDF equivalent) to " +
+              "process this payload.")
+        }
+        decodeStub(bytes, dim)
+      }
 
   /** Per-partition decode/feature-extract over the opaque binary column —
     * the `mapInPandas`-equivalent batch shape for a JVM pipeline: one

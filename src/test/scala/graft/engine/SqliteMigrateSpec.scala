@@ -89,6 +89,33 @@ class SqliteMigrateSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("-journal sidecar: PERSIST-mode (zeroed header) reads, hot magic refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("journalguard")
+    val db = dir.resolve("p.gdb")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixture), db)
+    val journal = dir.resolve("p.gdb-journal")
+    try {
+      // journal_mode=PERSIST leaves a NON-EMPTY journal with a zeroed
+      // header after a perfectly clean close — must migrate, not refuse
+      java.nio.file.Files.write(journal, new Array[Byte](512))
+      assert(SqliteFile.tables(db.toString).contains("nodes"))
+      // hot magic header = uncommitted transaction this reader can't roll
+      // back — must refuse with the fix in the message
+      val hot = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7).map(_.toByte) ++
+        new Array[Byte](504)
+      java.nio.file.Files.write(journal, hot)
+      val e = intercept[IllegalStateException](SqliteFile.readTable(db.toString, "nodes"))
+      assert(e.getMessage.contains("-journal"))
+      // truncated sidecar shorter than the 8-byte magic: cannot be hot
+      java.nio.file.Files.write(journal, Array[Byte](0x1))
+      assert(SqliteFile.tables(db.toString).contains("nodes"))
+    } finally {
+      java.nio.file.Files.deleteIfExists(journal)
+      java.nio.file.Files.deleteIfExists(db)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("fromSqlite: FTS rebuilds from imported content") {
     val g = GraphSession.fromSqlite(spark, fixture)
     g.resetFts(nodeFields = Seq("name"))

@@ -114,6 +114,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decode(junk, 4).sameElements(Multimodal.decodeStub(junk, 4)))
   }
 
+  test("real codec payloads fail loudly instead of yielding fake features (r8)") {
+    // an MP4: any size prefix + 'ftyp' box; an MP3: ID3v2 tag header
+    val mp4 = Array[Byte](0, 0, 0, 0x18) ++ "ftypisom".getBytes("US-ASCII") ++ new Array[Byte](16)
+    val mp3 = "ID3".getBytes("US-ASCII") ++ new Array[Byte](16)
+    for (payload <- Seq(mp4, mp3)) {
+      val e = intercept[UnsupportedOperationException](Multimodal.decode(payload, 4))
+      assert(e.getMessage.contains("no codec"), "message must name the environmental gap")
+    }
+    // the sniffer must NOT claim payloads the JDK actually decodes
+    val realBmp = bmp(Seq(Seq((0, 0, 0), (1, 1, 1)), Seq((2, 2, 2), (3, 3, 3))))
+    assert(Multimodal.sniffUnsupportedCodec(realBmp).isEmpty)
+  }
+
   /** Encode a top-down 0xRRGGBB raster via the JDK writer (png/gif/jpg). */
   private def jdkImage(fmt: String, w: Int, h: Int, px: Array[Int]): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
