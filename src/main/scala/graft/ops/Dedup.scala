@@ -231,19 +231,22 @@ object Dedup {
     * size — would otherwise re-quadratice the join on a single shuffle key.
     * The default is far above the oracle fixtures, so capping only engages
     * at corpus scale; audit what a cap dropped via [[overflowBlocks]]. */
-  private def pairsByBlock(withNorm: DataFrame, threshold: Double,
+  private def pairsByBlock(blocked: DataFrame, threshold: Double,
       maxBlock: Long = Long.MaxValue): DataFrame = {
-    val fits = withNorm.groupBy("blk")
+    graft.functions.GraftExtensions.register(blocked.sparkSession)
+    val fits = blocked.groupBy("blk")
       .agg(count(lit(1)).as("bcount"))
       .filter(col("bcount") <= maxBlock)
       .select("blk")
-    val kept = withNorm.join(fits, Seq("blk"), "left_semi")
-    val a = kept.select(col("id").as("id_a"), col("blk"), col("v").as("va"), col("nrm").as("na"))
-    val b = kept.select(col("id").as("id_b"), col("blk"), col("v").as("vb"), col("nrm").as("nb"))
+    val kept = blocked.join(fits, Seq("blk"), "left_semi")
+    val a = kept.select(col("id").as("id_a"), col("blk"), col("v").as("va"))
+    val b = kept.select(col("id").as("id_b"), col("blk"), col("v").as("vb"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"),
-        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x))
-      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+      // codegen'd fused dot+norms ([[graft.functions.CosineSimilarity]]) —
+      // bit-identical accumulation order to the old per-side norm columns
+      // times HOF dot, at one generated loop per candidate pair instead of
+      // interpreted per-element lambdas (r8; this join is the hot path)
+      .withColumn("cosine", round(call_function("cosine_similarity", col("va"), col("vb")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -253,7 +256,7 @@ object Dedup {
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double, maxBlock: Long = Long.MaxValue): DataFrame =
     pairsByBlock(df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm")), threshold, maxBlock)
+      col(vecCol).as("v")), threshold, maxBlock)
 
   /** The blocks a `maxBlock` cap would drop: (blk, bcount). Pipelines using
     * the capped pair generators should count/log these — non-empty means
@@ -402,8 +405,13 @@ object Dedup {
     * Approximate by construction: a pair split across buckets is missed;
     * fewer `bits` → bigger buckets → higher recall at higher join cost. */
   def embeddingDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 4, maxBlock: Long = Long.MaxValue): DataFrame =
-    pairsByBlock(df.select(col(idCol).as("id"),
-      Similarity.lshBucket(col(vecCol), bits).as("blk"),
-      col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm")), threshold, maxBlock)
+      threshold: Double, bits: Int = 4, maxBlock: Long = Long.MaxValue): DataFrame = {
+    // dim-unrolled bucketing when the width is probeable: plane components
+    // become plan-time literals (no per-element md5 — see Similarity r8)
+    val bucket = Similarity.probeDim(df, vecCol)
+      .map(dim => Similarity.lshBucket(col(vecCol), bits, dim))
+      .getOrElse(Similarity.lshBucket(col(vecCol), bits))
+    pairsByBlock(df.select(col(idCol).as("id"), bucket.as("blk"),
+      col(vecCol).as("v")), threshold, maxBlock)
+  }
 }

@@ -33,17 +33,36 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Codegen'd fused cosine ([[graft.functions.CosineSimilarity]]): one
+    * generated loop computes dot and both norms, replacing the interpreted
+    * higher-order-function fold that dominated the similarity family's wall
+    * time (HOF lambdas evaluate expression trees per ELEMENT — measured r8,
+    * the whole s/d-embedding family was HOF-bound, not data-bound). The
+    * accumulation order matches `dot/(norm·norm)` exactly (ExpressionsSpec
+    * asserts bit-equality through codegen), so oracle hashes are unchanged.
+    * Zero-norm/mismatched-length inputs yield NULL (dropped by every ≥
+    * threshold filter and sorted last in top-k) where the fold form gave
+    * NaN (which Spark sorts FIRST in a descending top-k — strictly worse
+    * for degenerate vectors). */
+  private def cosine(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
+
+  /** The ops below score with the registry-resolved `cosine_similarity`;
+    * registration is idempotent and per-session. */
+  private def ensureExprs(df: DataFrame): Unit =
+    graft.functions.GraftExtensions.register(df.sparkSession)
+
   /** Exact cosine top-k against one query vector (given as the row of
     * `df` with `idCol == queryId`). Returns (id, cosine) — k rows, best
     * first; the query row itself is excluded. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, roundTo: Int = 4): DataFrame = {
-    val q = df.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+    ensureExprs(df)
+    val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
     df.filter(col(idCol) =!= queryId)
       .join(broadcast(q))
       .select(col(idCol).as("id"),
-        round(dot(col(vecCol), col("qv")) / (norm(col(vecCol)) * col("qn")), roundTo).as("cosine"))
+        round(cosine(col(vecCol), col("qv")), roundTo).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -52,12 +71,13 @@ object Similarity {
     * rows whose `clusterCol` equals the query's cluster. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, clusterCol: String,
       queryId: Long, k: Int, roundTo: Int = 4): DataFrame = {
+    ensureExprs(df)
     val q = df.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("qv"), norm(col(vecCol)).as("qn"), col(clusterCol).as("qc"))
+      .select(col(vecCol).as("qv"), col(clusterCol).as("qc"))
     df.filter(col(idCol) =!= queryId)
       .join(broadcast(q), col(clusterCol) === col("qc"))
       .select(col(idCol).as("id"),
-        round(dot(col(vecCol), col("qv")) / (norm(col(vecCol)) * col("qn")), roundTo).as("cosine"))
+        round(cosine(col(vecCol), col("qv")), roundTo).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -101,7 +121,21 @@ object Similarity {
     (conv(substring(md5(concat_ws(":", plane, dim)), 1, 8), 16, 10).cast("long")
       .cast("double") / lit(4294967296.0)) - lit(0.5)
 
-  /** Sign-bit bucket id for a vector under `bits` random hyperplanes. */
+  /** Driver-side mirror of [[planeComponent]] — MUST stay bit-identical to
+    * the SQL form (md5 of "plane:i", first 8 hex chars as an unsigned int,
+    * /2³² − 0.5; every step exact in double). Lets plane matrices fold into
+    * LITERALS at plan time instead of re-hashing per element per row. */
+  def planeComponentValue(plane: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 4294967296.0 - 0.5
+  }
+
+  /** Sign-bit bucket id for a vector under `bits` random hyperplanes.
+    * Generic (dim-agnostic) form: the plane component is re-derived from
+    * md5 per ELEMENT per ROW inside an interpreted lambda — correct
+    * anywhere, but measured r8 as the dominant cost of every LSH query.
+    * Prefer the dim-unrolled overload when the vector width is known. */
   def lshBucket(vec: Column, bits: Int): Column = {
     val bitCols = (0 until bits).map { p =>
       val proj = aggregate(
@@ -113,26 +147,54 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
+  /** Dim-unrolled [[lshBucket]]: plane components are Scala-computed
+    * LITERALS and each projection is a flat codegen'd sum — no md5 at
+    * runtime, no interpreted lambdas. Bit-identical to the generic form
+    * for rows of width ≤ `dim` (missing tail elements contribute exactly
+    * the 0.0 the generic fold never adds; a row WIDER than `dim` would
+    * diverge — callers probe the actual width, and embedding columns are
+    * uniform-width by construction). */
+  def lshBucket(vec: Column, bits: Int, dim: Int): Column = {
+    val bitCols = (0 until bits).map { p =>
+      val proj = (0 until dim).map(i =>
+        coalesce(try_element_at(vec, lit(i + 1)).cast("double"), lit(0.0)) *
+          lit(planeComponentValue(p, i))).reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** First non-empty vector's width, from one tiny LIMIT-1 job (reads one
+    * row of one partition — not a scan). None on an empty frame. */
+  def probeDim(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol)).as("n")).filter(col("n") > 0)
+      .limit(1).collect().headOption.map(_.getInt(0))
+
   /** Precompute a reusable bucketed corpus for repeated LSH queries: adds
     * `_bucket` (sign-bit id under `bits` hyperplanes) and `_norm`, clustered
     * by bucket so each probe reads co-located partitions. Persist/write this
     * once; per-query work then drops to one bucket scan with NO per-row
     * hyperplane projections or norms recomputed. */
-  def bucketize(df: DataFrame, vecCol: String, bits: Int): DataFrame =
-    df.withColumn("_bucket", lshBucket(col(vecCol), bits))
+  def bucketize(df: DataFrame, vecCol: String, bits: Int): DataFrame = {
+    val bucket = probeDim(df, vecCol)
+      .map(dim => lshBucket(col(vecCol), bits, dim))
+      .getOrElse(lshBucket(col(vecCol), bits))
+    df.withColumn("_bucket", bucket)
       .withColumn("_norm", norm(col(vecCol)))
       .repartition(col("_bucket"))
+  }
 
   /** LSH cosine top-k over a [[bucketize]]d corpus (must carry `_bucket` and
     * `_norm`). Only the query's bucket is scanned. */
   def cosineLshTopKPre(bucketed: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, roundTo: Int = 4): DataFrame = {
+    ensureExprs(bucketed)
     val q = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("qv"), col("_norm").as("qn"), col("_bucket").as("qb"))
+      .select(col(vecCol).as("qv"), col("_bucket").as("qb"))
     bucketed.filter(col(idCol) =!= queryId)
       .join(broadcast(q), col("_bucket") === col("qb"))
       .select(col(idCol).as("id"),
-        round(dot(col(vecCol), col("qv")) / (col("_norm") * col("qn")), roundTo).as("cosine"))
+        round(cosine(col(vecCol), col("qv")), roundTo).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -147,12 +209,13 @@ object Similarity {
       queryId: Long, k: Int, bits: Int, roundTo: Int = 4): DataFrame = {
     val probes = array((0 until bits).map(i =>
       col("_bucket").bitwiseXOR(lit(1L << i))) :+ col("_bucket"): _*)
+    ensureExprs(bucketed)
     val q = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("qv"), col("_norm").as("qn"), explode(probes).as("qb"))
+      .select(col(vecCol).as("qv"), explode(probes).as("qb"))
     bucketed.filter(col(idCol) =!= queryId)
       .join(broadcast(q), col("_bucket") === col("qb"))
       .select(col(idCol).as("id"),
-        round(dot(col(vecCol), col("qv")) / (col("_norm") * col("qn")), roundTo).as("cosine"))
+        round(cosine(col(vecCol), col("qv")), roundTo).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -170,12 +233,13 @@ object Similarity {
     * (query_id, id, cosine): k rows per query. */
   def cosineLshTopKBatch(bucketed: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, roundTo: Int = 4): DataFrame = {
+    ensureExprs(bucketed)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      col("_norm").as("qn"), col("_bucket").as("qb"))
+      col("_bucket").as("qb"))
     val scored = bucketed
       .join(broadcast(q), col("_bucket") === col("qb") && col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("id"),
-        round(dot(col(vecCol), col("qv")) / (col("_norm") * col("qn")), roundTo).as("cosine"))
+        round(cosine(col(vecCol), col("qv")), roundTo).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("_rk", row_number().over(w))
