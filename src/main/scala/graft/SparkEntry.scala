@@ -469,11 +469,11 @@ object SparkEntry {
     // explicit bucket cap (matches the oracle's HAVING <= 1000) — capping is
     // opt-in since r4; production pipelines pair it with lshOverflowBuckets
     "d03_lsh_candidates" -> ((s, d) =>
-      Dedup.lshCandidates(t(s, d, "documents"), "doc_id", "text",
+      Dedup.lshCandidates(tPar(s, d, "documents"), "doc_id", "text",
         k = 3, bands = 4, rowsPerBand = 4, maxBucket = 1000L)),
 
     "d04_simhash" -> ((s, d) =>
-      Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
+      Dedup.simhash(tPar(s, d, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
     "d05_embedding_dups" -> ((s, d) =>
@@ -483,11 +483,11 @@ object SparkEntry {
       Dedup.embeddingDupPairsLsh(t(s, d, "embeddings"), "vec_id", "embedding", 0.35, bits = 4)),
 
     "d07_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+      Dedup.simhashDupPairs(tPar(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
 
     // benchmark-contamination: eval split = doc_id % 50 == 0, 5-gram shingles
     "d08_contamination" -> ((s, d) =>
-      Dedup.contamination(t(s, d, "documents"), "doc_id", "text",
+      Dedup.contamination(tPar(s, d, "documents"), "doc_id", "text",
         col("doc_id") % 50 === 0, k = 5)
         .withColumnRenamed("id", "doc_id")),
 
@@ -665,7 +665,7 @@ object SparkEntry {
     // transitive dup clustering: LSH candidates → connected components →
     // per-cluster sizes (Spark-only: recursive closure has no DuckDB twin)
     "x04_dup_clusters" -> ((s, d) => {
-      val cands = Dedup.lshCandidates(t(s, d, "documents"), "doc_id", "text")
+      val cands = Dedup.lshCandidates(tPar(s, d, "documents"), "doc_id", "text")
       Dedup.dupClusters(s, cands)
         .groupBy("cluster").agg(count(lit(1)).as("members"))
         .groupBy("members").agg(count(lit(1)).as("n_clusters"))
