@@ -78,20 +78,29 @@ object Dedup {
       .select(col("id"), hash60(col("shingle")).as("h"))
     // |A|, |B| count ALL shingles — compute before any pruning
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    // shingles appearing in exactly one doc can never contribute to a pair;
-    // dropping them shrinks the quadratic join without changing the output
-    val paired = sh.join(
-      sh.groupBy("h").count()
-        .filter(col("count") >= 2 && col("count") <= maxDf).select("h"),
-      Seq("h"), "left_semi")
-    val a = paired.select(col("id").as("id_a"), col("h"))
-    val b = paired.select(col("id").as("id_b"), col("h"))
-    // no broadcast hint on sizes: its cardinality is the document count, so
-    // at corpus scale it must stay a shuffle join (AQE broadcasts when small)
-    a.join(b, Seq("h"))
+    // Single-shuffle bucket shape (see [[lshCandidates]]): one exchange of
+    // (h, id) to the shingle hash; the df window [2, maxDf] becomes a free
+    // size() filter (df 1 can never pair), replacing the former count +
+    // semi-join pre-pass AND the double shuffle into the self-join. Each id
+    // appears once per bucket (wordShingles is per-doc distinct), so
+    // least/greatest normalization alone yields id_a < id_b. The per-bucket
+    // pair block materializes in-task — bounded by maxDf when capped (the
+    // production path); uncapped stays quadratic-by-design, same as the
+    // self-join it replaces (correctness twin, run on samples).
+    val bucketed = sh.groupBy("h").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
+    bucketed
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(least(x, y) AS id_a,
+          |                        greatest(x, y) AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
+      // no broadcast hint on sizes: its cardinality is the document count, so
+      // at corpus scale it must stay a shuffle join (AQE broadcasts when small)
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
       .withColumn("jaccard",
@@ -179,16 +188,30 @@ object Dedup {
       k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       maxBucket: Long = Long.MaxValue): DataFrame = {
     val bandSig = bandSignatures(df, idCol, textCol, k, bands, rowsPerBand)
-    val fits = bandSig.groupBy("band", "sig")
-      .agg(count(lit(1)).as("bcount"))
-      .filter(col("bcount") <= maxBucket)
-      .select("band", "sig")
-    val kept = bandSig.join(fits, Seq("band", "sig"), "left_semi")
-    val l = kept.select(col("id").as("id_a"), col("band"), col("sig"))
-    val r = kept.select(col("id").as("id_b"), col("band"), col("sig"))
-    l.join(r, Seq("band", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // One shuffle to the bucket key, pairs generated IN-TASK: the former
+    // shape self-joined the signature set on (band, sig) — the same rows
+    // shuffled twice into the join, plus a count+semi-join pre-pass when
+    // capped. Collecting each bucket to an array on the single (band, sig)
+    // exchange makes the cap a free size() filter and turns pair generation
+    // into a codegen'd nested transform over the array (each id appears once
+    // per bucket, so least/greatest normalization alone yields id_a < id_b).
+    // The array is bounded by the cap when one is set; uncapped, a
+    // degenerate bucket would have cost bucket² join rows anyway — the
+    // array form OOMs no earlier than the join form blew up the shuffle.
+    val bucketed = bandSig.groupBy("band", "sig")
+      .agg(collect_list(col("id")).as("ids"))
+    val kept =
+      if (maxBucket == Long.MaxValue) bucketed
+      else bucketed.filter(size(col("ids")) <= maxBucket)
+    kept
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(least(x, y) AS id_a,
+          |                        greatest(x, y) AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .filter(col("id_a") < col("id_b")) // degenerate duplicate-id inputs
+      .distinct()
   }
 
   /** The buckets a `maxBucket` cap would drop: (band, sig, bcount). Pipelines
@@ -234,21 +257,27 @@ object Dedup {
   private def pairsByBlock(blocked: DataFrame, threshold: Double,
       maxBlock: Long = Long.MaxValue): DataFrame = {
     graft.functions.GraftExtensions.register(blocked.sparkSession)
-    val fits = blocked.groupBy("blk")
-      .agg(count(lit(1)).as("bcount"))
-      .filter(col("bcount") <= maxBlock)
-      .select("blk")
-    val kept = blocked.join(fits, Seq("blk"), "left_semi")
-    val a = kept.select(col("id").as("id_a"), col("blk"), col("v").as("va"))
-    val b = kept.select(col("id").as("id_b"), col("blk"), col("v").as("vb"))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      // codegen'd fused dot+norms ([[graft.functions.CosineSimilarity]]) —
-      // bit-identical accumulation order to the old per-side norm columns
-      // times HOF dot, at one generated loop per candidate pair instead of
-      // interpreted per-element lambdas (r8; this join is the hot path)
-      .withColumn("cosine", round(call_function("cosine_similarity", col("va"), col("vb")), 6))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+    // Single-shuffle bucket shape (see [[lshCandidates]]): one exchange of
+    // (id, vector) to the block key — the former self-join shuffled the
+    // vectors twice and needed a count+semi-join pre-pass for the cap. The
+    // scoring call is the codegen'd fused dot+norms
+    // ([[graft.functions.CosineSimilarity]]); IEEE * is commutative, so
+    // least/greatest id normalization cannot change the score.
+    val bucketed = blocked.groupBy("blk")
+      .agg(collect_list(struct(col("id"), col("v"))).as("ms"))
+    val kept =
+      if (maxBlock == Long.MaxValue) bucketed
+      else bucketed.filter(size(col("ms")) <= maxBlock)
+    kept
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)),
+          |            y -> struct(least(x.id, y.id) AS id_a,
+          |                        greatest(x.id, y.id) AS id_b,
+          |                        round(cosine_similarity(x.v, y.v), 6) AS cosine))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.cosine").as("cosine"))
+      .filter(col("id_a") < col("id_b") && col("cosine") >= threshold)
   }
 
   /** Near-dup by embedding cosine: pairs with cosine ≥ threshold, blocked by
@@ -285,13 +314,22 @@ object Dedup {
           (shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))).as("slice"))
       }: _*)).as("bs"))
       .select(col("id"), col("simhash"), col("bs.band").as("band"), col("bs.slice").as("slice"))
-    val a = banded.select(col("id").as("id_a"), col("simhash").as("ha"), col("band"), col("slice"))
-    val b = banded.select(col("id").as("id_b"), col("simhash").as("hb"), col("band"), col("slice"))
-    a.join(b, Seq("band", "slice"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").distinct()
+    // Same single-shuffle bucket shape as [[lshCandidates]]: one exchange
+    // to (band, slice), pairs + the Hamming verify generated in-task from
+    // the bucket array (hamming is symmetric, so least/greatest id
+    // normalization needs no attribute swap).
+    banded.groupBy("band", "slice")
+      .agg(collect_list(struct(col("id"), col("simhash").as("h"))).as("ms"))
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)),
+          |            y -> struct(least(x.id, y.id) AS id_a,
+          |                        greatest(x.id, y.id) AS id_b,
+          |                        bit_count(x.h ^ y.h) AS hamming))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").as("hamming"))
+      .filter(col("id_a") < col("id_b") && col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Transitive duplicate clusters from a candidate-pair frame
