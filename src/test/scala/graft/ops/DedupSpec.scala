@@ -47,6 +47,37 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "unrelated docs must not be candidates")
   }
 
+  test("pair generation is join-free: bucket arrays, not self-joins (plan audit)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.99f, 0.05f), 0),
+      (3L, Array(0.0f, 1.0f), 0), (4L, Array(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    // force real partitions: the tiny Seq fixtures constant-fold to a
+    // LocalTableScan, which would make no-Exchange asserts vacuous
+    val d = docs.repartition(2)
+    // simhashDupPairs is deliberately absent: its 16-byte rows keep the
+    // codegen'd self-join faster than interpreted bucket-array HOFs
+    // (measured r8 — see its scaladoc)
+    val plans = Map(
+      "lshCandidates" -> Dedup.lshCandidates(d, "doc_id", "text", maxBucket = 1000L),
+      "embeddingDupPairs" -> Dedup.embeddingDupPairs(
+        vecs.repartition(2), "vec_id", "embedding", "label", 0.9))
+      .map { case (n, df) => n -> df.queryExecution.executedPlan.toString }
+    plans.foreach { case (n, p) =>
+      assert(!p.contains("Join"),
+        s"$n must generate pairs in-task from bucket arrays, not a self-join:\n$p")
+    }
+    // ngramJaccardPairs legitimately joins per-doc |A|/|B| sizes back in,
+    // but the df-cap pre-pass semi-join and the bucket self-join are gone
+    val nj = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 3,
+      threshold = 0.0, maxDf = 3).queryExecution.executedPlan.toString
+    assert(!nj.contains("LeftSemi"),
+      s"df cap must be a size() filter on the bucket array, not a semi-join:\n$nj")
+    assert(nj.split("Join", -1).length - 1 <= 2,
+      s"only the two size joins may remain:\n$nj")
+  }
+
   test("simhash: near-dups land within small hamming distance, unrelated far") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
