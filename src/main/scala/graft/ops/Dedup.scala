@@ -427,9 +427,12 @@ object Dedup {
       .agg(countDistinct(col("id")).as("gdf"))
       .filter(col("gdf") >= minDf)
       .select("gram")
+    // no distinct on the covered set: overlapping hot occurrences produce
+    // duplicate (id, pos) rows, but the left_anti below is insensitive to
+    // build-side duplicates — deduping first would add a full exchange +
+    // two aggregates just to shrink a set the join shuffles anyway
     val covered = grams.join(hot, Seq("gram"), "left_semi")
       .select(col("id"), explode(sequence(col("start"), col("start") + n - 1)).as("pos"))
-      .distinct()
     val toks = docs.select(col("id"), posexplode(col("toks"))).toDF("id", "pos", "tok")
     val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
       .groupBy("id")
