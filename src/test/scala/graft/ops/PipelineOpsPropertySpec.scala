@@ -128,4 +128,103 @@ class PipelineOpsPropertySpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == naive)
   }
+
+  /** Guards the r8 bucket-array pair rewrite: jaccard values and pair sets
+    * against a naive evaluator, capped and uncapped, across partitionings
+    * (collect_list order is nondeterministic — results must not be). */
+  test("ngramJaccardPairs ≡ naive shingle-set evaluator, capped and uncapped") {
+    import spark.implicits._
+    val rnd = new Random(20260813L)
+    // tiny vocab so shingles actually collide across docs
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val k = 3
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ")
+      (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" ")).toSet
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (round <- 1 to 3) {
+      val docs = (1L to 30L).map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val sets = docs.map { case (id, t) => id -> shingles(t) }.toMap
+      val dfCount = sets.values.flatten.groupBy(identity).map { case (s, xs) => s -> xs.size }
+      for (maxDf <- Seq(Long.MaxValue, 4L)) {
+        val naive = (for {
+          (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+          shared = (sa intersect sb).count(s => dfCount(s) <= maxDf)
+          if shared >= 1
+        } yield (a, b) -> round6(
+          shared.toDouble / (sa.size + sb.size - shared))).toMap
+        for (nPart <- Seq(1, 7)) {
+          val got = Dedup.ngramJaccardPairs(
+              docs.toDF("doc_id", "text").repartition(nPart),
+              "doc_id", "text", k, threshold = 0.0, maxDf = maxDf)
+            .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+          assert(got == naive,
+            s"round $round maxDf=$maxDf nPart=$nPart diverged from naive")
+        }
+      }
+    }
+  }
+
+  test("embeddingDupPairs ≡ naive per-block cosine; partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new Random(424242L)
+    for (round <- 1 to 3) {
+      val vecs = (1L to 30L).map { id =>
+        (id, Array.fill(6)(rnd.nextFloat() * 2f - 1f), rnd.nextInt(4))
+      }
+      // mirror CosineSimilarity.nullSafeEval: float->double per element,
+      // dot / (sqrt(nx) * sqrt(ny)), then round to 6 dp
+      def cos(x: Array[Float], y: Array[Float]): Double = {
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < x.length) {
+          val xi = x(i).toDouble; val yi = y(i).toDouble
+          dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+        }
+        BigDecimal(dot / (math.sqrt(nx) * math.sqrt(ny)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val threshold = 0.5
+      val naive = (for {
+        (a, va, ba) <- vecs; (b, vb, bb) <- vecs
+        if a < b && ba == bb
+        c = cos(va, vb) if c >= threshold
+      } yield (a, b) -> c).toMap
+      for (nPart <- Seq(1, 7)) {
+        val got = Dedup.embeddingDupPairs(
+            vecs.toDF("vec_id", "embedding", "label").repartition(nPart),
+            "vec_id", "embedding", "label", threshold)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        assert(got == naive, s"round $round nPart=$nPart diverged from naive")
+      }
+    }
+  }
+
+  test("lshCandidates: partitioning-invariant; cap is exact and audited") {
+    import spark.implicits._
+    val rnd = new Random(777L)
+    val base = "the quick brown fox jumps over the lazy dog by the river"
+    val docs = (1L to 24L).map { id =>
+      // clusters of identical docs -> guaranteed full-signature collisions
+      id -> (if (id <= 8) base else if (id <= 12) base.replace("dog", "cat")
+             else Seq.fill(10)(s"w${rnd.nextInt(30)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val p1 = Dedup.lshCandidates(docs.repartition(1), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p7 = Dedup.lshCandidates(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == p7, "candidate set must not depend on input partitioning")
+    assert((1L to 8L).flatMap(a => (a + 1 to 8L).map(a -> _)).forall(p1.contains),
+      "identical docs collide in every band")
+    // capping at 7 drops the 8-doc identical bucket; the audit names it
+    val capped = Dedup.lshCandidates(docs, "doc_id", "text", maxBucket = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(p1))
+    assert(!capped.contains((1L, 2L)), "over-cap bucket pairs must be dropped")
+    val audit = Dedup.lshOverflowBuckets(docs, "doc_id", "text", maxBucket = 7L)
+    assert(audit.count() > 0, "a non-silent cap names what it dropped")
+  }
 }
