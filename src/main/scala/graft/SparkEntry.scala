@@ -514,6 +514,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
           col("cleaned_text"))),
 
+    // LSH verify stage: candidates re-scored from their MinHash signatures
+    // (no second shingle pass over the corpus — see Dedup scaladoc)
+    "d12_lsh_verified" -> ((s, d) => {
+      val docs = tPar(s, d, "documents")
+      val cands = Dedup.lshCandidates(docs, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 4, maxBucket = 1000L)
+      Dedup.estimateJaccardBySignature(docs, "doc_id", "text", cands,
+        k = 3, numHashes = 16, minEstimate = 0.5)
+    }),
+
     // --- similarity search (embeddings) -------------------------------------
     "s01_cosine_knn" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", queryId = 0, k = 5)),
@@ -1171,6 +1181,29 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM sig a JOIN fits f ON a.band = f.band AND a.sig = f.sig
         |JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+
+    // d03's CTEs + per-pair equal-component fraction over the 16 minhashes
+    "d12_lsh_verified" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 4294967311 AS hh FROM sh),
+        |mh AS (SELECT doc_id, i, MIN(((101 + 37*i) * hh + 12345 + 789*i) % 4294967311) AS mh
+        |  FROM h CROSS JOIN range(0, 16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, i // 4 AS band,
+        |  string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig FROM mh GROUP BY 1, 2),
+        |fits AS (SELECT band, sig FROM sig GROUP BY band, sig HAVING COUNT(*) <= 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN fits f ON a.band = f.band AND a.sig = f.sig
+        |  JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+        |FROM cand c
+        |JOIN mh a ON a.doc_id = c.id_a
+        |JOIN mh b ON b.doc_id = c.id_b AND b.i = a.i
+        |GROUP BY 1, 2
+        |HAVING ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) >= 0.5""".stripMargin,
 
     "d04_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),

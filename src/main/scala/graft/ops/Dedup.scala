@@ -218,6 +218,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Signature-estimated Jaccard for candidate pairs — the verify stage of
+    * the LSH scale path. P[mh_i(A) = mh_i(B)] = J(A,B) for a random minwise
+    * hash (Broder 1997), so the equal-component fraction of two signatures
+    * is an unbiased estimate of the pair's Jaccard, with standard deviation
+    * sqrt(J(1-J)/numHashes). Candidates typically come from
+    * [[lshCandidates]] over the SAME (k, numHashes) parameters; re-scoring
+    * them here costs two hash joins of numHashes-int arrays against the
+    * signature table — never a second shingle pass over the corpus, which
+    * is the point at 100 TB: the exact [[ngramJaccardPairs]] verify would
+    * re-read and re-shingle every document. Catalyst reuses the signature
+    * aggregate's exchange when both the candidates and the signatures
+    * derive from one plan. Returns (id_a, id_b, est_jaccard ≥ minEstimate),
+    * est rounded to 6 dp. */
+  def estimateJaccardBySignature(df: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, k: Int = 3, numHashes: Int = 16,
+      minEstimate: Double = 0.0): DataFrame = {
+    val sig = minhashWide(df, idCol, textCol, k, numHashes).select(col("id"),
+      array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+    candidates
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard", round(
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))" +
+          s" / CAST($numHashes AS DOUBLE)"), 6))
+      .filter(col("est_jaccard") >= minEstimate)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** The buckets a `maxBucket` cap would drop: (band, sig, bcount). Pipelines
     * using [[lshCandidates]] should count/log these — a non-empty result
     * means some docs (typically degenerate near-empty text) were exempted

@@ -87,6 +87,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"near-dup ${ham(h(1L), h(2L))} should beat unrelated ${ham(h(1L), h(4L))}")
   }
 
+  test("signature-estimated jaccard: 1.0 for identical docs; ≡ long-format signatures") {
+    val cands = Dedup.lshCandidates(docs, "doc_id", "text")
+    val est = Dedup.estimateJaccardBySignature(docs, "doc_id", "text", cands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((1L, 5L)) == 1.0, "identical docs share every minhash component")
+    assert(est.keySet == cands.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet, "minEstimate=0 keeps all candidates")
+    // independent recomputation from the long-format signature path
+    val sig = Dedup.minhash(docs, "doc_id", "text").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap }
+    est.foreach { case ((a, b), e) =>
+      val frac = (0 until 16).count(i => sig(a)(i) == sig(b)(i)) / 16.0
+      assert(e == BigDecimal(frac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"estimate for ($a,$b) must equal the component-agreement fraction")
+    }
+  }
+
   test("commonShingleFilter drops high-df shingles") {
     val sh = Dedup.wordShingles(docs, "doc_id", "text", 3)
     val filtered = Dedup.commonShingleFilter(sh, maxDf = 2)
