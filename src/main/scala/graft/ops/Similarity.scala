@@ -67,6 +67,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact batched cosine top-k — the recall baseline for every ANN path:
+    * one broadcast of the query set, ONE full corpus scan regardless of how
+    * many queries ride it, per-query window top-k (partition = query id,
+    * so the sort is per-query, never global). At 100 TB this is the
+    * measurement harness, not the serving path: run it over a SAMPLED
+    * query set and feed [[recallAtK]] to score an ANN configuration.
+    * Returns (query_id, id, cosine), k rows per query, self-matches
+    * excluded. */
+  def bruteForceTopKBatch(df: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, roundTo: Int = 4): DataFrame = {
+    ensureExprs(df)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = df.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("id"),
+        round(cosine(col(vecCol), col("qv")), roundTo).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** Recall@k of an approximate neighbor frame against an exact one — the
+    * metric every ANN tuning loop needs (probe counts, LSH bits, IVF cells
+    * are recall/cost dials; this measures the recall side). Both inputs
+    * carry (query_id, id, ...); per query: |approx ∩ exact| / |exact|,
+    * rounded to 6 dp, 0.0 when the approx frame missed a query entirely.
+    * Shuffles key on (query_id, id) then query_id — evaluation-sized, not
+    * corpus-sized. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("id"))
+    val e = exact.select(col("query_id"), col("id"))
+    val hits = a.join(e, Seq("query_id", "id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_exact"), 6)
+          .as("recall"))
+  }
+
   /** IVF-style probe: identical contract to [[bruteForceTopK]] but scans only
     * rows whose `clusterCol` equals the query's cluster. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, clusterCol: String,

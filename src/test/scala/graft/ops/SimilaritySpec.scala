@@ -32,6 +32,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     } finally pre.unpersist()
   }
 
+  test("bruteForceTopKBatch ≡ per-query bruteForceTopK; recallAtK scores overlap") {
+    val qs = vecs.filter(col("vec_id").isin(0, 3))
+    val batch = Similarity.bruteForceTopKBatch(vecs, qs, "vec_id", "embedding", k = 3)
+    val got = batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = Seq(0L, 3L).flatMap(q =>
+      Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, k = 3)
+        .collect().map(r => (q, r.getLong(0), r.getDouble(1)))).toSet
+    assert(got == single, "batch must equal the per-query baseline")
+    // self-recall is 1.0 per query; an empty approx frame scores 0.0
+    val self = Similarity.recallAtK(batch, batch)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(self == Map(0L -> 1.0, 3L -> 1.0))
+    val none = Similarity.recallAtK(batch.filter(lit(false)), batch)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(none == Map(0L -> 0.0, 3L -> 0.0))
+    // LSH recall against the exact baseline is a valid [0,1] score per query
+    val bucketed = Similarity.bucketize(vecs, "embedding", bits = 2)
+    val approx = Similarity.cosineLshTopKBatch(bucketed,
+      bucketed.filter(col("vec_id").isin(0, 3)), "vec_id", "embedding", k = 3)
+    val rec = Similarity.recallAtK(approx, batch)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rec.keySet == Set(0L, 3L) && rec.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("lsh buckets are deterministic and cluster-correlated") {
     val b = Similarity.bucketize(vecs, "embedding", bits = 4)
       .select(col("vec_id"), col("_bucket")).collect()
