@@ -72,11 +72,17 @@ object SparkEntry {
     * At production scale the branch never engages: the guard is a
     * driver-side fs-metadata check, and a 100 TB table is thousands of
     * splits already — the plan stays scan → partial agg with no exchange. */
+  private val tParSizeMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
   private def tPar(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = t(s, dir, name)
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val bytes = try fs.getContentSummary(path).getLength catch { case _: java.io.IOException => Long.MaxValue }
+    // memoized per path: on a real warehouse this is a namenode RPC per
+    // call otherwise (an unknown/unreadable path memoizes as MaxValue =
+    // never fan out, the safe default)
+    val bytes = tParSizeMemo.getOrElseUpdate(s"$dir/$name.parquet", {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      try fs.getContentSummary(path).getLength catch { case _: java.io.IOException => Long.MaxValue }
+    })
     if (bytes < 64L * 1024 * 1024) df.repartition(s.sparkContext.defaultParallelism) else df
   }
 

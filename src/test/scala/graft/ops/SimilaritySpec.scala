@@ -56,6 +56,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(rec.keySet == Set(0L, 3L) && rec.values.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("multi-probe recall dominates single-bucket recall (recallAtK as the judge)") {
+    import org.apache.spark.sql.DataFrame
+    val bucketed = Similarity.bucketize(vecs, "embedding", bits = 4).cache()
+    try {
+      val qids = Seq(0L, 3L, 6L)
+      def tagged(f: Long => DataFrame): DataFrame =
+        qids.map(q => f(q).withColumn("query_id", lit(q))).reduce(_ unionByName _)
+      val exact = tagged(q =>
+        Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, k = 3))
+      val single = tagged(q =>
+        Similarity.cosineLshTopKPre(bucketed, "vec_id", "embedding", q, k = 3))
+      val multi = tagged(q =>
+        Similarity.cosineLshTopKMultiProbe(bucketed, "vec_id", "embedding", q, k = 3, bits = 4))
+      val rs = Similarity.recallAtK(single, exact)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val rm = Similarity.recallAtK(multi, exact)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      qids.foreach { q =>
+        assert(rm(q) >= rs(q),
+          s"query $q: multi-probe recall ${rm(q)} must dominate single-bucket ${rs(q)}")
+      }
+    } finally bucketed.unpersist()
+  }
+
   test("lsh buckets are deterministic and cluster-correlated") {
     val b = Similarity.bucketize(vecs, "embedding", bits = 4)
       .select(col("vec_id"), col("_bucket")).collect()
