@@ -522,6 +522,149 @@ object Multimodal {
       .withColumn("out_width", round(col("width") * col("scale")).cast("int"))
       .withColumn("out_height", round(col("height") * col("scale")).cast("int"))
 
+  // ---------------------------------------------- container metadata (no codec)
+
+  /** Parsed container metadata — everything here comes from HEADER bytes
+    * (frame headers, box trees, STREAMINFO), never from decoding samples,
+    * so it works for exactly the codecs [[decode]] honestly refuses.
+    * Unknown fields are None; `n_bytes` is always real. */
+  final case class MediaMeta(media_id: Long, container: String, n_bytes: Long,
+      duration_ms: Option[Long], sample_rate: Option[Int], channels: Option[Int],
+      bitrate_kbps: Option[Int], tracks: Option[Int], brand: Option[String])
+
+  private def beInt(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def beLong(b: Array[Byte], o: Int): Long =
+    (beInt(b, o) << 32) | beInt(b, o + 4)
+
+  // MPEG-1/2 Layer III header tables (public ISO 11172-3 / 13818-3 values)
+  private val mp3BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val mp3BitrateV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val mp3Rates = Array(44100, 48000, 32000, 0) // MPEG1; /2 for MPEG2, /4 for 2.5
+
+  /** MP3: skip any ID3v2 tag (syncsafe size), parse the first MPEG audio
+    * frame header; duration is the CBR estimate (audio bytes × 8 / bitrate)
+    * — the honest bound header bytes can give without walking every frame. */
+  private def mp3Meta(bytes: Array[Byte]): Option[MediaMeta] = {
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')
+      off = 10 + (((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f))
+    // scan forward to the first frame sync (tag padding / junk tolerated)
+    while (off + 4 <= bytes.length &&
+      !((bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xe0) == 0xe0)) off += 1
+    if (off + 4 > bytes.length) return None
+    val b1 = bytes(off + 1) & 0xff; val b2 = bytes(off + 2) & 0xff; val b3 = bytes(off + 3) & 0xff
+    val versionBits = (b1 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val layerBits = (b1 >> 1) & 0x3   // 1=Layer III
+    if (versionBits == 1 || layerBits == 0) return None
+    val brIdx = (b2 >> 4) & 0xf; val srIdx = (b2 >> 2) & 0x3
+    if (srIdx == 3 || brIdx == 0 || brIdx == 15) return None
+    val kbps = if (versionBits == 3) mp3BitrateV1L3(brIdx) else mp3BitrateV2L3(brIdx)
+    val rate = versionBits match {
+      case 3 => mp3Rates(srIdx)
+      case 2 => mp3Rates(srIdx) / 2
+      case _ => mp3Rates(srIdx) / 4
+    }
+    val channels = if (((b3 >> 6) & 0x3) == 3) 1 else 2
+    val audioBytes = (bytes.length - off).toLong
+    Some(MediaMeta(0L, "mp3", bytes.length.toLong,
+      Some(audioBytes * 8 / kbps), Some(rate), Some(channels), Some(kbps), None, None))
+  }
+
+  /** ISO-BMFF (MP4/MOV/M4A): walk the top-level box tree for `ftyp` (major
+    * brand) and `moov`, then `mvhd` (timescale+duration, v0/v1) and `trak`
+    * count inside it. Box sizes are big-endian; size 1 = 64-bit largesize. */
+  private def mp4Meta(bytes: Array[Byte]): Option[MediaMeta] = {
+    def boxes(from: Long, until: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        var o = from
+        def hasNext: Boolean = o + 8 <= until
+        def next(): (String, Long, Long) = {
+          val sz0 = beInt(bytes, o.toInt)
+          val tpe = new String(bytes, o.toInt + 4, 4, "ISO-8859-1")
+          val (hdr, sz) =
+            if (sz0 == 1 && o + 16 <= until) (16L, beLong(bytes, o.toInt + 8))
+            else (8L, if (sz0 == 0) until - o else sz0)
+          val body = o + hdr
+          o += math.max(sz, hdr) // guard zero/corrupt sizes from looping
+          (tpe, body, math.min(o, until))
+        }
+      }
+    if (bytes.length < 12 || new String(bytes, 4, 4, "ISO-8859-1") != "ftyp") return None
+    var brand: Option[String] = None
+    var dur: Option[Long] = None
+    var tracks = 0
+    boxes(0L, bytes.length.toLong).foreach {
+      case ("ftyp", body, _) =>
+        brand = Some(new String(bytes, body.toInt, 4, "ISO-8859-1").trim)
+      case ("moov", body, end) =>
+        boxes(body, end).foreach {
+          case ("mvhd", b, _) =>
+            val v = bytes(b.toInt) & 0xff
+            val (ts, d) =
+              if (v == 1) (beInt(bytes, b.toInt + 20), beLong(bytes, b.toInt + 28))
+              else (beInt(bytes, b.toInt + 12), beInt(bytes, b.toInt + 16))
+            if (ts > 0) dur = Some(d * 1000L / ts)
+          case ("trak", _, _) => tracks += 1
+          case _ =>
+        }
+      case _ =>
+    }
+    Some(MediaMeta(0L, "mp4", bytes.length.toLong, dur, None, None, None,
+      if (tracks > 0) Some(tracks) else None, brand))
+  }
+
+  /** FLAC: STREAMINFO is the mandatory first metadata block — sample rate
+    * (20 bits), channels (3 bits + 1), total samples (36 bits) at fixed bit
+    * offsets; duration = samples / rate. */
+  private def flacMeta(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 42 || new String(bytes, 0, 4, "ISO-8859-1") != "fLaC") return None
+    val b = 8 // block header (4) after the magic; STREAMINFO body starts here
+    val rate = ((bytes(b + 10) & 0xff) << 12) | ((bytes(b + 11) & 0xff) << 4) |
+      ((bytes(b + 12) & 0xf0) >> 4)
+    val channels = ((bytes(b + 12) & 0x0e) >> 1) + 1
+    val totalSamples = ((bytes(b + 13) & 0x0fL) << 32) | (beInt(bytes, b + 14) & 0xffffffffL)
+    if (rate == 0) return None
+    Some(MediaMeta(0L, "flac", bytes.length.toLong,
+      Some(totalSamples * 1000L / rate), Some(rate), Some(channels), None, None, None))
+  }
+
+  /** Container metadata WITHOUT decoding: real header/box parsing for the
+    * codec families [[decode]] refuses (MP3, ISO-BMFF, FLAC), container-only
+    * identification for Ogg/Matroska, and None for payloads no sniffer
+    * claims. This is the 100 TB-pipeline ordering: metadata filters
+    * (duration/bitrate/track gates) run over every row as cheap byte
+    * parsing; expensive sample decode runs only on survivors. */
+  def containerMetadata(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes == null || bytes.length < 12) return None
+    mp4Meta(bytes)
+      .orElse(mp3Meta(bytes).filter(_ => sniffUnsupportedCodec(bytes).exists(_.startsWith("MP3"))))
+      .orElse(flacMeta(bytes))
+      .orElse(sniffUnsupportedCodec(bytes).collect {
+        case "Ogg" => MediaMeta(0L, "ogg", bytes.length.toLong, None, None, None, None, None, None)
+        case "Matroska/WebM" =>
+          MediaMeta(0L, "matroska", bytes.length.toLong, None, None, None, None, None, None)
+      })
+  }
+
+  /** Distributed metadata extraction over the binary column — same
+    * per-partition batch shape as [[extractFeatures]]; rows whose payload is
+    * no known container yield container = "unknown" with byte size only. */
+  def extractContainerMetadata(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          containerMetadata(bytes).map(_.copy(media_id = id)).getOrElse(
+            MediaMeta(id, "unknown", if (bytes == null) 0L else bytes.length.toLong,
+              None, None, None, None, None, None))
+        }
+      }
+  }
+
   /** Frame sampling plan for video rows: one output row per sampled frame
     * timestamp (explode of a generated sequence — a Generator, not a loop). */
   def frameSamplePlan(media: DataFrame, everyMs: Long): DataFrame =

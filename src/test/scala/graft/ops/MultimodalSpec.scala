@@ -306,4 +306,63 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(frames.toSet == Set((3L, 0L), (3L, 1000L), (3L, 2000L)))
   }
+
+  // hand-assembled container fixtures: header bytes only, no codec payloads
+  private def mp3Fixture: Array[Byte] = {
+    // ID3v2 tag (syncsafe size 0) + MPEG1 Layer III 128 kbps 44100 Hz
+    // joint-stereo frame header + 1000 junk bytes
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 0)
+    val frame = Array(0xFF, 0xFB, 0x90, 0x64).map(_.toByte)
+    id3 ++ frame ++ Array.fill[Byte](1000)(0x55)
+  }
+  private def mp4Fixture: Array[Byte] = {
+    def be(i: Int) = Array((i >> 24).toByte, (i >> 16).toByte, (i >> 8).toByte, i.toByte)
+    val ftyp = be(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be(0)
+    // mvhd v0: version/flags, ctime, mtime, timescale=1000, duration=5000
+    val mvhdBody = be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(5000)
+    val mvhd = be(8 + mvhdBody.length) ++ "mvhd".getBytes ++ mvhdBody
+    val traks = be(8) ++ "trak".getBytes ++ be(8) ++ "trak".getBytes
+    val moov = be(8 + mvhd.length + traks.length) ++ "moov".getBytes ++ mvhd ++ traks
+    ftyp ++ moov
+  }
+  private def flacFixture: Array[Byte] = {
+    // STREAMINFO: rate 44100, stereo, 441000 total samples (10 s)
+    val si = new Array[Byte](34)
+    si(10) = 0x0A; si(11) = 0xC4.toByte; si(12) = (0x40 | (1 << 1)).toByte
+    si(13) = 0x00
+    si(14) = 0x00; si(15) = 0x06; si(16) = 0xBA.toByte; si(17) = 0xA8.toByte
+    "fLaC".getBytes ++ Array[Byte](0, 0, 0, 34) ++ si
+  }
+
+  test("container metadata: real header parsing for the codecs decode() refuses") {
+    val mp3 = Multimodal.containerMetadata(mp3Fixture).get
+    assert(mp3.container == "mp3" && mp3.bitrate_kbps.contains(128)
+      && mp3.sample_rate.contains(44100) && mp3.channels.contains(2))
+    // CBR estimate: (4 + 1000 frame+junk bytes) * 8 bits / 128 kbps = 62 ms
+    assert(mp3.duration_ms.contains(62L))
+
+    val mp4 = Multimodal.containerMetadata(mp4Fixture).get
+    assert(mp4.container == "mp4" && mp4.brand.contains("isom"))
+    assert(mp4.duration_ms.contains(5000L), "mvhd duration/timescale -> ms")
+    assert(mp4.tracks.contains(2))
+
+    val flac = Multimodal.containerMetadata(flacFixture).get
+    assert(flac.container == "flac" && flac.sample_rate.contains(44100)
+      && flac.channels.contains(2) && flac.duration_ms.contains(10000L))
+
+    assert(Multimodal.containerMetadata("not media at all".getBytes).isEmpty)
+  }
+
+  test("distributed metadata extraction: known containers parsed, rest flagged unknown") {
+    val df = spark.createDataFrame(Seq(
+      Row(1L, "audio", mp3Fixture, null, null, null, null),
+      Row(2L, "video", mp4Fixture, null, null, null, null),
+      Row(3L, "audio", "junk-payload".getBytes, null, null, null, null)
+    ).asJava, Multimodal.mediaSchema)
+    val got = Multimodal.extractContainerMetadata(spark, df)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(got(1L).container == "mp3" && got(1L).bitrate_kbps.contains(128))
+    assert(got(2L).container == "mp4" && got(2L).duration_ms.contains(5000L))
+    assert(got(3L).container == "unknown" && got(3L).n_bytes == 12L)
+  }
 }
