@@ -632,19 +632,60 @@ object Multimodal {
       Some(totalSamples * 1000L / rate), Some(rate), Some(channels), None, None, None))
   }
 
+  private def leLong(b: Array[Byte], o: Int): Long = {
+    var v = 0L; var i = 7
+    while (i >= 0) { v = (v << 8) | (b(o + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Ogg: the identification header rides the first page's payload
+    * (`\x01vorbis` → channels + rate; `OpusHead` → channels, 48 kHz granule
+    * clock); stream duration comes from the LAST page's granule position
+    * (sample count by spec). The last-page scan searches for the final
+    * `OggS` capture pattern — an in-payload false positive would misread
+    * granule, so this is documented as an estimate, like MP3's CBR math. */
+  private def oggMeta(bytes: Array[Byte]): Option[MediaMeta] = {
+    def ascii(o: Int, s: String) =
+      o + s.length <= bytes.length && s.indices.forall(i => bytes(o + i) == s(i).toByte)
+    if (!ascii(0, "OggS") || bytes.length < 28) return None
+    val nsegs = bytes(26) & 0xff
+    val payload = 27 + nsegs
+    var brand = "ogg"; var rate: Option[Int] = None; var channels: Option[Int] = None
+    var granuleRate = 0L
+    if (ascii(payload, "\u0001vorbis")) {
+      brand = "ogg/vorbis"
+      channels = Some(bytes(payload + 11) & 0xff)
+      val r = leInt(bytes, payload + 12)
+      if (r > 0) { rate = Some(r); granuleRate = r.toLong }
+    } else if (ascii(payload, "OpusHead")) {
+      brand = "ogg/opus"
+      channels = Some(bytes(payload + 9) & 0xff)
+      rate = Some(leInt(bytes, payload + 12)) // original input rate (informative)
+      granuleRate = 48000L // Opus granule clock is 48 kHz regardless of rate
+    }
+    var last = -1; var o = bytes.length - 27
+    while (o >= 0 && last < 0) { if (ascii(o, "OggS")) last = o; o -= 1 }
+    val dur =
+      if (last >= 0 && granuleRate > 0 && last + 14 <= bytes.length) {
+        val granule = leLong(bytes, last + 6)
+        if (granule >= 0) Some(granule * 1000L / granuleRate) else None
+      } else None
+    Some(MediaMeta(0L, brand, bytes.length.toLong, dur, rate, channels, None, None, None))
+  }
+
   /** Container metadata WITHOUT decoding: real header/box parsing for the
-    * codec families [[decode]] refuses (MP3, ISO-BMFF, FLAC), container-only
-    * identification for Ogg/Matroska, and None for payloads no sniffer
-    * claims. This is the 100 TB-pipeline ordering: metadata filters
-    * (duration/bitrate/track gates) run over every row as cheap byte
-    * parsing; expensive sample decode runs only on survivors. */
+    * codec families [[decode]] refuses (MP3, ISO-BMFF, FLAC, Ogg
+    * Vorbis/Opus), container-only identification for Matroska, and None for
+    * payloads no sniffer claims. This is the 100 TB-pipeline ordering:
+    * metadata filters (duration/bitrate/track gates) run over every row as
+    * cheap byte parsing; expensive sample decode runs only on survivors. */
   def containerMetadata(bytes: Array[Byte]): Option[MediaMeta] = {
     if (bytes == null || bytes.length < 12) return None
     mp4Meta(bytes)
       .orElse(mp3Meta(bytes).filter(_ => sniffUnsupportedCodec(bytes).exists(_.startsWith("MP3"))))
       .orElse(flacMeta(bytes))
+      .orElse(oggMeta(bytes))
       .orElse(sniffUnsupportedCodec(bytes).collect {
-        case "Ogg" => MediaMeta(0L, "ogg", bytes.length.toLong, None, None, None, None, None, None)
         case "Matroska/WebM" =>
           MediaMeta(0L, "matroska", bytes.length.toLong, None, None, None, None, None, None)
       })

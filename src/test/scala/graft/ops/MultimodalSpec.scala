@@ -334,6 +334,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     "fLaC".getBytes ++ Array[Byte](0, 0, 0, 34) ++ si
   }
 
+  private def oggFixture(idPacket: Array[Byte], granule: Long): Array[Byte] = {
+    def page(gran: Long, payload: Array[Byte]): Array[Byte] = {
+      val h = new Array[Byte](28)
+      "OggS".getBytes.copyToArray(h, 0)
+      h(5) = 2 // BOS flag on the first page; harmless on the last
+      var g = gran
+      for (i <- 0 until 8) { h(6 + i) = (g & 0xff).toByte; g >>= 8 }
+      h(26) = 1; h(27) = payload.length.toByte
+      h ++ payload
+    }
+    page(0L, idPacket) ++ page(granule, Array[Byte](0))
+  }
+  private def le32(v: Int) =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  test("ogg metadata: vorbis/opus id headers + last-page granule duration") {
+    val vorbisId = Array[Byte](1) ++ "vorbis".getBytes ++ le32(0) ++
+      Array[Byte](2) ++ le32(44100) ++ Array.fill[Byte](12)(0)
+    val v = Multimodal.containerMetadata(oggFixture(vorbisId, granule = 441000L)).get
+    assert(v.container == "ogg/vorbis" && v.channels.contains(2)
+      && v.sample_rate.contains(44100) && v.duration_ms.contains(10000L))
+
+    val opusId = "OpusHead".getBytes ++ Array[Byte](1, 2) ++
+      Array[Byte](0, 0) ++ le32(48000) ++ Array.fill[Byte](3)(0)
+    val o = Multimodal.containerMetadata(oggFixture(opusId, granule = 96000L)).get
+    assert(o.container == "ogg/opus" && o.channels.contains(2)
+      && o.duration_ms.contains(2000L), "opus granule clock is 48 kHz")
+  }
+
   test("container metadata: real header parsing for the codecs decode() refuses") {
     val mp3 = Multimodal.containerMetadata(mp3Fixture).get
     assert(mp3.container == "mp3" && mp3.bitrate_kbps.contains(128)
