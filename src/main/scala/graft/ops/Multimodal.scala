@@ -673,22 +673,80 @@ object Multimodal {
     Some(MediaMeta(0L, brand, bytes.length.toLong, dur, rate, channels, None, None, None))
   }
 
-  /** Container metadata WITHOUT decoding: real header/box parsing for the
-    * codec families [[decode]] refuses (MP3, ISO-BMFF, FLAC, Ogg
-    * Vorbis/Opus), container-only identification for Matroska, and None for
-    * payloads no sniffer claims. This is the 100 TB-pipeline ordering:
-    * metadata filters (duration/bitrate/track gates) run over every row as
-    * cheap byte parsing; expensive sample decode runs only on survivors. */
+  /** Matroska/WebM (EBML): vint-walk the element tree — DocType from the
+    * EBML header, then Segment → Info → TimestampScale (uint ns, default
+    * 10^6) and Duration (float, in scale units) → milliseconds. Track count
+    * from Tracks → TrackEntry. Element IDs keep their marker bit; sizes
+    * strip it (the spec's asymmetry, easy to get wrong). */
+  private def mkvMeta(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 8 || (bytes(0) & 0xff) != 0x1a || (bytes(1) & 0xff) != 0x45 ||
+      (bytes(2) & 0xff) != 0xdf || (bytes(3) & 0xff) != 0xa3) return None
+    // returns (value, bytesConsumed); keepMarker for IDs, not for sizes
+    def vint(o: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (o >= bytes.length) return None
+      val first = bytes(o) & 0xff
+      if (first == 0) return None
+      val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (o + len > bytes.length) return None
+      var v = if (keepMarker) first.toLong else (first & ((1 << (8 - len)) - 1)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (bytes(o + i) & 0xffL); i += 1 }
+      Some((v, len))
+    }
+    def uintAt(o: Int, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (bytes(o + i) & 0xffL); i += 1 }
+      v
+    }
+    var docType: Option[String] = None
+    var scaleNs = 1000000L
+    var durScaled: Option[Double] = None
+    var tracks = 0
+    def walk(from: Int, until: Int, inInfo: Boolean, inTracks: Boolean): Unit = {
+      var o = from
+      while (o < until) {
+        val id = vint(o, keepMarker = true).getOrElse(return)
+        val sz = vint(o + id._2, keepMarker = false).getOrElse(return)
+        val body = o + id._2 + sz._2
+        val end = math.min(until, body + math.min(sz._1, Int.MaxValue).toInt)
+        id._1 match {
+          case 0x1A45DFA3L => walk(body, end, inInfo = false, inTracks = false) // EBML header
+          case 0x4282L => docType = Some(new String(bytes, body, (end - body), "ISO-8859-1"))
+          case 0x18538067L => walk(body, end, inInfo = false, inTracks = false) // Segment
+          case 0x1549A966L => walk(body, end, inInfo = true, inTracks = false)  // Info
+          case 0x1654AE6BL => walk(body, end, inInfo = false, inTracks = true)  // Tracks
+          case 0x2AD7B1L if inInfo => scaleNs = uintAt(body, end - body)
+          case 0x4489L if inInfo =>
+            durScaled = Some((end - body) match {
+              case 4 => java.lang.Float.intBitsToFloat(uintAt(body, 4).toInt).toDouble
+              case _ => java.lang.Double.longBitsToDouble(uintAt(body, 8))
+            })
+          case 0xAEL if inTracks => tracks += 1
+          case _ =>
+        }
+        o = end
+      }
+    }
+    walk(0, bytes.length, inInfo = false, inTracks = false)
+    val dur = durScaled.collect { case d if scaleNs > 0 => (d * scaleNs / 1e6).round }
+    Some(MediaMeta(0L, docType.map(t => s"matroska/$t").getOrElse("matroska"),
+      bytes.length.toLong, dur, None, None, None,
+      if (tracks > 0) Some(tracks) else None, docType))
+  }
+
+  /** Container metadata WITHOUT decoding: real header/box parsing for EVERY
+    * codec family [[decode]] refuses (MP3, ISO-BMFF, FLAC, Ogg Vorbis/Opus,
+    * Matroska/WebM), None for payloads no sniffer claims. This is the
+    * 100 TB-pipeline ordering: metadata filters (duration/bitrate/track
+    * gates) run over every row as cheap byte parsing; expensive sample
+    * decode runs only on survivors. */
   def containerMetadata(bytes: Array[Byte]): Option[MediaMeta] = {
     if (bytes == null || bytes.length < 12) return None
     mp4Meta(bytes)
       .orElse(mp3Meta(bytes).filter(_ => sniffUnsupportedCodec(bytes).exists(_.startsWith("MP3"))))
       .orElse(flacMeta(bytes))
       .orElse(oggMeta(bytes))
-      .orElse(sniffUnsupportedCodec(bytes).collect {
-        case "Matroska/WebM" =>
-          MediaMeta(0L, "matroska", bytes.length.toLong, None, None, None, None, None, None)
-      })
+      .orElse(mkvMeta(bytes))
   }
 
   /** Distributed metadata extraction over the binary column — same

@@ -363,6 +363,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       && o.duration_ms.contains(2000L), "opus granule clock is 48 kHz")
   }
 
+  test("webm metadata: EBML walk yields doctype, duration, track count") {
+    def idBytes(id: Long): Array[Byte] = {
+      val n = (java.lang.Long.numberOfTrailingZeros(java.lang.Long.highestOneBit(id)) / 8) + 1
+      (0 until n).reverse.map(i => ((id >> (8 * i)) & 0xff).toByte).toArray
+    }
+    def el(id: Long, body: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ Array((0x80 | body.length).toByte) ++ body
+    val durBits = java.lang.Double.doubleToLongBits(5000.0)
+    val dur8 = (0 until 8).reverse.map(i => ((durBits >> (8 * i)) & 0xff).toByte).toArray
+    val scale3 = Array(0x0F.toByte, 0x42.toByte, 0x40.toByte) // 1_000_000 ns
+    val fixture =
+      el(0x1A45DFA3L, el(0x4282L, "webm".getBytes)) ++
+      el(0x18538067L,
+        el(0x1549A966L, el(0x2AD7B1L, scale3) ++ el(0x4489L, dur8)) ++
+        el(0x1654AE6BL, el(0xAEL, Array[Byte](0)) ++ el(0xAEL, Array[Byte](0))))
+    val m = Multimodal.containerMetadata(fixture).get
+    assert(m.container == "matroska/webm", m.toString)
+    assert(m.duration_ms.contains(5000L), "Duration x TimestampScale -> ms")
+    assert(m.tracks.contains(2))
+  }
+
   test("container metadata: real header parsing for the codecs decode() refuses") {
     val mp3 = Multimodal.containerMetadata(mp3Fixture).get
     assert(mp3.container == "mp3" && mp3.bitrate_kbps.contains(128)
