@@ -520,6 +520,12 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
           col("cleaned_text"))),
 
+    // partial-dup metric: shared / min(|A|,|B|) — catches a doc embedded in
+    // a much larger one, which Jaccard under-scores (quote/boilerplate case)
+    "d13_containment" -> ((s, d) =>
+      Dedup.ngramContainmentPairs(tPar(s, d, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.8)),
+
     // LSH verify stage: candidates re-scored from their MinHash signatures
     // (no second shingle pass over the corpus — see Dedup scaladoc)
     "d12_lsh_verified" -> ((s, d) => {
@@ -1156,6 +1162,25 @@ object SparkEntry {
         |SELECT id_a, id_b,
         |  ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
         |FROM pairs WHERE ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5""".stripMargin,
+
+    // d09's CTEs, uncapped (df >= 2), containment = shared / LEAST(|A|,|B|)
+    "d13_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |fits AS (SELECT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh GROUP BY 1 HAVING COUNT(*) >= 2),
+        |sized AS (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY doc_id) AS n FROM sh),
+        |kept AS (SELECT s.doc_id, s.shingle, s.n FROM sized s
+        |  JOIN fits f ON ('0x' || substr(md5(s.shingle), 1, 15))::BIGINT = f.h),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared,
+        |    ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(shared AS DOUBLE) / LEAST(na, nb), 6) AS containment
+        |FROM pairs WHERE ROUND(CAST(shared AS DOUBLE) / LEAST(na, nb), 6) >= 0.8""".stripMargin,
 
     "d10_jaccard_overflow" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

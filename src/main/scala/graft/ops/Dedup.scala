@@ -110,6 +110,37 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** All-pairs n-gram CONTAINMENT over shared shingles: shared / min(|A|,
+    * |B|) — the partial-duplicate metric Jaccard under-scores when sizes
+    * differ (a 50-shingle doc fully embedded in a 5000-shingle doc scores
+    * J ≈ 0.01 but containment 1.0; quote/boilerplate detection needs the
+    * latter). Same single-shuffle bucket shape, df-cap semantics and audit
+    * contract as [[ngramJaccardPairs]]; |A|/|B| count ALL shingles. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5, maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, k)
+      .select(col("id"), hash60(col("shingle")).as("h"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val bucketed = sh.groupBy("h").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
+    bucketed
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(least(x, y) AS id_a,
+          |                        greatest(x, y) AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("containment",
+        round(col("shared").cast("double") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** The shingle hashes a `maxDf` cap excludes from pairing: (h, df).
     * Production Jaccard entries pair [[ngramJaccardPairs]]'s `maxDf` with
     * this audit — a non-empty result names exactly which (hashed) shingles

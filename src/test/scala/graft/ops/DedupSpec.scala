@@ -87,6 +87,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"near-dup ${ham(h(1L), h(2L))} should beat unrelated ${ham(h(1L), h(4L))}")
   }
 
+  test("containment catches a doc embedded in a larger one that jaccard misses") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    val df2 = Seq((1L, small), (2L, big), (3L, "unrelated tokens entirely right here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(df2, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont((1L, 2L)) == 1.0, "every shingle of the small doc appears in the big one")
+    assert(cont.size == 1, "unrelated doc never pairs")
+    val jac = Dedup.ngramJaccardPairs(df2, "doc_id", "text", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((1L, 2L)) < 0.25, "jaccard under-scores the embedded doc")
+  }
+
   test("signature-estimated jaccard: 1.0 for identical docs; ≡ long-format signatures") {
     val cands = Dedup.lshCandidates(docs, "doc_id", "text")
     val est = Dedup.estimateJaccardBySignature(docs, "doc_id", "text", cands)
