@@ -34,6 +34,33 @@ object TextAnalysis {
       (length(t) - length(regexp_replace(t, "[0-9]", ""))).as("n_digits"))
   }
 
+  /** Encoding-damage signals — the standard corpus gate against mojibake
+    * (bytes decoded under the wrong charset) and lossy transcoding:
+    * `n_replacement` counts U+FFFD (a decoder already gave up),
+    * `n_c1` counts C1 controls U+0080–U+009F (legal ASCII/UTF-8 never
+    * produces them; classic latin-1-read-as-cp1252 damage),
+    * `n_mojibake_marks` counts the Ã/Â/â UTF-8-read-as-latin-1 markers.
+    * All are codegen'd length-difference expressions — map-only, no UDFs;
+    * `damage_ratio` is their sum over the char length. Filter on it the
+    * way length/stopword gates compose with [[qualityFeatures]]. */
+  def encodingQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def countOf(pattern: String) =
+      length(t) - length(regexp_replace(t, pattern, ""))
+    val repl = countOf("\uFFFD")
+    val c1 = countOf("[\u0080-\u009F]")
+    val moji = countOf("[\u00C3\u00C2\u00E2]")
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      repl.as("n_replacement"),
+      c1.as("n_c1"),
+      moji.as("n_mojibake_marks"),
+      when(length(t) > 0,
+        round((repl + c1 + moji).cast("double") / length(t), 6))
+        .otherwise(lit(0.0)).as("damage_ratio"))
+  }
+
   /** Stopword-hit language scores. The lists are tiny n-gram-style anchors —
     * the heuristic part of a real lang-ID pass; the Spark shape (explode →
     * semi-count per language) is the part that matters at scale. */

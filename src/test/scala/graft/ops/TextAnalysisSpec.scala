@@ -80,4 +80,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       TextAnalysis.chunkTokens(df, "doc_id", "text", size = 4, overlap = 4)
     }
   }
+
+  test("encodingQuality flags replacement chars, C1 controls, mojibake marks") {
+    import spark.implicits._
+    // built from escapes so no invisible damage bytes live in source:
+    // one U+FFFD, two C1 controls (NEL, PU1), one A-tilde + one a-circumflex
+    // mojibake mark (the classic UTF-8-read-as-latin-1 lead bytes)
+    val damaged = "caf\uFFFD x\u0085 y\u0091 caf\u00C3\u00A9 z\u00E2"
+    val df = Seq(
+      (1L, "perfectly clean ascii text"),
+      (2L, damaged),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.encodingQuality(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
+    assert(got(1L) == ((0, 0, 0, 0.0)), "clean text has zero damage signals")
+    val (repl, c1, moji, ratio) = got(2L)
+    assert(repl == 1, "one U+FFFD")
+    assert(c1 == 2, "U+0085 and U+0091 are C1 controls")
+    assert(moji == 2, "one A-tilde and one a-circumflex mark")
+    assert(ratio > 0.0 && ratio < 1.0)
+    assert(got(3L)._4 == 0.0, "empty doc scores 0, not NaN")
+  }
+
 }
