@@ -586,7 +586,7 @@ object SparkEntry {
       val queries = bucketed.filter(col("vec_id").isin(0, 7, 11))
       val approx = Similarity.cosineLshTopKBatch(bucketed, queries,
         "vec_id", "embedding", k = 5)
-      val exact = Similarity.bruteForceTopKBatch(emb, queries.drop("_bucket", "_norm"),
+      val exact = Similarity.bruteForceTopKBatch(emb, queries.drop("_bucket"),
         "vec_id", "embedding", k = 5)
       Similarity.recallAtK(approx, exact)
     }),

@@ -42,7 +42,8 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true)))
 
   final case class MediaFeature(media_id: Long, kind: String,
-      n_bytes: Long, feature: Array[Float])
+      n_bytes: Long, feature: Array[Float],
+      status: String = "ok", error: Option[String] = None)
 
   /** === STUB === deterministic fake "decode + feature extract": real
     * implementations replace this function body only. Produces a fixed-length
@@ -473,16 +474,26 @@ object Multimodal {
   /** Per-partition decode/feature-extract over the opaque binary column —
     * the `mapInPandas`-equivalent batch shape for a JVM pipeline: one
     * decoder context per partition, streaming iterator, no row-at-a-time
-    * UDF overhead. */
+    * UDF overhead.
+    *
+    * [[decode]]'s loud refusal of undecodable real codecs is quarantined
+    * PER ROW here (status = "unsupported_codec", empty feature, message in
+    * `error`) instead of failing the task: at corpus scale one stray MP3
+    * must not kill a 100 TB batch job, but the refusal stays visible and
+    * filterable downstream (r9 advice fix). */
   def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
     import spark.implicits._
     media.select("media_id", "kind", "bytes").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder init would go here (codec contexts, models)
         it.map { case (id, kind, bytes) =>
-          MediaFeature(id, kind,
-            if (bytes == null) 0L else bytes.length.toLong,
-            decode(bytes, dim))
+          val n = if (bytes == null) 0L else bytes.length.toLong
+          try MediaFeature(id, kind, n, decode(bytes, dim))
+          catch {
+            case e: UnsupportedOperationException =>
+              MediaFeature(id, kind, n, Array.empty[Float],
+                status = "unsupported_codec", error = Some(e.getMessage))
+          }
         }
       }
   }
@@ -537,10 +548,17 @@ object Multimodal {
   private def beLong(b: Array[Byte], o: Int): Long =
     (beInt(b, o) << 32) | beInt(b, o + 4)
 
-  // MPEG-1/2 Layer III header tables (public ISO 11172-3 / 13818-3 values)
+  // MPEG-1/2 audio header bitrate tables, all three layers (public
+  // ISO 11172-3 / 13818-3 values); index 0 = "free format", 15 = reserved.
+  private val mp3BitrateV1L1 =
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0)
+  private val mp3BitrateV1L2 =
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 0)
   private val mp3BitrateV1L3 =
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
-  private val mp3BitrateV2L3 =
+  private val mp3BitrateV2L1 =
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256, 0)
+  private val mp3BitrateV2L23 = // MPEG-2/2.5 share one table for Layers II+III
     Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
   private val mp3Rates = Array(44100, 48000, 32000, 0) // MPEG1; /2 for MPEG2, /4 for 2.5
 
@@ -558,19 +576,32 @@ object Multimodal {
     if (off + 4 > bytes.length) return None
     val b1 = bytes(off + 1) & 0xff; val b2 = bytes(off + 2) & 0xff; val b3 = bytes(off + 3) & 0xff
     val versionBits = (b1 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-    val layerBits = (b1 >> 1) & 0x3   // 1=Layer III
+    val layerBits = (b1 >> 1) & 0x3   // 3=Layer I, 2=Layer II, 1=Layer III
     if (versionBits == 1 || layerBits == 0) return None
     val brIdx = (b2 >> 4) & 0xf; val srIdx = (b2 >> 2) & 0x3
     if (srIdx == 3 || brIdx == 0 || brIdx == 15) return None
-    val kbps = if (versionBits == 3) mp3BitrateV1L3(brIdx) else mp3BitrateV2L3(brIdx)
+    // per-layer bitrate table — applying the L3 table to L1/L2 frames would
+    // silently misreport bitrate and CBR duration (r9 advice fix)
+    val kbps = (versionBits, layerBits) match {
+      case (3, 3) => mp3BitrateV1L1(brIdx)
+      case (3, 2) => mp3BitrateV1L2(brIdx)
+      case (3, _) => mp3BitrateV1L3(brIdx)
+      case (_, 3) => mp3BitrateV2L1(brIdx)
+      case _      => mp3BitrateV2L23(brIdx)
+    }
     val rate = versionBits match {
       case 3 => mp3Rates(srIdx)
       case 2 => mp3Rates(srIdx) / 2
       case _ => mp3Rates(srIdx) / 4
     }
     val channels = if (((b3 >> 6) & 0x3) == 3) 1 else 2
+    val container = layerBits match {
+      case 3 => "mp1"
+      case 2 => "mp2"
+      case _ => "mp3"
+    }
     val audioBytes = (bytes.length - off).toLong
-    Some(MediaMeta(0L, "mp3", bytes.length.toLong,
+    Some(MediaMeta(0L, container, bytes.length.toLong,
       Some(audioBytes * 8 / kbps), Some(rate), Some(channels), Some(kbps), None, None))
   }
 
@@ -604,8 +635,10 @@ object Multimodal {
         boxes(body, end).foreach {
           case ("mvhd", b, _) =>
             val v = bytes(b.toInt) & 0xff
+            // v1 layout (ISO 14496-12): version/flags(4) + creation(8) +
+            // modification(8) + timescale(4 @+20) + duration(8 @+24)
             val (ts, d) =
-              if (v == 1) (beInt(bytes, b.toInt + 20), beLong(bytes, b.toInt + 28))
+              if (v == 1) (beInt(bytes, b.toInt + 20), beLong(bytes, b.toInt + 24))
               else (beInt(bytes, b.toInt + 12), beInt(bytes, b.toInt + 16))
             if (ts > 0) dur = Some(d * 1000L / ts)
           case ("trak", _, _) => tracks += 1
@@ -742,11 +775,17 @@ object Multimodal {
     * decode runs only on survivors. */
   def containerMetadata(bytes: Array[Byte]): Option[MediaMeta] = {
     if (bytes == null || bytes.length < 12) return None
-    mp4Meta(bytes)
-      .orElse(mp3Meta(bytes).filter(_ => sniffUnsupportedCodec(bytes).exists(_.startsWith("MP3"))))
-      .orElse(flacMeta(bytes))
-      .orElse(oggMeta(bytes))
-      .orElse(mkvMeta(bytes))
+    // the sub-parsers read untrusted bytes past a magic check; a truncated or
+    // corrupt payload with valid magic must degrade to None ("unknown" row),
+    // never throw out of a mapPartitions and fail the whole job (r9 advice
+    // fix — one bad row must not kill a 100 TB batch)
+    def safe(p: => Option[MediaMeta]): Option[MediaMeta] =
+      try p catch { case scala.util.control.NonFatal(_) => None }
+    safe(mp4Meta(bytes))
+      .orElse(safe(mp3Meta(bytes).filter(_ => sniffUnsupportedCodec(bytes).exists(_.startsWith("MP3")))))
+      .orElse(safe(flacMeta(bytes)))
+      .orElse(safe(oggMeta(bytes)))
+      .orElse(safe(mkvMeta(bytes)))
   }
 
   /** Distributed metadata extraction over the binary column — same

@@ -43,7 +43,11 @@ object Similarity {
     * Zero-norm/mismatched-length inputs yield NULL (dropped by every ≥
     * threshold filter and sorted last in top-k) where the fold form gave
     * NaN (which Spark sorts FIRST in a descending top-k — strictly worse
-    * for degenerate vectors). */
+    * for degenerate vectors). NOTE this diverges from the DuckDB oracle's
+    * explicit `dot/(nrm*qn)` division, which follows IEEE on a zero norm
+    * (NaN/Inf, kept by comparisons per DuckDB's float semantics); the
+    * oracle corpus contains no zero-norm vectors, so the divergence is
+    * documented, not a hashed path. */
   private def cosine(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
 
@@ -212,21 +216,22 @@ object Similarity {
       .limit(1).collect().headOption.map(_.getInt(0))
 
   /** Precompute a reusable bucketed corpus for repeated LSH queries: adds
-    * `_bucket` (sign-bit id under `bits` hyperplanes) and `_norm`, clustered
-    * by bucket so each probe reads co-located partitions. Persist/write this
-    * once; per-query work then drops to one bucket scan with NO per-row
-    * hyperplane projections or norms recomputed. */
+    * `_bucket` (sign-bit id under `bits` hyperplanes), clustered by bucket
+    * so each probe reads co-located partitions. Persist/write this once;
+    * per-query work then drops to one bucket scan with NO per-row
+    * hyperplane projections recomputed. (No `_norm` column: the fused
+    * cosine_similarity expression computes norms inline, so shipping a
+    * precomputed norm through every LSH shuffle was dead weight — r9.) */
   def bucketize(df: DataFrame, vecCol: String, bits: Int): DataFrame = {
     val bucket = probeDim(df, vecCol)
       .map(dim => lshBucket(col(vecCol), bits, dim))
       .getOrElse(lshBucket(col(vecCol), bits))
     df.withColumn("_bucket", bucket)
-      .withColumn("_norm", norm(col(vecCol)))
       .repartition(col("_bucket"))
   }
 
-  /** LSH cosine top-k over a [[bucketize]]d corpus (must carry `_bucket` and
-    * `_norm`). Only the query's bucket is scanned. */
+  /** LSH cosine top-k over a [[bucketize]]d corpus (must carry `_bucket`).
+    * Only the query's bucket is scanned. */
   def cosineLshTopKPre(bucketed: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, roundTo: Int = 4): DataFrame = {
     ensureExprs(bucketed)
@@ -263,9 +268,9 @@ object Similarity {
 
   /** BATCHED LSH top-k: one pass answers a whole query SET (real pipelines
     * probe thousands of queries at once — a per-query loop would rescan the
-    * corpus per query). `queries` must carry `_bucket` and `_norm` computed
-    * with the SAME planes/bits as the [[bucketize]]d corpus (corpus-derived
-    * query rows — e.g. `bucketed.filter(id isin ...)` — already do).
+    * corpus per query). `queries` must carry `_bucket` computed with the
+    * SAME planes/bits as the [[bucketize]]d corpus (corpus-derived query
+    * rows — e.g. `bucketed.filter(id isin ...)` — already do).
     *
     * The join stays on `_bucket` (each query touches one bucket; the query
     * set is broadcast), and ranking is a per-query window top-k — partition
@@ -293,8 +298,7 @@ object Similarity {
   def cosineLshTopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, bits: Int = 8, roundTo: Int = 4): DataFrame =
     cosineLshTopKPre(
-      df.withColumn("_bucket", lshBucket(col(vecCol), bits))
-        .withColumn("_norm", norm(col(vecCol))),
+      df.withColumn("_bucket", lshBucket(col(vecCol), bits)),
       idCol, vecCol, queryId, k, roundTo)
 
   // ----------------------------------------------------- product quantization

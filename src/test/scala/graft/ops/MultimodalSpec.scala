@@ -415,4 +415,73 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L).container == "mp4" && got(2L).duration_ms.contains(5000L))
     assert(got(3L).container == "unknown" && got(3L).n_bytes == 12L)
   }
+
+  test("mvhd v1 (64-bit) duration reads timescale@+20 / duration@+24 (r9 fix)") {
+    def be(i: Int) = Array((i >> 24).toByte, (i >> 16).toByte, (i >> 8).toByte, i.toByte)
+    def be8(v: Long) = (0 until 8).reverse.map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val ftyp = be(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be(0)
+    // mvhd v1: version(1)=1/flags(3), ctime(8), mtime(8), timescale(4)=1000,
+    // duration(8)=5_000_000_000 ms-scale ticks (needs all 64 bits)
+    val mvhdBody = Array[Byte](1, 0, 0, 0) ++ be8(0L) ++ be8(0L) ++
+      be(1000) ++ be8(5000000000L)
+    val mvhd = be(8 + mvhdBody.length) ++ "mvhd".getBytes ++ mvhdBody
+    val moov = be(8 + mvhd.length) ++ "moov".getBytes ++ mvhd
+    val m = Multimodal.containerMetadata(ftyp ++ moov).get
+    assert(m.container == "mp4")
+    assert(m.duration_ms.contains(5000000000L), s"v1 duration@+24: ${m.duration_ms}")
+  }
+
+  test("truncated/corrupt payloads with valid magic degrade to None, never throw (r9 fix)") {
+    // valid ftyp magic, then a moov whose declared box runs past the payload
+    def be(i: Int) = Array((i >> 24).toByte, (i >> 16).toByte, (i >> 8).toByte, i.toByte)
+    val corruptMp4 = be(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be(0) ++
+      be(4096) ++ "moov".getBytes ++ be(64) ++ "mvhd".getBytes // bodies missing
+    // FLAC magic but truncated before STREAMINFO ends is caught by the length
+    // guard; an Ogg first page declaring segments past the end is not
+    val corruptOgg = "OggS".getBytes ++ new Array[Byte](22) ++ Array[Byte](40)
+    // EBML magic followed by garbage vints/sizes
+    val corruptMkv = Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte) ++
+      Array.fill[Byte](12)(0xff.toByte)
+    for (payload <- Seq(corruptMp4, corruptOgg, corruptMkv)) {
+      val got = Multimodal.containerMetadata(payload) // must not throw
+      assert(got.isEmpty || got.nonEmpty) // reachable = no exception escaped
+    }
+    // and through the distributed operator: corrupt rows become "unknown"-or-
+    // parsed, the job always completes
+    val df = spark.createDataFrame(Seq(
+      Row(1L, "video", corruptMp4, null, null, null, null),
+      Row(2L, "audio", corruptOgg, null, null, null, null),
+      Row(3L, "video", corruptMkv, null, null, null, null)
+    ).asJava, Multimodal.mediaSchema)
+    val got = Multimodal.extractContainerMetadata(spark, df).collect()
+    assert(got.length == 3)
+  }
+
+  test("MPEG Layer II frames use the Layer II bitrate table (r9 fix)") {
+    // MPEG1 Layer II: sync 0xFF 0xFD (version 3, layer 2, no CRC),
+    // bitrate idx 0x9 -> 160 kbps in L2 (would be 128 in the L3 table),
+    // 44100 Hz, stereo
+    val frame = Array(0xFF, 0xFD, 0x90, 0x44).map(_.toByte)
+    val m = Multimodal.containerMetadata(frame ++ Array.fill[Byte](1000)(0x55)).get
+    assert(m.container == "mp2", m.toString)
+    assert(m.bitrate_kbps.contains(160), s"L2 table: ${m.bitrate_kbps}")
+    assert(m.sample_rate.contains(44100))
+  }
+
+  test("extractFeatures quarantines unsupported codecs per row, not per job (r9 fix)") {
+    val mp3 = "ID3".getBytes("US-ASCII") ++ new Array[Byte](16)
+    val wavPayload = wav(Seq.fill(8)(16384.toShort))
+    val df = spark.createDataFrame(Seq(
+      Row(1L, "audio", mp3, "audio/mpeg", null, null, null),
+      Row(2L, "audio", wavPayload, "audio/wav", null, null, null)
+    ).asJava, Multimodal.mediaSchema)
+    // the job completes despite the refused MP3 row
+    val feats = Multimodal.extractFeatures(spark, df, dim = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    val bad = feats(1L)
+    assert(bad.status == "unsupported_codec" && bad.feature.isEmpty)
+    assert(bad.error.exists(_.contains("no codec")), "refusal message preserved per row")
+    val good = feats(2L)
+    assert(good.status == "ok" && good.error.isEmpty && good.feature.length == 2)
+  }
 }
