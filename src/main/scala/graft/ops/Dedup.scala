@@ -190,21 +190,24 @@ object Dedup {
         posexplode(array((0 until numHashes).map(i => col(s"mh_$i")): _*)))
       .toDF("id", "i", "mh")
 
+  /** Per-band (band, sig) structs sliced from [[minhashWide]] columns — no
+    * extra shuffle; shared by [[bandSignatures]] and the incremental store. */
+  private def bandStructs(bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          col(s"mh_${b * rowsPerBand + r}").cast("string")): _*).as("sig"))
+    }: _*)
+
   /** Per-(id, band) LSH signatures (deterministic in-band order): bands are
     * sliced out of the wide signature row with no extra shuffle — the r7
     * shape re-aggregated the long format on (id, band), paying a second
     * exchange for a concat the wide columns give for free. */
   private def bandSignatures(df: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val wide = minhashWide(df, idCol, textCol, k, bands * rowsPerBand)
-    val perBand = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until rowsPerBand).map(r =>
-          col(s"mh_${b * rowsPerBand + r}").cast("string")): _*).as("sig"))
-    }
-    wide.select(col("id"), explode(array(perBand: _*)).as("bs"))
+      k: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    minhashWide(df, idCol, textCol, k, bands * rowsPerBand)
+      .select(col("id"), explode(bandStructs(bands, rowsPerBand)).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-  }
 
   /** LSH candidate pairs: band docs by (band, concatenated band signature),
     * join within buckets. bands × rowsPerBand must equal numHashes.
@@ -520,5 +523,219 @@ object Dedup {
       .getOrElse(Similarity.lshBucket(col(vecCol), bits))
     pairsByBlock(df.select(col(idCol).as("id"), bucket.as("blk"),
       col(vecCol).as("v")), threshold, maxBlock)
+  }
+
+  // -------------------------------------------------- incremental corpus dedup
+  //
+  // Every generator above recomputes signatures from the full corpus per run.
+  // At 100 TB the production workflow is incremental: a new shard arrives and
+  // must be deduped against the existing corpus WITHOUT re-reading or
+  // re-shingling corpus text. The signature STORE below persists exactly what
+  // candidate generation and verification need — MinHash band signatures,
+  // full MinHash signature arrays, SimHash band slices — as bucketed parquet
+  // tables (the [[graft.StarWarehouse]] recipe applied to signature output),
+  // so an increment is: one text pass over the NEW batch, then bucket joins
+  // against stored signatures. Corpus text is never touched again; the store
+  // is maintained by appending each accepted batch's signatures
+  // ([[appendSignatureStore]] — the Fts.upsertPostings posture for dedup).
+
+  import org.apache.spark.sql.{SaveMode, SparkSession}
+
+  private def storeTables(name: String): (String, String, String) =
+    (s"${name}_bands", s"${name}_sigs", s"${name}_simhash")
+
+  private def simhashSliceStructs(simBands: Int): Column = {
+    val width = 60 / simBands
+    val mask = (1L << width) - 1L
+    array((0 until simBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask)).as("slice"))
+    }: _*)
+  }
+
+  /** DROP + clear any orphaned table dir (in-memory catalog, durable
+    * warehouse dir — same hazard [[graft.StarWarehouse]] handles), then
+    * write `df` as an EXTERNAL bucketed table clustered on `bucketCol`. */
+  private def replaceBucketedTable(spark: SparkSession, table: String,
+      bucketCol: String, buckets: Int, df: DataFrame,
+      props: Map[String, String]): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(loc)
+      try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", loc.toString)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+    if (props.nonEmpty) {
+      val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+    }
+  }
+
+  /** The store's signing parameters, pinned in TBLPROPERTIES at build time
+    * so an increment with mismatched (k, bands, rowsPerBand, simBands) fails
+    * LOUDLY instead of silently generating zero candidates (signatures from
+    * different parameters never collide). */
+  private def requireStoreParams(spark: SparkSession, table: String,
+      expected: Map[String, String]): Unit = {
+    val stored = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties
+    expected.foreach { case (key, want) =>
+      val got = stored.get(key)
+      require(got.contains(want),
+        s"signature store $table was built with $key=${got.getOrElse("?")}, " +
+          s"increment called with $key=$want — rebuild the store or match its parameters")
+    }
+  }
+
+  /** Build (or rebuild) the persisted signature store for a corpus batch:
+    *
+    *   - `<name>_sigs`    (id, sig ARRAY<LONG>)        bucketed by id
+    *   - `<name>_bands`   (id, band, sig STRING)       bucketed by sig
+    *   - `<name>_simhash` (id, band, slice, simhash)   bucketed by slice
+    *
+    * ONE shingle pass feeds both MinHash tables: `_sigs` is written straight
+    * off [[minhashWide]], and `_bands` is derived by reading `_sigs` BACK
+    * (signature rows are ~136 bytes/doc — re-reading them beats caching or a
+    * second corpus scan at any scale). The SimHash table is its own token
+    * pass ([[simhash]] tokenizes words, not shingles). Bucketing puts every
+    * future increment's probe join on pre-clustered store partitions: the
+    * store side never re-shuffles (HashPartitioning(sig) satisfies the
+    * (band, sig) join's clustering), only the new batch moves. */
+  def writeSignatureStore(spark: SparkSession, df: DataFrame, idCol: String,
+      textCol: String, name: String, k: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 4, simBands: Int = 4, buckets: Int = 16): Unit = {
+    val numHashes = bands * rowsPerBand
+    val (bandsT, sigsT, simT) = storeTables(name)
+    val props = Map(
+      "graft.k" -> k.toString, "graft.bands" -> bands.toString,
+      "graft.rowsPerBand" -> rowsPerBand.toString,
+      "graft.simBands" -> simBands.toString)
+    val wide = minhashWide(df, idCol, textCol, k, numHashes)
+    replaceBucketedTable(spark, sigsT, "id", buckets,
+      wide.select(col("id"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig")),
+      props)
+    // derive bands from the just-written sigs table: no second text pass
+    val sigs = spark.table(sigsT)
+    val wideBack = sigs.select(col("id") +:
+      (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh_$i")): _*)
+    replaceBucketedTable(spark, bandsT, "sig", buckets,
+      wideBack.select(col("id"), explode(bandStructs(bands, rowsPerBand)).as("bs"))
+        .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig")),
+      props)
+    replaceBucketedTable(spark, simT, "slice", buckets,
+      simhash(df, idCol, textCol)
+        .select(col("id"), col("simhash"), explode(simhashSliceStructs(simBands)).as("bs"))
+        .select(col("id"), col("bs.band").as("band"), col("bs.slice").as("slice"),
+          col("simhash")),
+      props)
+  }
+
+  /** Append a new batch's signatures into an existing store (after the batch
+    * has been deduped and accepted): insertInto writes bucket-correct files
+    * for every table, so future increments keep their shuffle-free store
+    * side. The maintained-index analog of [[graft.query.Fts.upsertPostings]]. */
+  def appendSignatureStore(spark: SparkSession, df: DataFrame, idCol: String,
+      textCol: String, name: String): Unit = {
+    val (bandsT, sigsT, simT) = storeTables(name)
+    val p = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(sigsT)).properties
+    val (k, bands, rowsPerBand, simBands) = (p("graft.k").toInt,
+      p("graft.bands").toInt, p("graft.rowsPerBand").toInt, p("graft.simBands").toInt)
+    val numHashes = bands * rowsPerBand
+    val wide = minhashWide(df, idCol, textCol, k, numHashes)
+    wide.select(col("id"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+      .write.mode(SaveMode.Append).insertInto(sigsT)
+    wide.select(col("id"), explode(bandStructs(bands, rowsPerBand)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .write.mode(SaveMode.Append).insertInto(bandsT)
+    simhash(df, idCol, textCol)
+      .select(col("id"), col("simhash"), explode(simhashSliceStructs(simBands)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.slice").as("slice"),
+        col("simhash"))
+      .write.mode(SaveMode.Append).insertInto(simT)
+  }
+
+  /** Dedup a NEW batch against the persisted store — the incremental twin of
+    * [[lshCandidates]] + [[estimateJaccardBySignature]], with the corpus side
+    * replaced by stored signatures: one text pass over `newDocs` computes its
+    * wide signatures (Catalyst reuses the one aggregate for both the band
+    * probe and the verify join); candidates come from a bucket join of new
+    * band signatures against `<name>_bands`; est-Jaccard re-scores each
+    * candidate from `<name>_sigs`. Batch-1 TEXT is never scanned — the plan
+    * reads only signature tables on the store side (DedupSpec pins this).
+    * Returns (id_a, id_b, est_jaccard ≥ minEstimate), ids least/greatest
+    * normalized. Within-batch dups are [[lshCandidates]] on `newDocs` alone;
+    * this operator covers the new-vs-corpus half an increment adds. */
+  def dedupIncrement(spark: SparkSession, newDocs: DataFrame, idCol: String,
+      textCol: String, name: String, k: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 4, minEstimate: Double = 0.0): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val (bandsT, sigsT, _) = storeTables(name)
+    requireStoreParams(spark, bandsT, Map(
+      "graft.k" -> k.toString, "graft.bands" -> bands.toString,
+      "graft.rowsPerBand" -> rowsPerBand.toString))
+    val wide = minhashWide(newDocs, idCol, textCol, k, numHashes)
+    val newBands = wide
+      .select(col("id").as("new_id"), explode(bandStructs(bands, rowsPerBand)).as("bs"))
+      .select(col("new_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val newSigs = wide.select(col("id").as("new_id"),
+      array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("new_sig"))
+    val stBands = spark.table(bandsT)
+      .select(col("id").as("old_id"), col("band"), col("sig"))
+    val stSigs = spark.table(sigsT)
+      .select(col("id").as("old_id"), col("sig").as("old_sig"))
+    newBands.join(stBands, Seq("band", "sig"))
+      // a doc re-ingested under its stored id must not pair with itself
+      .filter(col("old_id") =!= col("new_id"))
+      .select("new_id", "old_id").distinct()
+      .join(newSigs, "new_id")
+      .join(stSigs, "old_id")
+      .withColumn("est_jaccard", round(
+        expr("size(filter(zip_with(new_sig, old_sig, (x, y) -> x = y), b -> b))" +
+          s" / CAST($numHashes AS DOUBLE)"), 6))
+      .filter(col("est_jaccard") >= minEstimate)
+      .select(least(col("old_id"), col("new_id")).as("id_a"),
+        greatest(col("old_id"), col("new_id")).as("id_b"),
+        col("est_jaccard"))
+  }
+
+  /** SimHash increment: near-dup pairs of `newDocs` vs the stored corpus by
+    * Hamming distance, via the stored band slices — the incremental twin of
+    * [[simhashDupPairs]] (pigeonhole recall: complete for maxHamming ≤
+    * simBands − 1). One token pass over the new batch; the store side reads
+    * pre-bucketed (band, slice) rows, never corpus text. */
+  def dedupIncrementSimhash(spark: SparkSession, newDocs: DataFrame,
+      idCol: String, textCol: String, name: String, maxHamming: Int = 3,
+      simBands: Int = 4): DataFrame = {
+    require(maxHamming <= simBands - 1,
+      s"band-blocking recall is only complete for maxHamming <= simBands-1 ($maxHamming > ${simBands - 1})")
+    val (_, _, simT) = storeTables(name)
+    requireStoreParams(spark, simT, Map("graft.simBands" -> simBands.toString))
+    val newBanded = simhash(newDocs, idCol, textCol)
+      .select(col("id").as("new_id"), col("simhash").as("new_hash"),
+        explode(simhashSliceStructs(simBands)).as("bs"))
+      .select(col("new_id"), col("new_hash"),
+        col("bs.band").as("band"), col("bs.slice").as("slice"))
+    val st = spark.table(simT)
+      .select(col("id").as("old_id"), col("band"), col("slice"),
+        col("simhash").as("old_hash"))
+    newBanded.join(st, Seq("band", "slice"))
+      .filter(col("old_id") =!= col("new_id"))
+      .withColumn("hamming", bit_count(col("new_hash").bitwiseXOR(col("old_hash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("old_id"), col("new_id")).as("id_a"),
+        greatest(col("old_id"), col("new_id")).as("id_b"),
+        col("hamming"))
+      .distinct()
   }
 }

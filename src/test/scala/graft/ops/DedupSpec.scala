@@ -260,4 +260,92 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got(150L)._2 == 0L && got(150L)._3 == 0.0)
     assert(got(100L)._1 == 10L, "12 tokens → 10 distinct 3-gram shingles")
   }
+
+  // ------------------------------------------------ incremental corpus dedup
+
+  private val baseText = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val nearDupText = baseText.replace("today", "tonight")
+  private val halfText = "the quick brown fox sleeps all day long under a warm summer sun here"
+  private val otherText = "completely different words about spark engines and parquet columnar files"
+
+  test("incremental dedup: increment finds cross-batch dups WITHOUT re-scanning batch-1 text") {
+    import spark.implicits._
+    // batch 1 goes through parquet so "batch-1 text scanned" would be a real,
+    // assertable FileScan of this path in the increment's physical plan
+    val b1Path = java.nio.file.Files.createTempDirectory("graft_inc_b1").toString
+    Seq((1L, baseText), (3L, halfText), (4L, otherText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(b1Path)
+    val batch1 = spark.read.parquet(b1Path)
+    Dedup.writeSignatureStore(spark, batch1, "doc_id", "text", "graft_spec_store")
+
+    val batch2 = Seq((2L, nearDupText), (5L, baseText),
+      (6L, "totally fresh content with no overlap whatsoever to anything stored"))
+      .toDF("doc_id", "text")
+    val inc = Dedup.dedupIncrement(spark, batch2, "doc_id", "text",
+      "graft_spec_store", minEstimate = 0.5)
+
+    // THE plan pin: batch-1 text is never re-read — the store side of the
+    // plan scans only signature tables (no FileScan of the batch-1 parquet)
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(!plan.contains(b1Path), s"increment plan must not re-scan batch-1 text:\n$plan")
+    assert(plan.contains("graft_spec_store_bands") && plan.contains("graft_spec_store_sigs"),
+      "candidates and verify must come from the persisted store tables")
+
+    val got = inc.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 5L)) == 1.0, "exact copy of stored doc: every minhash matches")
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) >= 0.5, "near-dup of stored doc found")
+    assert(!got.keySet.exists { case (a, b) => a == 6L || b == 6L }, "fresh doc pairs with nothing")
+
+    // ≡ the full-recompute twin restricted to cross-batch pairs: the store
+    // path must lose nothing vs re-shingling everything from scratch
+    val union = batch1.unionByName(batch2)
+    val fullCands = Dedup.lshCandidates(union, "doc_id", "text")
+    val full = Dedup.estimateJaccardBySignature(union, "doc_id", "text",
+      fullCands, minEstimate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val b1Ids = Set(1L, 3L, 4L); val b2Ids = Set(2L, 5L, 6L)
+    val fullCross = full.filter { case ((a, b), _) =>
+      (b1Ids(a) && b2Ids(b)) || (b2Ids(a) && b1Ids(b)) }
+    assert(got == fullCross, s"incremental ≠ full recompute: $got vs $fullCross")
+  }
+
+  test("incremental simhash: hamming pairs vs store ≡ full recompute, no text re-scan") {
+    import spark.implicits._
+    val batch1 = Seq((1L, baseText), (3L, halfText), (4L, otherText)).toDF("doc_id", "text")
+    Dedup.writeSignatureStore(spark, batch1, "doc_id", "text", "graft_spec_store2")
+    val batch2 = Seq((2L, nearDupText), (5L, baseText)).toDF("doc_id", "text")
+    val inc = Dedup.dedupIncrementSimhash(spark, batch2, "doc_id", "text",
+      "graft_spec_store2", maxHamming = 3)
+    assert(inc.queryExecution.executedPlan.toString.contains("graft_spec_store2_simhash"))
+    val got = inc.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+
+    val full = Dedup.simhashDupPairs(batch1.unionByName(batch2), "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val b1Ids = Set(1L, 3L, 4L); val b2Ids = Set(2L, 5L)
+    val fullCross = full.filter { case ((a, b), _) =>
+      (b1Ids(a) && b2Ids(b)) || (b2Ids(a) && b1Ids(b)) }
+    assert(got == fullCross, s"incremental ≠ full recompute: $got vs $fullCross")
+    assert(got((1L, 5L)) == 0, "identical docs: identical simhash")
+  }
+
+  test("appendSignatureStore: later increments see appended batches; params are pinned") {
+    import spark.implicits._
+    val batch1 = Seq((1L, baseText), (4L, otherText)).toDF("doc_id", "text")
+    Dedup.writeSignatureStore(spark, batch1, "doc_id", "text", "graft_spec_store3")
+    val batch2 = Seq((2L, nearDupText)).toDF("doc_id", "text")
+    Dedup.appendSignatureStore(spark, batch2, "doc_id", "text", "graft_spec_store3")
+    // batch 3 dups a batch-2 doc: only visible if the append landed
+    val batch3 = Seq((7L, nearDupText)).toDF("doc_id", "text")
+    val got = Dedup.dedupIncrement(spark, batch3, "doc_id", "text",
+      "graft_spec_store3", minEstimate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((2L, 7L)) == 1.0, "appended batch-2 signatures must be probed")
+    assert(got.contains((1L, 7L)), "original batch-1 signatures still probed")
+    // mismatched parameters fail loudly, not with silent zero candidates
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupIncrement(spark, batch3, "doc_id", "text",
+        "graft_spec_store3", bands = 8, rowsPerBand = 2)
+    }
+    assert(e.getMessage.contains("graft.bands"))
+  }
 }
