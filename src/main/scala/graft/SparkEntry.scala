@@ -620,6 +620,24 @@ object SparkEntry {
       Similarity.recallAtK(approx, exact)
     }),
 
+    // the SHIPPED high-recall ANN configuration (s12 is the meter; this is
+    // the operating point): bits=5 multi-probe radius=3, chosen by a
+    // tri-SF sweep (PLANS.md §Round-9) as the cheapest config with
+    // recall@5 ≥ 0.8 for EVERY query at every SF — 26/32 of bucket space
+    // on this unstructured synthetic corpus (real clustered embeddings
+    // reach the target at far lower probe fractions; the dial is the
+    // deliverable, the point is corpus-specific)
+    "s13_ann_high_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val bucketed = Similarity.bucketize(emb, "embedding", bits = 5)
+      val queries = bucketed.filter(col("vec_id").isin(0, 7, 11))
+      val approx = Similarity.cosineLshTopKBatchMultiProbe(bucketed, queries,
+        "vec_id", "embedding", k = 5, bits = 5, radius = 3)
+      val exact = Similarity.bruteForceTopKBatch(emb, queries.drop("_bucket"),
+        "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(approx, exact)
+    }),
+
     // IVF with a REAL coarse quantizer (not the label stand-in of s02): the
     // codebook = embeddings of rows 1/5/9, folded into one shuffle-free
     // assignment expression; the query probes only its own centroid's cell
@@ -1511,6 +1529,44 @@ object SparkEntry {
         |  ROUND(list_sum(list_transform(list_zip(eb.embedding, q.qv),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (eb.nrm * q.qn), 4) AS cosine
         |  FROM eb JOIN q ON eb.blk = q.qb AND eb.vec_id <> q.query_id),
+        |approx AS (SELECT query_id, id FROM (
+        |  SELECT query_id, id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rk
+        |  FROM ascored) WHERE rk <= 5),
+        |escored AS (SELECT q.query_id, e.vec_id AS id,
+        |  ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * q.qn), 4) AS cosine
+        |  FROM e JOIN q ON e.vec_id <> q.query_id),
+        |exact AS (SELECT query_id, id FROM (
+        |  SELECT query_id, id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rk
+        |  FROM escored) WHERE rk <= 5)
+        |SELECT x.query_id,
+        |  ROUND(SUM(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+        |FROM exact x LEFT JOIN approx a ON a.query_id = x.query_id AND a.id = x.id
+        |GROUP BY 1""".stripMargin
+    },
+
+    // s12's CTEs with 5 planes and the probe widened from blk equality to
+    // Hamming ≤ 3 (xor + bit_count) — the multi-probe operating point
+    "s13_ann_high_recall" -> {
+      def proj(p: Int): String =
+        s"list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * " +
+        s"((('0x' || substr(md5(concat('$p:', i - 1)), 1, 8))::BIGINT / 4294967296.0) - 0.5)))"
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |eb AS (SELECT vec_id, embedding, nrm,
+        |    (CASE WHEN ${proj(0)} > 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN ${proj(1)} > 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN ${proj(2)} > 0 THEN 4 ELSE 0 END)
+        |  + (CASE WHEN ${proj(3)} > 0 THEN 8 ELSE 0 END)
+        |  + (CASE WHEN ${proj(4)} > 0 THEN 16 ELSE 0 END) AS blk
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, blk AS qb
+        |  FROM eb WHERE vec_id IN (0, 7, 11)),
+        |ascored AS (SELECT q.query_id, eb.vec_id AS id,
+        |  ROUND(list_sum(list_transform(list_zip(eb.embedding, q.qv),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (eb.nrm * q.qn), 4) AS cosine
+        |  FROM eb JOIN q ON bit_count(xor(eb.blk, q.qb)) <= 3 AND eb.vec_id <> q.query_id),
         |approx AS (SELECT query_id, id FROM (
         |  SELECT query_id, id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rk
         |  FROM ascored) WHERE rk <= 5),

@@ -293,6 +293,36 @@ object Similarity {
       .drop("_rk")
   }
 
+  /** BATCHED multi-probe LSH top-k — the shipped high-recall configuration
+    * (vs [[cosineLshTopKBatch]]'s single-bucket probe): each query probes
+    * every bucket within Hamming distance `radius` of its own (radius 1 =
+    * one borderline hyperplane forgiven — the dominant LSH miss mode;
+    * radius 2 = two). The probe masks are plan-time literals (Σ_{r≤radius}
+    * C(bits, r) of them — e.g. 11 for bits=4 r=2, 37 for bits=8 r=2), the
+    * query set explodes by probe and broadcasts, and the corpus is still
+    * read ONCE with each row joining at most once per query (probe buckets
+    * are distinct). Scanned corpus fraction ≈ probes/2^bits — the
+    * recall/cost dial [[recallAtK]] tunes; s13 pins the shipped point. */
+  def cosineLshTopKBatchMultiProbe(bucketed: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, bits: Int, radius: Int = 1,
+      roundTo: Int = 4): DataFrame = {
+    require(radius >= 0 && radius <= bits, s"radius $radius outside [0, $bits]")
+    ensureExprs(bucketed)
+    val masks = (0L until (1L << bits)).filter(m => java.lang.Long.bitCount(m) <= radius)
+    val probes = array(masks.map(m => col("_bucket").bitwiseXOR(lit(m))): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probes).as("qb"))
+    val scored = bucketed
+      .join(broadcast(q), col("_bucket") === col("qb") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("id"),
+        round(cosine(col(vecCol), col("qv")), roundTo).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** One-shot LSH-bucketed cosine top-k. For repeated queries against the
     * same corpus, [[bucketize]] once and use [[cosineLshTopKPre]]. */
   def cosineLshTopK(df: DataFrame, idCol: String, vecCol: String,

@@ -80,6 +80,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     } finally bucketed.unpersist()
   }
 
+  test("batched multi-probe: radius-1 ≡ per-query multi-probe; recall monotone in radius") {
+    import org.apache.spark.sql.DataFrame
+    val bucketed = Similarity.bucketize(vecs, "embedding", bits = 4).cache()
+    try {
+      val qids = Seq(0L, 3L, 6L)
+      val queries = bucketed.filter(col("vec_id").isin(qids: _*))
+      // radius 1 batch is exactly the per-query multi-probe (same probe set:
+      // own bucket + one flipped plane), fused into one corpus pass
+      val batch1 = Similarity.cosineLshTopKBatchMultiProbe(bucketed, queries,
+        "vec_id", "embedding", k = 3, bits = 4, radius = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      def tagged(f: Long => DataFrame): DataFrame =
+        qids.map(q => f(q).withColumn("query_id", lit(q))).reduce(_ unionByName _)
+      val perQuery = tagged(q => Similarity.cosineLshTopKMultiProbe(
+        bucketed, "vec_id", "embedding", q, k = 3, bits = 4))
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+          r.getAs[Double]("cosine"))).toSet
+      assert(batch1 == perQuery, "one-pass batch must equal the per-query loop")
+      // radius=bits probes every bucket: recall vs exact is 1.0 everywhere,
+      // and each radius's recall dominates the one below it
+      val exact = Similarity.bruteForceTopKBatch(vecs, queries.drop("_bucket"),
+        "vec_id", "embedding", k = 3)
+      val recallsByRadius = (0 to 4).map { r =>
+        val approx = Similarity.cosineLshTopKBatchMultiProbe(bucketed, queries,
+          "vec_id", "embedding", k = 3, bits = 4, radius = r)
+        Similarity.recallAtK(approx, exact)
+          .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      }
+      qids.foreach { q =>
+        (1 to 4).foreach { r =>
+          assert(recallsByRadius(r)(q) >= recallsByRadius(r - 1)(q),
+            s"query $q: radius $r recall must dominate radius ${r - 1}")
+        }
+        assert(recallsByRadius(4)(q) == 1.0, "probing every bucket is exact")
+      }
+    } finally bucketed.unpersist()
+  }
+
   test("lsh buckets are deterministic and cluster-correlated") {
     val b = Similarity.bucketize(vecs, "embedding", bits = 4)
       .select(col("vec_id"), col("_bucket")).collect()
