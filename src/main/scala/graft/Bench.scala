@@ -93,6 +93,14 @@ object Bench {
     if (v < 0) "-1.0"
     else String.format(Locale.ROOT, "%.4f", Double.box(v))
 
+  // 2-dp variant for the full median map on the canonical total line: ~25%
+  // fewer bytes keeps the whole map inside the driver's tail capture
+  // (BENCH_r08 overflowed it at 4 dp with 91 entries); the split family
+  // lines below still carry 4-dp values for anyone who needs them.
+  private def r2(v: Double): String =
+    if (v < 0) "-1.0"
+    else String.format(Locale.ROOT, "%.2f", Double.box(v))
+
   private def env(k: String, d: String): String = sys.env.getOrElse(k, d)
 
   def main(args: Array[String]): Unit =
@@ -461,7 +469,7 @@ object Bench {
       val ok = arr.toSeq.filter(v => !v.isNaN && v >= 0)
       name -> (if (ok.isEmpty) -1.0 else median(ok))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val perRep = times.toSeq
       .map { case (k, arr) =>
@@ -475,13 +483,22 @@ object Bench {
     // — relayed child lines and the in-process path both bump it.
     val forkedActual = fork && !ranInProcess
     val warmedActual = pass0Done.get() > 0
-    // emission order matters: the driver tail-captures the END of stdout,
-    // and BENCH_r07's tail lost part of the median map because the bulky
-    // per_rep line sat between it and EOF. Bulky diagnostics FIRST, the
-    // full median map second-to-last, and the compact total LAST — any
-    // truncation eats per_rep before it can touch a median.
+    // emission order matters: the driver tail-captures the END of stdout and
+    // truncation eats from the HEAD of the window — BENCH_r08's 91-entry
+    // 4-dp map overflowed it and lost the alphabetically-first (d/e/g)
+    // medians. Mitigations, compounding: the total line's map is 2 dp
+    // (~25% smaller); the medians are ALSO emitted split across two
+    // family-partitioned lines at full 4 dp, with the previously-lost
+    // d/e/g families in the LATER line (nearer EOF = survives longest);
+    // bulky per_rep stays FIRST so it is eaten before any median.
+    val (degFams, restFams) = results.partition { case (k, _) =>
+      k.headOption.exists(c => c == 'd' || c == 'e' || c == 'g') }
+    def medJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"per_rep","unit":"sec","times":$perRep,"sf":"$sfDir","reps":$reps}""")
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"forked":$forkedActual,"warmed":$warmedActual,"warmup_queries_done":${pass0Done.get()},"cpus":"${env("SPARK_GRAFT_CPUS", defaultCpus)}","query_timeout_sec":$queryTimeoutSec}""")
+    println(s"""{"metric":"medians_1of2","unit":"sec","families":"q/s/t/w/x","queries":${medJson(restFams)},"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"medians_2of2","unit":"sec","families":"d/e/g","queries":${medJson(degFams)},"sf":"$sfDir","reps":$reps}""")
     println(s"""{"metric":"total_compact","value":${r4(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","reps":$reps}""")
   }
 }
