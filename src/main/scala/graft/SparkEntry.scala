@@ -99,14 +99,9 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame = {
     // harmless for non-NANOS files; required before the read for NANOS ones
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as raw nanos
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw // already session-TZ TimestampType
-    }
+    // the ts-normalization branch lives in EventStreams so the streaming
+    // file source reads the same file through IDENTICAL semantics (r9)
+    graft.streaming.EventStreams.normalizeEventTs(t(s, dir, "events"))
   }
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")

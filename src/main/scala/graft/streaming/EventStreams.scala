@@ -16,6 +16,44 @@ import java.sql.Timestamp
   */
 object EventStreams {
 
+  /** Normalize an events frame's `ts` to session-TZ TimestampType across
+    * the generator's historical physical types — parquet TIMESTAMP(NANOS)
+    * read as raw nanos, TIMESTAMP(MICROS, noUTC) read as TIMESTAMP_NTZ, or
+    * already-normal — the SINGLE schema-adaptive branch shared by the batch
+    * loader (SparkEntry.events) and [[eventFileStream]], so batch and
+    * stream can never drift apart on the same file (the r7 events-loader
+    * regression class). */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as raw nanos
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast("timestamp"))
+    case _ => df
+  }
+
+  /** File-source stream over a DRIVER events parquet: one metadata-only
+    * batch read pins the on-disk schema (streaming sources cannot infer),
+    * then the stream tails the file through the SAME [[normalizeEventTs]]
+    * branch as the batch loader. At scale this is the tail-the-landing-dir
+    * ingestion shape: new event files appear under `path` and flow through
+    * identical semantics to the batch backfill. */
+  def eventFileStream(spark: SparkSession, path: String): DataFrame = {
+    // harmless for non-NANOS files; required before the read for NANOS ones
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    // the driver ships events as a single FILE, which trips the file
+    // source's partition inference: for a non-glob path FileStreamSource
+    // force-injects basePath = the path itself, and a file basePath is
+    // rejected ("must be a directory"). A SELF-MATCHING GLOB (last char
+    // bracketed) suppresses that injection, so partition inference anchors
+    // at the glob's parent directory as intended. Directory paths pass
+    // through untouched — the production tail-a-landing-dir shape.
+    val f = new java.io.File(path)
+    val globbed =
+      if (f.isFile) path.dropRight(1) + "[" + path.last + "]" else path
+    normalizeEventTs(spark.readStream.schema(schema).parquet(globbed))
+  }
+
   /** Tumbling-window counts/sums per event_type with a watermark: the
     * streaming twin of the q22 daily-window batch query. */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",

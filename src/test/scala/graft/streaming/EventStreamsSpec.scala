@@ -88,6 +88,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(batchSessions == Map(1L -> 2L, 2L -> 2L))
   }
 
+  test("file stream over the REAL driver events parquet ≡ batch (schema-adaptive loader)") {
+    // the streaming twin of TestdataSmokeSpec: the synthetic MemoryStream
+    // cases pin semantics, but only tailing the driver's actual file proves
+    // the streaming surface survives the generator's physical-type drift
+    // (the r7 events-loader regression class — ts as NANOS/NTZ/timestamp)
+    val path = "/root/testdata/sf0.001/events.parquet"
+    assume(new java.io.File(path).exists, s"driver testdata missing at $path")
+    val stream = EventStreams.eventFileStream(spark, path)
+    val batch = EventStreams.normalizeEventTs(spark.read.parquet(path))
+    assert(stream.isStreaming && !batch.isStreaming)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType, "normalized through the shared branch")
+
+    val streamedWin = EventStreams.runToMemory(spark,
+      EventStreams.windowedCounts(stream, "1 hour"), "real_events_win",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+      .select("window_start", "event_type", "cnt", "value_sum").collect().toSet
+    val batchWin = EventStreams.windowedCounts(batch, "1 hour")
+      .select("window_start", "event_type", "cnt", "value_sum").collect().toSet
+    assert(streamedWin.nonEmpty && streamedWin == batchWin,
+      s"stream/batch windowed counts diverged on the real file (${streamedWin.size}/${batchWin.size} rows)")
+
+    val streamedSess = EventStreams.runToMemory(spark,
+      EventStreams.sessionWindows(stream, gap = "30 minutes"), "real_events_sess",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select("session_start", "session_end", "user_id", "events").collect().toSet
+    val batchSess = EventStreams.sessionWindows(batch, gap = "30 minutes")
+      .select("session_start", "session_end", "user_id", "events").collect().toSet
+    assert(streamedSess.nonEmpty && streamedSess == batchSess,
+      s"stream/batch sessions diverged on the real file (${streamedSess.size}/${batchSess.size} rows)")
+  }
+
   test("sliding windows emit one row per covering window") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
