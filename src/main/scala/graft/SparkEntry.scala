@@ -472,6 +472,48 @@ object SparkEntry {
         .select(col("startuid").as("uid"), col("pairs"))
     }),
 
+    // JOURNAL REPLAY over the star warehouse — the §7.2 storage inversion
+    // under the oracle hash check: the whole graph becomes full-image create
+    // docs, then three deterministic change waves land at fixed seq tiers
+    // (customers gain a "vip" prop at 2^50; suppliers are deleted by
+    // full-image remove docs at 2^51; nations would gain "vip2" at 2^52),
+    // and snapshotAt time-travels to just past the deletes. The distributed
+    // per-uid fold must therefore apply creates+modifies+deletes and NOT the
+    // future wave. Output: per-kind item counts + folded-prop presence. The
+    // DuckDB twin states the expected post-fold world from the base tables
+    // directly (suppliers gone, every customer vip, vip2 nowhere) — any
+    // fold defect (wrong order, missed remove, leaked future doc) breaks
+    // the hash.
+    "w21_journal_snapshot" -> ((s, d) => {
+      import graft.engine.Journal
+      val g = StarWarehouse(s, d)
+      val modSeq = 1L << 50; val delSeq = 1L << 51; val futSeq = 1L << 52
+      val creates = Journal.snapshotAsChanges(g.nodes, g.edges, startSeq = 0L)
+      def wave(items: DataFrame, seq: Long, add: Option[String], remove: Option[Column]) =
+        items.select(lit(seq).as("seq"), col("uid"),
+          add.map(lit(_)).getOrElse(lit(null)).cast("string").as("add"),
+          remove.getOrElse(lit(null)).cast("string").as("remove"),
+          lit(1.0).as("time"), md5(col("uid")).as("rev"),
+          lit(null).cast("string").as("batch"))
+      val mods = wave(g.nodes.filter(col("kind") === "customer"), modSeq,
+        Some("""{"vip":true}"""), None)
+      // remove values are ignored by the fold — only KEYS matter, and the
+      // full supplier image is core keys + its two prop keys
+      val dels = wave(g.nodes.filter(col("kind") === "supplier"), delSeq,
+        None, Some(lit("""{"uid":0,"kind":0,"ctime":0,"mtime":0,"s_name":0,"s_acctbal":0}""")))
+      val future = wave(g.nodes.filter(col("kind") === "nation"), futSeq,
+        Some("""{"vip2":true}"""), None)
+      val journal = creates.unionByName(mods).unionByName(dels).unionByName(future)
+      val (nodes, edges) = Journal.snapshotAt(s, journal, maxSeq = delSeq + 1)
+      def stats(items: DataFrame) = items.groupBy("kind").agg(
+        count(lit(1)).as("n"),
+        sum(when(get_json_object(col("props"), "$.vip").isNotNull, 1).otherwise(0))
+          .as("n_vip"),
+        sum(when(get_json_object(col("props"), "$.vip2").isNotNull, 1).otherwise(0))
+          .as("n_vip2"))
+      stats(nodes).unionByName(stats(edges))
+    }),
+
     // --- dedup family (documents) ------------------------------------------
     "d01_exact_dedup_stats" -> ((s, d) =>
       t(s, d, "documents").agg(
@@ -933,6 +975,26 @@ object SparkEntry {
         |WHERE ('li:' || l1.l_orderkey || ':' || l1.l_linenumber)
         |    < ('li:' || l2.l_orderkey || ':' || l2.l_linenumber)
         |GROUP BY 1""".stripMargin,
+
+    // the expected post-fold world stated from the base tables: suppliers
+    // deleted (node kind absent, supplier-anchored EDGES untouched — the
+    // journal is per-item), every customer carries the folded "vip" prop,
+    // and the future "vip2" wave is invisible at the snapshot point.
+    // Contains counts DISTINCT edge uids: the synthetic lineitem does not
+    // enforce (orderkey, linenumber) uniqueness, and the per-uid fold
+    // rightly collapses duplicate-uid create docs into one item
+    "w21_journal_snapshot" ->
+      """SELECT 'customer' AS kind, COUNT(*) AS n, COUNT(*) AS n_vip, CAST(0 AS BIGINT) AS n_vip2 FROM customer
+        |UNION ALL SELECT 'nation', COUNT(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM nation
+        |UNION ALL SELECT 'region', COUNT(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM region
+        |UNION ALL SELECT 'part', COUNT(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM part
+        |UNION ALL SELECT 'orders', COUNT(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM orders
+        |UNION ALL SELECT 'InNation', COUNT(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM customer
+        |UNION ALL SELECT 'SuppNation', COUNT(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM supplier
+        |UNION ALL SELECT 'InRegion', COUNT(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM nation
+        |UNION ALL SELECT 'PlacedBy', COUNT(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM orders
+        |UNION ALL SELECT 'Contains', COUNT(DISTINCT l_orderkey || ':' || l_linenumber), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM lineitem""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

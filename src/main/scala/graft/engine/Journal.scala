@@ -22,7 +22,11 @@ import graft.core.{Json, Rows}
   */
 object Journal {
 
-  private final case class FoldedItem(
+  // NOT private: Janino-generated encoder code cannot access a private
+  // nested case class — the whole fold stage silently fell back to
+  // interpreted serialization (CompileException noise in every run of a
+  // journal query) until w21 surfaced it (r9)
+  final case class FoldedItem(
       uid: String, kind: String, startuid: String, enduid: String,
       ctime: Double, mtime: Double, props: String, isEdge: Boolean)
 
