@@ -472,6 +472,14 @@ object SparkEntry {
         .select(col("startuid").as("uid"), col("pairs"))
     }),
 
+    // FTS5 aux-function surface: snippet() — postings-position window
+    // choice + highlight render over the documents corpus; completes the
+    // ranking surface bm25 (t05) started (FTS5 reaches snippet only via
+    // raw-SQL passthrough in the reference)
+    "g16_fts_snippet" -> ((s, d) =>
+      Fts.snippet(tPar(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "join"), maxTokens = 7)),
+
     // JOURNAL REPLAY over the star warehouse — the §7.2 storage inversion
     // under the oracle hash check: the whole graph becomes full-image create
     // docs, then three deterministic change waves land at fixed seq tiers
@@ -975,6 +983,33 @@ object SparkEntry {
         |WHERE ('li:' || l1.l_orderkey || ':' || l1.l_linenumber)
         |    < ('li:' || l2.l_orderkey || ':' || l2.l_linenumber)
         |GROUP BY 1""".stripMargin,
+
+    // mirrors Fts.snippet's deterministic contract: anchor windows at match
+    // positions, rank by (distinct terms, occurrences, earliest), pull the
+    // start back to fill trailing slack, render the lowercase token stream
+    // with markers and edge ellipses
+    "g16_fts_snippet" -> {
+      val terms = "('spark', 'join')"
+      val w = 7
+      s"""WITH t AS (SELECT doc_id AS uid, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+        |p AS (SELECT uid, u.s.t AS term, u.s.p AS pos
+        |      FROM t, unnest([{'t': toks[i], 'p': i - 1} for i in range(1, len(toks) + 1)]) u(s)),
+        |m AS (SELECT uid, pos, term FROM p WHERE term IN $terms),
+        |sc AS (SELECT a.uid, a.pos AS anchor, COUNT(DISTINCT q.term) AS nterms, COUNT(*) AS nhits
+        |  FROM m a JOIN m q ON q.uid = a.uid AND q.pos >= a.pos AND q.pos < a.pos + $w
+        |  GROUP BY 1, 2),
+        |best AS (SELECT uid, anchor FROM (
+        |  SELECT uid, anchor, ROW_NUMBER() OVER (PARTITION BY uid ORDER BY nterms DESC, nhits DESC, anchor) AS rk
+        |  FROM sc) WHERE rk = 1),
+        |win AS (SELECT b.uid, GREATEST(0, LEAST(b.anchor, len(t.toks) - $w)) AS wstart, len(t.toks) AS ntok, t.toks AS toks
+        |  FROM best b JOIN t ON t.uid = b.uid)
+        |SELECT uid,
+        |  (CASE WHEN wstart > 0 THEN '...' ELSE '' END) ||
+        |  array_to_string([CASE WHEN toks[i] IN $terms THEN '<b>' || toks[i] || '</b>' ELSE toks[i] END
+        |                   for i in range(wstart + 1, LEAST(wstart + $w, ntok) + 1)], ' ') ||
+        |  (CASE WHEN wstart + $w < ntok THEN '...' ELSE '' END) AS snippet
+        |FROM win""".stripMargin
+    },
 
     // the expected post-fold world stated from the base tables: suppliers
     // deleted (node kind absent, supplier-anchored EDGES untouched — the

@@ -409,6 +409,64 @@ object Fts {
     * uids, append freshly tokenized ones. One anti-join + union — no
     * full-index rebuild. `updates`: (uid, field→text columns as in
     * [[postings]]). */
+  /** FTS5-`snippet()` analogue (graphydb reaches it only via raw SQL
+    * passthrough, graphydb.py:810-811): for each document matching ≥1 term,
+    * render the best `maxTokens`-token window with match terms wrapped in
+    * `startMark`/`endMark` and an `ellipsis` on each trimmed side.
+    *
+    * Deterministic contract (documented divergence from SQLite's heuristic):
+    * candidate windows anchor at each match position; the winner maximizes
+    * (distinct query terms in window, then occurrence count, then earliest
+    * anchor); the window start then pulls back to fill trailing slack at
+    * the text's end. Rendering re-joins the SAME lowercase token stream the
+    * postings index is built from (this engine's tokenizer discards
+    * original separators/case by design — [[postings]]).
+    *
+    * Scale shape: every shuffle carries (uid, pos[, term]) — never text;
+    * the window-choice self-join is per-document over MATCH positions only
+    * (bounded by term frequency, not doc length), and the render groupBy
+    * sorts positions within one document (`array_sort`, no global order). */
+  def snippet(df: DataFrame, uidCol: String, textCol: String, terms: Seq[String],
+      maxTokens: Int = 8, startMark: String = "<b>", endMark: String = "</b>",
+      ellipsis: String = "..."): DataFrame = {
+    require(terms.nonEmpty, "snippet needs at least one term")
+    require(maxTokens >= 1, "window must hold at least one token")
+    val lowered = terms.map(_.toLowerCase)
+    val toks = df.select(col(uidCol).as("uid"),
+      posexplode(filter(split(lower(col(textCol)), TokenSplit),
+        t => t =!= "")).as(Seq("pos", "tok")))
+    val counts = toks.groupBy("uid").agg((max(col("pos")) + 1).as("ntok"))
+    val matches = toks.filter(col("tok").isin(lowered: _*))
+    val anchors = matches.select(col("uid"), col("pos").as("anchor"))
+    val hits = matches.select(col("uid"), col("pos").as("qpos"), col("tok").as("qterm"))
+    val best = anchors.join(hits, Seq("uid"))
+      .filter(col("qpos") >= col("anchor") && col("qpos") < col("anchor") + maxTokens)
+      .groupBy("uid", "anchor")
+      .agg(countDistinct(col("qterm")).as("nterms"), count(lit(1)).as("nhits"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("uid")
+          .orderBy(col("nterms").desc, col("nhits").desc, col("anchor"))))
+      .filter(col("_rk") === 1)
+      .join(counts, Seq("uid"))
+      .select(col("uid"),
+        greatest(lit(0), least(col("anchor"), col("ntok") - maxTokens)).as("wstart"),
+        col("ntok"))
+    toks.join(best, Seq("uid"))
+      .filter(col("pos") >= col("wstart") && col("pos") < col("wstart") + maxTokens)
+      .withColumn("_r", when(col("tok").isin(lowered: _*),
+        concat(lit(startMark), col("tok"), lit(endMark))).otherwise(col("tok")))
+      .groupBy("uid", "wstart", "ntok")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("_r")))),
+          s => s.getField("_r"))).as("body"))
+      .select(col("uid"),
+        concat(
+          when(col("wstart") > 0, lit(ellipsis)).otherwise(lit("")),
+          col("body"),
+          when(col("wstart") + maxTokens < col("ntok"), lit(ellipsis))
+            .otherwise(lit(""))).as("snippet"))
+  }
+
   def upsertPostings(current: DataFrame, updates: DataFrame, uidCol: String,
       fieldToTextCol: Map[String, String]): DataFrame = {
     val fresh = postings(updates, uidCol, fieldToTextCol)

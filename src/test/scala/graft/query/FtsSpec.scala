@@ -193,4 +193,30 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
     val next = Fts.deletePostings(idx, Seq("u1").toDF("uid"))
     assert(Fts.matchUids(next, "quantum").collect().map(_.getString(0)).toSet == Set("u3"))
   }
+
+  test("snippet: best window by (terms, hits, earliest), markers, edge ellipses") {
+    import spark.implicits._
+    val docs = Seq(
+      // match at the END: window pulls back to fill trailing slack, no
+      // trailing ellipsis, leading one present
+      (1L, "alpha beta gamma delta RED epsilon zeta"),
+      // match at the START: no leading ellipsis, trailing one present
+      (2L, "red start words here"),
+      // two terms beat a lone later one: anchor covering red AND blue wins
+      (3L, "x red y blue z z z blue"),
+      // no match: absent from the result
+      (4L, "nothing to see")).toDF("doc_id", "text")
+    val got = Fts.snippet(docs, "doc_id", "text", Seq("red", "blue"), maxTokens = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "only matching docs get a snippet")
+    // tokenization lowercases (same stream as the postings index)
+    assert(got(1L) == "...<b>red</b> epsilon zeta", got(1L))
+    assert(got(2L) == "<b>red</b> start words...", got(2L))
+    assert(got(3L) == "...<b>red</b> y <b>blue</b>...", got(3L))
+    // window wider than the doc: whole text, no ellipses
+    val whole = Fts.snippet(docs.filter($"doc_id" === 2L), "doc_id", "text",
+      Seq("red"), maxTokens = 10)
+      .collect().head.getString(1)
+    assert(whole == "<b>red</b> start words here")
+  }
 }
