@@ -60,4 +60,59 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .collect()
     assert(stats.nonEmpty && stats.map(_.getAs[Long]("docs")).sum == nKept)
   }
+
+  test("incremental ingestion round composes: store → increment → cluster → accept → append") {
+    // the maintained-index workflow a training-data platform actually runs,
+    // over REAL documents: an existing corpus owns a signature store; a new
+    // shard is deduped against it (one text pass over the shard only),
+    // survivors are accepted and their signatures appended, and the NEXT
+    // shard sees them — all without ever re-reading accepted corpus text
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val shard1 = docs.filter(col("doc_id") % 3 === 1)
+    val shard2 = docs.filter(col("doc_id") % 3 === 2)
+    Dedup.writeSignatureStore(spark, corpus, "doc_id", "text", "graft_pipe_store")
+
+    // shard 1 vs corpus: any shard doc paired with accepted content is a
+    // dup — the CORPUS side always wins (it is already accepted), so the
+    // keep-rule is an anti-join on the shard-side pair ids, not min-id
+    // cluster representatives
+    val pairs1 = Dedup.dedupIncrement(spark, shard1, "doc_id", "text",
+      "graft_pipe_store", minEstimate = 0.5)
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    val accepted1 = shard1.join(
+      pairs1.select(col("id_a").as("doc_id"))
+        .union(pairs1.select(col("id_b").as("doc_id")))
+        .filter(!col("doc_id").isin(corpusIds.toSeq: _*)).distinct(),
+      Seq("doc_id"), "left_anti")
+    val n1 = accepted1.count()
+    assert(n1 > 0 && n1 <= shard1.count())
+    Dedup.appendSignatureStore(spark, accepted1, "doc_id", "text", "graft_pipe_store")
+
+    // shard 2 now collides with BOTH original corpus and accepted shard-1
+    // docs; every pair's non-shard side must be a store member
+    val pairs2 = Dedup.dedupIncrement(spark, shard2, "doc_id", "text",
+      "graft_pipe_store", minEstimate = 0.5)
+    val storeIds = corpusIds ++ accepted1.select("doc_id").collect().map(_.getLong(0))
+    val shard2Ids = shard2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = pairs2.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty, "real corpus has cross-shard dups at threshold 0.5")
+    got.foreach { case (a, b) =>
+      assert((storeIds(a) && shard2Ids(b)) || (shard2Ids(a) && storeIds(b)),
+        s"pair ($a,$b) must span store × shard2")
+    }
+    // and the appended shard-1 signatures are actually probed: at least one
+    // pair anchors on an accepted shard-1 doc unless shard1 contributed no
+    // near-dup content (verified against a direct cross check)
+    val s1Ids = accepted1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = Dedup.estimateJaccardBySignature(
+      accepted1.unionByName(shard2), "doc_id", "text",
+      Dedup.lshCandidates(accepted1.unionByName(shard2), "doc_id", "text"),
+      minEstimate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (s1Ids(a) && shard2Ids(b)) || (shard2Ids(a) && s1Ids(b)) }
+    val viaStore = got.filter { case (a, b) => s1Ids(a) || s1Ids(b) }
+    assert(viaStore.toSet == direct.toSet,
+      "increment vs appended shard-1 signatures ≡ direct recompute")
+  }
 }
