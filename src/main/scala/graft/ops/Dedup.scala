@@ -709,6 +709,78 @@ object Dedup {
         col("est_jaccard"))
   }
 
+  /** ROW-LOCAL MinHash signature — the same values as [[minhashWide]]
+    * computed entirely within one row (shingle → 60-bit hash → per-
+    * coefficient `array_min` fold), no explode, no shuffle, NO STATE.
+    * This is the form streaming ingest needs: a stateless column
+    * expression keeps the whole dedup-on-arrival pipeline append-mode with
+    * zero stateful operators (stream-static joins only). The batch
+    * aggregate form remains the bulk-corpus path (map-side combine over
+    * exploded shingles beats per-row interpreted HOFs at backfill scale);
+    * DedupSpec pins value equality between the two forms. Returns NULL
+    * for docs with no k-shingle (shorter than k tokens). */
+  def minhashSignature(textCol: Column, k: Int = 3, numHashes: Int = 16): Column = {
+    val toks = split(textCol, " ")
+    val sh = when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array())
+    val hs = transform(sh, s => pmod(hash60(s), lit(P)))
+    when(size(sh) > 0,
+      array((0 until numHashes).map(i =>
+        array_min(transform(hs,
+          h => pmod(lit(aCoef(i)) * h + lit(bCoef(i)), lit(P))))): _*))
+      .otherwise(lit(null))
+  }
+
+  /** STREAMING ingest dedup against the persisted store: the
+    * dedup-on-arrival shape — documents flow in, each row computes its own
+    * signature ([[minhashSignature]], stateless), bands probe the store's
+    * bucketed tables via stream-STATIC joins, and candidates re-score from
+    * stored signature arrays. Everything is append-mode; the only stateful
+    * operator is the final cross-band `dropDuplicates` on (id_a, id_b)
+    * (production streams should bound its state with a watermark +
+    * `dropDuplicatesWithinWatermark` on ingest time; the contract is
+    * otherwise identical to [[dedupIncrement]] — EventStreamsSpec pins
+    * stream ≡ batch on the same store). */
+  def dedupIncrementStream(spark: SparkSession, docsStream: DataFrame,
+      idCol: String, textCol: String, name: String, k: Int = 3,
+      bands: Int = 4, rowsPerBand: Int = 4, minEstimate: Double = 0.0): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val (bandsT, sigsT, _) = storeTables(name)
+    requireStoreParams(spark, bandsT, Map(
+      "graft.k" -> k.toString, "graft.bands" -> bands.toString,
+      "graft.rowsPerBand" -> rowsPerBand.toString))
+    val withSig = docsStream.select(col(idCol).as("new_id"),
+        minhashSignature(col(textCol), k, numHashes).as("new_sig"))
+      .filter(col("new_sig").isNotNull)
+    val perBand = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          element_at(col("new_sig"), b * rowsPerBand + r + 1).cast("string")): _*).as("sig"))
+    }: _*)
+    val banded = withSig.select(col("new_id"), col("new_sig"),
+        explode(perBand).as("bs"))
+      .select(col("new_id"), col("new_sig"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val stBands = spark.table(bandsT)
+      .select(col("id").as("old_id"), col("band"), col("sig"))
+    val stSigs = spark.table(sigsT)
+      .select(col("id").as("old_id"), col("sig").as("old_sig"))
+    banded.join(stBands, Seq("band", "sig"))
+      .filter(col("old_id") =!= col("new_id"))
+      .join(stSigs, "old_id")
+      .withColumn("est_jaccard", round(
+        expr("size(filter(zip_with(new_sig, old_sig, (x, y) -> x = y), b -> b))" +
+          s" / CAST($numHashes AS DOUBLE)"), 6))
+      .filter(col("est_jaccard") >= minEstimate)
+      .select(least(col("old_id"), col("new_id")).as("id_a"),
+        greatest(col("old_id"), col("new_id")).as("id_b"),
+        col("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** SimHash increment: near-dup pairs of `newDocs` vs the stored corpus by
     * Hamming distance, via the stored band slices — the incremental twin of
     * [[simhashDupPairs]] (pigeonhole recall: complete for maxHamming ≤

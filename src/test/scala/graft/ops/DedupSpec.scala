@@ -328,6 +328,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got((1L, 5L)) == 0, "identical docs: identical simhash")
   }
 
+  test("row-local minhashSignature ≡ the aggregate minhashWide, on fixtures and real docs") {
+    import spark.implicits._
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val local = df.select(col("doc_id"),
+          Dedup.minhashSignature(col("text"), k = 3, numHashes = 16).as("sig"))
+        .filter(col("sig").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val wide = Dedup.minhashWide(df, "doc_id", "text", k = 3, numHashes = 16)
+        .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i)).toSeq).toMap
+      assert(local == wide, "the stateless per-row form must produce identical signatures")
+    }
+    check(docs)
+    check(spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50))
+    // no k-shingle → NULL signature (the streaming filter contract)
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+    assert(short.select(Dedup.minhashSignature(col("text"), 3, 16)).head().isNullAt(0))
+  }
+
   test("appendSignatureStore: later increments see appended batches; params are pinned") {
     import spark.implicits._
     val batch1 = Seq((1L, baseText), (4L, otherText)).toDF("doc_id", "text")

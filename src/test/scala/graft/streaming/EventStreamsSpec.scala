@@ -195,6 +195,40 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming ingest dedups against the persisted signature store (stream ≡ batch)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // corpus owns a store; new docs ARRIVE as a stream split across two
+    // micro-batches — every row is checked on arrival via stateless
+    // signatures + stream-static joins against the bucketed store tables
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq((1L, base),
+      (3L, "the quick brown fox sleeps all day long under a warm summer sun here"),
+      (4L, "completely different words about spark engines and parquet columnar files"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.writeSignatureStore(spark, corpus, "doc_id", "text", "graft_stream_store")
+    val incoming = Seq(
+      Doc(2L, ts(1), base.replace("today", "tonight")),
+      Doc(5L, ts(2), base),
+      Doc(6L, ts(3), "totally fresh content with no overlap whatsoever to anything stored"),
+      Doc(7L, ts(4), "too short")) // no 3-shingle signature → filtered, not crashed
+    val mem = MemoryStream[Doc]
+    mem.addData(incoming.take(2): _*)
+    mem.addData(incoming.drop(2): _*)
+    val streamed = EventStreams.runToMemory(spark,
+      graft.ops.Dedup.dedupIncrementStream(spark, mem.toDF(), "doc_id", "text",
+        "graft_stream_store", minEstimate = 0.5),
+      "stream_dedup_inc", org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batch = graft.ops.Dedup.dedupIncrement(spark,
+      incoming.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+      "doc_id", "text", "graft_stream_store", minEstimate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"dedup-on-arrival must equal the batch increment: $streamed vs $batch")
+    assert(streamed((1L, 5L)) == 1.0)
+  }
+
   test("journal stream tails warehouse appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft_js").toString
     val g = graft.engine.MemGraph(spark)
