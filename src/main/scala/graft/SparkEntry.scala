@@ -107,17 +107,23 @@ object SparkEntry {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   /** Memoized incremental-dedup signature store over the even-doc_id half of
-    * `documents` — the "existing corpus" side of d14. Built once per
-    * (session, dir); reps and the verify run hit only the bucketed tables.
+    * `documents` — the "existing corpus" side of d14. The durable ensure
+    * path (fingerprint over the documents file + the batch predicate)
+    * means the build runs once per CORPUS STATE, not once per process:
+    * bench child JVMs and later sessions re-register the existing bucketed
+    * files metadata-only (the StarWarehouse restart-survival contract).
     * The table name is md5-derived from the dir so distinct SF dirs never
     * collide in the shared warehouse. */
   private val dedupStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
   private def dedupStoreFor(s: SparkSession, d: String): String =
     dedupStoreMemo.getOrElseUpdate(s"${System.identityHashCode(s)}#$d", {
-      val name = "graft_dedupstore_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val batch1 = tPar(s, d, "documents").filter(col("doc_id") % 2 === 0)
-      graft.ops.Dedup.writeSignatureStore(s, batch1, "doc_id", "text", name)
+      import graft.engine.WarehouseMeta
+      val name = "graft_dedupstore_" + WarehouseMeta.md5Hex(d).take(12)
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/documents.parquet") + "#even#k3b4r4")
+      graft.ops.Dedup.ensureSignatureStore(s,
+        tPar(s, d, "documents").filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", name, fp)
       name
     })
 

@@ -49,9 +49,10 @@ object StarWarehouse {
   /** Drop memoized graphs (tables stay in the catalog until replaced). */
   def invalidate(): Unit = memo.clear()
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  // fingerprint / sidecar / lock primitives shared with the dedup
+  // signature store live in engine.WarehouseMeta (r9 extraction)
+  import graft.engine.WarehouseMeta.{md5Hex, sourceSignature, storedFingerprint,
+    tableLocation => metaLocation, deleteRecursively, withBuildLock}
 
   /** md5-derived so distinct (dir, buckets) configurations can't collide on
     * a 32-bit hashCode and silently overwrite each other's tables. */
@@ -62,41 +63,9 @@ object StarWarehouse {
     * warehouse dir — same hazard as WarehouseGraph.compactBucketed). */
   private def replaceTable(spark: SparkSession, name: String)(write: => Unit): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
-    if (Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(loc)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
+    deleteRecursively(metaLocation(spark, name))
     write
   }
-
-  /** Cheap change detector for the source dir: file listing only (relative
-    * path, size, mtime), never a data scan — listing 100 TB is O(files).
-    * Full FileTime precision (this host stamps nanoseconds): truncating to
-    * millis would make a same-size same-millisecond rewrite invisible and
-    * silently serve a stale warehouse. */
-  private def sourceSignature(dir: String): String = {
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(dir)
-    val walk = Files.walk(root)
-    val entries =
-      try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p))
-        .map(p => s"${root.relativize(p)}|${Files.size(p)}|" +
-          Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
-        .toSeq.sorted
-      finally walk.close()
-    md5Hex(entries.mkString("\n"))
-  }
-
-  private def storedFingerprint(spark: SparkSession, table: String): Option[String] =
-    try spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .properties.get("graft.fingerprint")
-    catch { case _: Exception => None }
 
   private[graft] def tableNames(dir: String, buckets: Int = 16): (String, String) = {
     val p = tablePrefix(dir, buckets)
@@ -104,64 +73,25 @@ object StarWarehouse {
   }
 
   private def tableLocation(spark: SparkSession, table: String): java.nio.file.Path =
-    Paths.get(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    metaLocation(spark, table)
 
   // ------------------------------------------- cross-JVM sidecar metadata
-
-  /** Tab-separated key/value lines: sig, buckets, and the two schema DDLs
-    * (none of which can contain tabs or newlines). Lives next to the table
-    * dirs so warehouse data + its registration recipe travel together. */
-  private def sidecarPath(spark: SparkSession, p: String): java.nio.file.Path =
-    tableLocation(spark, s"${p}_meta.tsv")
+  // Sidecar keys: sig, buckets, and the two schema DDLs (none can contain
+  // tabs/newlines). Lives next to the table dirs so warehouse data + its
+  // registration recipe travel together. Readers are NOT serialized against
+  // a concurrent rebuild — this is a plain-parquet layout, not a
+  // transactional table format; a deployment that rebuilds while serving
+  // queries needs a snapshot/transactional format (or single-writer
+  // discipline), which is out of scope here.
 
   private def writeSidecar(spark: SparkSession, p: String, sig: String,
-      buckets: Int, nodesDdl: String, edgesDdl: String): Unit = {
-    val body = Seq(
-      s"sig\t$sig", s"buckets\t$buckets",
-      s"nodes_schema\t$nodesDdl", s"edges_schema\t$edgesDdl").mkString("\n")
-    // temp + atomic rename: a concurrent reader never sees a torn sidecar
-    val target = sidecarPath(spark, p)
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
+      buckets: Int, nodesDdl: String, edgesDdl: String): Unit =
+    graft.engine.WarehouseMeta.writeSidecar(spark, s"${p}_meta.tsv", Map(
+      "sig" -> sig, "buckets" -> buckets.toString,
+      "nodes_schema" -> nodesDdl, "edges_schema" -> edgesDdl))
 
-  /** Cross-PROCESS build exclusion: an advisory file lock on
-    * `<prefix>.lock` in the warehouse dir (plus a JVM-global monitor, since
-    * OS file locks are per-process). Two JVMs racing an initial build would
-    * otherwise interleave replaceTable's recursive delete with the other
-    * writer's bucket files and then fingerprint the mixed result as valid.
-    * Readers are NOT serialized against a concurrent rebuild — this is a
-    * plain-parquet layout, not a transactional table format; a deployment
-    * that rebuilds while serving queries needs a snapshot/transactional
-    * format (or single-writer discipline), which is out of scope here. */
-  private val jvmBuildLock = new Object
-  private def withBuildLock[A](spark: SparkSession, p: String)(body: => A): A =
-    jvmBuildLock.synchronized {
-      val lockPath = tableLocation(spark, s"$p.lock")
-      Files.createDirectories(lockPath.getParent)
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock() // blocks until any other process's build ends
-        try body finally lock.release()
-      } finally ch.close()
-    }
-
-  private def readSidecar(spark: SparkSession, p: String): Option[Map[String, String]] = {
-    val f = sidecarPath(spark, p)
-    if (!Files.isRegularFile(f)) None
-    else try {
-      import scala.jdk.CollectionConverters._
-      Some(Files.readAllLines(f).asScala
-        .filter(_.contains('\t'))
-        .map { l => val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1) }
-        .toMap)
-    } catch { case _: java.io.IOException => None }
-  }
+  private def readSidecar(spark: SparkSession, p: String): Option[Map[String, String]] =
+    graft.engine.WarehouseMeta.readSidecar(spark, s"${p}_meta.tsv")
 
   /** Fresh-JVM path: the in-memory catalog lost the tables but the bucketed
     * files + sidecar survive — re-CREATE the table entries over the existing

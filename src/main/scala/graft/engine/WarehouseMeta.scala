@@ -1,0 +1,103 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Path, Paths}
+
+/** Shared primitives for durable, fingerprint-validated bucketed table sets
+  * ([[graft.StarWarehouse]] and the incremental-dedup signature store,
+  * `Dedup.ensureSignatureStore`): a 100 TB deployment must never rewrite a
+  * valid on-disk layout just because the process restarted, and must
+  * invalidate it exactly when the source data changed. */
+object WarehouseMeta {
+
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Cheap change detector for a source path (file or directory): file
+    * listing only (relative path, size, mtime), never a data scan — listing
+    * 100 TB is O(files). Full FileTime precision (this host stamps
+    * nanoseconds): truncating to millis would make a same-size
+    * same-millisecond rewrite invisible and silently serve a stale
+    * warehouse. */
+  def sourceSignature(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    val walk = Files.walk(root)
+    val entries =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .map(p => s"${root.relativize(p)}|${Files.size(p)}|" +
+          Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
+        .toSeq.sorted
+      finally walk.close()
+    md5Hex(entries.mkString("\n"))
+  }
+
+  def tableLocation(spark: SparkSession, table: String): Path =
+    Paths.get(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+
+  def deleteRecursively(loc: Path): Unit =
+    if (Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(loc)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+
+  /** The stored fingerprint of a catalog table, if any. */
+  def storedFingerprint(spark: SparkSession, table: String): Option[String] =
+    try spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.get("graft.fingerprint")
+    catch { case _: Exception => None }
+
+  /** Tab-separated key/value sidecar next to the table dirs (the build
+    * recipe travels with the data so a FRESH JVM — in-memory catalog, no
+    * metastore — can re-register existing files metadata-only). Written
+    * temp + atomic rename so a concurrent reader never sees a torn file. */
+  def writeSidecar(spark: SparkSession, name: String, kv: Map[String, String]): Unit = {
+    val target = tableLocation(spark, name)
+    val body = kv.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }.mkString("\n")
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  def readSidecar(spark: SparkSession, name: String): Option[Map[String, String]] = {
+    val f = tableLocation(spark, name)
+    if (!Files.isRegularFile(f)) None
+    else try {
+      import scala.jdk.CollectionConverters._
+      Some(Files.readAllLines(f).asScala
+        .filter(_.contains('\t'))
+        .map { l => val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1) }
+        .toMap)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Cross-PROCESS build exclusion: an advisory file lock on `<name>.lock`
+    * in the warehouse dir, plus a JVM-global monitor (OS file locks are
+    * per-process — a second lock() from the same JVM throws instead of
+    * blocking). Two JVMs racing an initial build would otherwise interleave
+    * one writer's recursive delete with the other's bucket files and then
+    * fingerprint the mixed result as valid. The single JVM-wide monitor
+    * (shared by all table sets) trades a little concurrency for the
+    * guarantee; builds are rare. */
+  private val jvmBuildLock = new Object
+  def withBuildLock[A](spark: SparkSession, name: String)(body: => A): A =
+    jvmBuildLock.synchronized {
+      val lockPath = tableLocation(spark, s"$name.lock")
+      Files.createDirectories(lockPath.getParent)
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until any other process's build ends
+        try body finally lock.release()
+      } finally ch.close()
+    }
+}

@@ -639,6 +639,71 @@ object Dedup {
       props)
   }
 
+  // fixed structural schemas of the three store tables (not data-dependent,
+  // so fresh-JVM re-registration needs no schema sidecar entries)
+  private val sigsDdl = "id BIGINT, sig ARRAY<BIGINT>"
+  private val bandsDdl = "id BIGINT, band INT, sig STRING"
+  private val simDdl = "id BIGINT, band INT, slice BIGINT, simhash BIGINT"
+
+  /** Durable store entry point — [[writeSignatureStore]] with the
+    * [[graft.StarWarehouse]] reuse contract (shared
+    * [[graft.engine.WarehouseMeta]] primitives): a store whose
+    * `fingerprint` matches is NEVER rebuilt — same-JVM reopens are
+    * catalog-metadata checks, a FRESH JVM (in-memory catalog) re-registers
+    * the existing bucketed files from the sidecar with zero Spark jobs,
+    * and a changed fingerprint (new/extended corpus batch) rebuilds. At
+    * 100 TB re-signing the corpus because a process restarted is exactly
+    * the cost this store exists to avoid — restart-survival is part of the
+    * contract, not an optimization. Returns true if a build ran.
+    *
+    * `fingerprint` should capture the SOURCE of the stored batch (e.g.
+    * [[graft.engine.WarehouseMeta.sourceSignature]] of the corpus files
+    * plus any selection predicate); callers that append afterwards
+    * ([[appendSignatureStore]]) own keeping it in sync. */
+  def ensureSignatureStore(spark: SparkSession, df: => DataFrame, idCol: String,
+      textCol: String, name: String, fingerprint: String, k: Int = 3,
+      bands: Int = 4, rowsPerBand: Int = 4, simBands: Int = 4,
+      buckets: Int = 16): Boolean = {
+    import graft.engine.WarehouseMeta
+    val (bandsT, sigsT, simT) = storeTables(name)
+    val tables = Seq(bandsT, sigsT, simT)
+    WarehouseMeta.withBuildLock(spark, name) {
+      val inCatalog = tables.forall(t => spark.catalog.tableExists(t) &&
+        WarehouseMeta.storedFingerprint(spark, t).contains(fingerprint))
+      lazy val reRegistered = WarehouseMeta.readSidecar(spark, s"${name}_meta.tsv")
+        .exists { m =>
+          m.get("sig").contains(fingerprint) &&
+            m.get("buckets").contains(buckets.toString) &&
+            tables.forall(t =>
+              java.nio.file.Files.isDirectory(WarehouseMeta.tableLocation(spark, t)) &&
+                !spark.catalog.tableExists(t)) && {
+              def create(table: String, ddl: String, bucketCol: String): Unit =
+                spark.sql(
+                  s"""CREATE TABLE $table ($ddl) USING PARQUET
+                     |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
+                     |LOCATION '${WarehouseMeta.tableLocation(spark, table).toUri}'
+                     |TBLPROPERTIES ('graft.fingerprint' = '$fingerprint',
+                     |  'graft.k' = '$k', 'graft.bands' = '$bands',
+                     |  'graft.rowsPerBand' = '$rowsPerBand', 'graft.simBands' = '$simBands')""".stripMargin)
+              create(sigsT, sigsDdl, "id")
+              create(bandsT, bandsDdl, "sig")
+              create(simT, simDdl, "slice")
+              true
+            }
+        }
+      if (inCatalog || reRegistered) false
+      else {
+        writeSignatureStore(spark, df, idCol, textCol, name, k, bands, rowsPerBand,
+          simBands, buckets)
+        tables.foreach(t => spark.sql(
+          s"ALTER TABLE $t SET TBLPROPERTIES ('graft.fingerprint' = '$fingerprint')"))
+        WarehouseMeta.writeSidecar(spark, s"${name}_meta.tsv", Map(
+          "sig" -> fingerprint, "buckets" -> buckets.toString))
+        true
+      }
+    }
+  }
+
   /** Append a new batch's signatures into an existing store (after the batch
     * has been deduped and accepted): insertInto writes bucket-correct files
     * for every table, so future increments keep their shuffle-free store

@@ -346,6 +346,65 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(short.select(Dedup.minhashSignature(col("text"), 3, 16)).head().isNullAt(0))
   }
 
+  /** Job counter (same discipline as BucketingSpec.withJobCount): drain the
+    * listener bus before attaching and before reading. */
+  private def withJobCount[A](body: => A): (A, Int) = {
+    import org.apache.spark.grafttest.ListenerDrain.drain
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val result = body
+      drain(spark.sparkContext)
+      (result, jobs.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("ensureSignatureStore: valid stores survive reopen AND process restart; stale fingerprints rebuild") {
+    import spark.implicits._
+    val b1 = Seq((1L, baseText), (4L, otherText)).toDF("doc_id", "text")
+    val name = "graft_spec_store_ensure"
+    val fp = "fp-round9-test-1"
+    val built = Dedup.ensureSignatureStore(spark, b1, "doc_id", "text", name, fp)
+    assert(built, "first ensure builds")
+
+    // same catalog, matching fingerprint: metadata-only, zero Spark jobs
+    val (rebuilt, jobs) = withJobCount(
+      Dedup.ensureSignatureStore(spark, b1, "doc_id", "text", name, fp))
+    assert(!rebuilt && jobs == 0,
+      s"matching-fingerprint reopen must run zero jobs (ran $jobs)")
+
+    // process restart: in-memory catalog loses the tables, files + sidecar
+    // survive — re-registration is metadata-only and the store still works
+    for (t <- Seq(s"${name}_bands", s"${name}_sigs", s"${name}_simhash"))
+      spark.sql(s"DROP TABLE $t")
+    val (rereg, jobs2) = withJobCount(
+      Dedup.ensureSignatureStore(spark, b1, "doc_id", "text", name, fp))
+    assert(!rereg && jobs2 == 0,
+      s"fresh-JVM re-registration must run zero jobs (ran $jobs2)")
+    val inc = Dedup.dedupIncrement(spark,
+      Seq((5L, baseText)).toDF("doc_id", "text"), "doc_id", "text", name,
+      minEstimate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(inc((1L, 5L)) == 1.0, "re-registered store must serve increments")
+
+    // corpus changed → new fingerprint → rebuild (and the new content wins)
+    val b1v2 = Seq((1L, baseText), (4L, otherText), (8L, halfText)).toDF("doc_id", "text")
+    val (rebuilt2, jobs3) = withJobCount(
+      Dedup.ensureSignatureStore(spark, b1v2, "doc_id", "text", name, "fp-round9-test-2"))
+    assert(rebuilt2 && jobs3 > 0, "a stale fingerprint must trigger a rebuild")
+    val inc2 = Dedup.dedupIncrement(spark,
+      Seq((9L, halfText)).toDF("doc_id", "text"), "doc_id", "text", name,
+      minEstimate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(inc2((8L, 9L)) == 1.0, "rebuilt store carries the new batch")
+  }
+
   test("appendSignatureStore: later increments see appended batches; params are pinned") {
     import spark.implicits._
     val batch1 = Seq((1L, baseText), (4L, otherText)).toDF("doc_id", "text")
