@@ -710,6 +710,20 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id")).limit(5)
     }),
 
+    // IVF multi-probe (the recall dial s09's single-cell probe lacks): the
+    // query scans its 2 nearest of the 3 cells — scanned fraction
+    // nprobe/nlist; probe-set derivation is the same shuffle-free codegen
+    // projection as the corpus assignment
+    "s14_ann_ivf_nprobe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cb = emb.filter(col("vec_id").isin(1, 5, 9))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1).toSeq
+      Similarity.ivfTopKNprobe(emb, "vec_id", "embedding", cb,
+        queryId = 7, k = 5, nprobe = 2)
+    }),
+
     // epoch-style fractional upsampling: label 0 ×2.5, label 1 ×0.5 (halved),
     // label 3 ×1.25 — weights chosen with exact binary fractions so the
     // hash-threshold comparison is FP-identical across engines
@@ -1702,6 +1716,31 @@ object SparkEntry {
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * q.qn), 4) AS cosine
         |FROM e JOIN asg a ON a.vec_id = e.vec_id CROSS JOIN q
         |WHERE e.vec_id <> 7 AND a.cid = q.qcid
+        |ORDER BY cosine DESC, id LIMIT 5""".stripMargin,
+
+    // s09's CTEs with the probe widened from the argmax cell to the
+    // query's top-2 cells (same 6-dp rounding and lowest-cid tie rule)
+    "s14_ann_ivf_nprobe" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM e WHERE vec_id IN (1, 5, 9)),
+        |scored AS (SELECT e.vec_id, cb.cid,
+        |  ROUND(list_sum(list_transform(list_zip(e.embedding, cb.cvec),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * cb.cnrm), 6) AS sim
+        |  FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        |  FROM scored) WHERE rk = 1),
+        |qprobe AS (SELECT cid FROM (
+        |  SELECT cid, ROW_NUMBER() OVER (ORDER BY sim DESC, cid) AS rk
+        |  FROM scored WHERE vec_id = 7) WHERE rk <= 2),
+        |q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 7)
+        |SELECT e.vec_id AS id, a.cid AS cid,
+        |  ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * q.qn), 4) AS cosine
+        |FROM e JOIN asg a ON a.vec_id = e.vec_id CROSS JOIN q
+        |WHERE e.vec_id <> 7 AND a.cid IN (SELECT cid FROM qprobe)
         |ORDER BY cosine DESC, id LIMIT 5""".stripMargin,
 
     // mirrors encodePq + pqTopK: per-subspace squared-L2 to the 1/5/9

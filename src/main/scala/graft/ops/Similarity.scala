@@ -160,6 +160,56 @@ object Similarity {
       .drop("_best")
   }
 
+  /** The `nprobe` nearest codebook cells for a vector, as an array column —
+    * the IVF multi-probe set. Same scoring/rounding/tie rules as
+    * [[assignByCodebook]] (cosine rounded to `roundTo`, ties → lowest cid;
+    * `probeCells(...)[0]` IS the assignment), computed like it: the tiny
+    * codebook folds into one projected expression, so deriving each
+    * query's probe set is pure codegen'd map work — no shuffle, no join,
+    * no driver collect of query vectors. */
+  def probeCells(vecCol: Column, codebook: Seq[(Int, Seq[Double])],
+      nprobe: Int, roundTo: Int = 6): Column = {
+    require(codebook.nonEmpty, "empty codebook")
+    require(nprobe >= 1 && nprobe <= codebook.size,
+      s"nprobe $nprobe outside [1, ${codebook.size}]")
+    require(codebook.forall { case (_, v) => v.exists(_ != 0.0) },
+      "codebook contains a zero vector (undefined cosine)")
+    val v = vecCol
+    val n = norm(v)
+    val scored = codebook.map { case (cid, cvec) =>
+      val cArr = array(cvec.map(lit): _*)
+      val cNorm = math.sqrt(cvec.map(x => x * x).sum)
+      // lexicographic struct sort: ascending (−sim, cid) = best sim first,
+      // ties to the lowest cid — the assignByCodebook order
+      struct((-round(dot(v, cArr) / (n * lit(cNorm)), roundTo)).as("negsim"),
+        lit(cid).as("cid"))
+    }
+    slice(transform(array_sort(array(scored: _*)), s => s.getField("cid")),
+      1, nprobe)
+  }
+
+  /** IVF top-k with multi-probe: the query scans its `nprobe` NEAREST
+    * cells instead of only the argmax cell — the recall dial IVF ships
+    * (scanned fraction ≈ nprobe/nlist). nprobe = 1 is exactly the
+    * single-cell probe; nprobe = nlist degenerates to brute force.
+    * Corpus assignment stays the shuffle-free [[assignByCodebook]]
+    * projection; the probe set rides the broadcast query row. */
+  def ivfTopKNprobe(df: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[(Int, Seq[Double])], queryId: Long, k: Int,
+      nprobe: Int, roundTo: Int = 4): DataFrame = {
+    ensureExprs(df)
+    val assigned = assignByCodebook(df, vecCol, codebook)
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"),
+        probeCells(col(vecCol), codebook, nprobe).as("qcells"))
+    assigned.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), array_contains(col("qcells"), col("_cid")))
+      .select(col(idCol).as("id"), col("_cid").as("cid"),
+        round(cosine(col(vecCol), col("qv")), roundTo).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a value in [-0.5, 0.5) derived from md5 — reproducible everywhere. */
   private def planeComponent(plane: Column, dim: Column): Column =

@@ -181,6 +181,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"assignment must be shuffle-free:\n$plan")
   }
 
+  test("ivfTopKNprobe: probeCells[0] = assignment; nprobe=nlist = brute force; recall monotone") {
+    val cb = Seq(
+      (0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)), (2, Seq(0.0, 0.0, 1.0)))
+    // probe ranking head is exactly the assignByCodebook argmax (same
+    // rounding + lowest-cid tie rule)
+    val both = Similarity.assignByCodebook(vecs, "embedding", cb)
+      .select(col("vec_id"), col("_cid"),
+        Similarity.probeCells(col("embedding"), cb, nprobe = 3).as("cells"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](2).head == r.getInt(1),
+        s"probeCells[0] must equal the assignment for vec ${r.getLong(0)}")
+    }
+    // query 6 sits between the x and y cells: nprobe=2 must reach members
+    // of BOTH clusters, which the single-cell probe cannot
+    val n1 = Similarity.ivfTopKNprobe(vecs, "vec_id", "embedding", cb,
+      queryId = 6, k = 5, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    val n2 = Similarity.ivfTopKNprobe(vecs, "vec_id", "embedding", cb,
+      queryId = 6, k = 5, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(n1.subsetOf(Set(0L, 1L, 2L)) || n1.subsetOf(Set(3L, 4L)),
+      "single-cell probe sees one cluster only")
+    assert(n2.intersect(Set(0L, 1L, 2L)).nonEmpty && n2.intersect(Set(3L, 4L)).nonEmpty,
+      "nprobe=2 reaches both adjacent clusters")
+    // nprobe = nlist degenerates to the exact brute-force ranking
+    val all = Similarity.ivfTopKNprobe(vecs, "vec_id", "embedding", cb,
+      queryId = 6, k = 6, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", queryId = 6, k = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(all.toSeq == brute.toSeq, "probing every cell must equal brute force")
+  }
+
   test("lsh top-k cosines agree with brute force on the shared ids") {
     val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", queryId = 0, k = 6)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
