@@ -611,26 +611,44 @@ object Dedup {
     * (band, sig) join's clustering), only the new batch moves. */
   def writeSignatureStore(spark: SparkSession, df: DataFrame, idCol: String,
       textCol: String, name: String, k: Int = 3, bands: Int = 4,
-      rowsPerBand: Int = 4, simBands: Int = 4, buckets: Int = 16): Unit = {
+      rowsPerBand: Int = 4, simBands: Int = 4, buckets: Int = 16,
+      maxBucket: Long = Long.MaxValue): Unit = {
     val numHashes = bands * rowsPerBand
     val (bandsT, sigsT, simT) = storeTables(name)
     val props = Map(
       "graft.k" -> k.toString, "graft.bands" -> bands.toString,
       "graft.rowsPerBand" -> rowsPerBand.toString,
-      "graft.simBands" -> simBands.toString)
+      "graft.simBands" -> simBands.toString,
+      "graft.maxBucket" -> maxBucket.toString)
     val wide = minhashWide(df, idCol, textCol, k, numHashes)
     replaceBucketedTable(spark, sigsT, "id", buckets,
       wide.select(col("id"),
         array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig")),
       props)
-    // derive bands from the just-written sigs table: no second text pass
+    // derive bands from the just-written sigs table: no second text pass.
+    // `maxBucket` is the [[lshCandidates]] degenerate-bucket guard applied
+    // at the STORE: a (band, sig) bucket larger than the cap is excluded
+    // from the probe table — at corpus scale one degenerate signature
+    // (thousands of near-empty docs) would otherwise fan out against every
+    // future increment forever. Opt-in like every cap here, and never
+    // silent: [[storeOverflowBuckets]] re-derives exactly what was dropped
+    // from the (persisted, text-free) signature table.
     val sigs = spark.table(sigsT)
     val wideBack = sigs.select(col("id") +:
       (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh_$i")): _*)
-    replaceBucketedTable(spark, bandsT, "sig", buckets,
-      wideBack.select(col("id"), explode(bandStructs(bands, rowsPerBand)).as("bs"))
-        .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig")),
-      props)
+    val allBands = wideBack
+      .select(col("id"), explode(bandStructs(bands, rowsPerBand)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val keptBands =
+      if (maxBucket == Long.MaxValue) allBands
+      else {
+        val fits = allBands.groupBy("band", "sig")
+          .agg(count(lit(1)).as("bcount"))
+          .filter(col("bcount") <= maxBucket)
+          .select("band", "sig")
+        allBands.join(fits, Seq("band", "sig"), "left_semi")
+      }
+    replaceBucketedTable(spark, bandsT, "sig", buckets, keptBands, props)
     replaceBucketedTable(spark, simT, "slice", buckets,
       simhash(df, idCol, textCol)
         .select(col("id"), col("simhash"), explode(simhashSliceStructs(simBands)).as("bs"))
@@ -663,7 +681,7 @@ object Dedup {
   def ensureSignatureStore(spark: SparkSession, df: => DataFrame, idCol: String,
       textCol: String, name: String, fingerprint: String, k: Int = 3,
       bands: Int = 4, rowsPerBand: Int = 4, simBands: Int = 4,
-      buckets: Int = 16): Boolean = {
+      buckets: Int = 16, maxBucket: Long = Long.MaxValue): Boolean = {
     import graft.engine.WarehouseMeta
     val (bandsT, sigsT, simT) = storeTables(name)
     val tables = Seq(bandsT, sigsT, simT)
@@ -694,7 +712,7 @@ object Dedup {
       if (inCatalog || reRegistered) false
       else {
         writeSignatureStore(spark, df, idCol, textCol, name, k, bands, rowsPerBand,
-          simBands, buckets)
+          simBands, buckets, maxBucket)
         tables.foreach(t => spark.sql(
           s"ALTER TABLE $t SET TBLPROPERTIES ('graft.fingerprint' = '$fingerprint')"))
         WarehouseMeta.writeSidecar(spark, s"${name}_meta.tsv", Map(
@@ -704,10 +722,35 @@ object Dedup {
     }
   }
 
+  /** The (band, sig) buckets a store built with `maxBucket` EXCLUDED from
+    * its probe table — re-derived from the persisted signature table (no
+    * text), so the cap is auditable forever, not just at build time.
+    * Returns (band, sig, bcount > maxBucket). */
+  def storeOverflowBuckets(spark: SparkSession, name: String,
+      maxBucket: Long): DataFrame = {
+    val (bandsT, sigsT, _) = storeTables(name)
+    val p = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(bandsT)).properties
+    val (bands, rowsPerBand) = (p("graft.bands").toInt, p("graft.rowsPerBand").toInt)
+    val numHashes = bands * rowsPerBand
+    spark.table(sigsT)
+      .select(col("id") +:
+        (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh_$i")): _*)
+      .select(col("id"), explode(bandStructs(bands, rowsPerBand)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .groupBy("band", "sig")
+      .agg(count(lit(1)).as("bcount"))
+      .filter(col("bcount") > maxBucket)
+  }
+
   /** Append a new batch's signatures into an existing store (after the batch
     * has been deduped and accepted): insertInto writes bucket-correct files
     * for every table, so future increments keep their shuffle-free store
-    * side. The maintained-index analog of [[graft.query.Fts.upsertPostings]]. */
+    * side. The maintained-index analog of [[graft.query.Fts.upsertPostings]].
+    * NOTE appends do not re-evaluate a build-time `maxBucket` cap (each
+    * append is bounded by its batch; a bucket that grows past the cap
+    * across many appends is re-capped at the next fingerprint rebuild —
+    * audit any time via [[storeOverflowBuckets]]). */
   def appendSignatureStore(spark: SparkSession, df: DataFrame, idCol: String,
       textCol: String, name: String): Unit = {
     val (bandsT, sigsT, simT) = storeTables(name)

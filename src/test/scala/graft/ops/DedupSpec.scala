@@ -346,6 +346,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(short.select(Dedup.minhashSignature(col("text"), 3, 16)).head().isNullAt(0))
   }
 
+  test("store maxBucket cap drops degenerate probe buckets, audited, never silent") {
+    import spark.implicits._
+    // three identical docs share every band signature → every bucket has
+    // size 3; one unrelated doc sits alone. maxBucket=2 must exclude the
+    // clones' buckets from the probe table while keeping their signatures.
+    val clones = Seq((1L, baseText), (2L, baseText), (3L, baseText),
+      (4L, otherText)).toDF("doc_id", "text")
+    Dedup.writeSignatureStore(spark, clones, "doc_id", "text",
+      "graft_spec_capped", maxBucket = 2)
+    // the probe table kept only the singleton buckets
+    val bandIds = spark.table("graft_spec_capped_bands")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(bandIds == Set(4L), s"capped buckets must leave the probe table: $bandIds")
+    // signatures are intact (the verify table is never capped)
+    assert(spark.table("graft_spec_capped_sigs").count() == 4)
+    // an increment with another clone finds nothing via the capped buckets
+    val inc = Dedup.dedupIncrement(spark, Seq((9L, baseText)).toDF("doc_id", "text"),
+      "doc_id", "text", "graft_spec_capped", minEstimate = 0.5)
+    assert(inc.collect().isEmpty, "capped buckets must not generate candidates")
+    // and the audit names exactly the dropped buckets (count 3 > 2, all 4 bands)
+    val overflow = Dedup.storeOverflowBuckets(spark, "graft_spec_capped", maxBucket = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(overflow.length == 4 && overflow.forall(_._2 == 3L),
+      s"audit must name the 4 dropped per-band buckets: ${overflow.toSeq}")
+  }
+
   /** Job counter (same discipline as BucketingSpec.withJobCount): drain the
     * listener bus before attaching and before reading. */
   private def withJobCount[A](body: => A): (A, Int) = {
