@@ -110,6 +110,21 @@ object Demo {
       org.apache.spark.sql.streaming.OutputMode.Append())
     println(s"  streamed ${tail.count()} journal rows after compaction")
 
+    println(s"== incremental dedup: signature store over $dir documents ==")
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val shard = docs.filter(col("doc_id") % 2 === 1)
+    graft.ops.Dedup.writeSignatureStore(spark, corpus, "doc_id", "text", "graft_demo_store")
+    val dups = graft.ops.Dedup.dedupIncrement(spark, shard, "doc_id", "text",
+      "graft_demo_store", minEstimate = 0.5)
+    println(s"  shard-vs-corpus dup pairs (est >= 0.5): ${dups.count()} " +
+      "(corpus text NOT re-read - store tables only)")
+
+    println("== FTS snippet over documents ==")
+    graft.query.Fts.snippet(docs, "doc_id", "text", Seq("spark", "join"), maxTokens = 7)
+      .orderBy(col("uid")).show(3, truncate = false)
+
     println(s"== star projection fetch over $dir ==")
     val df = Fetch.df(star, Fetch.Args(
       chain = "[n:nation,members] <(e:InNation)- (c:customer)",

@@ -290,6 +290,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains(b1Path), s"increment plan must not re-scan batch-1 text:\n$plan")
     assert(plan.contains("graft_spec_store_bands") && plan.contains("graft_spec_store_sigs"),
       "candidates and verify must come from the persisted store tables")
+    // and the store is never RE-SHUFFLED: no shuffle exchange sits above
+    // the bucketed _bands scan (the new batch broadcasts/shuffles TO the
+    // store's layout, never the store to the batch's)
+    inc.collect() // materialize so AQE finalizes the executed plan
+    def hasBandsScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.endsWith("_bands")) => f
+      }.nonEmpty
+    val reshuffled = inc.queryExecution.executedPlan.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if hasBandsScan(e) => e
+    }
+    assert(reshuffled.isEmpty,
+      s"the store-side bands table must never re-shuffle:\n${inc.queryExecution.executedPlan}")
 
     val got = inc.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(got((1L, 5L)) == 1.0, "exact copy of stored doc: every minhash matches")
