@@ -114,6 +114,20 @@ object SparkEntry {
     * files metadata-only (the StarWarehouse restart-survival contract).
     * The table name is md5-derived from the dir so distinct SF dirs never
     * collide in the shared warehouse. */
+  /** Memoized persisted vector index over `embeddings` (bits=4, the s07
+    * configuration) — same durable ensure discipline as [[dedupStoreFor]]. */
+  private val vectorIndexMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def vectorIndexFor(s: SparkSession, d: String): String =
+    vectorIndexMemo.getOrElseUpdate(s"${System.identityHashCode(s)}#$d", {
+      import graft.engine.WarehouseMeta
+      val name = "graft_vecindex_" + WarehouseMeta.md5Hex(d).take(12)
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/embeddings.parquet") + "#bits4")
+      Similarity.ensureVectorIndex(s, t(s, d, "embeddings"),
+        "vec_id", "embedding", name, fp, bits = 4)
+      name
+    })
+
   private val dedupStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
   private def dedupStoreFor(s: SparkSession, d: String): String =
     dedupStoreMemo.getOrElseUpdate(s"${System.identityHashCode(s)}#$d", {
@@ -710,6 +724,18 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id")).limit(5)
     }),
 
+    // s07 through a PERSISTED vector index (the durable-layout twin): the
+    // corpus's LSH layout lives in a bucketed table that survives process
+    // restarts (fingerprint + sidecar re-registration, like the d14
+    // signature store) — probes read pre-clustered partitions with no
+    // per-session re-bucketing, and results are bit-identical to s07
+    "s15_ann_index_store" -> ((s, d) => {
+      val name = vectorIndexFor(s, d)
+      val (bucketed, _) = Similarity.vectorIndex(s, name, "vec_id", "embedding")
+      Similarity.cosineLshTopKBatch(bucketed,
+        bucketed.filter(col("vec_id").isin(0, 7, 11)), "vec_id", "embedding", k = 5)
+    }),
+
     // IVF multi-probe (the recall dial s09's single-cell probe lacks): the
     // query scans its 2 nearest of the 3 cells — scanned fraction
     // nprobe/nlist; probe-set derivation is the same shuffle-free codegen
@@ -915,6 +941,34 @@ object SparkEntry {
 
   // shared by the g* chain queries and their bucketed-warehouse w* twins
   // (identical data, identical semantics — only the storage layout differs)
+  /** Batched LSH top-k twin (bits=4, queries 0/7/11, k=5) — shared by s07
+    * (ad-hoc bucketize) and s15 (persisted vector index): identical math,
+    * different corpus layout. */
+  private val AnnBatchSql = {
+    def proj(p: Int): String =
+      s"list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * " +
+      s"((('0x' || substr(md5(concat('$p:', i - 1)), 1, 8))::BIGINT / 4294967296.0) - 0.5)))"
+    s"""WITH e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |eb AS (SELECT vec_id, embedding, nrm,
+      |    (CASE WHEN ${proj(0)} > 0 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN ${proj(1)} > 0 THEN 2 ELSE 0 END)
+      |  + (CASE WHEN ${proj(2)} > 0 THEN 4 ELSE 0 END)
+      |  + (CASE WHEN ${proj(3)} > 0 THEN 8 ELSE 0 END) AS blk
+      |  FROM e),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, blk AS qb
+      |  FROM eb WHERE vec_id IN (0, 7, 11)),
+      |scored AS (SELECT q.query_id, eb.vec_id AS id,
+      |  ROUND(list_sum(list_transform(list_zip(eb.embedding, q.qv),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (eb.nrm * q.qn), 4) AS cosine
+      |  FROM eb JOIN q ON eb.blk = q.qb AND eb.vec_id <> q.query_id)
+      |SELECT query_id, id, cosine FROM (
+      |  SELECT query_id, id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rk
+      |  FROM scored) WHERE rk <= 5""".stripMargin
+  }
+
   private val OrderCountsSql =
     """SELECT 'customer:' || c_custkey AS uid, COUNT(*) AS ordercount
       |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -1596,30 +1650,12 @@ object SparkEntry {
 
     // mirrors Similarity.bucketize(bits=4) + cosineLshTopKBatch: same
     // hyperplane construction as the d06 oracle, per-query window top-k
-    "s07_ann_batch" -> {
-      def proj(p: Int): String =
-        s"list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * " +
-        s"((('0x' || substr(md5(concat('$p:', i - 1)), 1, 8))::BIGINT / 4294967296.0) - 0.5)))"
-      s"""WITH e AS (SELECT vec_id, embedding,
-        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |eb AS (SELECT vec_id, embedding, nrm,
-        |    (CASE WHEN ${proj(0)} > 0 THEN 1 ELSE 0 END)
-        |  + (CASE WHEN ${proj(1)} > 0 THEN 2 ELSE 0 END)
-        |  + (CASE WHEN ${proj(2)} > 0 THEN 4 ELSE 0 END)
-        |  + (CASE WHEN ${proj(3)} > 0 THEN 8 ELSE 0 END) AS blk
-        |  FROM e),
-        |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, blk AS qb
-        |  FROM eb WHERE vec_id IN (0, 7, 11)),
-        |scored AS (SELECT q.query_id, eb.vec_id AS id,
-        |  ROUND(list_sum(list_transform(list_zip(eb.embedding, q.qv),
-        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (eb.nrm * q.qn), 4) AS cosine
-        |  FROM eb JOIN q ON eb.blk = q.qb AND eb.vec_id <> q.query_id)
-        |SELECT query_id, id, cosine FROM (
-        |  SELECT query_id, id, cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rk
-        |  FROM scored) WHERE rk <= 5""".stripMargin
-    },
+    "s07_ann_batch" -> AnnBatchSql,
+
+    // the persisted index must return EXACTLY the ad-hoc bucketize answer:
+    // same twin as s07 — the index changes where the layout lives (a
+    // bucketed table vs a per-query repartition), never the results
+    "s15_ann_index_store" -> AnnBatchSql,
 
     // s07's approx CTEs + a bucketless exact baseline, joined per (query, id)
     "s12_ann_recall" -> {

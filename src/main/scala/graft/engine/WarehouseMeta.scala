@@ -80,6 +80,24 @@ object WarehouseMeta {
     } catch { case _: java.io.IOException => None }
   }
 
+  /** DROP + clear any orphaned table dir (in-memory catalog, durable
+    * warehouse dir), then write `df` as an EXTERNAL bucketed table
+    * clustered+sorted on `bucketCol` with `props` pinned in TBLPROPERTIES. */
+  def replaceBucketedTable(spark: SparkSession, table: String,
+      bucketCol: String, buckets: Int, df: org.apache.spark.sql.DataFrame,
+      props: Map[String, String]): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    deleteRecursively(tableLocation(spark, table))
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", tableLocation(spark, table).toString)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+    if (props.nonEmpty) {
+      val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+    }
+  }
+
   /** Cross-PROCESS build exclusion: an advisory file lock on `<name>.lock`
     * in the warehouse dir, plus a JVM-global monitor (OS file locks are
     * per-process — a second lock() from the same JVM throws instead of

@@ -553,30 +553,11 @@ object Dedup {
     }: _*)
   }
 
-  /** DROP + clear any orphaned table dir (in-memory catalog, durable
-    * warehouse dir — same hazard [[graft.StarWarehouse]] handles), then
-    * write `df` as an EXTERNAL bucketed table clustered on `bucketCol`. */
   private def replaceBucketedTable(spark: SparkSession, table: String,
       bucketCol: String, buckets: Int, df: DataFrame,
-      props: Map[String, String]): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(loc)
-      try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-      finally walk.close()
-    }
-    df.write.mode(SaveMode.Overwrite)
-      .option("path", loc.toString)
-      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .saveAsTable(table)
-    if (props.nonEmpty) {
-      val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
-      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
-    }
-  }
+      props: Map[String, String]): Unit =
+    graft.engine.WarehouseMeta.replaceBucketedTable(
+      spark, table, bucketCol, buckets, df, props)
 
   /** The store's signing parameters, pinned in TBLPROPERTIES at build time
     * so an increment with mismatched (k, bands, rowsPerBand, simBands) fails

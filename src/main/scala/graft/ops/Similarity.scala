@@ -381,6 +381,76 @@ object Similarity {
       df.withColumn("_bucket", lshBucket(col(vecCol), bits)),
       idCol, vecCol, queryId, k, roundTo)
 
+  // ------------------------------------------------- persisted vector index
+
+  /** The vector-search analog of the dedup signature store: [[bucketize]]'s
+    * LSH layout persisted as ONE bucketed table `<name>_vlsh`
+    * (id BIGINT, vec ARRAY<FLOAT>, bucket BIGINT — canonical names so
+    * fresh-JVM re-registration needs no schema sidecar), clustered+sorted
+    * by bucket. Queries across sessions and processes probe pre-clustered
+    * partitions without re-bucketing the corpus; `bits` is pinned in
+    * TBLPROPERTIES so query-side bucket derivation always hashes with the
+    * stored planes. Same [[graft.engine.WarehouseMeta]] durability
+    * contract as `Dedup.ensureSignatureStore`: matching fingerprint never
+    * rebuilds (fresh JVM re-registers metadata-only), changed fingerprint
+    * rebuilds. Returns true if a build ran. */
+  def ensureVectorIndex(spark: org.apache.spark.sql.SparkSession,
+      df: => DataFrame, idCol: String, vecCol: String, name: String,
+      fingerprint: String, bits: Int, buckets: Int = 16): Boolean = {
+    import graft.engine.WarehouseMeta
+    val table = s"${name}_vlsh"
+    WarehouseMeta.withBuildLock(spark, name) {
+      val inCatalog = spark.catalog.tableExists(table) &&
+        WarehouseMeta.storedFingerprint(spark, table).contains(fingerprint)
+      lazy val reRegistered = WarehouseMeta.readSidecar(spark, s"${name}_meta.tsv")
+        .exists { m =>
+          m.get("sig").contains(fingerprint) &&
+            m.get("buckets").contains(buckets.toString) &&
+            m.get("bits").contains(bits.toString) &&
+            java.nio.file.Files.isDirectory(WarehouseMeta.tableLocation(spark, table)) &&
+            !spark.catalog.tableExists(table) && {
+              spark.sql(
+                s"""CREATE TABLE $table (id BIGINT, vec ARRAY<FLOAT>, bucket BIGINT)
+                   |USING PARQUET
+                   |CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS
+                   |LOCATION '${WarehouseMeta.tableLocation(spark, table).toUri}'
+                   |TBLPROPERTIES ('graft.fingerprint' = '$fingerprint',
+                   |  'graft.bits' = '$bits')""".stripMargin)
+              true
+            }
+        }
+      if (inCatalog || reRegistered) false
+      else {
+        val src = df
+        val bucket = probeDim(src, vecCol)
+          .map(dim => lshBucket(col(vecCol), bits, dim))
+          .getOrElse(lshBucket(col(vecCol), bits))
+        WarehouseMeta.replaceBucketedTable(spark, table, "bucket", buckets,
+          src.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+            bucket.as("bucket")),
+          Map("graft.fingerprint" -> fingerprint, "graft.bits" -> bits.toString))
+        WarehouseMeta.writeSidecar(spark, s"${name}_meta.tsv", Map(
+          "sig" -> fingerprint, "buckets" -> buckets.toString,
+          "bits" -> bits.toString))
+        true
+      }
+    }
+  }
+
+  /** The stored index as a [[bucketize]]-shaped frame (idCol/vecCol names
+    * restored, `_bucket` ready for every `cosineLshTopK*` operator) plus
+    * its stored `bits`. */
+  def vectorIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+      idCol: String, vecCol: String): (DataFrame, Int) = {
+    val table = s"${name}_vlsh"
+    val bits = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.getOrElse("graft.bits",
+        sys.error(s"$table has no graft.bits property — not a vector index")).toInt
+    (spark.table(table).select(col("id").as(idCol), col("vec").as(vecCol),
+      col("bucket").as("_bucket")), bits)
+  }
+
   // ----------------------------------------------------- product quantization
 
   /** Squared L2 distance between two array columns as an ordered left fold

@@ -181,6 +181,38 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), s"assignment must be shuffle-free:\n$plan")
   }
 
+  test("persisted vector index: ≡ ad-hoc bucketize; survives restart; stale fingerprint rebuilds") {
+    val built = Similarity.ensureVectorIndex(spark, vecs, "vec_id", "embedding",
+      "graft_spec_vidx", "vfp-1", bits = 4)
+    assert(built)
+    // reopen with matching fingerprint: no rebuild
+    assert(!Similarity.ensureVectorIndex(spark, vecs, "vec_id", "embedding",
+      "graft_spec_vidx", "vfp-1", bits = 4))
+    val (indexed, bits) = Similarity.vectorIndex(spark, "graft_spec_vidx",
+      "vec_id", "embedding")
+    assert(bits == 4, "stored bits travel with the table")
+    val queries = indexed.filter(col("vec_id").isin(0, 3))
+    val viaIndex = Similarity.cosineLshTopKBatch(indexed, queries,
+      "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val adhoc = Similarity.bucketize(vecs, "embedding", bits = 4)
+    val direct = Similarity.cosineLshTopKBatch(adhoc,
+      adhoc.filter(col("vec_id").isin(0, 3)), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == direct, "the index changes the layout, never the answer")
+    // restart simulation: catalog entry dropped, files + sidecar survive
+    spark.sql("DROP TABLE graft_spec_vidx_vlsh")
+    assert(!Similarity.ensureVectorIndex(spark, vecs, "vec_id", "embedding",
+      "graft_spec_vidx", "vfp-1", bits = 4), "fresh JVM re-registers, never rebuilds")
+    assert(Similarity.vectorIndex(spark, "graft_spec_vidx", "vec_id", "embedding")
+      ._1.count() == vecs.count())
+    // corpus changed: rebuild
+    assert(Similarity.ensureVectorIndex(spark, vecs.limit(5), "vec_id", "embedding",
+      "graft_spec_vidx", "vfp-2", bits = 4), "stale fingerprint rebuilds")
+    assert(Similarity.vectorIndex(spark, "graft_spec_vidx", "vec_id", "embedding")
+      ._1.count() == 5)
+  }
+
   test("ivfTopKNprobe: probeCells[0] = assignment; nprobe=nlist = brute force; recall monotone") {
     val cb = Seq(
       (0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)), (2, Seq(0.0, 0.0, 1.0)))
