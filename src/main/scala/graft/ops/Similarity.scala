@@ -451,6 +451,33 @@ object Similarity {
       col("bucket").as("_bucket")), bits)
   }
 
+  /** STREAMING ANN candidates against the persisted index: query vectors
+    * arrive as a stream, each row derives its probe bucket locally
+    * ([[lshBucket]] is already a stateless per-row expression), and a
+    * stream-STATIC join against the bucketed index scores every candidate
+    * in the query's bucket — append-mode, zero stateful operators.
+    *
+    * Deliberately emits SCORED CANDIDATES, not top-k: per-query ranking on
+    * an unbounded stream is a stateful aggregation whose state never
+    * closes without a watermark contract; the production shape is
+    * candidates → downstream ranker (or a windowed top-k the caller owns).
+    * Exact cosines ride along, so ranking is a trivial consumer step;
+    * SimilaritySpec pins candidate-set ≡ the batch scored set. */
+  def annCandidatesStream(spark: org.apache.spark.sql.SparkSession,
+      queryStream: DataFrame, idCol: String, vecCol: String, name: String,
+      roundTo: Int = 4): DataFrame = {
+    val (indexed, bits) = vectorIndex(spark, name, "id", "vec")
+    ensureExprs(queryStream)
+    val dim = probeDim(indexed, "vec")
+    val qBucket = dim.map(d => lshBucket(col(vecCol), bits, d))
+      .getOrElse(lshBucket(col(vecCol), bits))
+    val q = queryStream.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      qBucket.as("qb"))
+    q.join(indexed, col("_bucket") === col("qb") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(cosine(col("vec"), col("qv")), roundTo).as("cosine"))
+  }
+
   // ----------------------------------------------------- product quantization
 
   /** Squared L2 distance between two array columns as an ordered left fold

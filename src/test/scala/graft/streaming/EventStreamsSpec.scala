@@ -11,6 +11,7 @@ import java.sql.Timestamp
 final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+final case class Vec(vec_id: Long, embedding: Array[Float])
 
 /** Streaming surface semantics pinned against batch twins using
   * MemoryStream micro-batches (SURVEY §2.9). */
@@ -227,6 +228,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty && streamed == batch,
       s"dedup-on-arrival must equal the batch increment: $streamed vs $batch")
     assert(streamed((1L, 5L)) == 1.0)
+  }
+
+  test("streaming ANN candidates against the persisted vector index ≡ batch scored set") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(
+      (10L, Array(1.00f, 0.02f, 0.01f)), (11L, Array(0.98f, 0.05f, 0.03f)),
+      (12L, Array(0.02f, 1.00f, 0.02f)), (13L, Array(0.01f, 0.03f, 1.00f)))
+      .toDF("vec_id", "embedding")
+    graft.ops.Similarity.ensureVectorIndex(spark, corpus, "vec_id", "embedding",
+      "graft_stream_vidx", "svfp-1", bits = 3)
+    // queries arrive across two micro-batches (ids distinct from the corpus)
+    val mem = MemoryStream[Vec]
+    mem.addData(Vec(100L, Array(0.99f, 0.03f, 0.02f)))
+    mem.addData(Vec(101L, Array(0.03f, 0.98f, 0.01f)))
+    val streamed = EventStreams.runToMemory(spark,
+      graft.ops.Similarity.annCandidatesStream(spark, mem.toDF(), "vec_id", "embedding",
+        "graft_stream_vidx"),
+      "stream_ann", org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch twin: same queries through the same index, pre-top-k scored set
+    val queries = Seq((100L, Array(0.99f, 0.03f, 0.02f)), (101L, Array(0.03f, 0.98f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val batch = graft.ops.Similarity.annCandidatesStream(spark, queries,
+      "vec_id", "embedding", "graft_stream_vidx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream candidates must equal batch: $streamed vs $batch")
+    // each query found its cluster's corpus members with exact cosines
+    assert(streamed.exists { case (q, id, c) => q == 100L && Set(10L, 11L)(id) && c > 0.99 })
   }
 
   test("journal stream tails warehouse appends") {
