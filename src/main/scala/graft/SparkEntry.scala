@@ -128,6 +128,44 @@ object SparkEntry {
       name
     })
 
+  /** Memoized LIFECYCLE index for s16: built from the even-vec_id half,
+    * then mutated through the full maintenance surface — append the odd
+    * half (bucket-local insertInto), tombstone-delete {1, 8} and COMPACT
+    * them away, then tombstone {2, 13} and leave them UNcompacted so the
+    * query path exercises the tombstone anti-join. The mutation sequence
+    * is flagged in a sidecar keyed by the build fingerprint, so re-runs
+    * (bench warm passes, later JVMs) never double-append; a changed
+    * corpus fingerprint rebuilds and re-applies. */
+  private val vectorLifecycleMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def vectorIndexLifecycleFor(s: SparkSession, d: String): String =
+    vectorLifecycleMemo.getOrElseUpdate(s"${System.identityHashCode(s)}#$d", {
+      import graft.engine.WarehouseMeta
+      val name = "graft_veclife_" + WarehouseMeta.md5Hex(d).take(12)
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/embeddings.parquet") + "#life#bits4")
+      val emb = t(s, d, "embeddings")
+      // One OUTER lock (distinct lock file from ensure's inner one) makes
+      // build + mutation sequence atomic across processes: a second JVM
+      // blocks here, then sees the applied flag and skips.
+      WarehouseMeta.withBuildLock(s, s"${name}_life") {
+        val built = Similarity.ensureVectorIndex(s,
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", name, fp,
+          bits = 4)
+        val flag = s"${name}_life.tsv"
+        val applied = WarehouseMeta.readSidecar(s, flag)
+          .exists(_.get("applied").contains(fp))
+        if (built || !applied) {
+          Similarity.appendVectorIndex(s,
+            emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", name)
+          Similarity.deleteFromVectorIndex(s, name, Seq(1L, 8L))
+          Similarity.compactVectorIndex(s, name)
+          Similarity.deleteFromVectorIndex(s, name, Seq(2L, 13L))
+          WarehouseMeta.writeSidecar(s, flag, Map("applied" -> fp))
+        }
+      }
+      name
+    })
+
   private val dedupStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
   private def dedupStoreFor(s: SparkSession, d: String): String =
     dedupStoreMemo.getOrElseUpdate(s"${System.identityHashCode(s)}#$d", {
@@ -620,6 +658,20 @@ object SparkEntry {
         k = 3, bands = 4, rowsPerBand = 4, minEstimate = 0.5)
     }),
 
+    // END-TO-END cleaned corpus — the deliverable the dedup family exists
+    // to produce: LSH candidates → transitive clusters (x04's machinery) →
+    // keep the min-id representative per cluster, emit every surviving
+    // row's manifest. The manifest (not text) is the output so the result
+    // stays shuffle-light; at 100 TB it joins back to the corpus by doc_id
+    // for the physical rewrite.
+    "d15_dedup_corpus" -> ((s, d) => {
+      val docs = tPar(s, d, "documents")
+      val cands = Dedup.lshCandidates(docs, "doc_id", "text")
+      val clusters = Dedup.dupClusters(s, cands)
+      Dedup.dedupByClusters(docs, "doc_id", clusters)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // LSH verify stage: candidates re-scored from their MinHash signatures
     // (no second shingle pass over the corpus — see Dedup scaladoc)
     "d12_lsh_verified" -> ((s, d) => {
@@ -731,6 +783,19 @@ object SparkEntry {
     // per-session re-bucketing, and results are bit-identical to s07
     "s15_ann_index_store" -> ((s, d) => {
       val name = vectorIndexFor(s, d)
+      val (bucketed, _) = Similarity.vectorIndex(s, name, "vec_id", "embedding")
+      Similarity.cosineLshTopKBatch(bucketed,
+        bucketed.filter(col("vec_id").isin(0, 7, 11)), "vec_id", "embedding", k = 5)
+    }),
+
+    // INDEX LIFECYCLE: the s15 layout taken through its full maintenance
+    // surface — build on the even half, APPEND the odd half (bucket-local
+    // insertInto, no reshuffle of existing files), tombstone-DELETE
+    // {1,8} + COMPACT, tombstone {2,13} left uncompacted — then query.
+    // The oracle recomputes the same ANN batch over the surviving set from
+    // raw embeddings, proving the mutation path loses nothing vs rebuild.
+    "s16_ann_index_lifecycle" -> ((s, d) => {
+      val name = vectorIndexLifecycleFor(s, d)
       val (bucketed, _) = Similarity.vectorIndex(s, name, "vec_id", "embedding")
       Similarity.cosineLshTopKBatch(bucketed,
         bucketed.filter(col("vec_id").isin(0, 7, 11)), "vec_id", "embedding", k = 5)
@@ -944,13 +1009,13 @@ object SparkEntry {
   /** Batched LSH top-k twin (bits=4, queries 0/7/11, k=5) — shared by s07
     * (ad-hoc bucketize) and s15 (persisted vector index): identical math,
     * different corpus layout. */
-  private val AnnBatchSql = {
+  private def annBatchSql(corpusWhere: String): String = {
     def proj(p: Int): String =
       s"list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * " +
       s"((('0x' || substr(md5(concat('$p:', i - 1)), 1, 8))::BIGINT / 4294967296.0) - 0.5)))"
     s"""WITH e AS (SELECT vec_id, embedding,
       |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      |  FROM embeddings),
+      |  FROM embeddings $corpusWhere),
       |eb AS (SELECT vec_id, embedding, nrm,
       |    (CASE WHEN ${proj(0)} > 0 THEN 1 ELSE 0 END)
       |  + (CASE WHEN ${proj(1)} > 0 THEN 2 ELSE 0 END)
@@ -968,6 +1033,10 @@ object SparkEntry {
       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rk
       |  FROM scored) WHERE rk <= 5""".stripMargin
   }
+  private val AnnBatchSql = annBatchSql("")
+  // s16's surviving set: full corpus minus the four lifecycle deletes
+  // (compacted {1,8} and tombstoned {2,13} are equally gone to a reader)
+  private val AnnLifecycleSql = annBatchSql("WHERE vec_id NOT IN (1, 2, 8, 13)")
 
   private val OrderCountsSql =
     """SELECT 'customer:' || c_custkey AS uid, COUNT(*) AS ordercount
@@ -1627,6 +1696,34 @@ object SparkEntry {
         |sizes AS (SELECT cluster, COUNT(*) AS members FROM clusters GROUP BY cluster)
         |SELECT members, COUNT(*) AS n_clusters FROM sizes GROUP BY members ORDER BY members""".stripMargin,
 
+    // x04's CTE chain through `clusters`, then the survivor manifest: a doc
+    // survives iff it never paired (absent from clusters) or is its
+    // cluster's min-id representative — DuckDB twin of dedupByClusters
+    "d15_dedup_corpus" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 4294967311 AS hh FROM sh),
+        |mh AS (SELECT doc_id, i, MIN(((101 + 37*i) * hh + 12345 + 789*i) % 4294967311) AS mh
+        |  FROM h CROSS JOIN range(0, 16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, i // 4 AS band,
+        |  string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig FROM mh GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, r) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.r
+        |),
+        |clusters AS (SELECT id, LEAST(id, MIN(r)) AS cluster FROM walk GROUP BY id),
+        |drops AS (SELECT id FROM clusters WHERE id <> cluster)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+        |LEFT JOIN drops x ON d.doc_id = x.id
+        |WHERE x.id IS NULL""".stripMargin,
+
     "s04_stratified_sample" ->
       """SELECT vec_id, label FROM (
         |  SELECT vec_id, label,
@@ -1656,6 +1753,7 @@ object SparkEntry {
     // same twin as s07 — the index changes where the layout lives (a
     // bucketed table vs a per-query repartition), never the results
     "s15_ann_index_store" -> AnnBatchSql,
+    "s16_ann_index_lifecycle" -> AnnLifecycleSql,
 
     // s07's approx CTEs + a bucketless exact baseline, joined per (query, id)
     "s12_ann_recall" -> {

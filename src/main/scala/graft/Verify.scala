@@ -70,7 +70,13 @@ object Verify {
       val th = new Thread(r, "verify"); th.setDaemon(true); th
     })
     val t0 = System.nanoTime()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // dev-only subset: SPARK_GRAFT_VERIFY_ONLY=d15,s16 runs just those
+    // queries (the driver never sets it — all queries run)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit = {
           val group = s"verify-$name"

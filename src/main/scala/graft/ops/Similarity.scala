@@ -443,12 +443,113 @@ object Similarity {
   def vectorIndex(spark: org.apache.spark.sql.SparkSession, name: String,
       idCol: String, vecCol: String): (DataFrame, Int) = {
     val table = s"${name}_vlsh"
-    val bits = spark.sessionState.catalog
+    val bits = storedBits(spark, table)
+    val base = spark.table(table).select(col("id").as(idCol),
+      col("vec").as(vecCol), col("bucket").as("_bucket"))
+    // Tombstone-aware: deletes land in `<name>_vtomb` until the next
+    // [[compactVectorIndex]]; the manifest is small by contract, so the
+    // anti-join broadcasts and the scan keeps its bucketed distribution
+    // (no Exchange added — SimilarityIndexLifecycleSpec pins this).
+    val tomb = s"${name}_vtomb"
+    val live =
+      if (spark.catalog.tableExists(tomb))
+        base.join(broadcast(spark.table(tomb).select(col("id").as(idCol))),
+          Seq(idCol), "left_anti")
+      else base
+    (live, bits)
+  }
+
+  private def storedBits(spark: org.apache.spark.sql.SparkSession,
+      table: String): Int =
+    spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .properties.getOrElse("graft.bits",
         sys.error(s"$table has no graft.bits property — not a vector index")).toInt
-    (spark.table(table).select(col("id").as(idCol), col("vec").as(vecCol),
-      col("bucket").as("_bucket")), bits)
+
+  /** Append a new vector batch into a persisted index: rows are bucketed
+    * with the STORED `bits` (same deterministic planes) and `insertInto`
+    * writes bucket-correct files — existing data is never reshuffled, the
+    * same maintained-index posture as `Dedup.appendSignatureStore`. The
+    * build fingerprint covers only the initial corpus; callers own folding
+    * append provenance into it (or re-ensuring with a new fingerprint to
+    * trigger a clean rebuild). */
+  def appendVectorIndex(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, idCol: String, vecCol: String, name: String): Unit = {
+    val table = s"${name}_vlsh"
+    val bits = storedBits(spark, table)
+    val bucket = probeDim(df, vecCol)
+      .map(dim => lshBucket(col(vecCol), bits, dim))
+      .getOrElse(lshBucket(col(vecCol), bits))
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        bucket.as("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(table)
+  }
+
+  /** Delete vectors from a persisted index by id — tombstones, not a
+    * rewrite: ids append to the tiny `<name>_vtomb` table and every
+    * [[vectorIndex]] read anti-joins them out until [[compactVectorIndex]]
+    * folds them in physically. Parquet has no row-level delete; at 100 TB
+    * the rewrite is deferred and batched, never paid per delete. */
+  def deleteFromVectorIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, ids: Seq[Long]): Unit = {
+    import graft.engine.WarehouseMeta
+    val tomb = s"${name}_vtomb"
+    import spark.implicits._
+    val df = ids.toDF("id")
+    if (spark.catalog.tableExists(tomb))
+      df.write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(tomb)
+    else
+      df.write.option("path", WarehouseMeta.tableLocation(spark, tomb).toString)
+        .saveAsTable(tomb)
+  }
+
+  /** Fold accumulated tombstones into the index: rewrite survivors into a
+    * STAGED bucketed table (bucket values are reused, so the rewrite
+    * shuffles on `bucket` only — planes are never re-evaluated), swap the
+    * staged files into the live location, and drop the tombstone table.
+    * Staging first means the rewrite never reads files it is deleting; the
+    * swap is metadata + a directory move. Returns true if a compaction ran
+    * (false when there are no tombstones to fold). */
+  def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): Boolean = {
+    import graft.engine.WarehouseMeta
+    val table = s"${name}_vlsh"
+    val tomb = s"${name}_vtomb"
+    WarehouseMeta.withBuildLock(spark, name) {
+      if (!spark.catalog.tableExists(tomb)) false
+      else {
+        val meta = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        val props = meta.properties.filter { case (k, _) => k.startsWith("graft.") }
+        val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(16)
+        val stage = s"${table}_stage"
+        val survivors = spark.table(table)
+          .join(broadcast(spark.table(tomb).select("id")), Seq("id"), "left_anti")
+          .select("id", "vec", "bucket")
+        WarehouseMeta.replaceBucketedTable(spark, stage, "bucket", buckets,
+          survivors, props)
+        // Swap: both tables are external (path-based), so DROP is
+        // metadata-only; the staged directory moves into the live location.
+        spark.sql(s"DROP TABLE $table")
+        spark.sql(s"DROP TABLE $stage")
+        val loc = WarehouseMeta.tableLocation(spark, table)
+        WarehouseMeta.deleteRecursively(loc)
+        java.nio.file.Files.move(WarehouseMeta.tableLocation(spark, stage), loc)
+        spark.sql(
+          s"""CREATE TABLE $table (id BIGINT, vec ARRAY<FLOAT>, bucket BIGINT)
+             |USING PARQUET
+             |CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS
+             |LOCATION '${loc.toUri}'""".stripMargin)
+        if (props.nonEmpty) {
+          val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+          spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+        }
+        spark.sql(s"DROP TABLE $tomb")
+        WarehouseMeta.deleteRecursively(WarehouseMeta.tableLocation(spark, tomb))
+        spark.catalog.refreshTable(table)
+        true
+      }
+    }
   }
 
   /** STREAMING ANN candidates against the persisted index: query vectors

@@ -330,4 +330,59 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
     assert(codes(0L) == codes(1L) && codes(2L) == codes(3L) && codes(0L) != codes(2L))
   }
+
+  test("index lifecycle: bucket-correct append, shuffle-free tombstone reads, compaction ≡ rebuild") {
+    import graft.engine.WarehouseMeta
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val name = "graft_spec_vlife"
+    // clean slate in the shared warehouse (re-runs of this suite)
+    Seq(s"${name}_vlsh", s"${name}_vtomb").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      WarehouseMeta.deleteRecursively(WarehouseMeta.tableLocation(spark, t))
+    }
+    val base = vecs.filter(col("vec_id") % 2 === 0)  // 0, 2, 4, 6
+    val extra = vecs.filter(col("vec_id") % 2 === 1) // 1, 3, 5
+    assert(Similarity.ensureVectorIndex(spark, base, "vec_id", "embedding",
+      name, "lfp-1", bits = 4))
+
+    // APPEND: rows land with the STORED planes' bucket, no rewrite of base
+    Similarity.appendVectorIndex(spark, extra, "vec_id", "embedding", name)
+    val raw = spark.table(s"${name}_vlsh")
+    assert(raw.count() == 7)
+    assert(raw.filter(Similarity.lshBucket(col("vec"), 4, 3) =!= col("bucket"))
+      .count() == 0, "appended rows carry the bucket the stored planes assign")
+
+    // DELETE: tombstones drop rows from reads via a broadcast anti-join
+    Similarity.deleteFromVectorIndex(spark, name, Seq(2L, 3L))
+    val (live, _) = Similarity.vectorIndex(spark, name, "vec_id", "embedding")
+    assert(live.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 4L, 5L, 6L))
+    val shuffles = live.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"tombstone filtering must never reshuffle the index:\n${live.queryExecution.executedPlan}")
+
+    // answers ≡ an ad-hoc bucketize over the surviving vectors
+    def topk(bucketed: org.apache.spark.sql.DataFrame) =
+      Similarity.cosineLshTopKBatch(bucketed,
+        bucketed.filter(col("vec_id").isin(0, 5)), "vec_id", "embedding", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val adhoc = Similarity.bucketize(
+      vecs.filter(!col("vec_id").isin(2, 3)), "embedding", bits = 4)
+    val direct = topk(adhoc)
+    assert(topk(live) == direct, "mutations change the layout, never the answer")
+
+    // COMPACT: tombstones fold in physically; bucket layout + props survive
+    assert(Similarity.compactVectorIndex(spark, name))
+    assert(!spark.catalog.tableExists(s"${name}_vtomb"))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_vlsh"))
+    assert(meta.bucketSpec.exists(_.numBuckets == 16), "bucket spec survives the swap")
+    assert(meta.properties.get("graft.bits").contains("4"), "props survive the swap")
+    assert(spark.table(s"${name}_vlsh").count() == 5)
+    val (live2, _) = Similarity.vectorIndex(spark, name, "vec_id", "embedding")
+    assert(topk(live2) == direct, "compaction changes the files, never the answer")
+    assert(!Similarity.compactVectorIndex(spark, name), "no tombstones → no-op")
+  }
 }
