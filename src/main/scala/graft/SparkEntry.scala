@@ -166,6 +166,35 @@ object SparkEntry {
       name
     })
 
+  /** Memoized FORGET-lifecycle signature store for d16: d14's even-half
+    * store taken through the takedown surface — remove {8, 26} and COMPACT
+    * them away, then tombstone {58} and leave it uncompacted so the
+    * increment's store side exercises the tombstone anti-join. Same
+    * sidecar-flagged apply-once discipline as the s16 vector index. */
+  private val dedupForgetMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def dedupForgetStoreFor(s: SparkSession, d: String): String =
+    dedupForgetMemo.getOrElseUpdate(s"${System.identityHashCode(s)}#$d", {
+      import graft.engine.WarehouseMeta
+      val name = "graft_dedupforget_" + WarehouseMeta.md5Hex(d).take(12)
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/documents.parquet") + "#even#k3b4r4#forget")
+      WarehouseMeta.withBuildLock(s, s"${name}_life") {
+        val built = graft.ops.Dedup.ensureSignatureStore(s,
+          tPar(s, d, "documents").filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", name, fp)
+        val flag = s"${name}_life.tsv"
+        val applied = WarehouseMeta.readSidecar(s, flag)
+          .exists(_.get("applied").contains(fp))
+        if (built || !applied) {
+          graft.ops.Dedup.removeFromSignatureStore(s, name, Seq(8L, 26L))
+          graft.ops.Dedup.compactSignatureStore(s, name)
+          graft.ops.Dedup.removeFromSignatureStore(s, name, Seq(58L))
+          WarehouseMeta.writeSidecar(s, flag, Map("applied" -> fp))
+        }
+      }
+      name
+    })
+
   private val dedupStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
   private def dedupStoreFor(s: SparkSession, d: String): String =
     dedupStoreMemo.getOrElseUpdate(s"${System.identityHashCode(s)}#$d", {
@@ -658,6 +687,18 @@ object SparkEntry {
         k = 3, bands = 4, rowsPerBand = 4, minEstimate = 0.5)
     }),
 
+    // TAKEDOWN over the maintained index — d14 against a store that has
+    // FORGOTTEN docs {8, 26} (removed + compacted) and {58} (tombstoned,
+    // uncompacted): their pairs vanish from the increment without any
+    // re-shingling, and the twin re-derives from raw text minus the
+    // forgotten ids, proving forget ≡ rebuild-without-them.
+    "d16_forget_increment" -> ((s, d) => {
+      val store = dedupForgetStoreFor(s, d)
+      val batch2 = tPar(s, d, "documents").filter(col("doc_id") % 2 === 1)
+      Dedup.dedupIncrement(s, batch2, "doc_id", "text", store,
+        k = 3, bands = 4, rowsPerBand = 4, minEstimate = 0.5)
+    }),
+
     // END-TO-END cleaned corpus — the deliverable the dedup family exists
     // to produce: LSH candidates → transitive clusters (x04's machinery) →
     // keep the min-id representative per cluster, emit every surviving
@@ -1033,6 +1074,30 @@ object SparkEntry {
       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rk
       |  FROM scored) WHERE rk <= 5""".stripMargin
   }
+  /** Incremental-dedup twin (d14/d16): both batches re-derived from raw
+    * text; `storeExtra` narrows the store (even doc_id) side — d16 uses it
+    * to exclude forgotten ids. */
+  private def incrementOracleSql(storeExtra: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 4294967311 AS hh FROM sh),
+      |mh AS (SELECT doc_id, i, MIN(((101 + 37*i) * hh + 12345 + 789*i) % 4294967311) AS mh
+      |  FROM h CROSS JOIN range(0, 16) r(i) GROUP BY 1, 2),
+      |sig AS (SELECT doc_id, i // 4 AS band,
+      |  string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig FROM mh GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a, GREATEST(a.doc_id, b.doc_id) AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id % 2 = 0 $storeExtra AND b.doc_id % 2 = 1)
+      |SELECT c.id_a, c.id_b,
+      |  ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+      |FROM cand c
+      |JOIN mh a ON a.doc_id = c.id_a
+      |JOIN mh b ON b.doc_id = c.id_b AND b.i = a.i
+      |GROUP BY 1, 2
+      |HAVING ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) >= 0.5""".stripMargin
+
   private val AnnBatchSql = annBatchSql("")
   // s16's surviving set: full corpus minus the four lifecycle deletes
   // (compacted {1,8} and tombstoned {2,13} are equally gone to a reader)
@@ -1536,26 +1601,12 @@ object SparkEntry {
     // cross-batch pairs: the twin re-derives BOTH batches' signatures from
     // text (it has no store), joins bands across the even/odd split, and
     // re-scores — d03/d12's CTEs with a batch predicate in the pair join
-    "d14_incremental_dedup" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id,
-        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
-        |  FROM toks WHERE len(t) >= 3),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 4294967311 AS hh FROM sh),
-        |mh AS (SELECT doc_id, i, MIN(((101 + 37*i) * hh + 12345 + 789*i) % 4294967311) AS mh
-        |  FROM h CROSS JOIN range(0, 16) r(i) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, i // 4 AS band,
-        |  string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig FROM mh GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a, GREATEST(a.doc_id, b.doc_id) AS id_b
-        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
-        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
-        |SELECT c.id_a, c.id_b,
-        |  ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
-        |FROM cand c
-        |JOIN mh a ON a.doc_id = c.id_a
-        |JOIN mh b ON b.doc_id = c.id_b AND b.i = a.i
-        |GROUP BY 1, 2
-        |HAVING ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) >= 0.5""".stripMargin,
+    "d14_incremental_dedup" -> incrementOracleSql(""),
+
+    // the store side (even doc_ids) additionally excludes the forgotten
+    // docs — forget ≡ rebuild-without-them, derived from raw text
+    "d16_forget_increment" ->
+      incrementOracleSql("AND a.doc_id NOT IN (8, 26, 58)"),
 
     "d04_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),

@@ -98,6 +98,51 @@ object WarehouseMeta {
     }
   }
 
+  /** A small external `(id BIGINT)` manifest table (tombstones) with the
+    * same restart-survival contract as the bucketed stores: if a fresh
+    * JVM's in-memory catalog lost the entry but the warehouse directory
+    * survives, re-register it metadata-only. None ⇔ no manifest exists
+    * (neither catalog entry nor directory). */
+  def idManifest(spark: SparkSession, table: String): Option[org.apache.spark.sql.DataFrame] =
+    if (spark.catalog.tableExists(table)) Some(spark.table(table))
+    else {
+      val loc = tableLocation(spark, table)
+      if (Files.isDirectory(loc)) {
+        spark.sql(
+          s"CREATE TABLE $table (id BIGINT) USING PARQUET LOCATION '${loc.toUri}'")
+        Some(spark.table(table))
+      } else None
+    }
+
+  /** Rewrite an EXISTING bucketed table in place via stage-and-swap: write
+    * `df` as `<table>_stage` (same bucketing), drop both catalog entries
+    * (external tables — DROP is metadata-only), move the staged directory
+    * into the live location, and re-register `table` from `ddl`. The staged
+    * write materializes fully before the live files are touched, so the
+    * rewrite never reads files it is deleting — the safe shape for
+    * compactions whose input is the table being rewritten. */
+  def swapRewriteBucketedTable(spark: SparkSession, table: String,
+      bucketCol: String, buckets: Int, ddl: String,
+      df: org.apache.spark.sql.DataFrame, props: Map[String, String]): Unit = {
+    val stage = s"${table}_stage"
+    replaceBucketedTable(spark, stage, bucketCol, buckets, df, props)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"DROP TABLE $stage")
+    val loc = tableLocation(spark, table)
+    deleteRecursively(loc)
+    Files.move(tableLocation(spark, stage), loc)
+    spark.sql(
+      s"""CREATE TABLE $table ($ddl)
+         |USING PARQUET
+         |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
+         |LOCATION '${loc.toUri}'""".stripMargin)
+    if (props.nonEmpty) {
+      val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+    }
+    spark.catalog.refreshTable(table)
+  }
+
   /** Cross-PROCESS build exclusion: an advisory file lock on `<name>.lock`
     * in the warehouse dir, plus a JVM-global monitor (OS file locks are
     * per-process — a second lock() from the same JVM throws instead of

@@ -544,6 +544,18 @@ object Dedup {
   private def storeTables(name: String): (String, String, String) =
     (s"${name}_bands", s"${name}_sigs", s"${name}_simhash")
 
+  /** The store's READ view of one of its tables: ids tombstoned in
+    * `<name>_tomb` ([[removeFromSignatureStore]]) are anti-joined out.
+    * The takedown manifest is small by contract, so the anti-join
+    * broadcasts and the bucketed scan keeps its distribution. */
+  private def liveTable(spark: SparkSession, name: String,
+      table: String): DataFrame = {
+    val base = spark.table(table)
+    graft.engine.WarehouseMeta.idManifest(spark, s"${name}_tomb")
+      .map(t => base.join(broadcast(t.select("id")), Seq("id"), "left_anti"))
+      .getOrElse(base)
+  }
+
   private def simhashSliceStructs(simBands: Int): Column = {
     val width = 60 / simBands
     val mask = (1L << width) - 1L
@@ -596,6 +608,11 @@ object Dedup {
       maxBucket: Long = Long.MaxValue): Unit = {
     val numHashes = bands * rowsPerBand
     val (bandsT, sigsT, simT) = storeTables(name)
+    // a rebuild starts a new corpus state: tombstones from the previous one
+    // must not delete freshly written signatures
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_tomb")
+    graft.engine.WarehouseMeta.deleteRecursively(
+      graft.engine.WarehouseMeta.tableLocation(spark, s"${name}_tomb"))
     val props = Map(
       "graft.k" -> k.toString, "graft.bands" -> bands.toString,
       "graft.rowsPerBand" -> rowsPerBand.toString,
@@ -714,7 +731,7 @@ object Dedup {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(bandsT)).properties
     val (bands, rowsPerBand) = (p("graft.bands").toInt, p("graft.rowsPerBand").toInt)
     val numHashes = bands * rowsPerBand
-    spark.table(sigsT)
+    liveTable(spark, name, sigsT)
       .select(col("id") +:
         (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh_$i")): _*)
       .select(col("id"), explode(bandStructs(bands, rowsPerBand)).as("bs"))
@@ -754,6 +771,62 @@ object Dedup {
       .write.mode(SaveMode.Append).insertInto(simT)
   }
 
+  /** Remove documents from the signature store by id — the takedown /
+    * right-to-be-forgotten path for a maintained index: ids append to the
+    * tiny `<name>_tomb` table and EVERY store read (batch and streaming
+    * increments, simhash increments, cap audits) anti-joins them out
+    * immediately, so a forgotten doc stops matching future increments the
+    * moment the tombstone lands — no signature rewrite on the takedown
+    * path. [[compactSignatureStore]] folds tombstones in physically on the
+    * operator's schedule. */
+  def removeFromSignatureStore(spark: SparkSession, name: String,
+      ids: Seq[Long]): Unit = {
+    import graft.engine.WarehouseMeta
+    val tomb = s"${name}_tomb"
+    import spark.implicits._
+    val df = ids.toDF("id")
+    if (WarehouseMeta.idManifest(spark, tomb).isDefined)
+      df.write.mode(SaveMode.Append).insertInto(tomb)
+    else
+      df.write.option("path", WarehouseMeta.tableLocation(spark, tomb).toString)
+        .saveAsTable(tomb)
+  }
+
+  /** Fold accumulated tombstones into all three store tables — each is
+    * rewritten stage-and-swap (never reads files it is deleting; bucketing
+    * and TBLPROPERTIES survive), then the tombstone table is dropped.
+    * Returns true if a compaction ran (false with nothing to fold). Shares
+    * the store's build lock, so a compaction never interleaves with a
+    * rebuild. */
+  def compactSignatureStore(spark: SparkSession, name: String): Boolean = {
+    import graft.engine.WarehouseMeta
+    val (bandsT, sigsT, simT) = storeTables(name)
+    val tomb = s"${name}_tomb"
+    WarehouseMeta.withBuildLock(spark, name) {
+      val manifest = WarehouseMeta.idManifest(spark, tomb)
+      if (manifest.isEmpty) false
+      else {
+        def meta(t: String) = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        val props = meta(sigsT).properties
+          .filter { case (k, _) => k.startsWith("graft.") }
+        val dead = manifest.get.select("id")
+        def survivors(t: String) =
+          spark.table(t).join(broadcast(dead), Seq("id"), "left_anti")
+        def buckets(t: String) = meta(t).bucketSpec.map(_.numBuckets).getOrElse(16)
+        WarehouseMeta.swapRewriteBucketedTable(spark, sigsT, "id",
+          buckets(sigsT), sigsDdl, survivors(sigsT), props)
+        WarehouseMeta.swapRewriteBucketedTable(spark, bandsT, "sig",
+          buckets(bandsT), bandsDdl, survivors(bandsT), props)
+        WarehouseMeta.swapRewriteBucketedTable(spark, simT, "slice",
+          buckets(simT), simDdl, survivors(simT), props)
+        spark.sql(s"DROP TABLE $tomb")
+        WarehouseMeta.deleteRecursively(WarehouseMeta.tableLocation(spark, tomb))
+        true
+      }
+    }
+  }
+
   /** Dedup a NEW batch against the persisted store — the incremental twin of
     * [[lshCandidates]] + [[estimateJaccardBySignature]], with the corpus side
     * replaced by stored signatures: one text pass over `newDocs` computes its
@@ -779,9 +852,9 @@ object Dedup {
       .select(col("new_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val newSigs = wide.select(col("id").as("new_id"),
       array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("new_sig"))
-    val stBands = spark.table(bandsT)
+    val stBands = liveTable(spark, name, bandsT)
       .select(col("id").as("old_id"), col("band"), col("sig"))
-    val stSigs = spark.table(sigsT)
+    val stSigs = liveTable(spark, name, sigsT)
       .select(col("id").as("old_id"), col("sig").as("old_sig"))
     newBands.join(stBands, Seq("band", "sig"))
       // a doc re-ingested under its stored id must not pair with itself
@@ -853,9 +926,9 @@ object Dedup {
         explode(perBand).as("bs"))
       .select(col("new_id"), col("new_sig"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val stBands = spark.table(bandsT)
+    val stBands = liveTable(spark, name, bandsT)
       .select(col("id").as("old_id"), col("band"), col("sig"))
-    val stSigs = spark.table(sigsT)
+    val stSigs = liveTable(spark, name, sigsT)
       .select(col("id").as("old_id"), col("sig").as("old_sig"))
     banded.join(stBands, Seq("band", "sig"))
       .filter(col("old_id") =!= col("new_id"))
@@ -887,7 +960,7 @@ object Dedup {
         explode(simhashSliceStructs(simBands)).as("bs"))
       .select(col("new_id"), col("new_hash"),
         col("bs.band").as("band"), col("bs.slice").as("slice"))
-    val st = spark.table(simT)
+    val st = liveTable(spark, name, simT)
       .select(col("id").as("old_id"), col("band"), col("slice"),
         col("simhash").as("old_hash"))
     newBanded.join(st, Seq("band", "slice"))

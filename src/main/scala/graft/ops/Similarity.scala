@@ -429,6 +429,11 @@ object Similarity {
           src.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
             bucket.as("bucket")),
           Map("graft.fingerprint" -> fingerprint, "graft.bits" -> bits.toString))
+        // a rebuild starts a new corpus state: tombstones from the previous
+        // one must not delete freshly indexed rows
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_vtomb")
+        WarehouseMeta.deleteRecursively(
+          WarehouseMeta.tableLocation(spark, s"${name}_vtomb"))
         WarehouseMeta.writeSidecar(spark, s"${name}_meta.tsv", Map(
           "sig" -> fingerprint, "buckets" -> buckets.toString,
           "bits" -> bits.toString))
@@ -449,13 +454,13 @@ object Similarity {
     // Tombstone-aware: deletes land in `<name>_vtomb` until the next
     // [[compactVectorIndex]]; the manifest is small by contract, so the
     // anti-join broadcasts and the scan keeps its bucketed distribution
-    // (no Exchange added — SimilarityIndexLifecycleSpec pins this).
-    val tomb = s"${name}_vtomb"
-    val live =
-      if (spark.catalog.tableExists(tomb))
-        base.join(broadcast(spark.table(tomb).select(col("id").as(idCol))),
-          Seq(idCol), "left_anti")
-      else base
+    // (no Exchange added — SimilaritySpec lifecycle case pins this).
+    // idManifest re-registers a surviving tombstone dir in a fresh JVM —
+    // a restart must never resurrect deleted vectors.
+    val live = graft.engine.WarehouseMeta.idManifest(spark, s"${name}_vtomb")
+      .map(t => base.join(broadcast(t.select(col("id").as(idCol))),
+        Seq(idCol), "left_anti"))
+      .getOrElse(base)
     (live, bits)
   }
 
@@ -496,7 +501,7 @@ object Similarity {
     val tomb = s"${name}_vtomb"
     import spark.implicits._
     val df = ids.toDF("id")
-    if (spark.catalog.tableExists(tomb))
+    if (WarehouseMeta.idManifest(spark, tomb).isDefined)
       df.write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(tomb)
     else
       df.write.option("path", WarehouseMeta.tableLocation(spark, tomb).toString)
@@ -516,37 +521,20 @@ object Similarity {
     val table = s"${name}_vlsh"
     val tomb = s"${name}_vtomb"
     WarehouseMeta.withBuildLock(spark, name) {
-      if (!spark.catalog.tableExists(tomb)) false
+      val manifest = WarehouseMeta.idManifest(spark, tomb)
+      if (manifest.isEmpty) false
       else {
         val meta = spark.sessionState.catalog
           .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
         val props = meta.properties.filter { case (k, _) => k.startsWith("graft.") }
         val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(16)
-        val stage = s"${table}_stage"
         val survivors = spark.table(table)
-          .join(broadcast(spark.table(tomb).select("id")), Seq("id"), "left_anti")
+          .join(broadcast(manifest.get.select("id")), Seq("id"), "left_anti")
           .select("id", "vec", "bucket")
-        WarehouseMeta.replaceBucketedTable(spark, stage, "bucket", buckets,
-          survivors, props)
-        // Swap: both tables are external (path-based), so DROP is
-        // metadata-only; the staged directory moves into the live location.
-        spark.sql(s"DROP TABLE $table")
-        spark.sql(s"DROP TABLE $stage")
-        val loc = WarehouseMeta.tableLocation(spark, table)
-        WarehouseMeta.deleteRecursively(loc)
-        java.nio.file.Files.move(WarehouseMeta.tableLocation(spark, stage), loc)
-        spark.sql(
-          s"""CREATE TABLE $table (id BIGINT, vec ARRAY<FLOAT>, bucket BIGINT)
-             |USING PARQUET
-             |CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS
-             |LOCATION '${loc.toUri}'""".stripMargin)
-        if (props.nonEmpty) {
-          val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
-          spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
-        }
+        WarehouseMeta.swapRewriteBucketedTable(spark, table, "bucket", buckets,
+          "id BIGINT, vec ARRAY<FLOAT>, bucket BIGINT", survivors, props)
         spark.sql(s"DROP TABLE $tomb")
         WarehouseMeta.deleteRecursively(WarehouseMeta.tableLocation(spark, tomb))
-        spark.catalog.refreshTable(table)
         true
       }
     }
@@ -566,14 +554,23 @@ object Similarity {
     * SimilaritySpec pins candidate-set ≡ the batch scored set. */
   def annCandidatesStream(spark: org.apache.spark.sql.SparkSession,
       queryStream: DataFrame, idCol: String, vecCol: String, name: String,
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4, radius: Int = 0): DataFrame = {
     val (indexed, bits) = vectorIndex(spark, name, "id", "vec")
+    require(radius >= 0 && radius <= bits, s"radius $radius outside [0, $bits]")
     ensureExprs(queryStream)
     val dim = probeDim(indexed, "vec")
     val qBucket = dim.map(d => lshBucket(col(vecCol), bits, d))
       .getOrElse(lshBucket(col(vecCol), bits))
+    // multi-probe (radius > 0) mirrors cosineLshTopKBatchMultiProbe — the
+    // shipped s13 recall dial is available on the ingest path too: probe
+    // masks are plan-time literals, each query row explodes into its probe
+    // set BEFORE the stream-static join, still stateless and append-mode
+    val masks = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= radius)
     val q = queryStream.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      qBucket.as("qb"))
+        qBucket.as("_qb0"))
+      .select(col("query_id"), col("qv"),
+        explode(array(masks.map(m => col("_qb0").bitwiseXOR(lit(m))): _*)).as("qb"))
     q.join(indexed, col("_bucket") === col("qb") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         round(cosine(col("vec"), col("qv")), roundTo).as("cosine"))

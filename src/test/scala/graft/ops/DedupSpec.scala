@@ -466,4 +466,47 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("graft.bands"))
   }
+
+  test("removeFromSignatureStore: forgotten docs vanish from increments at once, survive restart, compact physically") {
+    import spark.implicits._
+    import graft.engine.WarehouseMeta
+    val name = "graft_spec_forget"
+    // both corpus docs duplicate the probe text, so the increment sees both
+    val corpus = Seq((1L, baseText), (2L, nearDupText), (4L, otherText))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureStore(spark, corpus, "doc_id", "text", name)
+    val probe = Seq((9L, baseText)).toDF("doc_id", "text")
+    def hits() = Dedup.dedupIncrement(spark, probe, "doc_id", "text", name,
+      minEstimate = 0.5).collect().map(_.getLong(0)).toSet
+    assert(hits() == Set(1L, 2L))
+
+    // takedown of doc 1: no rewrite, but every read drops it immediately
+    Dedup.removeFromSignatureStore(spark, name, Seq(1L))
+    assert(hits() == Set(2L), "forgotten doc must stop matching at once")
+
+    // restart: catalog loses the tombstone table, its files survive — a
+    // fresh JVM must NOT resurrect the forgotten doc
+    spark.sql(s"DROP TABLE ${name}_tomb")
+    assert(hits() == Set(2L), "tombstones survive process restart")
+
+    // compact folds tombstones in: tables shrink, params stay pinned,
+    // increments unchanged, tombstone table gone
+    assert(Dedup.compactSignatureStore(spark, name))
+    assert(!spark.catalog.tableExists(s"${name}_tomb"))
+    assert(!java.nio.file.Files.isDirectory(
+      WarehouseMeta.tableLocation(spark, s"${name}_tomb")))
+    assert(spark.table(s"${name}_sigs").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 4L), "compaction removes the rows physically")
+    val p = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_sigs")).properties
+    assert(p.get("graft.bands").contains("4"), "params survive the swap")
+    assert(hits() == Set(2L), "compaction changes files, never answers")
+    assert(!Dedup.compactSignatureStore(spark, name), "no tombstones → no-op")
+
+    // a rebuild (new corpus state) must clear any pending tombstones
+    Dedup.removeFromSignatureStore(spark, name, Seq(2L))
+    assert(hits() == Set.empty[Long])
+    Dedup.writeSignatureStore(spark, corpus, "doc_id", "text", name)
+    assert(hits() == Set(1L, 2L), "stale tombstones must not outlive a rebuild")
+  }
 }

@@ -258,6 +258,26 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       s"stream candidates must equal batch: $streamed vs $batch")
     // each query found its cluster's corpus members with exact cosines
     assert(streamed.exists { case (q, id, c) => q == 100L && Set(10L, 11L)(id) && c > 0.99 })
+
+    // multi-probe on the ingest path: radius grows the candidate set
+    // monotonically and radius=bits probes every bucket = full scored scan
+    val mem2 = MemoryStream[Vec]
+    mem2.addData(Vec(102L, Array(0.60f, 0.58f, 0.02f)))
+    val r1 = EventStreams.runToMemory(spark,
+      graft.ops.Similarity.annCandidatesStream(spark, mem2.toDF(), "vec_id",
+        "embedding", "graft_stream_vidx", radius = 1),
+      "stream_ann_mp1", org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val mem3 = MemoryStream[Vec]
+    mem3.addData(Vec(102L, Array(0.60f, 0.58f, 0.02f)))
+    val rFull = EventStreams.runToMemory(spark,
+      graft.ops.Similarity.annCandidatesStream(spark, mem3.toDF(), "vec_id",
+        "embedding", "graft_stream_vidx", radius = 3),
+      "stream_ann_mp3", org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(r1.subsetOf(rFull), "bigger radius only adds candidates")
+    assert(rFull.map(_._1) == Set(10L, 11L, 12L, 13L),
+      s"radius = bits must score the whole corpus, got $rFull")
   }
 
   test("journal stream tails warehouse appends") {
