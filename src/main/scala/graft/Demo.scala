@@ -121,6 +121,27 @@ object Demo {
     println(s"  shard-vs-corpus dup pairs (est >= 0.5): ${dups.count()} " +
       "(corpus text NOT re-read - store tables only)")
 
+    println("== takedown: forget a stored doc, increment drops its pairs ==")
+    val before = dups.count()
+    // the stored (corpus) member of a pair is the even id — least/greatest
+    // normalization means it can sit on either side
+    val firstHit = dups.select(col("id_a"), col("id_b")).orderBy(col("id_a"))
+      .collect().iterator
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).find(_ % 2 == 0)
+    firstHit.foreach { victim =>
+      graft.ops.Dedup.removeFromSignatureStore(spark, "graft_demo_store", Seq(victim))
+      val after = graft.ops.Dedup.dedupIncrement(spark, shard, "doc_id", "text",
+        "graft_demo_store", minEstimate = 0.5).count()
+      graft.ops.Dedup.compactSignatureStore(spark, "graft_demo_store")
+      println(s"  forgot doc $victim: pairs $before -> $after; store compacted")
+    }
+
+    println("== data-quality gate over documents ==")
+    graft.ops.Quality.check(docs, Seq(
+      graft.ops.Quality.notNull("text_not_null", col("text")),
+      graft.ops.Quality.inSet("lang_known", col("lang"), Seq("en", "de", "fr", "es"))),
+      uniqueKeys = Seq("doc_id")).orderBy(col("rule")).show(truncate = false)
+
     println("== FTS snippet over documents ==")
     graft.query.Fts.snippet(docs, "doc_id", "text", Seq("spark", "join"), maxTokens = 7)
       .orderBy(col("uid")).show(3, truncate = false)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.query.{Fetch, Fts}
-import graft.ops.{Dedup, Events, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Events, Quality, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract (SURVEY §5.2): one named query per implemented operator
   * family, each with an exactly-equivalent DuckDB SQL twin in [[oracleSql]].
@@ -164,6 +164,30 @@ object SparkEntry {
         }
       }
       name
+    })
+
+  /** Memoized date-partitioned events lake for e05 (Events.writeDateLake
+    * under the warehouse dir, sidecar-fingerprinted like every durable
+    * layout here): built once per corpus state, reread with partition
+    * pruning by every later session. */
+  private val eventsLakeMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def eventsLakeFor(s: SparkSession, d: String): String =
+    eventsLakeMemo.getOrElseUpdate(s"${System.identityHashCode(s)}#$d", {
+      import graft.engine.WarehouseMeta
+      val name = "graft_eventslake_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name)
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/events.parquet") + "#dtlake")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          java.nio.file.Files.isDirectory(path)
+        if (!ok) {
+          graft.ops.Events.writeDateLake(t(s, d, "events"), path.toString)
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path.toString
     })
 
   /** Memoized FORGET-lifecycle signature store for d16: d14's even-half
@@ -1040,7 +1064,34 @@ object SparkEntry {
     // as-of join: each purchase matched to its user's most recent prior view
     "e04_asof_join" -> ((s, d) =>
       Events.asofJoin(events(s, d), leftType = "purchase", rightType = "view")
-        .withColumnRenamed("event_id", "purchase_id"))
+        .withColumnRenamed("event_id", "purchase_id")),
+
+    // Deequ-style batch gate: every expectation evaluated in ONE aggregate
+    // pass (map side reduces the scan to |rules| longs per task); the
+    // value<=100 and core-type rules are deliberately tight so the meter
+    // shows real violations, not vacuous zeros
+    "e06_quality_checks" -> ((s, d) =>
+      Quality.check(events(s, d), Seq(
+        Quality.notNull("user_id_not_null", col("user_id")),
+        Quality.inRange("value_0_100", col("value"), 0.0, 100.0),
+        Quality.inSet("event_type_known", col("event_type"),
+          Seq("view", "click", "purchase", "signup", "error")),
+        Quality.inSet("event_type_core", col("event_type"),
+          Seq("view", "click", "purchase"))),
+        uniqueKeys = Seq("event_id"))),
+
+    // DATE-PARTITIONED lake: a 3-day aggregate read from the dt=YYYY-MM-DD
+    // layout — the filter prunes day DIRECTORIES at planning time
+    // (EventsSpec pins partitionCount == days in range), and the layout
+    // never changes answers: the twin derives the same days from raw ts
+    "e05_partitioned_days" -> ((s, d) => {
+      val lake = eventsLakeFor(s, d)
+      Events.readDateLake(s, lake, "2024-01-10", "2024-01-12")
+        .groupBy("dt")
+        .agg(count(lit(1)).as("events"),
+          countDistinct(col("user_id")).as("users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2183,6 +2234,29 @@ object SparkEntry {
         | GROUP BY user_id)
         |SELECT COUNT(*) AS users FROM f
         |WHERE view IS NOT NULL AND click IS NOT NULL AND purchase IS NOT NULL
-        |  AND view < click AND click < purchase""".stripMargin
+        |  AND view < click AND click < purchase""".stripMargin,
+
+    "e06_quality_checks" ->
+      """SELECT 'user_id_not_null' AS rule,
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |  COUNT(*) AS total FROM events
+        |UNION ALL SELECT 'value_0_100',
+        |  CAST(SUM(CASE WHEN value >= 0 AND value <= 100 THEN 0 ELSE 1 END) AS BIGINT), COUNT(*) FROM events
+        |UNION ALL SELECT 'event_type_known',
+        |  CAST(SUM(CASE WHEN event_type IN ('view','click','purchase','signup','error') THEN 0 ELSE 1 END) AS BIGINT), COUNT(*) FROM events
+        |UNION ALL SELECT 'event_type_core',
+        |  CAST(SUM(CASE WHEN event_type IN ('view','click','purchase') THEN 0 ELSE 1 END) AS BIGINT), COUNT(*) FROM events
+        |UNION ALL SELECT 'unique:event_id',
+        |  CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT), COUNT(*) FROM events""".stripMargin,
+
+    // the lake answers from its dt directories; the twin re-derives the
+    // same days from raw timestamps — layout must never change answers
+    "e05_partitioned_days" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, COUNT(*) AS events,
+        |  COUNT(DISTINCT user_id) AS users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -66,6 +66,33 @@ object Events {
 
   /** Strict ordered funnel: users whose earliest occurrences of the steps are
     * strictly increasing in time. Returns a single-row count. */
+  /** Land events in the DATE-PARTITIONED lake layout (Hive-style
+    * `dt=YYYY-MM-DD/` directories) every time-range workload at 100 TB
+    * depends on: the reader prunes whole day directories at PLANNING time
+    * (PartitionFilters, before any file is opened), so a 3-day query over
+    * a 10-year lake touches 3/3650 of the directories. The pre-write
+    * `repartition(dt)` routes each day to the tasks owning it — without
+    * it every task writes every day it saw and a T-task job over D days
+    * explodes into T×D small files (the classic small-files failure). For
+    * days too big for one task, add a salt to the repartition keys; the
+    * layout is unchanged. */
+  def writeDateLake(events: DataFrame, path: String): Unit =
+    events.withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(col("dt"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("dt").parquet(path)
+
+  /** Read a day range from a [[writeDateLake]] layout. `dt` comes back as
+    * a STRING (partition-type inference would make it a DATE, changing the
+    * result schema by layout choice — a layout must never change answers).
+    * The between-filter lands in PartitionFilters: directory pruning, not
+    * row filtering (EventsSpec pins partitionCount == days in range). */
+  def readDateLake(spark: org.apache.spark.sql.SparkSession, path: String,
+      fromDt: String, toDt: String): DataFrame =
+    spark.read.parquet(path)
+      .withColumn("dt", col("dt").cast("string"))
+      .filter(col("dt").between(fromDt, toDt))
+
   def funnelCount(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val firsts = events

@@ -157,6 +157,26 @@ object EventStreams {
       .schema(graft.core.Rows.changeSchema)
       .parquet(journalDir)
 
+  /** Stream events INTO the date-partitioned lake layout
+    * ([[graft.ops.Events.writeDateLake]]'s `dt=YYYY-MM-DD/` directories) —
+    * the production landing path: micro-batches append day-partitioned
+    * parquet exactly-once (checkpointed file-sink log), and every
+    * downstream range read prunes day directories the moment a batch
+    * commits. Late events land in their OWN day's directory (dt derives
+    * from event time, not arrival time), so a restated day is re-readable
+    * without touching its neighbors. Returns the started query; the
+    * caller owns its lifecycle. */
+  def streamToDateLake(events: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("dt")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Convenience memory-sink runner for tests/demos: processes all available
     * input and returns the in-memory result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

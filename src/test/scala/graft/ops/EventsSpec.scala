@@ -46,4 +46,39 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     val got = Events.asofJoin(df, "view", "purchase").collect()
     assert(got.length == 1 && got.head.getLong(0) == 2L && got.head.getLong(2) == 1L)
   }
+
+  test("date lake: day range prunes whole partition directories; layout never changes answers") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val rows = Seq(
+      (1L, 1, "view", "2026-02-01 10:00:00", 1.5),
+      (2L, 2, "click", "2026-02-01 11:00:00", 2.5),
+      (3L, 1, "view", "2026-02-02 10:00:00", 3.5),
+      (4L, 3, "view", "2026-02-03 10:00:00", 4.5),
+      (5L, 2, "view", "2026-02-03 12:00:00", 5.5))
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val path = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    Events.writeDateLake(df, path)
+    // Hive-style day directories on disk
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("dt=2026-02-01", "dt=2026-02-02", "dt=2026-02-03"))
+
+    val read = Events.readDateLake(spark, path, "2026-02-02", "2026-02-03")
+    // pruning happens at PLANNING time: the scan selects 2 of 3 day dirs
+    val scan = read.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 pruned day partitions, scan reads ${scan.selectedPartitions.partitionCount}")
+    assert(scan.metadata("PartitionFilters").contains("dt"),
+      "the day range must land in PartitionFilters, not row filters")
+
+    // the lake answers exactly what the unpartitioned frame answers
+    val got = read.select("event_id", "user_id", "value", "dt")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
+    assert(got == Set((3L, 1, 3.5, "2026-02-02"), (4L, 3, 4.5, "2026-02-03"),
+      (5L, 2, 5.5, "2026-02-03")))
+  }
 }

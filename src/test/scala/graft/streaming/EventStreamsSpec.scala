@@ -280,6 +280,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       s"radius = bits must score the whole corpus, got $rFull")
   }
 
+  test("streamToDateLake: micro-batches land day-partitioned; range reads prune; ≡ batch lake") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ev(id: Long, ts: String, u: Long) =
+      Ev(id, Timestamp.valueOf(ts), u, "view", 1.0)
+    val rows = Seq(
+      ev(1L, "2026-03-01 10:00:00", 1), ev(2L, "2026-03-02 10:00:00", 2),
+      ev(3L, "2026-03-02 11:00:00", 1), ev(4L, "2026-03-03 10:00:00", 3))
+    val mem = MemoryStream[Ev]
+    mem.addData(rows.take(2): _*)
+    mem.addData(rows.drop(2): _*) // a late 03-02 event in a later batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_slake")
+    val q = EventStreams.streamToDateLake(mem.toDF(), s"$dir/lake", s"$dir/ckpt")
+    q.awaitTermination()
+    // same day directories a batch writeDateLake produces
+    val dirs = new java.io.File(s"$dir/lake").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(_ == "_spark_metadata").toSet // the file-sink's commit log
+    assert(dirs == Set("dt=2026-03-01", "dt=2026-03-02", "dt=2026-03-03"))
+    // a range read prunes to the one day, and the late event is IN it
+    val read = graft.ops.Events.readDateLake(spark, s"$dir/lake",
+      "2026-03-02", "2026-03-02")
+    val scan = read.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.selectedPartitions.partitionCount == 1)
+    assert(read.select("event_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L),
+      "late events land in their event-time day, not their arrival batch")
+  }
+
   test("journal stream tails warehouse appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft_js").toString
     val g = graft.engine.MemGraph(spark)
