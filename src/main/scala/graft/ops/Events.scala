@@ -93,6 +93,69 @@ object Events {
       .withColumn("dt", col("dt").cast("string"))
       .filter(col("dt").between(fromDt, toDt))
 
+  /** Day-preserving split: every task owns whole (day, shard) groups, so a
+    * day writes at most `filesPerDay` files (exactly one unsalted). The salt
+    * is a deterministic row hash — days bigger than one task's memory
+    * split without any key ever straddling a restatement boundary. */
+  private def daySplit(df: DataFrame, filesPerDay: Int): DataFrame =
+    if (filesPerDay <= 1) df.repartition(col("dt"))
+    else df.withColumn("_shard", pmod(hash(col("event_id")), lit(filesPerDay)))
+      .repartition(col("dt"), col("_shard")).drop("_shard")
+
+  /** Restate (backfill) exactly the days present in `events` — the
+    * reprocess-one-day operation every lake needs: DYNAMIC partition
+    * overwrite replaces only the `dt=` directories the frame contains and
+    * never touches their neighbors, so a bad upstream day is repaired in
+    * place while every other day's files (and any reader's pruning) stay
+    * byte-identical. */
+  def restateDays(events: DataFrame, path: String): Unit = {
+    val spark = events.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      events.withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+        .repartition(col("dt"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("dt").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Fold a day range's accumulated small files (streaming micro-batches,
+    * repeated restatements) into `filesPerDay` per directory — the lake's
+    * compaction, same deferred-maintenance posture as the signature-store
+    * and vector-index compactors. Reads only the range's directories
+    * (partition pruning), rewrites only those days (dynamic overwrite):
+    * a 3-day compaction over a 10-year lake is a 3-day job. */
+  def compactDateLake(spark: org.apache.spark.sql.SparkSession, path: String,
+      fromDt: String, toDt: String, filesPerDay: Int = 1): Unit = {
+    // STAGE first (the swapRewrite discipline): the compacted range
+    // materializes fully before any live file is replaced, so the rewrite
+    // never reads directories it is deleting — read-while-overwrite of
+    // the same path is exactly the hazard dynamic overwrite alone leaves.
+    val stage = s"$path/_compact_stage"
+    daySplit(readDateLake(spark, path, fromDt, toDt), filesPerDay)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("dt").parquet(stage)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      daySplit(spark.read.parquet(stage)
+          .withColumn("dt", col("dt").cast("string")), filesPerDay)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("dt").parquet(path)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      graft.engine.WarehouseMeta.deleteRecursively(
+        java.nio.file.Paths.get(stage.stripPrefix("file:")))
+    }
+  }
+
   def funnelCount(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val firsts = events

@@ -81,4 +81,45 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((3L, 1, 3.5, "2026-02-02"), (4L, 3, 4.5, "2026-02-03"),
       (5L, 2, 5.5, "2026-02-03")))
   }
+
+  test("restateDays replaces only its days; compactDateLake folds small files in place") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Int, String, String, Double)]) =
+      rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+        .withColumn("ts", to_timestamp(col("ts")))
+    val path = java.nio.file.Files.createTempDirectory("graft_lake2").toString
+    Events.writeDateLake(mk(Seq(
+      (1L, 1, "view", "2026-02-01 10:00:00", 1.0),
+      (2L, 2, "view", "2026-02-02 10:00:00", 2.0),
+      (3L, 3, "view", "2026-02-03 10:00:00", 3.0))), path)
+    def day(dt: String) = new java.io.File(s"$path/dt=$dt")
+    val d1Files = day("2026-02-01").listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+    val d3Before = day("2026-02-03").lastModified()
+
+    // RESTATE day 02 (the bad-upstream repair): day 01 and 03 untouched
+    Events.restateDays(mk(Seq(
+      (20L, 2, "view", "2026-02-02 10:00:00", 2.5),
+      (21L, 4, "view", "2026-02-02 11:00:00", 2.6))), path)
+    assert(day("2026-02-01").listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+      == d1Files, "restating day 02 must not rewrite day 01's files")
+    val all = Events.readDateLake(spark, path, "2026-02-01", "2026-02-03")
+    assert(all.select("event_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 20L, 21L, 3L), "day 02 fully replaced, neighbors intact")
+
+    // accumulate small files on day 02 (micro-batch appends), then COMPACT
+    for (b <- 0 until 2)
+      mk(Seq((30L + b, 9, "view", "2026-02-02 12:00:00", 1.0)))
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("append").partitionBy("dt").parquet(path)
+    assert(day("2026-02-02").listFiles().count(_.getName.endsWith(".parquet")) >= 3,
+      "appends accumulated multiple files")
+    Events.compactDateLake(spark, path, "2026-02-02", "2026-02-02")
+    assert(day("2026-02-02").listFiles().count(_.getName.endsWith(".parquet")) == 1,
+      "compaction folds the day to one file")
+    assert(!new java.io.File(s"$path/_compact_stage").exists(), "stage cleaned up")
+    val after = Events.readDateLake(spark, path, "2026-02-01", "2026-02-03")
+    assert(after.select("event_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 20L, 21L, 30L, 31L),
+      "compaction changes files, never answers; other days untouched")
+  }
 }
