@@ -928,6 +928,42 @@ object SparkEntry {
           (abs(col("approx") - col("exact_parts"))
             <= col("exact_parts") * 0.1).as("approx_ok"))),
 
+    // approx_percentile scale twin (the x01 HLL pattern for quantiles):
+    // exact percentiles are DISCRETE rank picks — value at row number
+    // floor(p*(n-1))+1 — integral and engine-identical, no interpolation
+    // arithmetic to diverge in the last ulp; the sketch result is bound by
+    // the rank-error contract (accuracy=100 → guaranteed rank error
+    // ≤ 1/100; the band picks p ± 0.02). The exact side's per-group sort
+    // is the MEASUREMENT cost a recall/error evaluation pays on a sample,
+    // not a production-path shape — production keeps only the sketch.
+    "x06_approx_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val wAll = Window.partitionBy("l_returnflag")
+      def pickAt(pos: Column) =
+        max(when(col("rn") === pos, col("l_extendedprice")))
+      def rank(p: Double) = floor((col("n") - 1) * p).cast("long") + 1
+      def rankLo(p: Double) = greatest(lit(1L), rank(math.max(0.0, p - 0.02)))
+      def rankHi(p: Double) = least(col("n"), rank(math.min(1.0, p + 0.02)))
+      val ranked = t(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val exact = ranked.groupBy("l_returnflag").agg(
+        pickAt(rank(0.5)).as("p50"), pickAt(rank(0.9)).as("p90"),
+        pickAt(rank(0.99)).as("p99"),
+        pickAt(rankLo(0.5)).as("lo50"), pickAt(rankHi(0.5)).as("hi50"),
+        pickAt(rankLo(0.9)).as("lo90"), pickAt(rankHi(0.9)).as("hi90"),
+        pickAt(rankLo(0.99)).as("lo99"), pickAt(rankHi(0.99)).as("hi99"))
+      val approx = t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 100)")
+          .as("ap"))
+      exact.join(approx, "l_returnflag").select(col("l_returnflag"),
+        col("p50"), col("p90"), col("p99"),
+        (element_at(col("ap"), 1).between(col("lo50"), col("hi50")) &&
+         element_at(col("ap"), 2).between(col("lo90"), col("hi90")) &&
+         element_at(col("ap"), 3).between(col("lo99"), col("hi99")))
+          .as("approx_ok"))
+    }),
+
     // FIXED-iteration PageRank so a DuckDB twin exists (r5): GraphX
     // staticPageRank(5) is deterministic — 5 rounds of
     // rank = 0.15 + 0.85 * Σ incoming rank/outdeg from rank₀ = 1, then a
@@ -1745,6 +1781,21 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS approx_ok
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // discrete rank picks (floor(p*(n-1))+1) — integral, no interpolation
+    // arithmetic to diverge across engines; the sketch side is
+    // contract-bound on the Spark side, TRUE here
+    "x06_approx_percentiles" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MAX(CASE WHEN rn = CAST(FLOOR((n-1) * 0.5) AS BIGINT) + 1 THEN l_extendedprice END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(FLOOR((n-1) * 0.9) AS BIGINT) + 1 THEN l_extendedprice END) AS p90,
+        |  MAX(CASE WHEN rn = CAST(FLOOR((n-1) * 0.99) AS BIGINT) + 1 THEN l_extendedprice END) AS p99,
+        |  TRUE AS approx_ok
+        |FROM r GROUP BY 1""".stripMargin,
 
     "x02_pagerank" -> PageRankSql,
     "x03_khop_reach" -> KhopReachSql,
