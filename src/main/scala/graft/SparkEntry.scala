@@ -964,6 +964,31 @@ object SparkEntry {
           .as("approx_ok"))
     }),
 
+    // count-min-sketch heavy hitters (the x01/x06 pattern for frequency):
+    // ONE distributed pass folds the corpus into a mergeable d×w counter
+    // grid (the merge is counter addition — commutative, so the estimate
+    // is deterministic for a fixed seed regardless of partition order);
+    // estimates are bound by the CMS guarantee — never under exact, over
+    // by at most eps·total across the top-20 — against the exact counts
+    // the twin re-derives. Production keeps only the sketch: frequency
+    // queries over 100 TB of tokens answer from kilobytes of counters.
+    "x07_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val eps = 0.001
+      val cms = toks.stat.countMinSketch("tok", eps, 0.99, 42)
+      val slack = (eps * cms.totalCount()).toLong
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("tok")).limit(20).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      top.toSeq.map { case (tok, exact) =>
+        val est = cms.estimateCount(tok)
+        (tok, exact, est >= exact && est <= exact + slack)
+      }.toDF("tok", "exact", "cms_ok")
+    }),
+
     // FIXED-iteration PageRank so a DuckDB twin exists (r5): GraphX
     // staticPageRank(5) is deterministic — 5 rounds of
     // rank = 0.15 + 0.85 * Σ incoming rank/outdeg from rank₀ = 1, then a
@@ -1781,6 +1806,12 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS approx_ok
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "x07_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, COUNT(*) AS exact, TRUE AS cms_ok
+        |FROM toks WHERE tok <> ''
+        |GROUP BY tok ORDER BY exact DESC, tok LIMIT 20""".stripMargin,
 
     // discrete rank picks (floor(p*(n-1))+1) — integral, no interpolation
     // arithmetic to diverge across engines; the sketch side is

@@ -227,4 +227,39 @@ class PipelineOpsPropertySpec extends AnyFunSuite with SparkSpec {
     val audit = Dedup.lshOverflowBuckets(docs, "doc_id", "text", maxBucket = 7L)
     assert(audit.count() > 0, "a non-silent cap names what it dropped")
   }
+
+  test("Quality.check / violations ≡ naive evaluators on random frames with nulls") {
+    import spark.implicits._
+    val rnd = new Random(20260814L)
+    for (round <- 1 to 3) {
+      val rows = (1 to 150).map { i =>
+        val id = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(60).toLong)
+        val v = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(200) - 50.0)
+        val kind = Seq("a", "b", "c", "junk")(rnd.nextInt(4))
+        (i.toLong, id, v, kind)
+      }
+      val df = rows.toDF("row_id", "id", "value", "kind").repartition(4)
+      val rules = Seq(
+        Quality.notNull("id_not_null", col("id")),
+        Quality.inRange("value_0_100", col("value"), 0.0, 100.0),
+        Quality.inSet("kind_known", col("kind"), Seq("a", "b", "c")))
+      // naive: NULL evaluations are violations
+      def bad(r: (Long, Option[Long], Option[Double], String)): Seq[String] =
+        Seq(
+          if (r._2.isEmpty) Some("id_not_null") else None,
+          if (!r._3.exists(v => v >= 0.0 && v <= 100.0)) Some("value_0_100") else None,
+          if (!Seq("a", "b", "c").contains(r._4)) Some("kind_known") else None).flatten
+      val naiveCounts = rules.map(_.name).map(n =>
+        n -> rows.count(bad(_).contains(n)).toLong).toMap +
+        ("unique:id" -> (rows.size - rows.flatMap(_._2).distinct.size).toLong)
+      val got = Quality.check(df, rules, uniqueKeys = Seq("id"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == naiveCounts, s"round $round check diverged: $got vs $naiveCounts")
+      val gotRows = Quality.violations(df, rules)
+        .collect().map(r => r.getAs[Long]("row_id") -> r.getAs[String]("broken_rules")).toMap
+      val naiveRows = rows.flatMap(r =>
+        Option(bad(r)).filter(_.nonEmpty).map(b => r._1 -> b.mkString(","))).toMap
+      assert(gotRows == naiveRows, s"round $round violations diverged")
+    }
+  }
 }
