@@ -591,6 +591,12 @@ object SparkEntry {
       Fts.snippet(tPar(s, d, "documents"), "doc_id", "text",
         Seq("spark", "join"), maxTokens = 7)),
 
+    // whole-document highlight with match count — snippet's sibling,
+    // completing the FTS5 aux-function surface (bm25 → snippet → highlight)
+    "g17_fts_highlight" -> ((s, d) =>
+      Fts.highlight(tPar(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "join"))),
+
     // JOURNAL REPLAY over the star warehouse — the §7.2 storage inversion
     // under the oracle hash check: the whole graph becomes full-image create
     // docs, then three deterministic change waves land at fixed seq tiers
@@ -1330,6 +1336,18 @@ object SparkEntry {
         |  (CASE WHEN wstart + $w < ntok THEN '...' ELSE '' END) AS snippet
         |FROM win""".stripMargin
     },
+
+    "g17_fts_highlight" ->
+      """WITH t AS (SELECT doc_id AS uid,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT uid,
+        |  array_to_string([CASE WHEN toks[i] IN ('spark', 'join')
+        |    THEN '<b>' || toks[i] || '</b>' ELSE toks[i] END
+        |    for i in range(1, len(toks) + 1)], ' ') AS highlighted,
+        |  len(list_filter(toks, x -> x IN ('spark', 'join'))) AS nmatches
+        |FROM t
+        |WHERE len(list_filter(toks, x -> x IN ('spark', 'join'))) > 0""".stripMargin,
 
     // the expected post-fold world stated from the base tables: suppliers
     // deleted (node kind absent, supplier-anchored EDGES untouched — the

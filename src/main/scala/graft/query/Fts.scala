@@ -467,6 +467,34 @@ object Fts {
             .otherwise(lit(""))).as("snippet"))
   }
 
+  /** FTS5-style `highlight()`: the WHOLE tokenized text with every query
+    * term wrapped in marks — [[snippet]]'s whole-document sibling and the
+    * last FTS5 aux function this surface lacked (reachable in the
+    * reference only via raw SQL passthrough, graphydb.py FTS helpers).
+    * Works over the same normalized token stream as [[postings]];
+    * reassembly is single-space joined. Rows without a match are excluded
+    * (FTS5 evaluates aux functions on MATCHING rows only), and `nmatches`
+    * rides along so a ranking consumer needs no second pass. */
+  def highlight(df: DataFrame, uidCol: String, textCol: String,
+      terms: Seq[String], startMark: String = "<b>",
+      endMark: String = "</b>"): DataFrame = {
+    require(terms.nonEmpty, "highlight needs at least one term")
+    val lowered = terms.map(_.toLowerCase)
+    val toks = df.select(col(uidCol).as("uid"),
+      posexplode(filter(split(lower(col(textCol)), TokenSplit),
+        t => t =!= "")).as(Seq("pos", "tok")))
+    toks
+      .withColumn("_r", when(col("tok").isin(lowered: _*),
+        concat(lit(startMark), col("tok"), lit(endMark))).otherwise(col("tok")))
+      .withColumn("_m", when(col("tok").isin(lowered: _*), 1L).otherwise(0L))
+      .groupBy("uid")
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("_r")))),
+            s => s.getField("_r"))).as("highlighted"),
+        sum(col("_m")).as("nmatches"))
+      .filter(col("nmatches") > 0)
+  }
+
   def upsertPostings(current: DataFrame, updates: DataFrame, uidCol: String,
       fieldToTextCol: Map[String, String]): DataFrame = {
     val fresh = postings(updates, uidCol, fieldToTextCol)

@@ -219,4 +219,19 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
       .collect().head.getString(1)
     assert(whole == "<b>red</b> start words here")
   }
+
+  test("highlight: whole doc, every occurrence marked, match count, non-matches excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "RED before blue and red again"),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val got = Fts.highlight(docs, "doc_id", "text", Seq("red", "blue"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(1L), "FTS5 aux functions run on matching rows only")
+    assert(got(1L) == ("<b>red</b> before <b>blue</b> and <b>red</b> again", 3L))
+    // custom markers pass through
+    val custom = Fts.highlight(docs, "doc_id", "text", Seq("blue"), "[", "]")
+      .collect().head.getString(1)
+    assert(custom == "red before [blue] and red again")
+  }
 }
