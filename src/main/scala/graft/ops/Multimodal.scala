@@ -447,6 +447,8 @@ object Multimodal {
     else if (ascii(0, "fLaC")) Some("FLAC")
     else if ((bytes(0) & 0xff) == 0x1a && (bytes(1) & 0xff) == 0x45 &&
       (bytes(2) & 0xff) == 0xdf && (bytes(3) & 0xff) == 0xa3) Some("Matroska/WebM")
+    // RIFF with the AVI fourcc (NOT WAVE — PCM WAV decodes for real above)
+    else if (ascii(0, "RIFF") && ascii(8, "AVI ")) Some("AVI (RIFF)")
     else None
   }
 
@@ -767,9 +769,37 @@ object Multimodal {
       if (tracks > 0) Some(tracks) else None, docType))
   }
 
+  /** RIFF AVI main header (`avih` chunk inside the `hdrl` LIST; all fields
+    * little-endian per the RIFF convention): frame period × frame count →
+    * duration, `dwStreams` → track count. The chunk is located by a bounded
+    * forward scan (≤512 bytes) rather than a strict LIST walk — real AVI
+    * muxers pad the header area, and the scan cannot false-positive inside
+    * media data because it never leaves the header region. */
+  private def aviMeta(bytes: Array[Byte]): Option[MediaMeta] = {
+    def ascii(o: Int, s: String) = o + s.length <= bytes.length &&
+      s.indices.forall(i => bytes(o + i) == s(i).toByte)
+    if (!(ascii(0, "RIFF") && ascii(8, "AVI "))) return None
+    val limit = math.max(0, math.min(bytes.length - 4, 512))
+    (12 until limit).find(o => ascii(o, "avih")).flatMap { o =>
+      val body = o + 8 // fourcc + chunk size
+      if (body + 28 > bytes.length) None
+      else {
+        val usPerFrame = leInt(bytes, body)
+        val totalFrames = leInt(bytes, body + 16)
+        val streams = leInt(bytes, body + 24)
+        val dur =
+          if (usPerFrame > 0 && totalFrames > 0)
+            Some(totalFrames.toLong * usPerFrame / 1000L) // Int×Int overflows real AVIs
+          else None
+        Some(MediaMeta(0L, "avi", bytes.length.toLong, dur, None, None, None,
+          Some(streams), None))
+      }
+    }
+  }
+
   /** Container metadata WITHOUT decoding: real header/box parsing for EVERY
     * codec family [[decode]] refuses (MP3, ISO-BMFF, FLAC, Ogg Vorbis/Opus,
-    * Matroska/WebM), None for payloads no sniffer claims. This is the
+    * Matroska/WebM, AVI), None for payloads no sniffer claims. This is the
     * 100 TB-pipeline ordering: metadata filters (duration/bitrate/track
     * gates) run over every row as cheap byte parsing; expensive sample
     * decode runs only on survivors. */
@@ -786,6 +816,7 @@ object Multimodal {
       .orElse(safe(flacMeta(bytes)))
       .orElse(safe(oggMeta(bytes)))
       .orElse(safe(mkvMeta(bytes)))
+      .orElse(safe(aviMeta(bytes)))
   }
 
   /** Distributed metadata extraction over the binary column — same

@@ -484,4 +484,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val good = feats(2L)
     assert(good.status == "ok" && good.error.isEmpty && good.feature.length == 2)
   }
+
+  test("AVI: avih header yields duration/streams; sniffed as unsupported; WAV RIFF untouched") {
+    def le(i: Int) = Array(i.toByte, (i >> 8).toByte, (i >> 16).toByte, (i >> 24).toByte)
+    // RIFF('AVI ') LIST('hdrl') avih: 40000 us/frame, 250 frames, 2 streams
+    val avih = "avih".getBytes ++ le(56) ++
+      le(40000) ++ le(0) ++ le(0) ++ le(0) ++ // usPerFrame, maxBps, pad, flags
+      le(250) ++ le(0) ++ le(2) ++ le(0) ++   // totalFrames, initial, streams, sugBuf
+      le(320) ++ le(240) ++ Array.fill[Byte](16)(0) // w, h, reserved
+    val hdrl = "LIST".getBytes ++ le(4 + avih.length) ++ "hdrl".getBytes ++ avih
+    val avi = "RIFF".getBytes ++ le(4 + hdrl.length) ++ "AVI ".getBytes ++ hdrl
+    assert(Multimodal.sniffUnsupportedCodec(avi).contains("AVI (RIFF)"),
+      "compressed AVI must be refused by decode, never stub-faked")
+    val m = Multimodal.containerMetadata(avi).get
+    assert(m.container == "avi")
+    assert(m.duration_ms.contains(10000L), s"250 frames x 40ms: ${m.duration_ms}")
+    assert(m.tracks.contains(2))
+    // truncated right after the avih fourcc: degrades, never throws
+    val truncated = avi.take(avi.indexOfSlice("avih".getBytes) + 6)
+    assert(Multimodal.containerMetadata(truncated).isEmpty)
+    // a PCM WAV is ALSO RIFF — it stays decodable, not sniffed-unsupported
+    val wav = Multimodal.encodeWav(8000, Array.fill(80)(0.1f))
+    assert(Multimodal.sniffUnsupportedCodec(wav).isEmpty,
+      "WAV RIFF must keep decoding for real")
+    assert(Multimodal.decodeWav(wav).exists(_._2.length == 80))
+  }
 }
