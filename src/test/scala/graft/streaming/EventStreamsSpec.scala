@@ -310,6 +310,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       "late events land in their event-time day, not their arrival batch")
   }
 
+  test("quality quarantine channel runs unchanged on a stream (source-agnostic, stateless)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rules = Seq(
+      graft.ops.Quality.inSet("type_known", col("event_type"),
+        Seq("view", "click", "purchase")),
+      graft.ops.Quality.inRange("value_0_100", col("value"), 0.0, 100.0))
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(1L, Timestamp.valueOf("2026-04-01 10:00:00"), 1, "view", 5.0))
+    mem.addData(
+      Ev(2L, Timestamp.valueOf("2026-04-01 10:01:00"), 2, "bogus", 5.0),
+      Ev(3L, Timestamp.valueOf("2026-04-01 10:02:00"), 3, "click", 500.0))
+    val streamed = EventStreams.runToMemory(spark,
+      graft.ops.Quality.violations(mem.toDF(), rules), "stream_quality",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("broken_rules"))
+      .toMap
+    assert(streamed == Map(2L -> "type_known", 3L -> "value_0_100"),
+      "per-row quarantine is pure map work, so it streams as-is")
+  }
+
   test("journal stream tails warehouse appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft_js").toString
     val g = graft.engine.MemGraph(spark)
