@@ -108,8 +108,12 @@ object WarehouseMeta {
     else {
       val loc = tableLocation(spark, table)
       if (Files.isDirectory(loc)) {
-        spark.sql(
+        // two sessions may race the re-registration; losing the CREATE is
+        // fine as long as the table is then readable
+        try spark.sql(
           s"CREATE TABLE $table (id BIGINT) USING PARQUET LOCATION '${loc.toUri}'")
+        catch { case e: org.apache.spark.sql.AnalysisException
+          if spark.catalog.tableExists(table) => () }
         Some(spark.table(table))
       } else None
     }

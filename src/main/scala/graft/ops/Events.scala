@@ -93,6 +93,14 @@ object Events {
       .withColumn("dt", col("dt").cast("string"))
       .filter(col("dt").between(fromDt, toDt))
 
+  private def requireBatchLake(path: String): Unit =
+    require(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(path.stripPrefix("file:"), "_spark_metadata")),
+      s"$path was landed by a streaming file sink (_spark_metadata present): " +
+        "batch readers of such a lake trust only the sink log, so a batch " +
+        "rewrite would produce invisible files — retire the sink (drop the " +
+        "log) before batch maintenance")
+
   /** Day-preserving split: every task owns whole (day, shard) groups, so a
     * day writes at most `filesPerDay` files (exactly one unsalted). The salt
     * is a deterministic row hash — days bigger than one task's memory
@@ -107,8 +115,18 @@ object Events {
     * overwrite replaces only the `dt=` directories the frame contains and
     * never touches their neighbors, so a bad upstream day is repaired in
     * place while every other day's files (and any reader's pruning) stay
-    * byte-identical. */
+    * byte-identical.
+    *
+    * INTEROP CAVEAT (here and [[compactDateLake]]): a lake landed via
+    * `EventStreams.streamToDateLake` carries a `_spark_metadata` file-sink
+    * commit log, and batch readers of such a lake trust ONLY the log —
+    * files written by a batch restatement would be invisible (and files it
+    * replaced would still be listed). Batch maintenance belongs to
+    * batch-landed lakes; for a streamed lake, retire the sink (drop the
+    * log) first — both operators REFUSE a logged lake rather than write
+    * invisible files. */
   def restateDays(events: DataFrame, path: String): Unit = {
+    requireBatchLake(path)
     val spark = events.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -135,6 +153,7 @@ object Events {
     // materializes fully before any live file is replaced, so the rewrite
     // never reads directories it is deleting — read-while-overwrite of
     // the same path is exactly the hazard dynamic overwrite alone leaves.
+    requireBatchLake(path)
     val stage = s"$path/_compact_stage"
     daySplit(readDateLake(spark, path, fromDt, toDt), filesPerDay)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -308,6 +308,12 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(scan.selectedPartitions.partitionCount == 1)
     assert(read.select("event_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L),
       "late events land in their event-time day, not their arrival batch")
+    // batch maintenance must REFUSE a sink-logged lake: readers trust only
+    // the commit log, so a batch rewrite would produce invisible files
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Events.compactDateLake(spark, s"$dir/lake", "2026-03-02", "2026-03-02")
+    }
+    assert(e.getMessage.contains("_spark_metadata"))
   }
 
   test("quality quarantine channel runs unchanged on a stream (source-agnostic, stateless)") {
