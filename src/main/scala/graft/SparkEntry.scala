@@ -894,6 +894,15 @@ object SparkEntry {
         Map("0" -> 2.5, "1" -> 0.5, "3" -> 1.25))
         .select("vec_id", "label", "copy_idx")),
 
+    // temperature resampling over the skewed lang distribution (en 2-3x
+    // the others): alpha=0.5 flattens toward uniform — en downsamples,
+    // fr upsamples past 1.0 (fractional copies) — the standard
+    // multilingual mixing trick with weights derived from observed sizes
+    "s17_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(t(s, d, "documents"), "lang", "doc_id",
+        alpha = 0.5, targetRows = 400)
+        .select("doc_id", "lang", "copy_idx")),
+
     // epoch-2 deterministic shuffle into 4 shards: reproducible training
     // order, per-shard windows only
     "s10_epoch_shuffle" -> ((s, d) =>
@@ -2105,6 +2114,25 @@ object SparkEntry {
         |       + MAX(CASE WHEN j = 2 THEN d END)) + MAX(CASE WHEN j = 3 THEN d END), 4) AS approx_dist
         |FROM terms GROUP BY vec_id
         |ORDER BY approx_dist, id LIMIT 5""".stripMargin,
+
+    // same copies rule as s08, weights re-derived from observed sizes:
+    // ROUND(pow(n, 0.5)/Σpow * target/n, 6) — the 6-dp pin makes the
+    // double bit-identical across engines
+    "s17_temperature_mix" ->
+      """WITH n AS (SELECT lang AS stratum, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        |w AS (SELECT stratum,
+        |  ROUND(POW(cnt, 0.5) / (SELECT SUM(POW(cnt, 0.5)) FROM n) * 400.0 / cnt, 6) AS wt
+        |  FROM n),
+        |x AS (SELECT doc_id, lang, wt,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents JOIN w ON lang = stratum),
+        |c AS (SELECT doc_id, lang,
+        |  CAST(FLOOR(wt) AS BIGINT)
+        |    + (CASE WHEN CAST(h AS DOUBLE) < (wt - FLOOR(wt)) * 4294967296.0 THEN 1 ELSE 0 END) AS copies
+        |  FROM x)
+        |SELECT doc_id, lang, CAST(u.c AS BIGINT) AS copy_idx
+        |FROM c, unnest(range(0, copies)) u(c)
+        |WHERE copies > 0""".stripMargin,
 
     "s08_weighted_mix_frac" ->
       """WITH w(stratum, wt) AS (VALUES ('0', 2.5), ('1', 0.5), ('3', 1.25)),

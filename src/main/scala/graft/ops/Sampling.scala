@@ -74,6 +74,32 @@ object Sampling {
       .drop("_stratum", "_w", "_h32", "_copies")
   }
 
+  /** Temperature-based mixture resampling — the multilingual-corpus
+    * rebalancing trick: stratum sampling mass ∝ n_i^alpha, so alpha = 1
+    * keeps natural frequency and alpha → 0 flattens toward uniform,
+    * upsampling low-resource strata (per-row keep-weight may exceed 1 —
+    * [[weightedMixFractional]]'s integer + fractional copies handle it).
+    * Weights derive from the OBSERVED stratum sizes: one aggregate
+    * reduces the corpus to |strata| counters on the driver, the weight
+    * map broadcasts back, and the per-row decision is the same md5
+    * predicate as [[hashSample]] — no shuffle of data rows. Weights are
+    * rounded to 6 decimals so a cross-engine twin reproduces them without
+    * last-ulp pow() divergence. */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+      alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1] ($alpha)")
+    require(targetRows > 0, "targetRows must be positive")
+    val sizes = df.groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(count(lit(1)).as("_n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val z = sizes.values.map(n => math.pow(n.toDouble, alpha)).sum
+    val weights = sizes.map { case (s, n) =>
+      val w = math.pow(n.toDouble, alpha) / z * targetRows / n
+      s -> BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    weightedMixFractional(df, strataCol, idCol, weights)
+  }
+
   /** Deterministic epoch shuffle for training data: rows land in `shards`
     * by id hash and are ordered within each shard by a SEED-keyed hash —
     * epoch N uses seed N for a fresh but exactly reproducible order, the

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Determinism and cardinality pins for the hash-keyed sampling operators
@@ -90,5 +91,36 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val at10 = Sampling.hashSample(df, "id", 0.1).collect().map(_.getLong(0)).toSet
     assert(at10.subsetOf(at20))
     assert(Sampling.hashSample(df, "id", 0.0).count() == 0)
+  }
+
+  test("temperatureMix: low alpha flattens skew, upsamples the small stratum, deterministic") {
+    import spark.implicits._
+    // 400 "en" vs 100 "fr" — the skew temperature sampling exists to tame
+    val df = ((1 to 400).map(i => (i.toLong, "en")) ++
+      (1001 to 1100).map(i => (i.toLong, "fr"))).toDF("id", "lang")
+    def shares(alpha: Double, target: Long): Map[String, Long] =
+      Sampling.temperatureMix(df, "lang", "id", alpha, target)
+        .groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val flat = shares(alpha = 0.0, target = 250)
+    // alpha=0: expected 125 per stratum — the small stratum's keep-rate
+    // (≈1.25, fractional copies past 1) far exceeds the big one's (≈0.31)
+    assert(flat("fr") > 100, s"alpha=0 must upsample fr past its size: $flat")
+    assert(math.abs(flat("en") - 125L) < 40, s"alpha=0 en share off: $flat")
+    val natural = shares(alpha = 1.0, target = 250)
+    // alpha=1 keeps natural frequency: en ≈ 200, fr ≈ 50
+    assert(natural("en") > 3 * natural("fr"), s"alpha=1 keeps the skew: $natural")
+    assert(flat("en") < natural("en") && flat("fr") > natural("fr"),
+      "lower temperature moves mass from the big stratum to the small one")
+    // upsampling emits real duplicate copies with distinct copy_idx
+    val copies = Sampling.temperatureMix(df, "lang", "id", 0.0, 250)
+      .filter(col("copy_idx") > 0).count()
+    assert(copies > 0, "fractional weights above 1 must duplicate rows")
+    // byte-deterministic across runs
+    val a = Sampling.temperatureMix(df, "lang", "id", 0.5, 200)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = Sampling.temperatureMix(df.repartition(7), "lang", "id", 0.5, 200)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(a == b, "resampling is a pure function of (ids, sizes, alpha, target)")
   }
 }
