@@ -148,13 +148,24 @@ object SparkEntry {
       // build + mutation sequence atomic across processes: a second JVM
       // blocks here, then sees the applied flag and skips.
       WarehouseMeta.withBuildLock(s, s"${name}_life") {
-        val built = Similarity.ensureVectorIndex(s,
+        def ensure() = Similarity.ensureVectorIndex(s,
           emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", name, fp,
           bits = 4)
+        val built = ensure()
         val flag = s"${name}_life.tsv"
         val applied = WarehouseMeta.readSidecar(s, flag)
           .exists(_.get("applied").contains(fp))
         if (built || !applied) {
+          if (!built) {
+            // index exists but the mutation flag is absent: a previous run
+            // crashed mid-sequence, and the APPEND step is not idempotent
+            // (re-running it would duplicate the odd half). Rebuild from a
+            // clean base, then apply once.
+            s.sql(s"DROP TABLE IF EXISTS ${name}_vlsh")
+            WarehouseMeta.deleteRecursively(
+              WarehouseMeta.tableLocation(s, s"${name}_vlsh"))
+            ensure()
+          }
           Similarity.appendVectorIndex(s,
             emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", name)
           Similarity.deleteFromVectorIndex(s, name, Seq(1L, 8L))

@@ -118,6 +118,44 @@ object WarehouseMeta {
       } else None
     }
 
+  /** Append ids to a manifest (creating it on first use) under the table
+    * set's build lock: a takedown landing while a compaction is dropping
+    * the same manifest would otherwise be silently discarded — the lock
+    * serializes removes against compactions (and two first-time removes
+    * against each other). */
+  def appendToIdManifest(spark: SparkSession, lockName: String,
+      table: String, ids: Seq[Long]): Unit = withBuildLock(spark, lockName) {
+    import spark.implicits._
+    val df = ids.toDF("id")
+    if (idManifest(spark, table).isDefined)
+      df.write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(table)
+    else
+      df.write.option("path", tableLocation(spark, table).toString)
+        .saveAsTable(table)
+  }
+
+  /** Create an EMPTY manifest if none exists. Streaming plans resolve the
+    * manifest at query-start: a stream that must observe FUTURE takedowns
+    * needs the anti-join in its plan from the beginning, which requires
+    * the manifest table to exist before the plan is built. */
+  def ensureIdManifest(spark: SparkSession, lockName: String,
+      table: String): Unit = withBuildLock(spark, lockName) {
+    if (idManifest(spark, table).isEmpty) {
+      import spark.implicits._
+      Seq.empty[Long].toDF("id")
+        .write.option("path", tableLocation(spark, table).toString)
+        .saveAsTable(table)
+    }
+  }
+
+  /** Drop a manifest table and its files (compaction epilogue; rebuild
+    * prologue — stale tombstones must not outlive the state they were
+    * recorded against). */
+  def dropIdManifest(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    deleteRecursively(tableLocation(spark, table))
+  }
+
   /** Rewrite an EXISTING bucketed table in place via stage-and-swap: write
     * `df` as `<table>_stage` (same bucketing), drop both catalog entries
     * (external tables — DROP is metadata-only), move the staged directory

@@ -610,9 +610,7 @@ object Dedup {
     val (bandsT, sigsT, simT) = storeTables(name)
     // a rebuild starts a new corpus state: tombstones from the previous one
     // must not delete freshly written signatures
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_tomb")
-    graft.engine.WarehouseMeta.deleteRecursively(
-      graft.engine.WarehouseMeta.tableLocation(spark, s"${name}_tomb"))
+    graft.engine.WarehouseMeta.dropIdManifest(spark, s"${name}_tomb")
     val props = Map(
       "graft.k" -> k.toString, "graft.bands" -> bands.toString,
       "graft.rowsPerBand" -> rowsPerBand.toString,
@@ -773,24 +771,19 @@ object Dedup {
 
   /** Remove documents from the signature store by id — the takedown /
     * right-to-be-forgotten path for a maintained index: ids append to the
-    * tiny `<name>_tomb` table and EVERY store read (batch and streaming
-    * increments, simhash increments, cap audits) anti-joins them out
-    * immediately, so a forgotten doc stops matching future increments the
-    * moment the tombstone lands — no signature rewrite on the takedown
-    * path. [[compactSignatureStore]] folds tombstones in physically on the
-    * operator's schedule. */
+    * tiny `<name>_tomb` table (under the store's build lock, so a remove
+    * can never interleave with a compaction dropping the same manifest)
+    * and every store read anti-joins them out — no signature rewrite on
+    * the takedown path. BATCH reads (increments, simhash increments, cap
+    * audits) see a tombstone immediately; a RUNNING stream resolved its
+    * plan at query start and picks up later tombstones at its next
+    * restart ([[dedupIncrementStream]] guarantees the anti-join is in the
+    * plan from the first start). [[compactSignatureStore]] folds
+    * tombstones in physically on the operator's schedule. */
   def removeFromSignatureStore(spark: SparkSession, name: String,
-      ids: Seq[Long]): Unit = {
-    import graft.engine.WarehouseMeta
-    val tomb = s"${name}_tomb"
-    import spark.implicits._
-    val df = ids.toDF("id")
-    if (WarehouseMeta.idManifest(spark, tomb).isDefined)
-      df.write.mode(SaveMode.Append).insertInto(tomb)
-    else
-      df.write.option("path", WarehouseMeta.tableLocation(spark, tomb).toString)
-        .saveAsTable(tomb)
-  }
+      ids: Seq[Long]): Unit =
+    graft.engine.WarehouseMeta.appendToIdManifest(spark, name,
+      s"${name}_tomb", ids)
 
   /** Fold accumulated tombstones into all three store tables — each is
     * rewritten stage-and-swap (never reads files it is deleting; bucketing
@@ -820,8 +813,7 @@ object Dedup {
           buckets(bandsT), bandsDdl, survivors(bandsT), props)
         WarehouseMeta.swapRewriteBucketedTable(spark, simT, "slice",
           buckets(simT), simDdl, survivors(simT), props)
-        spark.sql(s"DROP TABLE $tomb")
-        WarehouseMeta.deleteRecursively(WarehouseMeta.tableLocation(spark, tomb))
+        WarehouseMeta.dropIdManifest(spark, tomb)
         true
       }
     }
@@ -911,6 +903,12 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 4, minEstimate: Double = 0.0): DataFrame = {
     val numHashes = bands * rowsPerBand
     val (bandsT, sigsT, _) = storeTables(name)
+    // streaming plans resolve the store's read view at query start: ensure
+    // the tombstone manifest EXISTS so the anti-join is in the plan — each
+    // (re)start then enforces all takedowns recorded so far (mid-run
+    // appends become visible at the next restart, the stream-static
+    // contract; see removeFromSignatureStore)
+    graft.engine.WarehouseMeta.ensureIdManifest(spark, name, s"${name}_tomb")
     requireStoreParams(spark, bandsT, Map(
       "graft.k" -> k.toString, "graft.bands" -> bands.toString,
       "graft.rowsPerBand" -> rowsPerBand.toString))

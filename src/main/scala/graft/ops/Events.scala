@@ -64,8 +64,6 @@ object Events {
       .select(col("event_id"), col("user_id"), col("asof_id"))
   }
 
-  /** Strict ordered funnel: users whose earliest occurrences of the steps are
-    * strictly increasing in time. Returns a single-row count. */
   /** Land events in the DATE-PARTITIONED lake layout (Hive-style
     * `dt=YYYY-MM-DD/` directories) every time-range workload at 100 TB
     * depends on: the reader prunes whole day directories at PLANNING time
@@ -127,17 +125,15 @@ object Events {
     * invisible files. */
   def restateDays(events: DataFrame, path: String): Unit = {
     requireBatchLake(path)
-    val spark = events.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
+    withMaintenanceLock(path) {
+      // per-WRITE option, never the session-global conf: a concurrent
+      // Overwrite writer on the same session must not silently inherit
+      // dynamic semantics
       events.withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
         .repartition(col("dt"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("dt").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
 
@@ -154,27 +150,48 @@ object Events {
     // never reads directories it is deleting — read-while-overwrite of
     // the same path is exactly the hazard dynamic overwrite alone leaves.
     requireBatchLake(path)
-    val stage = s"$path/_compact_stage"
-    daySplit(readDateLake(spark, path, fromDt, toDt), filesPerDay)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("dt").parquet(stage)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      daySplit(spark.read.parquet(stage)
-          .withColumn("dt", col("dt").cast("string")), filesPerDay)
+    withMaintenanceLock(path) {
+      val stage = s"$path/_compact_stage"
+      daySplit(readDateLake(spark, path, fromDt, toDt), filesPerDay)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("dt").parquet(path)
-    finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      graft.engine.WarehouseMeta.deleteRecursively(
-        java.nio.file.Paths.get(stage.stripPrefix("file:")))
+        .partitionBy("dt").parquet(stage)
+      try
+        daySplit(spark.read.parquet(stage)
+            .withColumn("dt", col("dt").cast("string")), filesPerDay)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic") // per-write, never session conf
+          .partitionBy("dt").parquet(path)
+      finally
+        graft.engine.WarehouseMeta.deleteRecursively(
+          java.nio.file.Paths.get(stage.stripPrefix("file:")))
     }
   }
 
+  /** Advisory exclusion for lake maintenance (restatement, compaction): a
+    * file lock inside the lake dir plus a JVM monitor, the WarehouseMeta
+    * lock recipe applied to a path. Serializes maintenance against
+    * maintenance; concurrent APPENDS during a compaction are the
+    * operator's scheduling call — a plain parquet lake has no transaction
+    * log, so a writer that does not take this lock can land a file in a
+    * day the compaction is about to replace. Schedule compaction when the
+    * range's days are closed (they are, by definition, for date ranges in
+    * the past). */
+  private val jvmLakeLock = new Object
+  private def withMaintenanceLock[A](path: String)(body: => A): A =
+    jvmLakeLock.synchronized {
+      val p = java.nio.file.Paths.get(path.stripPrefix("file:"), "_maintenance.lock")
+      java.nio.file.Files.createDirectories(p.getParent)
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
+
+  /** Strict ordered funnel: users whose earliest occurrences of the steps are
+    * strictly increasing in time. Returns a single-row count. */
   def funnelCount(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val firsts = events

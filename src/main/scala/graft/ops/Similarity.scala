@@ -353,13 +353,22 @@ object Similarity {
     * read ONCE with each row joining at most once per query (probe buckets
     * are distinct). Scanned corpus fraction ≈ probes/2^bits — the
     * recall/cost dial [[recallAtK]] tunes; s13 pins the shipped point. */
+  /** XOR masks for every bucket within Hamming distance `radius`:
+    * enumerated as bit-position combinations — Σ_{r≤radius} C(bits, r)
+    * masks materialized directly, never a 2^bits scan (bits=24 r=1 is 25
+    * masks, not a 16M-element driver filter). */
+  private[ops] def probeMasks(bits: Int, radius: Int): Seq[Long] =
+    (0 to radius).flatMap(r =>
+      (0 until bits).combinations(r)
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i))).toSeq)
+
   def cosineLshTopKBatchMultiProbe(bucketed: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, bits: Int, radius: Int = 1,
       roundTo: Int = 4): DataFrame = {
     require(radius >= 0 && radius <= bits, s"radius $radius outside [0, $bits]")
     ensureExprs(bucketed)
-    val masks = (0L until (1L << bits)).filter(m => java.lang.Long.bitCount(m) <= radius)
-    val probes = array(masks.map(m => col("_bucket").bitwiseXOR(lit(m))): _*)
+    val probes = array(probeMasks(bits, radius)
+      .map(m => col("_bucket").bitwiseXOR(lit(m))): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(probes).as("qb"))
     val scored = bucketed
@@ -431,9 +440,7 @@ object Similarity {
           Map("graft.fingerprint" -> fingerprint, "graft.bits" -> bits.toString))
         // a rebuild starts a new corpus state: tombstones from the previous
         // one must not delete freshly indexed rows
-        spark.sql(s"DROP TABLE IF EXISTS ${name}_vtomb")
-        WarehouseMeta.deleteRecursively(
-          WarehouseMeta.tableLocation(spark, s"${name}_vtomb"))
+        WarehouseMeta.dropIdManifest(spark, s"${name}_vtomb")
         WarehouseMeta.writeSidecar(spark, s"${name}_meta.tsv", Map(
           "sig" -> fingerprint, "buckets" -> buckets.toString,
           "bits" -> bits.toString))
@@ -496,17 +503,9 @@ object Similarity {
     * folds them in physically. Parquet has no row-level delete; at 100 TB
     * the rewrite is deferred and batched, never paid per delete. */
   def deleteFromVectorIndex(spark: org.apache.spark.sql.SparkSession,
-      name: String, ids: Seq[Long]): Unit = {
-    import graft.engine.WarehouseMeta
-    val tomb = s"${name}_vtomb"
-    import spark.implicits._
-    val df = ids.toDF("id")
-    if (WarehouseMeta.idManifest(spark, tomb).isDefined)
-      df.write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(tomb)
-    else
-      df.write.option("path", WarehouseMeta.tableLocation(spark, tomb).toString)
-        .saveAsTable(tomb)
-  }
+      name: String, ids: Seq[Long]): Unit =
+    graft.engine.WarehouseMeta.appendToIdManifest(spark, name,
+      s"${name}_vtomb", ids)
 
   /** Fold accumulated tombstones into the index: rewrite survivors into a
     * STAGED bucketed table (bucket values are reused, so the rewrite
@@ -533,8 +532,7 @@ object Similarity {
           .select("id", "vec", "bucket")
         WarehouseMeta.swapRewriteBucketedTable(spark, table, "bucket", buckets,
           "id BIGINT, vec ARRAY<FLOAT>, bucket BIGINT", survivors, props)
-        spark.sql(s"DROP TABLE $tomb")
-        WarehouseMeta.deleteRecursively(WarehouseMeta.tableLocation(spark, tomb))
+        WarehouseMeta.dropIdManifest(spark, tomb)
         true
       }
     }
@@ -555,6 +553,10 @@ object Similarity {
   def annCandidatesStream(spark: org.apache.spark.sql.SparkSession,
       queryStream: DataFrame, idCol: String, vecCol: String, name: String,
       roundTo: Int = 4, radius: Int = 0): DataFrame = {
+    // ensure the tombstone manifest exists BEFORE the plan resolves, so
+    // every (re)start of the stream enforces all deletes recorded so far
+    // (see dedupIncrementStream — same stream-static visibility contract)
+    graft.engine.WarehouseMeta.ensureIdManifest(spark, name, s"${name}_vtomb")
     val (indexed, bits) = vectorIndex(spark, name, "id", "vec")
     require(radius >= 0 && radius <= bits, s"radius $radius outside [0, $bits]")
     ensureExprs(queryStream)
@@ -565,12 +567,11 @@ object Similarity {
     // shipped s13 recall dial is available on the ingest path too: probe
     // masks are plan-time literals, each query row explodes into its probe
     // set BEFORE the stream-static join, still stateless and append-mode
-    val masks = (0L until (1L << bits))
-      .filter(m => java.lang.Long.bitCount(m) <= radius)
     val q = queryStream.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         qBucket.as("_qb0"))
       .select(col("query_id"), col("qv"),
-        explode(array(masks.map(m => col("_qb0").bitwiseXOR(lit(m))): _*)).as("qb"))
+        explode(array(probeMasks(bits, radius)
+          .map(m => col("_qb0").bitwiseXOR(lit(m))): _*)).as("qb"))
     q.join(indexed, col("_bucket") === col("qb") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         round(cosine(col("vec"), col("qv")), roundTo).as("cosine"))

@@ -480,18 +480,18 @@ object Fts {
       endMark: String = "</b>"): DataFrame = {
     require(terms.nonEmpty, "highlight needs at least one term")
     val lowered = terms.map(_.toLowerCase)
-    val toks = df.select(col(uidCol).as("uid"),
-      posexplode(filter(split(lower(col(textCol)), TokenSplit),
-        t => t =!= "")).as(Seq("pos", "tok")))
-    toks
-      .withColumn("_r", when(col("tok").isin(lowered: _*),
-        concat(lit(startMark), col("tok"), lit(endMark))).otherwise(col("tok")))
-      .withColumn("_m", when(col("tok").isin(lowered: _*), 1L).otherwise(0L))
-      .groupBy("uid")
-      .agg(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("_r")))),
-            s => s.getField("_r"))).as("highlighted"),
-        sum(col("_m")).as("nmatches"))
+    // PURE MAP WORK: the source row already holds its tokens in order, so
+    // marking is a row-local array transform — unlike [[snippet]] (whose
+    // window CHOICE genuinely joins match positions), highlight never
+    // needs to explode or shuffle the corpus token stream
+    df.withColumn("_toks",
+        filter(split(lower(col(textCol)), TokenSplit), t => t =!= ""))
+      .select(col(uidCol).as("uid"),
+        concat_ws(" ", transform(col("_toks"), t =>
+          when(t.isin(lowered: _*), concat(lit(startMark), t, lit(endMark)))
+            .otherwise(t))).as("highlighted"),
+        size(filter(col("_toks"), t => t.isin(lowered: _*)))
+          .cast("long").as("nmatches"))
       .filter(col("nmatches") > 0)
   }
 
