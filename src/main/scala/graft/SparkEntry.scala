@@ -106,19 +106,29 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
-  /** Memoized incremental-dedup signature store over the even-doc_id half of
-    * `documents` — the "existing corpus" side of d14. The durable ensure
-    * path (fingerprint over the documents file + the batch predicate)
-    * means the build runs once per CORPUS STATE, not once per process:
-    * bench child JVMs and later sessions re-register the existing bucketed
-    * files metadata-only (the StarWarehouse restart-survival contract).
-    * The table name is md5-derived from the dir so distinct SF dirs never
-    * collide in the shared warehouse. */
+  /** Once-per-(session, dir) durable-layout builder memo with tMemo's
+    * liveness guard: identityHashCode is not unique and can be reused
+    * after GC, so each entry keeps the session reference and an `eq`
+    * mismatch re-runs the builder — safe because every builder is a
+    * durable-ensure (re-running against existing files is metadata-only). */
+  private def memoizedLayout(memo: scala.collection.concurrent.TrieMap[String, (SparkSession, String)],
+      s: SparkSession, d: String)(build: => String): String = {
+    val key = s"${System.identityHashCode(s)}#$d"
+    memo.get(key) match {
+      case Some((sess, v)) if sess eq s => v
+      case _ =>
+        val v = build
+        memo.put(key, (s, v))
+        v
+    }
+  }
+  private def layoutMemo = scala.collection.concurrent.TrieMap.empty[String, (SparkSession, String)]
+
   /** Memoized persisted vector index over `embeddings` (bits=4, the s07
     * configuration) — same durable ensure discipline as [[dedupStoreFor]]. */
-  private val vectorIndexMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val vectorIndexMemo = layoutMemo
   private def vectorIndexFor(s: SparkSession, d: String): String =
-    vectorIndexMemo.getOrElseUpdate(s"${System.identityHashCode(s)}#$d", {
+    memoizedLayout(vectorIndexMemo, s, d) {
       import graft.engine.WarehouseMeta
       val name = "graft_vecindex_" + WarehouseMeta.md5Hex(d).take(12)
       val fp = WarehouseMeta.md5Hex(
@@ -126,7 +136,7 @@ object SparkEntry {
       Similarity.ensureVectorIndex(s, t(s, d, "embeddings"),
         "vec_id", "embedding", name, fp, bits = 4)
       name
-    })
+    }
 
   /** Memoized LIFECYCLE index for s16: built from the even-vec_id half,
     * then mutated through the full maintenance surface — append the odd
@@ -136,9 +146,9 @@ object SparkEntry {
     * is flagged in a sidecar keyed by the build fingerprint, so re-runs
     * (bench warm passes, later JVMs) never double-append; a changed
     * corpus fingerprint rebuilds and re-applies. */
-  private val vectorLifecycleMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val vectorLifecycleMemo = layoutMemo
   private def vectorIndexLifecycleFor(s: SparkSession, d: String): String =
-    vectorLifecycleMemo.getOrElseUpdate(s"${System.identityHashCode(s)}#$d", {
+    memoizedLayout(vectorLifecycleMemo, s, d) {
       import graft.engine.WarehouseMeta
       val name = "graft_veclife_" + WarehouseMeta.md5Hex(d).take(12)
       val fp = WarehouseMeta.md5Hex(
@@ -175,15 +185,15 @@ object SparkEntry {
         }
       }
       name
-    })
+    }
 
   /** Memoized date-partitioned events lake for e05 (Events.writeDateLake
     * under the warehouse dir, sidecar-fingerprinted like every durable
     * layout here): built once per corpus state, reread with partition
     * pruning by every later session. */
-  private val eventsLakeMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val eventsLakeMemo = layoutMemo
   private def eventsLakeFor(s: SparkSession, d: String): String =
-    eventsLakeMemo.getOrElseUpdate(s"${System.identityHashCode(s)}#$d", {
+    memoizedLayout(eventsLakeMemo, s, d) {
       import graft.engine.WarehouseMeta
       val name = "graft_eventslake_" + WarehouseMeta.md5Hex(d).take(12)
       val path = WarehouseMeta.tableLocation(s, name)
@@ -199,16 +209,16 @@ object SparkEntry {
         }
       }
       path.toString
-    })
+    }
 
   /** Memoized FORGET-lifecycle signature store for d16: d14's even-half
     * store taken through the takedown surface — remove {8, 26} and COMPACT
     * them away, then tombstone {58} and leave it uncompacted so the
     * increment's store side exercises the tombstone anti-join. Same
     * sidecar-flagged apply-once discipline as the s16 vector index. */
-  private val dedupForgetMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val dedupForgetMemo = layoutMemo
   private def dedupForgetStoreFor(s: SparkSession, d: String): String =
-    dedupForgetMemo.getOrElseUpdate(s"${System.identityHashCode(s)}#$d", {
+    memoizedLayout(dedupForgetMemo, s, d) {
       import graft.engine.WarehouseMeta
       val name = "graft_dedupforget_" + WarehouseMeta.md5Hex(d).take(12)
       val fp = WarehouseMeta.md5Hex(
@@ -228,11 +238,19 @@ object SparkEntry {
         }
       }
       name
-    })
+    }
 
-  private val dedupStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Memoized incremental-dedup signature store over the even-doc_id half
+    * of `documents` — the "existing corpus" side of d14. The durable
+    * ensure path (fingerprint over the documents file + the batch
+    * predicate) means the build runs once per CORPUS STATE, not once per
+    * process: bench child JVMs and later sessions re-register the existing
+    * bucketed files metadata-only (the StarWarehouse restart-survival
+    * contract). The table name is md5-derived from the dir so distinct SF
+    * dirs never collide in the shared warehouse. */
+  private val dedupStoreMemo = layoutMemo
   private def dedupStoreFor(s: SparkSession, d: String): String =
-    dedupStoreMemo.getOrElseUpdate(s"${System.identityHashCode(s)}#$d", {
+    memoizedLayout(dedupStoreMemo, s, d) {
       import graft.engine.WarehouseMeta
       val name = "graft_dedupstore_" + WarehouseMeta.md5Hex(d).take(12)
       val fp = WarehouseMeta.md5Hex(
@@ -241,7 +259,7 @@ object SparkEntry {
         tPar(s, d, "documents").filter(col("doc_id") % 2 === 0),
         "doc_id", "text", name, fp)
       name
-    })
+    }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

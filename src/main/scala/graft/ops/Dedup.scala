@@ -684,10 +684,31 @@ object Dedup {
     WarehouseMeta.withBuildLock(spark, name) {
       val inCatalog = tables.forall(t => spark.catalog.tableExists(t) &&
         WarehouseMeta.storedFingerprint(spark, t).contains(fingerprint))
+      val callerParams = Map("k" -> k.toString, "bands" -> bands.toString,
+        "rowsPerBand" -> rowsPerBand.toString, "simBands" -> simBands.toString,
+        "maxBucket" -> maxBucket.toString)
       lazy val reRegistered = WarehouseMeta.readSidecar(spark, s"${name}_meta.tsv")
         .exists { m =>
+          // Re-registration must stamp the STORE'S signing parameters, not
+          // trust the caller's: a matching fingerprint with mismatched
+          // k/bands/rowsPerBand would pass requireStoreParams and then
+          // silently probe zero candidates (band signatures sliced with
+          // the wrong geometry). Sidecars carry the params since r9-close;
+          // a params-bearing sidecar that disagrees with the caller fails
+          // LOUDLY, and a legacy sidecar without them falls through to a
+          // fingerprint rebuild (which re-records them).
+          val paramsRecorded = m.contains("k")
+          val paramsOk = paramsRecorded &&
+            callerParams.forall { case (key, v) => m.get(key).contains(v) }
+          // only a SAME-fingerprint params mismatch is the silent-zero
+          // hazard; a stale fingerprint just rebuilds with the new params
+          if (m.get("sig").contains(fingerprint))
+            require(!paramsRecorded || paramsOk,
+              s"store $name was built with ${m.view.filterKeys(callerParams.contains).toMap} " +
+                s"but ensure was called with $callerParams — mismatched signing " +
+                "parameters would silently produce zero candidates")
           m.get("sig").contains(fingerprint) &&
-            m.get("buckets").contains(buckets.toString) &&
+            m.get("buckets").contains(buckets.toString) && paramsOk &&
             tables.forall(t =>
               java.nio.file.Files.isDirectory(WarehouseMeta.tableLocation(spark, t)) &&
                 !spark.catalog.tableExists(t)) && {
@@ -698,7 +719,8 @@ object Dedup {
                      |LOCATION '${WarehouseMeta.tableLocation(spark, table).toUri}'
                      |TBLPROPERTIES ('graft.fingerprint' = '$fingerprint',
                      |  'graft.k' = '$k', 'graft.bands' = '$bands',
-                     |  'graft.rowsPerBand' = '$rowsPerBand', 'graft.simBands' = '$simBands')""".stripMargin)
+                     |  'graft.rowsPerBand' = '$rowsPerBand', 'graft.simBands' = '$simBands',
+                     |  'graft.maxBucket' = '$maxBucket')""".stripMargin)
               create(sigsT, sigsDdl, "id")
               create(bandsT, bandsDdl, "sig")
               create(simT, simDdl, "slice")
@@ -712,7 +734,7 @@ object Dedup {
         tables.foreach(t => spark.sql(
           s"ALTER TABLE $t SET TBLPROPERTIES ('graft.fingerprint' = '$fingerprint')"))
         WarehouseMeta.writeSidecar(spark, s"${name}_meta.tsv", Map(
-          "sig" -> fingerprint, "buckets" -> buckets.toString))
+          "sig" -> fingerprint, "buckets" -> buckets.toString) ++ callerParams)
         true
       }
     }
@@ -844,24 +866,35 @@ object Dedup {
       .select(col("new_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val newSigs = wide.select(col("id").as("new_id"),
       array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("new_sig"))
-    val stBands = liveTable(spark, name, bandsT)
-      .select(col("id").as("old_id"), col("band"), col("sig"))
-    val stSigs = liveTable(spark, name, sigsT)
-      .select(col("id").as("old_id"), col("sig").as("old_sig"))
-    newBands.join(stBands, Seq("band", "sig"))
+    newBands.join(storeBandSide(spark, name), Seq("band", "sig"))
       // a doc re-ingested under its stored id must not pair with itself
       .filter(col("old_id") =!= col("new_id"))
       .select("new_id", "old_id").distinct()
       .join(newSigs, "new_id")
-      .join(stSigs, "old_id")
-      .withColumn("est_jaccard", round(
-        expr("size(filter(zip_with(new_sig, old_sig, (x, y) -> x = y), b -> b))" +
-          s" / CAST($numHashes AS DOUBLE)"), 6))
+      .join(storeSigSide(spark, name), "old_id")
+      .withColumn("est_jaccard", estJaccardCol(numHashes))
       .filter(col("est_jaccard") >= minEstimate)
-      .select(least(col("old_id"), col("new_id")).as("id_a"),
-        greatest(col("old_id"), col("new_id")).as("id_b"),
-        col("est_jaccard"))
+      .select(normalizedPair :+ col("est_jaccard"): _*)
   }
+
+  // -- shared increment vocabulary (batch + streaming paths): the JOIN
+  // ORDERS deliberately differ (streaming append-mode forbids the batch
+  // path's pre-verify distinct — a stateful aggregation before a join),
+  // but the store projections, the verify expression, and the pair
+  // normalization must never diverge between the two contracts
+  // (EventStreamsSpec pins stream ≡ batch on the same store).
+  private def storeBandSide(spark: SparkSession, name: String): DataFrame =
+    liveTable(spark, name, storeTables(name)._1)
+      .select(col("id").as("old_id"), col("band"), col("sig"))
+  private def storeSigSide(spark: SparkSession, name: String): DataFrame =
+    liveTable(spark, name, storeTables(name)._2)
+      .select(col("id").as("old_id"), col("sig").as("old_sig"))
+  private def estJaccardCol(numHashes: Int): Column = round(
+    expr("size(filter(zip_with(new_sig, old_sig, (x, y) -> x = y), b -> b))" +
+      s" / CAST($numHashes AS DOUBLE)"), 6)
+  private def normalizedPair: Seq[Column] = Seq(
+    least(col("old_id"), col("new_id")).as("id_a"),
+    greatest(col("old_id"), col("new_id")).as("id_b"))
 
   /** ROW-LOCAL MinHash signature — the same values as [[minhashWide]]
     * computed entirely within one row (shingle → 60-bit hash → per-
@@ -924,20 +957,12 @@ object Dedup {
         explode(perBand).as("bs"))
       .select(col("new_id"), col("new_sig"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val stBands = liveTable(spark, name, bandsT)
-      .select(col("id").as("old_id"), col("band"), col("sig"))
-    val stSigs = liveTable(spark, name, sigsT)
-      .select(col("id").as("old_id"), col("sig").as("old_sig"))
-    banded.join(stBands, Seq("band", "sig"))
+    banded.join(storeBandSide(spark, name), Seq("band", "sig"))
       .filter(col("old_id") =!= col("new_id"))
-      .join(stSigs, "old_id")
-      .withColumn("est_jaccard", round(
-        expr("size(filter(zip_with(new_sig, old_sig, (x, y) -> x = y), b -> b))" +
-          s" / CAST($numHashes AS DOUBLE)"), 6))
+      .join(storeSigSide(spark, name), "old_id")
+      .withColumn("est_jaccard", estJaccardCol(numHashes))
       .filter(col("est_jaccard") >= minEstimate)
-      .select(least(col("old_id"), col("new_id")).as("id_a"),
-        greatest(col("old_id"), col("new_id")).as("id_b"),
-        col("est_jaccard"))
+      .select(normalizedPair :+ col("est_jaccard"): _*)
       .dropDuplicates("id_a", "id_b")
   }
 

@@ -444,6 +444,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       minEstimate = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(inc2((8L, 9L)) == 1.0, "rebuilt store carries the new batch")
+
+    // restart path with a SAME-fingerprint ensure but different signing
+    // params: must fail loudly, never stamp the caller's geometry over the
+    // store's (a 4x4 store probed as 8x2 silently finds zero candidates)
+    for (t <- Seq(s"${name}_bands", s"${name}_sigs", s"${name}_simhash"))
+      spark.sql(s"DROP TABLE $t")
+    val boom = intercept[IllegalArgumentException] {
+      Dedup.ensureSignatureStore(spark, b1v2, "doc_id", "text", name,
+        "fp-round9-test-2", bands = 8, rowsPerBand = 2)
+    }
+    assert(boom.getMessage.contains("signing parameters"), boom.getMessage)
+    // matching params still re-register fine after the failed attempt
+    assert(!Dedup.ensureSignatureStore(spark, b1v2, "doc_id", "text", name,
+      "fp-round9-test-2"))
   }
 
   test("appendSignatureStore: later increments see appended batches; params are pinned") {
