@@ -486,19 +486,23 @@ object Bench {
     // emission order matters: the driver tail-captures the END of stdout and
     // truncation eats from the HEAD of the window — BENCH_r08's 91-entry
     // 4-dp map overflowed it and lost the alphabetically-first (d/e/g)
-    // medians. Mitigations, compounding: the total line's map is 2 dp
-    // (~25% smaller); the medians are ALSO emitted split across two
-    // family-partitioned lines at full 4 dp, with the previously-lost
-    // d/e/g families in the LATER line (nearer EOF = survives longest);
-    // bulky per_rep stays FIRST so it is eaten before any median.
+    // medians, and r09's two-line split still overflowed the 67-entry
+    // q/s/t/w/x line from its head. r10: the medians are emitted as SHORT
+    // CHUNKS of ≤36 entries each (every line ~1 KB, far under any capture
+    // window), ordered q/s/t/w/x families first and d/e/g LAST (nearest
+    // EOF = survives longest, the historically-lost families). Bulky
+    // per_rep stays FIRST so it is eaten before any median; the 2-dp full
+    // map on the total line remains for one-line consumers.
     val (degFams, restFams) = results.partition { case (k, _) =>
       k.headOption.exists(c => c == 'd' || c == 'e' || c == 'g') }
     def medJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    val chunks = (restFams ++ degFams).grouped(36).toSeq
     println(s"""{"metric":"per_rep","unit":"sec","times":$perRep,"sf":"$sfDir","reps":$reps}""")
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"forked":$forkedActual,"warmed":$warmedActual,"warmup_queries_done":${pass0Done.get()},"cpus":"${env("SPARK_GRAFT_CPUS", defaultCpus)}","query_timeout_sec":$queryTimeoutSec}""")
-    println(s"""{"metric":"medians_1of2","unit":"sec","families":"q/s/t/w/x","queries":${medJson(restFams)},"sf":"$sfDir","reps":$reps}""")
-    println(s"""{"metric":"medians_2of2","unit":"sec","families":"d/e/g","queries":${medJson(degFams)},"sf":"$sfDir","reps":$reps}""")
-    println(s"""{"metric":"total_compact","value":${r4(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","reps":$reps}""")
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      println(s"""{"metric":"medians_${i + 1}of${chunks.size}","unit":"sec","queries":${medJson(chunk)},"sf":"$sfDir","reps":$reps}""")
+    }
+    println(s"""{"metric":"total_compact","value":${r4(total)},"unit":"sec","n_queries":${results.size},"median_lines":${chunks.size},"sf":"$sfDir","reps":$reps}""")
   }
 }

@@ -148,6 +148,30 @@ object WarehouseMeta {
     }
   }
 
+  /** Loud guard for appends into a store that has live tombstones: an
+    * appended id that is currently tombstoned would be silently invisible
+    * (every read anti-joins it out) and the NEXT COMPACTION would
+    * physically delete the re-ingested rows alongside the old ones —
+    * silent data loss. Re-ingesting a forgotten id therefore requires
+    * compacting first (compaction clears the manifest); this check makes
+    * that contract fail loudly at the append instead. The manifest is
+    * small by contract, so its ids collect to the driver and the batch
+    * side pays one shuffle-free filtered scan. */
+  def requireNotTombstoned(spark: SparkSession, table: String,
+      ids: org.apache.spark.sql.DataFrame, what: String): Unit =
+    idManifest(spark, table).foreach { m =>
+      val banned = m.collect().map(_.getLong(0))
+      if (banned.nonEmpty) {
+        val hit = ids.filter(ids("id").isin(banned: _*)).limit(5)
+          .collect().map(_.getLong(0))
+        require(hit.isEmpty,
+          s"cannot append $what: ids ${hit.mkString(", ")} are tombstoned in " +
+            s"$table — appended rows would be invisible until the next " +
+            "compaction physically deletes them; compact the store first to " +
+            "re-ingest a forgotten id")
+      }
+    }
+
   /** Drop a manifest table and its files (compaction epilogue; rebuild
     * prologue — stale tombstones must not outlive the state they were
     * recorded against). */
@@ -162,17 +186,33 @@ object WarehouseMeta {
     * into the live location, and re-register `table` from `ddl`. The staged
     * write materializes fully before the live files are touched, so the
     * rewrite never reads files it is deleting — the safe shape for
-    * compactions whose input is the table being rewritten. */
+    * compactions whose input is the table being rewritten.
+    *
+    * Crash safety: the live directory is renamed ASIDE (`<table>_old`)
+    * before the stage moves in, so a crash at any point leaves at least one
+    * COMPLETE copy at a recoverable path — either the live dir is intact,
+    * or `_old` holds the full pre-rewrite data and `_stage`/live hold the
+    * full post-rewrite data. A leftover `_old`/`_stage` dir from a crashed
+    * prior run is cleared up front (the live dir was intact in that case). */
   def swapRewriteBucketedTable(spark: SparkSession, table: String,
       bucketCol: String, buckets: Int, ddl: String,
       df: org.apache.spark.sql.DataFrame, props: Map[String, String]): Unit = {
     val stage = s"${table}_stage"
+    val loc = tableLocation(spark, table)
+    val old = tableLocation(spark, s"${table}_old")
+    // a crashed prior swap leaves either debris (_old beside an intact live
+    // dir — delete it) or a half-swap (live dir GONE, _old complete — roll
+    // the old data back before proceeding; the caller's plan re-resolves it)
+    if (Files.isDirectory(old)) {
+      if (Files.isDirectory(loc)) deleteRecursively(old)
+      else { Files.move(old, loc); spark.catalog.refreshTable(table) }
+    }
     replaceBucketedTable(spark, stage, bucketCol, buckets, df, props)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"DROP TABLE $stage")
-    val loc = tableLocation(spark, table)
-    deleteRecursively(loc)
+    Files.move(loc, old)
     Files.move(tableLocation(spark, stage), loc)
+    deleteRecursively(old)
     spark.sql(
       s"""CREATE TABLE $table ($ddl)
          |USING PARQUET

@@ -768,10 +768,17 @@ object Dedup {
     * NOTE appends do not re-evaluate a build-time `maxBucket` cap (each
     * append is bounded by its batch; a bucket that grows past the cap
     * across many appends is re-capped at the next fingerprint rebuild —
-    * audit any time via [[storeOverflowBuckets]]). */
+    * audit any time via [[storeOverflowBuckets]]).
+    *
+    * Appending an id that is currently TOMBSTONED fails loudly: the rows
+    * would be invisible until the next compaction physically deleted them
+    * (silent loss). Re-ingesting a forgotten id requires
+    * [[compactSignatureStore]] first. */
   def appendSignatureStore(spark: SparkSession, df: DataFrame, idCol: String,
       textCol: String, name: String): Unit = {
     val (bandsT, sigsT, simT) = storeTables(name)
+    graft.engine.WarehouseMeta.requireNotTombstoned(spark, s"${name}_tomb",
+      df.select(col(idCol).cast("long").as("id")), s"signature store $name")
     val p = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(sigsT)).properties
     val (k, bands, rowsPerBand, simBands) = (p("graft.k").toInt,
@@ -812,7 +819,16 @@ object Dedup {
     * and TBLPROPERTIES survive), then the tombstone table is dropped.
     * Returns true if a compaction ran (false with nothing to fold). Shares
     * the store's build lock, so a compaction never interleaves with a
-    * rebuild. */
+    * rebuild.
+    *
+    * STOP STREAMS FIRST: a running [[dedupIncrementStream]] (or any
+    * stream-static consumer of the store) resolved its plan over the
+    * CURRENT store and tombstone files at query start — the swap replaces
+    * those files, so its next micro-batch fails with missing-file errors.
+    * The build lock serializes batch maintenance only; it cannot see a
+    * stream's resolved plan. Compaction belongs between stream restarts
+    * (the restart then also picks up all takedowns, per
+    * [[removeFromSignatureStore]]). */
   def compactSignatureStore(spark: SparkSession, name: String): Boolean = {
     import graft.engine.WarehouseMeta
     val (bandsT, sigsT, simT) = storeTables(name)

@@ -151,19 +151,24 @@ object Events {
     // the same path is exactly the hazard dynamic overwrite alone leaves.
     requireBatchLake(path)
     withMaintenanceLock(path) {
-      val stage = s"$path/_compact_stage"
-      daySplit(readDateLake(spark, path, fromDt, toDt), filesPerDay)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("dt").parquet(stage)
-      try
-        daySplit(spark.read.parquet(stage)
-            .withColumn("dt", col("dt").cast("string")), filesPerDay)
+      // no data in the range → nothing to compact: short-circuit instead of
+      // writing an empty stage dir that the read-back would fail to infer
+      val range = readDateLake(spark, path, fromDt, toDt)
+      if (!range.isEmpty) {
+        val stage = s"$path/_compact_stage"
+        daySplit(range, filesPerDay)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic") // per-write, never session conf
-          .partitionBy("dt").parquet(path)
-      finally
-        graft.engine.WarehouseMeta.deleteRecursively(
-          java.nio.file.Paths.get(stage.stripPrefix("file:")))
+          .partitionBy("dt").parquet(stage)
+        try
+          daySplit(spark.read.parquet(stage)
+              .withColumn("dt", col("dt").cast("string")), filesPerDay)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic") // per-write, never session conf
+            .partitionBy("dt").parquet(path)
+        finally
+          graft.engine.WarehouseMeta.deleteRecursively(
+            java.nio.file.Paths.get(stage.stripPrefix("file:")))
+      }
     }
   }
 

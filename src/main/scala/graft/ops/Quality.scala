@@ -37,6 +37,12 @@ object Quality {
   def check(df: DataFrame, expects: Seq[Expect],
       uniqueKeys: Seq[String] = Nil): DataFrame = {
     require(expects.nonEmpty || uniqueKeys.nonEmpty, "no rules to check")
+    // duplicate rule names would collide in the _v_<name> aliases and fail
+    // later with an ambiguous-column error far from the caller's mistake
+    val dupNames = expects.groupBy(_.name).collect { case (n, es) if es.size > 1 => n }
+    require(dupNames.isEmpty, s"duplicate expectation names: ${dupNames.mkString(", ")}")
+    require(uniqueKeys.distinct.size == uniqueKeys.size,
+      s"duplicate unique keys: ${uniqueKeys.diff(uniqueKeys.distinct).mkString(", ")}")
     val rowAggs = expects.map(e =>
       sum(when(e.holds, 0L).otherwise(1L)).as(s"_v_${e.name}"))
     val uniqAggs = uniqueKeys.map(k =>

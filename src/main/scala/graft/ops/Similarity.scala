@@ -484,10 +484,15 @@ object Similarity {
     * same maintained-index posture as `Dedup.appendSignatureStore`. The
     * build fingerprint covers only the initial corpus; callers own folding
     * append provenance into it (or re-ensuring with a new fingerprint to
-    * trigger a clean rebuild). */
+    * trigger a clean rebuild). Appending an id that is currently TOMBSTONED
+    * fails loudly — the rows would be invisible until the next compaction
+    * physically deleted them; [[compactVectorIndex]] first to re-ingest a
+    * forgotten id. */
   def appendVectorIndex(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, idCol: String, vecCol: String, name: String): Unit = {
     val table = s"${name}_vlsh"
+    graft.engine.WarehouseMeta.requireNotTombstoned(spark, s"${name}_vtomb",
+      df.select(col(idCol).cast("long").as("id")), s"vector index $name")
     val bits = storedBits(spark, table)
     val bucket = probeDim(df, vecCol)
       .map(dim => lshBucket(col(vecCol), bits, dim))
@@ -513,7 +518,13 @@ object Similarity {
     * staged files into the live location, and drop the tombstone table.
     * Staging first means the rewrite never reads files it is deleting; the
     * swap is metadata + a directory move. Returns true if a compaction ran
-    * (false when there are no tombstones to fold). */
+    * (false when there are no tombstones to fold).
+    *
+    * STOP STREAMS FIRST: a running [[annCandidatesStream]] resolved its
+    * plan over the current index and tombstone files at query start — the
+    * swap replaces those files, so its next micro-batch fails with
+    * missing-file errors. Compact between stream restarts (the restart
+    * then also picks up all deletes, per [[deleteFromVectorIndex]]). */
   def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
       name: String): Boolean = {
     import graft.engine.WarehouseMeta
