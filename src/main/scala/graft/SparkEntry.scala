@@ -1196,6 +1196,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("events"),
           countDistinct(col("user_id")).as("users"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+    }),
+
+    // --- pipeline composition ----------------------------------------------
+    // END-TO-END ingest chain as ONE composed plan — the deliverable the
+    // operator catalog exists to feed: raw documents → quality gate (keep
+    // rows passing every row rule) → near-dup survivors (d15's LSH →
+    // transitive-cluster machinery over the GATED corpus) → temperature
+    // mixture resampling (alpha=0.5 toward uniform langs; target 800 > the
+    // corpus so low-resource langs UPSAMPLE through fractional copies) →
+    // 256-token next-fit packing per lang shard, summarized per bin.
+    // Everything between the corpus scan and the final aggregate is lazy
+    // composition: the only driver-side materializations are the two
+    // BOUNDED ones the operators document (GraphX CC supersteps — fully
+    // distributed — and temperatureMix's |strata|-counter size aggregate);
+    // PipelineSpec pins stage-composition ≡ stage-by-stage materialization
+    // and audits the executed plan. The oracle twin re-derives all four
+    // stages from scratch in one SQL statement.
+    "p01_ingest_pipeline" -> ((s, d) => {
+      val docs = tPar(s, d, "documents")
+      val gated = Quality.gate(docs, Seq(
+        Quality.Expect("min_tokens", TextAnalysis.tokenCount(col("text")) >= 20),
+        Quality.Expect("chars_max", col("n_chars") <= 520),
+        Quality.Expect("chars_consistent", col("n_chars") === length(col("text")))))
+      val clusters = Dedup.dupClusters(s, Dedup.lshCandidates(gated, "doc_id", "text"))
+      val surv = Dedup.dedupByClusters(gated, "doc_id", clusters)
+      val mixed = Sampling.temperatureMix(surv, "lang", "doc_id",
+        alpha = 0.5, targetRows = 800)
+      // replicas need a unique pack key: copy_idx < 8 by construction
+      // (weights are single digits), so doc_id*8+copy_idx is injective
+      TextAnalysis.packBins(
+          mixed.withColumn("pack_id", col("doc_id") * 8 + col("copy_idx")),
+          "lang", "pack_id", "text", budget = 256)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_tokens")).cast("long").as("bin_tokens"))
     })
   )
 
@@ -2414,6 +2449,59 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events
         |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // the full ingest chain re-derived stage by stage: gate (same three row
+    // rules) → the d15 LSH/CC chain over GATED docs → s17's temperature
+    // weights re-derived from SURVIVOR sizes (target 800, 6-dp pin) →
+    // t09's exclusive-running-sum packing keyed by doc_id*8+copy_idx
+    "p01_ingest_pipeline" ->
+      """WITH RECURSIVE
+        |gated AS (SELECT * FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 20 AND n_chars <= 520
+        |    AND n_chars = LENGTH(text)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM gated),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 4294967311 AS hh FROM sh),
+        |mh AS (SELECT doc_id, i, MIN(((101 + 37*i) * hh + 12345 + 789*i) % 4294967311) AS mh
+        |  FROM h CROSS JOIN range(0, 16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, i // 4 AS band,
+        |  string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig FROM mh GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, r) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.r
+        |),
+        |clusters AS (SELECT id, LEAST(id, MIN(r)) AS cluster FROM walk GROUP BY id),
+        |drops AS (SELECT id FROM clusters WHERE id <> cluster),
+        |surv AS (SELECT g.* FROM gated g LEFT JOIN drops x ON g.doc_id = x.id
+        |  WHERE x.id IS NULL),
+        |n AS (SELECT lang AS stratum, COUNT(*) AS cnt FROM surv GROUP BY 1),
+        |wt AS (SELECT stratum,
+        |  ROUND(POW(cnt, 0.5) / (SELECT SUM(POW(cnt, 0.5)) FROM n) * 800.0 / cnt, 6) AS w
+        |  FROM n),
+        |hx AS (SELECT doc_id, lang, text, w,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hsh
+        |  FROM surv JOIN wt ON lang = stratum),
+        |cp AS (SELECT doc_id, lang, text,
+        |  CAST(FLOOR(w) AS BIGINT)
+        |    + (CASE WHEN CAST(hsh AS DOUBLE) < (w - FLOOR(w)) * 4294967296.0 THEN 1 ELSE 0 END) AS copies
+        |  FROM hx),
+        |mixed AS (SELECT doc_id, lang, text, CAST(u.c AS BIGINT) AS copy_idx
+        |  FROM cp, unnest(range(0, copies)) u(c) WHERE copies > 0),
+        |pk AS (SELECT lang, doc_id * 8 + copy_idx AS pack_id,
+        |  len(string_split(text, ' ')) AS ptoks FROM mixed),
+        |cum AS (SELECT lang, pack_id, ptoks,
+        |  COALESCE(SUM(ptoks) OVER (PARTITION BY lang ORDER BY pack_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cm
+        | FROM pk)
+        |SELECT lang, CAST(FLOOR(cm / 256.0) AS INT) AS bin,
+        | COUNT(*) AS n_docs, CAST(SUM(ptoks) AS BIGINT) AS bin_tokens
+        |FROM cum GROUP BY 1, 2""".stripMargin
   )
 }

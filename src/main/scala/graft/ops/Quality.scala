@@ -61,6 +61,17 @@ object Quality {
         col("r.total").as("total"))
   }
 
+  /** The ACCEPT side of the gate: rows passing EVERY row-level expectation
+    * (NULL evaluations reject, same contract as [[check]]). Pure map
+    * filter — composes with scan pushdown, adds no shuffle; pair with
+    * [[violations]] for the quarantine channel and [[check]] for the
+    * per-batch meter. This is stage 1 of the ingest pipeline
+    * (gate → dedup → mix → pack). */
+  def gate(df: DataFrame, expects: Seq[Expect]): DataFrame = {
+    require(expects.nonEmpty, "no rules to check")
+    df.filter(expects.map(e => coalesce(e.holds, lit(false))).reduce(_ && _))
+  }
+
   /** The rows a batch gate would quarantine: every row violating ANY of the
     * row-level expectations, tagged with the comma-joined names of the
     * rules it broke — the per-row error channel to [[check]]'s per-batch

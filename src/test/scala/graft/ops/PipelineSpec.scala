@@ -61,6 +61,67 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(stats.nonEmpty && stats.map(_.getAs[Long]("docs")).sum == nKept)
   }
 
+  test("p01: composed lazy plan ≡ stage-by-stage materialization; plan audit") {
+    // the oracle proves p01's VALUES; this pins its two structural claims:
+    // (1) running the chain as one composed plan loses nothing vs
+    //     materializing every stage boundary to parquet and re-reading;
+    // (2) the executed plan materializes nothing to the driver beyond the
+    //     two documented bounded sites (CC's distributed supersteps reach
+    //     the plan as ONE RDD scan — the cluster manifest — and
+    //     temperatureMix's |strata| size aggregate runs as its own job
+    //     before the plan executes).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val gateRules = Seq(
+      Quality.Expect("min_tokens", TextAnalysis.tokenCount(col("text")) >= 20),
+      Quality.Expect("chars_max", col("n_chars") <= 520),
+      Quality.Expect("chars_consistent", col("n_chars") === length(col("text"))))
+
+    val composed = graft.SparkEntry.queries("p01_ingest_pipeline")(spark, dir)
+
+    val tmp = java.nio.file.Files.createTempDirectory("p01_stage").toString
+    def roundtrip(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      spark.read.parquet(s"$tmp/$name")
+    }
+    val gated = roundtrip(Quality.gate(docs, gateRules), "gated")
+    val clusters = roundtrip(
+      Dedup.dupClusters(spark, Dedup.lshCandidates(gated, "doc_id", "text")), "clusters")
+    val surv = roundtrip(Dedup.dedupByClusters(gated, "doc_id", clusters), "surv")
+    val mixed = roundtrip(
+      Sampling.temperatureMix(surv, "lang", "doc_id", alpha = 0.5, targetRows = 800),
+      "mixed")
+    val staged = TextAnalysis.packBins(
+        mixed.withColumn("pack_id", col("doc_id") * 8 + col("copy_idx")),
+        "lang", "pack_id", "text", budget = 256)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_tokens")).cast("long").as("bin_tokens"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val composedRows = rows(composed)
+    assert(composedRows.nonEmpty && composedRows == rows(staged),
+      "composed chain must equal stage-by-stage materialization")
+
+    // plan audit on the composed frame: exactly one RDD scan (the CC
+    // cluster manifest), no driver-side collect/limit nodes, no cartesian
+    // AQE's toString prints the final AND initial plans — audit the final
+    val plan = composed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the CC manifest enters as ONE external-RDD scan (printed `Scan[obj#N]`
+    // under SerializeFromObject); its lineage holds the distributed CC run
+    val rddScans = "Scan\\[obj".r.findAllIn(plan).size
+    assert(rddScans == 1, s"expected exactly the CC manifest as RDD scan, got $rddScans:\n$plan")
+    assert(!plan.contains("CollectLimit") && !plan.contains("Cartesian"),
+      s"no driver materialization or cartesian in the composed plan:\n$plan")
+
+    // the mix genuinely upsampled: some survivor carries copy_idx >= 1
+    // (low-resource langs get fractional copies at target 800 > corpus)
+    assert(mixed.filter(col("copy_idx") >= 1).count() > 0,
+      "temperature mix at target 800 must upsample low-resource strata")
+    graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
   test("incremental ingestion round composes: store → increment → cluster → accept → append") {
     // the maintained-index workflow a training-data platform actually runs,
     // over REAL documents: an existing corpus owns a signature store; a new
