@@ -982,6 +982,126 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // ------------------------------------------- streaming store MAINTENANCE
+  //
+  // [[dedupIncrementStream]] READS the store; a live ingest pipeline must
+  // also WRITE it — dedup each micro-batch against the corpus so far, land
+  // the duplicate pairs, and index the accepted docs so the NEXT batch sees
+  // them. foreachBatch is the Spark surface for a sink with side effects;
+  // exactly-once is this module's own commit log (the streamToDateLake
+  // posture applied to a custom sink): Structured Streaming replays a
+  // micro-batch after restart with the SAME batchId and data, so a
+  // committed batch skips entirely, and a crashed one rolls back via a
+  // pre-append file snapshot before re-applying.
+
+  /** Apply ONE ingest micro-batch to the store, EXACTLY-ONCE under replays:
+    *
+    *   1. `<name>_ingest_log/<batchId>.commit` exists → no-op (replay of a
+    *      fully applied batch).
+    *   2. Any `.intent` without a `.commit` marks a CRASHED append: store
+    *      files absent from its snapshot are that append's partial output —
+    *      deleted before anything else runs (rollback), then the crashed
+    *      batch re-applies when the stream replays it.
+    *   3. Snapshot the store's data files into `<batchId>.intent`, compute
+    *      duplicate pairs ([[dedupIncrement]] — one text pass over the
+    *      batch, bucket joins against the store), overwrite them into
+    *      `pairsPath/batch=<batchId>` (per-batch dir → replays overwrite,
+    *      never duplicate), append the ACCEPTED docs' signatures (batch
+    *      docs that paired with the corpus are dups and are not indexed),
+    *      and atomically promote intent → commit.
+    *
+    * Runs under the store's build lock, so batches serialize against
+    * compactions and rebuilds. Returns the accepted-doc count (-1 for a
+    * skipped replay). */
+  def applyIngestBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, name: String, pairsPath: String,
+      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      minEstimate: Double = 0.0): Long = {
+    import graft.engine.WarehouseMeta
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    WarehouseMeta.withBuildLock(spark, name) {
+      val logDir = WarehouseMeta.tableLocation(spark, s"${name}_ingest_log")
+      Files.createDirectories(logDir)
+      val commit = logDir.resolve(s"$batchId.commit")
+      if (Files.exists(commit)) -1L
+      else {
+        val tables = { val (b, s, m) = storeTables(name); Seq(b, s, m) }
+        def dataFiles(): Set[String] = tables.flatMap { t =>
+          val dir = WarehouseMeta.tableLocation(spark, t)
+          if (!Files.isDirectory(dir)) Nil
+          else {
+            val walk = Files.walk(dir)
+            try walk.iterator().asScala.filter(Files.isRegularFile(_))
+              .map(p => s"$t\t${dir.relativize(p)}").toList
+            finally walk.close()
+          }
+        }.toSet
+        // rollback of any crashed batch (its intent survived, commit didn't)
+        val stale = Files.list(logDir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".intent")).toList
+          .filter(p => !Files.exists(p.resolveSibling(
+            p.getFileName.toString.stripSuffix(".intent") + ".commit")))
+        if (stale.nonEmpty) {
+          val snapshot = stale.flatMap(p => Files.readAllLines(p).asScala).toSet
+          for (f <- dataFiles() if !snapshot.contains(f)) {
+            val Array(t, rel) = f.split("\t", 2)
+            Files.deleteIfExists(WarehouseMeta.tableLocation(spark, t).resolve(rel))
+          }
+          stale.foreach(Files.delete(_))
+          tables.foreach(t => spark.catalog.refreshTable(t))
+        }
+        val intent = logDir.resolve(s"$batchId.intent")
+        Files.write(intent, dataFiles().toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+        dedupIncrement(spark, batch, idCol, textCol, name, k, bands,
+            rowsPerBand, minEstimate)
+          .write.mode(SaveMode.Overwrite).parquet(s"$pairsPath/batch=$batchId")
+        // accepted = batch docs that did NOT pair with the corpus; read the
+        // pairs BACK from the just-written batch dir (no recompute, and the
+        // indexed set provably matches the landed pairs)
+        val pairedNew = spark.read.parquet(s"$pairsPath/batch=$batchId")
+          .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+        val accepted = batch.join(pairedNew,
+          batch(idCol).cast("long") === pairedNew("id"), "left_anti")
+        val nAccepted = accepted.count()
+        if (nAccepted > 0)
+          appendSignatureStore(spark, accepted, idCol, textCol, name)
+        Files.move(intent, commit, StandardCopyOption.ATOMIC_MOVE)
+        nAccepted
+      }
+    }
+  }
+
+  /** The closed ingest loop as a STREAM: each micro-batch is deduped
+    * against the store and the accepted docs are indexed into it before
+    * the next batch runs — [[applyIngestBatch]] under foreachBatch with
+    * AvailableNow (drain-the-backlog; a live deployment swaps the
+    * trigger). Restart-safe end to end: the streaming checkpoint replays
+    * uncommitted batches with identical batchIds, and the ingest commit
+    * log makes each batch's store append exactly-once (EventStreamsSpec
+    * kills a run mid-stream and pins store ≡ the batch pipeline's). */
+  def dedupIngestStream(spark: SparkSession, docsStream: DataFrame,
+      idCol: String, textCol: String, name: String, pairsPath: String,
+      checkpoint: String, k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      minEstimate: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // the micro-batch frame belongs to the stream's session clone;
+        // catalog state (external catalog, warehouse dir) is shared
+        applyIngestBatch(b.sparkSession, b, id, idCol, textCol, name,
+          pairsPath, k, bands, rowsPerBand, minEstimate)
+        // insertInto refreshed the CLONE's relation cache only — refresh
+        // the caller's session too, so the session that started the stream
+        // reads the maintained store without a manual refresh (per-session
+        // caches are the one piece of state the clone does NOT share)
+        val (bt, st, mt) = storeTables(name)
+        Seq(bt, st, mt).foreach(spark.catalog.refreshTable)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** SimHash increment: near-dup pairs of `newDocs` vs the stored corpus by
     * Hamming distance, via the stored band slices — the incremental twin of
     * [[simhashDupPairs]] (pigeonhole recall: complete for maxHamming ≤

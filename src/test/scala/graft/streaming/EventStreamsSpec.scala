@@ -230,6 +230,89 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed((1L, 5L)) == 1.0)
   }
 
+  test("dedupIngestStream: exactly-once store maintenance — kill/restart, crash rollback, replay no-op") {
+    import scala.jdk.CollectionConverters._
+    import graft.ops.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val shard1 = docs.filter(col("doc_id") % 3 === 1)
+    val shard2 = docs.filter(col("doc_id") % 3 === 2)
+    val name = "graft_ingest_loop"
+    Dedup.writeSignatureStore(spark, corpus, "doc_id", "text", name)
+
+    val tmp = java.nio.file.Files.createTempDirectory("ingest_loop")
+    val src = tmp.resolve("src")
+    val pairsDir = s"$tmp/pairs"; val ckpt = s"$tmp/ckpt"
+    java.nio.file.Files.createDirectories(src)
+    def land(df: org.apache.spark.sql.DataFrame, fname: String): Unit = {
+      val stage = tmp.resolve(s"stage_$fname")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .next()
+      java.nio.file.Files.move(part, src.resolve(fname))
+    }
+    def runStream(): Unit = Dedup.dedupIngestStream(spark,
+        spark.readStream.schema(docs.schema).parquet(src.toString),
+        "doc_id", "text", name, pairsDir, ckpt, minEstimate = 0.5)
+      .awaitTermination()
+    def sigRows(t: String) = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+
+    // run 1 drains shard1, then the query STOPS (kill at a batch boundary);
+    // run 2 restarts from the checkpoint and processes ONLY the new file
+    land(shard1, "f1.parquet")
+    runStream()
+    val afterRun1 = sigRows(s"${name}_sigs")
+    land(shard2, "f2.parquet")
+    runStream()
+
+    // batch twin: the same corpus → shard1 → shard2 sequence through the
+    // documented batch workflow (increment → accept → append)
+    val twin = "graft_ingest_twin"
+    Dedup.writeSignatureStore(spark, corpus, "doc_id", "text", twin)
+    def acceptAppend(shard: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val p = Dedup.dedupIncrement(spark, shard, "doc_id", "text", twin,
+        minEstimate = 0.5)
+      val pr = p.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val banned = pr.flatMap(t => Seq(t._1, t._2))
+      val acc = shard.filter(!col("doc_id").isin(banned.toSeq: _*))
+      if (acc.count() > 0) Dedup.appendSignatureStore(spark, acc, "doc_id", "text", twin)
+      pr
+    }
+    val twinPairs = acceptAppend(shard1) ++ acceptAppend(shard2)
+    assert(sigRows(s"${name}_sigs") == sigRows(s"${twin}_sigs"),
+      "streamed store must equal the batch pipeline's store — no row lost or doubled")
+    assert(sigRows(s"${name}_sigs").size > afterRun1.size,
+      "run 2 actually appended shard2 content")
+    val landedPairs = spark.read.parquet(pairsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(landedPairs == twinPairs, "landed per-batch pair dirs ≡ batch pairs")
+
+    // crash injection at the exactly-once seam: restore batch 1 to the
+    // "append ran, commit marker didn't land" state (the commit file IS the
+    // renamed intent, so the rename reproduces it bit-for-bit), then replay
+    // — rollback removes the orphaned append, the re-apply restores it
+    val logDir = graft.engine.WarehouseMeta.tableLocation(spark, s"${name}_ingest_log")
+    val commits = java.nio.file.Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".commit")).toList
+    val last = commits.maxBy(_.getFileName.toString.stripSuffix(".commit").toLong)
+    val bid = last.getFileName.toString.stripSuffix(".commit").toLong
+    java.nio.file.Files.move(last, logDir.resolve(s"$bid.intent"))
+    val before = sigRows(s"${name}_sigs")
+    Dedup.applyIngestBatch(spark, shard2, bid, "doc_id", "text", name,
+      pairsDir, minEstimate = 0.5)
+    assert(sigRows(s"${name}_sigs") == before,
+      "crashed-append replay must roll back then restore the exact rows")
+    // replaying a COMMITTED batch is a no-op
+    val again = Dedup.applyIngestBatch(spark, shard2, bid, "doc_id", "text",
+      name, pairsDir, minEstimate = 0.5)
+    assert(again == -1L && sigRows(s"${name}_sigs") == before,
+      "committed batch replays must skip")
+    graft.engine.WarehouseMeta.deleteRecursively(tmp)
+  }
+
   test("streaming ANN candidates against the persisted vector index ≡ batch scored set") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
