@@ -363,43 +363,55 @@ object Dedup {
     df.groupBy(col(blockCol).as("blk")).agg(count(lit(1)).as("bcount"))
       .filter(col("bcount") > maxBlock)
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
-    * band-blocking: the 60-bit hash splits into `bands` equal slices, and by
-    * pigeonhole any pair within `bands − 1` flipped bits shares at least one
-    * EXACT band — so joining per (band, slice-value) buckets then verifying
+  /** Hamming-banded near-dup pairs over an arbitrary `(id, hash)` frame —
+    * the band-blocking core shared by text SimHash ([[simhashDupPairs]],
+    * 60-bit) and image perceptual hashes
+    * ([[graft.ops.Multimodal.imageDupPairs]], 64-bit dHash): the hash
+    * splits into `bands` equal slices, and by pigeonhole any pair within
+    * `bands − 1` flipped bits shares at least one EXACT band — so joining
+    * per (band, slice-value) buckets then verifying
     * `bit_count(a XOR b) ≤ maxHamming` has complete recall for
-    * maxHamming ≤ bands − 1 (the default 3 with 4 bands). Shuffles carry
-    * (id, 60-bit hash) only; the verify step is one codegen'd expression. */
-  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    * maxHamming ≤ bands − 1. Shuffles carry (id, hash) only — 16 bytes a
+    * row; the verify step is one codegen'd expression.
+    *
+    * DELIBERATELY the self-join shape, not [[lshCandidates]]'s bucket
+    * array (measured r8, sf0.1): with 16-byte rows halving the exchanges
+    * saves almost nothing, while moving pair generation + the Hamming
+    * verify from codegen'd join rows into interpreted higher-order
+    * functions DOUBLED the query (0.83 s → 1.66 s). The array form wins
+    * exactly where the join shuffles fat payloads twice (embedding
+    * vectors 2.1–2.6×, shingle strings 1.25–1.5×); with slim rows the
+    * codegen join is the right plan and AQE handles the exchange sizing. */
+  def hammingBandPairs(hashes: DataFrame, bits: Int, maxHamming: Int,
+      bands: Int): DataFrame = {
     require(maxHamming <= bands - 1,
       s"band-blocking recall is only complete for maxHamming <= bands-1 ($maxHamming > ${bands - 1})")
-    val width = 60 / bands
-    val mask = (1L << width) - 1L
-    val sh = simhash(df, idCol, textCol)
-    val banded = sh.select(col("id"), col("simhash"),
+    require(bits % bands == 0, s"bands must divide the hash width ($bands ∤ $bits)")
+    val width = bits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val banded = hashes.select(col("id"), col("hash"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          (shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))).as("slice"))
+          (shiftrightunsigned(col("hash"), b * width).bitwiseAND(lit(mask))).as("slice"))
       }: _*)).as("bs"))
-      .select(col("id"), col("simhash"), col("bs.band").as("band"), col("bs.slice").as("slice"))
-    // DELIBERATELY the self-join shape, not [[lshCandidates]]'s bucket
-    // array (measured r8, sf0.1): the shuffle payload here is 16 bytes
-    // (id, 60-bit hash), so halving the exchanges saves almost nothing,
-    // while moving pair generation + the Hamming verify from codegen'd
-    // join rows into interpreted higher-order functions DOUBLED the query
-    // (0.83 s → 1.66 s). The array form wins exactly where the join
-    // shuffles fat payloads twice (embedding vectors 2.1–2.6×, shingle
-    // strings 1.25–1.5×); with slim rows the codegen join is the right
-    // plan and AQE handles the exchange sizing.
-    val a = banded.select(col("id").as("id_a"), col("simhash").as("ha"), col("band"), col("slice"))
-    val b = banded.select(col("id").as("id_b"), col("simhash").as("hb"), col("band"), col("slice"))
+      .select(col("id"), col("hash"), col("bs.band").as("band"), col("bs.slice").as("slice"))
+    val a = banded.select(col("id").as("id_a"), col("hash").as("ha"), col("band"), col("slice"))
+    val b = banded.select(col("id").as("id_b"), col("hash").as("hb"), col("band"), col("slice"))
     a.join(b, Seq("band", "slice"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").distinct()
   }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming —
+    * [[hammingBandPairs]] over the 60-bit [[simhash]] (complete recall for
+    * the default 3 with 4 bands). */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    hammingBandPairs(
+      simhash(df, idCol, textCol).select(col("id"), col("simhash").as("hash")),
+      bits = 60, maxHamming, bands)
 
   /** Transitive duplicate clusters from a candidate-pair frame
     * (`id_a`/`id_b` LONG): connected components over the pair graph. Pair

@@ -522,6 +522,106 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------ perceptual hashing (image near-dup)
+
+  /** Average-pooled luminance grid (gw × gh): each cell is the MEAN
+    * luminance of its pixel block, so the grid is invariant to uniform
+    * resampling by construction — the property that makes a resized or
+    * re-encoded copy hash near its original. Pure JDK math over the real
+    * decoded raster ([[decodeImage]]). */
+  private def lumaGrid(w: Int, h: Int, lum: Array[Float],
+      gw: Int, gh: Int): Array[Float] = {
+    val out = new Array[Float](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += lum(y * w + x); x += 1 }
+          y += 1
+        }
+        out(gy * gw + gx) = (s / ((y1 - y0).toLong * (x1 - x0))).toFloat
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash (dHash): 9×8 luminance grid, bit (row, col) set
+    * when cell (row, col) < cell (row, col+1) — horizontal gradient signs,
+    * the standard robust-to-resize/re-encode perceptual fingerprint. None
+    * for undecodable payloads. */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map { case (w, h, lum) =>
+      val g = lumaGrid(w, h, lum, 9, 8)
+      var hash = 0L
+      var row = 0
+      while (row < 8) {
+        var c = 0
+        while (c < 8) {
+          if (g(row * 9 + c) < g(row * 9 + c + 1)) hash |= 1L << (row * 8 + c)
+          c += 1
+        }
+        row += 1
+      }
+      hash
+    }
+
+  /** 64-bit average hash (aHash): 8×8 grid, bit set when the cell exceeds
+    * the grid mean — dHash's cruder, more tolerant sibling. */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map { case (w, h, lum) =>
+      val g = lumaGrid(w, h, lum, 8, 8)
+      val mean = g.sum / 64.0f
+      var hash = 0L
+      var i = 0
+      while (i < 64) { if (g(i) > mean) hash |= 1L << i; i += 1 }
+      hash
+    }
+
+  final case class ImagePHash(media_id: Long, status: String,
+      dhash: Long, ahash: Long)
+
+  /** Per-partition perceptual hashing over the binary column — the
+    * [[extractFeatures]] batch shape producing (media_id, dhash, ahash),
+    * with undecodable payloads quarantined per row (status), never killing
+    * the task. Map-only: each row's hash derives from its own bytes. */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): Dataset[ImagePHash] = {
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (dHash64(bytes), aHash64(bytes)) match {
+            case (Some(d), Some(a)) => ImagePHash(id, "ok", d, a)
+            case _ => ImagePHash(id, "undecodable", 0L, 0L)
+          }
+        }
+      }
+  }
+
+  /** Image near-dup candidate pairs over REAL decoded pixels: 64-bit dHash
+    * per image (map-only decode), then Hamming band-blocking via the SAME
+    * machinery as text SimHash ([[graft.ops.Dedup.hammingBandPairs]]) —
+    * complete recall for maxHamming ≤ bands − 1, shuffles carry
+    * (id, 64-bit hash) only, never pixels. A resized or re-encoded copy
+    * lands within a few flipped bits of its original (the grid is
+    * resampling-invariant); unrelated images differ in ~32 bits.
+    * Default (10, 16) follows the standard dHash dup threshold with the
+    * pigeonhole margin. */
+  def imageDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 10, bands: Int = 16): DataFrame = {
+    val hashes = perceptualHashes(spark, media)
+      .filter(col("status") === "ok")
+      .select(col("media_id").as("id"), col("dhash").as("hash"))
+    Dedup.hammingBandPairs(hashes, bits = 64, maxHamming, bands)
+  }
+
   /** Plan-level resize contract: metadata transform only — computes bounded
     * output dims without touching pixels (pushdown-friendly select shape);
     * [[resizeImages]] is the operator that actually moves pixels. */

@@ -291,6 +291,46 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(f.feature(0) - 0.5f) < 1e-3 && f.feature(1) < 1e-6)
   }
 
+  test("perceptual hash: resized/re-encoded copies pair with originals, distinct images don't") {
+    // smooth deterministic patterns: grid averages survive resampling, so a
+    // resized/re-encoded copy hashes near its original while a different
+    // pattern flips ~half the gradient signs
+    def gray(v: Double) = { val c = math.max(0, math.min(255, v.toInt)); (c << 16) | (c << 8) | c }
+    def pattern(w: Int, h: Int, f: (Int, Int) => Double): Array[Int] =
+      Array.tabulate(w * h)(i => gray(f(i % w, i / w)))
+    val w = 72; val h = 56
+    val pxA = pattern(w, h, (x, y) => 128 + 100 * math.sin(x * 0.35) * math.cos(y * 0.3))
+    val pxB = pattern(w, h, (x, y) => 128 + 100 * math.sin(x * 0.9 + 2) * math.cos(y * 0.7 + 1))
+    val bmpA = Multimodal.encodeBmp(w, h, pxA)
+    val pngA = jdkImage("png", w, h, pxA)
+    val jpgA = jdkImage("jpg", w, h, pxA)
+    val resizedA = Multimodal.resizeImage(bmpA, 36).get
+    val bmpB = Multimodal.encodeBmp(w, h, pxB)
+
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dA = Multimodal.dHash64(bmpA).get
+    assert(Multimodal.dHash64(pngA).get == dA, "lossless re-encode → identical dHash")
+    assert(ham(dA, Multimodal.dHash64(resizedA).get) <= 10, "2x downscale within threshold")
+    assert(ham(dA, Multimodal.dHash64(jpgA).get) <= 10, "lossy jpeg within threshold")
+    assert(ham(dA, Multimodal.dHash64(bmpB).get) > 10, "distinct image separates")
+    assert(ham(Multimodal.aHash64(bmpA).get, Multimodal.aHash64(resizedA).get) <= 10,
+      "aHash tolerates the resize too")
+
+    // distributed candidate pairs: copies pair transitively, the distinct
+    // image and the undecodable payload never appear
+    val media = spark.createDataFrame(Seq(
+      (1L, bmpA), (2L, resizedA), (3L, jpgA), (4L, bmpB), (5L, mp3Fixture)))
+      .toDF("media_id", "bytes")
+    val pairs = Multimodal.imageDupPairs(spark, media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"copies pair; distinct/undecodable don't: $pairs")
+    // the quarantine channel names the refused row
+    val statuses = Multimodal.perceptualHashes(spark, media)
+      .collect().map(p => p.media_id -> p.status).toMap
+    assert(statuses(5L) == "undecodable" && statuses(1L) == "ok")
+  }
+
   test("resize plan computes bounded output dims without touching pixels") {
     val out: Map[Long, (Int, Int)] = Multimodal.resizePlan(mediaDf, maxSide = 1000)
       .select("media_id", "out_width", "out_height")
