@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.util.Locale
+
+/** Scaling probe (round 10): back the "scales" column with a measured curve.
+  *
+  * Generates an sf1-EQUIVALENT corpus (10× sf0.1) by seeded replication +
+  * deterministic perturbation, then times the headline maintained-index
+  * operators at sf0.1 and sf1 and prints per-op medians plus the observed
+  * scaling exponent log10(t_sf1 / t_sf0.1) — ~1.0 = linear, the design
+  * target for every entry except the by-design-superlinear ones.
+  *
+  * Generation (documents): replica r of a doc keeps the token MULTISET but
+  * permutes order by md5(r:pos:token) — the permutation destroys the
+  * replica's 3-gram shingles (so replicas are NOT near-dups of their
+  * originals and candidate volume stays corpus-like) while near-identical
+  * doc PAIRS inside one replica permute near-identically (same tokens at
+  * the same positions → same sort keys), preserving the corpus' dup
+  * DENSITY at 10× — the property an honest dedup scaling test needs.
+  * Embeddings add ±0.05 deterministic per-dimension noise; star tables
+  * replicate with key offsets (nation/region shared — replicas connect
+  * through them exactly like a bigger TPC-H would).
+  *
+  * Run: `sbt "runMain graft.ScaleProbe"` (optionally SCALE_PROBE_REPS).
+  * Results land in BASELINE.md §Scaling; tmp-scale/ is gitignored.
+  */
+object ScaleProbe {
+
+  private val sf01 = "/root/testdata/sf0.1"
+  private val genRoot = "/root/repo/tmp-scale"
+  private val sf1 = s"$genRoot/sf1"
+  private val sf10 = s"$genRoot/sf10"
+  private val replicas = 10
+  private val keyOffset = 10000000L
+
+  private def r4(v: Double): String = String.format(Locale.ROOT, "%.4f", Double.box(v))
+
+  private def session(): SparkSession = {
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.warehouse.dir", s"$genRoot/warehouse")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  // --------------------------------------------------------------- generate
+
+  /** Deterministic token permutation for replica `r` (see scaladoc). */
+  private def shuffledText(r: Int) = concat_ws(" ",
+    transform(
+      array_sort(
+        transform(split(col("text"), " "),
+          (t, i) => struct(
+            md5(concat_ws(":", lit(r), i.cast("string"), t)).as("k"),
+            t.as("t")))),
+      s => s.getField("t")))
+
+  private def replicate(df: DataFrame, r: Int, idCols: Seq[String]): DataFrame =
+    idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * keyOffset)))
+
+  private def gen(spark: SparkSession): Unit = {
+    val done = new java.io.File(s"$sf1/_GENERATED")
+    if (done.exists()) { System.err.println(s"[scale] $sf1 already generated"); return }
+    val t0 = System.nanoTime()
+    def replicas10(base: DataFrame, perturb: (DataFrame, Int) => DataFrame,
+        idCols: Seq[String], out: String): Unit =
+      (0 until replicas).map(r => replicate(perturb(base, r), r, idCols))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$sf1/$out.parquet")
+
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    replicas10(docs,
+      (d, r) => if (r == 0) d else d.withColumn("text", shuffledText(r)),
+      Seq("doc_id"), "documents")
+
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    replicas10(emb,
+      (d, r) => if (r == 0) d else d.withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x + (conv(substring(md5(concat_ws(":", lit(r), i.cast("string"),
+              col("vec_id").cast("string"))), 1, 8), 16, 10).cast("double")
+            / lit(4294967296.0) - 0.5) * 0.1).cast("float"))),
+      Seq("vec_id"), "embeddings")
+
+    // star tables for the graph ops: keys offset per replica; nation/region
+    // SHARED (replicas connect through them, like a larger TPC-H would)
+    replicas10(spark.read.parquet(s"$sf01/customer.parquet"),
+      (d, _) => d, Seq("c_custkey"), "customer")
+    replicas10(spark.read.parquet(s"$sf01/supplier.parquet"),
+      (d, _) => d, Seq("s_suppkey"), "supplier")
+    replicas10(spark.read.parquet(s"$sf01/part.parquet"),
+      (d, _) => d, Seq("p_partkey"), "part")
+    replicas10(spark.read.parquet(s"$sf01/orders.parquet"),
+      (d, _) => d, Seq("o_orderkey", "o_custkey"), "orders")
+    replicas10(spark.read.parquet(s"$sf01/lineitem.parquet"),
+      (d, _) => d, Seq("l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$sf01/$t.parquet")
+        .write.mode("overwrite").parquet(s"$sf1/$t.parquet")
+    done.getParentFile.mkdirs()
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    System.err.println(f"[scale] generated $sf1 in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+  }
+
+  /** 100× documents/embeddings (sf10-equivalent) — the decade that exits
+    * this host's fixed per-stage overhead floor, so the dedup/ANN curve is
+    * measured where data actually dominates. Star tables are not scaled to
+    * 60M lineitem rows; the graph ops keep their sf0.1→sf1 decade. Built
+    * by re-replicating the ALREADY-PERTURBED sf1 corpus with fresh salts. */
+  private def gen10(spark: SparkSession): Unit = {
+    val done = new java.io.File(s"$sf10/_GENERATED")
+    if (done.exists()) { System.err.println(s"[scale] $sf10 already generated"); return }
+    val t0 = System.nanoTime()
+    val decade = 1000000000L // sf1 ids span < 10*keyOffset + 1e5 ≪ this
+    val docs = spark.read.parquet(s"$sf1/documents.parquet")
+    (0 until replicas).map { r =>
+      val p = if (r == 0) docs
+        else docs.withColumn("text", shuffledText(1000 + r))
+      p.withColumn("doc_id", col("doc_id") + lit(r * decade))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$sf10/documents.parquet")
+    val emb = spark.read.parquet(s"$sf1/embeddings.parquet")
+    (0 until replicas).map { r =>
+      val p = if (r == 0) emb
+        else emb.withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            (x + (conv(substring(md5(concat_ws(":", lit(1000 + r), i.cast("string"),
+                col("vec_id").cast("string"))), 1, 8), 16, 10).cast("double")
+              / lit(4294967296.0) - 0.5) * 0.1).cast("float")))
+      p.withColumn("vec_id", col("vec_id") + lit(r * decade))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$sf10/embeddings.parquet")
+    done.getParentFile.mkdirs()
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    System.err.println(f"[scale] generated $sf10 in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+  }
+
+  // ---------------------------------------------------------------- measure
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted; val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    gen(spark)
+    gen10(spark)
+    val reps = sys.env.getOrElse("SCALE_PROBE_REPS", "3").toInt
+    import graft.ops.{Dedup, Similarity}
+
+    /** One-time durable builds are timed apart from the repeated op. */
+    def ops(dir: String, tag: String): Seq[(String, () => Unit)] = {
+      def docs = spark.read.parquet(s"$dir/documents.parquet")
+      def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val sigStore = s"scale_sig_$tag"
+      val vecIndex = s"scale_vec_$tag"
+      Seq(
+        "d03_lsh_candidates" -> (() => noop(
+          Dedup.lshCandidates(docs, "doc_id", "text",
+            k = 3, bands = 4, rowsPerBand = 4, maxBucket = 1000L))),
+        "store_build_once" -> (() => {
+          Dedup.ensureSignatureStore(spark,
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+            sigStore, fingerprint = s"scaleprobe-$tag")
+          ()
+        }),
+        "d14_increment" -> (() => noop(
+          Dedup.dedupIncrement(spark, docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", sigStore, minEstimate = 0.5))),
+        "s13_multiprobe_recall" -> (() => {
+          val bucketed = Similarity.bucketize(emb, "embedding", bits = 5)
+          val queries = bucketed.filter(col("vec_id").isin(0, 7, 11))
+          noop(Similarity.recallAtK(
+            Similarity.cosineLshTopKBatchMultiProbe(bucketed, queries,
+              "vec_id", "embedding", k = 5, bits = 5, radius = 3),
+            Similarity.bruteForceTopKBatch(emb, queries.drop("_bucket"),
+              "vec_id", "embedding", k = 5)))
+        }),
+        "index_build_once" -> (() => {
+          Similarity.ensureVectorIndex(spark, emb, "vec_id", "embedding",
+            vecIndex, fingerprint = s"scaleprobe-$tag", bits = 4)
+          ()
+        }),
+        "s15_index_probe" -> (() => {
+          val (bucketed, _) = Similarity.vectorIndex(spark, vecIndex, "vec_id", "embedding")
+          noop(Similarity.cosineLshTopKBatch(bucketed,
+            bucketed.filter(col("vec_id").isin(0, 7, 11)),
+            "vec_id", "embedding", k = 5))
+        }),
+        "x02_pagerank" -> (() => noop(
+          graft.ops.Analytics.staticPageRank(spark, StarGraph(spark, dir), numIter = 5)
+            .orderBy(col("rank").desc, col("uid")).limit(20))),
+        "p01_ingest_pipeline" -> (() => noop(
+          SparkEntry.queries("p01_ingest_pipeline")(spark, dir))))
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), Double]
+    // the sf10 decade has documents/embeddings only (the star tables are
+    // not scaled to 60M lineitem rows); x02 keeps its sf0.1→sf1 decade
+    val sfs = Seq((sf01, "sf0.1"), (sf1, "sf1"), (sf10, "sf10"))
+    for ((dir, tag) <- sfs) {
+      for ((name, fn) <- ops(dir, tag.replace(".", ""))
+           if !(tag == "sf10" && name == "x02_pagerank")) {
+        val times =
+          if (name.endsWith("_once")) Seq(time(fn())) // durable: pay once
+          else { fn(); (1 to reps).map(_ => time(fn())) } // warm + reps
+        val med = median(times)
+        results((name, tag)) = med
+        println(s"""{"metric":"scale","op":"$name","sf":"$tag","sec":${r4(med)},"reps":[${times.map(r4).mkString(",")}]}""")
+        System.out.flush()
+      }
+    }
+    val names = results.keys.map(_._1).toSeq.distinct
+    for (n <- names) {
+      val pts = sfs.flatMap { case (_, tag) => results.get((n, tag)).map(tag -> _) }
+      val expos = pts.sliding(2).collect { case Seq((_, a), (_, b)) =>
+        r4(math.log10(b / a)) }.mkString("[", ",", "]")
+      val ptsJson = pts.map { case (tag, v) => "\"" + tag + "\":" + r4(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"scale_exponent","op":"$n","sec":$ptsJson,"per_decade_exponents":$expos}""")
+    }
+    spark.stop()
+  }
+}

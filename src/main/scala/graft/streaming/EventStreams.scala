@@ -177,6 +177,76 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** The landing log of a [[streamToDateLake]]-landed lake: one row per
+    * committed micro-batch — (batch_id, n_files, committed_at) parsed from
+    * the file sink's `_spark_metadata` commit log. Driver-side listing of
+    * the TINY log only (one small file per batch), never a data scan; the
+    * map from wall-clock time to batch id every time-travel read starts
+    * from. */
+  def lakeLandings(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    sinkLogBatches(path).map { case (id, p) =>
+      (id, sinkLogPaths(p).size,
+        new Timestamp(java.nio.file.Files.getLastModifiedTime(p).toMillis))
+    }.toDF("batch_id", "n_files", "committed_at")
+  }
+
+  /** TIME TRAVEL over a streamed date lake: the lake exactly as of landing
+    * batch `maxBatchId` — only files committed by batches ≤ maxBatchId are
+    * read, so a restated/appended lake answers "what did this range look
+    * like when batch N landed" — the journal's `snapshotAt`
+    * ([[graft.engine.Journal]]) applied to the lake through the sink log
+    * it already writes. Day-range filtering and the STRING `dt` contract
+    * match [[graft.ops.Events.readDateLake]]; partition values are
+    * recovered via basePath, so pruning still applies within the listed
+    * files. */
+  def readDateLakeAsOf(spark: SparkSession, path: String, maxBatchId: Long,
+      fromDt: String, toDt: String): DataFrame = {
+    val files = sinkLogBatches(path)
+      .filter(_._1 <= maxBatchId)
+      .flatMap { case (_, p) => sinkLogPaths(p) }
+      .distinct
+    require(files.nonEmpty, s"no sink-log batches ≤ $maxBatchId under $path")
+    spark.read.option("basePath", path).parquet(files: _*)
+      .withColumn("dt", col("dt").cast("string"))
+      .filter(col("dt").between(fromDt, toDt))
+  }
+
+  /** Sink-log batch files under `_spark_metadata`, (batchId, path), sorted.
+    * A `.compact` file REPLACES the plain files at and below its id (it
+    * holds the full cumulative listing), so only ids above the newest
+    * compaction keep their plain entries. */
+  private def sinkLogBatches(path: String): Seq[(Long, java.nio.file.Path)] = {
+    import scala.jdk.CollectionConverters._
+    val logDir = java.nio.file.Paths.get(path.stripPrefix("file:"), "_spark_metadata")
+    require(java.nio.file.Files.isDirectory(logDir),
+      s"$path carries no _spark_metadata sink log — time travel needs a " +
+        "stream-landed lake (batch lakes version through restateDays)")
+    val ls = java.nio.file.Files.list(logDir)
+    val all = try ls.iterator().asScala
+        .map(p => p.getFileName.toString -> p)
+        .filter { case (n, _) => n.takeWhile(_ != '.').forall(_.isDigit) && n.nonEmpty }
+        .toList
+      finally ls.close()
+    val compacts = all.collect { case (n, p) if n.endsWith(".compact") =>
+      (n.stripSuffix(".compact").toLong, p) }
+    val newestCompact = compacts.map(_._1).maxOption.getOrElse(-1L)
+    val plains = all.collect { case (n, p) if !n.contains('.') => (n.toLong, p) }
+      .filter(_._1 > newestCompact)
+    (compacts.filter(_._1 == newestCompact) ++ plains).sortBy(_._1)
+  }
+
+  /** Added-file paths out of one sink-log file (v1 line format: a version
+    * header then one JSON `SinkFileStatus` per line). */
+  private def sinkLogPaths(log: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val re = """"path":"((?:[^"\\]|\\.)*)"""".r
+    java.nio.file.Files.readAllLines(log).asScala.iterator
+      .flatMap(l => re.findFirstMatchIn(l).map(_.group(1)))
+      .map(_.replace("\\/", "/").replace("\\\\", "\\")) // JSON unescape (paths)
+      .toList
+  }
+
   /** Convenience memory-sink runner for tests/demos: processes all available
     * input and returns the in-memory result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -372,11 +372,16 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       ev(1L, "2026-03-01 10:00:00", 1), ev(2L, "2026-03-02 10:00:00", 2),
       ev(3L, "2026-03-02 11:00:00", 1), ev(4L, "2026-03-03 10:00:00", 3))
     val mem = MemoryStream[Ev]
-    mem.addData(rows.take(2): _*)
-    mem.addData(rows.drop(2): _*) // a late 03-02 event in a later batch
     val dir = java.nio.file.Files.createTempDirectory("graft_slake")
-    val q = EventStreams.streamToDateLake(mem.toDF(), s"$dir/lake", s"$dir/ckpt")
-    q.awaitTermination()
+    // two separate AvailableNow runs over one checkpoint → two REAL
+    // committed micro-batches (0 and 1) in the sink log; the late 03-02
+    // event lands in the later batch
+    mem.addData(rows.take(2): _*)
+    EventStreams.streamToDateLake(mem.toDF(), s"$dir/lake", s"$dir/ckpt")
+      .awaitTermination()
+    mem.addData(rows.drop(2): _*)
+    EventStreams.streamToDateLake(mem.toDF(), s"$dir/lake", s"$dir/ckpt")
+      .awaitTermination()
     // same day directories a batch writeDateLake produces
     val dirs = new java.io.File(s"$dir/lake").listFiles()
       .filter(_.isDirectory).map(_.getName)
@@ -397,6 +402,26 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       graft.ops.Events.compactDateLake(spark, s"$dir/lake", "2026-03-02", "2026-03-02")
     }
     assert(e.getMessage.contains("_spark_metadata"))
+
+    // TIME TRAVEL via the sink log the stream already wrote: as of batch 0
+    // the late 03-02 event (landed by batch 1) does not exist yet; as of
+    // batch 1 the lake equals the full read. The landing log names both.
+    val landings = EventStreams.lakeLandings(spark, s"$dir/lake")
+      .collect().map(r => r.getLong(0)).sorted
+    assert(landings.toSeq == Seq(0L, 1L), "one landing row per micro-batch")
+    val asOf0 = EventStreams.readDateLakeAsOf(spark, s"$dir/lake", 0L,
+      "2026-03-01", "2026-03-03")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(asOf0 == Set(1L, 2L), "as-of batch 0: only batch 0's events exist")
+    val asOf1 = EventStreams.readDateLakeAsOf(spark, s"$dir/lake", 1L,
+      "2026-03-01", "2026-03-03")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(asOf1 == Set(1L, 2L, 3L, 4L), "as-of the last batch ≡ the full lake")
+    // the dt day-range contract holds under time travel too
+    val asOf1Day = EventStreams.readDateLakeAsOf(spark, s"$dir/lake", 1L,
+      "2026-03-02", "2026-03-02")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(asOf1Day == Set(2L, 3L))
   }
 
   test("quality quarantine channel runs unchanged on a stream (source-agnostic, stateless)") {
