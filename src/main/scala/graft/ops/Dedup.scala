@@ -621,8 +621,12 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val (bandsT, sigsT, simT) = storeTables(name)
     // a rebuild starts a new corpus state: tombstones from the previous one
-    // must not delete freshly written signatures
+    // must not delete freshly written signatures, and stale ingest-loop
+    // batch commits ([[applyIngestBatch]]) must not suppress a NEW stream's
+    // appends (streaming batch ids restart with their checkpoint)
     graft.engine.WarehouseMeta.dropIdManifest(spark, s"${name}_tomb")
+    graft.engine.WarehouseMeta.deleteRecursively(
+      graft.engine.WarehouseMeta.tableLocation(spark, s"${name}_ingest_log"))
     val props = Map(
       "graft.k" -> k.toString, "graft.bands" -> bands.toString,
       "graft.rowsPerBand" -> rowsPerBand.toString,
