@@ -225,6 +225,63 @@ object WarehouseMeta {
     spark.catalog.refreshTable(table)
   }
 
+  /** EXACTLY-ONCE guard for a side-effecting micro-batch applier over a
+    * set of warehouse tables (the streaming ingest loops of the signature
+    * store and the vector index — `Dedup.applyIngestBatch`,
+    * `Similarity.applyVectorIngestBatch`):
+    *
+    *   1. `<logName>/<batchId>.commit` exists → None (replay of a fully
+    *      applied batch; Structured Streaming replays with the same id).
+    *   2. Any `.intent` without a `.commit` marks a CRASHED apply: files
+    *      under the tables' dirs absent from its snapshot are that apply's
+    *      partial output — deleted (rollback) before anything runs; the
+    *      crashed batch re-applies when the stream replays it.
+    *   3. Snapshot the tables' data files to `<batchId>.intent`, run
+    *      `body`, atomically promote intent → commit, return Some(result).
+    *
+    * The caller must hold the table set's build lock ([[withBuildLock]])
+    * so batches serialize against compactions and rebuilds. `body` must
+    * make its own NON-table side effects idempotent (e.g. per-batch
+    * output dirs written with Overwrite). */
+  def exactlyOnceBatch[A](spark: SparkSession, logName: String, batchId: Long,
+      tables: Seq[String])(body: => A): Option[A] = {
+    import scala.jdk.CollectionConverters._
+    val logDir = tableLocation(spark, logName)
+    Files.createDirectories(logDir)
+    val commit = logDir.resolve(s"$batchId.commit")
+    if (Files.exists(commit)) None
+    else {
+      def dataFiles(): Set[String] = tables.flatMap { t =>
+        val dir = tableLocation(spark, t)
+        if (!Files.isDirectory(dir)) Nil
+        else {
+          val walk = Files.walk(dir)
+          try walk.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(p => s"$t\t${dir.relativize(p)}").toList
+          finally walk.close()
+        }
+      }.toSet
+      val stale = Files.list(logDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".intent")).toList
+        .filter(p => !Files.exists(p.resolveSibling(
+          p.getFileName.toString.stripSuffix(".intent") + ".commit")))
+      if (stale.nonEmpty) {
+        val snapshot = stale.flatMap(p => Files.readAllLines(p).asScala).toSet
+        for (f <- dataFiles() if !snapshot.contains(f)) {
+          val Array(t, rel) = f.split("\t", 2)
+          Files.deleteIfExists(tableLocation(spark, t).resolve(rel))
+        }
+        stale.foreach(Files.delete(_))
+        tables.foreach(t => spark.catalog.refreshTable(t))
+      }
+      val intent = logDir.resolve(s"$batchId.intent")
+      Files.write(intent, dataFiles().toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      val out = body
+      Files.move(intent, commit, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Some(out)
+    }
+  }
+
   /** Cross-PROCESS build exclusion: an advisory file lock on `<name>.lock`
     * in the warehouse dir, plus a JVM-global monitor (OS file locks are
     * per-process — a second lock() from the same JVM throws instead of

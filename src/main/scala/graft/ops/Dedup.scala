@@ -1034,41 +1034,9 @@ object Dedup {
       k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       minEstimate: Double = 0.0): Long = {
     import graft.engine.WarehouseMeta
-    import java.nio.file.{Files, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     WarehouseMeta.withBuildLock(spark, name) {
-      val logDir = WarehouseMeta.tableLocation(spark, s"${name}_ingest_log")
-      Files.createDirectories(logDir)
-      val commit = logDir.resolve(s"$batchId.commit")
-      if (Files.exists(commit)) -1L
-      else {
-        val tables = { val (b, s, m) = storeTables(name); Seq(b, s, m) }
-        def dataFiles(): Set[String] = tables.flatMap { t =>
-          val dir = WarehouseMeta.tableLocation(spark, t)
-          if (!Files.isDirectory(dir)) Nil
-          else {
-            val walk = Files.walk(dir)
-            try walk.iterator().asScala.filter(Files.isRegularFile(_))
-              .map(p => s"$t\t${dir.relativize(p)}").toList
-            finally walk.close()
-          }
-        }.toSet
-        // rollback of any crashed batch (its intent survived, commit didn't)
-        val stale = Files.list(logDir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".intent")).toList
-          .filter(p => !Files.exists(p.resolveSibling(
-            p.getFileName.toString.stripSuffix(".intent") + ".commit")))
-        if (stale.nonEmpty) {
-          val snapshot = stale.flatMap(p => Files.readAllLines(p).asScala).toSet
-          for (f <- dataFiles() if !snapshot.contains(f)) {
-            val Array(t, rel) = f.split("\t", 2)
-            Files.deleteIfExists(WarehouseMeta.tableLocation(spark, t).resolve(rel))
-          }
-          stale.foreach(Files.delete(_))
-          tables.foreach(t => spark.catalog.refreshTable(t))
-        }
-        val intent = logDir.resolve(s"$batchId.intent")
-        Files.write(intent, dataFiles().toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      val tables = { val (b, s, m) = storeTables(name); Seq(b, s, m) }
+      WarehouseMeta.exactlyOnceBatch(spark, s"${name}_ingest_log", batchId, tables) {
         dedupIncrement(spark, batch, idCol, textCol, name, k, bands,
             rowsPerBand, minEstimate)
           .write.mode(SaveMode.Overwrite).parquet(s"$pairsPath/batch=$batchId")
@@ -1082,9 +1050,8 @@ object Dedup {
         val nAccepted = accepted.count()
         if (nAccepted > 0)
           appendSignatureStore(spark, accepted, idCol, textCol, name)
-        Files.move(intent, commit, StandardCopyOption.ATOMIC_MOVE)
         nAccepted
-      }
+      }.getOrElse(-1L)
     }
   }
 

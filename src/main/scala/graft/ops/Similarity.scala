@@ -439,8 +439,11 @@ object Similarity {
             bucket.as("bucket")),
           Map("graft.fingerprint" -> fingerprint, "graft.bits" -> bits.toString))
         // a rebuild starts a new corpus state: tombstones from the previous
-        // one must not delete freshly indexed rows
+        // one must not delete freshly indexed rows, and stale ingest-loop
+        // batch commits must not suppress a new stream's appends
         WarehouseMeta.dropIdManifest(spark, s"${name}_vtomb")
+        WarehouseMeta.deleteRecursively(
+          WarehouseMeta.tableLocation(spark, s"${name}_vingest_log"))
         WarehouseMeta.writeSidecar(spark, s"${name}_meta.tsv", Map(
           "sig" -> fingerprint, "buckets" -> buckets.toString,
           "bits" -> bits.toString))
@@ -548,6 +551,78 @@ object Similarity {
       }
     }
   }
+
+  /** Apply ONE vector-ingest micro-batch to the persisted index,
+    * EXACTLY-ONCE under replays — the vector twin of
+    * `Dedup.applyIngestBatch`, sharing its commit-log protocol
+    * ([[graft.engine.WarehouseMeta.exactlyOnceBatch]]): near-dup
+    * candidates of the batch against the index (same-bucket probe widened
+    * by `radius`, cosine ≥ minCosine) land idempotently in
+    * `candsPath/batch=<batchId>/`, then the ACCEPTED vectors (batch rows
+    * that matched nothing) append bucket-correct into the index so the
+    * NEXT batch sees them. Returns the accepted count (-1 for a skipped
+    * replay). Runs under the index's build lock. */
+  def applyVectorIngestBatch(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, idCol: String, vecCol: String,
+      name: String, candsPath: String, minCosine: Double,
+      radius: Int = 0, roundTo: Int = 4): Long = {
+    import graft.engine.WarehouseMeta
+    WarehouseMeta.withBuildLock(spark, name) {
+      WarehouseMeta.exactlyOnceBatch(spark, s"${name}_vingest_log", batchId,
+          Seq(s"${name}_vlsh")) {
+        val (indexed, bits) = vectorIndex(spark, name, "old_id", "old_vec")
+        require(radius >= 0 && radius <= bits, s"radius $radius outside [0, $bits]")
+        ensureExprs(batch)
+        val dim = probeDim(indexed, "old_vec")
+        val qBucket = dim.map(d => lshBucket(col(vecCol), bits, d))
+          .getOrElse(lshBucket(col(vecCol), bits))
+        val probed = batch.select(col(idCol).cast("long").as("new_id"),
+            col(vecCol).as("new_vec"), qBucket.as("_qb0"))
+          .select(col("new_id"), col("new_vec"),
+            explode(array(probeMasks(bits, radius)
+              .map(m => col("_qb0").bitwiseXOR(lit(m))): _*)).as("qb"))
+        probed.join(indexed,
+            col("_bucket") === col("qb") && col("old_id") =!= col("new_id"))
+          .select(col("new_id"), col("old_id"),
+            round(cosine(col("old_vec"), col("new_vec")), roundTo).as("cosine"))
+          .filter(col("cosine") >= minCosine)
+          .distinct()
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$candsPath/batch=$batchId")
+        val dupNew = spark.read.parquet(s"$candsPath/batch=$batchId")
+          .select(col("new_id").as("_dup")).distinct()
+        val accepted = batch.join(dupNew,
+          batch(idCol).cast("long") === dupNew("_dup"), "left_anti")
+        val nAccepted = accepted.count()
+        if (nAccepted > 0)
+          appendVectorIndex(spark, accepted, idCol, vecCol, name)
+        nAccepted
+      }.getOrElse(-1L)
+    }
+  }
+
+  /** The closed VECTOR ingest loop as a stream: each micro-batch is
+    * near-dup-checked against the index and the accepted vectors are
+    * indexed before the next batch — [[applyVectorIngestBatch]] under
+    * foreachBatch with AvailableNow, restart-safe end to end exactly like
+    * `Dedup.dedupIngestStream` (streaming checkpoint replays uncommitted
+    * batchIds; the commit log makes each index append exactly-once). */
+  def annIngestStream(spark: org.apache.spark.sql.SparkSession,
+      vecStream: DataFrame, idCol: String, vecCol: String, name: String,
+      candsPath: String, checkpoint: String, minCosine: Double,
+      radius: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyVectorIngestBatch(b.sparkSession, b, id, idCol, vecCol, name,
+          candsPath, minCosine, radius)
+        // refresh the caller's session too (insertInto only refreshes the
+        // stream's session clone — see Dedup.dedupIngestStream)
+        spark.catalog.refreshTable(s"${name}_vlsh")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 
   /** STREAMING ANN candidates against the persisted index: query vectors
     * arrive as a stream, each row derives its probe bucket locally

@@ -313,6 +313,83 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     graft.engine.WarehouseMeta.deleteRecursively(tmp)
   }
 
+  test("annIngestStream: exactly-once vector-index maintenance — kill/restart, crash rollback, replay no-op") {
+    import scala.jdk.CollectionConverters._
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") % 3 === 0)
+    val shard1 = emb.filter(col("vec_id") % 3 === 1)
+    val shard2 = emb.filter(col("vec_id") % 3 === 2)
+    val name = "graft_vingest_loop"
+    val minCos = 0.3; val radius = 1
+    Similarity.ensureVectorIndex(spark, corpus, "vec_id", "embedding", name,
+      fingerprint = s"vloop-${System.nanoTime()}", bits = 4)
+
+    val tmp = java.nio.file.Files.createTempDirectory("vingest_loop")
+    val src = tmp.resolve("src")
+    val cands = s"$tmp/cands"; val ckpt = s"$tmp/ckpt"
+    java.nio.file.Files.createDirectories(src)
+    def land(df: org.apache.spark.sql.DataFrame, fname: String): Unit = {
+      val stage = tmp.resolve(s"stage_$fname")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      java.nio.file.Files.move(part, src.resolve(fname))
+    }
+    def runStream(): Unit = Similarity.annIngestStream(spark,
+        spark.readStream.schema(emb.schema).parquet(src.toString),
+        "vec_id", "embedding", name, cands, ckpt, minCos, radius)
+      .awaitTermination()
+    def indexIds(t: String) = spark.table(t).select("id")
+      .collect().map(_.getLong(0)).toSet
+
+    // two runs over one checkpoint = kill at a batch boundary + restart
+    land(shard1, "f1.parquet"); runStream()
+    val afterRun1 = indexIds(s"${name}_vlsh")
+    land(shard2, "f2.parquet"); runStream()
+
+    // twin: the same shard sequence applied DIRECTLY (no stream) against a
+    // fresh index — the stream must add exactly the same ids
+    val twin = "graft_vingest_twin"
+    Similarity.ensureVectorIndex(spark, corpus, "vec_id", "embedding", twin,
+      fingerprint = s"vtwin-${System.nanoTime()}", bits = 4)
+    val twinCands = s"$tmp/twin_cands"
+    Similarity.applyVectorIngestBatch(spark, shard1, 0L, "vec_id", "embedding",
+      twin, twinCands, minCos, radius)
+    Similarity.applyVectorIngestBatch(spark, shard2, 1L, "vec_id", "embedding",
+      twin, twinCands, minCos, radius)
+    assert(indexIds(s"${name}_vlsh") == indexIds(s"${twin}_vlsh"),
+      "streamed index must equal the directly-applied twin — no row lost or doubled")
+    assert(indexIds(s"${name}_vlsh").size > afterRun1.size,
+      "run 2 actually indexed shard2 vectors")
+    def candRows(p: String) = spark.read.parquet(p)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamedCands = candRows(cands)
+    assert(streamedCands.nonEmpty && streamedCands == candRows(twinCands),
+      "landed candidate dirs ≡ twin candidates (threshold actually fired)")
+
+    // crash injection at the exactly-once seam (same recipe as the dedup
+    // loop): batch 1 back to intent state, replay restores the exact rows
+    val logDir = graft.engine.WarehouseMeta.tableLocation(spark, s"${name}_vingest_log")
+    val last = java.nio.file.Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".commit")).toList
+      .maxBy(_.getFileName.toString.stripSuffix(".commit").toLong)
+    val bid = last.getFileName.toString.stripSuffix(".commit").toLong
+    java.nio.file.Files.move(last, logDir.resolve(s"$bid.intent"))
+    val before = indexIds(s"${name}_vlsh")
+    Similarity.applyVectorIngestBatch(spark, shard2, bid, "vec_id", "embedding",
+      name, cands, minCos, radius)
+    assert(indexIds(s"${name}_vlsh") == before,
+      "crashed-append replay must roll back then restore the exact ids")
+    val again = Similarity.applyVectorIngestBatch(spark, shard2, bid,
+      "vec_id", "embedding", name, cands, minCos, radius)
+    assert(again == -1L && indexIds(s"${name}_vlsh") == before,
+      "committed batch replays must skip")
+    graft.engine.WarehouseMeta.deleteRecursively(tmp)
+  }
+
   test("streaming ANN candidates against the persisted vector index ≡ batch scored set") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
