@@ -421,23 +421,60 @@ object Dedup {
     * the component (GraphX CC invariant). Iterative by nature → GraphX, the
     * same escape hatch as [[Analytics]] (per-iteration DataFrame joins would
     * re-shuffle the full pair graph every step). */
-  def dupClusters(spark: org.apache.spark.sql.SparkSession, pairs: DataFrame): DataFrame = {
-    import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
-    // Fat partitions for the iterative CC (r8, same sizing as
-    // Traversals.toGraphX): CC launches one stage per superstep, so task
-    // count multiplies across the run, and the candidate-pair graph is
-    // post-blocking SMALL relative to the corpus — inheriting the SQL
-    // shuffle width (32 here) pays ~15× per-superstep dispatch overhead
-    // for parallelism the data can't use. defaultParallelism/4 keeps every
-    // executor busy on a real cluster while quartering the dispatch bill.
-    val nParts = math.max(2, spark.sparkContext.defaultParallelism / 4)
-    val edgeRdd = pairs
-      .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), ()))
-      .coalesce(nParts)
-    val cc = GxGraph.fromEdges(edgeRdd, ()).connectedComponents().vertices
+  def dupClusters(spark: org.apache.spark.sql.SparkSession, pairs: DataFrame,
+      driverPairLimit: Long = 2000000L): DataFrame = {
     import spark.implicits._
-    cc.toDF("id", "cluster")
+    // CARDINALITY-GATED plan choice (the kHop broadcast-gate pattern,
+    // Traversals.kHop): candidate-pair graphs are post-blocking SMALL
+    // relative to the corpus — usually a few thousand edges even when the
+    // corpus is millions of docs — and GraphX CC pays one full stage round
+    // per superstep (~300-600 ms each on this host) for parallelism that
+    // graph can't use. Under `driverPairLimit` edges (2M pairs ≈ 32 MB of
+    // longs — bounded by an exact count, not an estimate), collect the
+    // pair list and run union-find on the driver: same invariant (cluster
+    // = min member id), milliseconds instead of supersteps, and the pair
+    // plan executes ONCE instead of per-Pregel-iteration. Measured (r10,
+    // sf0.1): d15 2.0 s → ~1 s class. Over the limit — a truly huge dup
+    // graph — the distributed GraphX path is unchanged.
+    val slim = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = slim.count()
+      if (n <= driverPairLimit) {
+        val edges = slim.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val root = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (root.getOrElse(r, r) != r) r = root.getOrElse(r, r)
+          var c = x // path compression
+          while (root.getOrElse(c, c) != r) { val nx = root(c); root(c) = r; c = nx }
+          r
+        }
+        for ((a, b) <- edges) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // min-id root keeps the GraphX CC invariant
+            if (ra < rb) root(rb) = ra else root(ra) = rb
+            root.getOrElseUpdate(ra min rb, ra min rb)
+          } else root.getOrElseUpdate(ra, ra)
+        }
+        val members = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+        members.toSeq.map(id => (id, find(id))).toDF("id", "cluster")
+      } else {
+        import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+        // Fat partitions for the iterative CC (r8, same sizing as
+        // Traversals.toGraphX): CC launches one stage per superstep, so
+        // task count multiplies across the run; defaultParallelism/4 keeps
+        // every executor busy on a real cluster while quartering the
+        // dispatch bill.
+        val nParts = math.max(2, spark.sparkContext.defaultParallelism / 4)
+        val edgeRdd = slim.rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), ()))
+          .coalesce(nParts)
+        val cc = GxGraph.fromEdges(edgeRdd, ()).connectedComponents().vertices
+        // materialize before unpersisting the input in finally
+        cc.count()
+        cc.toDF("id", "cluster")
+      }
+    } finally slim.unpersist(false)
   }
 
   /** Keep ONE representative (the cluster id = min member id) per duplicate

@@ -203,6 +203,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set(1L, 4L, 5L), "one representative per cluster + untouched singletons")
   }
 
+  test("dupClusters: driver union-find (gated) ≡ distributed GraphX CC on real pairs") {
+    // the cardinality gate must be a pure plan choice, never a semantics
+    // choice: both paths over the REAL corpus' LSH candidates produce the
+    // identical (id → min-member-id) map. driverPairLimit = 0 forces the
+    // GraphX path; the default takes the union-find path at this scale.
+    val pairs = Dedup.lshCandidates(docs, "doc_id", "text")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gated = toMap(Dedup.dupClusters(spark, pairs))
+    val graphx = toMap(Dedup.dupClusters(spark, pairs, driverPairLimit = 0L))
+    assert(gated.nonEmpty && gated == graphx,
+      "gated union-find and GraphX CC must agree exactly")
+  }
+
   test("LSH bucket cap: degenerate bucket is dropped, other candidates unchanged") {
     import spark.implicits._
     // 30 identical short docs form one degenerate bucket per band

@@ -108,10 +108,14 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     // AQE's toString prints the final AND initial plans — audit the final
     val plan = composed.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // the CC manifest enters as ONE external-RDD scan (printed `Scan[obj#N]`
-    // under SerializeFromObject); its lineage holds the distributed CC run
+    // the CC manifest enters EITHER as a LocalTableScan (the cardinality-
+    // gated driver union-find — bounded by an exact pair count) or, above
+    // the gate, as ONE external-RDD scan (`Scan[obj#N]`) whose lineage
+    // holds the distributed GraphX run; never anything else
     val rddScans = "Scan\\[obj".r.findAllIn(plan).size
-    assert(rddScans == 1, s"expected exactly the CC manifest as RDD scan, got $rddScans:\n$plan")
+    assert(rddScans <= 1, s"at most the CC manifest as RDD scan, got $rddScans:\n$plan")
+    assert(rddScans == 1 || plan.contains("LocalTableScan"),
+      s"the cluster manifest must appear as RDD scan or local relation:\n$plan")
     assert(!plan.contains("CollectLimit") && !plan.contains("Cartesian"),
       s"no driver materialization or cartesian in the composed plan:\n$plan")
 
