@@ -1208,8 +1208,9 @@ object SparkEntry {
     // 256-token next-fit packing per lang shard, summarized per bin.
     // Everything between the corpus scan and the final aggregate is lazy
     // composition: the only driver-side materializations are the two
-    // BOUNDED ones the operators document (GraphX CC supersteps — fully
-    // distributed — and temperatureMix's |strata|-counter size aggregate);
+    // BOUNDED ones the operators document (dupClusters' exact-count-gated
+    // pair manifest — GraphX above the gate — and temperatureMix's
+    // |strata|-counter size aggregate);
     // PipelineSpec pins stage-composition ≡ stage-by-stage materialization
     // and audits the executed plan. The oracle twin re-derives all four
     // stages from scratch in one SQL statement.

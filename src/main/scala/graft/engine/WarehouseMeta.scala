@@ -261,10 +261,13 @@ object WarehouseMeta {
           finally walk.close()
         }
       }.toSet
-      val stale = Files.list(logDir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".intent")).toList
-        .filter(p => !Files.exists(p.resolveSibling(
-          p.getFileName.toString.stripSuffix(".intent") + ".commit")))
+      val ls = Files.list(logDir)
+      val stale =
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".intent")).toList
+          .filter(p => !Files.exists(p.resolveSibling(
+            p.getFileName.toString.stripSuffix(".intent") + ".commit")))
+        finally ls.close()
       if (stale.nonEmpty) {
         val snapshot = stale.flatMap(p => Files.readAllLines(p).asScala).toSet
         for (f <- dataFiles() if !snapshot.contains(f)) {

@@ -202,8 +202,23 @@ object EventStreams {
     * files. */
   def readDateLakeAsOf(spark: SparkSession, path: String, maxBatchId: Long,
       fromDt: String, toDt: String): DataFrame = {
-    val files = sinkLogBatches(path)
-      .filter(_._1 <= maxBatchId)
+    val (compacts, plains) = sinkLogEntries(path)
+    val newestCompact = compacts.map(_._1).filter(_ <= maxBatchId).maxOption
+    // prefer the newest compact ≤ maxBatchId (cumulative listing), then
+    // plain files above it; asking for a batch BELOW every compact falls
+    // back to the plain files IF the log still retains 0..maxBatchId
+    // (Spark's log cleaner deletes compacted-away plain files eventually —
+    // time travel reaches only as far back as the retained log)
+    val base = newestCompact.map(c => compacts.filter(_._1 == c)).getOrElse {
+      val kept = plains.filter(_._1 <= maxBatchId).map(_._1).toSet
+      require((0L to maxBatchId).forall(kept.contains),
+        s"sink log under $path no longer retains batches 0..$maxBatchId " +
+          "individually (compacted away) — time travel reaches only as far " +
+          "back as the retained log")
+      Nil
+    }
+    val files = (base ++ plains.filter(p =>
+        p._1 > newestCompact.getOrElse(-1L) && p._1 <= maxBatchId))
       .flatMap { case (_, p) => sinkLogPaths(p) }
       .distinct
     require(files.nonEmpty, s"no sink-log batches ≤ $maxBatchId under $path")
@@ -212,11 +227,19 @@ object EventStreams {
       .filter(col("dt").between(fromDt, toDt))
   }
 
-  /** Sink-log batch files under `_spark_metadata`, (batchId, path), sorted.
-    * A `.compact` file REPLACES the plain files at and below its id (it
-    * holds the full cumulative listing), so only ids above the newest
-    * compaction keep their plain entries. */
+  /** Sink-log batch files under `_spark_metadata`, (batchId, path), sorted:
+    * the newest `.compact` (cumulative listing) + every plain file above
+    * it — the view [[lakeLandings]] reports. */
   private def sinkLogBatches(path: String): Seq[(Long, java.nio.file.Path)] = {
+    val (compacts, plains) = sinkLogEntries(path)
+    val newestCompact = compacts.map(_._1).maxOption.getOrElse(-1L)
+    (compacts.filter(_._1 == newestCompact) ++
+      plains.filter(_._1 > newestCompact)).sortBy(_._1)
+  }
+
+  /** All retained sink-log files: (compacts, plains), each (batchId, path). */
+  private def sinkLogEntries(path: String)
+      : (Seq[(Long, java.nio.file.Path)], Seq[(Long, java.nio.file.Path)]) = {
     import scala.jdk.CollectionConverters._
     val logDir = java.nio.file.Paths.get(path.stripPrefix("file:"), "_spark_metadata")
     require(java.nio.file.Files.isDirectory(logDir),
@@ -228,12 +251,9 @@ object EventStreams {
         .filter { case (n, _) => n.takeWhile(_ != '.').forall(_.isDigit) && n.nonEmpty }
         .toList
       finally ls.close()
-    val compacts = all.collect { case (n, p) if n.endsWith(".compact") =>
-      (n.stripSuffix(".compact").toLong, p) }
-    val newestCompact = compacts.map(_._1).maxOption.getOrElse(-1L)
-    val plains = all.collect { case (n, p) if !n.contains('.') => (n.toLong, p) }
-      .filter(_._1 > newestCompact)
-    (compacts.filter(_._1 == newestCompact) ++ plains).sortBy(_._1)
+    (all.collect { case (n, p) if n.endsWith(".compact") =>
+        (n.stripSuffix(".compact").toLong, p) },
+      all.collect { case (n, p) if !n.contains('.') => (n.toLong, p) })
   }
 
   /** Added-file paths out of one sink-log file (v1 line format: a version
