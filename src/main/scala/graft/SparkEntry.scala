@@ -1224,10 +1224,15 @@ object SparkEntry {
       val surv = Dedup.dedupByClusters(gated, "doc_id", clusters)
       val mixed = Sampling.temperatureMix(surv, "lang", "doc_id",
         alpha = 0.5, targetRows = 800)
-      // replicas need a unique pack key: copy_idx < 8 by construction
-      // (weights are single digits), so doc_id*8+copy_idx is injective
+      // replicas need a unique pack key: doc_id*1024+copy_idx is injective
+      // iff copy_idx < 1024 (weights are single digits on every shipped
+      // corpus, but the bound is CORPUS-DEPENDENT — a rare stratum under a
+      // large target can exceed it), so the bound is asserted in the plan:
+      // assert_true returns NULL when it holds (coalesce → +0) and fails
+      // the query loudly instead of silently colliding pack keys
       TextAnalysis.packBins(
-          mixed.withColumn("pack_id", col("doc_id") * 8 + col("copy_idx")),
+          mixed.withColumn("pack_id", col("doc_id") * 1024 + col("copy_idx") +
+            coalesce(assert_true(col("copy_idx") < 1024), lit(0)).cast("long")),
           "lang", "pack_id", "text", budget = 256)
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"),
@@ -2495,7 +2500,7 @@ object SparkEntry {
         |  FROM hx),
         |mixed AS (SELECT doc_id, lang, text, CAST(u.c AS BIGINT) AS copy_idx
         |  FROM cp, unnest(range(0, copies)) u(c) WHERE copies > 0),
-        |pk AS (SELECT lang, doc_id * 8 + copy_idx AS pack_id,
+        |pk AS (SELECT lang, doc_id * 1024 + copy_idx AS pack_id,
         |  len(string_split(text, ' ')) AS ptoks FROM mixed),
         |cum AS (SELECT lang, pack_id, ptoks,
         |  COALESCE(SUM(ptoks) OVER (PARTITION BY lang ORDER BY pack_id

@@ -245,22 +245,54 @@ object WarehouseMeta {
     * output dirs written with Overwrite). */
   def exactlyOnceBatch[A](spark: SparkSession, logName: String, batchId: Long,
       tables: Seq[String])(body: => A): Option[A] = {
-    import scala.jdk.CollectionConverters._
     val logDir = tableLocation(spark, logName)
     Files.createDirectories(logDir)
     val commit = logDir.resolve(s"$batchId.commit")
     if (Files.exists(commit)) None
     else {
-      def dataFiles(): Set[String] = tables.flatMap { t =>
-        val dir = tableLocation(spark, t)
-        if (!Files.isDirectory(dir)) Nil
-        else {
-          val walk = Files.walk(dir)
-          try walk.iterator().asScala.filter(Files.isRegularFile(_))
-            .map(p => s"$t\t${dir.relativize(p)}").toList
-          finally walk.close()
-        }
-      }.toSet
+      rollbackStaleIntents(spark, logName, tables)
+      val intent = logDir.resolve(s"$batchId.intent")
+      // temp + atomic rename (the writeSidecar discipline): a crash
+      // mid-write must never leave a TORN snapshot — a truncated file list
+      // would make the next rollback delete legitimate pre-batch files
+      val tmp = logDir.resolve(s"$batchId.intent.tmp")
+      Files.write(tmp,
+        batchDataFiles(spark, tables).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, intent, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val out = body
+      Files.move(intent, commit, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Some(out)
+    }
+  }
+
+  private def batchDataFiles(spark: SparkSession, tables: Seq[String]): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    tables.flatMap { t =>
+      val dir = tableLocation(spark, t)
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val walk = Files.walk(dir)
+        try walk.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(p => s"$t\t${dir.relativize(p)}").toList
+        finally walk.close()
+      }
+    }.toSet
+  }
+
+  /** Roll back any CRASHED [[exactlyOnceBatch]] apply (an `.intent` without
+    * a `.commit`): files absent from the intent's pre-apply snapshot are
+    * the partial apply's output — deleted, then the intent is cleared so
+    * the stream's replay re-applies cleanly. A stale intent implies no
+    * LATER batch ran (every apply rolls back first), so the snapshot is
+    * still accurate. MUST also run at the top of any maintenance that
+    * rewrites the tables' files (compaction): compacting past a stale
+    * intent would otherwise make the eventual replay-rollback treat every
+    * post-compaction file as partial-apply output and wipe the store. */
+  def rollbackStaleIntents(spark: SparkSession, logName: String,
+      tables: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val logDir = tableLocation(spark, logName)
+    if (Files.isDirectory(logDir)) {
       val ls = Files.list(logDir)
       val stale =
         try ls.iterator().asScala
@@ -270,18 +302,13 @@ object WarehouseMeta {
         finally ls.close()
       if (stale.nonEmpty) {
         val snapshot = stale.flatMap(p => Files.readAllLines(p).asScala).toSet
-        for (f <- dataFiles() if !snapshot.contains(f)) {
+        for (f <- batchDataFiles(spark, tables) if !snapshot.contains(f)) {
           val Array(t, rel) = f.split("\t", 2)
           Files.deleteIfExists(tableLocation(spark, t).resolve(rel))
         }
         stale.foreach(Files.delete(_))
-        tables.foreach(t => spark.catalog.refreshTable(t))
+        tables.filter(spark.catalog.tableExists).foreach(spark.catalog.refreshTable)
       }
-      val intent = logDir.resolve(s"$batchId.intent")
-      Files.write(intent, dataFiles().toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-      val out = body
-      Files.move(intent, commit, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      Some(out)
     }
   }
 

@@ -422,20 +422,22 @@ object Dedup {
     * same escape hatch as [[Analytics]] (per-iteration DataFrame joins would
     * re-shuffle the full pair graph every step). */
   def dupClusters(spark: org.apache.spark.sql.SparkSession, pairs: DataFrame,
-      driverPairLimit: Long = 2000000L): DataFrame = {
+      driverPairLimit: Long = 500000L): DataFrame = {
     import spark.implicits._
     // CARDINALITY-GATED plan choice (the kHop broadcast-gate pattern,
     // Traversals.kHop): candidate-pair graphs are post-blocking SMALL
     // relative to the corpus — usually a few thousand edges even when the
     // corpus is millions of docs — and GraphX CC pays one full stage round
     // per superstep (~300-600 ms each on this host) for parallelism that
-    // graph can't use. Under `driverPairLimit` edges (2M pairs ≈ 32 MB of
-    // longs — bounded by an exact count, not an estimate), collect the
+    // graph can't use. Under `driverPairLimit` edges — bounded by an EXACT
+    // count, not an estimate; 500k pairs costs the driver ~25 MB of boxed
+    // tuples plus up to ~100 MB of transient HashMap entries, sized for
+    // multi-GB driver heaps (lower it on small drivers) — collect the
     // pair list and run union-find on the driver: same invariant (cluster
     // = min member id), milliseconds instead of supersteps, and the pair
     // plan executes ONCE instead of per-Pregel-iteration. Measured (r10,
-    // sf0.1): d15 2.0 s → ~1 s class. Over the limit — a truly huge dup
-    // graph — the distributed GraphX path is unchanged.
+    // sf0.1): d15 2.0 s → ~1.5 s, p01 2.9 → 1.9 s. Over the limit — a
+    // truly huge dup graph — the distributed GraphX path is unchanged.
     val slim = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -887,6 +889,11 @@ object Dedup {
     val (bandsT, sigsT, simT) = storeTables(name)
     val tomb = s"${name}_tomb"
     WarehouseMeta.withBuildLock(spark, name) {
+      // a crashed ingest batch must resolve BEFORE files are rewritten:
+      // compacting past a stale intent would make the eventual replay's
+      // rollback treat every post-compaction file as partial-apply output
+      WarehouseMeta.rollbackStaleIntents(spark, s"${name}_ingest_log",
+        { val (b, s2, m) = storeTables(name); Seq(b, s2, m) })
       val manifest = WarehouseMeta.idManifest(spark, tomb)
       if (manifest.isEmpty) false
       else {
@@ -1056,12 +1063,17 @@ object Dedup {
     *      deleted before anything else runs (rollback), then the crashed
     *      batch re-applies when the stream replays it.
     *   3. Snapshot the store's data files into `<batchId>.intent`, compute
-    *      duplicate pairs ([[dedupIncrement]] — one text pass over the
-    *      batch, bucket joins against the store), overwrite them into
-    *      `pairsPath/batch=<batchId>` (per-batch dir → replays overwrite,
-    *      never duplicate), append the ACCEPTED docs' signatures (batch
-    *      docs that paired with the corpus are dups and are not indexed),
-    *      and atomically promote intent → commit.
+    *      duplicate pairs — BOTH new-vs-corpus ([[dedupIncrement]]) and
+    *      WITHIN-BATCH ([[lshCandidates]] + signature re-score over the
+    *      batch alone; with AvailableNow a whole backlog drains as one
+    *      batch, so same-batch near-dups are a primary case, not an edge)
+    *      — overwrite them into `pairsPath/batch=<batchId>` tagged with a
+    *      `src` column (`corpus`/`batch`), append the ACCEPTED docs'
+    *      signatures, and atomically promote intent → commit. Accepted =
+    *      batch docs that neither paired with the corpus nor are the
+    *      GREATER side of a within-batch pair (the kept side of every
+    *      within-batch pair is its min id — the [[dedupByClusters]]
+    *      keep-rule applied pairwise).
     *
     * Runs under the store's build lock, so batches serialize against
     * compactions and rebuilds. Returns the accepted-doc count (-1 for a
@@ -1074,16 +1086,26 @@ object Dedup {
     WarehouseMeta.withBuildLock(spark, name) {
       val tables = { val (b, s, m) = storeTables(name); Seq(b, s, m) }
       WarehouseMeta.exactlyOnceBatch(spark, s"${name}_ingest_log", batchId, tables) {
-        dedupIncrement(spark, batch, idCol, textCol, name, k, bands,
-            rowsPerBand, minEstimate)
+        val cross = dedupIncrement(spark, batch, idCol, textCol, name, k,
+          bands, rowsPerBand, minEstimate).withColumn("src", lit("corpus"))
+        val inner = estimateJaccardBySignature(batch, idCol, textCol,
+            lshCandidates(batch, idCol, textCol, k, bands, rowsPerBand),
+            k, bands * rowsPerBand, minEstimate)
+          .withColumn("src", lit("batch"))
+        cross.unionByName(inner)
           .write.mode(SaveMode.Overwrite).parquet(s"$pairsPath/batch=$batchId")
-        // accepted = batch docs that did NOT pair with the corpus; read the
-        // pairs BACK from the just-written batch dir (no recompute, and the
-        // indexed set provably matches the landed pairs)
-        val pairedNew = spark.read.parquet(s"$pairsPath/batch=$batchId")
-          .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-        val accepted = batch.join(pairedNew,
-          batch(idCol).cast("long") === pairedNew("id"), "left_anti")
+        // drop set read BACK from the landed batch dir (no recompute, and
+        // the indexed set provably matches the landed pairs): every batch
+        // member of a corpus pair, plus the greater side of each
+        // within-batch pair (min-id side survives)
+        val landed = spark.read.parquet(s"$pairsPath/batch=$batchId")
+        val dropIds = landed.filter(col("src") === "corpus")
+          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+          .unionByName(landed.filter(col("src") === "batch")
+            .select(col("id_b").as("id")))
+          .distinct()
+        val accepted = batch.join(dropIds,
+          batch(idCol).cast("long") === dropIds("id"), "left_anti")
         val nAccepted = accepted.count()
         if (nAccepted > 0)
           appendSignatureStore(spark, accepted, idCol, textCol, name)

@@ -534,6 +534,9 @@ object Similarity {
     val table = s"${name}_vlsh"
     val tomb = s"${name}_vtomb"
     WarehouseMeta.withBuildLock(spark, name) {
+      // resolve any crashed ingest batch before rewriting files — see
+      // Dedup.compactSignatureStore / WarehouseMeta.rollbackStaleIntents
+      WarehouseMeta.rollbackStaleIntents(spark, s"${name}_vingest_log", Seq(table))
       val manifest = WarehouseMeta.idManifest(spark, tomb)
       if (manifest.isEmpty) false
       else {
@@ -556,11 +559,15 @@ object Similarity {
     * EXACTLY-ONCE under replays — the vector twin of
     * `Dedup.applyIngestBatch`, sharing its commit-log protocol
     * ([[graft.engine.WarehouseMeta.exactlyOnceBatch]]): near-dup
-    * candidates of the batch against the index (same-bucket probe widened
-    * by `radius`, cosine ≥ minCosine) land idempotently in
-    * `candsPath/batch=<batchId>/`, then the ACCEPTED vectors (batch rows
-    * that matched nothing) append bucket-correct into the index so the
-    * NEXT batch sees them. Returns the accepted count (-1 for a skipped
+    * candidates of the batch against the INDEX (same-bucket probe widened
+    * by `radius`, cosine ≥ minCosine) AND within the batch itself
+    * ([[graft.ops.Dedup.embeddingDupPairsLsh]] at the stored bits — with
+    * AvailableNow a whole backlog drains as one batch, so same-batch dups
+    * are a primary case) land idempotently in `candsPath/batch=<batchId>/`
+    * tagged `src` = `corpus`/`batch` and normalized (id_a < id_b); the
+    * ACCEPTED vectors (no corpus match, not the greater side of a
+    * within-batch pair) append bucket-correct into the index so the NEXT
+    * batch sees them. Returns the accepted count (-1 for a skipped
     * replay). Runs under the index's build lock. */
   def applyVectorIngestBatch(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, batchId: Long, idCol: String, vecCol: String,
@@ -581,18 +588,30 @@ object Similarity {
           .select(col("new_id"), col("new_vec"),
             explode(array(probeMasks(bits, radius)
               .map(m => col("_qb0").bitwiseXOR(lit(m))): _*)).as("qb"))
-        probed.join(indexed,
+        val cross = probed.join(indexed,
             col("_bucket") === col("qb") && col("old_id") =!= col("new_id"))
-          .select(col("new_id"), col("old_id"),
+          .select(least(col("new_id"), col("old_id")).as("id_a"),
+            greatest(col("new_id"), col("old_id")).as("id_b"),
             round(cosine(col("old_vec"), col("new_vec")), roundTo).as("cosine"))
           .filter(col("cosine") >= minCosine)
           .distinct()
+          .withColumn("src", lit("corpus"))
+        val inner = graft.ops.Dedup.embeddingDupPairsLsh(
+            batch.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+            idCol, vecCol, minCosine, bits)
+          .withColumn("cosine", round(col("cosine"), roundTo))
+          .withColumn("src", lit("batch"))
+        cross.unionByName(inner)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$candsPath/batch=$batchId")
-        val dupNew = spark.read.parquet(s"$candsPath/batch=$batchId")
-          .select(col("new_id").as("_dup")).distinct()
-        val accepted = batch.join(dupNew,
-          batch(idCol).cast("long") === dupNew("_dup"), "left_anti")
+        val landed = spark.read.parquet(s"$candsPath/batch=$batchId")
+        val dropIds = landed.filter(col("src") === "corpus")
+          .select(explode(array(col("id_a"), col("id_b"))).as("_dup"))
+          .unionByName(landed.filter(col("src") === "batch")
+            .select(col("id_b").as("_dup")))
+          .distinct()
+        val accepted = batch.join(dropIds,
+          batch(idCol).cast("long") === dropIds("_dup"), "left_anti")
         val nAccepted = accepted.count()
         if (nAccepted > 0)
           appendVectorIndex(spark, accepted, idCol, vecCol, name)

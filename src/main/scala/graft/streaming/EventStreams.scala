@@ -178,17 +178,21 @@ object EventStreams {
       .start()
 
   /** The landing log of a [[streamToDateLake]]-landed lake: one row per
-    * committed micro-batch — (batch_id, n_files, committed_at) parsed from
-    * the file sink's `_spark_metadata` commit log. Driver-side listing of
-    * the TINY log only (one small file per batch), never a data scan; the
-    * map from wall-clock time to batch id every time-travel read starts
-    * from. */
+    * RETAINED sink-log entry — (batch_id, is_compact, n_files,
+    * committed_at) parsed from the `_spark_metadata` commit log.
+    * Driver-side listing of the TINY log only (one small file per batch),
+    * never a data scan; the map from wall-clock time to batch id every
+    * time-travel read starts from. After the sink's periodic compaction
+    * the oldest row IS the compact (is_compact = true, n_files =
+    * CUMULATIVE through that batch) and earlier per-batch rows exist only
+    * while the log cleaner retains them — the same horizon
+    * [[readDateLakeAsOf]] enforces loudly. */
   def lakeLandings(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     sinkLogBatches(path).map { case (id, p) =>
-      (id, sinkLogPaths(p).size,
+      (id, p.getFileName.toString.endsWith(".compact"), sinkLogPaths(p).size,
         new Timestamp(java.nio.file.Files.getLastModifiedTime(p).toMillis))
-    }.toDF("batch_id", "n_files", "committed_at")
+    }.toDF("batch_id", "is_compact", "n_files", "committed_at")
   }
 
   /** TIME TRAVEL over a streamed date lake: the lake exactly as of landing
@@ -204,21 +208,19 @@ object EventStreams {
       fromDt: String, toDt: String): DataFrame = {
     val (compacts, plains) = sinkLogEntries(path)
     val newestCompact = compacts.map(_._1).filter(_ <= maxBatchId).maxOption
-    // prefer the newest compact ≤ maxBatchId (cumulative listing), then
-    // plain files above it; asking for a batch BELOW every compact falls
-    // back to the plain files IF the log still retains 0..maxBatchId
-    // (Spark's log cleaner deletes compacted-away plain files eventually —
-    // time travel reaches only as far back as the retained log)
-    val base = newestCompact.map(c => compacts.filter(_._1 == c)).getOrElse {
-      val kept = plains.filter(_._1 <= maxBatchId).map(_._1).toSet
-      require((0L to maxBatchId).forall(kept.contains),
-        s"sink log under $path no longer retains batches 0..$maxBatchId " +
-          "individually (compacted away) — time travel reaches only as far " +
-          "back as the retained log")
-      Nil
-    }
-    val files = (base ++ plains.filter(p =>
-        p._1 > newestCompact.getOrElse(-1L) && p._1 <= maxBatchId))
+    // the newest compact ≤ maxBatchId (cumulative listing) + plain files
+    // above it — and EVERY id in (compact, maxBatchId] must still be
+    // retained, else the snapshot would silently miss batches (Spark's log
+    // cleaner deletes compacted-away plain files eventually — time travel
+    // reaches only as far back as the retained log, loudly)
+    val floor = newestCompact.getOrElse(-1L)
+    val keptAbove = plains.filter(p => p._1 > floor && p._1 <= maxBatchId)
+    require((floor + 1 to maxBatchId).forall(keptAbove.map(_._1).toSet.contains),
+      s"sink log under $path no longer retains batches ${floor + 1}..$maxBatchId " +
+        "individually (compacted away) — time travel reaches only as far " +
+        "back as the retained log")
+    val files = (newestCompact.map(c => compacts.filter(_._1 == c)).getOrElse(Nil)
+        ++ keptAbove)
       .flatMap { case (_, p) => sinkLogPaths(p) }
       .distinct
     require(files.nonEmpty, s"no sink-log batches ≤ $maxBatchId under $path")
