@@ -160,16 +160,18 @@ object WarehouseMeta {
   def requireNotTombstoned(spark: SparkSession, table: String,
       ids: org.apache.spark.sql.DataFrame, what: String): Unit =
     idManifest(spark, table).foreach { m =>
-      val banned = m.collect().map(_.getLong(0))
-      if (banned.nonEmpty) {
-        val hit = ids.filter(ids("id").isin(banned: _*)).limit(5)
-          .collect().map(_.getLong(0))
-        require(hit.isEmpty,
-          s"cannot append $what: ids ${hit.mkString(", ")} are tombstoned in " +
-            s"$table — appended rows would be invisible until the next " +
-            "compaction physically deletes them; compact the store first to " +
-            "re-ingest a forgotten id")
-      }
+      // SEMI-JOIN, not a collected isin list: reads already anti-join the
+      // manifest; splicing ids into the plan as literals here would make a
+      // takedown manifest that outgrows "small by contract" produce a
+      // pathological plan. The join costs the same today (AQE broadcasts a
+      // small manifest side) and never degrades.
+      val hit = ids.join(m, Seq("id"), "left_semi").limit(5)
+        .collect().map(_.getLong(0))
+      require(hit.isEmpty,
+        s"cannot append $what: ids ${hit.mkString(", ")} are tombstoned in " +
+          s"$table — appended rows would be invisible until the next " +
+          "compaction physically deletes them; compact the store first to " +
+          "re-ingest a forgotten id")
     }
 
   /** Drop a manifest table and its files (compaction epilogue; rebuild
@@ -200,29 +202,39 @@ object WarehouseMeta {
     val stage = s"${table}_stage"
     val loc = tableLocation(spark, table)
     val old = tableLocation(spark, s"${table}_old")
+    def register(): Unit = {
+      spark.sql(
+        s"""CREATE TABLE $table ($ddl)
+           |USING PARQUET
+           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
+           |LOCATION '${loc.toUri}'""".stripMargin)
+      if (props.nonEmpty) {
+        val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+        spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+      }
+      spark.catalog.refreshTable(table)
+    }
     // a crashed prior swap leaves either debris (_old beside an intact live
     // dir — delete it) or a half-swap (live dir GONE, _old complete — roll
-    // the old data back before proceeding; the caller's plan re-resolves it)
+    // the old data back before proceeding; the caller's plan re-resolves
+    // it). In EVERY _old-present state the catalog entry was already
+    // dropped (the DROP precedes the moves, the CREATE follows the _old
+    // cleanup), so recovery must RE-REGISTER from ddl — refreshTable on a
+    // dropped entry throws, bricking the store until manual re-CREATE
     if (Files.isDirectory(old)) {
       if (Files.isDirectory(loc)) deleteRecursively(old)
-      else { Files.move(old, loc); spark.catalog.refreshTable(table) }
+      else Files.move(old, loc)
+      if (!spark.catalog.tableExists(table)) register()
     }
     replaceBucketedTable(spark, stage, bucketCol, buckets, df, props)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"DROP TABLE $stage")
+    // IF EXISTS: a crash between the original DROP and the dir move leaves
+    // no _old (nothing for the recovery branch) but also no catalog entry
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
     Files.move(loc, old)
     Files.move(tableLocation(spark, stage), loc)
     deleteRecursively(old)
-    spark.sql(
-      s"""CREATE TABLE $table ($ddl)
-         |USING PARQUET
-         |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
-         |LOCATION '${loc.toUri}'""".stripMargin)
-    if (props.nonEmpty) {
-      val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
-      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
-    }
-    spark.catalog.refreshTable(table)
+    register()
   }
 
   /** EXACTLY-ONCE guard for a side-effecting micro-batch applier over a

@@ -71,25 +71,52 @@ object Dedup {
     * quadratic in the worst case; at corpus scale prefer [[lshCandidates]]
     * and use this as its correctness twin on samples. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5, maxDf: Long = Long.MaxValue): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5, maxDf: Long = Long.MaxValue): DataFrame =
+    sharedShinglePairs(df, idCol, textCol, k, maxDf)
+      .withColumn("jaccard",
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Shared machinery of [[ngramJaccardPairs]] / [[ngramContainmentPairs]]:
+    * (id_a, id_b, shared, na, nb) — the shared-shingle count of every
+    * candidate pair plus each side's TOTAL shingle count (|A|/|B| count ALL
+    * shingles — computed before any pruning; the df window [2, maxDf]
+    * excludes shingles from PAIRING only).
+    *
+    * Single-shuffle bucket shape (see [[lshCandidates]]): one exchange of
+    * (h, id) to the shingle hash; the df window becomes a free size()
+    * filter (df 1 can never pair), replacing the former count + semi-join
+    * pre-pass AND the double shuffle into the self-join. The per-bucket
+    * pair block materializes in-task — bounded by maxDf when capped (the
+    * production path); uncapped stays quadratic-by-design, same as the
+    * self-join it replaces (correctness twin, run on samples). Measured
+    * (r8, sf0.1): 1.25× on both the capped and uncapped entries. */
+  private def sharedShinglePairs(df: DataFrame, idCol: String,
+      textCol: String, k: Int, maxDf: Long): DataFrame = {
     // join on the 60-bit shingle hash, not the string: same pairs (collision
     // odds ~2^-61 per shingle pair), ~60% less shuffle payload
     val sh = wordShingles(df, idCol, textCol, k)
       .select(col("id"), hash60(col("shingle")).as("h"))
-    // |A|, |B| count ALL shingles — compute before any pruning
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    // Single-shuffle bucket shape (see [[lshCandidates]]): one exchange of
-    // (h, id) to the shingle hash; the df window [2, maxDf] becomes a free
-    // size() filter (df 1 can never pair), replacing the former count +
-    // semi-join pre-pass AND the double shuffle into the self-join. Each id
-    // appears once per bucket (wordShingles is per-doc distinct), so
-    // least/greatest normalization alone yields id_a < id_b. The per-bucket
-    // pair block materializes in-task — bounded by maxDf when capped (the
-    // production path); uncapped stays quadratic-by-design, same as the
-    // self-join it replaces (correctness twin, run on samples). Measured
-    // (r8, sf0.1): 1.25× on both the capped and uncapped entries.
     val bucketed = sh.groupBy("h").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
+    explodeBucketPairs(bucketed)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      // no broadcast hint on sizes: its cardinality is the document count, so
+      // at corpus scale it must stay a shuffle join (AQE broadcasts when small)
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+  }
+
+  /** Explode a bucketed `ids` array column into normalized in-task pairs —
+    * the shared tail of every single-shuffle bucket-pair generator
+    * ([[lshCandidates]], [[sharedShinglePairs]]). Each id appears once per
+    * bucket (the upstream aggregates are per-doc distinct), so
+    * least/greatest alone yields id_a < id_b; the strict filter drops
+    * degenerate duplicate-id inputs. */
+  private def explodeBucketPairs(bucketed: DataFrame): DataFrame =
     bucketed
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
@@ -98,17 +125,6 @@ object Dedup {
           |                        greatest(x, y) AS id_b))))""".stripMargin)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"))
-      // no broadcast hint on sizes: its cardinality is the document count, so
-      // at corpus scale it must stay a shuffle join (AQE broadcasts when small)
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
-      .withColumn("jaccard",
-        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
 
   /** All-pairs n-gram CONTAINMENT over shared shingles: shared / min(|A|,
     * |B|) — the partial-duplicate metric Jaccard under-scores when sizes

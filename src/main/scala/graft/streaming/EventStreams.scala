@@ -215,6 +215,13 @@ object EventStreams {
     // reaches only as far back as the retained log, loudly)
     val floor = newestCompact.getOrElse(-1L)
     val keptAbove = plains.filter(p => p._1 > floor && p._1 <= maxBatchId)
+    // distinguish "not landed yet" from "compacted away": a maxBatchId
+    // above the newest retained id has simply never been committed — the
+    // retention message would mislead on a fresh, never-compacted log
+    val newestRetained = (compacts.map(_._1) ++ plains.map(_._1)).maxOption.getOrElse(-1L)
+    require(maxBatchId <= newestRetained,
+      s"sink log under $path has no batch $maxBatchId (newest committed " +
+        s"batch is $newestRetained) — the requested snapshot does not exist yet")
     require((floor + 1 to maxBatchId).forall(keptAbove.map(_._1).toSet.contains),
       s"sink log under $path no longer retains batches ${floor + 1}..$maxBatchId " +
         "individually (compacted away) — time travel reaches only as far " +

@@ -91,7 +91,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       Sampling.temperatureMix(surv, "lang", "doc_id", alpha = 0.5, targetRows = 800),
       "mixed")
     val staged = TextAnalysis.packBins(
-        mixed.withColumn("pack_id", col("doc_id") * 8 + col("copy_idx")),
+        mixed.withColumn("pack_id", col("doc_id") * 1024 + col("copy_idx")),
         "lang", "pack_id", "text", budget = 256)
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"),

@@ -269,17 +269,24 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     runStream()
 
     // batch twin: the same corpus → shard1 → shard2 sequence through the
-    // documented batch workflow (increment → accept → append)
+    // documented batch workflow (increment + within-batch pairs → accept →
+    // append): banned = every batch member of a corpus pair PLUS the
+    // greater side of each within-batch pair (min id survives) — the
+    // applyIngestBatch acceptance rule re-derived from public primitives
     val twin = "graft_ingest_twin"
     Dedup.writeSignatureStore(spark, corpus, "doc_id", "text", twin)
     def acceptAppend(shard: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
-      val p = Dedup.dedupIncrement(spark, shard, "doc_id", "text", twin,
-        minEstimate = 0.5)
-      val pr = p.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val banned = pr.flatMap(t => Seq(t._1, t._2))
-      val acc = shard.filter(!col("doc_id").isin(banned.toSeq: _*))
+      val cross = Dedup.dedupIncrement(spark, shard, "doc_id", "text", twin,
+          minEstimate = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val inner = Dedup.estimateJaccardBySignature(shard, "doc_id", "text",
+          Dedup.lshCandidates(shard, "doc_id", "text"), minEstimate = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val banned = cross.flatMap(t => Seq(t._1, t._2)) ++ inner.map(_._2)
+      val acc = if (banned.isEmpty) shard
+        else shard.filter(!col("doc_id").isin(banned.toSeq: _*))
       if (acc.count() > 0) Dedup.appendSignatureStore(spark, acc, "doc_id", "text", twin)
-      pr
+      cross ++ inner
     }
     val twinPairs = acceptAppend(shard1) ++ acceptAppend(shard2)
     assert(sigRows(s"${name}_sigs") == sigRows(s"${twin}_sigs"),
@@ -287,6 +294,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(sigRows(s"${name}_sigs").size > afterRun1.size,
       "run 2 actually appended shard2 content")
     val landedPairs = spark.read.parquet(pairsDir)
+      .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(landedPairs == twinPairs, "landed per-batch pair dirs ≡ batch pairs")
 
@@ -364,7 +372,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(indexIds(s"${name}_vlsh").size > afterRun1.size,
       "run 2 actually indexed shard2 vectors")
     def candRows(p: String) = spark.read.parquet(p)
-      .select("new_id", "old_id").collect()
+      .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val streamedCands = candRows(cands)
     assert(streamedCands.nonEmpty && streamedCands == candRows(twinCands),
