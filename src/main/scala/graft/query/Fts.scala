@@ -90,14 +90,17 @@ object Fts {
     }.toSeq
   }
 
-  /** Parse an FTS5-subset match string into OR-ed groups of AND-ed
-    * (atom, negated) pairs. A punctuated term splits the same way the
-    * indexer tokenizes ("don't" → don AND t) so queries and postings agree;
-    * a trailing `*` applies prefix matching to the final token; `"quoted
-    * text"` is a positional phrase; `NOT` negates the following atom (all
-    * pieces, for a splitting term); `NEAR(...)` groups are lifted out
-    * before tokenization (the token regex cannot span them); uppercase
-    * OR/AND combine (OR binds looser, as in FTS5). */
+  /** Parse an FTS5-subset match string into an expression TREE. A
+    * punctuated term splits the same way the indexer tokenizes ("don't" →
+    * don AND t) so queries and postings agree; a trailing `*` applies
+    * prefix matching to the final token; `"quoted text"` is a positional
+    * phrase; `NOT` negates the following atom (all pieces, for a splitting
+    * term); `NEAR(...)` groups are lifted out before tokenization (the
+    * token regex cannot span them); uppercase OR/AND combine (OR binds
+    * looser, as in FTS5); `(`…`)` groups nest the full grammar (r11 — the
+    * last FTS5 grammar gap: `(a OR b) AND c`), and a preceding `field:` /
+    * `{col list}:` scopes every unscoped atom inside the group, as FTS5's
+    * colset-before-parens does. */
   /** Lift `NEAR(...)` groups out of the query, OUTSIDE double-quoted
     * phrases only (a phrase whose text happens to contain "NEAR(" stays a
     * literal phrase). Returns the rewritten string (placeholders
@@ -185,21 +188,98 @@ object Fts {
     out.toString
   }
 
-  private def parseQuery(q: String): Seq[Seq[(Atom, Boolean)]] = {
-    val (cleaned, nears) = liftNears(liftColumnLists(q))
-    // optional `^` before a quoted phrase = FTS5 initial-token anchor
-    val Tok = """(?:(\w+)\s*:\s*)?(\^)?"([^"]*)"|(\S+)""".r
-    val branches = Seq.newBuilder[Seq[(Atom, Boolean)]]
-    var group = Seq.newBuilder[(Atom, Boolean)]
-    var groupNonEmpty = false
+  /** Match-expression tree: leaves are atoms; AND = INTERSECT, OR = UNION,
+    * NOT = EXCEPT (binary, `l` minus `r`, as in FTS5). The paren-free
+    * subset parses to semantics identical to the flat pre-r11 grammar
+    * (FtsPropertySpec pins both against the naive evaluator). */
+  private sealed trait MNode
+  private final case class MLeaf(atom: Atom) extends MNode
+  private final case class MAnd(l: MNode, r: MNode) extends MNode
+  private final case class MOr(l: MNode, r: MNode) extends MNode
+  private final case class MNot(l: MNode, r: MNode) extends MNode
+
+  /** Push a field scope onto an atom that has none of its own (FTS5
+    * colset semantics — member scopes win over the group's). */
+  private def scopeAtom(a: Atom, f: String): Atom = a match {
+    case t: Term if t.field.isEmpty   => t.copy(field = Some(f))
+    case p: Phrase if p.field.isEmpty => p.copy(field = Some(f))
+    case n: Near => n.copy(members = n.members.map(scopeAtom(_, f)))
+    case other => other
+  }
+  private def scopeNode(n: MNode, f: String): MNode = n match {
+    case MLeaf(a)   => MLeaf(scopeAtom(a, f))
+    case MAnd(l, r) => MAnd(scopeNode(l, f), scopeNode(r, f))
+    case MOr(l, r)  => MOr(scopeNode(l, f), scopeNode(r, f))
+    case MNot(l, r) => MNot(scopeNode(l, f), scopeNode(r, f))
+  }
+
+  /** Space out `(` / `)` OUTSIDE double-quoted phrases so the token regex
+    * sees them standalone. Runs after [[liftNears]] (NEAR's own parens are
+    * already consumed). A paren glued to a term (`iphone(tm)`) previously
+    * vanished in tokenization (split on non-alphanumeric); spacing it into
+    * an explicit group keeps every such query's match set unchanged. */
+  private def spaceParens(q: String): String = {
+    val out = new StringBuilder
+    var inPhrase = false
+    q.foreach { c =>
+      if (c == '"') { inPhrase = !inPhrase; out.append(c) }
+      else if (!inPhrase && (c == '(' || c == ')')) out.append(' ').append(c).append(' ')
+      else out.append(c)
+    }
+    out.toString
+  }
+
+  /** One nesting level of the grouped parser. Branch semantics preserve
+    * the flat grammar exactly: positive units chain with AND in arrival
+    * order; a negated unit subtracts from the chain so far — set-equal to
+    * the old "intersect all positives, then subtract negatives" because
+    * (X − N) ∩ P = (X ∩ P) − N; negated units BEFORE any positive defer
+    * to branch close (`NOT a b` keeps meaning b − a). */
+  private final class PFrame(val field: Option[String], val negated: Boolean) {
+    var orAcc: Option[MNode] = None
+    var andAcc: Option[MNode] = None
+    var leadingNegs: List[MNode] = Nil
     var pendingField: Option[String] = None
     var pendingNot = false
+  }
+
+  private def parseQuery(q: String): Option[MNode] = {
+    val (cleaned0, nears) = liftNears(liftColumnLists(q))
+    val cleaned = spaceParens(cleaned0)
+    // optional `^` before a quoted phrase = FTS5 initial-token anchor
+    val Tok = """(?:(\w+)\s*:\s*)?(\^)?"([^"]*)"|(\S+)""".r
+    var stack: List[PFrame] = List(new PFrame(None, negated = false))
+    def top = stack.head
     def takeField(inline: Option[String]): Option[String] = {
-      val f = inline.map(_.toLowerCase).orElse(pendingField)
-      pendingField = None
+      val f = inline.map(_.toLowerCase).orElse(top.pendingField)
+      top.pendingField = None
       f
     }
-    def takeNot(): Boolean = { val n = pendingNot; pendingNot = false; n }
+    def takeNot(): Boolean = { val n = top.pendingNot; top.pendingNot = false; n }
+    def addUnit(u: MNode, neg: Boolean): Unit =
+      if (neg) top.andAcc match {
+        case Some(acc) => top.andAcc = Some(MNot(acc, u))
+        case None      => top.leadingNegs = top.leadingNegs :+ u
+      }
+      else top.andAcc = Some(top.andAcc.map(MAnd(_, u)).getOrElse(u))
+    def closeBranch(): Unit = {
+      if (top.andAcc.isEmpty)
+        require(top.leadingNegs.isEmpty,
+          s"FTS branch needs at least one positive atom: '$q'")
+      top.andAcc.foreach { chain =>
+        val node = top.leadingNegs.foldLeft(chain)(MNot(_, _))
+        top.orAcc = Some(top.orAcc.map(MOr(_, node)).getOrElse(node))
+      }
+      top.andAcc = None; top.leadingNegs = Nil
+    }
+    def closeGroup(): Unit = {
+      closeBranch()
+      val f = stack.head
+      stack = stack.tail
+      f.orAcc.foreach { sub => // an empty `()` group contributes nothing
+        addUnit(f.field.map(scopeNode(sub, _)).getOrElse(sub), f.negated)
+      }
+    }
     // NO .trim here: trim strips every char <= 0x20 including a leading
     // placeholder byte; the tokenizer skips whitespace on its own
     Tok.findAllMatchIn(cleaned).foreach { m =>
@@ -208,32 +288,31 @@ object Fts {
         val neg = takeNot()
         val anchor = m.group(2) != null
         val toks = m.group(3).toLowerCase.split(TokenSplit).filter(_.nonEmpty).toSeq
-        if (toks.nonEmpty) {
-          group += ((if (toks.size == 1) Term(toks.head, prefix = false, field, anchor)
-                     else Phrase(toks, field, anchor), neg))
-          groupNonEmpty = true
-        }
+        if (toks.nonEmpty)
+          addUnit(MLeaf(
+            if (toks.size == 1) Term(toks.head, prefix = false, field, anchor)
+            else Phrase(toks, field, anchor)), neg)
       } else m.group(4) match {
         case "OR" =>
-          if (groupNonEmpty) branches += group.result()
-          group = Seq.newBuilder[(Atom, Boolean)]; groupNonEmpty = false
-          pendingNot = false
+          closeBranch()
+          top.pendingNot = false // pendingField deliberately survives OR
         case "AND" => ()
-        case "NOT" => pendingNot = true
-        case t0 if t0.startsWith("\u0001") =>
+        case "NOT" => top.pendingNot = true
+        case "(" =>
+          // a pending `field:` scopes the whole group; NOT negates it
+          stack = new PFrame(takeField(None), takeNot()) :: stack
+        case ")" =>
+          if (stack.size > 1) closeGroup() // stray `)`: ignored, as before
+        case t0 if t0.startsWith("") =>
           // a pending `field:` scopes every member without its own scope
           // (FTS5 column-scoped NEAR) and must be consumed either way
           val field = takeField(None)
           val near0 = nears(t0.drop(1).toInt)
-          val near = field.map(f => near0.copy(members = near0.members.map {
-            case t: Term if t.field.isEmpty   => t.copy(field = Some(f))
-            case p: Phrase if p.field.isEmpty => p.copy(field = Some(f))
-            case other => other
-          })).getOrElse(near0)
-          group += ((near, takeNot()))
-          groupNonEmpty = true
+          val near = field.map(f => near0.copy(members =
+            near0.members.map(scopeAtom(_, f)))).getOrElse(near0)
+          addUnit(MLeaf(near), takeNot())
         case t0 if t0.endsWith(":") =>
-          pendingField = Some(t0.dropRight(1).toLowerCase)
+          top.pendingField = Some(t0.dropRight(1).toLowerCase)
         case t0 =>
           var t = t0
           var inline: Option[String] = None
@@ -251,15 +330,17 @@ object Fts {
             val pieces = (if (prefix) t.dropRight(1) else t).toLowerCase
               .split(TokenSplit).filter(_.nonEmpty)
             pieces.zipWithIndex.foreach { case (piece, idx) =>
-              group += ((Term(piece, prefix && idx == pieces.length - 1, field,
-                anchor && idx == 0), neg))
-              groupNonEmpty = true
+              addUnit(MLeaf(Term(piece, prefix && idx == pieces.length - 1,
+                field, anchor && idx == 0)), neg)
             }
           }
       }
     }
-    if (groupNonEmpty) branches += group.result()
-    branches.result()
+    // unclosed `(` groups close implicitly — forgiving, like the old
+    // grammar's silent paren stripping
+    while (stack.size > 1) closeGroup()
+    closeBranch()
+    stack.head.orAcc
   }
 
   private def esc(s: String) = s.replace("'", "''")
@@ -335,30 +416,58 @@ object Fts {
     case n: Near   => s"SELECT o0.uid AS uid, COUNT(DISTINCT o0.pos) AS c ${nearBody(view, n)} GROUP BY o0.uid"
   }
 
-  /** One OR-branch: positive atoms INTERSECT, then each negated atom's match
-    * set is subtracted (FTS5 `a NOT b` set difference). */
-  private def branchMatch(view: String, atoms: Seq[(Atom, Boolean)], query: String): String = {
-    val pos = atoms.collect { case (a, false) => a }
-    val neg = atoms.collect { case (a, true) => a }
-    require(pos.nonEmpty, s"FTS branch needs at least one positive atom: '$query'")
-    val posSql = pos.map(matchSelect(view, _)).mkString("\nINTERSECT\n")
-    neg.map(matchSelect(view, _))
-      .foldLeft(s"($posSql)")((acc, n) => s"($acc\nEXCEPT\n($n))")
+  /** [[scoreSelect]] with FTS5-`bm25(idx, w1, w2…)` per-column weights:
+    * each matched occurrence counts its field's weight instead of 1
+    * (unlisted fields weigh 1.0). Same output shape (uid, c) — c becomes a
+    * weighted sum. Documented divergence from SQLite's bm25: FTS5 also
+    * tracks per-column lengths; here doc length stays whole-document, so
+    * weights reshape TERM FREQUENCY only — the practically useful knob
+    * ("title hits count double") without a second length table. */
+  private def weightedScoreSelect(view: String, a: Atom,
+      weights: Map[String, Double]): String = {
+    def w(fieldCol: String): String =
+      s"CASE ${weights.toSeq.sortBy(_._1).map { case (f, wt) =>
+          s"WHEN $fieldCol = '${esc(f)}' THEN ${wt}" }.mkString(" ")} ELSE 1.0 END"
+    a match {
+      case t: Term   => s"SELECT uid, SUM(${w("field")}) AS c FROM $view WHERE ${termCond(t)} GROUP BY uid"
+      case p: Phrase => s"SELECT p0.uid AS uid, SUM(${w("p0.field")}) AS c ${phraseBody(view, p)} GROUP BY p0.uid"
+      // distinct anchor positions first (joins multiply rows), then weigh
+      // each by its field
+      case n: Near   =>
+        s"""SELECT uid, SUM(${w("field")}) AS c FROM (
+           |  SELECT DISTINCT o0.uid AS uid, o0.field AS field, o0.pos AS pos ${nearBody(view, n)}
+           |) AS occs GROUP BY uid""".stripMargin
+    }
   }
 
-  private def positives(branches: Seq[Seq[(Atom, Boolean)]]): Seq[Atom] =
-    branches.flatten.collect { case (a, false) => a }
+  /** Compile the match tree to a set-algebra SQL query: AND = INTERSECT,
+    * OR = UNION, NOT = EXCEPT. Every composite operand is parenthesized, so
+    * engine precedence rules (INTERSECT binds tighter than UNION/EXCEPT in
+    * both Spark and DuckDB) can never reassociate the tree. */
+  private def nodeMatch(view: String, n: MNode): String = n match {
+    case MLeaf(a)   => matchSelect(view, a)
+    case MAnd(l, r) => s"(${nodeMatch(view, l)})\nINTERSECT\n(${nodeMatch(view, r)})"
+    case MOr(l, r)  => s"(${nodeMatch(view, l)})\nUNION\n(${nodeMatch(view, r)})"
+    case MNot(l, r) => s"(${nodeMatch(view, l)})\nEXCEPT\n(${nodeMatch(view, r)})"
+  }
+
+  /** Atoms that contribute to scoring: every leaf NOT on the right side of
+    * a NOT (FTS5: negated sides contribute nothing), in query order. */
+  private def positives(n: MNode): Seq[Atom] = n match {
+    case MLeaf(a)   => Seq(a)
+    case MAnd(l, r) => positives(l) ++ positives(r)
+    case MOr(l, r)  => positives(l) ++ positives(r)
+    case MNot(l, _) => positives(l)
+  }
 
   /** SQL subquery over a postings view returning matching uids with a tf
     * `score` (total posting rows matched by any POSITIVE query atom).
     * AND-ed atoms INTERSECT; negated atoms EXCEPT; OR branches UNION. */
   def matchSql(postingsView: String, query: String): String = {
-    val branches = parseQuery(query)
-    require(branches.nonEmpty, s"empty FTS match: '$query'")
-    val matches = branches
-      .map(atoms => branchMatch(postingsView, atoms, query))
-      .mkString("\nUNION\n")
-    val scores = positives(branches)
+    val root = parseQuery(query)
+    require(root.nonEmpty, s"empty FTS match: '$query'")
+    val matches = nodeMatch(postingsView, root.get)
+    val scores = positives(root.get)
       .map(scoreSelect(postingsView, _))
       .mkString("\nUNION ALL\n")
     s"""SELECT m.uid AS uid, s.score AS score
@@ -374,14 +483,20 @@ object Fts {
     * per uid, N/avgdl from one aggregate over it — so the same SQL runs on
     * any engine (the t05 oracle twin is textually the same formula). The
     * reference reaches bm25 via FTS5 ORDER passthrough (graphydb.py:956-962);
-    * this is that surface re-expressed over the inverted index. */
+    * this is that surface re-expressed over the inverted index.
+    * `fieldWeights` = FTS5's `bm25(idx, w1, w2…)` per-column weights
+    * ([[weightedScoreSelect]]; empty map = the unweighted formula,
+    * byte-identical SQL to pre-r11). */
   def bm25Sql(postingsView: String, query: String,
-      k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4): String = {
-    val branches = parseQuery(query)
-    require(branches.nonEmpty, s"empty FTS match: '$query'")
-    val atoms = positives(branches)
+      k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4,
+      fieldWeights: Map[String, Double] = Map.empty): String = {
+    val root = parseQuery(query)
+    require(root.nonEmpty, s"empty FTS match: '$query'")
+    val atoms = positives(root.get)
     val tfs = atoms.zipWithIndex.map { case (a, i) =>
-      s"tf$i AS (${scoreSelect(postingsView, a)})"
+      s"tf$i AS (${
+        if (fieldWeights.isEmpty) scoreSelect(postingsView, a)
+        else weightedScoreSelect(postingsView, a, fieldWeights)})"
     }
     // (k1+1) and (1-b) are pre-folded so both engines parse the SAME literal
     // (cross-engine '+' on inexact doubles can round differently)
@@ -391,9 +506,7 @@ object Fts {
          |  * t.c * ${k1 + 1} / (t.c + $k1 * (${1 - b} + $b * l.len / st.avgdl)) AS part
          |FROM tf$i t JOIN lens l ON l.uid = t.uid CROSS JOIN stats st""".stripMargin
     }
-    val matches = branches
-      .map(atomsB => branchMatch(postingsView, atomsB, query))
-      .mkString("\nUNION\n")
+    val matches = nodeMatch(postingsView, root.get)
     s"""WITH lens AS (SELECT uid, COUNT(*) AS len FROM $postingsView GROUP BY uid),
        |stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
        |${tfs.mkString(",\n")}
@@ -540,8 +653,10 @@ object Fts {
   def matchScores(postings: DataFrame, query: String): DataFrame =
     withView(postings)(matchSql(_, query))
 
-  /** DataFrame form of [[bm25Sql]]: (uid, score). */
+  /** DataFrame form of [[bm25Sql]]: (uid, score). `fieldWeights` = FTS5
+    * `bm25(idx, w1, w2…)` per-column weights (unlisted fields weigh 1.0). */
   def matchBm25(postings: DataFrame, query: String,
-      k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4): DataFrame =
-    withView(postings)(bm25Sql(_, query, k1, b, roundTo))
+      k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4,
+      fieldWeights: Map[String, Double] = Map.empty): DataFrame =
+    withView(postings)(bm25Sql(_, query, k1, b, roundTo, fieldWeights))
 }

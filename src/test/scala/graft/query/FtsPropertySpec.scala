@@ -217,4 +217,68 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("random parenthesized boolean trees ≡ naive evaluator (r11)") {
+    // FTS5 full grammar: `(`…`)` groups nest AND/OR/binary-NOT arbitrarily,
+    // and a preceding `field:` scopes every unscoped atom inside the group
+    val rng = new Random(1111)
+    sealed trait T
+    final case class TL(a: QTerm) extends T
+    final case class TA(l: T, r: T) extends T
+    final case class TO(l: T, r: T) extends T
+    final case class TN(l: T, r: T) extends T
+    def leaf(): T = {
+      val field = if (rng.nextInt(4) == 0) Some(fields(rng.nextInt(2))) else None
+      val t = vocab(rng.nextInt(vocab.size))
+      val prefix = rng.nextInt(5) == 0
+      TL(QTerm(if (prefix) t.take(2) else t, prefix, field))
+    }
+    def gen(depth: Int): T =
+      if (depth == 0 || rng.nextInt(3) == 0) leaf()
+      else rng.nextInt(3) match {
+        case 0 => TA(gen(depth - 1), gen(depth - 1))
+        case 1 => TO(gen(depth - 1), gen(depth - 1))
+        case _ => TN(gen(depth - 1), gen(depth - 1))
+      }
+    def pushScope(t: T, f: String): T = t match {
+      case TL(a)    => TL(a.copy(field = a.field.orElse(Some(f))))
+      case TA(l, r) => TA(pushScope(l, f), pushScope(r, f))
+      case TO(l, r) => TO(pushScope(l, f), pushScope(r, f))
+      case TN(l, r) => TN(pushScope(l, f), pushScope(r, f))
+    }
+    def render(t: T): String = t match {
+      case TL(QTerm(s, pre, f, _)) => renderScope(f) + s + (if (pre) "*" else "")
+      case TA(l, r) => s"( ${render(l)} AND ${render(r)} )"
+      case TO(l, r) => s"( ${render(l)} OR ${render(r)} )"
+      case TN(l, r) => s"( ${render(l)} NOT ${render(r)} )"
+    }
+    def eval(d: NDoc, t: T): Boolean = t match {
+      case TL(a)    => naiveAtom(d, a)
+      case TA(l, r) => eval(d, l) && eval(d, r)
+      case TO(l, r) => eval(d, l) || eval(d, r)
+      case TN(l, r) => eval(d, l) && !eval(d, r)
+    }
+    for (round <- 1 to 4) {
+      val docs = (1 to (6 + rng.nextInt(4))).map { i =>
+        def ts() = Seq.fill(2 + rng.nextInt(5))(vocab(rng.nextInt(vocab.size)))
+        NDoc(s"u$i", ts(), ts())
+      }
+      import spark.implicits._
+      val df = docs.map(d => (d.uid, d.title.mkString(" "), d.body.mkString(" ")))
+        .toDF("uid", "title", "body")
+      val idx = Fts.postings(df, "uid", Map("title" -> "title", "body" -> "body"))
+      for (_ <- 1 to 6) {
+        val t0 = gen(3)
+        // occasionally scope the whole tree: `title: ( ... )`
+        val (q, t) =
+          if (rng.nextInt(4) == 0) {
+            val f = fields(rng.nextInt(2))
+            (s"$f: ( ${render(t0)} )", pushScope(t0, f))
+          } else (render(t0), t0)
+        val got = Fts.matchUids(idx, q).collect().map(_.getString(0)).toSet
+        val want = docs.filter(eval(_, t)).map(_.uid).toSet
+        assert(got == want, s"round $round query <$q>: got $got want $want")
+      }
+    }
+  }
 }

@@ -234,4 +234,46 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
       .collect().head.getString(1)
     assert(custom == "red before [blue] and red again")
   }
+
+  test("parenthesized grouping: (a OR b) AND c, NOT groups, scoped groups (r11)") {
+    // (quantum ∪ newton) ∩ primer — the flat grammar would read this as
+    // quantum OR (newton AND primer) and return u3 too
+    assert(uids("(quantum OR newton) AND primer") == Set("u1", "u2"))
+    assert(uids("quantum OR newton AND primer") == Set("u1", "u2", "u3"),
+      "paren-free OR still binds looser")
+    // binary NOT of a group: {u1,u3} minus title-mechanics {u1}
+    assert(uids("quantum NOT (title: mechanics)") == Set("u3"))
+    assert(uids("mechanics NOT (body: primer)") == Set("u1"))
+    // field scope distributes over the group (FTS5 colset-before-parens)
+    assert(uids("title: (quantum OR cooking)") == Set("u1", "u3"))
+    assert(uids("body: (quantum OR cooking)") == Set("u3"))
+    // member scope wins over the group scope
+    assert(uids("title: (body:flavor OR cooking)") == Set("u3"))
+    // nesting
+    assert(uids("((waves OR laws) AND mechanics) OR cooking") == Set("u1", "u2", "u3"))
+    // parens glued to terms keep their old match set (tokenizer stripped
+    // them before r11; now they group — same result)
+    assert(uids("quantum(mechanics)") == Set("u1"))
+    // empty groups contribute nothing
+    assert(uids("quantum ()") == Set("u1", "u3"))
+  }
+
+  test("bm25 per-column weights reshape ranking; empty weights = unweighted (r11)") {
+    import spark.implicits._
+    val d = Seq(
+      ("u1", "spark tuning", "filler filler filler filler"),
+      ("u2", "filler filler", "spark spark filler filler"))
+      .toDF("uid", "title", "body")
+    val i2 = Fts.postings(d, "uid", Map("title" -> "title", "body" -> "body"))
+    def scores(w: Map[String, Double]) =
+      Fts.matchBm25(i2, "spark", fieldWeights = w).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val plain = scores(Map.empty)
+    assert(plain("u2") > plain("u1"), "unweighted: tf 2 in body outranks tf 1 in title")
+    val weighted = scores(Map("title" -> 5.0))
+    assert(weighted("u1") > weighted("u2"),
+      "title weight 5 makes the title hit outrank two body hits")
+    // weighting must not change the MATCH set
+    assert(weighted.keySet == plain.keySet)
+  }
 }
