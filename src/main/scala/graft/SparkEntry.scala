@@ -492,6 +492,15 @@ object SparkEntry {
         .select("uid")
     }),
 
+    // FTS5 parenthesized boolean grouping (r11 — the last MATCH-grammar
+    // gap): OR binds looser than AND without parens, so `(blue OR red) AND
+    // widget` is NOT expressible in the flat grammar
+    "g18_fts_parens" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "(p:part)", params = Map("p_fts" -> "(blue OR red) AND widget")))
+        .select("uid")
+    }),
+
     // FTS v2 grammar: OR branches + positional phrase, ranked by the tf
     // score the match subquery exposes (ORDER passthrough = the reference's
     // ranking route, graphydb.py:956-962)
@@ -696,6 +705,17 @@ object SparkEntry {
 
     "d07_simhash_pairs" -> ((s, d) =>
       Dedup.simhashDupPairs(tPar(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    // multimodal driver entry (r11): the oracle corpus carries no binary
+    // media, so the fixture derives REAL decodable BMPs from doc ids and
+    // runs the full encode→decode→dHash→band-join path. Deliberately NO
+    // oracleSql twin — DuckDB cannot decode pixels — so the driver records
+    // the weaker rows-only check (MultimodalSpec pins the exact pair set)
+    "m01_image_dup_pairs" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticBmpCorpus(s,
+        tPar(s, d, "documents").select("doc_id"), "doc_id")
+      graft.ops.Multimodal.imageDupPairs(s, media).orderBy("id_a", "id_b")
+    }),
 
     // benchmark-contamination: eval split = doc_id % 50 == 0, 5-gram shingles
     "d08_contamination" -> ((s, d) =>
@@ -1607,6 +1627,12 @@ object SparkEntry {
       """SELECT 'part:' || p_partkey AS uid FROM part
         |WHERE regexp_matches(LOWER(p_name), '\bred\b')""".stripMargin,
 
+    "g18_fts_parens" ->
+      """SELECT 'part:' || p_partkey AS uid FROM part
+        |WHERE (regexp_matches(LOWER(p_name), '\bblue\b')
+        |       OR regexp_matches(LOWER(p_name), '\bred\b'))
+        |  AND regexp_matches(LOWER(p_name), '\bwidget\b')""".stripMargin,
+
     "g08_orders_of_customer" -> OrdersOfCustomerSql,
 
     "g14_iif_band" ->
@@ -2460,7 +2486,7 @@ object SparkEntry {
     // the full ingest chain re-derived stage by stage: gate (same three row
     // rules) → the d15 LSH/CC chain over GATED docs → s17's temperature
     // weights re-derived from SURVIVOR sizes (target 800, 6-dp pin) →
-    // t09's exclusive-running-sum packing keyed by doc_id*8+copy_idx
+    // t09's exclusive-running-sum packing keyed by doc_id*1024+copy_idx
     "p01_ingest_pipeline" ->
       """WITH RECURSIVE
         |gated AS (SELECT * FROM documents

@@ -605,6 +605,44 @@ object Multimodal {
       }
   }
 
+  private def mix64(x0: Long): Long = { // splitmix64 finalizer (public constant)
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic BMP corpus derived from an id column — the media
+    * fixture that drives the REAL encode→decode→dHash→band-join path where
+    * the shipped test tables carry no binary media (the m01 driver entry;
+    * MultimodalSpec pins the pair structure). Ids in the same `groupSize`
+    * block render the same splitmix-seeded grayscale raster, except each
+    * non-base member whitens one distinct pixel — so every block is a
+    * near-dup cluster under dHash (a few flipped gradient bits) while
+    * distinct blocks differ in ~32 of 64 bits. mapPartitions keeps pixel
+    * buffers off the shuffle: only (media_id, bytes) rows leave the task,
+    * exactly the multimodal decode contract. */
+  def syntheticBmpCorpus(spark: SparkSession, ids: DataFrame, idCol: String,
+      groupSize: Int = 4, side: Int = 16): DataFrame = {
+    import spark.implicits._
+    require(groupSize >= 1 && side >= 9, "need >=9px for a stable 9x8 dHash grid")
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val group = id / groupSize
+        val member = (id % groupSize).toInt
+        val px = new Array[Int](side * side)
+        var i = 0
+        while (i < px.length) {
+          val v = (mix64(group * 0x10001L + i) & 0xff).toInt
+          px(i) = (v << 16) | (v << 8) | v
+          i += 1
+        }
+        if (member > 0) px(member) = 0xffffff
+        (id, encodeBmp(side, side, px))
+      }
+    }.toDF("media_id", "bytes")
+  }
+
   /** Image near-dup candidate pairs over REAL decoded pixels: 64-bit dHash
     * per image (map-only decode), then Hamming band-blocking via the SAME
     * machinery as text SimHash ([[graft.ops.Dedup.hammingBandPairs]]) —

@@ -549,4 +549,21 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       "WAV RIFF must keep decoding for real")
     assert(Multimodal.decodeWav(wav).exists(_._2.length == 80))
   }
+
+  test("synthetic BMP corpus: within-group near-dups pair, cross-group images don't (r11 m01 fixture)") {
+    import spark.implicits._
+    val ids = (0L until 16L).toDF("doc_id")
+    val media = Multimodal.syntheticBmpCorpus(spark, ids, "doc_id")
+    // every payload is a REAL decodable BMP
+    val decoded = media.collect().map(r => (r.getLong(0),
+      Multimodal.decodeBmpPixels(r.getAs[Array[Byte]](1))))
+    assert(decoded.forall(_._2.exists { case (w, h, px) => w == 16 && h == 16 && px.length == 256 }))
+    val pairs = Multimodal.imageDupPairs(spark, media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withinGroup = (for {
+      a <- 0L until 16L; b <- (a + 1) until 16L; if a / 4 == b / 4
+    } yield (a, b)).toSet
+    assert(pairs == withinGroup,
+      s"expected exactly the 4-blocks' within-group pairs: got ${pairs.size}, want ${withinGroup.size}")
+  }
 }
