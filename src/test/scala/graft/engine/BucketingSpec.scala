@@ -202,4 +202,42 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       assert(wRows sameElements gRows, s"$w must equal $g")
     }
   }
+
+  test("swapRewriteBucketedTable: every crash state self-recovers, including the dropped catalog entry (r11)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val table = "swap_crash_t"
+    val ddl = "id BIGINT, v BIGINT"
+    def df(n: Int) = (1 to n).map(i => (i.toLong, i.toLong * 10)).toDF("id", "v")
+    WarehouseMeta.replaceBucketedTable(spark, table, "id", 2, df(4), Map("graft.x" -> "1"))
+    val loc = WarehouseMeta.tableLocation(spark, table)
+    val old = WarehouseMeta.tableLocation(spark, s"${table}_old")
+
+    // HALF-SWAP crash: live dir renamed aside, catalog entry gone (in every
+    // _old-present state the DROP already ran) — recovery must move the data
+    // back AND re-register from ddl, not refreshTable a dropped entry
+    spark.sql(s"DROP TABLE $table")
+    Files.move(loc, old)
+    WarehouseMeta.swapRewriteBucketedTable(spark, table, "id", 2, ddl, df(6), Map("graft.x" -> "1"))
+    assert(spark.table(table).count() == 6, "half-swap state must recover then rewrite")
+    assert(!Files.isDirectory(old))
+
+    // DEBRIS crash: _old beside an intact live dir, catalog entry gone
+    // (crash after the stage moved in, before cleanup + CREATE)
+    spark.sql(s"DROP TABLE $table")
+    Files.createDirectories(old)
+    Files.write(old.resolve("junk"), Array[Byte](1, 2, 3))
+    WarehouseMeta.swapRewriteBucketedTable(spark, table, "id", 2, ddl, df(8), Map.empty)
+    assert(spark.table(table).count() == 8, "debris state must clear and rewrite")
+    assert(!Files.isDirectory(old))
+
+    // DROPPED-ONLY crash: between the DROP and the dir move there is no
+    // _old to trigger the recovery branch — the swap's own DROPs must be
+    // idempotent instead of throwing on the missing entry
+    spark.sql(s"DROP TABLE $table")
+    WarehouseMeta.swapRewriteBucketedTable(spark, table, "id", 2, ddl, df(3), Map.empty)
+    assert(spark.table(table).count() == 3, "dropped-entry state must rewrite cleanly")
+    spark.sql(s"DROP TABLE $table")
+    WarehouseMeta.deleteRecursively(loc)
+  }
 }
