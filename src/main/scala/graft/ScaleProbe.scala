@@ -206,7 +206,19 @@ object ScaleProbe {
           graft.ops.Analytics.staticPageRank(spark, StarGraph(spark, dir), numIter = 5)
             .orderBy(col("rank").desc, col("uid")).limit(20))),
         "p01_ingest_pipeline" -> (() => noop(
-          SparkEntry.queries("p01_ingest_pipeline")(spark, dir))))
+          SparkEntry.queries("p01_ingest_pipeline")(spark, dir))),
+        // r11: media path (encode → real BMP decode → dHash → band join;
+        // map-only per-row work + 16-byte shuffle rows — expect ~linear)
+        "m01_image_dups" -> (() => noop(
+          graft.ops.Multimodal.imageDupPairs(spark,
+            graft.ops.Multimodal.syntheticBmpCorpus(spark,
+              docs.select("doc_id"), "doc_id")))),
+        // r11: FTS postings build + parenthesized boolean match (token
+        // explode is map-only; the match is set algebra over one exchange)
+        "fts_paren_match" -> (() => noop(
+          graft.query.Fts.matchUids(
+            graft.query.Fts.postings(docs, "doc_id", Map("text" -> "text")),
+            "(spark OR vector) AND (scan NOT \"slow filter\")"))))
     }
 
     val results = scala.collection.mutable.LinkedHashMap

@@ -62,7 +62,7 @@ object Fts {
     * member to the field's first token, as outside NEAR (r5 review fix:
     * previously the caret was silently stripped by tokenization). */
   private def parseMembers(s: String): Seq[Atom] = {
-    val Tok = """(?:(\w+)\s*:\s*)?(\^)?"([^"]*)"|(\S+)""".r
+    val Tok = """(?:(-?\w+)\s*:\s*)?(\^)?"([^"]*)"|(\S+)""".r
     Tok.findAllMatchIn(s.trim).flatMap { m =>
       if (m.group(3) != null) {
         val field = Option(m.group(1)).map(_.toLowerCase)
@@ -179,8 +179,20 @@ object Fts {
         } else {
           val cols = q.substring(i + 1, close).trim
             .split("\\s+").filter(_.nonEmpty)
+          // FTS5 `-{col list}:` (r11): a standalone `-` just before the
+          // brace negates the scope — strip it from the emitted text and
+          // carry it as the internal `-` scope prefix
+          val negated = {
+            var e = out.length
+            while (e > 0 && Character.isWhitespace(out.charAt(e - 1))) e -= 1
+            e > 0 && out.charAt(e - 1) == '-' &&
+              (e == 1 || Character.isWhitespace(out.charAt(e - 2)))
+          }
+          if (negated) out.setLength(out.lastIndexOf("-"))
           // `{}:` scopes to nothing sensible: drop the filter entirely
-          if (cols.nonEmpty) out.append(' ').append(cols.mkString(",")).append(": ")
+          if (cols.nonEmpty)
+            out.append(' ').append(if (negated) "-" else "")
+              .append(cols.mkString(",")).append(": ")
           i = k + 1
         }
       } else { out.append(c); i += 1 }
@@ -247,7 +259,7 @@ object Fts {
     val (cleaned0, nears) = liftNears(liftColumnLists(q))
     val cleaned = spaceParens(cleaned0)
     // optional `^` before a quoted phrase = FTS5 initial-token anchor
-    val Tok = """(?:(\w+)\s*:\s*)?(\^)?"([^"]*)"|(\S+)""".r
+    val Tok = """(?:(-?\w+)\s*:\s*)?(\^)?"([^"]*)"|(\S+)""".r
     var stack: List[PFrame] = List(new PFrame(None, negated = false))
     def top = stack.head
     def takeField(inline: Option[String]): Option[String] = {
@@ -346,12 +358,19 @@ object Fts {
   private def esc(s: String) = s.replace("'", "''")
 
   /** A field scope is a comma-joined list (single `field:` or the r5
-    * `{col1 col2}:` column list — match in ANY listed field). */
+    * `{col1 col2}:` column list — match in ANY listed field). A leading
+    * `-` (r11, FTS5 `- colname :` / `-{col list}:`) NEGATES the scope:
+    * match in any field NOT listed. */
   private def fieldCond(f: String, col: String): Option[String] = {
-    val fs = f.split(',').filter(_.nonEmpty)
+    val (neg, body) = if (f.startsWith("-")) (true, f.drop(1)) else (false, f)
+    val fs = body.split(',').filter(_.nonEmpty)
     if (fs.isEmpty) None
-    else if (fs.length == 1) Some(s"$col = '${esc(fs.head)}'")
-    else Some(s"$col IN (${fs.map(x => s"'${esc(x)}'").mkString(", ")})")
+    else {
+      val in =
+        if (fs.length == 1) s"$col = '${esc(fs.head)}'"
+        else s"$col IN (${fs.map(x => s"'${esc(x)}'").mkString(", ")})"
+      Some(if (neg) s"NOT ($in)" else in)
+    }
   }
 
   private def termCond(t: Term, alias: String = ""): String = {
@@ -419,15 +438,18 @@ object Fts {
   /** [[scoreSelect]] with FTS5-`bm25(idx, w1, w2…)` per-column weights:
     * each matched occurrence counts its field's weight instead of 1
     * (unlisted fields weigh 1.0). Same output shape (uid, c) — c becomes a
-    * weighted sum. Documented divergence from SQLite's bm25: FTS5 also
-    * tracks per-column lengths; here doc length stays whole-document, so
-    * weights reshape TERM FREQUENCY only — the practically useful knob
-    * ("title hits count double") without a second length table. */
+    * weighted sum. [[bm25Sql]] pairs this with a WEIGHTED doc length, so
+    * together they mirror FTS5's bm25, which weights both the
+    * term-frequency and |D| sums by the column weights. */
+  /** The per-occurrence weight of a posting row under FTS5-style column
+    * weights: its field's weight, 1.0 for unlisted fields. */
+  private def fieldWeightCase(fieldCol: String, weights: Map[String, Double]): String =
+    s"CASE ${weights.toSeq.sortBy(_._1).map { case (f, wt) =>
+        s"WHEN $fieldCol = '${esc(f)}' THEN ${wt}" }.mkString(" ")} ELSE 1.0 END"
+
   private def weightedScoreSelect(view: String, a: Atom,
       weights: Map[String, Double]): String = {
-    def w(fieldCol: String): String =
-      s"CASE ${weights.toSeq.sortBy(_._1).map { case (f, wt) =>
-          s"WHEN $fieldCol = '${esc(f)}' THEN ${wt}" }.mkString(" ")} ELSE 1.0 END"
+    def w(fieldCol: String): String = fieldWeightCase(fieldCol, weights)
     a match {
       case t: Term   => s"SELECT uid, SUM(${w("field")}) AS c FROM $view WHERE ${termCond(t)} GROUP BY uid"
       case p: Phrase => s"SELECT p0.uid AS uid, SUM(${w("p0.field")}) AS c ${phraseBody(view, p)} GROUP BY p0.uid"
@@ -484,9 +506,10 @@ object Fts {
     * any engine (the t05 oracle twin is textually the same formula). The
     * reference reaches bm25 via FTS5 ORDER passthrough (graphydb.py:956-962);
     * this is that surface re-expressed over the inverted index.
-    * `fieldWeights` = FTS5's `bm25(idx, w1, w2…)` per-column weights
-    * ([[weightedScoreSelect]]; empty map = the unweighted formula,
-    * byte-identical SQL to pre-r11). */
+    * `fieldWeights` = FTS5's `bm25(idx, w1, w2…)` per-column weights —
+    * both term frequency AND doc length become weight-scaled posting sums,
+    * as in FTS5's implementation ([[weightedScoreSelect]]; empty map = the
+    * unweighted formula, byte-identical SQL to pre-r11). */
   def bm25Sql(postingsView: String, query: String,
       k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4,
       fieldWeights: Map[String, Double] = Map.empty): String = {
@@ -507,7 +530,12 @@ object Fts {
          |FROM tf$i t JOIN lens l ON l.uid = t.uid CROSS JOIN stats st""".stripMargin
     }
     val matches = nodeMatch(postingsView, root.get)
-    s"""WITH lens AS (SELECT uid, COUNT(*) AS len FROM $postingsView GROUP BY uid),
+    // with weights, doc length is the WEIGHTED posting count (FTS5's bm25
+    // weights both tf and |D|); unweighted emits the pre-r11 SQL unchanged
+    val lenExpr =
+      if (fieldWeights.isEmpty) "COUNT(*)"
+      else s"SUM(${fieldWeightCase("field", fieldWeights)})"
+    s"""WITH lens AS (SELECT uid, $lenExpr AS len FROM $postingsView GROUP BY uid),
        |stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
        |${tfs.mkString(",\n")}
        |SELECT m.uid AS uid, ROUND(s.score, $roundTo) AS score

@@ -23,9 +23,16 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
   private final case class QPhrase(toks: Seq[String], field: Option[String],
       anchor: Boolean = false) extends QAtom
 
-  // a field scope is comma-joined: "title" or the r5 column list "title,body"
-  private def scopeFields(f: Option[String]): Seq[String] =
-    f.map(_.split(',').toSeq).getOrElse(fields)
+  // a field scope is comma-joined: "title" or the r5 column list
+  // "title,body"; a leading "-" (r11, FTS5 `-col:`/-{col list}:`) negates
+  // the scope — match in any field NOT listed
+  private def scopeFields(f: Option[String]): Seq[String] = f match {
+    case Some(s) if s.startsWith("-") =>
+      val ex = s.drop(1).split(',').toSet
+      fields.filterNot(ex)
+    case Some(s) => s.split(',').toSeq
+    case None => fields
+  }
 
   private def naiveAtom(d: NDoc, a: QAtom): Boolean = a match {
     case QTerm(t, pre, f, anchor) =>
@@ -46,6 +53,9 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
   // single field renders inline (`title:x`); a multi-field scope renders as
   // the FTS5 column-list form (`{title body}: x`)
   private def renderScope(f: Option[String]): String = f match {
+    case Some(s) if s.startsWith("-") && s.contains(',') =>
+      "-{" + s.drop(1).split(',').mkString(" ") + "}: "
+    case Some(s) if s.startsWith("-") => s + ":" // -title:
     case Some(s) if s.contains(',') => "{" + s.split(',').mkString(" ") + "}: "
     case Some(s) => s + ":"
     case None => ""
@@ -186,9 +196,12 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
         def atom(): QAtom = {
           // r5: occasionally a `{...}:` column list (comma-joined internal
           // form) of 1 or 2 distinct fields
-          val field = rng.nextInt(6) match {
+          val field = rng.nextInt(8) match {
             case 0 | 1 => Some(fields(rng.nextInt(2)))
             case 2     => Some(Seq.fill(1 + rng.nextInt(2))(fields(rng.nextInt(2))).distinct.mkString(","))
+            // r11: negated scopes — `-title:` and `-{title body}:`
+            case 3     => Some("-" + fields(rng.nextInt(2)))
+            case 4     => Some("-" + Seq.fill(1 + rng.nextInt(2))(fields(rng.nextInt(2))).distinct.mkString(","))
             case _     => None
           }
           if (rng.nextInt(3) == 0) {
@@ -228,7 +241,10 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
     final case class TO(l: T, r: T) extends T
     final case class TN(l: T, r: T) extends T
     def leaf(): T = {
-      val field = if (rng.nextInt(4) == 0) Some(fields(rng.nextInt(2))) else None
+      // scopes may be negated (r11 `-col:`) — the naive side complements
+      val field = if (rng.nextInt(4) == 0)
+        Some((if (rng.nextInt(3) == 0) "-" else "") + fields(rng.nextInt(2)))
+      else None
       val t = vocab(rng.nextInt(vocab.size))
       val prefix = rng.nextInt(5) == 0
       TL(QTerm(if (prefix) t.take(2) else t, prefix, field))
@@ -272,7 +288,7 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
         // occasionally scope the whole tree: `title: ( ... )`
         val (q, t) =
           if (rng.nextInt(4) == 0) {
-            val f = fields(rng.nextInt(2))
+            val f = (if (rng.nextInt(3) == 0) "-" else "") + fields(rng.nextInt(2))
             (s"$f: ( ${render(t0)} )", pushScope(t0, f))
           } else (render(t0), t0)
         val got = Fts.matchUids(idx, q).collect().map(_.getString(0)).toSet

@@ -235,6 +235,18 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
     assert(custom == "red before [blue] and red again")
   }
 
+  test("negated column filter: -col and -{col list} match everywhere EXCEPT the listed fields (r11)") {
+    // quantum: u1.title, u3.body
+    assert(uids("-title: quantum") == Set("u3"))
+    assert(uids("-body: quantum") == Set("u1"))
+    assert(uids("-{body}: quantum") == Set("u1"))
+    assert(uids("-{title body}: quantum") == Set.empty[String],
+      "negating every field leaves nothing to match")
+    // composes with phrases and groups
+    assert(uids("-body:\"quantum mechanics\"") == Set("u1"))
+    assert(uids("-title: (quantum OR newton)") == Set("u2", "u3"))
+  }
+
   test("parenthesized grouping: (a OR b) AND c, NOT groups, scoped groups (r11)") {
     // (quantum ∪ newton) ∩ primer — the flat grammar would read this as
     // quantum OR (newton AND primer) and return u3 too
@@ -275,5 +287,10 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
       "title weight 5 makes the title hit outrank two body hits")
     // weighting must not change the MATCH set
     assert(weighted.keySet == plain.keySet)
+    // phrase and NEAR atoms run through the weighted tf path too
+    val phr = Fts.matchBm25(i2, "\"spark spark\" OR NEAR(spark tuning, 3)",
+        fieldWeights = Map("body" -> 2.0)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(phr.keySet == Set("u1", "u2") && phr.values.forall(_ > 0))
   }
 }
