@@ -399,11 +399,13 @@ object Dedup {
     * vectors 2.1–2.6×, shingle strings 1.25–1.5×); with slim rows the
     * codegen join is the right plan and AQE handles the exchange sizing. */
   def hammingBandPairs(hashes: DataFrame, bits: Int, maxHamming: Int,
-      bands: Int): DataFrame = {
-    require(maxHamming <= bands - 1,
-      s"band-blocking recall is only complete for maxHamming <= bands-1 ($maxHamming > ${bands - 1})")
+      bands: Int, probeRadius: Int = 0): DataFrame = {
+    require(maxHamming <= bands * (probeRadius + 1) - 1,
+      s"band-blocking recall is only complete for maxHamming <= bands*(probeRadius+1)-1 " +
+        s"($maxHamming > ${bands * (probeRadius + 1) - 1})")
     require(bits % bands == 0, s"bands must divide the hash width ($bands ∤ $bits)")
     val width = bits / bands
+    require(probeRadius <= width, s"probeRadius $probeRadius exceeds slice width $width")
     val mask = if (width == 64) -1L else (1L << width) - 1L
     val banded = hashes.select(col("id"), col("hash"),
       explode(array((0 until bands).map { b =>
@@ -412,8 +414,33 @@ object Dedup {
       }: _*)).as("bs"))
       .select(col("id"), col("hash"), col("bs.band").as("band"), col("bs.slice").as("slice"))
     val a = banded.select(col("id").as("id_a"), col("hash").as("ha"), col("band"), col("slice"))
-    val b = banded.select(col("id").as("id_b"), col("hash").as("hb"), col("band"), col("slice"))
-    a.join(b, Seq("band", "slice"))
+    // GENERALIZED pigeonhole (r11): if hamming(x, y) <= maxHamming, some
+    // band slice pair differs by <= floor(maxHamming/bands) bits — so for
+    // thresholds ABOVE bands-1 the b-side probes every slice within
+    // `probeRadius` flipped bits (Similarity.probeMasks enumeration)
+    // instead of narrowing the slices. The alternative — more, narrower
+    // bands — collapses the bucket space: 16 bands over 64 bits leave
+    // 4-bit slices = 16 bucket values, which is ~n² candidate pairs on a
+    // big corpus (measured: the r11 ScaleProbe m01 run at 500k uniform
+    // hashes never finished). radius-2 probing on 16-bit slices keeps 65k
+    // bucket values: ~120x fewer candidates at the same complete recall,
+    // shuffle stays linear (548 slim rows per input row). probeRadius=0 is
+    // the exact-band fast path (SimHash d07's plan, byte-identical).
+    val b0 = banded.select(col("id").as("id_b"), col("hash").as("hb"), col("band"), col("slice"))
+    val b =
+      if (probeRadius == 0) b0
+      else b0.select(col("id_b"), col("hb"), col("band"),
+        explode(array(graft.ops.Similarity.probeMasks(width, probeRadius)
+          .map(m => col("slice").bitwiseXOR(lit(m))): _*)).as("slice"))
+    // the explode breaks Catalyst's size estimate (Generate keeps the
+    // input's sizeInBytes), so an unhinted radius plan BROADCASTS the
+    // 548×-exploded probe side — measured driver OOM at 50k images with
+    // AQE off (ScaleProbe r11). SHUFFLE_HASH on the compact side pins a
+    // shuffle join with the unexploded rows as the build side: per-task
+    // memory is bounded by n×bands/partitions slim rows, and the exploded
+    // stream is neither sorted nor collected.
+    val aSide = if (probeRadius == 0) a else a.hint("shuffle_hash")
+    aSide.join(b, Seq("band", "slice"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)

@@ -187,6 +187,39 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hammingBandPairs radius probing: exact recall vs brute force above the bands-1 bound (r11)") {
+    import spark.implicits._
+    // random 64-bit hashes + planted near-dups at hamming 1..10: the
+    // radius-2 probe over 4 x 16-bit bands must find EXACTLY the brute-force
+    // pair set for maxHamming = 10 (generalized pigeonhole: some band
+    // differs by <= floor(10/4) = 2 bits)
+    val rnd = new scala.util.Random(77)
+    val base = (0L until 40L).map(i => (i, rnd.nextLong()))
+    val planted = (1 to 10).map { d =>
+      val (srcId, h) = base(rnd.nextInt(base.size))
+      var flipped = h
+      val bits = rnd.shuffle((0 until 64).toList).take(d)
+      bits.foreach(b => flipped ^= (1L << b))
+      (100L + d, flipped)
+    }
+    val all = base ++ planted
+    val hashes = all.toDF("id", "hash")
+    val got = Dedup.hammingBandPairs(hashes, bits = 64, maxHamming = 10,
+        bands = 4, probeRadius = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val want = (for {
+      (ia, ha) <- all; (ib, hb) <- all
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 10
+    } yield (ia, ib) -> java.lang.Long.bitCount(ha ^ hb)).toMap
+    assert(got == want, s"radius-probed pairs must equal brute force: " +
+      s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    assert(want.nonEmpty, "fixture must plant at least one in-threshold pair")
+    // the loosened pigeonhole bound is enforced too
+    intercept[IllegalArgumentException] {
+      Dedup.hammingBandPairs(hashes, bits = 64, maxHamming = 12, bands = 4, probeRadius = 2)
+    }
+  }
+
   test("dupClusters closes pairs transitively; dedupByClusters keeps min per group") {
     import spark.implicits._
     // pairs a-b, b-c but NOT a-c (the borderline-dup shape); separate pair 5-6
