@@ -703,6 +703,14 @@ object SparkEntry {
     "d06_embedding_dups_lsh" -> ((s, d) =>
       Dedup.embeddingDupPairsLsh(t(s, d, "embeddings"), "vec_id", "embedding", 0.35, bits = 4)),
 
+    // multi-probe LSH self-dedup (r11): 8 hyperplane bits keep buckets
+    // small at corpus scale, radius-1 probing recovers the pairs that
+    // straddle one plane — result = {bucket-hamming <= 1 AND cosine >= t},
+    // which the DuckDB twin expresses as a bit_count(xor) theta-join
+    "d17_embedding_dups_probed" -> ((s, d) =>
+      Dedup.embeddingDupPairsLshProbed(t(s, d, "embeddings"), "vec_id", "embedding",
+        0.35, bits = 8, probeRadius = 1)),
+
     "d07_simhash_pairs" -> ((s, d) =>
       Dedup.simhashDupPairs(tPar(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
 
@@ -1901,6 +1909,29 @@ object SparkEntry {
         |  ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cosine
         |FROM eb a JOIN eb b ON a.blk = b.blk AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin
+    },
+
+    // d06's plane/bucket recomputation at 8 bits; the multi-probe candidate
+    // set {bucket-hamming <= 1} is a bit_count(xor) theta-join in DuckDB —
+    // the RESULT contract of the probed operator, independent of the
+    // mask-explosion plan Spark uses to reach it
+    "d17_embedding_dups_probed" -> {
+      def proj(p: Int): String =
+        s"list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * " +
+        s"((('0x' || substr(md5(concat('$p:', i - 1)), 1, 8))::BIGINT / 4294967296.0) - 0.5)))"
+      val blk = (0 until 8).map(p =>
+        s"(CASE WHEN ${proj(p)} > 0 THEN ${1 << p} ELSE 0 END)").mkString("\n  + ")
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |eb AS (SELECT vec_id, embedding, nrm, $blk AS blk
+        |  FROM e)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM eb a JOIN eb b ON a.vec_id < b.vec_id AND bit_count(xor(a.blk::BIGINT, b.blk::BIGINT)) <= 1
         |WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin
     },

@@ -619,6 +619,54 @@ object Dedup {
       col(vecCol).as("v")), threshold, maxBlock)
   }
 
+  /** [[embeddingDupPairsLsh]] with MULTI-PROBE recall recovery (r11): the
+    * scale dial for hyperplane-LSH self-dedup is `bits` — more bits keep
+    * buckets small (cost Σ block²) but P[pair co-buckets] = (1 − θ/π)^bits
+    * decays, so raising bits for a bigger corpus silently sheds recall.
+    * Probing every bucket within `probeRadius` flipped hyperplane signs
+    * (the [[Similarity.cosineLshTopKBatchMultiProbe]] posture applied to a
+    * SELF-join) recovers the pairs whose members straddle ≤ probeRadius
+    * planes, which is where near-identical vectors go when they split at
+    * all. Candidates are generated SLIM — (id, bucket) rows only, the fat
+    * vectors never expand with the probe masks — then verified by one
+    * exact cosine re-join per side. Precision is exact either way (cosine
+    * verify); pairs(r) ⊇ pairs(0) by construction. `maxBucket` caps the
+    * UNEXPANDED bucket size before pairing (same audit contract as
+    * [[lshCandidates]] — cap opt-in, never silent). */
+  def embeddingDupPairsLshProbed(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 8, probeRadius: Int = 1,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= bits,
+      s"probeRadius $probeRadius outside [0, $bits]")
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    val bucket = Similarity.probeDim(df, vecCol)
+      .map(dim => Similarity.lshBucket(col(vecCol), bits, dim))
+      .getOrElse(Similarity.lshBucket(col(vecCol), bits))
+    val slim = df.select(col(idCol).cast("long").as("id"), bucket.as("blk"))
+    val kept =
+      if (maxBucket == Long.MaxValue) slim
+      else {
+        val ok = slim.groupBy("blk").agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxBucket).select("blk")
+        slim.join(ok, Seq("blk"), "left_semi")
+      }
+    val probed = slim.select(col("id").as("id_b"),
+      explode(array(Similarity.probeMasks(bits, probeRadius)
+        .map(m => col("blk").bitwiseXOR(lit(m))): _*)).as("blk"))
+    val cands = kept.select(col("id").as("id_a"), col("blk"))
+      .hint("shuffle_hash") // exploded side: size estimate lies (see hammingBandPairs)
+      .join(probed, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = df.select(col(idCol).cast("long").as("vid"), col(vecCol).as("vv"))
+    cands
+      .join(vecs.select(col("vid").as("id_a"), col("vv").as("va")), "id_a")
+      .join(vecs.select(col("vid").as("id_b"), col("vv").as("vb")), "id_b")
+      .withColumn("cosine", round(expr("cosine_similarity(va, vb)"), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   // -------------------------------------------------- incremental corpus dedup
   //
   // Every generator above recomputes signatures from the full corpus per run.

@@ -220,6 +220,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("embeddingDupPairsLshProbed: probing recovers plane-straddled pairs, precision stays exact (r11)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 30 clusters x 3 near-identical members (dim 16, sigma 0.15): at
+    // bits=8 most true pairs straddle >= 1 hyperplane, the multi-probe
+    // recovery target
+    val rows = (0 until 30).flatMap { c =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (0 until 3).map { m =>
+        (c * 10L + m, base.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def pairSet(r: Int) = Dedup.embeddingDupPairsLshProbed(
+        df, "vec_id", "embedding", threshold = 0.8, bits = 8, probeRadius = r)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val brute = Dedup.embeddingDupPairs(df.withColumn("b0", lit(1)),
+        "vec_id", "embedding", "b0", threshold = 0.8)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val (p0, p1, p2) = (pairSet(0), pairSet(1), pairSet(2))
+    assert(p0.keySet.subsetOf(p1.keySet) && p1.keySet.subsetOf(p2.keySet),
+      "probing can only add pairs")
+    assert(p2.keySet.subsetOf(brute.keySet), "cosine verify keeps precision exact")
+    assert(p1.size > p0.size,
+      s"radius-1 must recover straddled pairs: r0=${p0.size} r1=${p1.size} of ${brute.size}")
+    // recovered pairs carry the same exact cosine as the brute-force path
+    p2.foreach { case (k, c) => assert(brute(k) == c) }
+  }
+
   test("dupClusters closes pairs transitively; dedupByClusters keeps min per group") {
     import spark.implicits._
     // pairs a-b, b-c but NOT a-c (the borderline-dup shape); separate pair 5-6
