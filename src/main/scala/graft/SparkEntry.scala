@@ -703,6 +703,19 @@ object SparkEntry {
     "d06_embedding_dups_lsh" -> ((s, d) =>
       Dedup.embeddingDupPairsLsh(t(s, d, "embeddings"), "vec_id", "embedding", 0.35, bits = 4)),
 
+    // SemDeDup-style semantic dedup (r11): codebook cells via shuffle-free
+    // argmax-cosine assignment (s09's quantizer), exact cosine pairs WITHIN
+    // cells, transitive clusters, min-id survivor per semantic cluster
+    "d18_semantic_dedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cb = emb.filter(col("vec_id").isin(1, 5, 9))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1).toSeq
+      Dedup.semanticDedup(s, emb, "vec_id", "embedding", cb, threshold = 0.35)
+        .select(col("vec_id"), col("label"))
+    }),
+
     // multi-probe LSH self-dedup (r11): 8 hyperplane bits keep buckets
     // small at corpus scale, radius-1 probing recovers the pairs that
     // straddle one plane — result = {bucket-hamming <= 1 AND cosine >= t},
@@ -1912,6 +1925,40 @@ object SparkEntry {
         |WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin
     },
+
+    // s09's codebook-assignment CTEs (argmax cosine vs rows 1/5/9, 6-dp
+    // rounding, lowest-cid ties) + within-cell cosine pairs + d15's
+    // recursive-CTE transitive closure and min-id survivor rule
+    "d18_semantic_dedup" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM e WHERE vec_id IN (1, 5, 9)),
+        |scored AS (SELECT e.vec_id, cb.cid,
+        |  ROUND(list_sum(list_transform(list_zip(e.embedding, cb.cvec),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * cb.cnrm), 6) AS sim
+        |  FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        |  FROM scored) WHERE rk = 1),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN asg aa ON aa.vec_id = a.vec_id
+        |  JOIN e b ON a.vec_id < b.vec_id
+        |  JOIN asg ab ON ab.vec_id = b.vec_id AND ab.cid = aa.cid
+        |  WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.35),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, r) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.r
+        |),
+        |clusters AS (SELECT id, LEAST(id, MIN(r)) AS cluster FROM walk GROUP BY id),
+        |drops AS (SELECT id FROM clusters WHERE id <> cluster)
+        |SELECT m.vec_id, m.label FROM embeddings m
+        |LEFT JOIN drops x ON m.vec_id = x.id
+        |WHERE x.id IS NULL""".stripMargin,
 
     // d06's plane/bucket recomputation at 8 bits; the multi-probe candidate
     // set {bucket-hamming <= 1} is a bit_count(xor) theta-join in DuckDB —

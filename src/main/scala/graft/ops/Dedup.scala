@@ -667,6 +667,25 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023, arXiv
+    * 2303.09540): coarse-quantize every embedding to its nearest codebook
+    * cell ([[Similarity.assignByCodebook]] — the whole codebook folds into
+    * one shuffle-free codegen expression), generate exact cosine pairs
+    * WITHIN cells only ([[embeddingDupPairs]] blocked on `_cid` — cost
+    * Σ cell², never the cross join), close them transitively
+    * ([[dupClusters]]) and keep the min-id representative per semantic
+    * cluster ([[dedupByClusters]]). Returns the surviving rows of `df`.
+    * At 100 TB the cell count is the dial: cells ≈ corpus/√corpus keeps
+    * Σ cell² ≈ corpus^1.5 bounded, and the codebook stays a broadcast-size
+    * literal list by contract. */
+  def semanticDedup(spark: org.apache.spark.sql.SparkSession, df: DataFrame, idCol: String,
+      vecCol: String, codebook: Seq[(Int, Seq[Double])],
+      threshold: Double, maxCell: Long = Long.MaxValue): DataFrame = {
+    val assigned = Similarity.assignByCodebook(df, vecCol, codebook)
+    val pairs = embeddingDupPairs(assigned, idCol, vecCol, "_cid", threshold, maxCell)
+    dedupByClusters(df, idCol, dupClusters(spark, pairs))
+  }
+
   // -------------------------------------------------- incremental corpus dedup
   //
   // Every generator above recomputes signatures from the full corpus per run.

@@ -249,6 +249,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     p2.foreach { case (k, c) => assert(brute(k) == c) }
   }
 
+  test("semanticDedup: one survivor per semantic cluster, cells bound the pair search (r11)") {
+    import spark.implicits._
+    // three orthogonal directions = three codebook cells; near-identical
+    // vectors within a cell cluster transitively, lone members survive
+    val rows = Seq(
+      (1L, Array(1.0f, 0.01f, 0.0f)), (2L, Array(0.99f, 0.02f, 0.0f)),
+      (3L, Array(0.97f, -0.03f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.01f)), (11L, Array(0.01f, 0.99f, 0.0f)),
+      (20L, Array(0.0f, 0.02f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)), (2, Seq(0.0, 0.0, 1.0)))
+    val surv = Dedup.semanticDedup(spark, rows, "vec_id", "embedding", cb, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 10L, 20L),
+      s"min-id per cluster {1,2,3} and {10,11}, singleton 20 survives: $surv")
+  }
+
   test("dupClusters closes pairs transitively; dedupByClusters keeps min per group") {
     import spark.implicits._
     // pairs a-b, b-c but NOT a-c (the borderline-dup shape); separate pair 5-6
