@@ -218,6 +218,12 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.hammingBandPairs(hashes, bits = 64, maxHamming = 12, bands = 4, probeRadius = 2)
     }
+    // plan audit: the radius path pins shuffle-hash (exploded-side size
+    // estimates lie — the unhinted plan broadcast 110M rows and OOM'd)
+    val plan = Dedup.hammingBandPairs(hashes, bits = 64, maxHamming = 10,
+      bands = 4, probeRadius = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"radius-probed band join must be shuffle-hash:\n$plan")
   }
 
   test("embeddingDupPairsLshProbed: probing recovers plane-straddled pairs, precision stays exact (r11)") {
@@ -247,6 +253,13 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"radius-1 must recover straddled pairs: r0=${p0.size} r1=${p1.size} of ${brute.size}")
     // recovered pairs carry the same exact cosine as the brute-force path
     p2.foreach { case (k, c) => assert(brute(k) == c) }
+    // plan audit: the probe join is the pinned shuffle-hash — the exploded
+    // side's size estimate lies, so an unhinted plan would broadcast it
+    val plan = Dedup.embeddingDupPairsLshProbed(
+        df, "vec_id", "embedding", 0.8, bits = 8, probeRadius = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"probed candidate join must be shuffle-hash, not broadcast:\n$plan")
   }
 
   test("semanticDedup: one survivor per semantic cluster, cells bound the pair search (r11)") {
