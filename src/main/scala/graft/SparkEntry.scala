@@ -999,6 +999,27 @@ object SparkEntry {
         "vec_id", q, books, k = 5)
     }),
 
+    // shortlist-refine over the same PQ layout as s11: the compact codes
+    // rank the whole corpus, the top-20 shortlist broadcasts, and ONLY
+    // those 20 rows' full vectors are re-read for the exact-cosine top-5 —
+    // the IVFPQ+refine serving recipe where full-precision access is O(k'),
+    // not O(corpus)
+    "s18_pq_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val rows = emb.filter(col("vec_id").isin(1, 5, 9))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1).toSeq
+      val books: Similarity.PqCodebooks =
+        (0 until 4).map(j => rows.map { case (cid, v) => (cid, v.slice(j * 16, (j + 1) * 16)) })
+      val q = emb.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+      val corpus = emb.filter(col("vec_id") =!= 7)
+      Similarity.pqTopKRerank(
+        Similarity.encodePq(corpus, "embedding", books), corpus,
+        "vec_id", "embedding", q, books, shortlist = 20, k = 5)
+    }),
+
     // HLL sketch vs exact (r5: oracle-checkable after all). The raw sketch
     // value has no DuckDB twin (different HLL implementations), but the
     // sketch's CONTRACT does: |approx − exact| ≤ 10% · exact (HLL++ default
@@ -1179,6 +1200,16 @@ object SparkEntry {
     // frequency — one token aggregation + physical top-k
     "t12_vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabProfile(t(s, d, "documents"), "doc_id", "text", k = 50)),
+
+    // CCNet-style cross-corpus segment dedup: 8-token segments, corpus-first
+    // occurrence survives, docs reassembled from their kept segments
+    "t13_paragraph_dedup" -> ((s, d) =>
+      TextAnalysis.paragraphDedup(t(s, d, "documents"), "doc_id", "text", window = 8)),
+
+    // self-trained unigram-LM surprisal per doc — the CCNet perplexity-
+    // bucket signal (natural log, corpus-wide model, 4 dp)
+    "t14_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(t(s, d, "documents"), "doc_id", "text")),
 
     // sequence packing: 256-token next-fit bins per lang shard
     "t09_pack_bins" -> ((s, d) =>
@@ -2289,6 +2320,39 @@ object SparkEntry {
         |FROM terms GROUP BY vec_id
         |ORDER BY approx_dist, id LIMIT 5""".stripMargin,
 
+    // s11's ADC ranking kept as a 20-row shortlist CTE, then the exact
+    // cosine (s01's formula) re-ranks ONLY the shortlisted ids to top-5
+    "s18_pq_rerank" ->
+      """WITH sub AS (SELECT vec_id, j, list_slice(embedding, j*16+1, j*16+16) AS se
+        |  FROM embeddings, (SELECT UNNEST(range(4)) AS j) js),
+        |cb AS (SELECT j, vec_id AS cid, se AS ce FROM sub WHERE vec_id IN (1, 5, 9)),
+        |dist AS (SELECT sub.vec_id, sub.j, cb.cid,
+        |  ROUND(list_sum(list_transform(list_zip(sub.se, cb.ce),
+        |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 6) AS d
+        |  FROM sub JOIN cb ON cb.j = sub.j),
+        |asg AS (SELECT vec_id, j, cid FROM (
+        |  SELECT vec_id, j, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rk
+        |  FROM dist) WHERE rk = 1),
+        |qd AS (SELECT j, cid, d FROM dist WHERE vec_id = 7),
+        |terms AS (SELECT a.vec_id, a.j, q.d
+        |  FROM asg a JOIN qd q ON q.j = a.j AND q.cid = a.cid WHERE a.vec_id <> 7),
+        |short AS (SELECT vec_id,
+        |  ROUND(((MAX(CASE WHEN j = 0 THEN d END) + MAX(CASE WHEN j = 1 THEN d END))
+        |       + MAX(CASE WHEN j = 2 THEN d END)) + MAX(CASE WHEN j = 3 THEN d END), 4) AS approx_dist
+        |  FROM terms GROUP BY vec_id
+        |  ORDER BY approx_dist, vec_id LIMIT 20),
+        |q AS (SELECT embedding AS qv,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+        |  FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS id,
+        |  ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * q.qn), 4) AS cosine
+        |FROM embeddings e JOIN short s ON s.vec_id = e.vec_id CROSS JOIN q
+        |ORDER BY cosine DESC, id LIMIT 5""".stripMargin,
+
     // same copies rule as s08, weights re-derived from observed sizes:
     // ROUND(pow(n, 0.5)/Σpow * target/n, 6) — the 6-dp pin makes the
     // double bit-identical across engines
@@ -2452,6 +2516,39 @@ object SparkEntry {
         | ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 4) AS p90,
         | COUNT(*) AS docs
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // t07's chunking at overlap 0 (window 8), corpus-first occurrence via
+    // row_number over (doc_id, chunk_id), docs reassembled ordered by
+    // chunk_id; all-dropped docs keep a row with '' via the left join
+    "t13_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |  unnest(range(0, greatest(len(toks) - 1, 0) + 1, 8)) AS start FROM t),
+        |c AS (SELECT doc_id, CAST(start // 8 AS INT) AS chunk_id,
+        |  array_to_string(toks[CAST(start + 1 AS INT) : CAST(start + 8 AS INT)], ' ') AS chunk
+        |  FROM s),
+        |w AS (SELECT doc_id, chunk_id, chunk,
+        |  ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rk FROM c),
+        |tot AS (SELECT doc_id, COUNT(*) AS total_segments FROM c GROUP BY 1),
+        |k AS (SELECT doc_id, COUNT(*) AS kept,
+        |  string_agg(chunk, ' ' ORDER BY chunk_id) AS ct
+        |  FROM w WHERE rk = 1 GROUP BY doc_id)
+        |SELECT doc_id, total_segments,
+        |  COALESCE(kept, CAST(0 AS BIGINT)) AS kept_segments,
+        |  COALESCE(ct, '') AS clean_text
+        |FROM tot LEFT JOIN k USING (doc_id)""".stripMargin,
+
+    // same self-trained unigram model: p = tf/total over every occurrence,
+    // per-doc Σ n·(−ln p)/Σ n — natural log both engines, 4 dp absorbs
+    // summation-order ulps
+    "t14_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |m AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tokens,
+        |  ROUND(SUM(n * -LN(tf / total)) / SUM(n), 4) AS avg_neg_logp
+        |FROM dt JOIN m USING (tok) CROSS JOIN tot GROUP BY doc_id""".stripMargin,
 
     // mirrors vocabProfile: single-space tokenization, tf DESC then token
     // ASC (both engines order ASCII strings bytewise)

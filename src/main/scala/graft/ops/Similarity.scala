@@ -761,6 +761,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Shortlist-refine ANN — the standard billion-vector serving recipe
+    * (IVFPQ+refine in the Faiss/SPANN lineage): [[pqTopK]] ranks the WHOLE
+    * corpus from its M-byte codes alone (map-only + physical top-k), keeps a
+    * `shortlist`-sized candidate set, and ONLY those rows' full vectors are
+    * re-read for an exact-cosine re-rank to the final top-`k`. The
+    * approximation error of the compact codes is confined to the
+    * shortlist/ignore boundary; the returned ordering is exact over the
+    * shortlist. Returns (id, cosine), best first, ties → lowest id.
+    *
+    * Scale shape: the shortlist is k' rows — it broadcasts, and the refine
+    * join against the raw vector table is a broadcast hash semi-probe, so
+    * the full-precision vectors are touched for k' rows total (on an
+    * id-bucketed table the scan itself prunes). Nothing about the refine
+    * step depends on corpus size. */
+  def pqTopKRerank(encoded: DataFrame, raw: DataFrame, idCol: String,
+      vecCol: String, query: Seq[Double], codebooks: PqCodebooks,
+      shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    ensureExprs(raw)
+    val short = pqTopK(encoded, idCol, query, codebooks, shortlist)
+      .select(col("id").as("_sid"))
+    raw.join(broadcast(short), col(idCol) === col("_sid"))
+      .select(col(idCol).as("id"),
+        round(cosine(col(vecCol), array(query.map(lit): _*)), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** Train PQ codebooks with Lloyd's k-means per subspace, initialized from
     * the subvectors of the `k` lowest-id rows (deterministic start). Each
     * iteration is one distributed pass: [[encodePq]] assigns (map-only),

@@ -192,6 +192,73 @@ object TextAnalysis {
           .cast("int"))
   }
 
+  /** Cross-corpus segment dedup (the CCNet paragraph-hash recipe, cf.
+    * Wenzek et al. 2020 — boilerplate/header removal at corpus scale):
+    * documents split into non-overlapping `window`-token segments
+    * ([[chunkTokens]] with overlap 0); a segment occurrence survives iff it
+    * is the corpus-FIRST occurrence of that exact segment text, ordered by
+    * (doc id, segment index) — repeats inside one doc dedup too. Returns one
+    * row per input doc: total/kept segment counts and `clean_text`, the kept
+    * segments rejoined in order ('' when everything was boilerplate).
+    *
+    * Scale shape: winner election groups on md5(segment) — the shuffle
+    * carries (32-hex key, id, index) rows, and min(struct(id, idx)) combines
+    * map-side, so the reduce side sees one candidate per key per partition.
+    * The re-join back to occurrences is the same key (one exchange reused),
+    * and reassembly shuffles each doc's KEPT segments once. No driver
+    * materialization anywhere; every stage is linear in corpus tokens. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8): DataFrame = {
+    val segs = chunkTokens(df, idCol, textCol, size = window, overlap = 0)
+      .select(col(idCol), col("chunk_id"), col("chunk"), md5(col("chunk")).as("_k"))
+    val first = segs.groupBy("_k")
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("_first"))
+    val kept = segs.join(first, "_k")
+      .where(struct(col(idCol), col("chunk_id")) === col("_first"))
+    val perDoc = segs.groupBy(idCol).agg(count(lit(1)).as("total_segments"))
+    val keptAgg = kept.groupBy(idCol).agg(
+      count(lit(1)).as("kept"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+          s => s.getField("chunk"))).as("ct"))
+    perDoc.join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("total_segments"),
+        coalesce(col("kept"), lit(0L)).as("kept_segments"),
+        coalesce(col("ct"), lit("")).as("clean_text"))
+  }
+
+  /** Unigram-LM surprisal (the CCNet quality-filter signal, self-trained):
+    * p(tok) = tf / total over the WHOLE corpus, and each doc scores
+    * avg_neg_logp = Σ n·(−ln p) / Σ n over its token occurrences (natural
+    * log, 4 dp) — low = in-distribution prose, high = outlier/garbage; the
+    * standard perplexity-bucket split runs on this column. Self-training on
+    * the scored corpus itself is one option; to score against a reference
+    * corpus (the original CCNet setup) pass it as `model`.
+    *
+    * Scale shape: the model is ONE token-keyed aggregation (map-side
+    * partials: the shuffle carries per-partition (token, count), never
+    * occurrences); scoring joins per-doc token counts to it on the same
+    * token key, then re-aggregates by doc. The corpus total rides a
+    * broadcast single-row cross join. The model stays distributed
+    * end-to-end — a 100 TB corpus' whitespace vocabulary never fits a
+    * driver or a broadcast, and never needs to. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      model: Option[DataFrame] = None): DataFrame = {
+    val source = model.getOrElse(df)
+    val mToks = source.select(explode(split(col(textCol), " ")).as("tok"))
+    val m = mToks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = mToks.select(count(lit(1)).cast("double").as("_total"))
+    val docTok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
+    // left join: a token unseen by the model (reference-corpus setup) floors
+    // at tf=1 — the add-one estimate, maximal surprisal without a log(0)
+    docTok.join(m, Seq("tok"), "left").crossJoin(broadcast(total))
+      .groupBy(idCol).agg(
+        sum(col("n")).cast("long").as("tokens"),
+        round(sum(col("n") * -log(coalesce(col("tf"), lit(1L)) / col("_total")))
+          / sum(col("n")), 4).as("avg_neg_logp"))
+  }
+
   /** Context-window chunking for training-data prep: fixed `size`-token
     * chunks with `overlap` tokens shared between neighbors. Chunk starts
     * advance by `size − overlap`; the start sequence is capped so no chunk

@@ -357,6 +357,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"ADC scan must not shuffle the corpus:\n$plan")
   }
 
+  test("pqTopKRerank: exact order over the shortlist; refine joins by broadcast") {
+    val coded = Similarity.encodePq(pqVecs, "embedding", pqBooks)
+    val q = Seq(1.0, 0.0, 0.0, 1.0)
+    // shortlist = whole corpus → the result IS the exact cosine ranking
+    val full = Similarity.pqTopKRerank(coded, pqVecs, "vec_id", "embedding",
+      q, pqBooks, shortlist = 5, k = 3)
+    val rows = full.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((0L, 1.0), (4L, 1.0), (1L, 0.9939)),
+      s"exact ranking expected, got $rows")
+    // a 3-wide shortlist keeps the same-cell rows {0,1,4}; the refine
+    // re-orders them exactly (4's true duplicate outranks 1)
+    val short = Similarity.pqTopKRerank(coded, pqVecs, "vec_id", "embedding",
+      q, pqBooks, shortlist = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(short == Seq((0L, 1.0), (4L, 1.0)))
+    val plan = full.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the k'-row shortlist must broadcast into the refine join:\n$plan")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKRerank(coded, pqVecs, "vec_id", "embedding",
+        q, pqBooks, shortlist = 1, k = 2)
+    }
+  }
+
   test("trainPqCodebooks: Lloyd converges to per-cluster subvector means") {
     import spark.implicits._
     // two clean clusters per half; k=2, m=2 must recover the half-means

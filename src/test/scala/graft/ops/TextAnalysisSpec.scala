@@ -55,6 +55,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("paragraphDedup: corpus-first occurrence survives, docs reassemble in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d a b"), // within-doc repeat of 'a b'
+      (2L, "c d x y"),     // 'c d' already owned by doc 1
+      (3L, "a b"))         // all boilerplate
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.paragraphDedup(df, "doc_id", "text", window = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((3L, 2L, "a b c d")), "first occurrences of 'a b' and 'c d'")
+    assert(got(2L) == ((2L, 1L, "x y")), "'c d' deduped against doc 1")
+    assert(got(3L) == ((1L, 0L, "")), "all-boilerplate doc keeps a row with ''")
+  }
+
+  test("unigramLogProb: self-trained surprisal; OOV floors at tf=1 under a reference model") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // p(a)=p(b)=2/5, p(c)=1/5: doc 1 = -ln(0.4); doc 2 = (-ln .4 - ln .2)/2
+    assert(got(1L) == ((3L, 0.9163)))
+    assert(got(2L) == ((2L, 1.2629)))
+    val model = Seq((9L, "a a b")).toDF("doc_id", "text")
+    val oov = TextAnalysis.unigramLogProb(Seq((5L, "c")).toDF("doc_id", "text"),
+      "doc_id", "text", model = Some(model))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(oov == Seq((5L, 1L, 1.0986)), "-ln(1/3) with the add-one floor")
+  }
+
   test("chunkTokens covers every token; no chunk starts inside the final overlap") {
     import spark.implicits._
     val words = (1 to 25).map(i => s"w$i")
