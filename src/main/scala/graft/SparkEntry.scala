@@ -1095,6 +1095,23 @@ object SparkEntry {
       }.toDF("tok", "exact", "cms_ok")
     }),
 
+    // per-part triangle counts over the urgent-order co-purchase graph
+    // (parts sharing an order are adjacent) — compact-forward with degree
+    // orientation, so the wedge set stays O(m^1.5) under any skew; the
+    // DuckDB twin enumerates the same triangle set via id-ordered 3-joins
+    "x08_copart_triangles" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+      val pairs = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+      graft.ops.Analytics.triangleCounts(pairs)
+        .orderBy(col("triangles").desc, col("v"))
+        .limit(20)
+        .select(col("v").as("part"), col("triangles"))
+    }),
+
     // FIXED-iteration PageRank so a DuckDB twin exists (r5): GraphX
     // staticPageRank(5) is deterministic — 5 rounds of
     // rank = 0.15 + 0.85 * Σ incoming rank/outdeg from rank₀ = 1, then a
@@ -1210,6 +1227,15 @@ object SparkEntry {
     // bucket signal (natural log, corpus-wide model, 4 dp)
     "t14_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(t(s, d, "documents"), "doc_id", "text")),
+
+    // DSIR importance weights with the en-language slice as the target
+    // domain: log p_target/p_raw summed over token occurrences — the
+    // domain-selection score the resampling step ranks on
+    "t15_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.importanceWeights(docs, "doc_id", "text",
+        target = docs.filter(col("lang") === "en"))
+    }),
 
     // sequence packing: 256-token next-fit bins per lang shard
     "t09_pack_bins" -> ((s, d) =>
@@ -2060,6 +2086,25 @@ object SparkEntry {
         |  TRUE AS approx_ok
         |FROM r GROUP BY 1""".stripMargin,
 
+    // id-ordered triangle enumeration (x<y<z via e1.a<e1.b=e2.a<e2.b) over
+    // the distinct urgent-order co-purchase edges — the same triangle set
+    // the degree-oriented Spark plan finds (orientation changes cost only)
+    "x08_copart_triangles" ->
+      """WITH li AS (SELECT l.l_orderkey, l.l_partkey FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderpriority = '1-URGENT'),
+        |e AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+        |    greatest(a.l_partkey, b.l_partkey) AS b
+        |  FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT x AS v FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT v AS part, COUNT(*) AS triangles FROM n GROUP BY v
+        |ORDER BY triangles DESC, part LIMIT 20""".stripMargin,
+
     "x02_pagerank" -> PageRankSql,
     "x03_khop_reach" -> KhopReachSql,
     "x03w_khop_bucketed" -> KhopReachSql,
@@ -2549,6 +2594,20 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tokens,
         |  ROUND(SUM(n * -LN(tf / total)) / SUM(n), 4) AS avg_neg_logp
         |FROM dt JOIN m USING (tok) CROSS JOIN tot GROUP BY doc_id""".stripMargin,
+
+    // same two unigram models (target = lang 'en' slice, raw = whole
+    // corpus), add-one floor on both, natural log, 4 dp
+    "t15_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |mt AS (SELECT tok, COUNT(*) AS tft FROM toks WHERE lang = 'en' GROUP BY 1),
+        |mr AS (SELECT tok, COUNT(*) AS tfr FROM toks GROUP BY 1),
+        |tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tott FROM toks WHERE lang = 'en'),
+        |tr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS totr FROM toks),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tokens,
+        |  ROUND(SUM(n * (LN(COALESCE(tft, 1) / tott) - LN(COALESCE(tfr, 1) / totr))), 4) AS log_ratio
+        |FROM dt LEFT JOIN mt USING (tok) LEFT JOIN mr USING (tok)
+        |CROSS JOIN tt CROSS JOIN tr GROUP BY doc_id""".stripMargin,
 
     // mirrors vocabProfile: single-space tokenization, tf DESC then token
     // ASC (both engines order ASCII strings bytewise)

@@ -78,6 +78,44 @@ object Analytics {
     dict.join(distDf, "vid").select(col("uid"), col("dist"))
   }
 
+  /** Per-node triangle counts over an undirected edge list (`src`/`dst` in
+    * any orientation; duplicates and self-loops tolerated) — compact-forward
+    * with degree ordering (Latapy 2008, the standard distributed recipe):
+    * every canonical edge orients from its (degree, id)-smaller endpoint to
+    * the larger, making the graph a DAG in which each triangle has exactly
+    * ONE vertex holding both of its other corners as out-neighbors. Wedges
+    * are out-neighbor pairs of that vertex, closed by one join against the
+    * canonical edge set; each closed wedge explodes to its three corners for
+    * the per-node count. Only vertices in ≥ 1 triangle appear.
+    *
+    * Scale shape: the orientation caps out-degree at O(√m) on ANY degree
+    * distribution, so the wedge set — the sole super-linear intermediate —
+    * is O(m^1.5) worst-case instead of the Σdeg² a hub vertex costs under
+    * raw id ordering; a social-graph celebrity node stops being a planner
+    * emergency. Everything is vertex-keyed joins + aggregations: no driver
+    * state, no iteration. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("v")).unionAll(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = canon
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("w"))
+    // out-neighbor pairs (id-ordered: each unordered pair once), closed by
+    // the canonical edge — id order IS the canonical key, no re-sort needed
+    val wedges = oriented.select(col("u"), col("w").as("v1"))
+      .join(oriented.select(col("u"), col("w").as("v2")), "u")
+      .filter(col("v1") < col("v2"))
+    wedges.join(canon, col("v1") === col("a") && col("v2") === col("b"))
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("triangles"))
+  }
+
   def connectedComponents(spark: SparkSession, g: GraphSource): DataFrame = {
     val (dict, gx) = Traversals.graphXOf(g)
     val cc = gx.connectedComponents().vertices

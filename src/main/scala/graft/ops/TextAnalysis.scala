@@ -259,6 +259,39 @@ object TextAnalysis {
           / sum(col("n")), 4).as("avg_neg_logp"))
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): each doc's log importance is
+    * Σ n·(ln p_target(tok) − ln p_raw(tok)) over its token occurrences —
+    * positive = looks more like the target domain than the raw corpus, the
+    * signal DSIR resamples on (here with unigram features in place of the
+    * paper's hashed n-grams; the shape is identical). Both models use the
+    * add-one tf=1 floor for unseen tokens, so log(0) never occurs. Returns
+    * (id, tokens, log_ratio·4dp).
+    *
+    * Scale shape: two token-keyed model aggregations (map-side partials),
+    * one left join per model on the same token key, broadcast single-row
+    * totals, one doc re-aggregation — all linear; both models stay
+    * distributed like [[unigramLogProb]]'s. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame): DataFrame = {
+    def toks(src: DataFrame) =
+      src.select(explode(split(col(textCol), " ")).as("tok"))
+    val tToks = toks(target)
+    val rToks = toks(df)
+    val mT = tToks.groupBy("tok").agg(count(lit(1)).as("tft"))
+    val mR = rToks.groupBy("tok").agg(count(lit(1)).as("tfr"))
+    val totT = tToks.select(count(lit(1)).cast("double").as("_tott"))
+    val totR = rToks.select(count(lit(1)).cast("double").as("_totr"))
+    val docTok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
+    docTok.join(mT, Seq("tok"), "left").join(mR, Seq("tok"), "left")
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
+      .groupBy(idCol).agg(
+        sum(col("n")).cast("long").as("tokens"),
+        round(sum(col("n") * (log(coalesce(col("tft"), lit(1L)) / col("_tott"))
+          - log(coalesce(col("tfr"), lit(1L)) / col("_totr")))), 4).as("log_ratio"))
+  }
+
   /** Context-window chunking for training-data prep: fixed `size`-token
     * chunks with `overlap` tokens shared between neighbors. Chunk starts
     * advance by `size − overlap`; the start sequence is capped so no chunk

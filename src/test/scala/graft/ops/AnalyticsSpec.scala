@@ -52,6 +52,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(!d.contains(ids("f")), "unreachable nodes are absent, not MaxValue")
   }
 
+  test("triangleCounts: K4 counts, canonicalization eats dups/loops, skew-safe orientation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // K4 on 1..4 (+ dangling edge to 5, a reversed duplicate, a self-loop):
+    // each K4 vertex sits in C(3,2)=3 triangles; 5 is in none and absent
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (2L, 1L), (3L, 3L)).toDF("src", "dst")
+    val got = Analytics.triangleCounts(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // hub star with one closing edge: exactly the {0,1,2} triangle — the
+    // degree orientation points the closing wedge AWAY from the hub
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+      .unionAll(Seq((1L, 2L)).toDF("src", "dst"))
+    val got2 = Analytics.triangleCounts(star)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    // triangle-free bipartite-ish graph → empty result
+    val none = Analytics.triangleCounts(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"))
+    assert(none.filter(col("triangles") > 0).count() == 0 && none.count() == 0)
+  }
+
   test("kindStats exact vs approx within HLL tolerance") {
     val (g, _) = fixture()
     val exact = Analytics.kindStats(g, exact = true).head().getLong(1)

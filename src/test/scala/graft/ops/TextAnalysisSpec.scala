@@ -85,6 +85,18 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(oov == Seq((5L, 1L, 1.0986)), "-ln(1/3) with the add-one floor")
   }
 
+  test("importanceWeights: target-likeness log ratio; OOV-to-target floors, neutral token nets 0") {
+    import spark.implicits._
+    val raw = Seq((1L, "a b"), (2L, "c c")).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" === 1L)
+    val got = TextAnalysis.importanceWeights(raw, "doc_id", "text", target)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 1: each token ln(1/2) − ln(1/4) = ln 2 → 2·ln2 = 1.3863
+    assert(got(1L) == ((2L, 1.3863)))
+    // doc 2: 'c' unseen by target floors at 1/2; raw p = 2/4 → ratio 0
+    assert(got(2L) == ((2L, 0.0)))
+  }
+
   test("chunkTokens covers every token; no chunk starts inside the final overlap") {
     import spark.implicits._
     val words = (1 to 25).map(i => s"w$i")
