@@ -218,7 +218,24 @@ object ScaleProbe {
         "fts_paren_match" -> (() => noop(
           graft.query.Fts.matchUids(
             graft.query.Fts.postings(docs, "doc_id", Map("text" -> "text")),
-            "(spark OR vector) AND (scan NOT \"slow filter\")"))))
+            "(spark OR vector) AND (scan NOT \"slow filter\")"))),
+        // r11 late: segment dedup + the two unigram-model scores (all
+        // token-keyed aggs/joins — expect ~linear decades)
+        "t13_paragraph_dedup" -> (() => noop(
+          graft.ops.TextAnalysis.paragraphDedup(docs, "doc_id", "text", window = 8))),
+        "t14_unigram_logprob" -> (() => noop(
+          graft.ops.TextAnalysis.unigramLogProb(docs, "doc_id", "text"))),
+        "t15_dsir_weights" -> (() => noop(
+          graft.ops.TextAnalysis.importanceWeights(docs, "doc_id", "text",
+            target = docs.filter(col("lang") === "en")))),
+        // r11 late: PQ encode+ADC+refine — map-only scan + constant refine
+        "s18_pq_rerank" -> (() => noop(
+          SparkEntry.queries("s18_pq_rerank")(spark, dir))),
+        // r11 late: degree-oriented triangles over the copart graph (star
+        // tables exist at sf0.1/sf1 only, like x02); replicas are disjoint
+        // subgraphs, so the decade is an honest 10× edge scale-up
+        "x08_triangles" -> (() => noop(
+          SparkEntry.queries("x08_copart_triangles")(spark, dir))))
     }
 
     val results = scala.collection.mutable.LinkedHashMap
@@ -228,7 +245,7 @@ object ScaleProbe {
     val sfs = Seq((sf01, "sf0.1"), (sf1, "sf1"), (sf10, "sf10"))
     for ((dir, tag) <- sfs) {
       for ((name, fn) <- ops(dir, tag.replace(".", ""))
-           if !(tag == "sf10" && name == "x02_pagerank")) {
+           if !(tag == "sf10" && (name == "x02_pagerank" || name == "x08_triangles"))) {
         val times =
           if (name.endsWith("_once")) Seq(time(fn())) // durable: pay once
           else { fn(); (1 to reps).map(_ => time(fn())) } // warm + reps

@@ -1254,6 +1254,22 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(50)),
 
+    // FTS5 bm25(idx, w…) per-column weights driven end-to-end: a two-field
+    // corpus (title = first 3 tokens, body = full text), title weighted 3× —
+    // both the tf sums AND the doc length weigh occurrences by field,
+    // mirroring FTS5's own bm25 (weights are exact binary fractions, so the
+    // weighted sums stay FP-exact across engines)
+    "t16_bm25_weighted" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("title", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      Fts.matchBm25(
+        Fts.postings(docs, "doc_id", Map("title" -> "title", "body" -> "text")),
+        "spark OR vector", fieldWeights = Map("title" -> 3.0))
+        .withColumnRenamed("uid", "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // --- event analytics ----------------------------------------------------
     "e01_sessions" -> ((s, d) =>
       Events.sessionStats(events(s, d), gapSeconds = 1800)),
@@ -2638,6 +2654,43 @@ object SparkEntry {
         |stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
         |tf0 AS (SELECT uid, COUNT(*) AS c FROM p WHERE term = 'spark' GROUP BY uid),
         |tf1 AS (SELECT uid, COUNT(*) AS c FROM p WHERE term = 'vector' GROUP BY uid),
+        |m AS ((SELECT DISTINCT uid FROM p WHERE term = 'spark')
+        |      UNION (SELECT DISTINCT uid FROM p WHERE term = 'vector')),
+        |parts AS (
+        |  SELECT t.uid AS uid,
+        |    LN(1 + (st.n - (SELECT COUNT(*) FROM tf0) + 0.5) / ((SELECT COUNT(*) FROM tf0) + 0.5))
+        |    * t.c * 2.2 / (t.c + 1.2 * (0.25 + 0.75 * l.len / st.avgdl)) AS part
+        |  FROM tf0 t JOIN lens l ON l.uid = t.uid CROSS JOIN stats st
+        |  UNION ALL
+        |  SELECT t.uid AS uid,
+        |    LN(1 + (st.n - (SELECT COUNT(*) FROM tf1) + 0.5) / ((SELECT COUNT(*) FROM tf1) + 0.5))
+        |    * t.c * 2.2 / (t.c + 1.2 * (0.25 + 0.75 * l.len / st.avgdl)) AS part
+        |  FROM tf1 t JOIN lens l ON l.uid = t.uid CROSS JOIN stats st)
+        |SELECT m.uid AS doc_id, ROUND(SUM(part), 4) AS score
+        |FROM m JOIN parts ON parts.uid = m.uid GROUP BY m.uid
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    // t05's formula with FTS5 column weights: every occurrence (tf sums AND
+    // doc length) weighs by CASE field='title' → 3.0 ELSE 1.0 — textually
+    // the same CASE Fts.fieldWeightCase emits; same pre-folded literals
+    "t16_bm25_weighted" ->
+      """WITH base AS (SELECT doc_id, lower(text) AS body,
+        |  lower(array_to_string(string_split(text, ' ')[1:3], ' ')) AS title FROM documents),
+        |p AS (
+        |  SELECT doc_id AS uid, 'title' AS field, u.tok AS term
+        |  FROM (SELECT doc_id, string_split_regex(title, '[^a-z0-9]+') AS t FROM base),
+        |       unnest([x for x in t if x <> '']) u(tok)
+        |  UNION ALL
+        |  SELECT doc_id AS uid, 'body' AS field, u.tok AS term
+        |  FROM (SELECT doc_id, string_split_regex(body, '[^a-z0-9]+') AS t FROM base),
+        |       unnest([x for x in t if x <> '']) u(tok)),
+        |lens AS (SELECT uid, SUM(CASE WHEN field = 'title' THEN 3.0 ELSE 1.0 END) AS len
+        |  FROM p GROUP BY uid),
+        |stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+        |tf0 AS (SELECT uid, SUM(CASE WHEN field = 'title' THEN 3.0 ELSE 1.0 END) AS c
+        |  FROM p WHERE term = 'spark' GROUP BY uid),
+        |tf1 AS (SELECT uid, SUM(CASE WHEN field = 'title' THEN 3.0 ELSE 1.0 END) AS c
+        |  FROM p WHERE term = 'vector' GROUP BY uid),
         |m AS ((SELECT DISTINCT uid FROM p WHERE term = 'spark')
         |      UNION (SELECT DISTINCT uid FROM p WHERE term = 'vector')),
         |parts AS (

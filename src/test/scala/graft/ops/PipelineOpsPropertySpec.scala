@@ -262,4 +262,54 @@ class PipelineOpsPropertySpec extends AnyFunSuite with SparkSpec {
       assert(gotRows == naiveRows, s"round $round violations diverged")
     }
   }
+
+  test("paragraphDedup ≡ naive first-occurrence scan on random corpora") {
+    import spark.implicits._
+    val rnd = new Random(20260814L)
+    for (round <- 1 to 3) {
+      // tiny vocab + short window force heavy cross-doc segment collisions
+      val docs = (1L to 40L).map { id =>
+        id -> (1 to (1 + rnd.nextInt(12)))
+          .map(_ => s"w${rnd.nextInt(4)}").mkString(" ")
+      }
+      val window = 2
+      // naive: global (doc, idx)-ordered scan keeps first occurrence of text
+      val seen = scala.collection.mutable.Set.empty[String]
+      val naive = docs.map { case (id, text) =>
+        val segs = text.split(" ").grouped(window).map(_.mkString(" ")).toSeq
+        val kept = segs.filter(s => seen.add(s))
+        id -> ((segs.size.toLong, kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = TextAnalysis.paragraphDedup(
+          docs.toDF("doc_id", "text").repartition(5), "doc_id", "text", window)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got == naive, s"round $round diverged from the naive evaluator")
+    }
+  }
+
+  test("triangleCounts ≡ brute-force triple enumeration on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(42L)
+    for (round <- 1 to 3) {
+      val n = 14
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong)).toSeq
+      val adj = edges.toSet
+      def conn(x: Long, y: Long) = adj((math.min(x, y), math.max(x, y)))
+      val naive = (for {
+        x <- 1L to n.toLong; y <- (x + 1) to n.toLong; z <- (y + 1) to n.toLong
+        if conn(x, y) && conn(y, z) && conn(x, z)
+      } yield Seq(x, y, z)).flatten
+        .groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+      // feed shuffled orientations and duplicates — canonicalization's job
+      val noisy = rnd.shuffle(edges ++ edges.take(5).map(_.swap))
+        .map { case (a, b) => if (rnd.nextBoolean()) (b, a) else (a, b) }
+      val got = Analytics.triangleCounts(noisy.toDF("src", "dst").repartition(4))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive, s"round $round diverged from brute force")
+    }
+  }
 }
