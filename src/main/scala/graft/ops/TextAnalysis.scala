@@ -259,6 +259,125 @@ object TextAnalysis {
           / sum(col("n")), 4).as("avg_neg_logp"))
   }
 
+  // ----------------------------------------------------- segment store
+
+  private def segTable(name: String) = s"${name}_segs"
+
+  /** Create (or re-register after a catalog loss) the persisted
+    * seen-segment store behind [[applySegmentIngestBatch]]: one bucketed
+    * table of segment keys, CLUSTERED BY key so every batch's anti-join
+    * probes bucket-locally without shuffling the store. Creating over a
+    * surviving LOCATION adopts the existing files — restart-safe the same
+    * way the vector index re-registers. Returns true iff newly created
+    * (false = already registered, data intact). */
+  def ensureSegmentStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, buckets: Int = 16): Boolean = {
+    import graft.engine.WarehouseMeta
+    val t = segTable(name)
+    WarehouseMeta.withBuildLock(spark, name) {
+      if (spark.catalog.tableExists(t)) false
+      else {
+        spark.sql(
+          s"""CREATE TABLE $t (key STRING) USING PARQUET
+             |CLUSTERED BY (key) SORTED BY (key) INTO $buckets BUCKETS
+             |LOCATION '${WarehouseMeta.tableLocation(spark, t).toUri}'""".stripMargin)
+        true
+      }
+    }
+  }
+
+  /** Rebuild the segment store empty — a NEW corpus state: drops the table
+    * and its files AND clears the ingest commit log (the writeSignatureStore
+    * rule: streaming batch ids restart with their checkpoint, so stale
+    * commits from a previous corpus must not suppress a new stream's
+    * appends). */
+  def resetSegmentStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, buckets: Int = 16): Unit = {
+    import graft.engine.WarehouseMeta
+    val t = segTable(name)
+    WarehouseMeta.withBuildLock(spark, name) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      WarehouseMeta.deleteRecursively(WarehouseMeta.tableLocation(spark, t))
+      WarehouseMeta.deleteRecursively(
+        WarehouseMeta.tableLocation(spark, s"${name}_ingest_log"))
+    }
+    ensureSegmentStore(spark, name, buckets)
+    ()
+  }
+
+  /** One exactly-once boilerplate-removal batch — the streaming counterpart
+    * of [[paragraphDedup]] against a PERSISTED seen-segment store: the
+    * batch's segments dedup within the batch (corpus-first order) AND
+    * against every segment any earlier batch kept, cleaned docs land at
+    * `outPath/batch=<id>`, and the new keys append to the store — all under
+    * the ingest commit log, so a crash anywhere replays to the identical
+    * store (the same [[graft.engine.WarehouseMeta.exactlyOnceBatch]] seam
+    * the signature store and vector index use). Feeding batches in
+    * ascending doc order reproduces [[paragraphDedup]] over the
+    * concatenated corpus row-for-row (EventStreamsSpec pins it through
+    * kill/restart + crash rollback). Returns docs landed, -1 on a
+    * committed-batch replay (no-op).
+    *
+    * Scale shape per batch: segments shuffle once for the within-batch
+    * winner election, the store probe is a bucket-local anti-join (store
+    * never re-shuffles), and the append writes bucket-correct files —
+    * store maintenance cost is O(batch), independent of corpus size. */
+  def applySegmentIngestBatch(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, idCol: String, textCol: String,
+      name: String, outPath: String, window: Int = 8): Long = {
+    import graft.engine.WarehouseMeta
+    import org.apache.spark.sql.SaveMode
+    val t = segTable(name)
+    WarehouseMeta.withBuildLock(spark, name) {
+      WarehouseMeta.exactlyOnceBatch(spark, s"${name}_ingest_log", batchId, Seq(t)) {
+        val segs = chunkTokens(batch, idCol, textCol, size = window, overlap = 0)
+          .select(col(idCol), col("chunk_id"), col("chunk"), md5(col("chunk")).as("key"))
+        val first = segs.groupBy("key")
+          .agg(min(struct(col(idCol), col("chunk_id"))).as("_first"))
+        val winners = segs.join(first, "key")
+          .where(struct(col(idCol), col("chunk_id")) === col("_first"))
+          .join(spark.table(t), Seq("key"), "left_anti")
+        val perDoc = segs.groupBy(idCol).agg(count(lit(1)).as("total_segments"))
+        val keptAgg = winners.groupBy(idCol).agg(
+          count(lit(1)).as("kept"),
+          concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+              s => s.getField("chunk"))).as("ct"))
+        perDoc.join(keptAgg, Seq(idCol), "left")
+          .select(col(idCol), col("total_segments"),
+            coalesce(col("kept"), lit(0L)).as("kept_segments"),
+            coalesce(col("ct"), lit("")).as("clean_text"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$outPath/batch=$batchId")
+        // append is re-derived from (batch, store) — the store is unchanged
+        // under the lock, so the derivation is deterministic vs the landed
+        // output; a crash between the two is healed by the intent rollback
+        winners.select("key").write.mode(SaveMode.Append).insertInto(t)
+        spark.read.parquet(s"$outPath/batch=$batchId").count()
+      }.getOrElse(-1L)
+    }
+  }
+
+  /** The segment-dedup loop as a STREAM ([[applySegmentIngestBatch]] under
+    * foreachBatch, AvailableNow): restart-safe end to end — the streaming
+    * checkpoint replays uncommitted batches with identical ids, the ingest
+    * log makes each store append exactly-once. */
+  def segmentIngestStream(spark: org.apache.spark.sql.SparkSession,
+      docsStream: DataFrame, idCol: String, textCol: String, name: String,
+      outPath: String, checkpoint: String, window: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applySegmentIngestBatch(b.sparkSession, b, id, idCol, textCol,
+          name, outPath, window)
+        // refresh the STARTING session's relation cache too (the stream's
+        // clone shares the catalog but not per-session caches)
+        spark.catalog.refreshTable(segTable(name))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023): each doc's log importance is
     * Σ n·(ln p_target(tok) − ln p_raw(tok)) over its token occurrences —

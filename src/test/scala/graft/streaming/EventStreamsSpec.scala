@@ -530,6 +530,77 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       "per-row quarantine is pure map work, so it streams as-is")
   }
 
+  test("segmentIngestStream: exactly-once segment store — stream ≡ batch paragraphDedup, crash rollback, replay no-op") {
+    import scala.jdk.CollectionConverters._
+    import graft.ops.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // ids ascend across batches, so (batch, doc, idx) order == (doc, idx)
+    // order and the stream must reproduce batch paragraphDedup exactly
+    val cut = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0).toLong
+    val shard1 = docs.filter(col("doc_id") < cut)
+    val shard2 = docs.filter(col("doc_id") >= cut)
+    val name = "graft_seg_loop"
+    TextAnalysis.resetSegmentStore(spark, name)
+
+    val tmp = java.nio.file.Files.createTempDirectory("seg_loop")
+    val src = tmp.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def land(df: org.apache.spark.sql.DataFrame, fname: String): Unit = {
+      val stage = tmp.resolve(s"stage_$fname")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      java.nio.file.Files.move(part, src.resolve(fname))
+    }
+    def runStream(): Unit = TextAnalysis.segmentIngestStream(spark,
+        spark.readStream.schema(docs.schema).parquet(src.toString),
+        "doc_id", "text", name, outDir, ckpt, window = 4)
+      .awaitTermination()
+    def keys() = spark.table(s"${name}_segs").collect().map(_.getString(0)).toSet
+
+    // run 1 drains shard1, stops at the batch boundary; run 2 restarts from
+    // the checkpoint and processes only the new file
+    land(shard1, "f1.parquet"); runStream()
+    val keysAfter1 = keys()
+    land(shard2, "f2.parquet"); runStream()
+    assert(keys().size > keysAfter1.size, "run 2 appended shard2's new segments")
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "total_segments", "kept_segments", "clean_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val streamed = rows(spark.read.parquet(outDir))
+    val batch = rows(TextAnalysis.paragraphDedup(docs, "doc_id", "text", window = 4))
+    assert(streamed == batch,
+      "streamed per-batch outputs must equal batch paragraphDedup row-for-row")
+    // the store is exactly the corpus' distinct segment keys
+    val distinctKeys = spark.sql(
+      s"SELECT COUNT(DISTINCT key) FROM (SELECT md5(chunk) AS key FROM (" +
+        "SELECT explode(transform(sequence(0, greatest(size(split(text, ' ')) - 1, 0), 4), " +
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 4)))) AS chunk " +
+        "FROM parquet.`/root/testdata/sf0.001/documents.parquet`))").head().getLong(0)
+    assert(keys().size.toLong == distinctKeys, "store = distinct corpus segment keys")
+
+    // crash at the exactly-once seam: restore the last batch to the
+    // "append ran, commit didn't land" state, then replay — rollback
+    // removes the orphaned append, the re-apply restores the same rows
+    val logDir = graft.engine.WarehouseMeta.tableLocation(spark, s"${name}_ingest_log")
+    val last = java.nio.file.Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".commit"))
+      .maxBy(_.getFileName.toString.stripSuffix(".commit").toLong)
+    val bid = last.getFileName.toString.stripSuffix(".commit").toLong
+    java.nio.file.Files.move(last, logDir.resolve(s"$bid.intent"))
+    val before = keys()
+    TextAnalysis.applySegmentIngestBatch(spark, shard2, bid, "doc_id", "text",
+      name, outDir, window = 4)
+    assert(keys() == before,
+      "crashed-append replay must roll back then restore the exact keys")
+    // replaying a COMMITTED batch is a no-op
+    assert(TextAnalysis.applySegmentIngestBatch(spark, shard2, bid, "doc_id",
+      "text", name, outDir, window = 4) == -1L)
+  }
+
   test("journal stream tails warehouse appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft_js").toString
     val g = graft.engine.MemGraph(spark)
