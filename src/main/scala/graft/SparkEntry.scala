@@ -1351,6 +1351,29 @@ object SparkEntry {
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_tokens")).cast("long").as("bin_tokens"))
+    }),
+
+    // second composed pipeline, from the round-11 curation operators:
+    // cross-corpus segment scrub (drop all-boilerplate docs) → self-trained
+    // unigram surprisal over the CLEANED text, keep at-or-below the corpus
+    // mean (the outlier gate; threshold rounded to 6 dp for cross-engine
+    // equality) → 128-token next-fit packing per lang — one lazy plan,
+    // mirrored stage-for-stage by a single CTE chain in the twin
+    "p02_curation_pipeline" -> ((s, d) => {
+      val docs = tPar(s, d, "documents")
+      val scrubbed = TextAnalysis.paragraphDedup(docs, "doc_id", "text", window = 8)
+        .filter(col("kept_segments") > 0)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val scores = TextAnalysis.unigramLogProb(scrubbed, "doc_id", "clean_text")
+      val mean = scores.agg(round(avg(col("avg_neg_logp")), 6).as("_mean"))
+      val kept = scores.crossJoin(broadcast(mean))
+        .filter(col("avg_neg_logp") <= col("_mean"))
+        .select("doc_id")
+      TextAnalysis.packBins(scrubbed.join(kept, "doc_id"),
+          "lang", "doc_id", "clean_text", budget = 128)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_tokens")).cast("long").as("bin_tokens"))
     })
   )
 
@@ -2821,6 +2844,42 @@ object SparkEntry {
         | FROM pk)
         |SELECT lang, CAST(FLOOR(cm / 256.0) AS INT) AS bin,
         | COUNT(*) AS n_docs, CAST(SUM(ptoks) AS BIGINT) AS bin_tokens
+        |FROM cum GROUP BY 1, 2""".stripMargin,
+
+    // the curation chain stage by stage: t13's segment scrub (window 8,
+    // drop all-boilerplate docs) → t14's surprisal over CLEAN text with the
+    // model trained on the scrubbed corpus itself → keep ≤ ROUND(mean, 6) →
+    // t09's packing at budget 128 over clean_text keyed by doc_id
+    "p02_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |  unnest(range(0, greatest(len(toks) - 1, 0) + 1, 8)) AS start FROM t),
+        |c AS (SELECT doc_id, CAST(start // 8 AS INT) AS chunk_id,
+        |  array_to_string(toks[CAST(start + 1 AS INT) : CAST(start + 8 AS INT)], ' ') AS chunk
+        |  FROM s),
+        |w AS (SELECT doc_id, chunk_id, chunk,
+        |  ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rk FROM c),
+        |k AS (SELECT doc_id, COUNT(*) AS kept,
+        |  string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text
+        |  FROM w WHERE rk = 1 GROUP BY doc_id),
+        |scrub AS (SELECT d.doc_id, d.lang, k.clean_text
+        |  FROM documents d JOIN k ON k.doc_id = d.doc_id WHERE k.kept > 0),
+        |stoks AS (SELECT doc_id, unnest(string_split(clean_text, ' ')) AS tok FROM scrub),
+        |m AS (SELECT tok, COUNT(*) AS tf FROM stoks GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM stoks),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS n FROM stoks GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, ROUND(SUM(n * -LN(tf / total)) / SUM(n), 4) AS score
+        |  FROM dt JOIN m USING (tok) CROSS JOIN tot GROUP BY doc_id),
+        |mn AS (SELECT ROUND(AVG(score), 6) AS mean FROM sc),
+        |keep AS (SELECT doc_id FROM sc CROSS JOIN mn WHERE score <= mean),
+        |x AS (SELECT lang, s.doc_id, len(string_split(clean_text, ' ')) AS ntoks
+        |  FROM scrub s JOIN keep ON keep.doc_id = s.doc_id),
+        |cum AS (SELECT lang, doc_id, ntoks,
+        |  COALESCE(SUM(ntoks) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cm
+        |  FROM x)
+        |SELECT lang, CAST(FLOOR(cm / 128.0) AS INT) AS bin,
+        | COUNT(*) AS n_docs, CAST(SUM(ntoks) AS BIGINT) AS bin_tokens
         |FROM cum GROUP BY 1, 2""".stripMargin
   )
 }

@@ -126,6 +126,47 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
 
+  test("p02: composed curation plan ≡ stage-by-stage materialization; plan audit") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val composed = graft.SparkEntry.queries("p02_curation_pipeline")(spark, dir)
+
+    val tmp = java.nio.file.Files.createTempDirectory("p02_stage").toString
+    def roundtrip(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      spark.read.parquet(s"$tmp/$name")
+    }
+    val scrubbed = roundtrip(
+      TextAnalysis.paragraphDedup(docs, "doc_id", "text", window = 8)
+        .filter(col("kept_segments") > 0)
+        .join(docs.select("doc_id", "lang"), "doc_id"), "scrubbed")
+    val scores = roundtrip(
+      TextAnalysis.unigramLogProb(scrubbed, "doc_id", "clean_text"), "scores")
+    val mean = scores.agg(round(avg(col("avg_neg_logp")), 6)).head().getDouble(0)
+    val kept = roundtrip(
+      scores.filter(col("avg_neg_logp") <= mean).select("doc_id"), "kept")
+    val staged = TextAnalysis.packBins(scrubbed.join(kept, "doc_id"),
+        "lang", "doc_id", "clean_text", budget = 128)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_tokens")).cast("long").as("bin_tokens"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(composed) == rows(staged),
+      "composing the curation chain must lose nothing vs stage materialization")
+
+    // both gates bit: the scrub dropped segments somewhere and the
+    // surprisal gate dropped some docs (mean splits a non-degenerate
+    // distribution), so the pipeline exercised every stage
+    assert(scores.count() > kept.count(), "the surprisal gate dropped outliers")
+
+    val plan = composed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CollectLimit") && !plan.contains("Cartesian"),
+      s"no driver materialization or cartesian in the composed plan:\n$plan")
+    graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
   test("incremental ingestion round composes: store → increment → cluster → accept → append") {
     // the maintained-index workflow a training-data platform actually runs,
     // over REAL documents: an existing corpus owns a signature store; a new
