@@ -1353,6 +1353,13 @@ object SparkEntry {
           sum(col("doc_tokens")).cast("long").as("bin_tokens"))
     }),
 
+    // per-column dataset profile — one Expand+aggregate pass for every
+    // column's nulls + exact distinct cardinality, unpivoted to long form
+    "e07_profile" -> ((s, d) =>
+      Quality.profile(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))),
+
     // second composed pipeline, from the round-11 curation operators:
     // cross-corpus segment scrub (drop all-boilerplate docs) → self-trained
     // unigram surprisal over the CLEANED text, keep at-or-below the corpus
@@ -2845,6 +2852,16 @@ object SparkEntry {
         |SELECT lang, CAST(FLOOR(cm / 256.0) AS INT) AS bin,
         | COUNT(*) AS n_docs, CAST(SUM(ptoks) AS BIGINT) AS bin_tokens
         |FROM cum GROUP BY 1, 2""".stripMargin,
+
+    // one SELECT per profiled column, unioned — CAST sums to BIGINT
+    // (DuckDB SUM(int) is HUGEINT)
+    "e07_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      .map(c =>
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+      .mkString("\nUNION ALL\n"),
 
     // the curation chain stage by stage: t13's segment scrub (window 8,
     // drop all-boilerplate docs) → t14's surprisal over CLEAN text with the

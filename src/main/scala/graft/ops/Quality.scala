@@ -87,4 +87,27 @@ object Quality {
       .withColumn("broken_rules", array_join(col("_broken"), ","))
       .drop("_broken")
   }
+
+  /** Per-column dataset profile — the schema-discovery / data-quality scan
+    * run before a new source joins a pipeline: row count, null count and
+    * distinct cardinality per column, in ONE aggregation pass (Spark plans
+    * the multi-column distinct as a single Expand + aggregate — one wide
+    * stage, no per-column rescan) then unpivoted to one row per column.
+    * `exact = false` swaps COUNT(DISTINCT) for HLL `approx_count_distinct`,
+    * the 100 TB default — Expand multiplies rows ×(columns+1) for exact
+    * multi-distinct, which is the documented cost of exactness here. */
+  def profile(df: DataFrame, columns: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(columns.nonEmpty, "no columns to profile")
+    val aggs = count(lit(1)).as("_rows") +: columns.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c"),
+      (if (exact) countDistinct(col(c))
+       else approx_count_distinct(col(c))).as(s"_nd_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = columns.map(c => struct(lit(c).as("column"),
+      col(s"_nulls_$c").as("n_nulls"), col(s"_nd_$c").as("n_distinct")))
+    wide.select(col("_rows").as("n_rows"), explode(array(entries: _*)).as("e"))
+      .select(col("e.column").as("column"), col("n_rows"),
+        col("e.n_nulls").as("n_nulls"), col("e.n_distinct").as("n_distinct"))
+  }
 }

@@ -51,4 +51,26 @@ class QualitySpec extends AnyFunSuite with SparkSpec {
     }
     assert(shuffles.isEmpty, "the quarantine channel must be pure map work")
   }
+
+  test("profile: nulls + exact distinct per column in one pass; approx within HLL tolerance") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), "a"), (Some(1L), "b"), (None, "b"), (Some(3L), "c"), (None, "c"))
+      .toDF("k", "v")
+    val got = Quality.profile(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map("k" -> ((5L, 2L, 2L)), "v" -> ((5L, 0L, 3L))),
+      s"5 rows; k: 2 nulls / {1,3}; v: 0 nulls / {a,b,c} — got $got")
+    val approx = Quality.profile(df, Seq("k", "v"), exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx("k") >= 1 && approx("k") <= 3 && approx("v") >= 2 && approx("v") <= 4,
+      "HLL cardinalities within tolerance on a tiny frame")
+    // one aggregation pass: a single pair of hash-aggregate exchanges, no
+    // per-column rescan (the scan appears once in the executed plan)
+    val plan = Quality.profile(df.repartition(3), Seq("k", "v"))
+      .queryExecution.executedPlan.toString
+    assert("Scan|LocalTableScan".r.findAllIn(plan).size <= 2,
+      s"profiling must not rescan per column:\n$plan")
+  }
 }
