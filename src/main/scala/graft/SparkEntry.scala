@@ -999,6 +999,24 @@ object SparkEntry {
         "vec_id", q, books, k = 5)
     }),
 
+    // IVFADC: coarse cells from the s09 quantizer (rows 1/5/9), residual
+    // PQ codebooks from a fixed residual trio (row2−row1, row6−row5,
+    // row10−row9), query probes its top-2 cells with per-cell ADC tables —
+    // the true billion-scale layout: cell id + M residual bytes per row
+    "s19_ivfadc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      def vecOf(id: Long) = emb.filter(col("vec_id") === id)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+      val cb = Seq(1L, 5L, 9L).map(i => (i.toInt, vecOf(i)))
+      val trio = Seq((2L, 1L), (6L, 5L), (10L, 9L)).zipWithIndex.map {
+        case ((a, b), i) => (i, vecOf(a).zip(vecOf(b)).map { case (x, y) => x - y })
+      }
+      val books: Similarity.PqCodebooks =
+        (0 until 4).map(j => trio.map { case (cid, v) => (cid, v.slice(j * 16, (j + 1) * 16)) })
+      Similarity.ivfAdcTopK(emb.filter(col("vec_id") =!= 7), "vec_id", "embedding",
+        cb, books, vecOf(7L), nprobe = 2, k = 5)
+    }),
+
     // shortlist-refine over the same PQ layout as s11: the compact codes
     // rank the whole corpus, the top-20 shortlist broadcasts, and ONLY
     // those 20 rows' full vectors are re-read for the exact-cosine top-5 —
@@ -2405,6 +2423,73 @@ object SparkEntry {
         |qd AS (SELECT j, cid, d FROM dist WHERE vec_id = 7),
         |terms AS (SELECT a.vec_id, a.j, q.d
         |  FROM asg a JOIN qd q ON q.j = a.j AND q.cid = a.cid WHERE a.vec_id <> 7)
+        |SELECT vec_id AS id,
+        |  ROUND(((MAX(CASE WHEN j = 0 THEN d END) + MAX(CASE WHEN j = 1 THEN d END))
+        |       + MAX(CASE WHEN j = 2 THEN d END)) + MAX(CASE WHEN j = 3 THEN d END), 4) AS approx_dist
+        |FROM terms GROUP BY vec_id
+        |ORDER BY approx_dist, id LIMIT 5""".stripMargin,
+
+    // IVFADC stage by stage: s09's cosine cell assignment (6-dp, low-cid
+    // ties), residuals vs the assigned centroid, residual PQ codes against
+    // the fixed trio's slices (squared-L2 rounded 6, low-cid ties), top-2
+    // probe cells for the query, per-cell query-residual ADC tables, and
+    // the left-associated 4-term sum rounded 4 — every rounding mirrors
+    // the Spark driver/codegen arithmetic
+    "s19_ivfadc" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM e WHERE vec_id IN (1, 5, 9)),
+        |scored AS (SELECT e.vec_id, cb.cid,
+        |  ROUND(list_sum(list_transform(list_zip(e.embedding, cb.cvec),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * cb.cnrm), 6) AS sim
+        |  FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+        |  FROM scored) WHERE rk = 1),
+        |rcb AS (
+        |  SELECT 0 AS rcid, list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rvec
+        |  FROM e a, e b WHERE a.vec_id = 2 AND b.vec_id = 1
+        |  UNION ALL
+        |  SELECT 1, list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |  FROM e a, e b WHERE a.vec_id = 6 AND b.vec_id = 5
+        |  UNION ALL
+        |  SELECT 2, list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |  FROM e a, e b WHERE a.vec_id = 10 AND b.vec_id = 9),
+        |rsub AS (SELECT rcid, j, list_slice(rvec, j*16+1, j*16+16) AS ce
+        |  FROM rcb, (SELECT UNNEST(range(4)) AS j) js),
+        |res AS (SELECT e.vec_id, a.cid,
+        |  list_transform(list_zip(e.embedding, c.cvec),
+        |    x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rvec
+        |  FROM e JOIN asg a ON a.vec_id = e.vec_id JOIN cb c ON c.cid = a.cid
+        |  WHERE e.vec_id <> 7),
+        |sub AS (SELECT vec_id, cid, j, list_slice(rvec, j*16+1, j*16+16) AS se
+        |  FROM res, (SELECT UNNEST(range(4)) AS j) js),
+        |dist AS (SELECT sub.vec_id, sub.cid, sub.j, rsub.rcid,
+        |  ROUND(list_sum(list_transform(list_zip(sub.se, rsub.ce),
+        |    x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS d
+        |  FROM sub JOIN rsub ON rsub.j = sub.j),
+        |code AS (SELECT vec_id, cid, j, rcid FROM (
+        |  SELECT vec_id, cid, j, rcid,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, rcid) AS rk
+        |  FROM dist) WHERE rk = 1),
+        |qprobe AS (SELECT cid FROM (
+        |  SELECT cid, ROW_NUMBER() OVER (ORDER BY sim DESC, cid) AS rk
+        |  FROM scored WHERE vec_id = 7) WHERE rk <= 2),
+        |qres AS (SELECT c.cid,
+        |  list_transform(list_zip(q.embedding, c.cvec),
+        |    x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rvec
+        |  FROM e q, cb c WHERE q.vec_id = 7 AND c.cid IN (SELECT cid FROM qprobe)),
+        |qtab AS (SELECT qres.cid, rsub.j, rsub.rcid,
+        |  ROUND(list_sum(list_transform(list_zip(
+        |      list_slice(qres.rvec, rsub.j*16+1, rsub.j*16+16), rsub.ce),
+        |    x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS d
+        |  FROM qres CROSS JOIN rsub),
+        |terms AS (SELECT c.vec_id, c.j, t.d
+        |  FROM code c JOIN qtab t ON t.cid = c.cid AND t.j = c.j AND t.rcid = c.rcid)
         |SELECT vec_id AS id,
         |  ROUND(((MAX(CASE WHEN j = 0 THEN d END) + MAX(CASE WHEN j = 1 THEN d END))
         |       + MAX(CASE WHEN j = 2 THEN d END)) + MAX(CASE WHEN j = 3 THEN d END), 4) AS approx_dist

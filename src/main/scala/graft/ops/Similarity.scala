@@ -789,6 +789,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVFADC — the standard billion-vector serving LAYOUT (coarse quantizer
+    * + product-quantized residuals, Jégou et al. 2011): every corpus vector
+    * stores only its cell id and the M-byte PQ code of its RESIDUAL
+    * (vector − cell centroid); a query ranks its `nprobe` nearest cells'
+    * rows by ADC over per-cell lookup tables built from the query's own
+    * residual. Residual coding is what separates this from flat PQ: codes
+    * quantize the (much smaller) within-cell displacement, so the same
+    * byte budget buys more precision.
+    *
+    * Scale shape: corpus-side cell assignment and residual encoding are the
+    * [[assignByCodebook]]/[[encodePq]] shuffle-free projections (tiny
+    * codebooks folded into codegen expressions); the query-side probe set
+    * and ADC tables are driver arithmetic over those same tiny codebooks
+    * (cosine cell ranking, 6-dp rounding, lowest-cid ties — the
+    * [[probeCells]] rule, mirrored exactly); the scan reads only the probed
+    * cells' code rows — on a cell-partitioned table, partition pruning.
+    * Returns (id, approx_dist), nearest first, ties → lowest id. */
+  def ivfAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[(Int, Seq[Double])], codebooks: PqCodebooks,
+      query: Seq[Double], nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.size,
+      s"nprobe $nprobe outside [1, ${coarse.size}]")
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val probed = coarse.map { case (cid, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val dot = c.zip(query).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      (round6(dot / (qn * cn)), cid)
+    }.sortBy { case (sim, cid) => (-sim, cid) }.take(nprobe).map(_._2)
+    val cmap = map(coarse.flatMap { case (cid, c) =>
+      Seq(lit(cid), array(c.map(lit): _*)) }: _*)
+    val encoded = encodePq(
+      assignByCodebook(df, vecCol, coarse).withColumn("_res",
+        zip_with(col(vecCol), element_at(cmap, col("_cid")),
+          (x, c) => x.cast("double") - c)),
+      "_res", codebooks)
+    val centroidOf = coarse.toMap
+    probed.map { cid =>
+      val rq = query.zip(centroidOf(cid)).map { case (x, c) => x - c }
+      pqTopK(encoded.filter(col("_cid") === cid), idCol, rq, codebooks, k)
+    }.reduce(_ unionAll _)
+      .orderBy(col("approx_dist").asc, col("id"))
+      .limit(k)
+  }
+
   /** Train PQ codebooks with Lloyd's k-means per subspace, initialized from
     * the subvectors of the `k` lowest-id rows (deterministic start). Each
     * iteration is one distributed pass: [[encodePq]] assigns (map-only),

@@ -381,6 +381,38 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivfAdcTopK: lossless residual codebooks + full probe ≡ exact L2 ranking; corpus side shuffle-free") {
+    import spark.implicits._
+    val coarse: Seq[(Int, Seq[Double])] =
+      Seq(0 -> Seq(1.0, 0.0, 0.0, 1.0), 1 -> Seq(0.0, 1.0, 1.0, 0.0))
+    val vecs = pqVecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toMap
+    // residual codebooks holding EVERY corpus residual slice make PQ
+    // lossless: each row's code reconstructs its own residual exactly, so
+    // ADC distance = true squared L2 — the strongest possible oracle
+    val cells = Similarity.assignByCodebook(pqVecs, "embedding", coarse)
+      .select(col("vec_id"), col("_cid")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val centroidOf = coarse.toMap
+    val residuals = vecs.toSeq.sortBy(_._1).map { case (id, v) =>
+      (id.toInt, v.zip(centroidOf(cells(id))).map { case (x, c) => x - c })
+    }
+    val books: Similarity.PqCodebooks =
+      (0 until 2).map(j => residuals.map { case (cid, r) => (cid, r.slice(j * 2, (j + 1) * 2)) })
+    val q = Seq(1.0, 0.2, 0.1, 0.8)
+    val got = Similarity.ivfAdcTopK(pqVecs.repartition(2), "vec_id", "embedding",
+      coarse, books, q, nprobe = 2, k = 5)
+    val rows = got.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = vecs.toSeq.map { case (id, v) =>
+      (id, BigDecimal(v.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, d) => (d, id) }
+    assert(rows == exact, s"lossless IVFADC must rank by exact L2: got $rows vs $exact")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"cell assignment, residual encode and ADC must not shuffle the corpus:\n$plan")
+  }
+
   test("trainPqCodebooks: Lloyd converges to per-cluster subvector means") {
     import spark.implicits._
     // two clean clusters per half; k=2, m=2 must recover the half-means
