@@ -1246,6 +1246,33 @@ object SparkEntry {
     "t14_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(t(s, d, "documents"), "doc_id", "text")),
 
+    // HTML → text extraction over a deterministic HTML wrapper of the raw
+    // corpus (the t08/t10 derived-column trick: the corpus carries no
+    // markup, so the test constructs real markup from real rows) — script
+    // block dropped whole, tags stripped, entity decoded, title extracted
+    "t17_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script>var x = 1 &amp;&amp; 2;</script></head>"),
+        lit("<body><nav>home | about</nav><p>"), col("text"),
+        lit("</p><div class=\"footer\">&copy; example &amp; co</div></body></html>"))
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.htmlTitle(html).as("title"),
+        TextAnalysis.htmlToText(html).as("extracted"))
+        .withColumn("n_chars", length(col("extracted")))
+    }),
+
+    // URL canonicalization over deterministically messy URLs (mixed-case
+    // authority, default port, tracking params, fragment) — the key-level
+    // normalization URL dedup runs on
+    "t18_url_canonical" -> ((s, d) => {
+      val url = concat(lit("HTTPS://Example"), col("doc_id") % 3,
+        lit(".COM:443/Path/"), col("doc_id"),
+        lit("/?utm_source=x&ref=abc&id="), col("doc_id"), lit("#frag"))
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.canonicalizeUrl(url).as("canonical_url"))
+    }),
+
     // DSIR importance weights with the en-language slice as the target
     // domain: log p_target/p_raw summed over token occurrences — the
     // domain-selection score the resampling step ranks on
@@ -2725,6 +2752,53 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tokens,
         |  ROUND(SUM(n * -LN(tf / total)) / SUM(n), 4) AS avg_neg_logp
         |FROM dt JOIN m USING (tok) CROSS JOIN tot GROUP BY doc_id""".stripMargin,
+
+    // same derived HTML, same RE2-safe pattern chain in the same order
+    // (script/style blocks → tags → the five entities with &amp; LAST →
+    // whitespace collapse); DuckDB needs the explicit 'g' flag where Spark
+    // replaces globally by default
+    "t17_html_extract" ->
+      """WITH x AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id || '</title><script>var x = 1 &amp;&amp; 2;</script></head><body><nav>home | about</nav><p>'
+        |   || text || '</p><div class="footer">&copy; example &amp; co</div></body></html>' AS html
+        | FROM documents),
+        |y AS (SELECT doc_id,
+        |  regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1) AS title,
+        |  trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(html,
+        |        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'), '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS extracted
+        | FROM x)
+        |SELECT doc_id, title, extracted, CAST(length(extracted) AS INT) AS n_chars
+        |FROM y""".stripMargin,
+
+    // same messy URLs, same pass order (lowercase authority → default
+    // ports → fragment → tracking params global → dangling separator);
+    // backreferences are \1 in DuckDB, $1 in Spark — same RE2 semantics
+    "t18_url_canonical" ->
+      """WITH x AS (SELECT doc_id,
+        |  'HTTPS://Example' || (doc_id % 3) || '.COM:443/Path/' || doc_id
+        |   || '/?utm_source=x&ref=abc&id=' || doc_id || '#frag' AS url
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+        |        || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+        |      '^(https://[^/:?#]+):443(/|\?|#|$)', '\1\2'),
+        |     '^(http://[^/:?#]+):80(/|\?|#|$)', '\1\2'),
+        |    '#.*$', ''),
+        |   '(utm_[^&#]*|ref=[^&#]*)(&|$)', '', 'g'),
+        |  '[?&]$', '') AS canonical_url
+        |FROM x""".stripMargin,
 
     // same two unigram models (target = lang 'en' slice, raw = whole
     // corpus), add-one floor on both, natural log, 4 dp

@@ -259,6 +259,50 @@ object TextAnalysis {
           / sum(col("n")), 4).as("avg_neg_logp"))
   }
 
+  /** HTML → text extraction (the CommonCrawl-style first step): script and
+    * style blocks removed whole, remaining tags become spaces, the five
+    * core entities decode, whitespace collapses. Pure codegen'd regexp
+    * chain — map-only, RE2-safe patterns (non-greedy + inline (?s), no
+    * lookaround), so RE2-based engines apply identical semantics. Tag
+    * stripping, not boilerplate removal — chrome text survives; compose
+    * with [[paragraphDedup]] for boilerplate. */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** The document title, when an HTML `<title>` is present ('' otherwise). */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "(?s)<title[^>]*>(.*?)</title>", 1)
+
+  /** URL canonicalization for URL-keyed dedup/grouping: lowercase scheme +
+    * authority (path/query case is significant and kept), strip default
+    * ports (:80 http, :443 https), drop the fragment, remove `utm_*` and
+    * `ref=` tracking params, clean the dangling separator. A documented
+    * SUBSET of full RFC 3986 normalization (no percent-decoding or path
+    * dot-segment removal) — the rules that collapse the big equivalence
+    * classes crawl data actually contains. Map-only regexp chain, mirrored
+    * byte-for-byte by the oracle (both engines scan left-to-right,
+    * non-overlapping, continuing after each match). */
+  def canonicalizeUrl(url: Column): Column = {
+    val authority = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val lowered = concat(
+      lower(regexp_extract(url, authority, 0)),
+      regexp_replace(url, authority, ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:?#]+):443(/|\\?|#|$)", "$1$2"),
+      "^(http://[^/:?#]+):80(/|\\?|#|$)", "$1$2")
+    val noFrag = regexp_replace(noPort, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, "(utm_[^&#]*|ref=[^&#]*)(&|$)", "")
+    regexp_replace(noTrack, "[?&]$", "")
+  }
+
   // ----------------------------------------------------- segment store
 
   private def segTable(name: String) = s"${name}_segs"

@@ -97,6 +97,41 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) == ((2L, 0.0)))
   }
 
+  test("htmlToText: blocks drop whole, tags become spaces, entities decode once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "<p>a<br/>b</p><script>if (x<y) alert('&');</script><i>c</i>"),
+      (2L, "x &amp;lt; y &#39;q&#39; &quot;r&quot;"), // &amp;lt; must NOT double-decode
+      (3L, "<style>p { color: red }</style>plain")).toDF("id", "html")
+    val got = df.select(col("id"), TextAnalysis.htmlToText(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a b c", "script body (incl. its quotes/angles) drops whole")
+    assert(got(2L) == "x &lt; y 'q' \"r\"",
+      "&amp; decodes LAST so &amp;lt; yields literal &lt;, not <")
+    assert(got(3L) == "plain")
+    val title = df.filter(col("id") === 1)
+      .select(TextAnalysis.htmlTitle(col("html"))).head().getString(0)
+    assert(title == "", "no <title> → empty string")
+  }
+
+  test("canonicalizeUrl: authority lowercases, default ports/fragments/trackers strip, path case kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      "HTTPS://WWW.Ex.COM:443/A/B?utm_a=1&utm_b=2&id=3#x" -> "https://www.ex.com/A/B?id=3",
+      "http://ex.com:80/" -> "http://ex.com/",
+      "http://ex.com:8080/p" -> "http://ex.com:8080/p", // non-default port kept
+      "https://ex.com/p?ref=feed" -> "https://ex.com/p",
+      "https://ex.com/p?id=1&utm_x=9" -> "https://ex.com/p?id=1",
+      "https://ex.com/CaseKept?Q=UPPER" -> "https://ex.com/CaseKept?Q=UPPER")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- cases)
+      assert(got(in) == want, s"$in → ${got(in)}, expected $want")
+  }
+
   test("chunkTokens covers every token; no chunk starts inside the final overlap") {
     import spark.implicits._
     val words = (1 to 25).map(i => s"w$i")
