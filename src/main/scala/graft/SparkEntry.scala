@@ -1130,6 +1130,22 @@ object SparkEntry {
         .select(col("v").as("part"), col("triangles"))
     }),
 
+    // local clustering coefficients over the same co-purchase graph —
+    // community tightness per part; deg ≥ 2 only, 6 dp, top-20 by
+    // (coeff, triangles, part) for a deterministic cut
+    "x09_clustering_coeff" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+      val pairs = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+      graft.ops.Analytics.clusteringCoefficients(pairs)
+        .orderBy(col("coeff").desc, col("triangles").desc, col("v"))
+        .limit(20)
+        .select(col("v").as("part"), col("degree"), col("triangles"), col("coeff"))
+    }),
+
     // FIXED-iteration PageRank so a DuckDB twin exists (r5): GraphX
     // staticPageRank(5) is deterministic — 5 rounds of
     // rank = 0.15 + 0.85 * Σ incoming rank/outdeg from rank₀ = 1, then a
@@ -2195,6 +2211,30 @@ object SparkEntry {
         |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
         |SELECT v AS part, COUNT(*) AS triangles FROM n GROUP BY v
         |ORDER BY triangles DESC, part LIMIT 20""".stripMargin,
+
+    // x08's edge/triangle CTEs + a degree CTE; the deg≥2 filter and the
+    // 2T/(d(d−1)) formula at 6 dp; triangle-free nodes COALESCE to 0
+    "x09_clustering_coeff" ->
+      """WITH li AS (SELECT l.l_orderkey, l.l_partkey FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderpriority = '1-URGENT'),
+        |e AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+        |    greatest(a.l_partkey, b.l_partkey) AS b
+        |  FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT v, COUNT(*) AS degree FROM
+        |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT x AS v FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+        |tc AS (SELECT v, COUNT(*) AS triangles FROM n GROUP BY v)
+        |SELECT d.v AS part, d.degree,
+        |  COALESCE(tc.triangles, CAST(0 AS BIGINT)) AS triangles,
+        |  ROUND(COALESCE(tc.triangles, 0) * 2.0 / (d.degree * (d.degree - 1)), 6) AS coeff
+        |FROM deg d LEFT JOIN tc ON tc.v = d.v WHERE d.degree >= 2
+        |ORDER BY coeff DESC, triangles DESC, part LIMIT 20""".stripMargin,
 
     "x02_pagerank" -> PageRankSql,
     "x03_khop_reach" -> KhopReachSql,

@@ -94,10 +94,15 @@ object Analytics {
     * raw id ordering; a social-graph celebrity node stops being a planner
     * emergency. Everything is vertex-keyed joins + aggregations: no driver
     * state, no iteration. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val canon = edges.select(least(col("src"), col("dst")).as("a"),
+  /** Canonical simple-graph edges: id-ordered endpoints, self-loops and
+    * duplicate/reversed edges removed. */
+  private def canonEdges(edges: DataFrame): DataFrame =
+    edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = canonEdges(edges)
     val deg = canon.select(col("a").as("v")).unionAll(canon.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
@@ -114,6 +119,24 @@ object Analytics {
     wedges.join(canon, col("v1") === col("a") && col("v2") === col("b"))
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Local clustering coefficient per node — 2·T(v) / (deg(v)·(deg(v)−1))
+    * over the canonicalized simple graph, the standard
+    * community-tightness signal on top of [[triangleCounts]]. Nodes of
+    * degree < 2 are excluded (coefficient undefined); triangle-free nodes
+    * score 0. Same scale shape as triangleCounts plus one degree
+    * aggregation and a vertex-keyed join. */
+  def clusteringCoefficients(edges: DataFrame, roundTo: Int = 6): DataFrame = {
+    val canon = canonEdges(edges)
+    val deg = canon.select(col("a").as("v")).unionAll(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triangleCounts(edges), Seq("v"), "left")
+      .select(col("v"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(coalesce(col("triangles"), lit(0L)) * 2.0
+          / (col("degree") * (col("degree") - 1)), roundTo).as("coeff"))
   }
 
   def connectedComponents(spark: SparkSession, g: GraphSource): DataFrame = {

@@ -75,6 +75,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(none.filter(col("triangles") > 0).count() == 0 && none.count() == 0)
   }
 
+  test("clusteringCoefficients: 2T/(d(d−1)); degree<2 excluded; triangle-free nodes score 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // K4 on 1..4 plus a dangling edge 4–5: 1..3 have d=3,T=3 → 1.0;
+    // 4 has d=4,T=3 → 0.5; 5 has d=1 → excluded
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Analytics.clusteringCoefficients(k4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(1L -> ((3L, 3L, 1.0)), 2L -> ((3L, 3L, 1.0)),
+      3L -> ((3L, 3L, 1.0)), 4L -> ((4L, 3L, 0.5))))
+    // path graph: middle node has degree 2 but no triangle → 0.0 row kept
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val mid = Analytics.clusteringCoefficients(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(mid.toSeq == Seq((2L, 2L, 0L, 0.0)))
+  }
+
   test("kindStats exact vs approx within HLL tolerance") {
     val (g, _) = fixture()
     val exact = Analytics.kindStats(g, exact = true).head().getLong(1)
