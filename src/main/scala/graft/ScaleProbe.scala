@@ -235,7 +235,22 @@ object ScaleProbe {
         // tables exist at sf0.1/sf1 only, like x02); replicas are disjoint
         // subgraphs, so the decade is an honest 10× edge scale-up
         "x08_triangles" -> (() => noop(
-          SparkEntry.queries("x08_copart_triangles")(spark, dir))))
+          SparkEntry.queries("x08_copart_triangles")(spark, dir))),
+        // r11 late: the remaining session additions — map-only extraction/
+        // canonicalization, the one-pass profiler (over documents here so
+        // all three decades exist), the composed curation pipeline, and
+        // residual-coded IVFADC
+        "t17_html_extract" -> (() => noop(
+          SparkEntry.queries("t17_html_extract")(spark, dir))),
+        "t18_url_canonical" -> (() => noop(
+          SparkEntry.queries("t18_url_canonical")(spark, dir))),
+        "e07_profile_docs" -> (() => noop(
+          graft.ops.Quality.profile(docs, Seq("doc_id", "lang", "source"),
+            exact = false))),
+        "p02_curation" -> (() => noop(
+          SparkEntry.queries("p02_curation_pipeline")(spark, dir))),
+        "s19_ivfadc" -> (() => noop(
+          SparkEntry.queries("s19_ivfadc")(spark, dir))))
     }
 
     val results = scala.collection.mutable.LinkedHashMap
@@ -244,7 +259,9 @@ object ScaleProbe {
     // not scaled to 60M lineitem rows); x02 keeps its sf0.1→sf1 decade
     val sfs = Seq((sf01, "sf0.1"), (sf1, "sf1"), (sf10, "sf10"))
     for ((dir, tag) <- sfs) {
+      val only = sys.env.getOrElse("SCALE_PROBE_ONLY", ".*").r
       for ((name, fn) <- ops(dir, tag.replace(".", ""))
+           if only.pattern.matcher(name).matches()
            if !(tag == "sf10" && (name == "x02_pagerank" || name == "x08_triangles"))) {
         val times =
           if (name.endsWith("_once")) Seq(time(fn())) // durable: pay once
