@@ -246,16 +246,26 @@ object TextAnalysis {
       model: Option[DataFrame] = None): DataFrame = {
     val source = model.getOrElse(df)
     val mToks = source.select(explode(split(col(textCol), " ")).as("tok"))
-    val m = mToks.groupBy("tok").agg(count(lit(1)).as("tf"))
-    val total = mToks.select(count(lit(1)).cast("double").as("_total"))
+    unigramLogProbFromCounts(df, idCol, textCol,
+      mToks.groupBy("tok").agg(count(lit(1)).as("tf")),
+      mToks.select(count(lit(1)).cast("double").as("_total")))
+  }
+
+  /** [[unigramLogProb]] scoring against a PRE-AGGREGATED model: `counts` is
+    * (tok, tf), `total` a single-row `_total` — the form a maintained model
+    * store serves. An EMPTY model is well-defined (total floors at 1, every
+    * token floors at tf=1 → score 0): the prequential batch-0 case. */
+  def unigramLogProbFromCounts(df: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame, total: DataFrame): DataFrame = {
     val docTok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
     // left join: a token unseen by the model (reference-corpus setup) floors
     // at tf=1 — the add-one estimate, maximal surprisal without a log(0)
-    docTok.join(m, Seq("tok"), "left").crossJoin(broadcast(total))
+    docTok.join(counts, Seq("tok"), "left").crossJoin(broadcast(total))
       .groupBy(idCol).agg(
         sum(col("n")).cast("long").as("tokens"),
-        round(sum(col("n") * -log(coalesce(col("tf"), lit(1L)) / col("_total")))
+        round(sum(col("n") * -log(coalesce(col("tf"), lit(1L))
+            / greatest(col("_total"), lit(1.0))))
           / sum(col("n")), 4).as("avg_neg_logp"))
   }
 
@@ -421,6 +431,122 @@ object TextAnalysis {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  // ----------------------------------------------------- model store
+
+  private def modelTable(name: String) = s"${name}_model"
+
+  /** Create (or re-register) the persisted unigram-model store behind
+    * [[applyScoreIngestBatch]]: an APPEND-ONLY bucketed (tok, n) table —
+    * each batch appends its own per-token counts and reads aggregate with
+    * SUM, so ingest never rewrites history; [[compactModelStore]] folds the
+    * log on the operator's schedule. Same restart-survival posture as the
+    * segment store. */
+  def ensureModelStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, buckets: Int = 16): Boolean = {
+    import graft.engine.WarehouseMeta
+    val t = modelTable(name)
+    WarehouseMeta.withBuildLock(spark, name) {
+      if (spark.catalog.tableExists(t)) false
+      else {
+        spark.sql(
+          s"""CREATE TABLE $t (tok STRING, n BIGINT) USING PARQUET
+             |CLUSTERED BY (tok) SORTED BY (tok) INTO $buckets BUCKETS
+             |LOCATION '${WarehouseMeta.tableLocation(spark, t).toUri}'""".stripMargin)
+        true
+      }
+    }
+  }
+
+  /** Rebuild the model store empty and clear its ingest log (the same NEW
+    * corpus-state rule as [[resetSegmentStore]]). */
+  def resetModelStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, buckets: Int = 16): Unit = {
+    import graft.engine.WarehouseMeta
+    val t = modelTable(name)
+    WarehouseMeta.withBuildLock(spark, name) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      WarehouseMeta.deleteRecursively(WarehouseMeta.tableLocation(spark, t))
+      WarehouseMeta.deleteRecursively(
+        WarehouseMeta.tableLocation(spark, s"${name}_ingest_log"))
+    }
+    ensureModelStore(spark, name, buckets)
+    ()
+  }
+
+  /** The store's current model as ((tok, tf), 1-row `_total`) — read-time
+    * SUM over the append-only count rows, bucket-local. */
+  def modelCounts(spark: org.apache.spark.sql.SparkSession,
+      name: String): (DataFrame, DataFrame) = {
+    val t = spark.table(modelTable(name))
+    (t.groupBy("tok").agg(sum(col("n")).as("tf")),
+      t.select(coalesce(sum(col("n")), lit(0L)).cast("double").as("_total")))
+  }
+
+  /** One PREQUENTIAL scoring batch — the streaming form of the corpus
+    * quality-model loop: the batch scores against the model of every PRIOR
+    * batch (the honest online evaluation: no batch ever sees its own
+    * statistics), scores land at `outPath/batch=<id>`, and ONLY THEN the
+    * batch's token counts append to the store — all under the shared
+    * ingest commit log, so crash/replay cannot double-count a batch into
+    * the model (double-counted tokens would silently skew every later
+    * score). Batch 0 scores 0 against the empty model by the documented
+    * floor. Returns docs scored, -1 on a committed-batch replay.
+    *
+    * Scale shape per batch: the model read is a bucket-local SUM (the
+    * store shuffles nothing), scoring is the [[unigramLogProbFromCounts]]
+    * token-keyed join, and the append writes bucket-correct count rows —
+    * O(batch + model vocabulary), never O(corpus text). */
+  def applyScoreIngestBatch(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, idCol: String, textCol: String,
+      name: String, outPath: String): Long = {
+    import graft.engine.WarehouseMeta
+    import org.apache.spark.sql.SaveMode
+    val t = modelTable(name)
+    WarehouseMeta.withBuildLock(spark, name) {
+      WarehouseMeta.exactlyOnceBatch(spark, s"${name}_ingest_log", batchId, Seq(t)) {
+        val (counts, total) = modelCounts(spark, name)
+        unigramLogProbFromCounts(batch, idCol, textCol, counts, total)
+          .write.mode(SaveMode.Overwrite).parquet(s"$outPath/batch=$batchId")
+        batch.select(explode(split(col(textCol), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .write.mode(SaveMode.Append).insertInto(t)
+        spark.read.parquet(s"$outPath/batch=$batchId").count()
+      }.getOrElse(-1L)
+    }
+  }
+
+  /** The prequential loop as a STREAM ([[applyScoreIngestBatch]] under
+    * foreachBatch, AvailableNow) — restart-safe like the segment loop. */
+  def scoreIngestStream(spark: org.apache.spark.sql.SparkSession,
+      docsStream: DataFrame, idCol: String, textCol: String, name: String,
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyScoreIngestBatch(b.sparkSession, b, id, idCol, textCol, name, outPath)
+        spark.catalog.refreshTable(modelTable(name))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Fold the append-only count log into one row per token — read-path
+    * hygiene after many batches; the swap is crash-recoverable
+    * ([[graft.engine.WarehouseMeta.swapRewriteBucketedTable]]) and runs
+    * under the same lock as ingest, never concurrently with it. */
+  def compactModelStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, buckets: Int = 16): Unit = {
+    import graft.engine.WarehouseMeta
+    val t = modelTable(name)
+    WarehouseMeta.withBuildLock(spark, name) {
+      WarehouseMeta.rollbackStaleIntents(spark, s"${name}_ingest_log", Seq(t))
+      val folded = spark.table(t).groupBy("tok").agg(sum(col("n")).as("n"))
+      WarehouseMeta.swapRewriteBucketedTable(spark, t, "tok", buckets,
+        "tok STRING, n BIGINT", folded, Map.empty)
+    }
+  }
 
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023): each doc's log importance is

@@ -601,6 +601,77 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       "text", name, outDir, window = 4) == -1L)
   }
 
+  test("scoreIngestStream: prequential model loop — stream ≡ per-batch twin, crash rollback, compaction neutral") {
+    import scala.jdk.CollectionConverters._
+    import graft.ops.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val cut = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0).toLong
+    val shard1 = docs.filter(col("doc_id") < cut)
+    val shard2 = docs.filter(col("doc_id") >= cut)
+    val name = "graft_model_loop"
+    TextAnalysis.resetModelStore(spark, name)
+
+    val tmp = java.nio.file.Files.createTempDirectory("model_loop")
+    val src = tmp.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def land(df: org.apache.spark.sql.DataFrame, fname: String): Unit = {
+      val stage = tmp.resolve(s"stage_$fname")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      java.nio.file.Files.move(part, src.resolve(fname))
+    }
+    def runStream(): Unit = TextAnalysis.scoreIngestStream(spark,
+        spark.readStream.schema(docs.schema).parquet(src.toString),
+        "doc_id", "text", name, outDir, ckpt)
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "tokens", "avg_neg_logp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    land(shard1, "f1.parquet"); runStream()
+    land(shard2, "f2.parquet"); runStream()
+
+    // prequential twin: batch 0 scores against the EMPTY model (all 0 by
+    // the documented floor), batch 1 against batch 0's corpus
+    val twin0 = rows(TextAnalysis.unigramLogProb(shard1, "doc_id", "text",
+      model = Some(shard1.filter(lit(false)))))
+    val twin1 = rows(TextAnalysis.unigramLogProb(shard2, "doc_id", "text",
+      model = Some(shard1)))
+    assert(twin0.forall(_._3 == 0.0), "empty-model scores are 0 by the total floor")
+    assert(rows(spark.read.parquet(s"$outDir/batch=0")) == twin0)
+    assert(rows(spark.read.parquet(s"$outDir/batch=1")) == twin1)
+    assert(twin1.exists(_._3 > 0.0), "the prior-batch model produces real surprisal")
+
+    // model = every batch's token counts, summed
+    def model() = spark.table(s"${name}_model").groupBy("tok")
+      .agg(sum(col("n")).as("tf")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectModel = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(model() == expectModel, "store model = whole-corpus counts after both batches")
+
+    // crash injection: last commit back to intent, replay restores counts
+    val logDir = graft.engine.WarehouseMeta.tableLocation(spark, s"${name}_ingest_log")
+    val last = java.nio.file.Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".commit"))
+      .maxBy(_.getFileName.toString.stripSuffix(".commit").toLong)
+    val bid = last.getFileName.toString.stripSuffix(".commit").toLong
+    java.nio.file.Files.move(last, logDir.resolve(s"$bid.intent"))
+    TextAnalysis.applyScoreIngestBatch(spark, shard2, bid, "doc_id", "text", name, outDir)
+    assert(model() == expectModel, "crashed-append replay must not double-count")
+    assert(TextAnalysis.applyScoreIngestBatch(spark, shard2, bid, "doc_id",
+      "text", name, outDir) == -1L, "committed replay is a no-op")
+
+    // compaction folds the count log without changing the model
+    TextAnalysis.compactModelStore(spark, name)
+    assert(model() == expectModel, "compaction is read-equivalent")
+    assert(spark.table(s"${name}_model").count() == expectModel.size.toLong,
+      "compaction leaves one row per token")
+  }
+
   test("journal stream tails warehouse appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft_js").toString
     val g = graft.engine.MemGraph(spark)
