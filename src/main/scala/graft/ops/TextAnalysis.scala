@@ -313,48 +313,77 @@ object TextAnalysis {
     regexp_replace(noTrack, "[?&]$", "")
   }
 
-  // ----------------------------------------------------- segment store
+  // ------------------------------------------- keyed ingest-store plumbing
 
   private def segTable(name: String) = s"${name}_segs"
 
-  /** Create (or re-register after a catalog loss) the persisted
-    * seen-segment store behind [[applySegmentIngestBatch]]: one bucketed
-    * table of segment keys, CLUSTERED BY key so every batch's anti-join
-    * probes bucket-locally without shuffling the store. Creating over a
-    * surviving LOCATION adopts the existing files — restart-safe the same
-    * way the vector index re-registers. Returns true iff newly created
-    * (false = already registered, data intact). */
-  def ensureSegmentStore(spark: org.apache.spark.sql.SparkSession,
-      name: String, buckets: Int = 16): Boolean = {
+  /** Shared create/reset plumbing for the single-table ingest stores
+    * (segment keys, model counts): one bucketed table, created over its
+    * canonical LOCATION so a surviving directory re-registers after a
+    * catalog loss — restart-safe the same way the vector index
+    * re-registers. Returns true iff newly created. */
+  private def ensureKeyedStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, table: String, ddl: String, bucketCol: String,
+      buckets: Int): Boolean = {
     import graft.engine.WarehouseMeta
-    val t = segTable(name)
     WarehouseMeta.withBuildLock(spark, name) {
-      if (spark.catalog.tableExists(t)) false
+      if (spark.catalog.tableExists(table)) false
       else {
         spark.sql(
-          s"""CREATE TABLE $t (key STRING) USING PARQUET
-             |CLUSTERED BY (key) SORTED BY (key) INTO $buckets BUCKETS
-             |LOCATION '${WarehouseMeta.tableLocation(spark, t).toUri}'""".stripMargin)
+          s"""CREATE TABLE $table ($ddl) USING PARQUET
+             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
+             |LOCATION '${WarehouseMeta.tableLocation(spark, table).toUri}'""".stripMargin)
         true
       }
     }
   }
 
-  /** Rebuild the segment store empty — a NEW corpus state: drops the table
-    * and its files AND clears the ingest commit log (the writeSignatureStore
-    * rule: streaming batch ids restart with their checkpoint, so stale
-    * commits from a previous corpus must not suppress a new stream's
-    * appends). */
-  def resetSegmentStore(spark: org.apache.spark.sql.SparkSession,
-      name: String, buckets: Int = 16): Unit = {
+  /** Shared rebuild-empty plumbing — a NEW corpus state: drops the table
+    * and its files AND clears the ingest commit log (the
+    * writeSignatureStore rule: streaming batch ids restart with their
+    * checkpoint, so stale commits from a previous corpus must not suppress
+    * a new stream's appends). */
+  private def resetKeyedStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, table: String): Unit = {
     import graft.engine.WarehouseMeta
-    val t = segTable(name)
     WarehouseMeta.withBuildLock(spark, name) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      WarehouseMeta.deleteRecursively(WarehouseMeta.tableLocation(spark, t))
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      WarehouseMeta.deleteRecursively(WarehouseMeta.tableLocation(spark, table))
       WarehouseMeta.deleteRecursively(
         WarehouseMeta.tableLocation(spark, s"${name}_ingest_log"))
     }
+  }
+
+  /** Shared foreachBatch/AvailableNow wrapper: run `applyBatch` per
+    * micro-batch, then refresh the STARTING session's relation cache (the
+    * stream's clone shares the catalog but not per-session caches). */
+  private def ingestStreamOf(spark: org.apache.spark.sql.SparkSession,
+      docsStream: DataFrame, table: String, checkpoint: String)(
+      applyBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b, id)
+        spark.catalog.refreshTable(table)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  // ----------------------------------------------------- segment store
+
+  /** The persisted seen-segment store behind [[applySegmentIngestBatch]]:
+    * one bucketed key table, so every batch's anti-join probes
+    * bucket-locally without shuffling the store. */
+  def ensureSegmentStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, buckets: Int = 16): Boolean =
+    ensureKeyedStore(spark, name, segTable(name), "key STRING", "key", buckets)
+
+  /** Rebuild the segment store empty (see [[resetKeyedStore]] rationale). */
+  def resetSegmentStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, buckets: Int = 16): Unit = {
+    resetKeyedStore(spark, name, segTable(name))
     ensureSegmentStore(spark, name, buckets)
     ()
   }
@@ -419,18 +448,11 @@ object TextAnalysis {
       docsStream: DataFrame, idCol: String, textCol: String, name: String,
       outPath: String, checkpoint: String, window: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docsStream.writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applySegmentIngestBatch(b.sparkSession, b, id, idCol, textCol,
-          name, outPath, window)
-        // refresh the STARTING session's relation cache too (the stream's
-        // clone shares the catalog but not per-session caches)
-        spark.catalog.refreshTable(segTable(name))
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    ingestStreamOf(spark, docsStream, segTable(name), checkpoint) { (b, id) =>
+      applySegmentIngestBatch(b.sparkSession, b, id, idCol, textCol,
+        name, outPath, window)
+      ()
+    }
 
   // ----------------------------------------------------- model store
 
@@ -443,33 +465,15 @@ object TextAnalysis {
     * log on the operator's schedule. Same restart-survival posture as the
     * segment store. */
   def ensureModelStore(spark: org.apache.spark.sql.SparkSession,
-      name: String, buckets: Int = 16): Boolean = {
-    import graft.engine.WarehouseMeta
-    val t = modelTable(name)
-    WarehouseMeta.withBuildLock(spark, name) {
-      if (spark.catalog.tableExists(t)) false
-      else {
-        spark.sql(
-          s"""CREATE TABLE $t (tok STRING, n BIGINT) USING PARQUET
-             |CLUSTERED BY (tok) SORTED BY (tok) INTO $buckets BUCKETS
-             |LOCATION '${WarehouseMeta.tableLocation(spark, t).toUri}'""".stripMargin)
-        true
-      }
-    }
-  }
+      name: String, buckets: Int = 16): Boolean =
+    ensureKeyedStore(spark, name, modelTable(name),
+      "tok STRING, n BIGINT", "tok", buckets)
 
   /** Rebuild the model store empty and clear its ingest log (the same NEW
     * corpus-state rule as [[resetSegmentStore]]). */
   def resetModelStore(spark: org.apache.spark.sql.SparkSession,
       name: String, buckets: Int = 16): Unit = {
-    import graft.engine.WarehouseMeta
-    val t = modelTable(name)
-    WarehouseMeta.withBuildLock(spark, name) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      WarehouseMeta.deleteRecursively(WarehouseMeta.tableLocation(spark, t))
-      WarehouseMeta.deleteRecursively(
-        WarehouseMeta.tableLocation(spark, s"${name}_ingest_log"))
-    }
+    resetKeyedStore(spark, name, modelTable(name))
     ensureModelStore(spark, name, buckets)
     ()
   }
@@ -522,15 +526,10 @@ object TextAnalysis {
       docsStream: DataFrame, idCol: String, textCol: String, name: String,
       outPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docsStream.writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyScoreIngestBatch(b.sparkSession, b, id, idCol, textCol, name, outPath)
-        spark.catalog.refreshTable(modelTable(name))
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    ingestStreamOf(spark, docsStream, modelTable(name), checkpoint) { (b, id) =>
+      applyScoreIngestBatch(b.sparkSession, b, id, idCol, textCol, name, outPath)
+      ()
+    }
 
   /** Fold the append-only count log into one row per token — read-path
     * hygiene after many batches; the swap is crash-recoverable
