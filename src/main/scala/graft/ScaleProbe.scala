@@ -259,9 +259,11 @@ object ScaleProbe {
     // not scaled to 60M lineitem rows); x02 keeps its sf0.1→sf1 decade
     val sfs = Seq((sf01, "sf0.1"), (sf1, "sf1"), (sf10, "sf10"))
     for ((dir, tag) <- sfs) {
+      // `_once` build steps always run: a filter that kept d14/s15 but
+      // dropped their store/index builds would crash on a fresh warehouse
       val only = sys.env.getOrElse("SCALE_PROBE_ONLY", ".*").r
       for ((name, fn) <- ops(dir, tag.replace(".", ""))
-           if only.pattern.matcher(name).matches()
+           if name.endsWith("_once") || only.pattern.matcher(name).matches()
            if !(tag == "sf10" && (name == "x02_pagerank" || name == "x08_triangles"))) {
         val times =
           if (name.endsWith("_once")) Seq(time(fn())) // durable: pay once

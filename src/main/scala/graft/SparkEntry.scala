@@ -2803,13 +2803,14 @@ object SparkEntry {
         |   || text || '</p><div class="footer">&copy; example &amp; co</div></body></html>' AS html
         | FROM documents),
         |y AS (SELECT doc_id,
-        |  regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1) AS title,
+        |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
         |  trim(regexp_replace(
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(html,
-        |        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-        |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
-        |      '<[^>]+>', ' ', 'g'),
+        |      regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '</?[A-Za-z!][^>]*>', ' ', 'g'),
         |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
         |      '&#39;', '''', 'g'), '&amp;', '&', 'g'),
         |    '\s+', ' ', 'g')) AS extracted
@@ -2831,12 +2832,16 @@ object SparkEntry {
         |   regexp_replace(
         |    regexp_replace(
         |     regexp_replace(
-        |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
-        |        || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
-        |      '^(https://[^/:?#]+):443(/|\?|#|$)', '\1\2'),
-        |     '^(http://[^/:?#]+):80(/|\?|#|$)', '\1\2'),
-        |    '#.*$', ''),
-        |   '(utm_[^&#]*|ref=[^&#]*)(&|$)', '', 'g'),
+        |      regexp_replace(
+        |       regexp_replace(
+        |        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+        |          || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+        |        '^(https://[^/:?#]+):443(/|\?|#|$)', '\1\2'),
+        |       '^(http://[^/:?#]+):80(/|\?|#|$)', '\1\2'),
+        |      '#.*$', ''),
+        |     '([?&])(utm_[^&#]*|ref=[^&#]*)', '\1', 'g'),
+        |    '&&+', '&', 'g'),
+        |   '\?&', '?'),
         |  '[?&]$', '') AS canonical_url
         |FROM x""".stripMargin,
 

@@ -78,6 +78,18 @@ object Analytics {
     dict.join(distDf, "vid").select(col("uid"), col("dist"))
   }
 
+  /** Canonical simple-graph edges: id-ordered endpoints, self-loops and
+    * duplicate/reversed edges removed. */
+  private def canonEdges(edges: DataFrame): DataFrame =
+    edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
+  /** Simple-graph degrees off [[canonEdges]] output. */
+  private def canonDegrees(canon: DataFrame): DataFrame =
+    canon.select(col("a").as("v")).unionAll(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+
   /** Per-node triangle counts over an undirected edge list (`src`/`dst` in
     * any orientation; duplicates and self-loops tolerated) — compact-forward
     * with degree ordering (Latapy 2008, the standard distributed recipe):
@@ -94,21 +106,16 @@ object Analytics {
     * raw id ordering; a social-graph celebrity node stops being a planner
     * emergency. Everything is vertex-keyed joins + aggregations: no driver
     * state, no iteration. */
-  /** Canonical simple-graph edges: id-ordered endpoints, self-loops and
-    * duplicate/reversed edges removed. */
-  private def canonEdges(edges: DataFrame): DataFrame =
-    edges.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-
   def triangleCounts(edges: DataFrame): DataFrame = {
     val canon = canonEdges(edges)
-    val deg = canon.select(col("a").as("v")).unionAll(canon.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
+    triangleCountsFromCanon(canon, canonDegrees(canon))
+  }
+
+  private def triangleCountsFromCanon(canon: DataFrame, deg: DataFrame): DataFrame = {
     val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
     val oriented = canon
-      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .join(deg.select(col("v").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("degree").as("db")), "b")
       .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
         when(fwd, col("b")).otherwise(col("a")).as("w"))
     // out-neighbor pairs (id-ordered: each unordered pair once), closed by
@@ -125,14 +132,14 @@ object Analytics {
     * over the canonicalized simple graph, the standard
     * community-tightness signal on top of [[triangleCounts]]. Nodes of
     * degree < 2 are excluded (coefficient undefined); triangle-free nodes
-    * score 0. Same scale shape as triangleCounts plus one degree
-    * aggregation and a vertex-keyed join. */
+    * score 0. Canonicalization and degrees are computed ONCE and shared
+    * with the triangle pass — the edge list's own lineage (often an
+    * expensive self-join) is not re-evaluated per stage. */
   def clusteringCoefficients(edges: DataFrame, roundTo: Int = 6): DataFrame = {
     val canon = canonEdges(edges)
-    val deg = canon.select(col("a").as("v")).unionAll(canon.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("degree"))
+    val deg = canonDegrees(canon)
     deg.filter(col("degree") >= 2)
-      .join(triangleCounts(edges), Seq("v"), "left")
+      .join(triangleCountsFromCanon(canon, deg), Seq("v"), "left")
       .select(col("v"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         round(coalesce(col("triangles"), lit(0L)) * 2.0

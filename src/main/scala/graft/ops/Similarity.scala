@@ -739,12 +739,23 @@ object Similarity {
     * (id, approx_dist), nearest first, ties → lowest id. */
   def pqTopK(encoded: DataFrame, idCol: String, query: Seq[Double],
       codebooks: PqCodebooks, k: Int, roundTo: Int = 4,
-      tableRoundTo: Int = 6): DataFrame = {
+      tableRoundTo: Int = 6): DataFrame =
+    encoded.select(col(idCol).as("id"),
+        round(adcDistExpr(query, codebooks, tableRoundTo), roundTo).as("approx_dist"))
+      .orderBy(col("approx_dist").asc, col("id"))
+      .limit(k)
+
+  /** The (unrounded-total) ADC sum for one query: per subspace, the
+    * driver-computed lookup table folds into a literal map indexed by the
+    * row's `_code` entry; the 4 (or M) terms sum left-associated — the
+    * association the DuckDB twins mirror. */
+  private def adcDistExpr(query: Seq[Double], codebooks: PqCodebooks,
+      tableRoundTo: Int = 6): Column = {
     val dims = codebooks.map(_.head._2.length)
     require(dims.sum == query.length,
       s"query dim ${query.length} != codebook tiling ${dims.sum}")
     var off = 0
-    val terms = codebooks.zipWithIndex.map { case (cents, j) =>
+    codebooks.zipWithIndex.map { case (cents, j) =>
       val len = cents.head._2.length
       val qSub = query.slice(off, off + len)
       off += len
@@ -754,11 +765,7 @@ object Similarity {
         Seq(lit(cid), lit(BigDecimal(d).setScale(tableRoundTo, BigDecimal.RoundingMode.HALF_UP).toDouble))
       }
       element_at(map(table: _*), element_at(col("_code"), j + 1))
-    }
-    encoded.select(col(idCol).as("id"),
-        round(terms.reduce(_ + _), roundTo).as("approx_dist"))
-      .orderBy(col("approx_dist").asc, col("id"))
-      .limit(k)
+    }.reduce(_ + _)
   }
 
   /** Shortlist-refine ANN — the standard billion-vector serving recipe
@@ -827,10 +834,18 @@ object Similarity {
           (x, c) => x.cast("double") - c)),
       "_res", codebooks)
     val centroidOf = coarse.toMap
-    probed.map { cid =>
+    // ONE corpus pass: the probed-cell filter prunes the scan and a CASE
+    // over _cid dispatches each row to its cell's query-residual ADC table
+    // (all tables are plan literals) — never nprobe re-scans of the
+    // assignment/encode lineage
+    val dist = probed.map { cid =>
       val rq = query.zip(centroidOf(cid)).map { case (x, c) => x - c }
-      pqTopK(encoded.filter(col("_cid") === cid), idCol, rq, codebooks, k)
-    }.reduce(_ unionAll _)
+      (cid, adcDistExpr(rq, codebooks))
+    }.foldLeft(Option.empty[Column]) { case (acc, (cid, e)) =>
+      Some(acc.fold(when(col("_cid") === cid, e))(_.when(col("_cid") === cid, e)))
+    }.get
+    encoded.filter(col("_cid").isin(probed.map(Int.box): _*))
+      .select(col(idCol).as("id"), round(dist, 4).as("approx_dist"))
       .orderBy(col("approx_dist").asc, col("id"))
       .limit(k)
   }

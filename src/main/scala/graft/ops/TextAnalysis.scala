@@ -208,23 +208,36 @@ object TextAnalysis {
     * and reassembly shuffles each doc's KEPT segments once. No driver
     * materialization anywhere; every stage is linear in corpus tokens. */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 8): DataFrame = {
+      window: Int = 8): DataFrame =
+    dedupSegments(df, idCol, textCol, window, seen = None)._1
+
+  /** The shared winner election + reassembly behind [[paragraphDedup]] and
+    * the streaming loop ([[applySegmentIngestBatch]]): segment, elect the
+    * corpus-first occurrence per key, optionally drop keys an earlier
+    * batch already owns (`seen`: a frame with a `key` column), reassemble
+    * per doc. Returns (per-doc output, surviving winner keys) — ONE
+    * definition of the semantics, so batch and stream cannot diverge. */
+  private def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      window: Int, seen: Option[DataFrame]): (DataFrame, DataFrame) = {
     val segs = chunkTokens(df, idCol, textCol, size = window, overlap = 0)
-      .select(col(idCol), col("chunk_id"), col("chunk"), md5(col("chunk")).as("_k"))
-    val first = segs.groupBy("_k")
+      .select(col(idCol), col("chunk_id"), col("chunk"), md5(col("chunk")).as("key"))
+    val first = segs.groupBy("key")
       .agg(min(struct(col(idCol), col("chunk_id"))).as("_first"))
-    val kept = segs.join(first, "_k")
+    val winnersAll = segs.join(first, "key")
       .where(struct(col(idCol), col("chunk_id")) === col("_first"))
+    val winners = seen.fold(winnersAll)(s =>
+      winnersAll.join(s.select("key"), Seq("key"), "left_anti"))
     val perDoc = segs.groupBy(idCol).agg(count(lit(1)).as("total_segments"))
-    val keptAgg = kept.groupBy(idCol).agg(
+    val keptAgg = winners.groupBy(idCol).agg(
       count(lit(1)).as("kept"),
       concat_ws(" ",
         transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
           s => s.getField("chunk"))).as("ct"))
-    perDoc.join(keptAgg, Seq(idCol), "left")
+    val out = perDoc.join(keptAgg, Seq(idCol), "left")
       .select(col(idCol), col("total_segments"),
         coalesce(col("kept"), lit(0L)).as("kept_segments"),
         coalesce(col("ct"), lit("")).as("clean_text"))
+    (out, winners.select("key"))
   }
 
   /** Unigram-LM surprisal (the CCNet quality-filter signal, self-trained):
@@ -277,10 +290,17 @@ object TextAnalysis {
     * stripping, not boilerplate removal — chrome text survives; compose
     * with [[paragraphDedup]] for boilerplate. */
   def htmlToText(html: Column): Column = {
+    // (?i): tag names are case-insensitive in HTML; comments drop BEFORE
+    // the tag pass so a '>' inside a comment can't split it into debris.
+    // The tag pattern requires a tag-like start ([A-Za-z/!]) so unescaped
+    // comparisons in prose ('5 < 6') survive — a regex extractor's
+    // documented approximation of a real parser, not a full one.
     val noBlocks = regexp_replace(
-      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
-      "(?s)<style[^>]*>.*?</style>", " ")
-    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+      regexp_replace(
+        regexp_replace(html, "(?s)<!--.*?-->", " "),
+        "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "</?[A-Za-z!][^>]*>", " ")
     val decoded = regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(regexp_replace(noTags,
         "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
@@ -289,7 +309,7 @@ object TextAnalysis {
 
   /** The document title, when an HTML `<title>` is present ('' otherwise). */
   def htmlTitle(html: Column): Column =
-    regexp_extract(html, "(?s)<title[^>]*>(.*?)</title>", 1)
+    regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
 
   /** URL canonicalization for URL-keyed dedup/grouping: lowercase scheme +
     * authority (path/query case is significant and kept), strip default
@@ -309,8 +329,13 @@ object TextAnalysis {
       regexp_replace(lowered, "^(https://[^/:?#]+):443(/|\\?|#|$)", "$1$2"),
       "^(http://[^/:?#]+):80(/|\\?|#|$)", "$1$2")
     val noFrag = regexp_replace(noPort, "#.*$", "")
-    val noTrack = regexp_replace(noFrag, "(utm_[^&#]*|ref=[^&#]*)(&|$)", "")
-    regexp_replace(noTrack, "[?&]$", "")
+    // trackers must start a parameter: the [?&] boundary keeps 'ref=' from
+    // matching inside 'href=' or in the path (RE2 has no lookbehind, so the
+    // delimiter re-emits and the cleanup passes collapse '?&'/'&&' runs
+    // left by consecutive trackers)
+    val noTrack = regexp_replace(noFrag, "([?&])(utm_[^&#]*|ref=[^&#]*)", "$1")
+    regexp_replace(regexp_replace(regexp_replace(noTrack,
+      "&&+", "&"), "\\?&", "?"), "[?&]$", "")
   }
 
   // ------------------------------------------- keyed ingest-store plumbing
@@ -413,28 +438,13 @@ object TextAnalysis {
     val t = segTable(name)
     WarehouseMeta.withBuildLock(spark, name) {
       WarehouseMeta.exactlyOnceBatch(spark, s"${name}_ingest_log", batchId, Seq(t)) {
-        val segs = chunkTokens(batch, idCol, textCol, size = window, overlap = 0)
-          .select(col(idCol), col("chunk_id"), col("chunk"), md5(col("chunk")).as("key"))
-        val first = segs.groupBy("key")
-          .agg(min(struct(col(idCol), col("chunk_id"))).as("_first"))
-        val winners = segs.join(first, "key")
-          .where(struct(col(idCol), col("chunk_id")) === col("_first"))
-          .join(spark.table(t), Seq("key"), "left_anti")
-        val perDoc = segs.groupBy(idCol).agg(count(lit(1)).as("total_segments"))
-        val keptAgg = winners.groupBy(idCol).agg(
-          count(lit(1)).as("kept"),
-          concat_ws(" ",
-            transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
-              s => s.getField("chunk"))).as("ct"))
-        perDoc.join(keptAgg, Seq(idCol), "left")
-          .select(col(idCol), col("total_segments"),
-            coalesce(col("kept"), lit(0L)).as("kept_segments"),
-            coalesce(col("ct"), lit("")).as("clean_text"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$outPath/batch=$batchId")
+        val (out, keys) = dedupSegments(batch, idCol, textCol, window,
+          seen = Some(spark.table(t)))
+        out.write.mode(SaveMode.Overwrite).parquet(s"$outPath/batch=$batchId")
         // append is re-derived from (batch, store) — the store is unchanged
         // under the lock, so the derivation is deterministic vs the landed
         // output; a crash between the two is healed by the intent rollback
-        winners.select("key").write.mode(SaveMode.Append).insertInto(t)
+        keys.write.mode(SaveMode.Append).insertInto(t)
         spark.read.parquet(s"$outPath/batch=$batchId").count()
       }.getOrElse(-1L)
     }
@@ -572,12 +582,16 @@ object TextAnalysis {
     val totR = rToks.select(count(lit(1)).cast("double").as("_totr"))
     val docTok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
+    // same empty-model floor as unigramLogProbFromCounts: an empty target
+    // (or raw) corpus yields finite, defined ratios instead of Infinity
     docTok.join(mT, Seq("tok"), "left").join(mR, Seq("tok"), "left")
       .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
       .groupBy(idCol).agg(
         sum(col("n")).cast("long").as("tokens"),
-        round(sum(col("n") * (log(coalesce(col("tft"), lit(1L)) / col("_tott"))
-          - log(coalesce(col("tfr"), lit(1L)) / col("_totr")))), 4).as("log_ratio"))
+        round(sum(col("n") * (log(coalesce(col("tft"), lit(1L))
+            / greatest(col("_tott"), lit(1.0)))
+          - log(coalesce(col("tfr"), lit(1L))
+            / greatest(col("_totr"), lit(1.0))))), 4).as("log_ratio"))
   }
 
   /** Context-window chunking for training-data prep: fixed `size`-token

@@ -103,13 +103,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     val df = Seq(
       (1L, "<p>a<br/>b</p><script>if (x<y) alert('&');</script><i>c</i>"),
       (2L, "x &amp;lt; y &#39;q&#39; &quot;r&quot;"), // &amp;lt; must NOT double-decode
-      (3L, "<style>p { color: red }</style>plain")).toDF("id", "html")
+      (3L, "<style>p { color: red }</style>plain"),
+      (4L, "<SCRIPT>var j=1;</SCRIPT><P>Hi</P>"), // tag names are case-insensitive
+      (5L, "we need 5 < 6 and x > y"),            // unescaped comparisons survive
+      (6L, "<!-- a > b --><p>kept</p>")).toDF("id", "html")
     val got = df.select(col("id"), TextAnalysis.htmlToText(col("html")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) == "a b c", "script body (incl. its quotes/angles) drops whole")
     assert(got(2L) == "x &lt; y 'q' \"r\"",
       "&amp; decodes LAST so &amp;lt; yields literal &lt;, not <")
     assert(got(3L) == "plain")
+    assert(got(4L) == "Hi", "uppercase script block drops whole, not just its tags")
+    assert(got(5L) == "we need 5 < 6 and x > y", "prose comparisons are not tags")
+    assert(got(6L) == "kept", "a '>' inside a comment cannot split it")
     val title = df.filter(col("id") === 1)
       .select(TextAnalysis.htmlTitle(col("html"))).head().getString(0)
     assert(title == "", "no <title> → empty string")
@@ -124,7 +130,10 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       "http://ex.com:8080/p" -> "http://ex.com:8080/p", // non-default port kept
       "https://ex.com/p?ref=feed" -> "https://ex.com/p",
       "https://ex.com/p?id=1&utm_x=9" -> "https://ex.com/p?id=1",
-      "https://ex.com/CaseKept?Q=UPPER" -> "https://ex.com/CaseKept?Q=UPPER")
+      "https://ex.com/CaseKept?Q=UPPER" -> "https://ex.com/CaseKept?Q=UPPER",
+      // 'ref=' must start a parameter: not inside href=, not in the path
+      "https://ex.com/p?href=https://other&id=1" -> "https://ex.com/p?href=https://other&id=1",
+      "https://ex.com/dp/B01/ref=sr_1_1?keywords=x" -> "https://ex.com/dp/B01/ref=sr_1_1?keywords=x")
     val got = cases.map(_._1).toDF("url")
       .select(col("url"), TextAnalysis.canonicalizeUrl(col("url")).as("c"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
