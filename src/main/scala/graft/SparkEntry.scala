@@ -979,6 +979,14 @@ object SparkEntry {
       Sampling.epochShuffle(t(s, d, "documents"), "doc_id", shards = 4, seed = 2)
         .select(col("doc_id"), col("_shard").as("shard"), col("_pos").as("pos"))),
 
+    // deterministic 90/5/5 train/val/test split: disjoint + exhaustive by
+    // cumulative md5 bands, stable under corpus growth (leakage-safe);
+    // the full per-doc assignment is the hashed result
+    "s20_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))),
+
     // product quantization + asymmetric-distance scan: 64-dim vectors tile
     // into 4×16-dim subspaces, codebooks = subvector slices of rows 1/5/9
     // (the offline-learned-codebook stand-in, same recipe as s09), corpus
@@ -2614,6 +2622,17 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(u.c AS BIGINT) AS copy_idx
         |FROM c, unnest(range(0, copies)) u(c)
         |WHERE copies > 0""".stripMargin,
+
+    // same md5→32-bit value, same cumulative bands in split order, last
+    // split absorbs the tail
+    "s20_hash_split" ->
+      """SELECT doc_id, CASE
+        | WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |   < 0.9 * 4294967296.0 THEN 'train'
+        | WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |   < 0.95 * 4294967296.0 THEN 'val'
+        | ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "s08_weighted_mix_frac" ->
       """WITH w(stratum, wt) AS (VALUES ('0', 2.5), ('1', 0.5), ('3', 1.25)),

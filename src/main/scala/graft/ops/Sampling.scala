@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -126,5 +126,28 @@ object Sampling {
     val threshold = (fraction * 4294967296.0).toLong
     df.filter(
       conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long") < threshold)
+  }
+
+  /** Deterministic train/val/test split — DISJOINT and EXHAUSTIVE by
+    * construction: the row's md5-derived 32-bit value lands in exactly one
+    * cumulative-fraction band, in the given split order (the last split
+    * absorbs the rounding tail, so every row gets a label and re-running
+    * on a grown corpus never moves an old row between splits — the
+    * property leakage-safe eval splits require). Fractions must sum to 1
+    * (±1e-9). Map-only: one codegen'd hash + CASE per row. */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0), "fractions must be > 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+    val label = splits.init.zip(bounds.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), hi)) =>
+        val cond = h < lit(hi) * 4294967296.0
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }.fold(lit(splits.last._1))(_.otherwise(lit(splits.last._1)))
+    df.withColumn("split", label)
   }
 }

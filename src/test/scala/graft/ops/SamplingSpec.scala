@@ -123,4 +123,27 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(a == b, "resampling is a pure function of (ids, sizes, alpha, target)")
   }
+
+  test("hashSplit: disjoint+exhaustive, near fractions, stable under corpus growth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val small = (1L to 400L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hashSplit(df, "id", splits).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assign(small)
+    assert(a.size == 400, "every row gets exactly one label")
+    val shares = a.values.groupBy(identity).view.mapValues(_.size / 400.0).toMap
+    assert(math.abs(shares("train") - 0.8) < 0.08 &&
+      shares.getOrElse("val", 0.0) > 0.0 && shares.getOrElse("test", 0.0) > 0.0,
+      s"shares near fractions: $shares")
+    // growth stability: adding rows never moves an existing row's split —
+    // the leakage-safety property (yesterday's test doc can't become train)
+    val b = assign((1L to 1000L).toDF("id"))
+    assert(a.forall { case (id, s) => b(id) == s }, "old assignments are stable")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(small, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }
