@@ -1422,6 +1422,12 @@ object SparkEntry {
           sum(col("doc_tokens")).cast("long").as("bin_tokens"))
     }),
 
+    // trailing-window rate anomalies: hourly event counts z-scored against
+    // the 6 preceding hours (self-excluded); NULL z under 2 observations
+    // or zero spread — explicit semantics, no engine div-by-zero
+    "e08_rate_anomalies" -> ((s, d) =>
+      Events.rateAnomalies(t(s, d, "events"), "ts", trailing = 6, zThreshold = 3.0)),
+
     // per-column dataset profile — one Expand+aggregate pass for every
     // column's nulls + exact distinct cardinality, unpivoted to long form
     "e07_profile" -> ((s, d) =>
@@ -3075,6 +3081,23 @@ object SparkEntry {
         |SELECT lang, CAST(FLOOR(cm / 256.0) AS INT) AS bin,
         | COUNT(*) AS n_docs, CAST(SUM(ptoks) AS BIGINT) AS bin_tokens
         |FROM cum GROUP BY 1, 2""".stripMargin,
+
+    // same hourly buckets, same ROWS frame (self-excluded), stddev_samp in
+    // both engines, NULLIF guards the zero-spread division explicitly
+    "e08_rate_anomalies" ->
+      """WITH b AS (SELECT date_trunc('hour', ts) AS bucket_ts, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT bucket_ts, n,
+        |  COUNT(n) OVER tw AS trail_n,
+        |  AVG(n) OVER tw AS mean,
+        |  STDDEV_SAMP(n) OVER tw AS std
+        |  FROM b WINDOW tw AS (ORDER BY bucket_ts ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT bucket_ts, n, ROUND(mean, 4) AS trailing_mean,
+        |  CASE WHEN trail_n >= 2 AND std > 0
+        |       THEN ROUND((n - mean) / NULLIF(std, 0), 4) END AS z,
+        |  COALESCE(CASE WHEN trail_n >= 2 AND std > 0
+        |       THEN abs(ROUND((n - mean) / NULLIF(std, 0), 4)) > 3.0 END, FALSE) AS anomalous
+        |FROM w""".stripMargin,
 
     // one SELECT per profiled column, unioned — CAST sums to BIGINT
     // (DuckDB SUM(int) is HUGEINT)

@@ -210,4 +210,38 @@ object Events {
     firsts.filter(steps.map(col(_).isNotNull).reduce(_ && _) && ordered)
       .agg(count(lit(1)).as("users"))
   }
+
+  /** Trailing-window rate anomaly detection — the ops-side monitor over an
+    * event stream: events bucket to the hour, and each bucket's count
+    * z-scores against the `trailing` PRECEDING buckets' mean/sample-stddev
+    * (the bucket itself excluded, so a spike can't mask itself). Buckets
+    * with < 2 trailing observations, or a zero trailing stddev, get a NULL
+    * z and are never anomalous — explicit, not engine-dependent
+    * divide-by-zero behavior. Rounded 4 dp for cross-engine equality.
+    *
+    * Scale shape: one bucket aggregation (map-side partials) then a window
+    * over the tiny bucket series — the windowed data is |hours|, not
+    * |events|, so the single-partition window is a non-issue at any event
+    * volume; shard by a tenant/source column upstream if the bucket series
+    * itself ever needs distributing. */
+  def rateAnomalies(events: DataFrame, tsCol: String, trailing: Int = 6,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(trailing >= 2, s"need >= 2 trailing buckets, got $trailing")
+    val byHour = events
+      .select(date_trunc("hour", col(tsCol)).as("bucket_ts"))
+      .groupBy("bucket_ts").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("bucket_ts").rowsBetween(-trailing, -1)
+    byHour
+      .withColumn("trail_n", count(col("n")).over(w))
+      .withColumn("mean", avg(col("n")).over(w))
+      .withColumn("std", stddev_samp(col("n")).over(w))
+      .withColumn("z",
+        when(col("trail_n") >= 2 && col("std") > 0,
+          round((col("n") - col("mean")) / col("std"), 4)))
+      .select(col("bucket_ts"), col("n"),
+        round(col("mean"), 4).as("trailing_mean"),
+        col("z"),
+        coalesce(col("z").isNotNull && abs(col("z")) > zThreshold, lit(false))
+          .as("anomalous"))
+  }
 }

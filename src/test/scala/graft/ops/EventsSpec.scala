@@ -122,4 +122,35 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       Set(1L, 3L, 20L, 21L, 30L, 31L),
       "compaction changes files, never answers; other days untouched")
   }
+
+  test("rateAnomalies: planted spike flags; warm-up and zero-spread stay null") {
+    import spark.implicits._
+    // jittered baseline (9/11/10 repeating) for 8 hours, then a 100-event
+    // spike at hour 8 — a CONSTANT baseline would zero the spread and
+    // correctly null every z, so the jitter is what arms the detector
+    val base = Seq(9, 11, 10, 9, 11, 10, 9, 10)
+    val rows = base.zipWithIndex.flatMap { case (n, h) => (1 to n).map(_ => h) } ++
+      (1 to 100).map(_ => 8)
+    val df = rows.zipWithIndex.map { case (h, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2026-03-01 ${h}%02d:15:00"))
+    }.toDF("event_id", "ts")
+    val got = Events.rateAnomalies(df, "ts", trailing = 6, zThreshold = 3.0)
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getTimestamp(0).toString.substring(11, 13),
+        r.getLong(1), Option(r.get(3)), r.getBoolean(4)))
+    assert(got(0)._3.isEmpty && got(1)._3.isEmpty,
+      "under 2 trailing observations z is null")
+    assert(got.slice(2, 8).forall(t => t._3.nonEmpty && !t._4),
+      s"jittered baseline hours score but stay calm: ${got.slice(2, 8).toSeq}")
+    val spike = got.last
+    assert(spike._1 == "08" && spike._2 == 100L && spike._4,
+      s"the spike hour must flag: $spike")
+    // zero-spread guard: a constant series never divides by zero
+    val flat = (0 until 4).flatMap(h => (1 to 5).map(_ => h)).zipWithIndex
+      .map { case (h, i) => (i.toLong, java.sql.Timestamp.valueOf(f"2026-03-02 ${h}%02d:00:00")) }
+      .toDF("event_id", "ts")
+    val flatGot = Events.rateAnomalies(flat, "ts").collect()
+    assert(flatGot.forall(r => r.get(3) == null && !r.getBoolean(4)),
+      "zero trailing spread yields null z, never an engine div-by-zero")
+  }
 }
