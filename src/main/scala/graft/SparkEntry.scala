@@ -738,6 +738,18 @@ object SparkEntry {
       graft.ops.Multimodal.imageDupPairs(s, media).orderBy("id_a", "id_b")
     }),
 
+    // audio path end-to-end (rows-only: no SQL engine decodes RIFF/PCM):
+    // synthetic-but-REAL WAVs from doc ids → PCM16 decode → 8 kHz → 4 kHz
+    // linear resample; per-row resample outcomes are the checked rows
+    "m02_audio_resample" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticWavCorpus(s,
+        tPar(s, d, "documents").select("doc_id"), "doc_id")
+        .withColumn("kind", lit("wav"))
+      graft.ops.Multimodal.resampleAudio(s, media, targetRate = 4000)
+        .toDF().select("media_id", "kind", "resampled", "out_rate", "n_samples")
+        .orderBy("media_id")
+    }),
+
     // benchmark-contamination: eval split = doc_id % 50 == 0, 5-gram shingles
     "d08_contamination" -> ((s, d) =>
       Dedup.contamination(tPar(s, d, "documents"), "doc_id", "text",

@@ -650,6 +650,32 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** Deterministic DECODABLE PCM16 WAV corpus from ids — the audio twin of
+    * [[syntheticBmpCorpus]]: each id renders an id-keyed sine (220 Hz +
+    * id-dependent offset) plus seeded splitmix noise at `rate`, through the
+    * library's own [[encodeWav]], so the driver exercises
+    * encode → REAL RIFF/PCM16 decode → polyphase-free linear resample
+    * end-to-end on real waveform bytes. */
+  def syntheticWavCorpus(spark: SparkSession, ids: DataFrame, idCol: String,
+      rate: Int = 8000, nSamples: Int = 800): DataFrame = {
+    import spark.implicits._
+    require(rate > 0 && nSamples > 0, "need a positive rate and length")
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val samples = new Array[Float](nSamples)
+        val hz = 220.0 + (id % 16) * 20.0
+        var i = 0
+        while (i < nSamples) {
+          val noise = ((mix64(id * 0x9E3779B9L + i) & 0xffff) / 65536.0f - 0.5f) * 0.1f
+          samples(i) =
+            (0.5 * math.sin(2 * math.Pi * hz * i / rate)).toFloat + noise
+          i += 1
+        }
+        (id, encodeWav(rate, samples))
+      }
+    }.toDF("media_id", "bytes")
+  }
+
   /** Image near-dup candidate pairs over REAL decoded pixels: 64-bit dHash
     * per image (map-only decode), then Hamming band-blocking via the SAME
     * machinery as text SimHash ([[graft.ops.Dedup.hammingBandPairs]]) —

@@ -566,4 +566,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == withinGroup,
       s"expected exactly the 4-blocks' within-group pairs: got ${pairs.size}, want ${withinGroup.size}")
   }
+
+  test("synthetic WAV corpus: real decodable PCM16, deterministic, resamples clean (m02 fixture)") {
+    import spark.implicits._
+    val ids = (0L to 7L).toDF("doc_id")
+    val corpus = Multimodal.syntheticWavCorpus(spark, ids, "doc_id",
+      rate = 8000, nSamples = 800)
+    val rows = corpus.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows.size == 8)
+    // bytes are REAL RIFF/PCM16 the library's own decoder reads back
+    val (rate, samples) = Multimodal.decodeWav(rows(3L)).get
+    assert(rate == 8000 && samples.length == 800)
+    assert(samples.exists(v => math.abs(v) > 0.3), "a sine is present, not silence")
+    // deterministic: regeneration is byte-identical
+    val again = Multimodal.syntheticWavCorpus(spark, ids, "doc_id",
+      rate = 8000, nSamples = 800).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows.forall { case (id, b) => java.util.Arrays.equals(b, again(id)) })
+    // the m02 path: every row resamples to half the rate and length
+    val out = Multimodal.resampleAudio(spark,
+        corpus.withColumn("kind", org.apache.spark.sql.functions.lit("wav")), 4000)
+      .collect()
+    assert(out.length == 8 && out.forall(m =>
+      m.resampled && m.out_rate == 4000 && m.n_samples == 400))
+  }
 }
