@@ -750,6 +750,38 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // video path end-to-end (rows-only: no SQL engine decodes GIF frames):
+    // synthetic-but-REAL animated GIFs from doc ids → multi-frame decode →
+    // uniform 4-slot sampling with container-delay timestamps + per-frame
+    // dHash; per-frame outcomes are the checked rows
+    "m03_video_frames" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticGifCorpus(s,
+        tPar(s, d, "documents").select("doc_id"), "doc_id")
+      graft.ops.Multimodal.sampleVideoFrames(s, media, targetFrames = 4)
+        .toDF().select("media_id", "slot", "frame_idx", "ts_ms", "dhash", "status")
+        .orderBy("media_id", "slot")
+    }),
+
+    // video near-dup: temporally-aligned sampled-frame dHashes through the
+    // SAME Hamming band machinery as m01/d07 — within-4-block ids pair on
+    // all 4 slots (MultimodalSpec pins the exact pair set + slot counts)
+    "m04_video_dup_pairs" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticGifCorpus(s,
+        tPar(s, d, "documents").select("doc_id"), "doc_id")
+      graft.ops.Multimodal.videoDupPairs(s, media)
+        .orderBy("video_a", "video_b")
+    }),
+
+    // audio near-dup (rows-only: no SQL engine runs Goertzel over PCM):
+    // deterministic tone-ladder WAVs → REAL PCM16 decode → 65-band spectral
+    // sign fingerprint → the SAME Hamming band machinery as m01/m04 —
+    // within-4-block ids pair exactly (MultimodalSpec pins the pair set)
+    "m05_audio_dup_pairs" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticToneCorpus(s,
+        tPar(s, d, "documents").select("doc_id"), "doc_id")
+      graft.ops.Multimodal.audioDupPairs(s, media).orderBy("id_a", "id_b")
+    }),
+
     // benchmark-contamination: eval split = doc_id % 50 == 0, 5-gram shingles
     "d08_contamination" -> ((s, d) =>
       Dedup.contamination(tPar(s, d, "documents"), "doc_id", "text",

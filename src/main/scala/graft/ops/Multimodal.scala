@@ -1015,4 +1015,384 @@ object Multimodal {
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))))
       .select("media_id", "frame_ms")
+
+  // ------------------------------------------- video (multi-frame) pixel path
+
+  /** 256-entry grayscale palette — synthetic video frames are written as
+    * TYPE_BYTE_INDEXED against this fixed palette so the GIF writer never
+    * has to quantize: encode → decode round-trips gray values exactly. */
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Encode frames (top-down 0xRRGGBB rasters, equal dims) as a REAL
+    * animated GIF89a via the JDK's own sequence writer, with a per-frame
+    * GraphicControlExtension carrying `delayCs` (centiseconds — GIF's
+    * native tick). The output is a standard animation any GIF decoder
+    * plays; [[decodeVideoFrames]] reads the same bytes back including the
+    * per-frame delays. Rasters are palettized against the fixed gray ramp
+    * (videos here are luminance fixtures; dHash only reads luminance). */
+  def encodeGifAnimation(width: Int, height: Int, frames: Seq[Array[Int]],
+      delayCs: Int): Array[Byte] = {
+    require(imageIoReady && frames.nonEmpty && delayCs >= 0, "bad animation")
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { px =>
+        require(px.length == width * height, "raster/dims mismatch")
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var i = 0
+        while (i < px.length) {
+          // luminance of the RGB pixel → gray palette index
+          val r = (px(i) >>> 16) & 0xff; val g = (px(i) >>> 8) & 0xff; val b = px(i) & 0xff
+          raster.setSample(i % width, i / width, 0,
+            math.round(0.299f * r + 0.587f * g + 0.114f * b))
+          i += 1
+        }
+        val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+        val meta = writer.getDefaultImageMetadata(spec, writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+        val root = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        def node(name: String) = new javax.imageio.metadata.IIOMetadataNode(name)
+        // the default metadata carries NO LocalColorTable, so the sequence
+        // writer would fall back to the stream's default 216-color global
+        // palette and silently re-map every gray (measured: this round) —
+        // embed the exact gray ramp per frame. DTD child order is
+        // ImageDescriptor, LocalColorTable, GraphicControlExtension, …
+        Seq("LocalColorTable", "GraphicControlExtension").foreach { t =>
+          // IIOMetadataNode.getElementsByTagName returns a SNAPSHOT list —
+          // removing from it never shrinks getLength; detach each item
+          // from its own parent instead
+          val old = root.getElementsByTagName(t)
+          (0 until old.getLength).map(old.item).foreach { n =>
+            val p = n.getParentNode
+            if (p != null) p.removeChild(n)
+          }
+        }
+        val lct = node("LocalColorTable")
+        lct.setAttribute("sizeOfLocalColorTable", "256")
+        lct.setAttribute("sortFlag", "FALSE")
+        (0 until 256).foreach { v =>
+          val e = node("ColorTableEntry")
+          e.setAttribute("index", v.toString)
+          e.setAttribute("red", v.toString)
+          e.setAttribute("green", v.toString)
+          e.setAttribute("blue", v.toString)
+          lct.appendChild(e)
+        }
+        val gce = node("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", delayCs.toString)
+        val descs = root.getElementsByTagName("ImageDescriptor")
+        val anchor = if (descs.getLength > 0) descs.item(0).getNextSibling else null
+        root.insertBefore(lct, anchor)
+        root.insertBefore(gce, anchor)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** REAL multi-frame decode of an animated GIF: every frame is composited
+    * onto the running canvas at its ImageDescriptor offset (disposal "none"
+    * semantics — the common animation case; restore-to-background/previous
+    * are not honored), and each frame's GraphicControlExtension delay is
+    * returned in centiseconds (0 when absent). Canvas dims come from frame
+    * 0. Returns None for anything that is not a JDK-readable GIF. */
+  def decodeVideoFrames(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]], Seq[Int])] = {
+    if (bytes == null || bytes.length < 6 || !imageIoReady) return None
+    if (!(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        val canvas = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gfx = canvas.createGraphics()
+        val frames = Vector.newBuilder[Array[Int]]
+        val delays = Vector.newBuilder[Int]
+        var i = 0
+        while (i < n) {
+          val frame = reader.read(i)
+          var left = 0; var top = 0; var delayCs = 0
+          val meta = reader.getImageMetadata(i)
+          val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val desc = root.getElementsByTagName("ImageDescriptor")
+          if (desc.getLength > 0) {
+            val d = desc.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            left = d.getAttribute("imageLeftPosition").toInt
+            top = d.getAttribute("imageTopPosition").toInt
+          }
+          val gce = root.getElementsByTagName("GraphicControlExtension")
+          if (gce.getLength > 0)
+            delayCs = gce.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              .getAttribute("delayTime").toInt
+          gfx.drawImage(frame, left, top, null)
+          frames += canvas.getRGB(0, 0, w, h, null, 0, w).map(_ & 0xffffff)
+          delays += delayCs
+          i += 1
+        }
+        gfx.dispose()
+        Some((w, h, frames.result(), delays.result()))
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
+  final case class VideoFrame(media_id: Long, frame_idx: Int, slot: Int,
+      ts_ms: Long, width: Int, height: Int, dhash: Long, status: String)
+
+  /** Distributed uniform frame sampling over the binary video column: REAL
+    * multi-frame decode ([[decodeVideoFrames]]), then `targetFrames` evenly
+    * spaced frames per video (all frames when the video is shorter), each
+    * hashed with the SAME 64-bit dHash as the still-image path and stamped
+    * with its timestamp from the container's own per-frame delays. One row
+    * per sampled frame; undecodable payloads yield a single quarantine row
+    * (status = "undecodable") instead of failing the task — the multimodal
+    * per-row quarantine contract. Pixels never leave the task: only
+    * (id, slot, ts, 64-bit hash) rows exist downstream. */
+  def sampleVideoFrames(spark: SparkSession, media: DataFrame,
+      targetFrames: Int): Dataset[VideoFrame] = {
+    import spark.implicits._
+    require(targetFrames >= 1, "need targetFrames >= 1")
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeVideoFrames(bytes) match {
+            case Some((w, h, frames, delays)) =>
+              val n = frames.length
+              val startMs = delays.scanLeft(0L)((acc, d) => acc + d * 10L)
+              val take = math.min(targetFrames, n)
+              (0 until take).map { j =>
+                val idx = (j.toLong * n / take).toInt // strictly increasing for take <= n
+                val lum = luminance(frames(idx))
+                VideoFrame(id, idx, j, startMs(idx), w, h,
+                  dHashFromLum(w, h, lum), "ok")
+              }
+            case None =>
+              Seq(VideoFrame(id, -1, -1, -1L, -1, -1, 0L, "undecodable"))
+          }
+        }
+      }
+  }
+
+  /** Video near-dup pairs from temporally-aligned sampled frames: two
+    * videos are candidates when the SAME sample slot's dHashes fall within
+    * `maxHamming` bits, and a pair survives with ≥ `minMatchingSlots` such
+    * slots. Blocking reuses [[graft.ops.Dedup.hammingBandPairs]] verbatim —
+    * the frame key packs (video, slot) into one long (slot < 1024 by
+    * construction: slots are bounded by `targetFrames`), so the shuffle
+    * stays 16 bytes/row and per-slot alignment is a residual filter on the
+    * packed ids, never a second join. A re-encoded or lightly-edited copy
+    * matches on most slots; unrelated videos share none. */
+  def videoDupPairs(spark: SparkSession, media: DataFrame,
+      targetFrames: Int = 4, maxHamming: Int = 10,
+      bands: Int = 4, probeRadius: Int = 2,
+      minMatchingSlots: Int = 2): DataFrame = {
+    require(targetFrames >= 1 && targetFrames <= 1024, "slot packing needs targetFrames <= 1024")
+    require(minMatchingSlots >= 1 && minMatchingSlots <= targetFrames,
+      "minMatchingSlots must be within the sampled slot count")
+    val frames = sampleVideoFrames(spark, media, targetFrames)
+      .filter(col("status") === "ok")
+      .select((col("media_id") * 1024 + col("slot")).as("id"), col("dhash").as("hash"))
+    Dedup.hammingBandPairs(frames, bits = 64, maxHamming, bands, probeRadius)
+      .filter(pmod(col("id_a"), lit(1024)) === pmod(col("id_b"), lit(1024)))
+      .select((col("id_a") / 1024).cast("long").as("video_a"),
+        (col("id_b") / 1024).cast("long").as("video_b"))
+      .groupBy("video_a", "video_b")
+      .agg(count(lit(1)).as("matching_slots"))
+      .filter(col("matching_slots") >= minMatchingSlots)
+  }
+
+  /** Deterministic animated-GIF corpus from ids — the video member of the
+    * synthetic media trio ([[syntheticBmpCorpus]], [[syntheticWavCorpus]]):
+    * ids in one `groupSize` block share per-slot base rasters (splitmix
+    * seeded by (group, frame)), each non-base member whitening one
+    * member-distinct pixel per frame — every block is a near-dup cluster on
+    * EVERY sample slot, distinct blocks differ by ~32 dHash bits per slot.
+    * Encoded through the library's own [[encodeGifAnimation]] so the driver
+    * exercises encode → REAL multi-frame GIF decode → per-slot dHash →
+    * band join end-to-end on real animation bytes. */
+  def syntheticGifCorpus(spark: SparkSession, ids: DataFrame, idCol: String,
+      groupSize: Int = 4, side: Int = 16, nFrames: Int = 6,
+      delayCs: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(groupSize >= 1 && side >= 9 && nFrames >= 1, "bad corpus params")
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val group = id / groupSize
+        val member = (id % groupSize).toInt
+        val frames = (0 until nFrames).map { f =>
+          val px = new Array[Int](side * side)
+          var i = 0
+          while (i < px.length) {
+            val v = (mix64((group * 131 + f) * 0x10001L + i) & 0xff).toInt
+            px(i) = (v << 16) | (v << 8) | v
+            i += 1
+          }
+          if (member > 0) px(member) = 0xffffff
+          px
+        }
+        (id, encodeGifAnimation(side, side, frames, delayCs))
+      }
+    }.toDF("media_id", "bytes")
+  }
+
+  // ------------------------------------------------- audio fingerprint (m05)
+
+  /** Analysis window for [[audioFingerprint64]]: fixed 4096 samples, so the
+    * probe frequencies are exact DFT bins (integer k ⇒ ladder tones are
+    * orthogonal over the window — zero spectral leakage between probes). */
+  private val FpWindow = 4096
+
+  /** Probe-frequency ladder: 65 log-spaced INTEGER DFT bins between
+    * ~300 Hz and min(3000, 0.45·rate) Hz — the Haitsma–Kálmán band layout
+    * (ISMIR 2002, public) with bins instead of filterbanks, rounded up to
+    * strictly increasing so adjacent probes never coincide. */
+  private[ops] def fingerprintBins(rate: Int): Array[Int] = {
+    val kLo = math.max(1, math.ceil(300.0 * FpWindow / rate).toInt)
+    val kHi = math.min(FpWindow / 2 - 1,
+      math.floor(math.min(3000.0, 0.45 * rate) * FpWindow / rate).toInt)
+    require(kHi >= kLo + 64, s"rate $rate leaves <65 probe bins in [$kLo,$kHi]")
+    val bins = Array.tabulate(65)(j =>
+      math.round(kLo * math.pow(kHi.toDouble / kLo, j / 64.0)).toInt)
+    var j = 1
+    while (j < 65) { if (bins(j) <= bins(j - 1)) bins(j) = bins(j - 1) + 1; j += 1 }
+    bins
+  }
+
+  /** Goertzel energy at DFT bin `k` over the first `n` samples — O(n) per
+    * probe, no FFT dependency; n is capped by the caller at [[FpWindow]]. */
+  private def goertzelEnergy(samples: Array[Float], n: Int, k: Int): Double = {
+    val w = 2.0 * math.Pi * k / FpWindow
+    val cw = 2.0 * math.cos(w)
+    var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < n) {
+      val s0 = samples(i) + cw * s1 - s2
+      s2 = s1; s1 = s0
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - cw * s1 * s2
+  }
+
+  /** 64-bit audio fingerprint: Goertzel energies at the 65-bin probe ladder
+    * over the first [[FpWindow]] samples, bit j set when band j+1 carries
+    * more energy than band j — the sign-of-spectral-slope fingerprint
+    * (Haitsma–Kálmán), robust to uniform gain, re-encoding, and PCM16
+    * quantization because only energy ORDER matters. Same 64-bit contract
+    * as the image dHash, so blocking reuses the one Hamming band join. */
+  def audioFingerprint64(rate: Int, samples: Array[Float]): Long = {
+    val bins = fingerprintBins(rate)
+    val n = math.min(samples.length, FpWindow)
+    val e = bins.map(goertzelEnergy(samples, n, _))
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (e(j + 1) > e(j)) fp |= 1L << j; j += 1 }
+    fp
+  }
+
+  final case class AudioFp(media_id: Long, status: String, fp: Long)
+
+  /** Per-partition audio fingerprinting over the binary column — the
+    * [[perceptualHashes]] batch shape for sound: decode ([[decodeAudio]]:
+    * PCM16 fast path, JDK converters behind it), fingerprint, quarantine
+    * undecodable rows per-row. Map-only; waveforms never leave the task —
+    * only (media_id, 64-bit fp) rows exist downstream. */
+  def audioFingerprints(spark: SparkSession, media: DataFrame): Dataset[AudioFp] = {
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeAudio(bytes) match {
+            case Some((rate, samples)) if samples.nonEmpty && rate >= FpWindow / 6 =>
+              AudioFp(id, "ok", audioFingerprint64(rate, samples))
+            case _ => AudioFp(id, "undecodable", 0L)
+          }
+        }
+      }
+  }
+
+  /** Audio near-dup candidate pairs over REAL decoded waveforms: 64-bit
+    * spectral-sign fingerprint per clip, then the SAME Hamming band
+    * machinery as images (m01) and text SimHash (d07) —
+    * [[graft.ops.Dedup.hammingBandPairs]], 4×16-bit bands with radius-2
+    * probing (complete recall for hamming ≤ 11). A re-encoded, resampled,
+    * or gain-shifted copy keeps its energy ordering and lands within a few
+    * bits; unrelated audio differs in ~32. Shuffles carry 16 bytes/row. */
+  def audioDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 10, bands: Int = 4, probeRadius: Int = 2): DataFrame = {
+    val fps = audioFingerprints(spark, media)
+      .filter(col("status") === "ok")
+      .select(col("media_id").as("id"), col("fp").as("hash"))
+    Dedup.hammingBandPairs(fps, bits = 64, maxHamming, bands, probeRadius)
+  }
+
+  /** Deterministic tone-ladder WAV corpus — the audio near-dup fixture
+    * (the trio's [[syntheticBmpCorpus]] analog for m05): every id in a
+    * `groupSize` block synthesizes the SAME 65-tone mix, one tone per
+    * fingerprint probe bin with a group-seeded 64-level amplitude ladder
+    * (energy ORDER across adjacent bins ⇒ the fingerprint bits), plus a
+    * tiny id-seeded noise floor — so block members land within a few
+    * fingerprint bits (only exact amplitude ties flip) while distinct
+    * blocks differ in ~32. Tones sit ON the probe bins, so the synthesis
+    * is orthogonal to the analysis: each probe's energy is (N·a/2)² exactly
+    * and the pair structure is provable, not tuned. Encoded through the
+    * library's own [[encodeWav]] — the driver exercises synth → REAL
+    * PCM16 decode → Goertzel → band join end-to-end. */
+  def syntheticToneCorpus(spark: SparkSession, ids: DataFrame, idCol: String,
+      groupSize: Int = 4, rate: Int = 8000): DataFrame = {
+    import spark.implicits._
+    require(groupSize >= 1, "bad corpus params")
+    val bins = fingerprintBins(rate)
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      // the 65×4096 tone matrix is id-independent — synthesize it ONCE per
+      // partition (266k sins) instead of per clip (sin dominated the naive
+      // loop: ~13G transcendental calls across a 50k-doc fixture)
+      val tones = Array.tabulate(65, FpWindow)((j, i) =>
+        math.sin(2.0 * math.Pi * bins(j) * i / FpWindow))
+      it.map { id =>
+        val group = id / groupSize
+        // 64 amplitude levels, min adjacent-level energy gap far above the
+        // noise floor (ties at p=1/64 per adjacent pair are the only
+        // within-group bit flips)
+        val amps = Array.tabulate(65)(j =>
+          0.15 + 0.0125 * ((mix64(group * 131L + j) >>> 8) & 63L))
+        val scale = 0.8 / amps.sum
+        val samples = new Array[Float](FpWindow)
+        var i = 0
+        while (i < FpWindow) {
+          var acc = 0.0
+          var j = 0
+          while (j < 65) {
+            acc += amps(j) * tones(j)(i)
+            j += 1
+          }
+          val noise = ((mix64(id * 0x9E3779B9L + i) & 0xffff) / 65536.0 - 0.5) * 0.002
+          samples(i) = (acc * scale + noise).toFloat
+          i += 1
+        }
+        (id, encodeWav(rate, samples))
+      }
+    }.toDF("media_id", "bytes")
+  }
 }

@@ -590,4 +590,123 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 8 && out.forall(m =>
       m.resampled && m.out_rate == 4000 && m.n_samples == 400))
   }
+
+  test("GIF animation round-trip is real: frames, delays, and gray pixels survive encode→decode") {
+    val w = 12; val h = 10
+    val frames = (0 until 3).map { f =>
+      Array.tabulate(w * h) { i => val v = (i * 7 + f * 40) % 256; (v << 16) | (v << 8) | v }
+    }
+    val bytes = Multimodal.encodeGifAnimation(w, h, frames, delayCs = 25)
+    assert(bytes.take(6).map(_.toChar).mkString == "GIF89a")
+    val (dw, dh, decoded, delays) = Multimodal.decodeVideoFrames(bytes).get
+    assert(dw == w && dh == h && decoded.length == 3)
+    assert(delays == Seq(25, 25, 25))
+    // gray values are exact: the fixed 256-gray palette never quantizes
+    frames.indices.foreach { f =>
+      assert(decoded(f).sameElements(frames(f)), s"frame $f pixels changed")
+    }
+    // non-GIF payloads return None, never throw
+    assert(Multimodal.decodeVideoFrames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeVideoFrames(Multimodal.encodeWav(8000, Array(0.1f))).isEmpty)
+  }
+
+  test("video frame sampling: uniform slots, container-delay timestamps, per-row quarantine (m03)") {
+    import spark.implicits._
+    val good = Multimodal.encodeGifAnimation(16, 16,
+      (0 until 6).map(f => Array.fill(256)((f * 40 << 16) | (f * 40 << 8) | f * 40)), delayCs = 10)
+    val media = Seq((1L, good), (2L, Array[Byte](9, 9, 9))).toDF("media_id", "bytes")
+    val rows = Multimodal.sampleVideoFrames(spark, media, targetFrames = 4).collect()
+    val ok = rows.filter(_.status == "ok").sortBy(_.slot)
+    // 6 frames sampled at 4 slots → indices j*6/4 = 0,1,3,4; ts = idx*100ms
+    assert(ok.map(_.media_id).forall(_ == 1L))
+    assert(ok.map(f => (f.slot, f.frame_idx, f.ts_ms)).toSeq ==
+      Seq((0, 0, 0L), (1, 1, 100L), (2, 3, 300L), (3, 4, 400L)))
+    assert(ok.forall(f => f.width == 16 && f.height == 16))
+    val bad = rows.filter(_.status == "undecodable")
+    assert(bad.length == 1 && bad.head.media_id == 2L && bad.head.slot == -1)
+  }
+
+  test("synthetic GIF corpus: deterministic real animations; within-group videos pair on every slot (m04)") {
+    import spark.implicits._
+    val ids = (0L until 16L).toDF("doc_id")
+    val media = Multimodal.syntheticGifCorpus(spark, ids, "doc_id")
+    val rows = media.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows.size == 16)
+    // every payload is a REAL 6-frame animation the library decodes back
+    val (w, h, frames, delays) = Multimodal.decodeVideoFrames(rows(5L)).get
+    assert(w == 16 && h == 16 && frames.length == 6 && delays.forall(_ == 10))
+    // deterministic: regeneration is byte-identical
+    val again = Multimodal.syntheticGifCorpus(spark, ids, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows.forall { case (id, b) => java.util.Arrays.equals(b, again(id)) })
+    // near-dup structure: exactly the within-4-block pairs, matched on all 4 slots
+    val pairs = Multimodal.videoDupPairs(spark, media).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val withinGroup = (for {
+      a <- 0L until 16L; b <- (a + 1) until 16L; if a / 4 == b / 4
+    } yield (a, b)).toSet
+    assert(pairs.keySet == withinGroup,
+      s"expected exactly the 4-blocks' within-group pairs: got ${pairs.size}, want ${withinGroup.size}")
+    assert(pairs.values.forall(_ == 4L), "group members should match on every sampled slot")
+  }
+
+  test("audio fingerprint: gain-invariant, energy-order-driven, decode-robust") {
+    // a two-tone signal on probe bins: the louder tone's band must win its
+    // adjacent comparisons, and scaling every sample (gain) changes nothing
+    val bins = Multimodal.fingerprintBins(8000)
+    val n = 4096
+    def tone(k: Int, amp: Double) =
+      Array.tabulate(n)(i => (amp * math.sin(2 * math.Pi * k * i / n)).toFloat)
+    def mix(a: Array[Float], b: Array[Float]) =
+      Array.tabulate(n)(i => a(i) + b(i))
+    val loudLow = mix(tone(bins(10), 0.4), tone(bins(11), 0.1))
+    val fp1 = Multimodal.audioFingerprint64(8000, loudLow)
+    assert((fp1 & (1L << 10)) == 0L, "bit 10 clear: band 11 quieter than band 10")
+    val loudHigh = mix(tone(bins(10), 0.1), tone(bins(11), 0.4))
+    val fp2 = Multimodal.audioFingerprint64(8000, loudHigh)
+    assert((fp2 & (1L << 10)) != 0L, "bit 10 set: band 11 louder than band 10")
+    // gain-invariance and decode-robustness need every band POPULATED —
+    // empty bands compare quantization noise against quantization noise,
+    // which no fingerprint can stabilize (that's why the tone corpus fills
+    // the whole ladder): a full 65-tone signal with distinct amplitudes
+    val full = Array.tabulate(4096) { i =>
+      bins.zipWithIndex.map { case (k, j) =>
+        (0.003 + 0.0003 * ((j * 29) % 64)) * math.sin(2 * math.Pi * k * i / n)
+      }.sum.toFloat
+    }
+    val fpFull = Multimodal.audioFingerprint64(8000, full)
+    // uniform gain preserves every energy ORDER comparison
+    assert(Multimodal.audioFingerprint64(8000, full.map(_ * 0.5f)) == fpFull)
+    // the fingerprint survives the library's own encode→decode round trip
+    // (PCM16 quantization must not flip populated-band sign comparisons)
+    val decoded = Multimodal.decodeWav(Multimodal.encodeWav(8000, full)).get
+    assert(Multimodal.audioFingerprint64(8000, decoded._2) == fpFull)
+  }
+
+  test("synthetic tone corpus: real WAVs, deterministic; within-group audio pairs exactly (m05)") {
+    import spark.implicits._
+    val ids = (0L until 16L).toDF("doc_id")
+    val media = Multimodal.syntheticToneCorpus(spark, ids, "doc_id")
+    val rows = media.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows.size == 16)
+    // every payload is a REAL PCM16 WAV the library decodes back
+    val (rate, samples) = Multimodal.decodeWav(rows(7L)).get
+    assert(rate == 8000 && samples.length == 4096)
+    // deterministic: regeneration is byte-identical
+    val again = Multimodal.syntheticToneCorpus(spark, ids, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows.forall { case (id, b) => java.util.Arrays.equals(b, again(id)) })
+    // near-dup structure: exactly the within-4-block pairs
+    val withBad = media.unionByName(
+      Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "bytes"))
+    val fps = Multimodal.audioFingerprints(spark, withBad).collect()
+    assert(fps.count(_.status == "undecodable") == 1, "quarantine row for junk bytes")
+    val pairs = Multimodal.audioDupPairs(spark, withBad)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withinGroup = (for {
+      a <- 0L until 16L; b <- (a + 1) until 16L; if a / 4 == b / 4
+    } yield (a, b)).toSet
+    assert(pairs == withinGroup,
+      s"expected exactly the 4-blocks' within-group pairs: got ${pairs.size}, want ${withinGroup.size}")
+  }
 }
