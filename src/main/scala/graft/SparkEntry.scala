@@ -857,6 +857,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // quality-aware variant of d15: near-dup clusters keep their BEST copy
+    // (highest distinct-token count, ties → min id) instead of their
+    // oldest — the curation keep-rule. Same LSH/cluster plumbing; only the
+    // winner election differs (one max_by aggregate on the cluster key).
+    "d19_dedup_best" -> ((s, d) => {
+      val docs = tPar(s, d, "documents")
+      val cands = Dedup.lshCandidates(docs, "doc_id", "text")
+      val clusters = Dedup.dupClusters(s, cands)
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.distinctTokenCount(col("text")).as("q"))
+      Dedup.dedupByClustersBest(docs, "doc_id", clusters, scored, "q")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // LSH verify stage: candidates re-scored from their MinHash signatures
     // (no second shingle pass over the corpus — see Dedup scaladoc)
     "d12_lsh_verified" -> ((s, d) => {
@@ -1340,6 +1354,26 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.canonicalizeUrl(url).as("canonical_url"))
     }),
+
+    // Gopher quality rules, fixture-scaled so every data-driven flag varies
+    // on the test corpus (word counts span 10–99, mean word length
+    // 3.7–5.3, stopword hits 0–14; production uses the paper's 50–100k /
+    // 3–10 / ≥0.8 / ≥2 web defaults). The alpha rule is constant-true here
+    // (the fixture vocabulary is all-alpha) — its behavior is pinned in
+    // TextAnalysisSpec with digit-bearing docs instead.
+    "t19_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(t(s, d, "documents"), "doc_id", "text",
+        minWords = 30, maxWords = 90,
+        minMeanWordLen = 4.0, maxMeanWordLen = 4.9,
+        minAlphaFrac = 0.8, minStopwords = 2,
+        stopwords = Seq("the", "a", "of", "and", "is"))),
+
+    // compression-ratio quality signal (engine-only: DuckDB ships no
+    // deflate) — rows-only check; the spec pins exact DEFLATE lengths and
+    // compressibility orderings on known strings
+    "t20_compression_ratio" -> ((s, d) =>
+      TextAnalysis.compressionSignals(s, t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // DSIR importance weights with the en-language slice as the target
     // domain: log p_target/p_raw summed over token occurrences — the
@@ -2374,6 +2408,39 @@ object SparkEntry {
         |LEFT JOIN drops x ON d.doc_id = x.id
         |WHERE x.id IS NULL""".stripMargin,
 
+    // d15's pair/cluster CTEs verbatim; only the keep-rule differs — the
+    // highest distinct-token member wins its cluster (ties → min id)
+    "d19_dedup_best" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 4294967311 AS hh FROM sh),
+        |mh AS (SELECT doc_id, i, MIN(((101 + 37*i) * hh + 12345 + 789*i) % 4294967311) AS mh
+        |  FROM h CROSS JOIN range(0, 16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, i // 4 AS band,
+        |  string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig FROM mh GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, r) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.r
+        |),
+        |clusters AS (SELECT id, LEAST(id, MIN(r)) AS cluster FROM walk GROUP BY id),
+        |q AS (SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS q FROM documents),
+        |keeps AS (SELECT cluster, keep_id FROM (
+        |  SELECT c.cluster, c.id AS keep_id,
+        |    ROW_NUMBER() OVER (PARTITION BY c.cluster ORDER BY q.q DESC, c.id ASC) AS rk
+        |  FROM clusters c JOIN q ON q.doc_id = c.id) WHERE rk = 1),
+        |drops AS (SELECT c.id FROM clusters c JOIN keeps k
+        |  ON k.cluster = c.cluster AND c.id <> k.keep_id)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+        |LEFT JOIN drops x ON d.doc_id = x.id
+        |WHERE x.id IS NULL""".stripMargin,
+
     "s04_stratified_sample" ->
       """SELECT vec_id, label FROM (
         |  SELECT vec_id, label,
@@ -2890,6 +2957,29 @@ object SparkEntry {
     // same messy URLs, same pass order (lowercase authority → default
     // ports → fragment → tracking params global → dangling separator);
     // backreferences are \1 in DuckDB, $1 in Spark — same RE2 semantics
+    "t19_gopher_rules" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  list_sum(list_transform(string_split(text, ' '), x -> length(x)))::DOUBLE
+        |    / len(string_split(text, ' ')) AS mean_word_len,
+        |  len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '^[A-Za-z]+$')))::DOUBLE
+        |    / len(string_split(text, ' ')) AS alpha_frac,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is'))) AS n_stopwords
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(n_words AS INT) AS n_words,
+        | ROUND(mean_word_len, 4) AS mean_word_len,
+        | ROUND(alpha_frac, 4) AS alpha_frac,
+        | CAST(n_stopwords AS INT) AS n_stopwords,
+        | (n_words >= 30 AND n_words <= 90) AS ok_word_count,
+        | (mean_word_len >= 4.0 AND mean_word_len <= 4.9) AS ok_mean_word_len,
+        | (alpha_frac >= 0.8) AS ok_alpha,
+        | (n_stopwords >= 2) AS ok_stopwords,
+        | (n_words >= 30 AND n_words <= 90
+        |  AND mean_word_len >= 4.0 AND mean_word_len <= 4.9
+        |  AND alpha_frac >= 0.8 AND n_stopwords >= 2) AS pass_gopher
+        |FROM s""".stripMargin,
+
     "t18_url_canonical" ->
       """WITH x AS (SELECT doc_id,
         |  'HTTPS://Example' || (doc_id % 3) || '.COM:443/Path/' || doc_id

@@ -529,6 +529,32 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware cluster representative: keep the member with the HIGHEST
+    * `score` per duplicate cluster (ties → smallest id), instead of
+    * [[dedupByClusters]]'s blind min-id rule — the curation posture where
+    * near-dup groups keep their best-quality copy (longest, cleanest,
+    * highest classifier score), not their oldest. `scored` must carry
+    * (`idCol`, `scoreCol`) for at least every clustered id; rows absent
+    * from `clusters` survive untouched. The winner election is ONE
+    * max_by aggregation on the cluster key — the same map-side-combining
+    * shape as [[graft.ops.TextAnalysis.paragraphDedup]]'s election, no
+    * window, no second pass over the corpus; only cluster members (a
+    * post-blocking sliver of the corpus) enter the shuffle. */
+  def dedupByClustersBest(df: DataFrame, idCol: String, clusters: DataFrame,
+      scored: DataFrame, scoreCol: String): DataFrame = {
+    val members = clusters.join(
+      scored.select(col(idCol).cast("long").as("id"), col(scoreCol).as("_score")),
+      Seq("id"))
+    // max_by on (score, -id): the struct comparison makes the tie-break
+    // part of the same aggregate — one shuffle on cluster, no window sort
+    val keep = members.groupBy("cluster")
+      .agg(max_by(col("id"), struct(col("_score"), -col("id"))).as("keep_id"))
+    val drop = members.join(keep,
+        members("cluster") === keep("cluster") && col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark-contamination check: for each eval-split document, the
     * fraction of its distinct k-gram shingles that appear ANYWHERE in the
     * train split. The train side collapses to distinct 60-bit shingle hashes

@@ -594,6 +594,79 @@ object TextAnalysis {
             / greatest(col("_totr"), lit(1.0))))), 4).as("log_ratio"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, appendix A —
+    * public): per-document boolean flags plus the composite gate, so a
+    * curation pipeline can either filter on `pass_gopher` or audit WHICH
+    * rule rejected each document (the flags are the audit). Thresholds are
+    * parameters; the paper's web-text defaults (50–100k words, mean word
+    * length 3–10, ≥80% alphabetic words, ≥2 stop words) are the defaults
+    * here, and the driver entry fixture-scales them so every flag actually
+    * varies on the test corpus. One tokenization feeds every rule; all
+    * rules are codegen'd higher-order column expressions — map-only, no
+    * shuffle, no UDFs, so the gate composes into any scan. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopwords: Int = 2,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords, "bad word-count bounds")
+    val toks = split(col(textCol), " ")
+    val nWords = org.apache.spark.sql.functions.size(toks)
+    val meanLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / nWords
+    val alphaFrac = org.apache.spark.sql.functions
+      .size(filter(toks, x => x.rlike("^[A-Za-z]+$"))).cast("double") / nWords
+    val nStop = org.apache.spark.sql.functions
+      .size(filter(toks, x => x.isin(stopwords: _*)))
+    val okWords = nWords >= minWords && nWords <= maxWords
+    val okMean = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
+    val okAlpha = alphaFrac >= minAlphaFrac
+    val okStop = nStop >= minStopwords
+    df.select(col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      nStop.as("n_stopwords"),
+      okWords.as("ok_word_count"),
+      okMean.as("ok_mean_word_len"),
+      okAlpha.as("ok_alpha"),
+      okStop.as("ok_stopwords"),
+      (okWords && okMean && okAlpha && okStop).as("pass_gopher"))
+  }
+
+  /** Compression-ratio quality signal (the RefinedWeb/Gopher-family
+    * "too compressible = boilerplate, too incompressible = noise" gate):
+    * DEFLATE each document's UTF-8 bytes and report the compressed/raw
+    * ratio. Runs in mapPartitions with ONE Deflater per partition (reset
+    * between rows — allocation, not compression, dominates small docs),
+    * so the operator is map-only and shuffles nothing; downstream gates
+    * filter on the ratio column. Deterministic: DEFLATE level 6 output is
+    * fixed for fixed input in the JDK's zlib. Engine-only (no SQL oracle —
+    * DuckDB ships no deflate); the spec pins known-compressibility
+    * orderings and exact round-trip lengths instead. */
+  def compressionSignals(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = Option(text).getOrElse("").getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          val ratio = if (raw.length > 0) n.toDouble / raw.length else 1.0
+          (id, raw.length.toLong, n, math.rint(ratio * 1e6) / 1e6)
+        }
+      }
+      .toDF(idCol, "n_raw_bytes", "n_deflate_bytes", "deflate_ratio")
+  }
+
   /** Context-window chunking for training-data prep: fixed `size`-token
     * chunks with `overlap` tokens shared between neighbors. Chunk starts
     * advance by `size − overlap`; the start sequence is capped so no chunk

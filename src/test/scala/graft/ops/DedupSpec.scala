@@ -629,4 +629,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     Dedup.writeSignatureStore(spark, corpus, "doc_id", "text", name)
     assert(hits() == Set(1L, 2L), "stale tombstones must not outlive a rebuild")
   }
+
+  test("dedupByClustersBest: highest score survives, ties break to min id, unclustered rows untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"),   // cluster 1: scores 5, 9, 9 → 2 wins (tie 2<3)
+      (10L, "d"), (11L, "e"),            // cluster 10: scores 1, 7 → 11 wins (not min id!)
+      (42L, "f"))                        // never paired → survives
+      .toDF("doc_id", "text")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)).toDF("id", "cluster")
+    val scored = Seq(
+      (1L, 5), (2L, 9), (3L, 9), (10L, 1), (11L, 7), (42L, 0)).toDF("doc_id", "q")
+    val kept = Dedup.dedupByClustersBest(docs, "doc_id", clusters, scored, "q")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 11L, 42L))
+    // contrast with the blind min-id rule: cluster 10 would keep 10, not 11
+    val blind = Dedup.dedupByClusters(docs, "doc_id", clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(blind == Set(1L, 10L, 42L))
+  }
 }

@@ -189,4 +189,54 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L)._4 == 0.0, "empty doc scores 0, not NaN")
   }
 
+  test("gopherRules: each rule flags independently; composite gate is their AND") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat of the mat and it was warm here"), // 11 words, all pass
+      (2L, "the of"),                                      // too few words
+      (3L, "a b c d e f g h i j"),                         // mean word len 1 < 3
+      (4L, "one document that has x9 digit77 tokens the of and here"), // alpha frac 9/11 < 0.9
+      (5L, "plain words without stop matches whatsoever today")) // 0 stopwords
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(df, "doc_id", "text",
+        minWords = 5, maxWords = 20, minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+        minAlphaFrac = 0.9, minStopwords = 2,
+        stopwords = Seq("the", "a", "of", "and", "is"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9)))).toMap
+    assert(got(1L) == ((true, true, true, true, true)))
+    assert(got(2L) == ((false, true, true, true, false)), "word-count rule rejects")
+    assert(got(3L) == ((true, false, true, false, false)), "mean-word-length rule rejects")
+    assert(got(4L) == ((true, true, false, true, false)), "alpha-fraction rule rejects")
+    assert(got(5L) == ((true, true, true, false, false)), "stopword rule rejects")
+    // the numeric audit columns carry the evidence for each decision
+    val row4 = TextAnalysis.gopherRules(df, "doc_id", "text",
+        minAlphaFrac = 0.9, stopwords = Seq("the", "a", "of", "and", "is"))
+      .filter($"doc_id" === 4L).collect().head
+    assert(row4.getInt(1) == 11 && row4.getDouble(3) == math.rint(9.0 / 11 * 1e4) / 1e4)
+  }
+
+  test("compressionSignals: boilerplate compresses, exact lengths are deterministic") {
+    import spark.implicits._
+    val boiler = "spam ham " * 200
+    val varied = (0 until 400).map(i => (i * 2654435761L).toHexString).mkString(" ")
+    val df = Seq((1L, boiler), (2L, varied), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionSignals(spark, df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // raw lengths are the UTF-8 byte counts
+    assert(got(1L)._1 == boiler.getBytes("UTF-8").length)
+    // repeated boilerplate compresses an order of magnitude harder
+    assert(got(1L)._3 < 0.05, s"boilerplate ratio ${got(1L)._3}")
+    assert(got(2L)._3 > 5 * got(1L)._3, "varied text is less compressible")
+    assert(got(3L) == ((0L, got(3L)._2, 1.0)), "empty doc pins ratio 1.0")
+    // deterministic: the exact deflate byte count matches an independent run
+    val d = new java.util.zip.Deflater(6, false)
+    d.setInput(boiler.getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](1 << 16)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    assert(got(1L)._2 == n)
+  }
+
 }
