@@ -885,6 +885,19 @@ object SparkEntry {
     "s01_cosine_knn" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", queryId = 0, k = 5)),
 
+    // maximum-inner-product top-k (magnitude-aware retrieval/recsys
+    // scoring) — exact baseline via the codegen'd dot_product expression
+    "s21_mips" -> ((s, d) =>
+      Similarity.mipsTopK(t(s, d, "embeddings"), "vec_id", "embedding", queryId = 3, k = 5)),
+
+    // the MIPS→cosine reduction driven end-to-end: augmented corpus, LSH
+    // bucket blocking at FULL probe radius (= every bucket — the d02-style
+    // correctness-twin posture), exact inner-product re-score. Must equal
+    // s21 row-for-row; the approximate radius-1 path is spec-pinned.
+    "s22_mips_lsh" -> ((s, d) =>
+      Similarity.mipsTopKLsh(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 3, k = 5, bits = 4, probeRadius = 4)),
+
     "s02_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", "label", queryId = 7, k = 5)),
 
@@ -2774,6 +2787,24 @@ object SparkEntry {
         |   / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * q.qn), 4) AS cosine
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cosine DESC, id LIMIT 5""".stripMargin,
+
+    "s21_mips" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3)
+        |SELECT vec_id AS id,
+        |  ROUND(list_sum(list_transform(list_zip(embedding, q.qv),
+        |     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS ip
+        |FROM embeddings, q WHERE vec_id <> 3
+        |ORDER BY ip DESC, id LIMIT 5""".stripMargin,
+
+    // full-radius probing covers every bucket, so the reduction path must
+    // reproduce the exact MIPS answer — same twin as s21
+    "s22_mips_lsh" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3)
+        |SELECT vec_id AS id,
+        |  ROUND(list_sum(list_transform(list_zip(embedding, q.qv),
+        |     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS ip
+        |FROM embeddings, q WHERE vec_id <> 3
+        |ORDER BY ip DESC, id LIMIT 5""".stripMargin,
 
     "s02_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qv, label AS ql,

@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *     can run inside codegen'd projections during distributed ingest.
   *
   * Registered on a session via [[GraftExtensions]] (SQL names
-  * `cosine_similarity`, `uid_base36`).
+  * `cosine_similarity`, `dot_product`, `uid_base36`).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -88,6 +88,70 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codegen'd Σ aᵢ·bᵢ — [[CosineSimilarity]]'s unnormalized sibling, for
+  * inner-product scoring (MIPS). Same contracts: float/double arrays,
+  * double accumulation in array order, NULL on length mismatch or null
+  * elements (matching `aggregate(zip_with(...))`, which this replaces in
+  * the hot path — HOF lambdas evaluate expression trees per ELEMENT). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects float/double arrays, got ${left.dataType} / ${right.dataType}")
+  }
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  private def isDoubleArr(e: Expression) =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var dot = 0.0; var i = 0
+    val xd = isDoubleArr(left); val yd = isDoubleArr(right)
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      dot += xi * yi; i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val getX = if (isDoubleArr(left)) s"$x.getDouble($i)" else s"(double)$x.getFloat($i)"
+      val getY = if (isDoubleArr(right)) s"$y.getDouble($i)" else s"(double)$y.getFloat($i)"
+      s"""
+         |if ($x.numElements() != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += $getX * $getY;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** 25-char base-36 random uid (uppercase, 36^25 ≈ 8.1e38 space). Marked
   * non-deterministic: never folded, re-evaluated per row. CodegenFallback is
   * deliberate — id generation is not a hot inner loop, and fallback keeps the
@@ -131,6 +195,9 @@ object GraftExtensions {
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier("uid_base36"),
       new ExpressionInfo(classOf[Base36Uid].getName, "uid_base36"),
       (_: Seq[Expression]) => Base36Uid()))

@@ -71,6 +71,88 @@ object Similarity {
       .limit(k)
   }
 
+  /** Codegen'd Σ aᵢ·bᵢ ([[graft.functions.DotProduct]]) — same rationale
+    * as the fused cosine: the HOF fold interprets per element. */
+  private def dotFast(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
+  /** Exact maximum-inner-product top-k (MIPS) against one query vector —
+    * the recommendation/retrieval scoring where magnitude MATTERS (user·item
+    * affinity, unnormalized retrieval logits), so cosine top-k is the wrong
+    * operator. Same physical shape as [[bruteForceTopK]]: broadcast the one
+    * query row, one corpus scan, TakeOrderedAndProject — the corpus never
+    * shuffles. */
+  def mipsTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, roundTo: Int = 4): DataFrame = {
+    ensureExprs(df)
+    val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    df.filter(col(idCol) =!= queryId)
+      .join(broadcast(q))
+      .select(col(idCol).as("id"),
+        round(dotFast(col(vecCol), col("qv")), roundTo).as("ip"))
+      .orderBy(col("ip").desc, col("id"))
+      .limit(k)
+  }
+
+  /** The MIPS→cosine reduction (Bachrach et al., RecSys 2014 — public):
+    * append sqrt(M² − ‖x‖²) to every corpus vector, where M = max corpus
+    * norm. Every augmented vector then has norm EXACTLY M, so for a query
+    * augmented with 0, cosine([q;0], [x;√(M²−‖x‖²)]) = ⟨q,x⟩/(‖q‖·M) —
+    * monotone in the inner product. That turns EVERY cosine ANN structure
+    * in this module (LSH buckets, IVF, PQ) into a MIPS index with zero new
+    * machinery. One aggregation computes M (a 1-row broadcast); the
+    * augmentation itself is a map-only projection. Returns
+    * (`idCol`, `vecCol` augmented, max_norm). */
+  def mipsAugment(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val withNorm = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("_n"))
+    val m = withNorm.agg(max(col("_n")).as("max_norm"))
+    withNorm.join(broadcast(m))
+      // greatest(…, 0): FP can push M² − ‖x‖² a hair negative for the max row
+      .select(col(idCol),
+        concat(col(vecCol),
+          array(sqrt(greatest(col("max_norm") * col("max_norm")
+            - col("_n") * col("_n"), lit(0.0))).cast("float"))).as(vecCol),
+        col("max_norm"))
+  }
+
+  /** MIPS through the reduction at scale: LSH-bucket the AUGMENTED corpus,
+    * probe the query's bucket (plus `probeRadius` flipped-bit neighbors —
+    * [[probeMasks]]), then re-score the shortlist by EXACT inner product on
+    * the ORIGINAL vectors (shortlist-refine, the s18 posture: ranking never
+    * trusts the blocking). The query augments with 0, so its bucket uses
+    * the same d+1-dim planes. Full radius (= bits) probes every bucket —
+    * the spec pins that case ≡ [[mipsTopK]] exactly. */
+  def mipsTopKLsh(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, bits: Int = 4, probeRadius: Int = 1,
+      roundTo: Int = 4): DataFrame = {
+    require(bits >= 1 && probeRadius >= 0 && probeRadius <= bits,
+      s"radius $probeRadius outside [0, $bits]")
+    ensureExprs(df)
+    val aug = mipsAugment(df, idCol, vecCol)
+    val dim = probeDim(aug, vecCol)
+    val bucketOf: Column => Column =
+      v => dim.map(lshBucket(v, bits, _)).getOrElse(lshBucket(v, bits))
+    val corpus = aug.select(col(idCol).as("id"), bucketOf(col(vecCol)).as("_b"))
+    // query augments with 0 (directly from df — no need to re-derive the
+    // corpus augmentation); bucket computed ONCE, probes XOR the COLUMN —
+    // inlining the dim-unrolled bucket per mask multiplies a ~10³-node
+    // expression by 2^probe and stalls codegen (measured: this round)
+    val qAug = df.filter(col(idCol) === queryId)
+      .select(concat(col(vecCol), array(lit(0.0f))).as("qv"))
+      .select(bucketOf(col("qv")).as("_qb0"))
+      .select(explode(array(probeMasks(bits, probeRadius).map(m =>
+        col("_qb0").bitwiseXOR(lit(m))): _*)).as("_b"))
+    val shortlist = corpus.join(broadcast(qAug), Seq("_b"))
+      .filter(col("id") =!= queryId).select("id")
+    val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    df.join(shortlist, df(idCol) === shortlist("id"), "left_semi")
+      .join(broadcast(q))
+      .select(col(idCol).as("id"),
+        round(dotFast(col(vecCol), col("qv")), roundTo).as("ip"))
+      .orderBy(col("ip").desc, col("id"))
+      .limit(k)
+  }
+
   /** Exact batched cosine top-k — the recall baseline for every ANN path:
     * one broadcast of the query set, ONE full corpus scan regardless of how
     * many queries ride it, per-query window top-k (partition = query id,

@@ -35,6 +35,26 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(out.isNullAt(0), "zero-norm vector yields NULL, not NaN")
   }
 
+  test("dot_product expression ≡ column-fold form, through codegen; null on mismatch") {
+    init
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f), Array(3.0f, 5.0f, 0.5f)),
+      (2L, Array(-1.5f, 0.25f), Array(4.0f, 8.0f)),
+      (3L, Array(0.0f, 0.0f), Array(1.0f, 1.0f))   // zero vector: ip 0, NOT null
+    ).toDF("id", "a", "b")
+    val e = df.select(col("id"), expr("dot_product(a, b)").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val f = df.select(col("id"),
+        graft.ops.Similarity.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    e.foreach { case (k, v) => assert(v == f(k), s"id $k: $v != ${f(k)}") }
+    assert(e(1L) == 4.0 && e(2L) == -4.0 && e(3L) == 0.0)
+    val mismatch = Seq((1L, Array(1.0f), Array(1.0f, 2.0f))).toDF("id", "a", "b")
+      .select(expr("dot_product(a, b)").as("d")).head()
+    assert(mismatch.isNullAt(0), "length mismatch yields NULL")
+  }
+
   test("uid_base36 generates well-formed distinct ids per row") {
     init
     val df = spark.range(1000).select(expr("uid_base36()").as("uid"))

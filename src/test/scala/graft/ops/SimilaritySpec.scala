@@ -492,4 +492,63 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(topk(live2) == direct, "compaction changes the files, never the answer")
     assert(!Similarity.compactVectorIndex(spark, name), "no tombstones → no-op")
   }
+
+  test("mipsTopK ranks by inner product where cosine would rank differently") {
+    import spark.implicits._
+    // id 1 points EXACTLY at the query but is short (cosine 1, ip 0.5);
+    // id 2 is off-axis but long (cosine ~0.89, ip 4.0) — MIPS must prefer 2
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),           // query
+      (1L, Array(0.5f, 0.0f)),
+      (2L, Array(4.0f, 2.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val mips = Similarity.mipsTopK(df, "vec_id", "embedding", queryId = 0, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(mips.toSeq == Seq((2L, 4.0), (1L, 0.5), (3L, -1.0)))
+    val cos = Similarity.bruteForceTopK(df, "vec_id", "embedding", queryId = 0, k = 1)
+      .collect().head.getLong(0)
+    assert(cos == 1L, "cosine prefers the aligned short vector — the orders differ")
+  }
+
+  test("mipsAugment: every augmented norm equals the max norm; reduction preserves IP order") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.5f, 0.0f)),
+      (2L, Array(4.0f, 2.0f)), (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val aug = Similarity.mipsAugment(df, "vec_id", "embedding")
+    val rows = aug.select(col("vec_id"),
+        Similarity.norm(col("embedding")).as("n"), col("max_norm"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val m = rows.head._3
+    assert(rows.forall { case (_, n, mn) => mn == m && math.abs(n - m) < 1e-6 },
+      "the augmentation equalizes every corpus norm to M")
+    assert(aug.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .collect().forall(_.getInt(0) == 3), "one appended component")
+    // cosine rank over augmented corpus vs [q;0] == inner-product rank
+    val q = Seq((99L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val viaCos = Similarity.bruteForceTopKBatch(
+        aug.select(col("vec_id"), col("embedding")), q, "vec_id", "embedding", k = 4)
+      .orderBy(col("cosine").desc).collect().map(_.getLong(1)).toSeq
+    assert(viaCos == Seq(2L, 0L, 1L, 3L), "augmented-cosine order = IP order")
+  }
+
+  test("mipsTopKLsh: full probe ≡ exact; narrow probe returns exactly-scored subset") {
+    import spark.implicits._
+    val df = (0L until 24L).map(i =>
+      (i, Array((math.cos(i * 0.7) * (1 + i % 5)).toFloat,
+        (math.sin(i * 0.7) * (1 + (i / 2) % 3)).toFloat))).toDF("vec_id", "embedding")
+    val exact = Similarity.mipsTopK(df, "vec_id", "embedding", queryId = 5, k = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.mipsTopKLsh(df, "vec_id", "embedding", queryId = 5,
+        k = 6, bits = 4, probeRadius = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact, "probing every bucket reproduces the exact MIPS answer")
+    val narrow = Similarity.mipsTopKLsh(df, "vec_id", "embedding", queryId = 5,
+        k = 6, bits = 4, probeRadius = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exactScores = exact.toMap
+    assert(narrow.nonEmpty && narrow.forall { case (id, ip) =>
+      !exactScores.contains(id) || exactScores(id) == ip },
+      "shortlist re-scores are the EXACT inner products, never bucket artifacts")
+  }
 }
