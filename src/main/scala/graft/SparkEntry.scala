@@ -1368,6 +1368,10 @@ object SparkEntry {
         TextAnalysis.canonicalizeUrl(url).as("canonical_url"))
     }),
 
+    // order-2 perplexity signal: self-trained Laplace bigram model
+    "t21_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(t(s, d, "documents"), "doc_id", "text")),
+
     // Gopher quality rules, fixture-scaled so every data-driven flag varies
     // on the test corpus (word counts span 10–99, mean word length
     // 3.7–5.3, stopword hits 0–14; production uses the paper's 50–100k /
@@ -1544,6 +1548,30 @@ object SparkEntry {
         .select("doc_id")
       TextAnalysis.packBins(scrubbed.join(kept, "doc_id"),
           "lang", "doc_id", "clean_text", budget = 128)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_tokens")).cast("long").as("bin_tokens"))
+    }),
+
+    // curation v2 — this round's operators composed end-to-end: Gopher
+    // rule gate (t19 thresholds) → near-dup clusters keep their BEST copy
+    // (d19 keep-rule) → 128-token packing. Rule flags, clustering, and the
+    // winner election all run over the GATED corpus only.
+    "p03_curation_v2" -> ((s, d) => {
+      val docs = tPar(s, d, "documents")
+      val gate = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = 30, maxWords = 90,
+          minMeanWordLen = 4.0, maxMeanWordLen = 4.9,
+          minAlphaFrac = 0.8, minStopwords = 2,
+          stopwords = Seq("the", "a", "of", "and", "is"))
+        .filter(col("pass_gopher")).select("doc_id")
+      val gated = docs.join(gate, "doc_id")
+      val clusters = Dedup.dupClusters(s,
+        Dedup.lshCandidates(gated, "doc_id", "text"))
+      val scored = gated.select(col("doc_id"),
+        TextAnalysis.distinctTokenCount(col("text")).as("q"))
+      val kept = Dedup.dedupByClustersBest(gated, "doc_id", clusters, scored, "q")
+      TextAnalysis.packBins(kept, "lang", "doc_id", "text", budget = 128)
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_tokens")).cast("long").as("bin_tokens"))
@@ -2988,6 +3016,22 @@ object SparkEntry {
     // same messy URLs, same pass order (lowercase authority → default
     // ports → fragment → tracking params global → dangling separator);
     // backreferences are \1 in DuckDB, $1 in Spark — same RE2 semantics
+    "t21_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg0 AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS b
+        |  FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2 FROM bg0),
+        |m AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, SUM(c12) AS c1 FROM m GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS bigrams,
+        |  ROUND(SUM(n * -LN((COALESCE(c12, 0) + 1.0) / (COALESCE(c1, 0) + v))) / SUM(n), 4)
+        |    AS avg_neg_logp
+        |FROM dbg LEFT JOIN m USING (w1, w2) LEFT JOIN ctx USING (w1)
+        |CROSS JOIN v GROUP BY doc_id""".stripMargin,
+
     "t19_gopher_rules" ->
       """WITH s AS (SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_words,
@@ -3302,6 +3346,56 @@ object SparkEntry {
         |keep AS (SELECT doc_id FROM sc CROSS JOIN mn WHERE score <= mean),
         |x AS (SELECT lang, s.doc_id, len(string_split(clean_text, ' ')) AS ntoks
         |  FROM scrub s JOIN keep ON keep.doc_id = s.doc_id),
+        |cum AS (SELECT lang, doc_id, ntoks,
+        |  COALESCE(SUM(ntoks) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cm
+        |  FROM x)
+        |SELECT lang, CAST(FLOOR(cm / 128.0) AS INT) AS bin,
+        | COUNT(*) AS n_docs, CAST(SUM(ntoks) AS BIGINT) AS bin_tokens
+        |FROM cum GROUP BY 1, 2""".stripMargin,
+
+    // t19's gate CTEs + d19's pair/cluster/keep CTEs (over the gated set)
+    // + p02's packing tail — the composed twin
+    "p03_curation_v2" ->
+      """WITH RECURSIVE
+        |g0 AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  list_sum(list_transform(string_split(text, ' '), x -> length(x)))::DOUBLE
+        |    / len(string_split(text, ' ')) AS mwl,
+        |  len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '^[A-Za-z]+$')))::DOUBLE
+        |    / len(string_split(text, ' ')) AS af,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is'))) AS ns
+        | FROM documents),
+        |gated AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN g0 USING (doc_id)
+        |  WHERE n_words >= 30 AND n_words <= 90 AND mwl >= 4.0 AND mwl <= 4.9
+        |    AND af >= 0.8 AND ns >= 2),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM gated),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 4294967311 AS hh FROM sh),
+        |mh AS (SELECT doc_id, i, MIN(((101 + 37*i) * hh + 12345 + 789*i) % 4294967311) AS mh
+        |  FROM h CROSS JOIN range(0, 16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, i // 4 AS band,
+        |  string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig FROM mh GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, r) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.r
+        |),
+        |clusters AS (SELECT id, LEAST(id, MIN(r)) AS cluster FROM walk GROUP BY id),
+        |q AS (SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS q FROM gated),
+        |keeps AS (SELECT cluster, keep_id FROM (
+        |  SELECT c.cluster, c.id AS keep_id,
+        |    ROW_NUMBER() OVER (PARTITION BY c.cluster ORDER BY q.q DESC, c.id ASC) AS rk
+        |  FROM clusters c JOIN q ON q.doc_id = c.id) WHERE rk = 1),
+        |drops AS (SELECT c.id FROM clusters c JOIN keeps k
+        |  ON k.cluster = c.cluster AND c.id <> k.keep_id),
+        |x AS (SELECT g.lang, g.doc_id, len(string_split(g.text, ' ')) AS ntoks
+        |  FROM gated g LEFT JOIN drops dr ON g.doc_id = dr.id WHERE dr.id IS NULL),
         |cum AS (SELECT lang, doc_id, ntoks,
         |  COALESCE(SUM(ntoks) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cm

@@ -282,6 +282,45 @@ object TextAnalysis {
           / sum(col("n")), 4).as("avg_neg_logp"))
   }
 
+  /** Per-document BIGRAM surprisal — [[unigramLogProb]]'s order-2 upgrade
+    * (context-aware perplexity, the stronger CCNet-style quality signal):
+    * avg −log P(w₂|w₁) over the doc's bigrams under Laplace smoothing,
+    * P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V). The model self-trains on `df` or
+    * scores against a reference corpus (`model`); unseen bigrams fall to
+    * 1/(c(w₁·)+V), unseen contexts to 1/V — never log 0. Fully
+    * distributed: bigram and context counts are token-keyed aggregations,
+    * doc scoring is two hash joins on those keys; only the 1-row vocabulary
+    * size broadcasts. Docs under 2 tokens have no bigrams and no row. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      model: Option[DataFrame] = None): DataFrame = {
+    def bigramsOf(src: DataFrame) = {
+      val t = split(col(textCol), " ")
+      src.select(col(idCol), t.as("_t"))
+        .filter(org.apache.spark.sql.functions.size(col("_t")) >= 2)
+        .select(col(idCol), explode(transform(
+          sequence(lit(1), org.apache.spark.sql.functions.size(col("_t")) - 1),
+          i => struct(element_at(col("_t"), i).as("w1"),
+            element_at(col("_t"), i + 1).as("w2")))).as("bg"))
+        .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    }
+    val source = model.getOrElse(df)
+    val mBig = bigramsOf(source).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // context totals derive from the bigram counts (no third corpus pass)
+    val ctx = mBig.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = source.select(explode(split(col(textCol), " ")).as("tok"))
+      .agg(countDistinct("tok").cast("double").as("_v"))
+    val docBg = bigramsOf(df).groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    docBg.join(mBig, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(idCol).agg(
+        sum(col("n")).cast("long").as("bigrams"),
+        round(sum(col("n") * -log((coalesce(col("c12"), lit(0L)) + 1.0)
+            / (coalesce(col("c1"), lit(0L)) + col("_v"))))
+          / sum(col("n")), 4).as("avg_neg_logp"))
+  }
+
   /** HTML → text extraction (the CommonCrawl-style first step): script and
     * style blocks removed whole, remaining tags become spaces, the five
     * core entities decode, whitespace collapses. Pure codegen'd regexp

@@ -189,6 +189,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L)._4 == 0.0, "empty doc scores 0, not NaN")
   }
 
+  test("bigramLogProb: Laplace-smoothed conditionals, hand-computed; floors for unseen") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "b a c")).toDF("doc_id", "text")
+    // model: c(a b)=2, c(b a)=2, c(a c)=1; contexts a=3, b=2; V=3
+    val got = TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc1: 2·−ln((2+1)/(3+3)) + 1·−ln((2+1)/(2+3)) over 3 bigrams
+    val d1 = (2 * -math.log(3.0 / 6) + -math.log(3.0 / 5)) / 3
+    // doc2: −ln(3/5) + −ln((1+1)/(3+3)) over 2
+    val d2 = (-math.log(3.0 / 5) + -math.log(2.0 / 6)) / 2
+    assert(got(1L) == ((3L, math.rint(d1 * 1e4) / 1e4)))
+    assert(got(2L) == ((2L, math.rint(d2 * 1e4) / 1e4)))
+    // reference-model path: wholly unseen bigram AND context floor at 1/V
+    val fresh = Seq((9L, "x y")).toDF("doc_id", "text")
+    val ref = TextAnalysis.bigramLogProb(fresh, "doc_id", "text", Some(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ref.toSeq == Seq((9L, 1L, math.rint(math.log(3.0) * 1e4) / 1e4)))
+    // a doc with fewer than 2 tokens has no bigrams and no row
+    val one = Seq((5L, "z")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramLogProb(one, "doc_id", "text", Some(corpus)).count() == 0)
+  }
+
   test("gopherRules: each rule flags independently; composite gate is their AND") {
     import spark.implicits._
     val df = Seq(
