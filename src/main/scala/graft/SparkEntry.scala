@@ -1078,6 +1078,19 @@ object SparkEntry {
         "vec_id", q, books, k = 5)
     }),
 
+    // scalar quantization (SQ8): per-dim min/max train in one aggregation,
+    // 8-bit encode, ADC ranking over codes only — the cheap 4× tier below
+    // PQ. Query 3 excluded from the ranked corpus, as s11/s01 do.
+    "s23_sq8_adc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val p = Similarity.trainSq(emb, "embedding")
+      val q = emb.filter(col("vec_id") === 3)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.sqTopK(
+        Similarity.encodeSq(emb.filter(col("vec_id") =!= 3), "embedding", p),
+        "vec_id", q, p, k = 5)
+    }),
+
     // IVFADC: coarse cells from the s09 quantizer (rows 1/5/9), residual
     // PQ codebooks from a fixed residual trio (row2−row1, row6−row5,
     // row10−row9), query probes its top-2 cells with per-cell ADC tables —
@@ -1371,6 +1384,25 @@ object SparkEntry {
     // order-2 perplexity signal: self-trained Laplace bigram model
     "t21_bigram_logprob" -> ((s, d) =>
       TextAnalysis.bigramLogProb(t(s, d, "documents"), "doc_id", "text")),
+
+    // domain blocklist: suffix-set equality join vs the twin's naive LIKE
+    // scan. Host %5==0 is a blocked domain (case/port-insensitively),
+    // %5==1 a subdomain of one, %5==3 embeds 'tracker.net' as a label
+    // PREFIX — suffix semantics must keep it
+    "t22_domain_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 5 === 0, lit("Ads.Tracker.NET"))
+          .when(col("doc_id") % 5 === 1, lit("sub.spam-mill.com"))
+          .when(col("doc_id") % 5 === 2, lit("docs.example.org:8080"))
+          .when(col("doc_id") % 5 === 3, lit("tracker.net.example.org"))
+          .otherwise(lit("example.org")),
+        lit("/page/"), col("doc_id"))
+      val blocked = Seq("tracker.net", "spam-mill.com").toDF("domain")
+      TextAnalysis.blockByDomain(
+          t(s, d, "documents").withColumn("url", url), "doc_id", "url", blocked)
+        .select("doc_id", "lang")
+    }),
 
     // Gopher quality rules, fixture-scaled so every data-driven flag varies
     // on the test corpus (word counts span 10–99, mean word length
@@ -2834,6 +2866,24 @@ object SparkEntry {
         |FROM embeddings, q WHERE vec_id <> 3
         |ORDER BY ip DESC, id LIMIT 5""".stripMargin,
 
+    // SQ8 re-derived relationally: per-dim min/max, quantize, reconstruct,
+    // rank by squared L2 — the quantizer "model" is plain SQL here
+    "s23_sq8_adc" ->
+      """WITH d AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |mm AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY i),
+        |q AS (SELECT generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS qx FROM embeddings WHERE vec_id = 3),
+        |rec AS (SELECT vec_id, d.i,
+        |  CASE WHEN mx > mn
+        |    THEN mn + round((x - mn) / (mx - mn) * 255) / 255.0 * (mx - mn)
+        |    ELSE mn END AS xr
+        |  FROM d JOIN mm USING (i) WHERE vec_id <> 3)
+        |SELECT vec_id AS id,
+        |  ROUND(SUM((qx - xr) * (qx - xr)), 4) AS approx_dist
+        |FROM rec JOIN q USING (i) GROUP BY vec_id
+        |ORDER BY approx_dist ASC, id LIMIT 5""".stripMargin,
+
     "s02_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qv, label AS ql,
         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
@@ -3031,6 +3081,21 @@ object SparkEntry {
         |    AS avg_neg_logp
         |FROM dbg LEFT JOIN m USING (w1, w2) LEFT JOIN ctx USING (w1)
         |CROSS JOIN v GROUP BY doc_id""".stripMargin,
+
+    // the naive-LIKE independent evaluator of the suffix-join semantics
+    "t22_domain_blocklist" ->
+      """WITH x AS (SELECT doc_id, lang,
+        |  'https://' || CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'Ads.Tracker.NET' WHEN 1 THEN 'sub.spam-mill.com'
+        |    WHEN 2 THEN 'docs.example.org:8080' WHEN 3 THEN 'tracker.net.example.org'
+        |    ELSE 'example.org' END || '/page/' || doc_id AS url
+        | FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |  regexp_replace(regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+        |    ':[0-9]+$', '') AS host FROM x)
+        |SELECT doc_id, lang FROM h
+        |WHERE NOT (host = 'tracker.net' OR host LIKE '%.tracker.net'
+        |  OR host = 'spam-mill.com' OR host LIKE '%.spam-mill.com')""".stripMargin,
 
     "t19_gopher_rules" ->
       """WITH s AS (SELECT doc_id,

@@ -973,4 +973,66 @@ object Similarity {
       })
     }
   }
+
+  // ------------------------------------------- scalar quantization (SQ8)
+
+  /** Per-dimension [min, max] corpus ranges — the whole "model" scalar
+    * quantization needs. */
+  final case class SqParams(mins: Seq[Double], maxs: Seq[Double]) {
+    require(mins.length == maxs.length && mins.nonEmpty, "ragged SQ params")
+    def dim: Int = mins.length
+  }
+
+  /** Train SQ8: per-dimension min/max in ONE aggregation pass (2·dim
+    * partial-aggregating min/max expressions — no shuffle beyond the final
+    * 1-row combine, no posexplode of n·dim rows). The two dim-length arrays
+    * live on the driver like the PQ codebooks: quantization "models" are
+    * kilobytes; folding them into projections as literals keeps encode and
+    * scoring shuffle-free. */
+  def trainSq(df: DataFrame, vecCol: String): SqParams = {
+    val dim = df.select(org.apache.spark.sql.functions.size(col(vecCol))).head().getInt(0)
+    val aggs = (0 until dim).map(i =>
+        min(element_at(col(vecCol), i + 1).cast("double")).as(s"_mn$i")) ++
+      (0 until dim).map(i =>
+        max(element_at(col(vecCol), i + 1).cast("double")).as(s"_mx$i"))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    SqParams((0 until dim).map(r.getDouble), (0 until dim).map(i => r.getDouble(dim + i)))
+  }
+
+  /** Encode each vector to 8-bit codes: codeᵢ = round((xᵢ−minᵢ)/(maxᵢ−minᵢ)·255),
+    * clamped to [0,255] (out-of-range only for vectors OUTSIDE the training
+    * corpus); a degenerate dimension (min = max) codes 0. Map-only literal
+    * projection appending `_sq` (ARRAY<INT>) — 4× smaller than float32 at
+    * scan time, no codebook training step, the standard cheap tier below
+    * PQ. */
+  def encodeSq(df: DataFrame, vecCol: String, p: SqParams): DataFrame = {
+    val codes = (0 until p.dim).map { i =>
+      val x = element_at(col(vecCol), i + 1).cast("double")
+      val span = p.maxs(i) - p.mins(i)
+      if (span <= 0.0) lit(0)
+      else least(greatest(round((x - lit(p.mins(i))) / lit(span) * 255.0), lit(0.0)),
+        lit(255.0)).cast("int")
+    }
+    df.withColumn("_sq", array(codes: _*))
+  }
+
+  /** ADC top-k over SQ8 codes: reconstruct x̂ᵢ = minᵢ + codeᵢ/255·spanᵢ and
+    * rank by Σ(qᵢ−x̂ᵢ)² — one codegen'd literal fold per row over the code
+    * array only (the float vectors are never read), then the physical
+    * top-k. Same plan shape as [[pqTopK]]: no join, no shuffle. */
+  def sqTopK(encoded: DataFrame, idCol: String, query: Seq[Double],
+      p: SqParams, k: Int, roundTo: Int = 4): DataFrame = {
+    require(query.length == p.dim, s"query dim ${query.length} != ${p.dim}")
+    val dist = (0 until p.dim).map { i =>
+      val span = p.maxs(i) - p.mins(i)
+      val recon =
+        if (span <= 0.0) lit(p.mins(i))
+        else lit(p.mins(i)) + element_at(col("_sq"), i + 1).cast("double") / 255.0 * lit(span)
+      val diff = lit(query(i)) - recon
+      diff * diff
+    }.reduce(_ + _)
+    encoded.select(col(idCol).as("id"), round(dist, roundTo).as("approx_dist"))
+      .orderBy(col("approx_dist").asc, col("id"))
+      .limit(k)
+  }
 }

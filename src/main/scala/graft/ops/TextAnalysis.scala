@@ -379,6 +379,39 @@ object TextAnalysis {
 
   // ------------------------------------------- keyed ingest-store plumbing
 
+  /** All dot-suffixes of a URL's host, lowercased, port stripped:
+    * `https://A.B.example.COM:8080/x` → [a.b.example.com, b.example.com,
+    * example.com, com]. The suffix set is what makes blocklist matching an
+    * EQUALITY join ([[blockByDomain]]) instead of a per-row LIKE scan over
+    * the whole list. */
+  def domainSuffixes(url: Column): Column = {
+    val host = regexp_replace(
+      regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+      ":[0-9]+$", "")
+    val labels = split(host, "\\.")
+    filter(
+      transform(sequence(lit(1), org.apache.spark.sql.functions.size(labels)),
+        i => array_join(slice(labels, i, org.apache.spark.sql.functions.size(labels)), ".")),
+      s => length(s) > 0)
+  }
+
+  /** Domain blocklist filter: drop every row whose URL host IS a blocked
+    * domain or any SUBDOMAIN of one — the standard corpus-hygiene gate
+    * (spam/adult/malware domain lists run to millions of entries). Rows
+    * explode into their ≤ label-count host suffixes and hash-join the
+    * blocklist on EQUALITY, so cost is linear in corpus + blocklist and the
+    * blocklist is broadcast when small — never the per-row
+    * `host LIKE '%.domain'` scan over the list that a naive filter does.
+    * `blocked` carries one lowercase `domain` column; survivors return
+    * with their original schema. */
+  def blockByDomain(df: DataFrame, idCol: String, urlCol: String,
+      blocked: DataFrame): DataFrame = {
+    val hit = df.select(col(idCol), explode(domainSuffixes(col(urlCol))).as("_suf"))
+      .join(blocked.select(lower(col("domain")).as("_suf")), Seq("_suf"), "left_semi")
+      .select(idCol)
+    df.join(hit, Seq(idCol), "left_anti")
+  }
+
   private def segTable(name: String) = s"${name}_segs"
 
   /** Shared create/reset plumbing for the single-table ingest stores

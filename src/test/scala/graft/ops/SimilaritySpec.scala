@@ -493,6 +493,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(!Similarity.compactVectorIndex(spark, name), "no tombstones → no-op")
   }
 
+  test("SQ8: binary vectors round-trip losslessly; ADC ranks match exact L2; clamp guards foreign vectors") {
+    import spark.implicits._
+    // binary components: code ∈ {0,255}, reconstruction EXACT → the ADC
+    // distance is the true squared L2 and the ranking must equal it
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 1.0f, 1.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val p = Similarity.trainSq(df, "embedding")
+    assert(p.mins == Seq(0.0, 0.0, 0.0, 0.0) && p.maxs == Seq(1.0, 1.0, 1.0, 1.0))
+    val enc = Similarity.encodeSq(df, "embedding", p)
+    assert(enc.select(col("_sq")).collect()
+      .forall(_.getSeq[Int](0).forall(c => c == 0 || c == 255)))
+    val got = Similarity.sqTopK(enc.filter(col("vec_id") =!= 0L), "vec_id",
+        Seq(1.0, 0.0, 1.0, 0.0), p, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // exact squared L2 from id 0's vector: 1→1, 3→1, 2→3, 4→3 (ties → id)
+    assert(got == Seq((1L, 1.0), (3L, 1.0), (2L, 3.0), (4L, 3.0)))
+    // a vector OUTSIDE the trained range clamps instead of overflowing
+    val foreign = Seq((9L, Array(2.0f, -1.0f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val fc = Similarity.encodeSq(foreign, "embedding", p)
+      .select(col("_sq")).head().getSeq[Int](0)
+    assert(fc(0) == 255 && fc(1) == 0, s"clamped codes, got $fc")
+    // degenerate dimension (min = max) codes 0 and reconstructs the constant
+    val flat = Seq((0L, Array(5.0f, 1.0f)), (1L, Array(5.0f, 3.0f))).toDF("vec_id", "embedding")
+    val fp2 = Similarity.trainSq(flat, "embedding")
+    val r = Similarity.sqTopK(Similarity.encodeSq(flat, "embedding", fp2),
+        "vec_id", Seq(5.0, 1.0), fp2, k = 2)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(r == Seq((0L, 0.0), (1L, 4.0)), "constant dim contributes 0 error")
+  }
+
   test("mipsTopK ranks by inner product where cosine would rank differently") {
     import spark.implicits._
     // id 1 points EXACTLY at the query but is short (cosine 1, ip 0.5);

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Unit pins for the text ops beyond the oracle queries: chunking coverage
@@ -187,6 +188,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(moji == 2, "one A-tilde and one a-circumflex mark")
     assert(ratio > 0.0 && ratio < 1.0)
     assert(got(3L)._4 == 0.0, "empty doc scores 0, not NaN")
+  }
+
+  test("domainSuffixes + blockByDomain: suffix semantics, case/port-insensitive, prefix-label trap") {
+    import spark.implicits._
+    val suf = Seq((1L, "HTTPS://A.B.Example.COM:8443/x?y#z")).toDF("id", "url")
+      .select(TextAnalysis.domainSuffixes(col("url"))).head().getSeq[String](0)
+    assert(suf == Seq("a.b.example.com", "b.example.com", "example.com", "com"))
+    val docs = Seq(
+      (1L, "https://ads.tracker.net/a"),          // subdomain of blocked
+      (2L, "https://Tracker.NET:80/b"),           // the blocked domain itself
+      (3L, "https://tracker.net.example.org/c"),  // blocked name as label PREFIX — survives
+      (4L, "https://example.org/d"),
+      (5L, "https://nettracker.net.safe.io/e"))   // substring, not suffix — survives
+      .toDF("doc_id", "url")
+    val blocked = Seq("tracker.net").toDF("domain")
+    val kept = TextAnalysis.blockByDomain(docs, "doc_id", "url", blocked)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
   }
 
   test("bigramLogProb: Laplace-smoothed conditionals, hand-computed; floors for unseen") {
