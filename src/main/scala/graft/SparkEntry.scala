@@ -788,6 +788,18 @@ object SparkEntry {
         col("doc_id") % 50 === 0, k = 5)
         .withColumnRenamed("id", "doc_id")),
 
+    // the guard transposes d08: a persisted eval-shingle store (bucketed,
+    // restart-surviving — the static side of contaminationGuardStream)
+    // scores candidate TRAINING docs for benchmark leakage
+    "d20_contamination_guard" -> ((s, d) => {
+      val docs = tPar(s, d, "documents")
+      Dedup.writeEvalShingleStore(s, docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", "graft_d20_guard", k = 5)
+      Dedup.contaminationAgainstStore(s, docs.filter(col("doc_id") % 50 =!= 0),
+          "doc_id", "text", "graft_d20_guard")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // production Jaccard: df-capped pairing (shingles in >3 docs are hot join
     // keys — excluded from pairing, audited by d10). d02 is the uncapped
     // correctness twin; this is the scale-path entry. maxDf=3 on this
@@ -2328,6 +2340,22 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
         |  ROUND(CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS contamination
         |FROM ev LEFT JOIN tr ON ev.h = tr.h GROUP BY 1""".stripMargin,
+
+    // d08 transposed: train docs probe the DISTINCT eval-shingle set
+    "d20_contamination_guard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+        |    for i in range(1, len(t) - 3)])) AS shingle
+        |  FROM t WHERE len(t) >= 5),
+        |ev AS (SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id AS doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  ROUND(CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS contamination
+        |FROM tr LEFT JOIN ev ON tr.h = ev.h GROUP BY 1""".stripMargin,
 
     // r4: recursive-CTE twins for the closure queries; r5 closed x02 with
     // the unrolled fixed-iteration PageRank and x01 via its error-contract

@@ -579,6 +579,73 @@ object Dedup {
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
   }
 
+  // ------------------------------------------- streaming contamination guard
+
+  private def evalShingleTable(name: String) = s"${name}_evalsh"
+
+  /** Persist the DISTINCT k-gram shingle hashes of an eval/benchmark
+    * corpus into a bucketed table — the STATIC side of the contamination
+    * guard ([[contaminationAgainstStore]]). Evals are tiny next to
+    * training corpora, but the store form still matters: the guard's probe
+    * join is bucket-local on the 60-bit hash, the store survives process
+    * restarts, and adding a benchmark is one rebuild, not a re-read of
+    * every eval file at stream start. Stores `k` in the table properties;
+    * the guard refuses a mismatched probe the way the signature store
+    * refuses mismatched increments. */
+  def writeEvalShingleStore(spark: org.apache.spark.sql.SparkSession, evalDocs: DataFrame,
+      idCol: String, textCol: String, name: String, k: Int = 5,
+      buckets: Int = 16): Unit =
+    graft.engine.WarehouseMeta.withBuildLock(spark, name) {
+      val hashes = wordShingles(evalDocs, idCol, textCol, k)
+        .select(hash60(col("shingle")).as("h")).distinct()
+      graft.engine.WarehouseMeta.replaceBucketedTable(spark,
+        evalShingleTable(name), "h", buckets, hashes,
+        Map("graft.k" -> k.toString))
+    }
+
+  /** Score candidate TRAINING docs against the persisted eval-shingle
+    * store — [[contamination]] with the eval side already collapsed to
+    * stored distinct hashes: per doc, the fraction of its k-gram shingles
+    * that appear in ANY benchmark. One shuffle of 8-byte doc-shingle
+    * hashes into the store's bucketing; the store never re-shuffles.
+    * Returns (id, n_shingles, n_contaminated, contamination). */
+  def contaminationAgainstStore(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, name: String): DataFrame = {
+    val t = evalShingleTable(name)
+    val k = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .properties.getOrElse("graft.k",
+        sys.error(s"eval-shingle store $t carries no graft.k property")).toInt
+    val docSh = wordShingles(docs, idCol, textCol, k)
+      .select(col("id"), hash60(col("shingle")).as("h"))
+    docSh.join(spark.table(t).withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("hit").isNotNull, 1).otherwise(0)).cast("long").as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+  }
+
+  /** The contamination guard as a STREAM: each micro-batch of candidate
+    * training docs scores against the eval store and lands at
+    * `outPath/batch=<batchId>` — per-batch OVERWRITE, so a replayed batch
+    * rewrites identical content and no commit log is needed (the store is
+    * read-only here; this loop, unlike the three ingest loops, mutates
+    * nothing). Downstream consumers filter on the contamination column to
+    * quarantine leaking docs before training. */
+  def contaminationGuardStream(spark: org.apache.spark.sql.SparkSession, docsStream: DataFrame,
+      idCol: String, textCol: String, name: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        contaminationAgainstStore(b.sparkSession, b, idCol, textCol, name)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$outPath/batch=$id")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Repeated-n-gram scrub — the fixed-length analog of exact-substring
     * dedup (remove corpus-wide boilerplate spans from every document, not
     * whole near-dup documents): any n-gram appearing in at least `minDf`

@@ -684,4 +684,52 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.count() == 1)
     assert(streamed.head().getAs[String]("uid") == g.nodes.head().getAs[String]("uid"))
   }
+
+  test("contaminationGuardStream: stream ≡ batch scoring across kill/restart; full-copy doc scores 1.0") {
+    import scala.jdk.CollectionConverters._
+    import graft.ops.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+    // candidate training docs: the rest, PLUS a verbatim copy of an eval
+    // doc under a fresh id — the leak the guard exists to catch
+    val leak = evalSet.limit(1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0).unionByName(leak)
+    val name = "graft_guard_stream"
+    Dedup.writeEvalShingleStore(spark, evalSet, "doc_id", "text", name, k = 5)
+
+    val tmp = java.nio.file.Files.createTempDirectory("guard_stream")
+    val src = tmp.resolve("src")
+    val outDir = s"$tmp/scored"; val ckpt = s"$tmp/ckpt"
+    java.nio.file.Files.createDirectories(src)
+    def land(df: org.apache.spark.sql.DataFrame, fname: String): Unit = {
+      val stage = tmp.resolve(s"stage_$fname")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      java.nio.file.Files.move(part, src.resolve(fname))
+    }
+    def runStream(): Unit = Dedup.contaminationGuardStream(spark,
+        spark.readStream.schema(train.schema).parquet(src.toString),
+        "doc_id", "text", name, outDir, ckpt)
+      .awaitTermination()
+
+    // two files, two runs over one checkpoint = kill at a batch boundary
+    land(train.filter(col("doc_id") % 2 === 0), "f1.parquet")
+    runStream()
+    land(train.filter(col("doc_id") % 2 =!= 0), "f2.parquet")
+    runStream()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "n_shingles", "n_contaminated", "contamination")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = rows(spark.read.parquet(outDir))
+    val batch = rows(Dedup.contaminationAgainstStore(spark, train, "doc_id", "text", name))
+    assert(streamed == batch, "per-batch landed scores ≡ one batch pass (docs score independently)")
+    val leakRow = streamed.find(_._1 >= 1000000L).get
+    assert(leakRow._4 == 1.0, s"verbatim eval copy must score 1.0, got $leakRow")
+    assert(streamed.exists(r => r._4 < 1.0), "clean docs score below 1")
+    graft.engine.WarehouseMeta.deleteRecursively(tmp)
+  }
 }
