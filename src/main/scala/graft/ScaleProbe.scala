@@ -250,7 +250,33 @@ object ScaleProbe {
         "p02_curation" -> (() => noop(
           SparkEntry.queries("p02_curation_pipeline")(spark, dir))),
         "s19_ivfadc" -> (() => noop(
-          SparkEntry.queries("s19_ivfadc")(spark, dir))))
+          SparkEntry.queries("s19_ivfadc")(spark, dir))),
+        // r11 second session: order-2 LM scoring (bigram-keyed aggs + two
+        // joins), the contamination guard (store build split out _once;
+        // probe is one 8-byte-hash shuffle), audio fingerprint dups
+        // (fixture synthesis dominates — skipped at sf10 like the star
+        // ops), the Gopher gate (map-only), SQ8 ADC (map-only scan +
+        // top-k), and curation v2 (gate → cluster-best → pack)
+        "t21_bigram_logprob" -> (() => noop(
+          SparkEntry.queries("t21_bigram_logprob")(spark, dir))),
+        "guard_store_build_once" -> (() =>
+          Dedup.writeEvalShingleStore(spark,
+            docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+            s"scale_guard_$tag", k = 5)),
+        "d20_guard" -> (() => noop(
+          Dedup.contaminationAgainstStore(spark,
+            docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+            s"scale_guard_$tag"))),
+        "m05_audio_dups" -> (() => noop(
+          graft.ops.Multimodal.audioDupPairs(spark,
+            graft.ops.Multimodal.syntheticToneCorpus(spark,
+              docs.select("doc_id"), "doc_id")))),
+        "t19_gopher_rules" -> (() => noop(
+          SparkEntry.queries("t19_gopher_rules")(spark, dir))),
+        "s23_sq8" -> (() => noop(
+          SparkEntry.queries("s23_sq8_adc")(spark, dir))),
+        "p03_curation_v2" -> (() => noop(
+          SparkEntry.queries("p03_curation_v2")(spark, dir))))
     }
 
     val results = scala.collection.mutable.LinkedHashMap
@@ -264,7 +290,8 @@ object ScaleProbe {
       val only = sys.env.getOrElse("SCALE_PROBE_ONLY", ".*").r
       for ((name, fn) <- ops(dir, tag.replace(".", ""))
            if name.endsWith("_once") || only.pattern.matcher(name).matches()
-           if !(tag == "sf10" && (name == "x02_pagerank" || name == "x08_triangles"))) {
+           if !(tag == "sf10" && (name == "x02_pagerank" ||
+             name == "x08_triangles" || name == "m05_audio_dups"))) {
         val times =
           if (name.endsWith("_once")) Seq(time(fn())) // durable: pay once
           else { fn(); (1 to reps).map(_ => time(fn())) } // warm + reps

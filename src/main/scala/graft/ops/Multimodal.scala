@@ -1324,8 +1324,12 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           decodeAudio(bytes) match {
-            case Some((rate, samples)) if samples.nonEmpty && rate >= FpWindow / 6 =>
-              AudioFp(id, "ok", audioFingerprint64(rate, samples))
+            case Some((rate, samples)) if samples.nonEmpty =>
+              // quarantine, never crash: an extreme sample rate can leave
+              // fewer than 65 probe bins under Nyquist (fingerprintBins
+              // requires the full ladder)
+              scala.util.Try(audioFingerprint64(rate, samples))
+                .fold(_ => AudioFp(id, "undecodable", 0L), AudioFp(id, "ok", _))
             case _ => AudioFp(id, "undecodable", 0L)
           }
         }

@@ -701,6 +701,11 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "bytes"))
     val fps = Multimodal.audioFingerprints(spark, withBad).collect()
     assert(fps.count(_.status == "undecodable") == 1, "quarantine row for junk bytes")
+    // an extreme sample rate (<65 probe bins under Nyquist) quarantines too
+    val extreme = Seq((100L, Multimodal.encodeWav(192000, Array.fill(4096)(0.1f))))
+      .toDF("media_id", "bytes")
+    assert(Multimodal.audioFingerprints(spark, extreme).collect()
+      .forall(_.status == "undecodable"), "192 kHz quarantines, never crashes the task")
     val pairs = Multimodal.audioDupPairs(spark, withBad)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val withinGroup = (for {
