@@ -1397,6 +1397,34 @@ object SparkEntry {
     "t21_bigram_logprob" -> ((s, d) =>
       TextAnalysis.bigramLogProb(t(s, d, "documents"), "doc_id", "text")),
 
+    // Unicode canonicalization (dedup/match-key folding) via the codegen'd
+    // normalize_text expression; twin = DuckDB's own
+    // lower(strip_accents(nfc_normalize(x))) — independent implementations
+    // of the same recipe (both strip via canonical decomposition)
+    "t23_normalize" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      val accented = concat(
+        org.apache.spark.sql.functions.elt((col("doc_id") % 4 + 1).cast("int"),
+          lit("Café RÉSUMÉ"), lit("Zürich FAÇADE"),
+          lit("naïve Señor"), lit("àéîõü COÖP")),
+        lit(" "), upper(col("text")))
+      t(s, d, "documents").select(col("doc_id"),
+        call_function("normalize_text", accented).as("norm_text"))
+    }),
+
+    // 1-bit binary quantization: per-dim mean thresholds (one aggregation),
+    // sign bits packed 64-per-long, Hamming ranking over the packed words
+    // only — the coarsest ANN tier (32× smaller than float32)
+    "s24_bq_hamming" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val means = Similarity.trainBq(emb, "embedding")
+      val q = emb.filter(col("vec_id") === 3)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.bqTopK(
+        Similarity.encodeBq(emb.filter(col("vec_id") =!= 3), "embedding", means),
+        "vec_id", q, means, k = 5)
+    }),
+
     // domain blocklist: suffix-set equality join vs the twin's naive LIKE
     // scan. Host %5==0 is a blocked domain (case/port-insensitively),
     // %5==1 a subdomain of one, %5==3 embeds 'tracker.net' as a label
@@ -3109,6 +3137,27 @@ object SparkEntry {
         |    AS avg_neg_logp
         |FROM dbg LEFT JOIN m USING (w1, w2) LEFT JOIN ctx USING (w1)
         |CROSS JOIN v GROUP BY doc_id""".stripMargin,
+
+    "t23_normalize" ->
+      """SELECT doc_id,
+        | lower(strip_accents(nfc_normalize(
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'Café RÉSUMÉ' WHEN 1 THEN 'Zürich FAÇADE'
+        |    WHEN 2 THEN 'naïve Señor' ELSE 'àéîõü COÖP' END
+        |  || ' ' || upper(text)))) AS norm_text
+        |FROM documents""".stripMargin,
+
+    "s24_bq_hamming" ->
+      """WITH d AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |mm AS (SELECT i, AVG(x) AS m FROM d GROUP BY i),
+        |q AS (SELECT generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS qx FROM embeddings WHERE vec_id = 3)
+        |SELECT vec_id AS id,
+        |  CAST(SUM(CASE WHEN (x > m) <> (qx > m) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |FROM d JOIN mm USING (i) JOIN q USING (i)
+        |WHERE vec_id <> 3 GROUP BY vec_id
+        |ORDER BY hamming ASC, id LIMIT 5""".stripMargin,
 
     // the naive-LIKE independent evaluator of the suffix-join semantics
     "t22_domain_blocklist" ->

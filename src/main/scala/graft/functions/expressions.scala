@@ -88,6 +88,55 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Static normalization core shared by [[NormalizeText]]'s interpreted and
+  * generated paths: NFD-decompose, drop combining marks (accent strip),
+  * lowercase with the ROOT locale (no Turkish-i surprises), NFC-recompose.
+  * Matches DuckDB's `lower(strip_accents(nfc_normalize(x)))` on
+  * decomposable accents (é à ü ñ ç …) — both strip via canonical
+  * decomposition; non-decomposable letters (ø, ß) pass through in both. */
+object TextNorm {
+  def normalize(s: UTF8String): UTF8String = {
+    import java.text.Normalizer
+    val nfd = Normalizer.normalize(s.toString, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(Normalizer.normalize(
+      sb.toString.toLowerCase(java.util.Locale.ROOT), Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode text normalization for corpus canonicalization (dedup keys,
+  * match keys, vocabulary folding): NFD → strip combining marks →
+  * ROOT-locale lowercase → NFC, as ONE codegen-friendly expression — the
+  * generated code calls the static [[TextNorm]] core, so the projection
+  * stays inside whole-stage codegen where a Scala UDF would break it. */
+case class NormalizeText(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"normalize_text expects a string, got ${child.dataType}")
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "normalize_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextNorm.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd Σ aᵢ·bᵢ — [[CosineSimilarity]]'s unnormalized sibling, for
   * inner-product scoring (MIPS). Same contracts: float/double arrays,
   * double accumulation in array order, NULL on length mismatch or null
@@ -198,6 +247,9 @@ object GraftExtensions {
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (children: Seq[Expression]) => NormalizeText(children(0))),
     (FunctionIdentifier("uid_base36"),
       new ExpressionInfo(classOf[Base36Uid].getName, "uid_base36"),
       (_: Seq[Expression]) => Base36Uid()))

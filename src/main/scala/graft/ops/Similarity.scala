@@ -1016,6 +1016,52 @@ object Similarity {
     df.withColumn("_sq", array(codes: _*))
   }
 
+  // ------------------------------------------- binary quantization (1-bit)
+
+  /** Train 1-bit quantization: per-dimension MEANS in one aggregation —
+    * the threshold that balances each bit (≈half the corpus above, half
+    * below), maximizing the information a sign bit carries. */
+  def trainBq(df: DataFrame, vecCol: String): Seq[Double] = {
+    val dim = df.select(org.apache.spark.sql.functions.size(col(vecCol))).head().getInt(0)
+    val r = df.agg(
+      avg(element_at(col(vecCol), 1).cast("double")).as("_m0"),
+      (1 until dim).map(i =>
+        avg(element_at(col(vecCol), i + 1).cast("double")).as(s"_m$i")): _*).head()
+    (0 until dim).map(r.getDouble)
+  }
+
+  /** Encode to sign bits packed 64-per-long: bit i of word i/64 set when
+    * xᵢ > meanᵢ — 32× smaller than float32. Map-only literal projection
+    * appending `_bq` (ARRAY<BIGINT>, ⌈dim/64⌉ words). */
+  def encodeBq(df: DataFrame, vecCol: String, means: Seq[Double]): DataFrame = {
+    val words = means.indices.grouped(64).map { idxs =>
+      idxs.map { i =>
+        when(element_at(col(vecCol), i + 1).cast("double") > means(i),
+          lit(1L << (i % 64))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }.toSeq
+    df.withColumn("_bq", array(words: _*))
+  }
+
+  /** Hamming top-k over the packed sign bits: the query's bits compute
+    * driver-side, per-row distance is Σ bit_count(word XOR qword) — one
+    * codegen'd projection over ⌈dim/64⌉ longs (the float vectors are never
+    * read), then the physical top-k. The coarsest, cheapest ANN tier
+    * (1 bit/dim); rerank survivors with [[sqTopK]]/[[pqTopKRerank]]/exact
+    * cosine when precision matters. Ties break by id. */
+  def bqTopK(encoded: DataFrame, idCol: String, query: Seq[Double],
+      means: Seq[Double], k: Int): DataFrame = {
+    require(query.length == means.length, s"query dim ${query.length} != ${means.length}")
+    val qWords = query.indices.grouped(64).map(_.map(i =>
+      if (query(i) > means(i)) 1L << (i % 64) else 0L).reduce(_ | _)).toSeq
+    val dist = qWords.zipWithIndex.map { case (qw, w) =>
+      bit_count(element_at(col("_bq"), w + 1).bitwiseXOR(lit(qw))).cast("long")
+    }.reduce(_ + _)
+    encoded.select(col(idCol).as("id"), dist.as("hamming"))
+      .orderBy(col("hamming").asc, col("id"))
+      .limit(k)
+  }
+
   /** ADC top-k over SQ8 codes: reconstruct x̂ᵢ = minᵢ + codeᵢ/255·spanᵢ and
     * rank by Σ(qᵢ−x̂ᵢ)² — one codegen'd literal fold per row over the code
     * array only (the float vectors are never read), then the physical

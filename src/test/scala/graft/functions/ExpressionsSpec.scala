@@ -55,6 +55,27 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(mismatch.isNullAt(0), "length mismatch yields NULL")
   }
 
+  test("normalize_text: accent strip + ROOT lowercase + NFC, form-insensitive, through codegen") {
+    init
+    import spark.implicits._
+    val precomposed = "Café"            // é as one codepoint
+    val decomposed = "Cafe\u0301"      // e + combining acute (NFD form)
+    val df = Seq(
+      (1L, s"$precomposed RÉSUMÉ Zürich FAÇADE"),
+      (2L, decomposed),
+      (3L, "naïve SEÑOR ß ø"), // ß and ø don't decompose — pass through
+      (4L, null.asInstanceOf[String])).toDF("id", "s")
+    val got = df.select(col("id"), expr("normalize_text(s)").as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "cafe resume zurich facade")
+    assert(got(2L) == "cafe", "NFD input normalizes identically to NFC input")
+    assert(got(3L) == "naive senor ß ø")
+    assert(got(4L) == null, "null propagates")
+    // interpreted path (TextNorm directly) ≡ the codegen'd expression
+    assert(graft.functions.TextNorm.normalize(
+      org.apache.spark.unsafe.types.UTF8String.fromString(decomposed)).toString == "cafe")
+  }
+
   test("uid_base36 generates well-formed distinct ids per row") {
     init
     val df = spark.range(1000).select(expr("uid_base36()").as("uid"))

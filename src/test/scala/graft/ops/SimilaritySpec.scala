@@ -527,6 +527,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(r == Seq((0L, 0.0), (1L, 4.0)), "constant dim contributes 0 error")
   }
 
+  test("BQ: sign bits pack 64-per-long; Hamming ranking ≡ naive differing-dim count past one word") {
+    import spark.implicits._
+    // 70 dims forces TWO packed words; values are 0/1 with mean 0.5-ish
+    val dim = 70
+    def vec(bits: Set[Int]) = Array.tabulate(dim)(i => if (bits(i)) 1.0f else 0.0f)
+    val rows = Seq(
+      0L -> Set(0, 1, 65),          // query
+      1L -> Set(0, 1, 65, 69),      // 1 differing dim
+      2L -> Set(0, 1),              // 1 differing dim (65)
+      3L -> Set(2, 64, 66),         // 6 differing dims
+      4L -> (0 until dim).toSet)    // 67 differing dims
+    val df = rows.map { case (id, b) => (id, vec(b)) }.toDF("vec_id", "embedding")
+    val means = Similarity.trainBq(df, "embedding")
+    assert(means.length == dim && means.forall(m => m > 0.0 && m < 1.0))
+    val enc = Similarity.encodeBq(df, "embedding", means)
+    assert(enc.select(org.apache.spark.sql.functions.size(col("_bq")))
+      .collect().forall(_.getInt(0) == 2), "70 dims pack into 2 longs")
+    val q = vec(Set(0, 1, 65)).map(_.toDouble).toSeq
+    val got = Similarity.bqTopK(enc.filter(col("vec_id") =!= 0L), "vec_id", q, means, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // naive count of dims where (x > mean) differs from (q > mean)
+    def bitsOf(b: Set[Int]) = (0 until dim).map(i => (if (b(i)) 1.0 else 0.0) > means(i))
+    val naive = rows.tail.map { case (id, b) =>
+      (id, bitsOf(b).zip(bitsOf(Set(0, 1, 65))).count { case (x, y) => x != y }.toLong)
+    }.sortBy(t => (t._2, t._1))
+    assert(got == naive, s"packed Hamming must equal the naive dim count: $got vs $naive")
+  }
+
   test("mipsTopK ranks by inner product where cosine would rank differently") {
     import spark.implicits._
     // id 1 points EXACTLY at the query but is short (cosine 1, ip 0.5);
