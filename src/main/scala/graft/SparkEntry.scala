@@ -1548,6 +1548,22 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
     }),
 
+    // day-grain incremental view maintenance: the rollup rebuilds from
+    // scratch, then a second maintain proves idempotence (no-op) before
+    // the read-back; incremental/restate legs are EventsSpec-pinned
+    "w22_daily_rollup" -> ((s, d) => {
+      import graft.engine.WarehouseMeta
+      val lake = eventsLakeFor(s, d)
+      val roll = WarehouseMeta.tableLocation(s,
+        "graft_w22_" + WarehouseMeta.md5Hex(d).take(12)).toString
+      WarehouseMeta.deleteRecursively(
+        java.nio.file.Paths.get(roll.stripPrefix("file:")))
+      Events.maintainDailyRollup(s, lake, roll)
+      require(Events.maintainDailyRollup(s, lake, roll).isEmpty,
+        "second maintain over an unchanged lake must be a no-op")
+      Events.readDailyRollup(s, roll)
+    }),
+
     // --- pipeline composition ----------------------------------------------
     // END-TO-END ingest chain as ONE composed plan — the deliverable the
     // operator catalog exists to feed: raw documents → quality gate (keep
@@ -3372,6 +3388,14 @@ object SparkEntry {
 
     // the lake answers from its dt directories; the twin re-derives the
     // same days from raw timestamps — layout must never change answers
+    // the maintained rollup must equal a direct full-corpus aggregate
+    "w22_daily_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "e05_partitioned_days" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, COUNT(*) AS events,
         |  COUNT(DISTINCT user_id) AS users,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Event-log analytics over the `events` table shape (event_id, ts, user_id,
   * event_type, value, props JSON). Batch forms here; the streaming twins live
@@ -171,6 +172,74 @@ object Events {
       }
     }
   }
+
+  /** Day directories present under a date-lake/rollup path. Pure metadata —
+    * a directory listing, no data files open. */
+  private def listDays(path: String): Set[String] = {
+    val p = java.nio.file.Paths.get(path.stripPrefix("file:"))
+    if (!java.nio.file.Files.isDirectory(p)) Set.empty
+    else {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("dt=")).map(_.stripPrefix("dt=")).toSet
+      finally s.close()
+    }
+  }
+
+  /** Aggregate exactly `days` of the lake into the rollup layout — reads
+    * ONLY those day directories (explicit paths + basePath = planning-time
+    * pruning), lands via dynamic partition overwrite (day-grain
+    * idempotent: re-running a day rewrites the same rows). */
+  private def rollDays(spark: org.apache.spark.sql.SparkSession,
+      lakePath: String, rollupPath: String, days: Seq[String]): Unit =
+    spark.read.option("basePath", lakePath)
+      .parquet(days.map(dt => s"$lakePath/dt=$dt"): _*)
+      .withColumn("dt", col("dt").cast("string"))
+      .groupBy("dt", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .repartition(col("dt"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt").parquet(rollupPath)
+
+  /** Incrementally maintain a per-(day, event_type) rollup over a
+    * [[writeDateLake]] layout — day-grain incremental view maintenance:
+    * each call diffs the lake's day directories against the rollup's (two
+    * listings, no data read), reads ONLY the missing days, and lands their
+    * aggregate rows by dynamic partition overwrite. Steady-state cost is
+    * O(new days), never a rescan of the lake; a crash mid-maintain just
+    * re-runs (day-grain idempotence); a restated lake day re-rolls via
+    * [[restateRollupDays]]. The rollup is itself a date-partitioned layout
+    * (dt stays a STRING, same discipline as the lake). Returns the days
+    * this call computed. */
+  def maintainDailyRollup(spark: org.apache.spark.sql.SparkSession,
+      lakePath: String, rollupPath: String): Seq[String] = {
+    requireBatchLake(lakePath)
+    withMaintenanceLock(rollupPath) {
+      val missing = (listDays(lakePath) -- listDays(rollupPath)).toSeq.sorted
+      if (missing.nonEmpty) rollDays(spark, lakePath, rollupPath, missing)
+      missing
+    }
+  }
+
+  /** Recompute exactly `days` of the rollup from the lake — the repair
+    * companion: after [[restateDays]] fixes a lake day, this re-rolls it
+    * without touching any neighbor. */
+  def restateRollupDays(spark: org.apache.spark.sql.SparkSession,
+      lakePath: String, rollupPath: String, days: Seq[String]): Unit = {
+    require(days.nonEmpty, "no days to restate")
+    requireBatchLake(lakePath)
+    withMaintenanceLock(rollupPath) {
+      rollDays(spark, lakePath, rollupPath, days)
+    }
+  }
+
+  /** Read the maintained rollup (dt as STRING, like [[readDateLake]]). */
+  def readDailyRollup(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path).withColumn("dt", col("dt").cast("string"))
 
   /** Advisory exclusion for lake maintenance (restatement, compaction): a
     * file lock inside the lake dir plus a JVM monitor, the WarehouseMeta

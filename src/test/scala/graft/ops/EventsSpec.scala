@@ -123,6 +123,49 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       "compaction changes files, never answers; other days untouched")
   }
 
+  test("maintainDailyRollup: incremental by day, idempotent, restate re-rolls one day only") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Int, String, String, Double)]) =
+      rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+        .withColumn("ts", to_timestamp(col("ts")))
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake3").toString
+    val roll = java.nio.file.Files.createTempDirectory("graft_roll").toString + "/r"
+    Events.writeDateLake(mk(Seq(
+      (1L, 1, "view", "2026-02-01 10:00:00", 1.0),
+      (2L, 1, "view", "2026-02-01 11:00:00", 2.0),
+      (3L, 2, "click", "2026-02-02 10:00:00", 3.0))), lake)
+    assert(Events.maintainDailyRollup(spark, lake, roll)
+      == Seq("2026-02-01", "2026-02-02"), "initial maintain rolls every day")
+    assert(Events.maintainDailyRollup(spark, lake, roll).isEmpty, "unchanged lake → no-op")
+    // partition discovery appends dt last — read columns by name
+    def byName() = Events.readDailyRollup(spark, roll)
+      .select("dt", "event_type", "n_events", "n_users", "value_sum")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(byName() == Set(
+      ("2026-02-01", "view", 2L, 1L, 3.0),
+      ("2026-02-02", "click", 1L, 1L, 3.0)))
+    // a NEW day appears in the lake → maintain reads exactly that day
+    mk(Seq((4L, 3, "view", "2026-02-03 09:00:00", 4.0)))
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("append").partitionBy("dt").parquet(lake)
+    assert(Events.maintainDailyRollup(spark, lake, roll) == Seq("2026-02-03"))
+    assert(byName().contains(("2026-02-03", "view", 1L, 1L, 4.0)))
+    // a lake day restates → restateRollupDays repairs exactly that day
+    val d1Files = new java.io.File(s"$roll/dt=2026-02-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    Events.restateDays(mk(Seq(
+      (30L, 7, "click", "2026-02-02 12:00:00", 9.0))), lake)
+    Events.restateRollupDays(spark, lake, roll, Seq("2026-02-02"))
+    assert(byName() == Set(
+      ("2026-02-01", "view", 2L, 1L, 3.0),
+      ("2026-02-02", "click", 1L, 1L, 9.0),
+      ("2026-02-03", "view", 1L, 1L, 4.0)))
+    assert(new java.io.File(s"$roll/dt=2026-02-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq == d1Files,
+      "restating day 02's rollup must not rewrite day 01's files")
+  }
+
   test("rateAnomalies: planted spike flags; warm-up and zero-spread stay null") {
     import spark.implicits._
     // jittered baseline (9/11/10 repeating) for 8 hours, then a 100-event
