@@ -782,6 +782,23 @@ object SparkEntry {
       graft.ops.Multimodal.audioDupPairs(s, media).orderBy("id_a", "id_b")
     }),
 
+    // Adamic–Adar link prediction over the urgent-order co-purchase graph
+    // (x08's edge derivation): which part pairs are LIKELY to co-purchase
+    // next. maxDegree=40 actually engages on this fixture (hub parts are
+    // excluded as intermediaries, audited by hubIntermediaries)
+    "x10_adamic_adar" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+      val pairs = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+      graft.ops.Analytics.adamicAdar(pairs, maxDegree = 40)
+        .orderBy(col("aa_score").desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a").as("part_a"), col("b").as("part_b"), col("aa_score"))
+    }),
+
     // benchmark-contamination: eval split = doc_id % 50 == 0, 5-gram shingles
     "d08_contamination" -> ((s, d) =>
       Dedup.contamination(tPar(s, d, "documents"), "doc_id", "text",
@@ -1396,6 +1413,11 @@ object SparkEntry {
     // order-2 perplexity signal: self-trained Laplace bigram model
     "t21_bigram_logprob" -> ((s, d) =>
       TextAnalysis.bigramLogProb(t(s, d, "documents"), "doc_id", "text")),
+
+    // top-3 TF-IDF keywords per doc (rank on the ROUNDED score + term
+    // tie-break so the cut reproduces across engines)
+    "t24_tfidf_keywords" -> ((s, d) =>
+      TextAnalysis.tfidfKeywords(t(s, d, "documents"), "doc_id", "text", k = 3)),
 
     // Unicode canonicalization (dedup/match-key folding) via the codegen'd
     // normalize_text expression; twin = DuckDB's own
@@ -2385,6 +2407,24 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS contamination
         |FROM ev LEFT JOIN tr ON ev.h = tr.h GROUP BY 1""".stripMargin,
 
+    // Adamic–Adar re-derived relationally: canonical edges, adjacency
+    // both ways, capped intermediaries, wedge join, existing-edge anti
+    "x10_adamic_adar" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT'),
+        |e0 AS (SELECT DISTINCT LEAST(a.pk, b.pk) AS a, GREATEST(a.pk, b.pk) AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |und AS (SELECT a AS z, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT z, COUNT(*) AS d FROM und GROUP BY z),
+        |w AS (SELECT u1.n AS a, u2.n AS b, 1.0 / LN(deg.d) AS wt
+        |  FROM und u1 JOIN und u2 ON u1.z = u2.z AND u1.n < u2.n
+        |  JOIN deg ON deg.z = u1.z WHERE deg.d <= 40),
+        |s AS (SELECT a, b, ROUND(SUM(wt), 6) AS aa_score FROM w GROUP BY 1, 2),
+        |ne AS (SELECT s.a, s.b, s.aa_score FROM s
+        |  LEFT JOIN e0 ON s.a = e0.a AND s.b = e0.b WHERE e0.a IS NULL)
+        |SELECT a AS part_a, b AS part_b, aa_score FROM ne
+        |ORDER BY aa_score DESC, a, b LIMIT 20""".stripMargin,
+
     // d08 transposed: train docs probe the DISTINCT eval-shingle set
     "d20_contamination_guard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -3153,6 +3193,17 @@ object SparkEntry {
         |    AS avg_neg_logp
         |FROM dbg LEFT JOIN m USING (w1, w2) LEFT JOIN ctx USING (w1)
         |CROSS JOIN v GROUP BY doc_id""".stripMargin,
+
+    "t24_tfidf_keywords" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |sc AS (SELECT doc_id, term, tf,
+        |  ROUND(tf * LN(n.n / df), 6) AS tfidf FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |rk AS (SELECT doc_id, term, tfidf,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc)
+        |SELECT doc_id, term, CAST(rk AS INT) AS rk, tfidf FROM rk WHERE rk <= 3""".stripMargin,
 
     "t23_normalize" ->
       """SELECT doc_id,

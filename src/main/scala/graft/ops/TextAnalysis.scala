@@ -321,6 +321,29 @@ object TextAnalysis {
           / sum(col("n")), 4).as("avg_neg_logp"))
   }
 
+  /** Top-k TF-IDF keywords per document — the classic keyword-extraction /
+    * topic-tagging signal: tfidf(t,d) = tf(t,d) · ln(N / df(t)). Document
+    * frequencies derive from the per-doc term counts (no second corpus
+    * pass); only the 1-row corpus size broadcasts; the per-doc top-k is a
+    * window over (doc, score) — rank on the ROUNDED score with a term
+    * tie-break, so the cut is reproducible across engines. Returns
+    * (idCol, term, rk, tfidf), k rows per doc (fewer for short docs). */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int, roundTo: Int = 6): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val tf = df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).cast("double").as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("_n") / col("df")), roundTo))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("rk"), col("tfidf"))
+  }
+
   /** HTML → text extraction (the CommonCrawl-style first step): script and
     * style blocks removed whole, remaining tags become spaces, the five
     * core entities decode, whitespace collapses. Pure codegen'd regexp

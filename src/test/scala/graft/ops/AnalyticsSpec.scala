@@ -100,4 +100,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     val approx = Analytics.kindStats(g, exact = false).head().getLong(1)
     assert(exact == 6L && math.abs(approx - exact) <= 1)
   }
+
+  test("adamicAdar: hand-computed scores, existing edges excluded, hub cap engages with audit") {
+    import spark.implicits._
+    // path 1-2-3 plus 2-4: pairs via z=2 (deg 3): (1,3), (1,4), (3,4),
+    // each scored 1/ln(3); pair (1,2) is an EDGE — never a candidate
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L), (2L, 1L)) // dup/reversed tolerated
+      .toDF("src", "dst")
+    val got = Analytics.adamicAdar(edges)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val w = math.rint(1.0 / math.log(3.0) * 1e6) / 1e6
+    assert(got == Map((1L, 3L) -> w, (1L, 4L) -> w, (3L, 4L) -> w))
+    // two shared neighbors sum their weights: square 1-2-3-4 + diagonal-free
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val gotSq = Analytics.adamicAdar(sq)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val w2 = math.rint(2.0 / math.log(2.0) * 1e6) / 1e6
+    assert(gotSq == Map((1L, 3L) -> w2, (2L, 4L) -> w2),
+      "opposite corners share TWO degree-2 neighbors")
+    // cap: maxDegree=2 excludes vertex 2 (deg 3) as an intermediary
+    val capped = Analytics.adamicAdar(edges, maxDegree = 2)
+    assert(capped.count() == 0, "the only intermediary is over the cap")
+    val audit = Analytics.hubIntermediaries(edges, maxDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(audit.toSeq == Seq((2L, 3L)), "the cap's drop is auditable")
+  }
 }

@@ -190,6 +190,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L)._4 == 0.0, "empty doc scores 0, not NaN")
   }
 
+  test("tfidfKeywords: hand-computed scores; rank cuts on rounded score with term tie-break") {
+    import spark.implicits._
+    // N=3; df: a=3 (idf 0), b=2, c=1, d=1
+    val df = Seq(
+      (1L, "a a b c"), (2L, "a b"), (3L, "a d d")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfKeywords(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> (r.getString(1), r.getDouble(3))).toMap
+    def s(tf: Int, dfq: Int) = math.rint(tf * math.log(3.0 / dfq) * 1e6) / 1e6
+    assert(got((1L, 1)) == (("c", s(1, 1))), "c: tf 1 × ln 3 beats b's ln 1.5")
+    assert(got((1L, 2)) == (("b", s(1, 2))))
+    // doc2: b (ln 1.5) then a (0.0) — the zero-idf term still ranks by tie rules
+    assert(got((2L, 1)) == (("b", s(1, 2))) && got((2L, 2)) == (("a", 0.0)))
+    assert(got((3L, 1)) == (("d", s(2, 1))), "tf 2 doubles d's score")
+    // k larger than a doc's vocabulary yields only the vocabulary
+    assert(TextAnalysis.tfidfKeywords(df, "doc_id", "text", k = 10)
+      .filter(col("doc_id") === 2L).count() == 2)
+  }
+
   test("domainSuffixes + blockByDomain: suffix semantics, case/port-insensitive, prefix-label trap") {
     import spark.implicits._
     val suf = Seq((1L, "HTTPS://A.B.Example.COM:8443/x?y#z")).toDF("id", "url")
