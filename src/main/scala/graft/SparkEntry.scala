@@ -249,6 +249,21 @@ object SparkEntry {
     * contract). The table name is md5-derived from the dir so distinct SF
     * dirs never collide in the shared warehouse. */
   private val dedupStoreMemo = layoutMemo
+  private val fuzzyEvalMemo = layoutMemo
+
+  /** Signature store over the EVAL split (doc_id % 50 == 0) — the fuzzy
+    * contamination fixture (d21). */
+  private def fuzzyEvalStoreFor(s: SparkSession, d: String): String =
+    memoizedLayout(fuzzyEvalMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_fuzzyeval_" + WarehouseMeta.md5Hex(d).take(12)
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/documents.parquet") + "#eval50#k3b4r4")
+      graft.ops.Dedup.ensureSignatureStore(s,
+        tPar(s, d, "documents").filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", name, fp)
+      name
+    }
   private def dedupStoreFor(s: SparkSession, d: String): String =
     memoizedLayout(dedupStoreMemo, s, d) {
       import graft.engine.WarehouseMeta
@@ -780,6 +795,28 @@ object SparkEntry {
       val media = graft.ops.Multimodal.syntheticToneCorpus(s,
         tPar(s, d, "documents").select("doc_id"), "doc_id")
       graft.ops.Multimodal.audioDupPairs(s, media).orderBy("id_a", "id_b")
+    }),
+
+    // FUZZY contamination: MinHash near-dup (not exact shingles — catches
+    // paraphrased/lightly-edited benchmark leaks d08/d20 miss) of TRAIN
+    // docs against a signature store built over the EVAL split; per train
+    // doc, the closest eval doc and its estimated Jaccard. Eval/train ids
+    // are disjoint (%50), so the normalized pair recovers its sides.
+    // Fixture note: the corpus' near-dup clusters rarely straddle the 1/50
+    // eval split — sf0.01 surfaces exactly one leak (est 0.9375), whose
+    // hash must still match exactly.
+    "d21_fuzzy_contamination" -> ((s, d) => {
+      val store = fuzzyEvalStoreFor(s, d)
+      val train = tPar(s, d, "documents").filter(col("doc_id") % 50 =!= 0)
+      Dedup.dedupIncrement(s, train, "doc_id", "text", store, minEstimate = 0.5)
+        .select(
+          when(col("id_a") % 50 === 0, col("id_b")).otherwise(col("id_a")).as("doc_id"),
+          when(col("id_a") % 50 === 0, col("id_a")).otherwise(col("id_b")).as("eval_id"),
+          col("est_jaccard"))
+        .groupBy("doc_id")
+        .agg(max(col("est_jaccard")).as("max_est"),
+          max_by(col("eval_id"),
+            struct(col("est_jaccard"), -col("eval_id"))).as("closest_eval"))
     }),
 
     // Adamic–Adar link prediction over the urgent-order co-purchase graph
@@ -2265,6 +2302,35 @@ object SparkEntry {
     // text (it has no store), joins bands across the even/odd split, and
     // re-scores — d03/d12's CTEs with a batch predicate in the pair join
     "d14_incremental_dedup" -> incrementOracleSql(""),
+
+    // d14's CTE chain with eval/train split roles + per-train arg-max
+    "d21_fuzzy_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 4294967311 AS hh FROM sh),
+        |mh AS (SELECT doc_id, i, MIN(((101 + 37*i) * hh + 12345 + 789*i) % 4294967311) AS mh
+        |  FROM h CROSS JOIN range(0, 16) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, i // 4 AS band,
+        |  string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a, GREATEST(a.doc_id, b.doc_id) AS id_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id % 50 = 0 AND b.doc_id % 50 <> 0),
+        |est AS (SELECT c.id_a, c.id_b,
+        |  ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) AS est
+        | FROM cand c
+        | JOIN mh a ON a.doc_id = c.id_a
+        | JOIN mh b ON b.doc_id = c.id_b AND b.i = a.i
+        | GROUP BY 1, 2
+        | HAVING ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) >= 0.5),
+        |sided AS (SELECT
+        |  CASE WHEN id_a % 50 = 0 THEN id_b ELSE id_a END AS doc_id,
+        |  CASE WHEN id_a % 50 = 0 THEN id_a ELSE id_b END AS eval_id, est FROM est),
+        |rk AS (SELECT doc_id, eval_id, est,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY est DESC, eval_id ASC) AS r
+        |  FROM sided)
+        |SELECT doc_id, est AS max_est, eval_id AS closest_eval FROM rk WHERE r = 1""".stripMargin,
 
     // the store side (even doc_ids) additionally excludes the forgotten
     // docs — forget ≡ rebuild-without-them, derived from raw text
