@@ -836,6 +836,17 @@ object SparkEntry {
         .select(col("a").as("part_a"), col("b").as("part_b"), col("aa_score"))
     }),
 
+    // container metadata extraction end-to-end (rows-only: no SQL engine
+    // parses MP4 boxes / FLAC STREAMINFO / MPEG frame headers): ids rotate
+    // through REAL minimal FLAC/MP4/MP3 headers with id-keyed durations
+    // plus junk rows — every parser arm including the quarantine one
+    "m06_container_meta" -> ((s, d) => {
+      val media = graft.ops.Multimodal.syntheticContainerCorpus(s,
+        tPar(s, d, "documents").select("doc_id"), "doc_id")
+      graft.ops.Multimodal.extractContainerMetadata(s, media)
+        .toDF().orderBy("media_id")
+    }),
+
     // benchmark-contamination: eval split = doc_id % 50 == 0, 5-gram shingles
     "d08_contamination" -> ((s, d) =>
       Dedup.contamination(tPar(s, d, "documents"), "doc_id", "text",

@@ -1257,6 +1257,45 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** Deterministic container-header corpus — the metadata fixture (m06):
+    * ids rotate through REAL minimal FLAC (STREAMINFO, id-keyed duration),
+    * MP4 (ftyp + moov/mvhd, id-keyed duration, two traks), MP3 (ID3 +
+    * MPEG1 Layer III 128 kbps frame header + id-keyed payload → id-keyed
+    * CBR duration estimate) and deliberate junk — every dispatch arm of
+    * [[extractContainerMetadata]] including the quarantine one. Headers
+    * follow the public container layouts byte-for-byte. */
+  def syntheticContainerCorpus(spark: SparkSession, ids: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      def be(i: Int) = Array((i >> 24).toByte, (i >> 16).toByte, (i >> 8).toByte, i.toByte)
+      it.map { id =>
+        val bytes = (id % 4) match {
+          case 0 => // FLAC: 44100 Hz stereo, (id%20+1) seconds of samples
+            val total = (id % 20 + 1) * 44100L
+            val si = new Array[Byte](34)
+            si(10) = 0x0A; si(11) = 0xC4.toByte // rate 44100 in 20 bits
+            si(12) = (0x40 | (1 << 1)).toByte   // rate low nibble, 2 channels
+            si(13) = ((total >> 32) & 0x0f).toByte
+            be((total & 0xffffffffL).toInt).copyToArray(si, 14)
+            "fLaC".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 34) ++ si
+          case 1 => // MP4: mvhd v0, timescale 1000, duration (id%30+1)*250 ms
+            val ftyp = be(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be(0)
+            val mvhdBody = be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(((id % 30) + 1).toInt * 250)
+            val mvhd = be(8 + mvhdBody.length) ++ "mvhd".getBytes ++ mvhdBody
+            val traks = be(8) ++ "trak".getBytes ++ be(8) ++ "trak".getBytes
+            ftyp ++ be(8 + mvhd.length + traks.length) ++ "moov".getBytes ++ mvhd ++ traks
+          case 2 => // MP3: ID3v2 + 128 kbps 44.1 kHz frame + id-keyed payload
+            val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 0)
+            val frame = Array(0xFF, 0xFB, 0x90, 0x64).map(_.toByte)
+            id3 ++ frame ++ Array.fill[Byte](((id % 5) + 1).toInt * 200)(0x55)
+          case _ => s"junk-payload-$id".getBytes("UTF-8")
+        }
+        (id, bytes)
+      }
+    }.toDF("media_id", "bytes")
+  }
+
   // ------------------------------------------------- audio fingerprint (m05)
 
   /** Analysis window for [[audioFingerprint64]]: fixed 4096 samples, so the

@@ -650,6 +650,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.values.forall(_ == 4L), "group members should match on every sampled slot")
   }
 
+  test("synthetic container corpus: real headers parse to their id-keyed parameters (m06)") {
+    import spark.implicits._
+    val ids = (0L until 8L).toDF("doc_id")
+    val media = Multimodal.syntheticContainerCorpus(spark, ids, "doc_id")
+    val got = Multimodal.extractContainerMetadata(spark, media)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(got(0L).container == "flac" && got(0L).duration_ms.contains(1000L)
+      && got(0L).sample_rate.contains(44100) && got(0L).channels.contains(2))
+    assert(got(4L).container == "flac" && got(4L).duration_ms.contains(5000L),
+      "duration keys off the id")
+    assert(got(1L).container == "mp4" && got(1L).brand.contains("isom")
+      && got(1L).duration_ms.contains(500L) && got(1L).tracks.contains(2))
+    assert(got(5L).container == "mp4" && got(5L).duration_ms.contains(1500L))
+    assert(got(2L).container == "mp3" && got(2L).bitrate_kbps.contains(128)
+      && got(2L).sample_rate.contains(44100))
+    assert(got(3L).container == "unknown" && got(3L).n_bytes > 0)
+    // deterministic: regeneration is byte-identical
+    val again = Multimodal.syntheticContainerCorpus(spark, ids, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val first = media.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(first.forall { case (id, b) => java.util.Arrays.equals(b, again(id)) })
+  }
+
   test("audio fingerprint: gain-invariant, energy-order-driven, decode-robust") {
     // a two-tone signal on probe bins: the louder tone's band must win its
     // adjacent comparisons, and scaling every sample (gain) changes nothing
