@@ -276,7 +276,28 @@ object ScaleProbe {
         "s23_sq8" -> (() => noop(
           SparkEntry.queries("s23_sq8_adc")(spark, dir))),
         "p03_curation_v2" -> (() => noop(
-          SparkEntry.queries("p03_curation_v2")(spark, dir))))
+          SparkEntry.queries("p03_curation_v2")(spark, dir))),
+        // r11 second session, late: TF-IDF keywords (token-keyed aggs +
+        // per-doc window), Adamic–Adar (capped wedge join; sf0.1→sf1 like
+        // the other star-graph ops), fuzzy contamination (store build
+        // split out _once), container metadata (map-only header parse)
+        "t24_tfidf_keywords" -> (() => noop(
+          SparkEntry.queries("t24_tfidf_keywords")(spark, dir))),
+        "x10_adamic_adar" -> (() => noop(
+          SparkEntry.queries("x10_adamic_adar")(spark, dir))),
+        "fuzzy_store_build_once" -> (() => {
+          Dedup.ensureSignatureStore(spark,
+            docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+            s"scale_fuzzy_$tag", fingerprint = s"scalefuzzy-$tag")
+          ()
+        }),
+        "d21_fuzzy_guard" -> (() => noop(
+          Dedup.dedupIncrement(spark, docs.filter(col("doc_id") % 50 =!= 0),
+            "doc_id", "text", s"scale_fuzzy_$tag", minEstimate = 0.5))),
+        "m06_container_meta" -> (() => noop(
+          graft.ops.Multimodal.extractContainerMetadata(spark,
+            graft.ops.Multimodal.syntheticContainerCorpus(spark,
+              docs.select("doc_id"), "doc_id")).toDF())))
     }
 
     val results = scala.collection.mutable.LinkedHashMap
@@ -291,7 +312,8 @@ object ScaleProbe {
       for ((name, fn) <- ops(dir, tag.replace(".", ""))
            if name.endsWith("_once") || only.pattern.matcher(name).matches()
            if !(tag == "sf10" && (name == "x02_pagerank" ||
-             name == "x08_triangles" || name == "m05_audio_dups"))) {
+             name == "x08_triangles" || name == "m05_audio_dups" ||
+             name == "x10_adamic_adar"))) {
         val times =
           if (name.endsWith("_once")) Seq(time(fn())) // durable: pay once
           else { fn(); (1 to reps).map(_ => time(fn())) } // warm + reps
