@@ -857,11 +857,15 @@ object SparkEntry {
     // restart-surviving — the static side of contaminationGuardStream)
     // scores candidate TRAINING docs for benchmark leakage
     "d20_contamination_guard" -> ((s, d) => {
+      // dir-keyed name (the dedupStoreFor discipline): distinct SF dirs
+      // must never share one store in the common warehouse
+      val store = "graft_d20_guard_" +
+        graft.engine.WarehouseMeta.md5Hex(d).take(12)
       val docs = tPar(s, d, "documents")
       Dedup.writeEvalShingleStore(s, docs.filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", "graft_d20_guard", k = 5)
+        "doc_id", "text", store, k = 5)
       Dedup.contaminationAgainstStore(s, docs.filter(col("doc_id") % 50 =!= 0),
-          "doc_id", "text", "graft_d20_guard")
+          "doc_id", "text", store)
         .withColumnRenamed("id", "doc_id")
     }),
 
@@ -1496,13 +1500,14 @@ object SparkEntry {
     }),
 
     // domain blocklist: suffix-set equality join vs the twin's naive LIKE
-    // scan. Host %5==0 is a blocked domain (case/port-insensitively),
-    // %5==1 a subdomain of one, %5==3 embeds 'tracker.net' as a label
-    // PREFIX — suffix semantics must keep it
+    // scan. Host %5==0 is a blocked domain behind USERINFO (the classic
+    // bypass — 'user@tracker.net' must still block), %5==1 a subdomain of
+    // one, %5==3 embeds 'tracker.net' as a label PREFIX — suffix
+    // semantics must keep it
     "t22_domain_blocklist" -> ((s, d) => {
       import s.implicits._
       val url = concat(lit("https://"),
-        when(col("doc_id") % 5 === 0, lit("Ads.Tracker.NET"))
+        when(col("doc_id") % 5 === 0, lit("user:pw@Ads.Tracker.NET"))
           .when(col("doc_id") % 5 === 1, lit("sub.spam-mill.com"))
           .when(col("doc_id") % 5 === 2, lit("docs.example.org:8080"))
           .when(col("doc_id") % 5 === 3, lit("tracker.net.example.org"))
@@ -3304,16 +3309,18 @@ object SparkEntry {
         |ORDER BY hamming ASC, id LIMIT 5""".stripMargin,
 
     // the naive-LIKE independent evaluator of the suffix-join semantics
+    // (same authority → host recipe: drop userinfo, port, trailing dots)
     "t22_domain_blocklist" ->
       """WITH x AS (SELECT doc_id, lang,
         |  'https://' || CASE CAST(doc_id % 5 AS INT)
-        |    WHEN 0 THEN 'Ads.Tracker.NET' WHEN 1 THEN 'sub.spam-mill.com'
+        |    WHEN 0 THEN 'user:pw@Ads.Tracker.NET' WHEN 1 THEN 'sub.spam-mill.com'
         |    WHEN 2 THEN 'docs.example.org:8080' WHEN 3 THEN 'tracker.net.example.org'
         |    ELSE 'example.org' END || '/page/' || doc_id AS url
         | FROM documents),
         |h AS (SELECT doc_id, lang,
-        |  regexp_replace(regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
-        |    ':[0-9]+$', '') AS host FROM x)
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+        |    '^[^/?#]*@', ''), ':[0-9]+$', ''), '\.+$', '') AS host FROM x)
         |SELECT doc_id, lang FROM h
         |WHERE NOT (host = 'tracker.net' OR host LIKE '%.tracker.net'
         |  OR host = 'spam-mill.com' OR host LIKE '%.spam-mill.com')""".stripMargin,

@@ -1216,8 +1216,11 @@ object Multimodal {
       .select((col("media_id") * 1024 + col("slot")).as("id"), col("dhash").as("hash"))
     Dedup.hammingBandPairs(frames, bits = 64, maxHamming, bands, probeRadius)
       .filter(pmod(col("id_a"), lit(1024)) === pmod(col("id_b"), lit(1024)))
-      .select((col("id_a") / 1024).cast("long").as("video_a"),
-        (col("id_b") / 1024).cast("long").as("video_b"))
+      // arithmetic shift, NOT `/`: long/int division is a DOUBLE in Spark,
+      // which rounds past 2^53 and truncates-toward-zero for negatives —
+      // shiftright floors exactly, matching the pmod slot filter
+      .select(shiftright(col("id_a"), 10).as("video_a"),
+        shiftright(col("id_b"), 10).as("video_b"))
       .groupBy("video_a", "video_b")
       .agg(count(lit(1)).as("matching_slots"))
       .filter(col("matching_slots") >= minMatchingSlots)

@@ -824,7 +824,7 @@ object Similarity {
       tableRoundTo: Int = 6): DataFrame =
     encoded.select(col(idCol).as("id"),
         round(adcDistExpr(query, codebooks, tableRoundTo), roundTo).as("approx_dist"))
-      .orderBy(col("approx_dist").asc, col("id"))
+      .orderBy(col("approx_dist").asc_nulls_last, col("id"))
       .limit(k)
 
   /** The (unrounded-total) ADC sum for one query: per subspace, the
@@ -928,7 +928,7 @@ object Similarity {
     }.get
     encoded.filter(col("_cid").isin(probed.map(Int.box): _*))
       .select(col(idCol).as("id"), round(dist, 4).as("approx_dist"))
-      .orderBy(col("approx_dist").asc, col("id"))
+      .orderBy(col("approx_dist").asc_nulls_last, col("id"))
       .limit(k)
   }
 
@@ -1058,7 +1058,7 @@ object Similarity {
       bit_count(element_at(col("_bq"), w + 1).bitwiseXOR(lit(qw))).cast("long")
     }.reduce(_ + _)
     encoded.select(col(idCol).as("id"), dist.as("hamming"))
-      .orderBy(col("hamming").asc, col("id"))
+      .orderBy(col("hamming").asc_nulls_last, col("id"))
       .limit(k)
   }
 
@@ -1078,7 +1078,7 @@ object Similarity {
       diff * diff
     }.reduce(_ + _)
     encoded.select(col(idCol).as("id"), round(dist, roundTo).as("approx_dist"))
-      .orderBy(col("approx_dist").asc, col("id"))
+      .orderBy(col("approx_dist").asc_nulls_last, col("id"))
       .limit(k)
   }
 }

@@ -408,9 +408,15 @@ object TextAnalysis {
     * EQUALITY join ([[blockByDomain]]) instead of a per-row LIKE scan over
     * the whole list. */
   def domainSuffixes(url: Column): Column = {
+    // authority → host: drop userinfo ('user@' — the classic blocklist
+    // bypass), then the port, then trailing dots (FQDN-form hosts)
     val host = regexp_replace(
-      regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
-      ":[0-9]+$", "")
+      regexp_replace(
+        regexp_replace(
+          regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+          "^[^/?#]*@", ""),
+        ":[0-9]+$", ""),
+      "\\.+$", "")
     val labels = split(host, "\\.")
     filter(
       transform(sequence(lit(1), org.apache.spark.sql.functions.size(labels)),
@@ -747,6 +753,10 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6, false)
+        // release the native zlib buffers when the task ends — waiting for
+        // the GC Cleaner leaks off-heap memory on long-lived executors
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, text) =>
           val raw = Option(text).getOrElse("").getBytes("UTF-8")

@@ -218,7 +218,9 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       (2L, "https://Tracker.NET:80/b"),           // the blocked domain itself
       (3L, "https://tracker.net.example.org/c"),  // blocked name as label PREFIX — survives
       (4L, "https://example.org/d"),
-      (5L, "https://nettracker.net.safe.io/e"))   // substring, not suffix — survives
+      (5L, "https://nettracker.net.safe.io/e"),   // substring, not suffix — survives
+      (6L, "https://user:pw@tracker.net/f"),      // userinfo must NOT hide the host
+      (7L, "https://tracker.net.:8080/g"))        // trailing-dot FQDN form still blocks
       .toDF("doc_id", "url")
     val blocked = Seq("tracker.net").toDF("domain")
     val kept = TextAnalysis.blockByDomain(docs, "doc_id", "url", blocked)
