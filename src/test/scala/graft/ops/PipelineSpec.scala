@@ -167,6 +167,49 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
 
+  test("p03: composed curation-v2 plan ≡ stage-by-stage materialization; every gate bites") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val composed = graft.SparkEntry.queries("p03_curation_v2")(spark, dir)
+
+    val tmp = java.nio.file.Files.createTempDirectory("p03_stage").toString
+    def roundtrip(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      spark.read.parquet(s"$tmp/$name")
+    }
+    val gateIds = roundtrip(
+      TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = 30, maxWords = 90,
+          minMeanWordLen = 4.0, maxMeanWordLen = 4.9,
+          minAlphaFrac = 0.8, minStopwords = 2,
+          stopwords = Seq("the", "a", "of", "and", "is"))
+        .filter(col("pass_gopher")).select("doc_id"), "gate")
+    val gated = roundtrip(docs.join(gateIds, "doc_id"), "gated")
+    val clusters = roundtrip(Dedup.dupClusters(spark,
+      Dedup.lshCandidates(gated, "doc_id", "text")), "clusters")
+    val scored = gated.select(col("doc_id"),
+      TextAnalysis.distinctTokenCount(col("text")).as("q"))
+    val kept = roundtrip(
+      Dedup.dedupByClustersBest(gated, "doc_id", clusters, scored, "q"), "kept")
+    val staged = TextAnalysis.packBins(kept, "lang", "doc_id", "text", budget = 128)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_tokens")).cast("long").as("bin_tokens"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(composed) == rows(staged),
+      "composing curation v2 must lose nothing vs stage materialization")
+
+    // every stage bites on the real corpus: the gate rejects some docs,
+    // clustering finds dup groups among the gated, the keep-rule drops the
+    // losers
+    val nDocs = docs.count(); val nGated = gated.count(); val nKept = kept.count()
+    assert(nGated < nDocs, "the Gopher gate rejected documents")
+    assert(clusters.count() > 0, "near-dup clusters exist among gated docs")
+    assert(nKept < nGated, "the cluster keep-rule dropped losers")
+    graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
   test("incremental ingestion round composes: store → increment → cluster → accept → append") {
     // the maintained-index workflow a training-data platform actually runs,
     // over REAL documents: an existing corpus owns a signature store; a new
