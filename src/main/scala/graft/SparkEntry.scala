@@ -1471,6 +1471,14 @@ object SparkEntry {
     "t24_tfidf_keywords" -> ((s, d) =>
       TextAnalysis.tfidfKeywords(t(s, d, "documents"), "doc_id", "text", k = 3)),
 
+    // the BPE trainer's inner loop: corpus-wide adjacent symbol-pair
+    // counts (char symbols + end-of-word marker), top-20; the iterative
+    // merge trainer is TextAnalysisSpec-pinned (Sennrich's own example)
+    "t25_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(t(s, d, "documents"), "text")
+        .orderBy(col("n").desc, col("left"), col("right"))
+        .limit(20)),
+
     // Unicode canonicalization (dedup/match-key folding) via the codegen'd
     // normalize_text expression; twin = DuckDB's own
     // lower(strip_accents(nfc_normalize(x))) — independent implementations
@@ -3275,6 +3283,14 @@ object SparkEntry {
         |    AS avg_neg_logp
         |FROM dbg LEFT JOIN m USING (w1, w2) LEFT JOIN ctx USING (w1)
         |CROSS JOIN v GROUP BY doc_id""".stripMargin,
+
+    "t25_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |s AS (SELECT list_append(string_split(w, ''), '</w>') AS s FROM w WHERE len(w) > 0),
+        |p AS (SELECT s[i] AS "left", s[i+1] AS "right" FROM s
+        |  CROSS JOIN LATERAL unnest(range(1, len(s))) AS r(i))
+        |SELECT "left", "right", COUNT(*) AS n FROM p GROUP BY 1, 2
+        |ORDER BY n DESC, "left", "right" LIMIT 20""".stripMargin,
 
     "t24_tfidf_keywords" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

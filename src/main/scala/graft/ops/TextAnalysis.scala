@@ -321,6 +321,81 @@ object TextAnalysis {
           / sum(col("n")), 4).as("avg_neg_logp"))
   }
 
+  /** Adjacent symbol-pair counts over the corpus — the BPE trainer's inner
+    * loop (Sennrich et al. 2016, public), exposed standalone: every
+    * whitespace word becomes its character-symbol sequence plus an
+    * end-of-word marker, and adjacent pairs count corpus-wide. Shuffles
+    * carry (pair, count) only; the word explode is map-side. */
+  def bpePairCounts(df: DataFrame, textCol: String,
+      eow: String = "</w>"): DataFrame = {
+    df.select(explode(split(col(textCol), " ")).as("_w"))
+      .filter(length(col("_w")) > 0) // run-of-spaces artifacts carry no pair
+      .select(concat(split(col("_w"), ""), array(lit(eow))).as("_s"))
+      .filter(org.apache.spark.sql.functions.size(col("_s")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), org.apache.spark.sql.functions.size(col("_s")) - 1),
+        i => struct(element_at(col("_s"), i).as("left"),
+          element_at(col("_s"), i + 1).as("right")))).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Distributed BPE merge training: `nMerges` rounds of count-all-pairs →
+    * merge the most frequent (ties → lexicographic (left, right)), exactly
+    * the Sennrich recipe. The corpus collapses ONCE to its word-frequency
+    * vocabulary (the standard trick — pair counts weight by word freq, so
+    * iterations run over |vocab| rows, not |corpus|); each round is one
+    * distributed aggregation plus a map-only merge pass over the symbol
+    * arrays. Returns the merge list in training order. */
+  def trainBpeMerges(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      textCol: String, nMerges: Int, eow: String = "</w>"): Seq[(String, String)] = {
+    import spark.implicits._
+    require(nMerges >= 1, "need nMerges >= 1")
+    var vocab = df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(split(col("w"), ""), array(lit(eow))).as("syms"), col("freq"))
+      .as[(Seq[String], Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      var round = 0
+      var dry = false
+      while (round < nMerges && !dry) {
+        val top = vocab.flatMap { case (syms, freq) =>
+            syms.sliding(2).collect { case Seq(l, r) => ((l, r), freq) }
+          }
+          .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+          .map { case ((l, r), n) => (n, l, r) }
+          // most frequent wins; ties break lexicographically for
+          // reproducible merge tables across runs and partitionings
+          .orderBy(col("_1").desc, col("_2"), col("_3"))
+          .take(1)
+        if (top.isEmpty) dry = true
+        else {
+          val (_, l, r) = top.head
+          merges += ((l, r))
+          val merged = l + r
+          val next = vocab.map { case (syms, freq) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += merged; i += 2 // left-to-right, non-overlapping
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toSeq, freq)
+          }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before dropping the parent
+          vocab.unpersist(false)
+          vocab = next
+        }
+        round += 1
+      }
+      merges.toSeq
+    } finally vocab.unpersist(false)
+  }
+
   /** Top-k TF-IDF keywords per document — the classic keyword-extraction /
     * topic-tagging signal: tfidf(t,d) = tf(t,d) · ln(N / df(t)). Document
     * frequencies derive from the per-doc term counts (no second corpus

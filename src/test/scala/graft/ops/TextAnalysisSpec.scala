@@ -190,6 +190,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L)._4 == 0.0, "empty doc scores 0, not NaN")
   }
 
+  test("BPE: pair counts hand-computed; merge training follows max-count with lexicographic ties, stops when dry") {
+    import spark.implicits._
+    val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val counts = TextAnalysis.bpePairCounts(df, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(
+      ("a", "a") -> 4L, ("a", "b") -> 3L, ("b", "</w>") -> 3L))
+    // round 1: (a,a)=4 wins; round 2: (a,b)=3 ties (b,</w>)=3 → lexicographic;
+    // round 3: after 'ab' merges, (ab,</w>)=3 beats (aa,ab)=2
+    val merges = TextAnalysis.trainBpeMerges(spark, df, "text", nMerges = 3)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("ab", "</w>")))
+    // requesting more merges than the corpus supports stops when dry
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val all = TextAnalysis.trainBpeMerges(spark, tiny, "text", nMerges = 5)
+    assert(all == Seq(("a", "b"), ("ab", "</w>")),
+      "a fully-merged vocabulary has no pairs left — training stops early")
+  }
+
   test("tfidfKeywords: hand-computed scores; rank cuts on rounded score with term tie-break") {
     import spark.implicits._
     // N=3; df: a=3 (idf 0), b=2, c=1, d=1
