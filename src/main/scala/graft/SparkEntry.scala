@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.query.{Fetch, Fts}
-import graft.ops.{Dedup, Events, Quality, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Events, Layout, Quality, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract (SURVEY §5.2): one named query per implemented operator
   * family, each with an exactly-equivalent DuckDB SQL twin in [[oracleSql]].
@@ -1478,6 +1478,27 @@ object SparkEntry {
       TextAnalysis.bpePairCounts(t(s, d, "documents"), "text")
         .orderBy(col("n").desc, col("left"), col("right"))
         .limit(20)),
+
+    // tokenizer APPLICATION: merges trained by the t25 trainer (10 rounds,
+    // deterministic lexicographic ties) applied corpus-wide — per-doc word
+    // and BPE-token counts + fertility, the tokenizer-fit signal mixing
+    // decisions read per language/source. Rows-only: replaying iterative
+    // merge training is not SQL-expressible; TextAnalysisSpec pins the
+    // greedy encode ≡ sequential merge replay (the trainer's own pass) on
+    // randomized corpora and the exact stats on a hand-built one
+    "t26_bpe_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.trainBpeMerges(s, docs, "text", nMerges = 10)
+      TextAnalysis.bpeEncodeStats(s, docs, "doc_id", "text", merges)
+    }),
+
+    // domain-shift signal: unigram-distribution divergence (KL both ways +
+    // bounded Jensen–Shannon) between the en slice and the rest, add-one
+    // smoothing over the UNION vocab so both sides are proper distributions
+    // on the same support; only (token, side-count) rows shuffle
+    "t27_token_divergence" -> ((s, d) =>
+      TextAnalysis.tokenDivergence(t(s, d, "documents"), "text",
+        col("lang") === "en")),
 
     // Unicode canonicalization (dedup/match-key folding) via the codegen'd
     // normalize_text expression; twin = DuckDB's own

@@ -396,6 +396,79 @@ object TextAnalysis {
     } finally vocab.unpersist(false)
   }
 
+  /** Greedy BPE segmentation of ONE word under a trained merge table:
+    * repeatedly merge the adjacent pair with the LOWEST training rank
+    * (leftmost on rank ties) until no pair is in the table — equivalent to
+    * replaying the merges in training order (each left-to-right,
+    * non-overlapping, exactly the trainer's own merge pass), which
+    * TextAnalysisSpec pins on randomized corpora against a naive
+    * sequential-replay evaluator. Driver/executor-shared core. */
+  private[ops] def bpeEncodeWord(word: String,
+      ranks: scala.collection.Map[(String, String), Int],
+      eow: String): Seq[String] = {
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ci = 0
+    while (ci < word.length) { syms += word.substring(ci, ci + 1); ci += 1 }
+    syms += eow
+    var done = syms.length < 2
+    while (!done) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val rk = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < bestRank) { bestRank = rk; best = i } // strict < ⇒ leftmost tie
+        i += 1
+      }
+      if (best < 0) done = true
+      else {
+        syms(best) = syms(best) + syms(best + 1)
+        syms.remove(best + 1)
+        if (syms.length < 2) done = true
+      }
+    }
+    syms.toSeq
+  }
+
+  /** Apply a trained BPE merge table to the corpus — the tokenizer-
+    * application half of [[trainBpeMerges]]: per-doc word count, BPE token
+    * count, and fertility (tokens/word, the standard tokenizer-fit metric a
+    * mixing decision reads per language/source). The merge table broadcasts
+    * (vocab-sized, small by contract — it IS the tokenizer); documents
+    * never shuffle: the encode is map-only over (id, text) and only the
+    * 3-counter rows move. Per-row imperative merging is the documented
+    * mapPartitions exception (a rank-greedy loop has no relational form);
+    * everything around it stays in the declarative plan. */
+  def bpeEncodeStats(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      idCol: String, textCol: String, merges: Seq[(String, String)],
+      eow: String = "</w>", roundTo: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ranks = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    val stats = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = ranks.value
+        it.map { case (id, text) =>
+          var words = 0L
+          var toks = 0L
+          val ws = if (text == null) Array.empty[String] else text.split(" ")
+          var i = 0
+          while (i < ws.length) {
+            if (ws(i).nonEmpty) {
+              words += 1
+              toks += bpeEncodeWord(ws(i), rk, eow).length.toLong
+            }
+            i += 1
+          }
+          (id, words, toks)
+        }
+      }
+    stats.toDF(idCol, "words", "bpe_tokens")
+      .withColumn("fertility",
+        when(col("words") > 0,
+          round(col("bpe_tokens").cast("double") / col("words"), roundTo)))
+  }
+
   /** Top-k TF-IDF keywords per document — the classic keyword-extraction /
     * topic-tagging signal: tfidf(t,d) = tf(t,d) · ln(N / df(t)). Document
     * frequencies derive from the per-doc term counts (no second corpus
@@ -417,6 +490,39 @@ object TextAnalysis {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col(idCol), col("term"), col("rk"), col("tfidf"))
+  }
+
+  /** Token-distribution divergence between two corpus slices — the
+    * domain-shift signal behind mixing decisions (is the new crawl slice
+    * like the corpus I tuned on?) and drift monitoring between ingest
+    * batches. Unigram distributions with add-one smoothing over the UNION
+    * vocabulary (so both are proper distributions on the same support and
+    * every log is finite): p_a(t) = (c_a(t)+1)/(N_a+V). Returns one row:
+    * token totals, union vocab size, KL(a‖b), KL(b‖a), and the symmetric
+    * bounded Jensen–Shannon divergence. Shuffles carry (token, side)
+    * counts only; the two totals rows broadcast — corpus text is read
+    * once and never moves. */
+  def tokenDivergence(df: DataFrame, textCol: String, sliceA: Column,
+      roundTo: Int = 4): DataFrame = {
+    val toks = df.select(sliceA.as("_a"), explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy("tok").agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(col("_a"), 0L).otherwise(1L)).as("cb"))
+    val totals = counts.agg(
+      sum("ca").as("_na"), sum("cb").as("_nb"),
+      count(lit(1)).cast("double").as("_v"))
+    val pa = (col("ca") + 1.0) / (col("_na") + col("_v"))
+    val pb = (col("cb") + 1.0) / (col("_nb") + col("_v"))
+    val m = (pa + pb) / 2.0
+    counts.crossJoin(broadcast(totals)).agg(
+      sum("ca").cast("long").as("n_tokens_a"),
+      sum("cb").cast("long").as("n_tokens_b"),
+      count(lit(1)).cast("long").as("vocab"),
+      round(sum(pa * log(pa / pb)), roundTo).as("kl_ab"),
+      round(sum(pb * log(pb / pa)), roundTo).as("kl_ba"),
+      round(sum(pa * log(pa / m)) / 2 + sum(pb * log(pb / m)) / 2, roundTo)
+        .as("js_div"))
   }
 
   /** HTML → text extraction (the CommonCrawl-style first step): script and
