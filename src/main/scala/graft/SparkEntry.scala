@@ -211,6 +211,32 @@ object SparkEntry {
       path.toString
     }
 
+  /** Memoized Z-ordered lineitem rewrite for w23 (Layout.zorderWrite on
+    * the Morton curve of (l_orderkey, l_suppkey), sidecar-fingerprinted
+    * like every durable layout here): rewritten once per corpus state,
+    * then every later scan prunes on footer min/max spans that are tight
+    * on BOTH keys. */
+  private val zorderLineitemMemo = layoutMemo
+  private def zorderLineitemFor(s: SparkSession, d: String): String =
+    memoizedLayout(zorderLineitemMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_zorder_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name)
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#z16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          java.nio.file.Files.isDirectory(path)
+        if (!ok) {
+          Layout.zorderWrite(t(s, d, "lineitem"), path.toString,
+            "l_orderkey", "l_suppkey", nFiles = 16)
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path.toString
+    }
+
   /** Memoized FORGET-lifecycle signature store for d16: d14's even-half
     * store taken through the takedown surface — remove {8, 26} and COMPACT
     * them away, then tombstone {58} and leave it uncompacted so the
@@ -1666,6 +1692,40 @@ object SparkEntry {
       require(Events.maintainDailyRollup(s, lake, roll).isEmpty,
         "second maintain over an unchanged lake must be a no-op")
       Events.readDailyRollup(s, roll)
+    }),
+
+    // multi-dimensional layout: lineitem rewritten z-ordered on
+    // (l_orderkey, l_suppkey) — the lakehouse OPTIMIZE ZORDER effect. The
+    // answer comes FROM THE REWRITTEN FILES with a two-sided range
+    // predicate (layout must never change answers — the twin derives the
+    // same bands from raw lineitem); before answering, the query ASSERTS
+    // the layout's point: per-file spans must let footer pruning skip most
+    // files on a range over EITHER key, which a single-sort-key layout can
+    // only do for its own key (LayoutSpec pins the comparison)
+    "w23_zorder" -> ((s, d) => {
+      val dir = zorderLineitemFor(s, d)
+      val spans = Layout.fileSpans(s, dir, "l_orderkey", "l_suppkey").cache()
+      try {
+        val nFiles = spans.count()
+        if (nFiles >= 8) { // tiny SFs can't spread 16 files; skip the audit
+          val mx = spans.agg(max("a_max"), max("b_max")).collect()(0)
+          val (aHi, bHi) = (mx.getLong(0), mx.getLong(1))
+          val fa = Layout.touchedFraction(spans, "a_min", "a_max",
+            aHi * 2 / 5, aHi / 2)
+          val fb = Layout.touchedFraction(spans, "b_min", "b_max",
+            bHi * 2 / 5, bHi / 2)
+          require(fa <= 0.75 && fb <= 0.75,
+            s"z layout must prune on both keys: a=$fa b=$fb of $nFiles files")
+        }
+      } finally spans.unpersist()
+      val li = s.read.parquet(dir)
+      val bHi = li.agg(max("l_suppkey")).collect()(0).getLong(0)
+      li.filter(col("l_suppkey").between(bHi * 2 / 5, bHi / 2))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
     }),
 
     // --- pipeline composition ----------------------------------------------
@@ -3313,6 +3373,30 @@ object SparkEntry {
         |SELECT "left", "right", COUNT(*) AS n FROM p GROUP BY 1, 2
         |ORDER BY n DESC, "left", "right" LIMIT 20""".stripMargin,
 
+    // smoothed unigram sums are plain SQL: per-token side counts, add-one
+    // over the union vocab, KL/JS via SUM+LN, rounded to 4 as the Spark
+    // side does
+    "t27_token_divergence" ->
+      """WITH toks AS (SELECT (lang = 'en') AS a,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok,
+        |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+        |  FROM toks WHERE len(tok) > 0 GROUP BY 1),
+        |tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb,
+        |    CAST(COUNT(*) AS DOUBLE) AS v FROM c),
+        |p AS (SELECT ca, cb,
+        |    (ca + 1.0) / (na + v) AS pa, (cb + 1.0) / (nb + v) AS pb,
+        |    ((ca + 1.0) / (na + v) + (cb + 1.0) / (nb + v)) / 2 AS m
+        |  FROM c, tot)
+        |SELECT CAST(SUM(ca) AS BIGINT) AS n_tokens_a,
+        |  CAST(SUM(cb) AS BIGINT) AS n_tokens_b,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  ROUND(SUM(pa * LN(pa / pb)), 4) AS kl_ab,
+        |  ROUND(SUM(pb * LN(pb / pa)), 4) AS kl_ba,
+        |  ROUND(SUM(pa * LN(pa / m)) / 2 + SUM(pb * LN(pb / m)) / 2, 4) AS js_div
+        |FROM p""".stripMargin,
+
     "t24_tfidf_keywords" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -3567,6 +3651,19 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the z-ordered rewrite answers from its own files; the twin derives
+    // the same two-sided suppkey band from raw lineitem — layout must
+    // never change answers (// is DuckDB integer division, matching
+    // Scala's Long floor division on the band bounds)
+    "w23_zorder" ->
+      """WITH mx AS (SELECT MAX(l_suppkey) AS m FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem, mx
+        |WHERE l_suppkey BETWEEN m * 2 // 5 AND m // 2
+        |GROUP BY 1""".stripMargin,
 
     "e05_partitioned_days" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, COUNT(*) AS events,

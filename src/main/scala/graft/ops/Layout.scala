@@ -32,20 +32,47 @@ object Layout {
   /** 32-bit Z-order value of two 16-bit keys: bits of `a` at even positions,
     * bits of `b` at odd. Nearby (a, b) points land near each other on the
     * curve, which is exactly what makes per-file min/max spans tight on both
-    * columns after a z-sorted write. */
+    * columns after a z-sorted write. Raw form — callers with keys outside
+    * [0, 65535] must bucketize first ([[scale16]]); [[zorderWrite]] does so
+    * automatically. */
   def zValue(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
-  /** Rewrite `df` into `nFiles` files clustered by z(a, b). One
-    * `repartitionByRange` on the z value (sampled boundaries — no global
-    * sort barrier, no driver materialization) + a within-partition sort, so
-    * every written file covers a contiguous, disjoint z range. LayoutSpec
-    * pins the resulting spans and the two-sided pruning win over a
-    * single-key linear layout. */
+  /** Linear bucketization of `[lo, hi]` onto the 16-bit z domain: monotone,
+    * endpoints pinned (lo → 0, hi → 65535), degenerate range → 0. Pure
+    * codegen'd arithmetic; double math so arbitrary long ranges can't
+    * overflow. Linear (not rank) bucketing keeps this one cheap map — for
+    * heavily skewed keys compose with an explicit rank/ntile first; for
+    * clustering locality the buckets only need to be monotone, which linear
+    * always is. */
+  def scale16(x: Column, lo: Long, hi: Long): Column =
+    if (hi <= lo) lit(0L)
+    else least(lit(65535L), greatest(lit(0L),
+      // range in double space: hi - lo overflows Long for the full domain
+      floor((x.cast("double") - lo.toDouble) / (hi.toDouble - lo.toDouble) * 65535.0)
+        .cast("long")))
+
+  /** Rewrite `df` into `nFiles` files clustered by z(a, b). Both keys first
+    * bucketize to the 16-bit z domain from their observed min/max (ONE
+    * 1-row aggregate — the only driver materialization), so arbitrary and
+    * negative key domains are safe; then one `repartitionByRange` on the z
+    * value (sampled boundaries — no global sort barrier) + a
+    * within-partition sort, so every written file covers a contiguous,
+    * disjoint z range. LayoutSpec pins the resulting spans and the
+    * two-sided pruning win over a single-key linear layout. */
   def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
       nFiles: Int): Unit = {
     require(nFiles >= 1, "need nFiles >= 1")
-    df.withColumn("_z", zValue(col(colA), col(colB)))
+    val bounds = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).collect()(0)
+    if (bounds.isNullAt(0)) { // empty input still writes an empty table
+      df.write.mode("overwrite").parquet(path); return
+    }
+    val (aLo, aHi, bLo, bHi) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
+    df.withColumn("_z", zValue(
+        scale16(col(colA), aLo, aHi), scale16(col(colB), bLo, bHi)))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")

@@ -318,4 +318,106 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got(1L)._2 == n)
   }
 
+  /** The trainer's own merge application: one left-to-right non-overlapping
+    * pass per merge, in training order. A single pass per merge suffices —
+    * merging (l,r)→lr can never create a NEW (l,r) occurrence in the same
+    * pass (a new pair (x, lr) or (lr, y) has a longer right/left element
+    * than r/l, so it cannot equal (l,r)). */
+  private def replayEncode(word: String, merges: Seq[(String, String)],
+      eow: String = "</w>"): Seq[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector :+ eow
+    for ((l, r) <- merges) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  test("bpeEncodeWord: greedy lowest-rank merge ≡ sequential merge replay on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = "abcde"
+    for (trial <- 0 until 4) {
+      // small alphabet + short words so pairs recur and merges chain deep
+      val corpus = (0 until 30).map { i =>
+        val words = (0 until (2 + rnd.nextInt(6))).map { _ =>
+          (0 until (1 + rnd.nextInt(7)))
+            .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }
+        (i.toLong, words.mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val merges = TextAnalysis.trainBpeMerges(spark, df, "text", nMerges = 12)
+      val ranks = merges.zipWithIndex.toMap
+      val words = corpus.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
+      for (w <- words) {
+        val greedy = TextAnalysis.bpeEncodeWord(w, ranks, "</w>")
+        val replay = replayEncode(w, merges)
+        assert(greedy == replay,
+          s"trial $trial word '$w': greedy $greedy != replay $replay (merges $merges)")
+        assert(greedy.mkString == w + "</w>", "tokens must reassemble the word")
+      }
+    }
+  }
+
+  test("bpeEncodeStats: hand-built merge table gives exact word/token counts and fertility") {
+    import spark.implicits._
+    // ranks: (l,o)=0 → (lo,w)=1 → (low,</w>)=2.
+    //   low    → l o w </w> → lo w </w> → low </w> → low</w>          = 1 token
+    //   lower  → l o w e r </w> → low e r </w> (no (low,e) merge)     = 4 tokens
+    //   lowest → l o w e s t </w> → low e s t </w>                    = 5 tokens
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    val df = Seq(
+      (1L, "low lower lowest"),
+      (2L, "low low"),
+      (3L, ""),              // empty doc: 0 words, null fertility
+      (4L, "  low   low ")). // run-of-spaces artifacts don't count as words
+      toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodeStats(spark, df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got(1L) == ((3L, 10L, Some(3.3333))), "1+4+5 tokens over 3 words")
+    assert(got(2L) == ((2L, 2L, Some(1.0))), "fully-merged words hit fertility 1")
+    assert(got(3L) == ((0L, 0L, None)), "no words → fertility null, not NaN")
+    assert(got(4L) == ((2L, 2L, Some(1.0))))
+  }
+
+  test("tokenDivergence: hand-computed add-one-smoothed KL both ways and bounded JS") {
+    import spark.implicits._
+    // side A: "a a b" (Na=3), side B: "a b b b" (Nb=4), union vocab V=2
+    //  pa = (3/5, 2/5), pb = (1/3, 2/3)
+    val df = Seq(
+      (1L, "en", "a a b"),
+      (2L, "de", "a b b"),
+      (3L, "de", "b")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.tokenDivergence(df, "text", col("lang") === "en")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 4L, 2L)))
+    val pa = Seq(3.0 / 5, 2.0 / 5)
+    val pb = Seq(1.0 / 3, 2.0 / 3)
+    def rnd4(x: Double) = math.rint(x * 1e4) / 1e4
+    def kl(p: Seq[Double], q: Seq[Double]) =
+      p.zip(q).map { case (x, y) => x * math.log(x / y) }.sum
+    val m = pa.zip(pb).map { case (x, y) => (x + y) / 2 }
+    assert(r.getDouble(3) == rnd4(kl(pa, pb)), "KL(a‖b)")
+    assert(r.getDouble(4) == rnd4(kl(pb, pa)), "KL(b‖a)")
+    assert(r.getDouble(5) == rnd4((kl(pa, m) + kl(pb, m)) / 2), "JS")
+    // the hand arithmetic itself, so the pin is visibly absolute:
+    assert(rnd4(kl(pa, pb)) == 0.1483 && rnd4(kl(pb, pa)) == 0.1446 &&
+      rnd4((kl(pa, m) + kl(pb, m)) / 2) == 0.0362)
+    // JS is symmetric and bounded by ln 2
+    assert(r.getDouble(5) <= math.log(2.0))
+    val rev = TextAnalysis.tokenDivergence(df, "text", col("lang") =!= "en")
+      .collect().head
+    assert(rev.getDouble(5) == r.getDouble(5), "JS(a,b) == JS(b,a)")
+    assert((rev.getDouble(3), rev.getDouble(4)) == ((r.getDouble(4), r.getDouble(3))))
+  }
+
 }
