@@ -297,7 +297,37 @@ object ScaleProbe {
         "m06_container_meta" -> (() => noop(
           graft.ops.Multimodal.extractContainerMetadata(spark,
             graft.ops.Multimodal.syntheticContainerCorpus(spark,
-              docs.select("doc_id"), "doc_id")).toDF())))
+              docs.select("doc_id"), "doc_id")).toDF())),
+
+        // chain-DSL compiler (r12, verdict item 7): the g-family had never
+        // been probed past sf0.1. g01 = 1-hop chain + grouped COUNT; g05 =
+        // 4-hop chain + grouped SUM — the longest driver chain. Both run
+        // over StarGraph's cached per-kind projection (the fill is paid on
+        // the first rep, shared across both — same as the bench battery).
+        "g01_chain_group" -> (() => noop(
+          graft.query.Fetch.df(StarGraph(spark, dir), graft.query.Fetch.Args(
+            chain = "[c:customer,ordercount] <(e:PlacedBy)- (o:orders)",
+            group = Some("c.uid"),
+            params = Map("ordercount" -> "COUNT(o.uid)")))
+            .select("uid", "ordercount"))),
+        "g05_chain_4hop" -> (() => noop(
+          graft.query.Fetch.df(StarGraph(spark, dir), graft.query.Fetch.Args(
+            chain = "[r:region,revenue] <(e2:InRegion)- (n:nation) <(e1:InNation)- (c:customer) <(e3:PlacedBy)- (o:orders)",
+            group = Some("r.uid"),
+            params = Map("revenue" ->
+              "CAST(SUM(CAST(o.data.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")))
+            .select("uid", "revenue"))),
+        // the warehouse twin: bucketed build once, then the co-partitioned
+        // self-join + groupBy on the bucket column (no data-bearing shuffle)
+        "wh_build_once" -> (() => { StarWarehouse(spark, dir); () }),
+        "w20_copart_wh" -> (() => noop({
+          val g = StarWarehouse(spark, dir)
+          def contains(as: String) = g.edges.filter(col("kind") === "Contains")
+            .select(col("startuid"), col("uid").as(as))
+          contains("uid_a").join(contains("uid_b"), "startuid")
+            .filter(col("uid_a") < col("uid_b"))
+            .groupBy("startuid").agg(count(lit(1)).as("pairs"))
+        })))
     }
 
     val results = scala.collection.mutable.LinkedHashMap
@@ -311,9 +341,13 @@ object ScaleProbe {
       val only = sys.env.getOrElse("SCALE_PROBE_ONLY", ".*").r
       for ((name, fn) <- ops(dir, tag.replace(".", ""))
            if name.endsWith("_once") || only.pattern.matcher(name).matches()
+           // sf10 has documents/embeddings only — no star tables, so the
+           // graph/chain ops keep their sf0.1→sf1 decade
            if !(tag == "sf10" && (name == "x02_pagerank" ||
              name == "x08_triangles" || name == "m05_audio_dups" ||
-             name == "x10_adamic_adar"))) {
+             name == "x10_adamic_adar" || name == "g01_chain_group" ||
+             name == "g05_chain_4hop" || name == "wh_build_once" ||
+             name == "w20_copart_wh"))) {
         val times =
           if (name.endsWith("_once")) Seq(time(fn())) // durable: pay once
           else { fn(); (1 to reps).map(_ => time(fn())) } // warm + reps

@@ -839,6 +839,106 @@ object TextAnalysis {
     }
   }
 
+  // ----------------------------------------------------- gate audit store
+
+  private def gateTable(name: String) = s"${name}_gateaudit"
+  private val gateAuditDdl =
+    "batch_id BIGINT, n_in BIGINT, n_pass BIGINT, n_fail_words BIGINT, " +
+      "n_fail_mean_len BIGINT, n_fail_alpha BIGINT, n_fail_stopwords BIGINT"
+
+  /** Create (or re-register) the persisted gate-audit store behind
+    * [[applyGateIngestBatch]]: one append-only row per ingested batch —
+    * inputs, passes, and per-rule reject counts — so the curation audit
+    * ("what did the gate drop, and why, over the whole ingest history")
+    * reads from a table instead of re-scanning landed batches. Same
+    * restart-survival posture as the segment/model stores. */
+  def ensureGateStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, buckets: Int = 4): Boolean =
+    ensureKeyedStore(spark, name, gateTable(name), gateAuditDdl, "batch_id", buckets)
+
+  /** Rebuild the gate store empty and clear its ingest log (the same NEW
+    * corpus-state rule as [[resetSegmentStore]]). */
+  def resetGateStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, buckets: Int = 4): Unit = {
+    resetKeyedStore(spark, name, gateTable(name))
+    ensureGateStore(spark, name, buckets)
+    ()
+  }
+
+  /** One exactly-once GATE-ON-ARRIVAL batch — [[gopherRules]] applied the
+    * moment documents land: rows passing every rule land (with their full
+    * original columns) at `outPath/batch=<id>`, and ONE audit row (inputs,
+    * passes, per-rule reject counts) appends to the gate store — both
+    * under the shared ingest commit log, so a crash anywhere replays to
+    * the identical landed set and an audit history with no doubled or
+    * missing batch. Feeding the same corpus through any batch split lands
+    * exactly the batch pipeline's `pass_gopher` survivors and audit sums
+    * (EventStreamsSpec pins it through kill/restart + crash rollback).
+    * Returns docs passed, -1 on a committed-batch replay (no-op).
+    *
+    * Scale shape per batch: the gate is map-only codegen'd column
+    * arithmetic (no shuffle — the rules frame joins back on the id key
+    * within the batch only), the audit is one 7-counter aggregate row, and
+    * nothing ever probes or re-shuffles prior batches — cost is O(batch),
+    * independent of ingest history. */
+  def applyGateIngestBatch(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, idCol: String, textCol: String,
+      name: String, outPath: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopwords: Int = 2,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")): Long = {
+    import graft.engine.WarehouseMeta
+    import org.apache.spark.sql.SaveMode
+    val t = gateTable(name)
+    WarehouseMeta.withBuildLock(spark, name) {
+      WarehouseMeta.exactlyOnceBatch(spark, s"${name}_ingest_log", batchId, Seq(t)) {
+        val rules = gopherRules(batch, idCol, textCol, minWords, maxWords,
+          minMeanWordLen, maxMeanWordLen, minAlphaFrac, minStopwords, stopwords)
+        batch.join(rules.filter(col("pass_gopher")).select(col(idCol)), idCol)
+          .write.mode(SaveMode.Overwrite).parquet(s"$outPath/batch=$batchId")
+        // column order mirrors the DDL: insertInto binds positionally
+        rules.agg(
+          lit(batchId).as("batch_id"),
+          count(lit(1)).as("n_in"),
+          sum(when(col("pass_gopher"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(!col("ok_word_count"), 1L).otherwise(0L)).as("n_fail_words"),
+          sum(when(!col("ok_mean_word_len"), 1L).otherwise(0L)).as("n_fail_mean_len"),
+          sum(when(!col("ok_alpha"), 1L).otherwise(0L)).as("n_fail_alpha"),
+          sum(when(!col("ok_stopwords"), 1L).otherwise(0L)).as("n_fail_stopwords"))
+          .write.mode(SaveMode.Append).insertInto(t)
+        spark.table(t).filter(col("batch_id") === batchId)
+          .select(coalesce(sum(col("n_pass")), lit(0L))).collect()(0).getLong(0)
+      }.getOrElse(-1L)
+    }
+  }
+
+  /** The gate-on-arrival loop as a STREAM ([[applyGateIngestBatch]] under
+    * foreachBatch, AvailableNow) — restart-safe like the segment loop:
+    * the streaming checkpoint replays uncommitted batches with identical
+    * ids, the ingest log makes each audit append and landing
+    * exactly-once. */
+  def gateIngestStream(spark: org.apache.spark.sql.SparkSession,
+      docsStream: DataFrame, idCol: String, textCol: String, name: String,
+      outPath: String, checkpoint: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopwords: Int = 2,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestStreamOf(spark, docsStream, gateTable(name), checkpoint) { (b, id) =>
+      applyGateIngestBatch(b.sparkSession, b, id, idCol, textCol, name,
+        outPath, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+        minAlphaFrac, minStopwords, stopwords)
+      ()
+    }
+
+  /** The gate store's audit history: one row per committed batch. */
+  def readGateAudit(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame = spark.table(gateTable(name))
+
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023): each doc's log importance is
     * Σ n·(ln p_target(tok) − ln p_raw(tok)) over its token occurrences —

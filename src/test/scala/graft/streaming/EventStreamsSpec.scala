@@ -601,6 +601,106 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       "text", name, outDir, window = 4) == -1L)
   }
 
+  test("gateIngestStream: gate-on-arrival — stream ≡ batch gopher gate, audit sums, crash rollback, replay no-op") {
+    import scala.jdk.CollectionConverters._
+    import graft.ops.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val cut = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0).toLong
+    val shard1 = docs.filter(col("doc_id") < cut)
+    val shard2 = docs.filter(col("doc_id") >= cut)
+    val name = "graft_gate_loop"
+    TextAnalysis.resetGateStore(spark, name)
+    // t19's fixture-scaled thresholds, so every rule actually varies here
+    val stop = Seq("the", "a", "of", "and", "is")
+    def gateArgs(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.gopherRules(df, "doc_id", "text",
+        minWords = 30, maxWords = 90, minMeanWordLen = 4.0,
+        maxMeanWordLen = 4.9, minAlphaFrac = 0.8, minStopwords = 2,
+        stopwords = stop)
+
+    val tmp = java.nio.file.Files.createTempDirectory("gate_loop")
+    val src = tmp.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def land(df: org.apache.spark.sql.DataFrame, fname: String): Unit = {
+      val stage = tmp.resolve(s"stage_$fname")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      java.nio.file.Files.move(part, src.resolve(fname))
+    }
+    def runStream(): Unit = TextAnalysis.gateIngestStream(spark,
+        spark.readStream.schema(docs.schema).parquet(src.toString),
+        "doc_id", "text", name, outDir, ckpt,
+        minWords = 30, maxWords = 90, minMeanWordLen = 4.0,
+        maxMeanWordLen = 4.9, minAlphaFrac = 0.8, minStopwords = 2,
+        stopwords = stop)
+      .awaitTermination()
+    def audit() = TextAnalysis.readGateAudit(spark, name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+
+    // run 1 drains shard1, stops at the batch boundary; run 2 restarts
+    // from the checkpoint and processes only the new file
+    land(shard1, "f1.parquet"); runStream()
+    assert(audit().size == 1, "one committed batch, one audit row")
+    land(shard2, "f2.parquet"); runStream()
+    assert(audit().size == 2, "run 2 appended exactly one more audit row")
+
+    // landed survivors (with their FULL original columns) ≡ the batch gate
+    val streamed = spark.read.parquet(outDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchPass = docs.join(
+        gateArgs(docs).filter(col("pass_gopher")).select("doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batchPass,
+      "streamed landed docs must equal the batch pipeline's gopher survivors")
+
+    // audit sums ≡ the batch pipeline's per-rule reject counts
+    val b = gateArgs(docs).agg(
+        count(lit(1)), sum(when(col("pass_gopher"), 1L).otherwise(0L)),
+        sum(when(!col("ok_word_count"), 1L).otherwise(0L)),
+        sum(when(!col("ok_mean_word_len"), 1L).otherwise(0L)),
+        sum(when(!col("ok_alpha"), 1L).otherwise(0L)),
+        sum(when(!col("ok_stopwords"), 1L).otherwise(0L))).head()
+    val sums = audit().toSeq.map(a => (a._2, a._3, a._4, a._5, a._6, a._7))
+      .reduce((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3,
+        x._4 + y._4, x._5 + y._5, x._6 + y._6))
+    assert(sums == ((b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3),
+      b.getLong(4), b.getLong(5))),
+      "audit history sums to the whole-corpus rule counts")
+    assert(sums._1 == docs.count(), "every ingested doc is audited once")
+
+    // crash at the exactly-once seam: restore the last batch to the
+    // "append ran, commit didn't land" state, then replay — rollback
+    // removes the orphaned audit row + landing, the re-apply restores them
+    val logDir = graft.engine.WarehouseMeta.tableLocation(spark, s"${name}_ingest_log")
+    val last = java.nio.file.Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".commit"))
+      .maxBy(_.getFileName.toString.stripSuffix(".commit").toLong)
+    val bid = last.getFileName.toString.stripSuffix(".commit").toLong
+    java.nio.file.Files.move(last, logDir.resolve(s"$bid.intent"))
+    val before = audit()
+    val replayed = TextAnalysis.applyGateIngestBatch(spark, shard2, bid,
+      "doc_id", "text", name, outDir,
+      minWords = 30, maxWords = 90, minMeanWordLen = 4.0,
+      maxMeanWordLen = 4.9, minAlphaFrac = 0.8, minStopwords = 2,
+      stopwords = stop)
+    assert(audit() == before,
+      "crashed-append replay must roll back then restore the exact audit rows")
+    assert(replayed >= 0, "the replay re-applies (it was not committed)")
+    assert(spark.read.parquet(outDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == batchPass,
+      "landed output survives the crash replay unchanged")
+    // replaying a COMMITTED batch is a no-op
+    assert(TextAnalysis.applyGateIngestBatch(spark, shard2, bid, "doc_id",
+      "text", name, outDir, minWords = 30, maxWords = 90,
+      minMeanWordLen = 4.0, maxMeanWordLen = 4.9, minAlphaFrac = 0.8,
+      minStopwords = 2, stopwords = stop) == -1L)
+    assert(audit() == before)
+    graft.engine.WarehouseMeta.deleteRecursively(tmp)
+  }
+
   test("scoreIngestStream: prequential model loop — stream ≡ per-batch twin, crash rollback, compaction neutral") {
     import scala.jdk.CollectionConverters._
     import graft.ops.TextAnalysis
