@@ -299,6 +299,28 @@ object ScaleProbe {
             graft.ops.Multimodal.syntheticContainerCorpus(spark,
               docs.select("doc_id"), "doc_id")).toDF())),
 
+        // BPE training at realistic merge counts (r12, verdict item 9):
+        // 200 merges, batched 16 per round → 13 count-rounds instead of
+        // 200. The corpus collapses once to its word-frequency vocabulary,
+        // so per-round cost tracks |vocab|, not |corpus| — the replicated
+        // decades keep the word SET fixed while growing the corpus 100×,
+        // and this probe evidences that the rounds stay flat (only the
+        // one-time collapse pays the corpus scan).
+        "bpe_train_b16" -> (() => {
+          graft.ops.TextAnalysis.trainBpeMergesBatched(spark, docs, "text",
+            nMerges = 200, batchSize = 16)
+          ()
+        }),
+
+        // z-order rewrite (r12): bounds aggregate + repartitionByRange +
+        // within-partition sort + parquet write over lineitem — the whole
+        // layout pipeline, timed at 10× rows (star decade only)
+        "w23_zorder_write" -> (() =>
+          graft.ops.Layout.zorderWrite(
+            spark.read.parquet(s"$dir/lineitem.parquet"),
+            s"$genRoot/zorder_probe_$tag", "l_orderkey", "l_suppkey",
+            nFiles = 16)),
+
         // chain-DSL compiler (r12, verdict item 7): the g-family had never
         // been probed past sf0.1. g01 = 1-hop chain + grouped COUNT; g05 =
         // 4-hop chain + grouped SUM — the longest driver chain. Both run
@@ -347,7 +369,7 @@ object ScaleProbe {
              name == "x08_triangles" || name == "m05_audio_dups" ||
              name == "x10_adamic_adar" || name == "g01_chain_group" ||
              name == "g05_chain_4hop" || name == "wh_build_once" ||
-             name == "w20_copart_wh"))) {
+             name == "w20_copart_wh" || name == "w23_zorder_write"))) {
         val times =
           if (name.endsWith("_once")) Seq(time(fn())) // durable: pay once
           else { fn(); (1 to reps).map(_ => time(fn())) } // warm + reps

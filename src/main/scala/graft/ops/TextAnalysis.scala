@@ -346,11 +346,36 @@ object TextAnalysis {
     * vocabulary (the standard trick — pair counts weight by word freq, so
     * iterations run over |vocab| rows, not |corpus|); each round is one
     * distributed aggregation plus a map-only merge pass over the symbol
-    * arrays. Returns the merge list in training order. */
+    * arrays. Returns the merge list in training order.
+    *
+    * One-merge-per-round — exact but O(nMerges) Spark jobs; at realistic
+    * vocab sizes (1k+ merges) the per-round scheduling floor dominates,
+    * so the scale path is [[trainBpeMergesBatched]] (this method IS the
+    * batchSize = 1 case of it — one code path, equality by construction,
+    * pinned by TextAnalysisSpec). */
   def trainBpeMerges(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
-      textCol: String, nMerges: Int, eow: String = "</w>"): Seq[(String, String)] = {
+      textCol: String, nMerges: Int, eow: String = "</w>"): Seq[(String, String)] =
+    trainBpeMergesBatched(spark, df, textCol, nMerges, batchSize = 1, eow)
+
+  /** BPE merge training with BATCHED rounds — the 1000-merge scale path:
+    * each round counts pairs ONCE, then commits up to `batchSize` merges
+    * from that one count, chosen greedily in (count desc, left, right)
+    * order subject to SYMBOL-DISJOINTNESS — no selected pair shares a
+    * symbol with an earlier selection, so at any position at most one
+    * selected pair can match and the single left-to-right application
+    * pass is order-independent. Standard fast-BPE round batching: rounds
+    * (= Spark jobs = the driver-side scheduling floor) shrink by up to
+    * batchSize× while the counts each merge was chosen on are at most one
+    * batch stale — batchSize = 1 is EXACT Sennrich (each merge sees fully
+    * updated counts) and the default for the oracle-facing trainer.
+    * Within a batch, rank order is the selection order, so the merge list
+    * feeds [[bpeEncodeStats]] unchanged. */
+  def trainBpeMergesBatched(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, textCol: String, nMerges: Int, batchSize: Int,
+      eow: String = "</w>"): Seq[(String, String)] = {
     import spark.implicits._
     require(nMerges >= 1, "need nMerges >= 1")
+    require(batchSize >= 1, "need batchSize >= 1")
     var vocab = df.select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -359,9 +384,12 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
-      var round = 0
       var dry = false
-      while (round < nMerges && !dry) {
+      var rounds = 0
+      while (merges.size < nMerges && !dry) {
+        val want = math.min(batchSize, nMerges - merges.size)
+        // 4× headroom: disjointness conflicts skip candidates, and the
+        // take() is a driver-side list of short strings — tiny either way
         val top = vocab.flatMap { case (syms, freq) =>
             syms.sliding(2).collect { case Seq(l, r) => ((l, r), freq) }
           }
@@ -370,27 +398,45 @@ object TextAnalysis {
           // most frequent wins; ties break lexicographically for
           // reproducible merge tables across runs and partitionings
           .orderBy(col("_1").desc, col("_2"), col("_3"))
-          .take(1)
-        if (top.isEmpty) dry = true
+          .take(want * 4)
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        for ((_, l, r) <- top if picked.size < want)
+          if (!used(l) && !used(r)) { picked += ((l, r)); used += l; used += r }
+        if (picked.isEmpty) dry = true
         else {
-          val (_, l, r) = top.head
-          merges += ((l, r))
-          val merged = l + r
+          merges ++= picked
+          val sel = picked.map { case (l, r) => (l, r) -> (l + r) }.toMap
           val next = vocab.map { case (syms, freq) =>
             val out = scala.collection.mutable.ArrayBuffer.empty[String]
             var i = 0
             while (i < syms.length) {
-              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-                out += merged; i += 2 // left-to-right, non-overlapping
-              } else { out += syms(i); i += 1 }
+              val m = if (i + 1 < syms.length) sel.get((syms(i), syms(i + 1)))
+                else None
+              m match {
+                case Some(merged) => out += merged; i += 2 // left-to-right, non-overlapping
+                case None => out += syms(i); i += 1
+              }
             }
             (out.toSeq, freq)
           }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           next.count() // materialize before dropping the parent
           vocab.unpersist(false)
           vocab = next
+          rounds += 1
+          // caching materializes DATA but never truncates LINEAGE: each
+          // round's RDD DAG nests the previous round's, and at ~200 rounds
+          // task serialization overflows the stack (measured — the r12
+          // 200-merge probe crashed exactly there). Cut the chain every 8
+          // committed rounds; localCheckpoint keeps partitions on
+          // executors (no checkpoint dir), the right trade for a trainer
+          // that re-runs cheaply on executor loss.
+          if (rounds % 8 == 0) {
+            val ck = vocab.localCheckpoint(true)
+            vocab.unpersist(false)
+            vocab = ck
+          }
         }
-        round += 1
       }
       merges.toSeq
     } finally vocab.unpersist(false)
@@ -938,6 +984,114 @@ object TextAnalysis {
   /** The gate store's audit history: one row per committed batch. */
   def readGateAudit(spark: org.apache.spark.sql.SparkSession,
       name: String): DataFrame = spark.table(gateTable(name))
+
+  // ----------------------------------------------------- blocklist store
+
+  private def blockDomainsTable(name: String) = s"${name}_domains"
+  private def blockAuditTable(name: String) = s"${name}_blockaudit"
+
+  /** Create (or re-register) the persisted domain-blocklist store behind
+    * [[applyBlockIngestBatch]]: the MAINTAINED lowercase `domain` table
+    * (takedowns arrive over a deployment's lifetime — the list is state,
+    * not a constant) plus the per-batch audit table. Same restart-survival
+    * posture as the other keyed stores. */
+  def ensureBlocklistStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, buckets: Int = 4): Boolean = {
+    val a = ensureKeyedStore(spark, name, blockDomainsTable(name),
+      "domain STRING", "domain", buckets)
+    val b = ensureKeyedStore(spark, name, blockAuditTable(name),
+      "batch_id BIGINT, n_in BIGINT, n_blocked BIGINT, n_kept BIGINT",
+      "batch_id", buckets)
+    a || b
+  }
+
+  /** Rebuild both blocklist tables empty and clear the ingest log (the
+    * same NEW corpus-state rule as [[resetSegmentStore]]). */
+  def resetBlocklistStore(spark: org.apache.spark.sql.SparkSession,
+      name: String, buckets: Int = 4): Unit = {
+    resetKeyedStore(spark, name, blockDomainsTable(name))
+    resetKeyedStore(spark, name, blockAuditTable(name))
+    ensureBlocklistStore(spark, name, buckets)
+    ()
+  }
+
+  /** Append domains to the maintained blocklist (lowercased, deduped
+    * against the store) under the table set's build lock, so takedowns
+    * serialize against in-flight ingest batches — a batch observes the
+    * list before or after a takedown, never a torn half. */
+  def addBlockedDomains(spark: org.apache.spark.sql.SparkSession,
+      name: String, domains: Seq[String]): Unit = {
+    import graft.engine.WarehouseMeta
+    import org.apache.spark.sql.SaveMode
+    WarehouseMeta.withBuildLock(spark, name) {
+      import spark.implicits._
+      val t = blockDomainsTable(name)
+      val incoming = domains.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+      // dedup vs the store WITHOUT reading and appending the same table in
+      // one plan (self-insert hazard): the collected intersection is
+      // bounded by the caller's own argument size, never the store's
+      val existing = spark.table(t)
+        .join(incoming.toDF("domain"), Seq("domain"), "left_semi")
+        .collect().map(_.getString(0)).toSet
+      val fresh = incoming.filterNot(existing)
+      if (fresh.nonEmpty)
+        fresh.toDF("domain").write.mode(SaveMode.Append).insertInto(t)
+    }
+  }
+
+  /** One exactly-once BLOCKLIST-ON-ARRIVAL batch — [[blockByDomain]]
+    * against the CURRENT maintained list the moment documents land:
+    * survivors (full original columns) land at `outPath/batch=<id>`, one
+    * audit row (inputs, blocked, kept) appends to the audit store — both
+    * under the shared ingest commit log. Gating is against the list AS OF
+    * the batch's apply: a takedown landing later does not rewrite
+    * already-committed batches (compose with a retroactive re-scan for
+    * that); an UNcommitted crash replays under whatever list holds at
+    * replay time, which is the honest semantics — the batch never
+    * happened. Returns docs kept, -1 on a committed-batch replay.
+    *
+    * Scale shape per batch: the corpus never shuffles — suffix explosion
+    * is map-side and both the semi-join (blocklist) and anti-join (hit
+    * ids) broadcast at sane blocklist sizes (t22's audited plan); the
+    * audit is one 4-counter row. O(batch + blocklist), independent of
+    * ingest history. */
+  def applyBlockIngestBatch(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, idCol: String, urlCol: String,
+      name: String, outPath: String): Long = {
+    import graft.engine.WarehouseMeta
+    import org.apache.spark.sql.SaveMode
+    val t = blockAuditTable(name)
+    WarehouseMeta.withBuildLock(spark, name) {
+      WarehouseMeta.exactlyOnceBatch(spark, s"${name}_ingest_log", batchId, Seq(t)) {
+        val kept = blockByDomain(batch, idCol, urlCol,
+          spark.table(blockDomainsTable(name)))
+        kept.write.mode(SaveMode.Overwrite).parquet(s"$outPath/batch=$batchId")
+        val nIn = batch.count()
+        val nKept = spark.read.parquet(s"$outPath/batch=$batchId").count()
+        // column order mirrors the DDL: insertInto binds positionally
+        spark.range(1).select(
+          lit(batchId).as("batch_id"), lit(nIn).as("n_in"),
+          lit(nIn - nKept).as("n_blocked"), lit(nKept).as("n_kept"))
+          .write.mode(SaveMode.Append).insertInto(t)
+        nKept
+      }.getOrElse(-1L)
+    }
+  }
+
+  /** The blocklist loop as a STREAM ([[applyBlockIngestBatch]] under
+    * foreachBatch, AvailableNow) — restart-safe like the gate loop. */
+  def blockIngestStream(spark: org.apache.spark.sql.SparkSession,
+      docsStream: DataFrame, idCol: String, urlCol: String, name: String,
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestStreamOf(spark, docsStream, blockAuditTable(name), checkpoint) { (b, id) =>
+      applyBlockIngestBatch(b.sparkSession, b, id, idCol, urlCol, name, outPath)
+      ()
+    }
+
+  /** The blocklist store's audit history: one row per committed batch. */
+  def readBlockAudit(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame = spark.table(blockAuditTable(name))
 
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023): each doc's log importance is

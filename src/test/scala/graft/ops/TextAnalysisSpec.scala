@@ -339,6 +339,93 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     syms
   }
 
+  test("trainBpeMergesBatched: batchSize=1 ≡ exact trainer; symbol-disjoint batch selection hand-computed") {
+    import spark.implicits._
+    // hand-traceable corpus: words aa×2 bb×2 cc×1.
+    // round-1 pairs (n, l, r) ordered (n desc, l asc, r asc; '<' < letters):
+    //   (2, a, </w>) (2, a, a) (2, b, </w>) (2, b, b) (1, c, c) (1, c, </w>)
+    // batch of 3, symbol-disjoint: (a,</w>) takes {a, </w>}, so (a,a) and
+    // (b,</w>) skip; (b,b) and (c,c) fit → [(a,</w>), (b,b), (c,c)]
+    // round 2: aa→[a, a</w>], bb→[bb, </w>], cc→[cc, </w>] ⇒ pairs
+    //   (2, a, a</w>) (2, bb, </w>) (1, cc, </w>) → [(a,a</w>), (bb,</w>)]
+    val df = Seq((1L, "aa bb aa bb cc")).toDF("doc_id", "text")
+    val batched = TextAnalysis.trainBpeMergesBatched(spark, df, "text",
+      nMerges = 5, batchSize = 3)
+    assert(batched == Seq(("a", "</w>"), ("b", "b"), ("c", "c"),
+      ("a", "a</w>"), ("bb", "</w>")))
+    // batchSize=1 is the exact Sennrich path — identical to trainBpeMerges
+    val rnd = new scala.util.Random(777L)
+    val corpus = (0 until 25).map { i =>
+      (i.toLong, (0 until 6).map(_ =>
+        (0 until (1 + rnd.nextInt(5))).map(_ => "abcd"(rnd.nextInt(4))).mkString)
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = TextAnalysis.trainBpeMerges(spark, corpus, "text", nMerges = 8)
+    val b1 = TextAnalysis.trainBpeMergesBatched(spark, corpus, "text",
+      nMerges = 8, batchSize = 1)
+    assert(exact == b1, "batchSize=1 must BE the exact trainer")
+    // batched tables stay well-formed: distinct merges, and a batched-table
+    // encode still reassembles every word exactly
+    val b4 = TextAnalysis.trainBpeMergesBatched(spark, corpus, "text",
+      nMerges = 8, batchSize = 4)
+    assert(b4.distinct == b4, "no merge selected twice")
+    val ranks = b4.zipWithIndex.toMap
+    for (w <- Seq("aabb", "dcba", "abab"))
+      assert(TextAnalysis.bpeEncodeWord(w, ranks, "</w>").mkString == w + "</w>")
+  }
+
+  /** Driver-side Sennrich reference trainer — an independent oracle for
+    * the distributed path: count pairs over the word-frequency vocabulary,
+    * merge the (count desc, left, right) winner, repeat. */
+  private def refTrain(words: Map[String, Long], nMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>") -> f }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var dry = false
+    while (merges.size < nMerges && !dry) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) dry = true
+      else {
+        val (l, r) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }._1
+        merges += ((l, r))
+        vocab = vocab.toSeq.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result() -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    merges.toSeq
+  }
+
+  test("trainBpeMerges ≡ driver-side Sennrich reference across lineage-checkpoint boundaries") {
+    import spark.implicits._
+    // enough distinct pairs for 20 exact rounds → the every-8-rounds
+    // localCheckpoint lineage cut fires twice inside the run
+    val rnd = new scala.util.Random(4242L)
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(_ =>
+        (0 until (2 + rnd.nextInt(6))).map(_ => "abcdef"(rnd.nextInt(6))).mkString)
+        .mkString(" "))
+    }
+    val freqs = corpus.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    val expected = refTrain(freqs, 20)
+    assert(expected.size == 20, "fixture must support all 20 merges")
+    val got = TextAnalysis.trainBpeMerges(spark,
+      corpus.toDF("doc_id", "text"), "text", nMerges = 20)
+    assert(got == expected,
+      "distributed trainer must equal the reference merge-for-merge")
+  }
+
   test("bpeEncodeWord: greedy lowest-rank merge ≡ sequential merge replay on randomized corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L)

@@ -701,6 +701,89 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     graft.engine.WarehouseMeta.deleteRecursively(tmp)
   }
 
+  test("blockIngestStream: blocklist-on-arrival — gates against the CURRENT list, audit, crash rollback, replay no-op") {
+    import scala.jdk.CollectionConverters._
+    import graft.ops.TextAnalysis
+    // deterministic URLs over the corpus: doc_id % 4 picks the host —
+    // hosts 0 (subdomain of blocked) and 3 (blocked later) will gate;
+    // host 2 is the prefix-label trap (tracker.net.example.org survives)
+    val hosts = array(lit("ads.tracker.net"), lit("news.example.org"),
+      lit("tracker.net.example.org"), lit("media.spam.io"))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("https://"), element_at(hosts, (col("doc_id") % 4 + 1).cast("int")),
+          lit("/p/"), col("doc_id")).as("url"))
+    val cut = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0).toLong
+    val shard1 = docs.filter(col("doc_id") < cut)
+    val shard2 = docs.filter(col("doc_id") >= cut)
+    val name = "graft_block_loop"
+    TextAnalysis.resetBlocklistStore(spark, name)
+    TextAnalysis.addBlockedDomains(spark, name, Seq("Tracker.NET"))
+    // re-adding an existing domain (case-insensitively) is a store no-op
+    TextAnalysis.addBlockedDomains(spark, name, Seq("tracker.net"))
+    assert(spark.table(s"${name}_domains").count() == 1)
+
+    val tmp = java.nio.file.Files.createTempDirectory("block_loop")
+    val src = tmp.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def land(df: org.apache.spark.sql.DataFrame, fname: String): Unit = {
+      val stage = tmp.resolve(s"stage_$fname")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      java.nio.file.Files.move(part, src.resolve(fname))
+    }
+    def runStream(): Unit = TextAnalysis.blockIngestStream(spark,
+        spark.readStream.schema(docs.schema).parquet(src.toString),
+        "doc_id", "url", name, outDir, ckpt)
+      .awaitTermination()
+    def audit() = TextAnalysis.readBlockAudit(spark, name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def landed() = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // batch 0 gates under {tracker.net}: only host 0 (ads.tracker.net) drops
+    land(shard1, "f1.parquet"); runStream()
+    val kept1 = ids(shard1.filter(col("doc_id") % 4 =!= 0))
+    assert(landed() == kept1,
+      "subdomain of blocked drops; the prefix-label host survives")
+
+    // TAKEDOWN between batches: spam.io joins the list — batch 1 must gate
+    // against the CURRENT list (hosts 0 and 3 drop), batch 0 stays as-is
+    TextAnalysis.addBlockedDomains(spark, name, Seq("spam.io"))
+    land(shard2, "f2.parquet"); runStream()
+    val kept2 = ids(shard2.filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 4 =!= 3))
+    assert(landed() == kept1 ++ kept2,
+      "batch 1 gated by the updated list; committed batch 0 not rewritten")
+
+    // audit rows carry the exact per-batch arithmetic
+    val n1 = shard1.count(); val n2 = shard2.count()
+    assert(audit() == Set(
+      (0L, n1, n1 - kept1.size, kept1.size.toLong),
+      (1L, n2, n2 - kept2.size, kept2.size.toLong)))
+
+    // crash at the exactly-once seam: rollback removes the orphaned audit
+    // row, the replay re-gates under the current list → identical state
+    val logDir = graft.engine.WarehouseMeta.tableLocation(spark, s"${name}_ingest_log")
+    val last = java.nio.file.Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".commit"))
+      .maxBy(_.getFileName.toString.stripSuffix(".commit").toLong)
+    val bid = last.getFileName.toString.stripSuffix(".commit").toLong
+    java.nio.file.Files.move(last, logDir.resolve(s"$bid.intent"))
+    val before = audit()
+    val replayed = TextAnalysis.applyBlockIngestBatch(spark, shard2, bid,
+      "doc_id", "url", name, outDir)
+    assert(replayed == kept2.size.toLong && audit() == before &&
+      landed() == kept1 ++ kept2)
+    // replaying a COMMITTED batch is a no-op
+    assert(TextAnalysis.applyBlockIngestBatch(spark, shard2, bid,
+      "doc_id", "url", name, outDir) == -1L)
+    assert(audit() == before)
+    graft.engine.WarehouseMeta.deleteRecursively(tmp)
+  }
+
   test("scoreIngestStream: prequential model loop — stream ≡ per-batch twin, crash rollback, compaction neutral") {
     import scala.jdk.CollectionConverters._
     import graft.ops.TextAnalysis
