@@ -1093,6 +1093,86 @@ object TextAnalysis {
   def readBlockAudit(spark: org.apache.spark.sql.SparkSession,
       name: String): DataFrame = spark.table(blockAuditTable(name))
 
+  /** RETROACTIVE takedown over committed landings — the other half of the
+    * blocklist lifecycle: [[applyBlockIngestBatch]] gates arrivals against
+    * the list as of their apply, and this op brings every ALREADY-LANDED
+    * batch up to the CURRENT list (the right-to-be-forgotten obligation a
+    * takedown actually carries). Runs under the table set's build lock, so
+    * it serializes against in-flight ingest and concurrent takedowns.
+    *
+    * Crash-safe by stage-then-swap, never read-and-overwrite-in-place:
+    * affected batches rewrite to a `.retro` staging dir first (Overwrite —
+    * idempotent), then swap in via rename through a `.trash` holding dir;
+    * [[healRetroSwaps]] runs first on every invocation and repairs any
+    * half-swap a crash left (trash present + live dir missing → restore;
+    * both present → the swap finished, drop the trash). A re-run after
+    * success is a no-op (nothing left to remove).
+    *
+    * Scale shape: one pass over the landed corpus (a retro-scan is by
+    * definition a re-scan) with t22's zero-shuffle gate per batch; only
+    * batches that LOST rows rewrite — untouched batch dirs keep their
+    * files byte-for-byte. Returns (batch_id, n_before, n_removed,
+    * n_after) for every landed batch, removed-first. */
+  def retroScanLandings(spark: org.apache.spark.sql.SparkSession,
+      name: String, outPath: String, idCol: String, urlCol: String): DataFrame = {
+    import graft.engine.WarehouseMeta
+    import org.apache.spark.sql.SaveMode
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    WarehouseMeta.withBuildLock(spark, name) {
+      val root = Paths.get(outPath)
+      healRetroSwaps(root)
+      val batches =
+        if (!Files.isDirectory(root)) Seq.empty[Long]
+        else Files.list(root).iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("batch="))
+          .map(_.getFileName.toString.stripPrefix("batch=").toLong)
+          .toSeq.sorted
+      val blocked = spark.table(blockDomainsTable(name))
+      val report = batches.map { bid =>
+        val dir = s"$outPath/batch=$bid"
+        val before = spark.read.parquet(dir)
+        val nBefore = before.count()
+        val kept = blockByDomain(before, idCol, urlCol, blocked)
+        val nAfter = kept.count()
+        if (nAfter < nBefore) {
+          val staged = s"$outPath/.retro/batch=$bid"
+          kept.write.mode(SaveMode.Overwrite).parquet(staged)
+          val live = root.resolve(s"batch=$bid")
+          val trash = root.resolve(s".trash-batch=$bid")
+          WarehouseMeta.deleteRecursively(trash) // stale from an old run
+          Files.move(live, trash, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(Paths.get(staged), live, StandardCopyOption.ATOMIC_MOVE)
+          WarehouseMeta.deleteRecursively(trash)
+        }
+        (bid, nBefore, nBefore - nAfter, nAfter)
+      }
+      WarehouseMeta.deleteRecursively(root.resolve(".retro"))
+      import spark.implicits._
+      report.toDF("batch_id", "n_before", "n_removed", "n_after")
+        .orderBy(col("n_removed").desc, col("batch_id"))
+    }
+  }
+
+  /** Repair any half-finished [[retroScanLandings]] swap: a `.trash-batch=N`
+    * with NO live `batch=N` means the crash hit between the two renames —
+    * restore the original (the staged rewrite re-derives on the next scan);
+    * trash alongside a live dir means the swap completed — drop the trash. */
+  private def healRetroSwaps(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(root)) return
+    val trashes = Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".trash-batch=")).toList
+    for (t <- trashes) {
+      val live = root.resolve(t.getFileName.toString.stripPrefix(".trash-"))
+      if (!Files.exists(live))
+        Files.move(t, live, StandardCopyOption.ATOMIC_MOVE)
+      else
+        graft.engine.WarehouseMeta.deleteRecursively(t)
+    }
+  }
+
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023): each doc's log importance is
     * Σ n·(ln p_target(tok) − ln p_raw(tok)) over its token occurrences —

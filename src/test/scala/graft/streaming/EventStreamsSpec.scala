@@ -784,6 +784,70 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     graft.engine.WarehouseMeta.deleteRecursively(tmp)
   }
 
+  test("retroScanLandings: committed landings re-gate under the current list; swaps crash-heal; re-run no-op") {
+    import scala.jdk.CollectionConverters._
+    import graft.ops.TextAnalysis
+    val hosts = array(lit("ads.tracker.net"), lit("news.example.org"),
+      lit("tracker.net.example.org"), lit("media.spam.io"))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("https://"), element_at(hosts, (col("doc_id") % 4 + 1).cast("int")),
+          lit("/p/"), col("doc_id")).as("url"))
+    val name = "graft_retro_loop"
+    TextAnalysis.resetBlocklistStore(spark, name)
+    TextAnalysis.addBlockedDomains(spark, name, Seq("tracker.net"))
+    val tmp = java.nio.file.Files.createTempDirectory("retro_loop")
+    val outDir = s"$tmp/out"
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    def landed() = ids(spark.read.parquet(outDir))
+    // two committed batches under {tracker.net}: host 0 drops on arrival
+    val shard1 = docs.filter(col("doc_id") % 2 === 0)
+    val shard2 = docs.filter(col("doc_id") % 2 === 1)
+    assert(TextAnalysis.applyBlockIngestBatch(spark, shard1, 0L, "doc_id",
+      "url", name, outDir) >= 0)
+    assert(TextAnalysis.applyBlockIngestBatch(spark, shard2, 1L, "doc_id",
+      "url", name, outDir) >= 0)
+    val arrivalKept = ids(docs.filter(col("doc_id") % 4 =!= 0))
+    assert(landed() == arrivalKept)
+
+    // TAKEDOWN after commit: arrivals already landed media.spam.io docs —
+    // the retro scan must remove them from the committed batch dirs
+    TextAnalysis.addBlockedDomains(spark, name, Seq("spam.io"))
+    val rep = TextAnalysis.retroScanLandings(spark, name, outDir, "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val finalKept = ids(docs.filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 4 =!= 3))
+    assert(landed() == finalKept,
+      "retro scan brings every committed landing up to the current list")
+    // report arithmetic: spam.io docs (doc_id % 4 == 3, all odd) sat in batch 1
+    val removed1 = ids(shard2.filter(col("doc_id") % 4 === 3)).size.toLong
+    assert(rep(0L)._2 == 0L && rep(1L)._2 == removed1,
+      s"only batch 1 held spam.io docs: $rep")
+    assert(rep.values.forall { case (b, r, a) => b - r == a })
+
+    // re-run is a no-op: nothing left to remove, landings unchanged
+    val rep2 = TextAnalysis.retroScanLandings(spark, name, outDir, "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rep2 == Map(0L -> 0L, 1L -> 0L) && landed() == finalKept)
+
+    // crash heal 1: "swap finished, cleanup crashed" — stale trash next to
+    // a live dir is dropped
+    val root = java.nio.file.Paths.get(outDir)
+    val staleTrash = root.resolve(".trash-batch=0")
+    java.nio.file.Files.createDirectories(staleTrash)
+    java.nio.file.Files.write(staleTrash.resolve("junk"), Array[Byte](1))
+    // crash heal 2: "between the renames" — live dir missing, trash holds
+    // the original; heal must restore it before scanning
+    java.nio.file.Files.move(root.resolve("batch=1"), root.resolve(".trash-batch=1"))
+    val rep3 = TextAnalysis.retroScanLandings(spark, name, outDir, "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rep3 == Map(0L -> 0L, 1L -> 0L), "healed state has nothing to remove")
+    assert(landed() == finalKept, "both batches restored and current")
+    assert(!java.nio.file.Files.exists(staleTrash) &&
+      !java.nio.file.Files.exists(root.resolve(".trash-batch=1")))
+    graft.engine.WarehouseMeta.deleteRecursively(tmp)
+  }
+
   test("scoreIngestStream: prequential model loop — stream ≡ per-batch twin, crash rollback, compaction neutral") {
     import scala.jdk.CollectionConverters._
     import graft.ops.TextAnalysis
