@@ -321,6 +321,22 @@ object ScaleProbe {
             s"$genRoot/zorder_probe_$tag", "l_orderkey", "l_suppkey",
             nFiles = 16)),
 
+        // full incremental-maintenance lifecycle (r12): init on the low
+        // 90% of the orderkey domain + blind tail append + ONE
+        // incremental zorderMaintain (only edge tiles rewrite; the rest
+        // hard-link) — the OPTIMIZE cost curve at 10× rows
+        "zmaint_lifecycle" -> (() => {
+          val p = s"$genRoot/zmaint_probe_$tag"
+          graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(p))
+          val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          val cut = li.agg(max("l_orderkey")).collect()(0).getLong(0) * 9 / 10
+          graft.ops.Layout.zorderInit(spark,
+            li.filter(col("l_orderkey") <= cut), p, "l_orderkey", "l_suppkey", 16)
+          graft.ops.Layout.zorderAppend(li.filter(col("l_orderkey") > cut), p)
+          graft.ops.Layout.zorderMaintain(spark, p)
+          ()
+        }),
+
         // chain-DSL compiler (r12, verdict item 7): the g-family had never
         // been probed past sf0.1. g01 = 1-hop chain + grouped COUNT; g05 =
         // 4-hop chain + grouped SUM — the longest driver chain. Both run
@@ -369,7 +385,8 @@ object ScaleProbe {
              name == "x08_triangles" || name == "m05_audio_dups" ||
              name == "x10_adamic_adar" || name == "g01_chain_group" ||
              name == "g05_chain_4hop" || name == "wh_build_once" ||
-             name == "w20_copart_wh" || name == "w23_zorder_write"))) {
+             name == "w20_copart_wh" || name == "w23_zorder_write" ||
+             name == "zmaint_lifecycle"))) {
         val times =
           if (name.endsWith("_once")) Seq(time(fn())) // durable: pay once
           else { fn(); (1 to reps).map(_ => time(fn())) } // warm + reps

@@ -237,6 +237,43 @@ object SparkEntry {
       path.toString
     }
 
+  /** Memoized MAINTAINED z-order table for w26: init from the low ~90% of
+    * the orderkey domain, blind-append the high tail, then one
+    * incremental zorderMaintain — the builder REQUIRES that some files
+    * carried over by hard link (incrementality engaged, not a silent full
+    * rewrite: the tail appends clamp to the curve's edge and route to the
+    * last tiles only) and that a second maintain is an exact no-op. */
+  private val zmaintMemo = layoutMemo
+  private def zorderMaintainedFor(s: SparkSession, d: String): String =
+    memoizedLayout(zmaintMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w26_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zmaint16b")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val li = t(s, d, "lineitem")
+          val cut = li.agg(max("l_orderkey")).collect()(0).getLong(0) * 9 / 10
+          Layout.zorderInit(s, li.filter(col("l_orderkey") <= cut), path,
+            "l_orderkey", "l_suppkey", nFiles = 16)
+          Layout.zorderAppend(li.filter(col("l_orderkey") > cut), path)
+          val (merged, rewritten, linked) = Layout.zorderMaintain(s, path)
+          require(merged > 0, "the tail append must hold rows")
+          require(linked >= 1 && rewritten >= 1,
+            s"maintain must be incremental: rewrote $rewritten, linked $linked")
+          require(Layout.zorderMaintain(s, path) == ((0L, 0, 0)),
+            "second maintain over a clean table must be an exact no-op")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized gopher GATE-ON-ARRIVAL ingest history for w24: the exactly-
     * once gate loop driven as two deterministic batches (doc_id parity),
     * with a committed-replay no-op proof on the seam — the first ingest
@@ -1825,6 +1862,19 @@ object SparkEntry {
     // checking the list-as-of-apply semantics end to end
     "w25_block_loop" -> ((s, d) =>
       TextAnalysis.readBlockAudit(s, blockStoreFor(s, d))),
+
+    // incremental z-order maintenance (the lakehouse OPTIMIZE lifecycle):
+    // init on the low 90% of the orderkey domain, blind-append the tail,
+    // ONE incremental maintain (builder requires hard-linked carry-over +
+    // a no-op second maintain), then answer a full aggregate FROM THE
+    // MAINTAINED GENERATION — layout and maintenance must never change
+    // answers, so the twin derives from raw lineitem
+    "w26_zorder_maintain" -> ((s, d) =>
+      Layout.zorderRead(s, zorderMaintainedFor(s, d))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))),
 
     // --- pipeline composition ----------------------------------------------
     // END-TO-END ingest chain as ONE composed plan — the deliverable the
@@ -3762,6 +3812,14 @@ object SparkEntry {
         |FROM lineitem, mx
         |WHERE l_suppkey BETWEEN m * 2 // 5 AND m // 2
         |GROUP BY 1""".stripMargin,
+
+    // maintenance must preserve every row and value: full-corpus aggregate
+    // from the maintained generation ≡ raw lineitem
+    "w26_zorder_maintain" ->
+      """SELECT l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // the audit table answers from the loop's committed history; the twin
     // re-derives each parity batch's gopher rule counts from raw documents

@@ -100,4 +100,340 @@ object Layout {
         .cast("double")).collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
     if (total == 0) 0.0 else touched / total
   }
+
+  // ------------------------------------------- incremental maintenance
+  //
+  // The lakehouse OPTIMIZE lifecycle on top of zorderWrite: appends land
+  // BLIND (no clustering cost on the write path), and maintenance folds
+  // them into the curve INCREMENTALLY — only the files whose z-range the
+  // new rows fall into rewrite; every other file carries over by hard
+  // link, byte-for-byte. Readers get snapshot isolation through
+  // generation directories: `gen=N` is immutable once built, a one-line
+  // CURRENT pointer flips atomically, and a crash anywhere leaves CURRENT
+  // on the old generation with partial debris healed by the next
+  // maintain. The z scaling bounds are FROZEN at init (stored in the
+  // table's meta sidecar) so every generation shares one curve; appended
+  // keys outside the initial domain clamp to the curve's edge — their
+  // files' spans widen, pruning elsewhere keeps working, and a domain
+  // drift big enough to matter is a re-init, not a maintain.
+
+  private def currentPtr(path: String) = java.nio.file.Paths.get(path, "CURRENT")
+  private def genDir(path: String, gen: Long) = java.nio.file.Paths.get(path, s"gen=$gen")
+  private def landingDir(path: String) = java.nio.file.Paths.get(path, "landing")
+
+  private def writeAtomic(target: java.nio.file.Path, body: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** The committed generation number, or None before init. */
+  def currentGen(path: String): Option[Long] =
+    if (!java.nio.file.Files.isRegularFile(currentPtr(path))) None
+    else Some(new String(java.nio.file.Files.readAllBytes(currentPtr(path)),
+      "UTF-8").trim.toLong)
+
+  /** Initialize a maintained z-ordered table at `path`: gen=0 holds the
+    * zorderWrite layout, the meta sidecar freezes the scaling bounds and
+    * layout columns, the spans sidecar records each file's z-range (what
+    * maintenance routes against), and CURRENT commits the generation. */
+  def zorderInit(spark: SparkSession, df: DataFrame, path: String,
+      colA: String, colB: String, nFiles: Int): Unit = {
+    import java.nio.file.Files
+    require(nFiles >= 1, "need nFiles >= 1")
+    val bounds = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).collect()(0)
+    require(!bounds.isNullAt(0), "zorderInit needs a non-empty table")
+    val (aLo, aHi, bLo, bHi) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
+    val g0 = genDir(path, 0L)
+    Files.createDirectories(java.nio.file.Paths.get(path))
+    df.withColumn("_z", zValue(
+        scale16(col(colA), aLo, aHi), scale16(col(colB), bLo, bHi)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(g0.toString)
+    writeMeta(g0, colA, colB, aLo, aHi, bLo, bHi)
+    writeZSpans(spark, g0, colA, colB, aLo, aHi, bLo, bHi)
+    Files.createDirectories(landingDir(path))
+    writeAtomic(currentPtr(path), "0")
+  }
+
+  /** Curve metadata travels INSIDE each generation dir, so a compaction
+    * that re-freezes the scaling bounds commits them atomically with the
+    * pointer flip — a crashed compact can never leave new bounds visible
+    * against an old generation's spans. */
+  private def writeMeta(gen: java.nio.file.Path, colA: String, colB: String,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long): Unit =
+    writeAtomic(gen.resolve("_zmeta.tsv"),
+      s"colA\t$colA\ncolB\t$colB\naLo\t$aLo\naHi\t$aHi\nbLo\t$bLo\nbHi\t$bHi")
+
+  private def readMeta(gen: java.nio.file.Path): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(gen.resolve("_zmeta.tsv"))
+      .asScala.filter(_.contains('\t'))
+      .map { l => val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1) }
+      .toMap
+  }
+
+  /** Scan `gen`'s data files ONCE and record each file's (z_min, z_max)
+    * into its `_zspans.tsv` (underscore prefix: invisible to parquet
+    * readers). Maintenance routes new rows against these ranges without
+    * touching data. */
+  private def writeZSpans(spark: SparkSession, gen: java.nio.file.Path,
+      colA: String, colB: String, aLo: Long, aHi: Long, bLo: Long,
+      bHi: Long): Unit = {
+    val z = zValue(scale16(col(colA), aLo, aHi), scale16(col(colB), bLo, bHi))
+    val rows = spark.read.parquet(gen.toString)
+      .select(input_file_name().as("f"), z.as("_z"))
+      .groupBy("f").agg(min("_z").as("lo"), max("_z").as("hi"))
+      .collect()
+      .map(r => (java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+        .getFileName.toString, r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    writeAtomic(gen.resolve("_zspans.tsv"),
+      rows.map { case (f, lo, hi) => s"$f\t$lo\t$hi" }.mkString("\n"))
+  }
+
+  private def readZSpans(gen: java.nio.file.Path): Seq[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(gen.resolve("_zspans.tsv")).asScala
+      .filter(_.nonEmpty).map { l =>
+        val Array(f, lo, hi) = l.split("\t")
+        (f, lo.toLong, hi.toLong)
+      }.toSeq
+  }
+
+  /** Blind append: rows land as plain parquet in `landing/` — no
+    * clustering work on the hot write path (unique part names make
+    * concurrent appends safe); [[zorderMaintain]] folds them in. */
+  def zorderAppend(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(landingDir(path).toString)
+
+  /** Read the CURRENT committed generation (landing rows are invisible
+    * until maintained — snapshot semantics; use [[zorderReadWithLanding]]
+    * for read-your-appends). */
+  def zorderRead(spark: SparkSession, path: String): DataFrame = {
+    val gen = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    spark.read.parquet(genDir(path, gen).toString)
+  }
+
+  /** CURRENT generation plus any unmaintained landing rows — the
+    * read-your-appends view (landing files are unclustered, so scans over
+    * this view prune only the maintained part). */
+  def zorderReadWithLanding(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val base = zorderRead(spark, path)
+    val landing = landingFiles(path)
+    if (landing.isEmpty) base
+    else base.unionByName(spark.read.parquet(landing.map(_.toString): _*))
+  }
+
+  private def landingFiles(path: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val d = landingDir(path)
+    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+    else java.nio.file.Files.list(d).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+
+  /** Fold landed appends into the curve. Incremental: new rows route to
+    * the existing file whose committed z-range contains them (cutpoint
+    * arithmetic on the spans sidecar — codegen'd, no shuffle of the base
+    * table), ONLY those files rewrite (merged + re-sorted), and every
+    * untouched file carries into the next generation by HARD LINK —
+    * byte-for-byte, no data copied. Generation commit discipline:
+    *
+    *   1. heal debris (generations above CURRENT, stagings, landing files
+    *      already consumed by the committed generation's manifest),
+    *   2. build `gen=N+1` complete (links + merged files + spans +
+    *      consumed-landing manifest),
+    *   3. flip CURRENT atomically,
+    *   4. delete consumed landing files and `gen=N`.
+    *
+    * A crash before (3) leaves CURRENT on N and step (1) removes the
+    * partial build; a crash after (3) leaves consumed landing files whose
+    * re-merge step (1) suppresses via the manifest — appends are folded
+    * exactly once. Returns (rowsMerged, filesRewritten, filesLinked);
+    * (0, 0, 0) when there is nothing to do. */
+  def zorderMaintain(spark: SparkSession, path: String): (Long, Int, Int) = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val cur = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    healGenerations(path, cur)
+    val landing = landingFiles(path)
+    if (landing.isEmpty) return (0L, 0, 0)
+    val meta = readMeta(genDir(path, cur))
+    val (colA, colB) = (meta("colA"), meta("colB"))
+    val (aLo, aHi, bLo, bHi) = (meta("aLo").toLong, meta("aHi").toLong,
+      meta("bLo").toLong, meta("bHi").toLong)
+    val z = zValue(scale16(col(colA), aLo, aHi), scale16(col(colB), bLo, bHi))
+    val curDir = genDir(path, cur)
+    val spans = readZSpans(curDir) // sorted by z_min
+    // cutpoint routing on a MATERIALIZED z column: fid = index of the last
+    // span start <= z, as a codegen'd CASE chain over the one `_zm` read.
+    // (An array-fold HOF here re-inlines the ~50-node z tree per element
+    // and runs interpreted — measured 59 s for 600k rows at sf1 before
+    // this shape; the CASE chain is <1 s.) File counts are a layout
+    // parameter (16-1024), so the chain stays small; for 100k-file tables
+    // swap this for a broadcast range join.
+    val cuts = spans.map(_._2)
+    val fid = cuts.zipWithIndex.drop(1)
+      .foldRight(lit(cuts.length - 1): Column) { case ((c, i), acc) =>
+        when(col("_zm") < c, i - 1).otherwise(acc)
+      }
+    val newRows = spark.read.parquet(landing.map(_.toString): _*)
+      .withColumn("_zm", z)
+      .withColumn("_fid", fid)
+    val affectedFids = newRows.select("_fid").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by the file count
+    val nextDir = genDir(path, cur + 1)
+    val staging = java.nio.file.Paths.get(path, s"gen=${cur + 1}.staging")
+    graft.engine.WarehouseMeta.deleteRecursively(staging)
+    // affected old files re-read WITH their fid (tiny broadcast name->fid
+    // map), unioned with the routed new rows, one file per fid
+    val affectedNames = affectedFids.map(i => spans(i)._1)
+    import spark.implicits._
+    val nameToFid = affectedFids.map(i => (spans(i)._1, i)).toSeq
+      .toDF("fname", "_fid")
+    val oldRows = if (affectedNames.isEmpty) None
+      else Some(spark.read
+        .parquet(affectedNames.map(n => curDir.resolve(n).toString): _*)
+        .withColumn("_zm", z)
+        .withColumn("fname", element_at(
+          split(input_file_name(), "/"), -1))
+        .join(broadcast(nameToFid), "fname")
+        .drop("fname"))
+    val merged = oldRows.map(_.unionByName(newRows)).getOrElse(newRows)
+    merged
+      .repartition(math.max(1, affectedFids.length), col("_fid"))
+      .sortWithinPartitions("_fid", "_zm")
+      .drop("_zm")
+      .write.partitionBy("_fid").mode("overwrite").parquet(staging.toString)
+    val nMerged = newRows.count()
+    // assemble gen N+1: links for untouched files, staged merges for the rest
+    Files.createDirectories(nextDir)
+    var linked = 0
+    val affectedSet = affectedFids.toSet
+    for ((i, (fname, _, _)) <- spans.zipWithIndex.map(_.swap)) {
+      if (!affectedSet.contains(i)) {
+        try Files.createLink(nextDir.resolve(fname), curDir.resolve(fname))
+        catch { case _: UnsupportedOperationException =>
+          Files.copy(curDir.resolve(fname), nextDir.resolve(fname))
+        }
+        linked += 1
+      } else {
+        val partDir = staging.resolve(s"_fid=$i")
+        val part = Files.list(partDir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        require(part.size == 1, s"expected one merged file for fid $i, got ${part.size}")
+        Files.move(part.head, nextDir.resolve(s"merged-$cur-$i.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    graft.engine.WarehouseMeta.deleteRecursively(staging)
+    // spans update is INCREMENTAL too: linked files keep their committed
+    // ranges; only the merged files scan (they were just written)
+    val mergedSpans = if (affectedFids.isEmpty) Seq.empty else spark.read
+      .parquet(affectedFids.map(i => nextDir.resolve(s"merged-$cur-$i.parquet").toString): _*)
+      .select(input_file_name().as("f"), z.as("_z"))
+      .groupBy("f").agg(min("_z").as("lo"), max("_z").as("hi"))
+      .collect()
+      .map(r => (java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+        .getFileName.toString, r.getLong(1), r.getLong(2))).toSeq
+    val keptSpans = spans.zipWithIndex.collect {
+      case ((f, lo, hi), i) if !affectedSet.contains(i) => (f, lo, hi)
+    }
+    val allSpans = (keptSpans ++ mergedSpans).sortBy(_._2)
+    writeAtomic(nextDir.resolve("_zspans.tsv"),
+      allSpans.map { case (f, lo, hi) => s"$f\t$lo\t$hi" }.mkString("\n"))
+    writeMeta(nextDir, colA, colB, aLo, aHi, bLo, bHi) // bounds stay frozen
+    writeAtomic(nextDir.resolve("_consumed.tsv"),
+      landing.map(_.getFileName.toString).mkString("\n"))
+    // COMMIT, then clean up — both cleanups replay safely after a crash
+    writeAtomic(currentPtr(path), (cur + 1).toString)
+    landing.foreach(Files.deleteIfExists(_))
+    graft.engine.WarehouseMeta.deleteRecursively(curDir)
+    (nMerged, affectedFids.length, linked)
+  }
+
+  /** Full re-layout into a fresh generation — the periodic OPTIMIZE that
+    * heals what incremental maintenance accumulates: edge tiles bloated
+    * by clamped out-of-domain appends, file-count drift, and scaling
+    * bounds that no longer match the data (bounds RE-FREEZE here from the
+    * observed min/max — the one place they may change, committed
+    * atomically with the generation flip because the meta travels inside
+    * the gen dir). Folds any unmaintained landing rows too. Same commit
+    * discipline as maintain: build complete, flip CURRENT, clean up;
+    * crash-safe at every point. */
+  def zorderCompact(spark: SparkSession, path: String, nFiles: Int): Unit = {
+    import java.nio.file.Files
+    require(nFiles >= 1, "need nFiles >= 1")
+    val cur = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    healGenerations(path, cur)
+    val meta = readMeta(genDir(path, cur))
+    val (colA, colB) = (meta("colA"), meta("colB"))
+    val landing = landingFiles(path)
+    val all = {
+      val base = spark.read.parquet(genDir(path, cur).toString)
+      if (landing.isEmpty) base
+      else base.unionByName(spark.read.parquet(landing.map(_.toString): _*))
+    }
+    val bounds = all.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).collect()(0)
+    val (aLo, aHi, bLo, bHi) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
+    val nextDir = genDir(path, cur + 1)
+    all.withColumn("_z", zValue(
+        scale16(col(colA), aLo, aHi), scale16(col(colB), bLo, bHi)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(nextDir.toString)
+    writeMeta(nextDir, colA, colB, aLo, aHi, bLo, bHi) // RE-frozen bounds
+    writeZSpans(spark, nextDir, colA, colB, aLo, aHi, bLo, bHi)
+    writeAtomic(nextDir.resolve("_consumed.tsv"),
+      landing.map(_.getFileName.toString).mkString("\n"))
+    writeAtomic(currentPtr(path), (cur + 1).toString)
+    landing.foreach(Files.deleteIfExists(_))
+    graft.engine.WarehouseMeta.deleteRecursively(genDir(path, cur))
+    ()
+  }
+
+  /** Remove debris a crashed [[zorderMaintain]] left: generation dirs and
+    * stagings ABOVE the committed pointer (the build never finished), the
+    * previous generation if its deletion was interrupted, and landing
+    * files the COMMITTED generation already consumed (the manifest is the
+    * exactly-once guard for the crash window between pointer flip and
+    * landing cleanup). */
+  private def healGenerations(path: String, cur: Long): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    for (p <- Files.list(root).iterator().asScala.toList) {
+      val n = p.getFileName.toString
+      if (n.startsWith("gen=")) {
+        val gen = n.stripPrefix("gen=").stripSuffix(".staging")
+        val stale = n.endsWith(".staging") ||
+          (gen.forall(_.isDigit) && gen.toLong != cur)
+        if (stale) graft.engine.WarehouseMeta.deleteRecursively(p)
+      }
+    }
+    val consumed = genDir(path, cur).resolve("_consumed.tsv")
+    if (Files.isRegularFile(consumed))
+      Files.readAllLines(consumed).asScala.filter(_.nonEmpty).foreach { f =>
+        Files.deleteIfExists(landingDir(path).resolve(f)); ()
+      }
+  }
+
 }

@@ -82,6 +82,119 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     zSpans.unpersist(); linSpans.unpersist()
   }
 
+  test("zorder maintenance: blind appends fold incrementally, untouched files carry by link, spans stay tight") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmaint").toString + "/t"
+    // 64×64 grid, 8 files ⇒ each file owns a contiguous z tile
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 8)
+    assert(Layout.currentGen(dir) == Some(0L))
+    assert(Layout.zorderRead(spark, dir).count() == 4096L)
+
+    // blind append clustered in one corner of the plane → few files affected
+    val appendA = (0 until 32).map(i => (i.toLong % 4, i.toLong % 8)).toDF("a", "b")
+    Layout.zorderAppend(appendA, dir)
+    // snapshot isolation: committed gen doesn't see the landing...
+    assert(Layout.zorderRead(spark, dir).count() == 4096L)
+    // ...but the read-your-appends view does
+    assert(Layout.zorderReadWithLanding(spark, dir).count() == 4096L + 32)
+
+    val (merged, rewritten, linked) = Layout.zorderMaintain(spark, dir)
+    assert(merged == 32L, s"all appended rows folded, got $merged")
+    assert(rewritten >= 1 && rewritten <= 3,
+      s"corner-clustered appends touch few tiles, got $rewritten")
+    assert(rewritten + linked == 8, "every base file either rewrote or linked")
+    assert(Layout.currentGen(dir) == Some(1L))
+    val after = Layout.zorderRead(spark, dir)
+    assert(after.count() == 4096L + 32)
+    assert(after.except(base.unionByName(appendA)).count() == 0 &&
+      base.unionByName(appendA).except(after).count() == 0,
+      "maintained view ≡ base ∪ appends (multiset equality holds: no dups)")
+    // duplicates specifically: the corner rows now appear twice by design
+    // (base had them too) — count-preserving check instead
+    assert(after.groupBy("a", "b").count().agg(sum("count")).head().getLong(0)
+      == 4096L + 32)
+    // pruning survives maintenance: a narrow band on either key still
+    // skips most files
+    val spans = Layout.fileSpans(spark, dir + "/gen=1", "a", "b")
+    assert(Layout.touchedFraction(spans, "b_min", "b_max", 40, 47) <= 0.6)
+    assert(Layout.touchedFraction(spans, "a_min", "a_max", 40, 47) <= 0.6)
+    // nothing left to do → exact no-op
+    assert(Layout.zorderMaintain(spark, dir) == ((0L, 0, 0)))
+  }
+
+  test("zorder maintenance: crash debris heals — partial generations removed, consumed manifest stops double-folds") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = java.nio.file.Files.createTempDirectory("graft_zheal").toString + "/t"
+    val base = spark.range(1024L)
+      .select((col("id") / 32).cast("long").as("a"), (col("id") % 32).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 4)
+    Layout.zorderAppend(Seq((1L, 1L), (2L, 2L)).toDF("a", "b"), dir)
+
+    // crash BEFORE commit: a partial next-gen dir + staging must be swept,
+    // then the maintain proceeds normally
+    Files.createDirectories(Paths.get(dir, "gen=1"))
+    Files.write(Paths.get(dir, "gen=1", "junk.parquet"), Array[Byte](1, 2))
+    Files.createDirectories(Paths.get(dir, "gen=1.staging"))
+    val (merged, _, _) = Layout.zorderMaintain(spark, dir)
+    assert(merged == 2L && Layout.currentGen(dir) == Some(1L))
+    assert(Layout.zorderRead(spark, dir).count() == 1026L)
+    assert(!Files.exists(Paths.get(dir, "gen=1.staging")) &&
+      !Files.exists(Paths.get(dir, "gen=0")), "debris and old gen gone")
+
+    // crash AFTER commit, BEFORE landing cleanup: a landing file the
+    // committed generation's manifest lists must be deleted, NOT re-folded
+    val consumed = Files.readAllLines(Paths.get(dir, "gen=1", "_consumed.tsv"))
+    assert(!consumed.isEmpty)
+    val ghost = Paths.get(dir, "landing", consumed.get(0))
+    Seq((9L, 9L)).toDF("a", "b").coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/.ghost")
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(Paths.get(dir, ".ghost")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).next()
+    Files.move(part, ghost)
+    assert(Layout.zorderMaintain(spark, dir) == ((0L, 0, 0)),
+      "replayed landing file is healed away, never double-folded")
+    assert(Layout.zorderRead(spark, dir).count() == 1026L)
+    assert(!Files.exists(ghost))
+  }
+
+  test("zorderCompact: folds landing, re-freezes bounds so clamped-domain drift heals, preserves data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zcomp").toString + "/t"
+    // init domain a,b ∈ [0,31]
+    val base = spark.range(1024L)
+      .select((col("id") / 32).cast("long").as("a"), (col("id") % 32).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 4)
+    // out-of-domain appends (a ∈ [900, 1027]) clamp to the curve's edge
+    // under the frozen bounds — maintenance would bloat the top tile
+    val far = (0 until 128).map(i => (900L + i, i.toLong % 32)).toDF("a", "b")
+    Layout.zorderAppend(far, dir)
+    // compact folds the UNmaintained landing directly and re-freezes
+    // bounds from the observed min/max
+    Layout.zorderCompact(spark, dir, nFiles = 8)
+    assert(Layout.currentGen(dir) == Some(1L))
+    val after = Layout.zorderRead(spark, dir)
+    assert(after.count() == 1024L + 128)
+    assert(after.except(base.unionByName(far)).count() == 0)
+    // with bounds re-frozen over [0, 1027], the far band gets its own
+    // tiles again (a high-a query touches a minority of files), and the
+    // b dimension keeps pruning. (A narrow LOW-a band can't prune here by
+    // construction: base a occupies 3% of the re-frozen domain, so its
+    // scaled bits sit below the 8-file tile granularity — the z-curve
+    // trades per-dimension resolution for two-sidedness.)
+    val spans = Layout.fileSpans(spark, dir + "/gen=1", "a", "b")
+    assert(Layout.touchedFraction(spans, "a_min", "a_max", 900, 1027) <= 0.5)
+    assert(Layout.touchedFraction(spans, "b_min", "b_max", 0, 7) <= 0.5)
+    // the maintained lifecycle continues on the new generation
+    Layout.zorderAppend(Seq((5L, 5L)).toDF("a", "b"), dir)
+    val (m, _, linked) = Layout.zorderMaintain(spark, dir)
+    assert(m == 1L && linked >= 5 && Layout.currentGen(dir) == Some(2L))
+    assert(Layout.zorderRead(spark, dir).count() == 1024L + 128 + 1)
+  }
+
   test("zorderWrite: arbitrary key domains (beyond 16 bits, negative) keep locality via scaling") {
     import spark.implicits._
     // keys far outside [0, 65535]: pre-scaling these would collide/misorder
