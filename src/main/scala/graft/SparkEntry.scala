@@ -250,7 +250,7 @@ object SparkEntry {
       val name = "graft_w26_" + WarehouseMeta.md5Hex(d).take(12)
       val path = WarehouseMeta.tableLocation(s, name).toString
       val fp = WarehouseMeta.md5Hex(
-        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zmaint16b")
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zmaint16c")
       WarehouseMeta.withBuildLock(s, name) {
         val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
           .exists(_.get("sig").contains(fp)) &&
@@ -1844,6 +1844,26 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+    }),
+
+    // span-pruned scan over the MAINTAINED table — the reader-side payoff:
+    // the file list is cut driver-side from the committed spans sidecar
+    // before Spark opens a footer (the entry REQUIRES pruning engaged),
+    // then the residual two-sided band filter applies; twin from raw
+    // lineitem — pruning must never change answers
+    "w27_zorder_scan" -> ((s, d) => {
+      val path = zorderMaintainedFor(s, d)
+      val mx = Layout.zorderRead(s, path)
+        .agg(max("l_orderkey"), max("l_suppkey")).collect()(0)
+      val (ma, mb) = (mx.getLong(0), mx.getLong(1))
+      val (aBand, bBand) = ((ma / 4, ma / 2), (mb * 2 / 5, mb / 2))
+      val (hit, total) = Layout.zorderScanFiles(path, aBand, bBand)
+      require(hit < total, s"span pruning must engage: $hit/$total files")
+      Layout.zorderScan(s, path, aBand, bBand)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))
     }),
@@ -3820,6 +3840,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // span-pruned reads must equal full-filter reads — the twin applies
+    // the same two-sided band to raw lineitem (// = integer division,
+    // matching Scala Long floor division on the band bounds)
+    "w27_zorder_scan" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) AS ma, MAX(l_suppkey) AS mb FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem, mx
+        |WHERE l_orderkey BETWEEN ma // 4 AND ma // 2
+        |  AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2
+        |GROUP BY 1""".stripMargin,
 
     // the audit table answers from the loop's committed history; the twin
     // re-derives each parity batch's gopher rule counts from raw documents

@@ -185,27 +185,47 @@ object Layout {
     * into its `_zspans.tsv` (underscore prefix: invisible to parquet
     * readers). Maintenance routes new rows against these ranges without
     * touching data. */
-  private def writeZSpans(spark: SparkSession, gen: java.nio.file.Path,
+  /** One span row per data file: z range (what maintenance routes on)
+    * plus the raw key ranges (what [[zorderScan]] prunes on). */
+  private[ops] final case class Span(file: String, zLo: Long, zHi: Long,
+      aMin: Long, aMax: Long, bMin: Long, bMax: Long)
+
+  private def spanStats(spark: SparkSession, paths: Seq[String],
       colA: String, colB: String, aLo: Long, aHi: Long, bLo: Long,
-      bHi: Long): Unit = {
+      bHi: Long): Seq[Span] = {
     val z = zValue(scale16(col(colA), aLo, aHi), scale16(col(colB), bLo, bHi))
-    val rows = spark.read.parquet(gen.toString)
-      .select(input_file_name().as("f"), z.as("_z"))
-      .groupBy("f").agg(min("_z").as("lo"), max("_z").as("hi"))
+    spark.read.parquet(paths: _*)
+      .select(input_file_name().as("f"), z.as("_z"),
+        col(colA).cast("long").as("_a"), col(colB).cast("long").as("_b"))
+      .groupBy("f").agg(min("_z"), max("_z"), min("_a"), max("_a"),
+        min("_b"), max("_b"))
       .collect()
-      .map(r => (java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
-        .getFileName.toString, r.getLong(1), r.getLong(2)))
-      .sortBy(_._2)
-    writeAtomic(gen.resolve("_zspans.tsv"),
-      rows.map { case (f, lo, hi) => s"$f\t$lo\t$hi" }.mkString("\n"))
+      .map(r => Span(
+        java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+          .getFileName.toString,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+      .sortBy(_.zLo).toSeq
   }
 
-  private def readZSpans(gen: java.nio.file.Path): Seq[(String, Long, Long)] = {
+  private def writeSpanRows(gen: java.nio.file.Path, rows: Seq[Span]): Unit =
+    writeAtomic(gen.resolve("_zspans.tsv"),
+      rows.map(s => s"${s.file}\t${s.zLo}\t${s.zHi}\t${s.aMin}\t${s.aMax}\t${s.bMin}\t${s.bMax}")
+        .mkString("\n"))
+
+  private def writeZSpans(spark: SparkSession, gen: java.nio.file.Path,
+      colA: String, colB: String, aLo: Long, aHi: Long, bLo: Long,
+      bHi: Long): Unit =
+    writeSpanRows(gen, spanStats(spark, Seq(gen.toString), colA, colB,
+      aLo, aHi, bLo, bHi))
+
+  private def readZSpans(gen: java.nio.file.Path): Seq[Span] = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.readAllLines(gen.resolve("_zspans.tsv")).asScala
       .filter(_.nonEmpty).map { l =>
-        val Array(f, lo, hi) = l.split("\t")
-        (f, lo.toLong, hi.toLong)
+        val p = l.split("\t")
+        Span(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong,
+          p(5).toLong, p(6).toLong)
       }.toSeq
   }
 
@@ -222,6 +242,44 @@ object Layout {
     val gen = currentGen(path).getOrElse(
       throw new IllegalStateException(s"no zorderInit at $path"))
     spark.read.parquet(genDir(path, gen).toString)
+  }
+
+  /** Span-pruned scan of the CURRENT generation: the reader-side payoff
+    * of the layout — the file list is cut DRIVER-SIDE from the committed
+    * spans sidecar before Spark opens a single footer, so a two-sided
+    * band query on a 100k-file table plans against only the files whose
+    * key ranges intersect BOTH bands (conjunctive necessary condition);
+    * the residual filter still applies (spans admit false positives,
+    * never false negatives) and parquet row-group pruning stacks on top.
+    * Returns an empty frame of the right schema when nothing matches. */
+  def zorderScan(spark: SparkSession, path: String,
+      aRange: (Long, Long), bRange: (Long, Long)): DataFrame = {
+    val gen = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    val gDir = genDir(path, gen)
+    val meta = readMeta(gDir)
+    val (colA, colB) = (meta("colA"), meta("colB"))
+    val spans = readZSpans(gDir)
+    val hit = spans.filter(s =>
+      s.aMin <= aRange._2 && s.aMax >= aRange._1 &&
+      s.bMin <= bRange._2 && s.bMax >= bRange._1)
+    val base =
+      if (hit.isEmpty) spark.read.parquet(gDir.toString).limit(0)
+      else spark.read.parquet(hit.map(s => gDir.resolve(s.file).toString): _*)
+    base.filter(col(colA).between(aRange._1, aRange._2) &&
+      col(colB).between(bRange._1, bRange._2))
+  }
+
+  /** How many of the CURRENT generation's files [[zorderScan]] would open
+    * for the given bands — the audit twin of the scan itself. */
+  def zorderScanFiles(path: String, aRange: (Long, Long),
+      bRange: (Long, Long)): (Int, Int) = {
+    val gen = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    val spans = readZSpans(genDir(path, gen))
+    (spans.count(s =>
+      s.aMin <= aRange._2 && s.aMax >= aRange._1 &&
+      s.bMin <= bRange._2 && s.bMax >= bRange._1), spans.size)
   }
 
   /** CURRENT generation plus any unmaintained landing rows — the
@@ -277,7 +335,7 @@ object Layout {
       meta("bLo").toLong, meta("bHi").toLong)
     val z = zValue(scale16(col(colA), aLo, aHi), scale16(col(colB), bLo, bHi))
     val curDir = genDir(path, cur)
-    val spans = readZSpans(curDir) // sorted by z_min
+    val spans = readZSpans(curDir) // sorted by zLo
     // cutpoint routing on a MATERIALIZED z column: fid = index of the last
     // span start <= z, as a codegen'd CASE chain over the one `_zm` read.
     // (An array-fold HOF here re-inlines the ~50-node z tree per element
@@ -285,7 +343,7 @@ object Layout {
     // this shape; the CASE chain is <1 s.) File counts are a layout
     // parameter (16-1024), so the chain stays small; for 100k-file tables
     // swap this for a broadcast range join.
-    val cuts = spans.map(_._2)
+    val cuts = spans.map(_.zLo)
     val fid = cuts.zipWithIndex.drop(1)
       .foldRight(lit(cuts.length - 1): Column) { case ((c, i), acc) =>
         when(col("_zm") < c, i - 1).otherwise(acc)
@@ -300,9 +358,9 @@ object Layout {
     graft.engine.WarehouseMeta.deleteRecursively(staging)
     // affected old files re-read WITH their fid (tiny broadcast name->fid
     // map), unioned with the routed new rows, one file per fid
-    val affectedNames = affectedFids.map(i => spans(i)._1)
+    val affectedNames = affectedFids.map(i => spans(i).file)
     import spark.implicits._
-    val nameToFid = affectedFids.map(i => (spans(i)._1, i)).toSeq
+    val nameToFid = affectedFids.map(i => (spans(i).file, i)).toSeq
       .toDF("fname", "_fid")
     val oldRows = if (affectedNames.isEmpty) None
       else Some(spark.read
@@ -323,7 +381,8 @@ object Layout {
     Files.createDirectories(nextDir)
     var linked = 0
     val affectedSet = affectedFids.toSet
-    for ((i, (fname, _, _)) <- spans.zipWithIndex.map(_.swap)) {
+    for ((s, i) <- spans.zipWithIndex) {
+      val fname = s.file
       if (!affectedSet.contains(i)) {
         try Files.createLink(nextDir.resolve(fname), curDir.resolve(fname))
         catch { case _: UnsupportedOperationException =>
@@ -342,19 +401,14 @@ object Layout {
     graft.engine.WarehouseMeta.deleteRecursively(staging)
     // spans update is INCREMENTAL too: linked files keep their committed
     // ranges; only the merged files scan (they were just written)
-    val mergedSpans = if (affectedFids.isEmpty) Seq.empty else spark.read
-      .parquet(affectedFids.map(i => nextDir.resolve(s"merged-$cur-$i.parquet").toString): _*)
-      .select(input_file_name().as("f"), z.as("_z"))
-      .groupBy("f").agg(min("_z").as("lo"), max("_z").as("hi"))
-      .collect()
-      .map(r => (java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
-        .getFileName.toString, r.getLong(1), r.getLong(2))).toSeq
+    val mergedSpans = if (affectedFids.isEmpty) Seq.empty
+      else spanStats(spark,
+        affectedFids.map(i => nextDir.resolve(s"merged-$cur-$i.parquet").toString).toSeq,
+        colA, colB, aLo, aHi, bLo, bHi)
     val keptSpans = spans.zipWithIndex.collect {
-      case ((f, lo, hi), i) if !affectedSet.contains(i) => (f, lo, hi)
+      case (s, i) if !affectedSet.contains(i) => s
     }
-    val allSpans = (keptSpans ++ mergedSpans).sortBy(_._2)
-    writeAtomic(nextDir.resolve("_zspans.tsv"),
-      allSpans.map { case (f, lo, hi) => s"$f\t$lo\t$hi" }.mkString("\n"))
+    writeSpanRows(nextDir, (keptSpans ++ mergedSpans).sortBy(_.zLo))
     writeMeta(nextDir, colA, colB, aLo, aHi, bLo, bHi) // bounds stay frozen
     writeAtomic(nextDir.resolve("_consumed.tsv"),
       landing.map(_.getFileName.toString).mkString("\n"))

@@ -161,6 +161,29 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(!Files.exists(ghost))
   }
 
+  test("zorderScan: driver-side span pruning, result ≡ full filter, empty band → empty frame") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zscan").toString + "/t"
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16)
+    // follow the maintained lifecycle so the pruned scan also covers
+    // carried-over spans and merged files
+    Layout.zorderAppend((0 until 16).map(i => (i.toLong, i.toLong)).toDF("a", "b"), dir)
+    assert(Layout.zorderMaintain(spark, dir)._1 == 16L)
+
+    val (hit, total) = Layout.zorderScanFiles(dir, (10L, 20L), (30L, 40L))
+    assert(total == 16 && hit < total, s"span pruning must engage: $hit/$total")
+    val got = Layout.zorderScan(spark, dir, (10L, 20L), (30L, 40L))
+    val want = Layout.zorderRead(spark, dir)
+      .filter(col("a").between(10, 20) && col("b").between(30, 40))
+    assert(got.count() == want.count() && got.except(want).count() == 0 &&
+      want.except(got).count() == 0, "pruned scan ≡ full filter")
+    // a band outside the domain opens zero files and returns empty
+    assert(Layout.zorderScanFiles(dir, (1000L, 2000L), (0L, 63L)) == ((0, 16)))
+    assert(Layout.zorderScan(spark, dir, (1000L, 2000L), (0L, 63L)).count() == 0)
+  }
+
   test("zorderCompact: folds landing, re-freezes bounds so clamped-domain drift heals, preserves data") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zcomp").toString + "/t"
