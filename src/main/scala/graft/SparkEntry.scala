@@ -237,6 +237,29 @@ object SparkEntry {
       path.toString
     }
 
+  /** Memoized Hilbert-curve lineitem rewrite for w28 — [[zorderLineitemFor]]
+    * with the no-jumps curve (the codegen'd hilbert_index expression). */
+  private val hilbertLineitemMemo = layoutMemo
+  private def hilbertLineitemFor(s: SparkSession, d: String): String =
+    memoizedLayout(hilbertLineitemMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_hilbert_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name)
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#h16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          java.nio.file.Files.isDirectory(path)
+        if (!ok) {
+          Layout.hilbertWrite(t(s, d, "lineitem"), path.toString,
+            "l_orderkey", "l_suppkey", nFiles = 16)
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path.toString
+    }
+
   /** Memoized MAINTAINED z-order table for w26: init from the low ~90% of
     * the orderkey domain, blind-append the high tail, then one
     * incremental zorderMaintain — the builder REQUIRES that some files
@@ -1846,6 +1869,33 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))
+    }),
+
+    // Hilbert-curve layout (the no-jumps quality option next to w23's
+    // Morton): same two-sided pruning audit on the rewritten files, and
+    // the same layout-never-changes-answers twin from raw lineitem
+    "w28_hilbert" -> ((s, d) => {
+      val dir = hilbertLineitemFor(s, d)
+      val spans = Layout.fileSpans(s, dir, "l_orderkey", "l_suppkey").cache()
+      try {
+        val nFiles = spans.count()
+        if (nFiles >= 8) {
+          val mx = spans.agg(max("a_max"), max("b_max")).collect()(0)
+          val (aHi, bHi) = (mx.getLong(0), mx.getLong(1))
+          val fa = Layout.touchedFraction(spans, "a_min", "a_max",
+            aHi * 2 / 5, aHi / 2)
+          val fb = Layout.touchedFraction(spans, "b_min", "b_max",
+            bHi * 2 / 5, bHi / 2)
+          require(fa <= 0.75 && fb <= 0.75,
+            s"hilbert layout must prune on both keys: a=$fa b=$fb of $nFiles files")
+        }
+      } finally spans.unpersist()
+      val li = s.read.parquet(dir)
+      val bHi = li.agg(max("l_suppkey")).collect()(0).getLong(0)
+      li.filter(col("l_suppkey").between(bHi * 2 / 5, bHi / 2))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
 
     // span-pruned scan over the MAINTAINED table — the reader-side payoff:
@@ -3840,6 +3890,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // the Hilbert rewrite answers from its own files; the twin derives the
+    // same suppkey band from raw lineitem
+    "w28_hilbert" ->
+      """WITH mx AS (SELECT MAX(l_suppkey) AS m FROM lineitem)
+        |SELECT l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem, mx
+        |WHERE l_suppkey BETWEEN m * 2 // 5 AND m // 2
+        |GROUP BY 1""".stripMargin,
 
     // span-pruned reads must equal full-filter reads — the twin applies
     // the same two-sided band to raw lineitem (// = integer division,

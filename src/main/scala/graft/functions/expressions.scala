@@ -226,6 +226,64 @@ case class Base36Uid() extends LeafExpression with Nondeterministic
   }
 }
 
+/** Hilbert-curve index of a 2^16 × 2^16 grid cell (Hilbert 1891; the
+  * iterative xy→d form is the public textbook algorithm): like the Morton
+  * z-value, nearby (x, y) cells get nearby indices — but the Hilbert curve
+  * has no Morton "jumps" (consecutive indices are always grid-adjacent), so
+  * per-file key spans come out as tight or tighter when a table is
+  * range-partitioned on it. Inputs mask to 16 bits (the [[graft.ops.Layout]]
+  * scaling contract); nulls propagate. The loop is a shared static core —
+  * the generated code calls it directly, so interpreted and codegen paths
+  * cannot drift. */
+case class HilbertIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t == LongType || t == IntegerType
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hilbert_index needs integral inputs, got ${left.dataType}, ${right.dataType}")
+  }
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "hilbert_index"
+
+  private def asLong(e: Expression, v: Any): Long =
+    if (e.dataType == LongType) v.asInstanceOf[Long]
+    else v.asInstanceOf[Int].toLong
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertIndex.xy2d(16, asLong(left, a) & 0xFFFFL, asLong(right, b) & 0xFFFFL)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.HilbertIndex.xy2d(16, ((long)$x) & 0xFFFFL, ((long)$y) & 0xFFFFL);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object HilbertIndex {
+  /** Iterative xy→d on a 2^order square: walk bit planes high→low,
+    * accumulate the quadrant's offset, rotate/reflect the frame. */
+  def xy2d(order: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s: Long = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) { // rotate the lower quadrants so the walk stays adjacent
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
 /** SparkSessionExtensions hook: register the functions on any session with
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`; for an already
@@ -250,6 +308,9 @@ object GraftExtensions {
     (FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
       (children: Seq[Expression]) => NormalizeText(children(0))),
+    (FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (children: Seq[Expression]) => HilbertIndex(children(0), children(1))),
     (FunctionIdentifier("uid_base36"),
       new ExpressionInfo(classOf[Base36Uid].getName, "uid_base36"),
       (_: Seq[Expression]) => Base36Uid()))

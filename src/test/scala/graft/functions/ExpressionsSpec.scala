@@ -84,6 +84,34 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(uids.distinct.length == uids.length, "no collisions in 1000 draws")
   }
 
+  test("hilbert_index: first-order quadrant walk exact; the full curve is a bijective adjacent walk") {
+    init
+    // order-1 square: (0,0)→0 (0,1)→1 (1,1)→2 (1,0)→3 — the U shape
+    assert(HilbertIndex.xy2d(1, 0, 0) == 0L)
+    assert(HilbertIndex.xy2d(1, 0, 1) == 1L)
+    assert(HilbertIndex.xy2d(1, 1, 1) == 2L)
+    assert(HilbertIndex.xy2d(1, 1, 0) == 3L)
+    // order-4 (16×16): bijection onto [0, 256) and EVERY consecutive pair
+    // of indices is grid-adjacent — the no-jumps property Morton lacks
+    val cells = for (x <- 0 until 16; y <- 0 until 16)
+      yield HilbertIndex.xy2d(4, x, y) -> ((x, y))
+    val byD = cells.toMap
+    assert(byD.size == 256 && byD.keySet == (0 until 256).map(_.toLong).toSet)
+    for (d <- 0L until 255L) {
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"step $d→${d + 1} jumps: ($x1,$y1)→($x2,$y2)")
+    }
+    // SQL/codegen path agrees with the static core, and nulls propagate
+    import spark.implicits._
+    val df = (0 until 64).map(i => (i.toLong % 16, i.toLong / 16)).toDF("x", "y")
+    val got = df.selectExpr("hilbert_index(x, y) AS h", "x", "y").collect()
+    assert(got.forall(r => r.getLong(0) ==
+      HilbertIndex.xy2d(16, r.getLong(1), r.getLong(2))))
+    assert(spark.sql("SELECT hilbert_index(CAST(NULL AS BIGINT), 3)")
+      .head().isNullAt(0))
+  }
+
   test("expression survives whole-stage codegen in a filter+project pipeline") {
     init
     import spark.implicits._

@@ -161,6 +161,30 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(!Files.exists(ghost))
   }
 
+  test("hilbertWrite: two-sided pruning at least as tight as Morton on the same grid; answers unchanged") {
+    import spark.implicits._
+    val df = spark.range(256L * 256L)
+      .select((col("id") / 256).cast("long").as("a"), (col("id") % 256).as("b"))
+    val hDir = java.nio.file.Files.createTempDirectory("graft_hilb").toString + "/t"
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zcmp").toString + "/t"
+    Layout.hilbertWrite(df, hDir, "a", "b", nFiles = 16)
+    Layout.zorderWrite(df, zDir, "a", "b", nFiles = 16)
+    val hSpans = Layout.fileSpans(spark, hDir, "a", "b").cache()
+    val zSpans = Layout.fileSpans(spark, zDir, "a", "b").cache()
+    val (hOnB, zOnB) = (Layout.touchedFraction(hSpans, "b_min", "b_max", 96, 111),
+      Layout.touchedFraction(zSpans, "b_min", "b_max", 96, 111))
+    val (hOnA, zOnA) = (Layout.touchedFraction(hSpans, "a_min", "a_max", 96, 111),
+      Layout.touchedFraction(zSpans, "a_min", "a_max", 96, 111))
+    assert(hOnB <= 0.5 && hOnA <= 0.5, s"hilbert prunes both dims: a=$hOnA b=$hOnB")
+    // the no-jumps walk never does WORSE than Morton (small slack for
+    // repartitionByRange's sampled boundaries)
+    assert(hOnB <= zOnB + 0.13 && hOnA <= zOnA + 0.13,
+      s"hilbert ($hOnA,$hOnB) vs morton ($zOnA,$zOnB)")
+    val back = spark.read.parquet(hDir)
+    assert(back.count() == 256L * 256L && back.except(df).count() == 0)
+    hSpans.unpersist(); zSpans.unpersist()
+  }
+
   test("zorderScan: driver-side span pruning, result ≡ full filter, empty band → empty frame") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zscan").toString + "/t"
