@@ -237,6 +237,31 @@ object SparkEntry {
       path.toString
     }
 
+  /** Memoized 3-key Morton rewrite for w29 — lineitem clustered on
+    * z3(l_orderkey, l_suppkey, l_partkey); 64 files (three keys share the
+    * tile budget, so the file count sits well above the per-key fan-out —
+    * Layout.zValue3's documented operating point). */
+  private val zorder3Memo = layoutMemo
+  private def zorder3LineitemFor(s: SparkSession, d: String): String =
+    memoizedLayout(zorder3Memo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_z3_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name)
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#z3x64")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          java.nio.file.Files.isDirectory(path)
+        if (!ok) {
+          Layout.zorderWrite3(t(s, d, "lineitem"), path.toString,
+            "l_orderkey", "l_suppkey", "l_partkey", nFiles = 64)
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path.toString
+    }
+
   /** Memoized Hilbert-curve lineitem rewrite for w28 — [[zorderLineitemFor]]
     * with the no-jumps curve (the codegen'd hilbert_index expression). */
   private val hilbertLineitemMemo = layoutMemo
@@ -1869,6 +1894,38 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))
+    }),
+
+    // THREE-key Morton layout: lineitem clustered on z3(orderkey, suppkey,
+    // partkey) — band predicates on any of the three keys prune; the
+    // entry asserts pruning on ALL three spans before answering a
+    // partkey-band aggregate (partkey holds the most significant
+    // interleave bits — the documented most-selective-key-third rule)
+    "w29_zorder3" -> ((s, d) => {
+      val dir = zorder3LineitemFor(s, d)
+      val spans = s.read.parquet(dir)
+        .groupBy(input_file_name().as("file"))
+        .agg(min("l_orderkey").as("a_min"), max("l_orderkey").as("a_max"),
+          min("l_suppkey").as("b_min"), max("l_suppkey").as("b_max"),
+          min("l_partkey").as("c_min"), max("l_partkey").as("c_max")).cache()
+      try {
+        if (spans.count() >= 32) { // tiny SFs can't spread 64 files
+          val mx = spans.agg(max("a_max"), max("b_max"), max("c_max")).collect()(0)
+          val fs = Seq(("a", mx.getLong(0)), ("b", mx.getLong(1)),
+            ("c", mx.getLong(2))).map { case (k, hi) =>
+            k -> Layout.touchedFraction(spans, s"${k}_min", s"${k}_max",
+              hi * 2 / 5, hi / 2)
+          }
+          require(fs.forall(_._2 <= 0.8),
+            s"z3 layout must prune on all three keys: $fs")
+        }
+      } finally spans.unpersist()
+      val li = s.read.parquet(dir)
+      val cHi = li.agg(max("l_partkey")).collect()(0).getLong(0)
+      li.filter(col("l_partkey").between(cHi * 2 / 5, cHi / 2))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))
     }),
 
     // Hilbert-curve layout (the no-jumps quality option next to w23's
@@ -3890,6 +3947,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // the 3-key rewrite answers from its own files; the twin derives the
+    // same partkey band from raw lineitem
+    "w29_zorder3" ->
+      """WITH mx AS (SELECT MAX(l_partkey) AS m FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |FROM lineitem, mx
+        |WHERE l_partkey BETWEEN m * 2 // 5 AND m // 2
+        |GROUP BY 1""".stripMargin,
 
     // the Hilbert rewrite answers from its own files; the twin derives the
     // same suppkey band from raw lineitem

@@ -79,6 +79,52 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Spread the low 16 bits of `x` to every-third bit positions
+    * (bit i → bit 3i) — the canonical Morton3D shift-or-mask ladder
+    * (public 21-bit masks, fed 16-bit inputs), entirely codegen'd. */
+  def spread3(x: Column): Column = {
+    val x0 = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 32)).bitwiseAND(lit(0x1F00000000FFFFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 16)).bitwiseAND(lit(0x1F0000FF0000FFL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    val x4 = x3.bitwiseOR(shiftleft(x3, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    x4.bitwiseOR(shiftleft(x4, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** 48-bit Morton value of THREE 16-bit keys — (time, user, item)-style
+    * layouts where range predicates arrive on any of three columns. Same
+    * contract as [[zValue]]: inputs pre-bucketized by [[scale16]]. Bit
+    * significance rises with argument position (c holds the top bit of
+    * each triple), so the LAST key prunes hardest — put the
+    * most-selective key third. With three keys sharing the tile budget,
+    * run file counts well above the per-key fan-out (LayoutSpec measures
+    * 0.50/0.38/0.30 touched at 64 files on a 32³ grid). */
+  def zValue3(a: Column, b: Column, c: Column): Column =
+    spread3(a).bitwiseOR(shiftleft(spread3(b), 1))
+      .bitwiseOR(shiftleft(spread3(c), 2))
+
+  /** Three-key [[zorderWrite]]: one bounds aggregate, one range
+    * repartition on z3, per-file spans tight on ALL THREE columns. */
+  def zorderWrite3(df: DataFrame, path: String, colA: String, colB: String,
+      colC: String, nFiles: Int): Unit = {
+    require(nFiles >= 1, "need nFiles >= 1")
+    val bounds = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long")),
+      min(col(colC).cast("long")), max(col(colC).cast("long"))).collect()(0)
+    if (bounds.isNullAt(0)) {
+      df.write.mode("overwrite").parquet(path); return
+    }
+    df.withColumn("_z", zValue3(
+        scale16(col(colA), bounds.getLong(0), bounds.getLong(1)),
+        scale16(col(colB), bounds.getLong(2), bounds.getLong(3)),
+        scale16(col(colC), bounds.getLong(4), bounds.getLong(5))))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Hilbert-curve variant of [[zorderWrite]] — same scaling, same single
     * `repartitionByRange`, but clustering on the Hilbert index (the
     * codegen'd [[graft.functions.HilbertIndex]] expression) instead of the
