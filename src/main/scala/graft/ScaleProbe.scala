@@ -163,6 +163,8 @@ object ScaleProbe {
     val reps = sys.env.getOrElse("SCALE_PROBE_REPS", "3").toInt
     import graft.ops.{Dedup, Similarity}
 
+    val zscanBands = scala.collection.mutable.Map.empty[String, (Long, Long)]
+
     /** One-time durable builds are timed apart from the repeated op. */
     def ops(dir: String, tag: String): Seq[(String, () => Unit)] = {
       def docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -337,6 +339,38 @@ object ScaleProbe {
           ()
         }),
 
+        // reader-side span pruning (r12): the same two-sided band aggregate
+        // over a 64-file maintained z table, once through zorderScan (file
+        // list cut driver-side from the spans sidecar) and once as a full
+        // read + filter — the delta is what the sidecar saves BEFORE
+        // parquet row-group pruning even starts
+        "zscan_build_once" -> (() => {
+          val p = s"$genRoot/zscan_$tag"
+          if (graft.ops.Layout.currentGen(p).isEmpty)
+            graft.ops.Layout.zorderInit(spark,
+              spark.read.parquet(s"$dir/lineitem.parquet"), p,
+              "l_orderkey", "l_suppkey", nFiles = 64)
+        }),
+        "w27_scan_pruned" -> (() => noop({
+          val p = s"$genRoot/zscan_$tag"
+          val bands = zscanBands.getOrElseUpdate(tag, {
+            val mx = graft.ops.Layout.zorderRead(spark, p)
+              .agg(max("l_orderkey"), max("l_suppkey")).collect()(0)
+            (mx.getLong(0), mx.getLong(1))
+          })
+          graft.ops.Layout.zorderScan(spark, p,
+            (bands._1 / 4, bands._1 / 2), (bands._2 * 2 / 5, bands._2 / 2))
+            .groupBy("l_returnflag").agg(count(lit(1)))
+        })),
+        "w27_scan_full" -> (() => noop({
+          val p = s"$genRoot/zscan_$tag"
+          val bands = zscanBands(tag) // build + pruned leg always ran first
+          graft.ops.Layout.zorderRead(spark, p)
+            .filter(col("l_orderkey").between(bands._1 / 4, bands._1 / 2) &&
+              col("l_suppkey").between(bands._2 * 2 / 5, bands._2 / 2))
+            .groupBy("l_returnflag").agg(count(lit(1)))
+        })),
+
         // chain-DSL compiler (r12, verdict item 7): the g-family had never
         // been probed past sf0.1. g01 = 1-hop chain + grouped COUNT; g05 =
         // 4-hop chain + grouped SUM — the longest driver chain. Both run
@@ -386,7 +420,8 @@ object ScaleProbe {
              name == "x10_adamic_adar" || name == "g01_chain_group" ||
              name == "g05_chain_4hop" || name == "wh_build_once" ||
              name == "w20_copart_wh" || name == "w23_zorder_write" ||
-             name == "zmaint_lifecycle"))) {
+             name == "zmaint_lifecycle" || name == "zscan_build_once" ||
+             name == "w27_scan_pruned" || name == "w27_scan_full"))) {
         val times =
           if (name.endsWith("_once")) Seq(time(fn())) // durable: pay once
           else { fn(); (1 to reps).map(_ => time(fn())) } // warm + reps
