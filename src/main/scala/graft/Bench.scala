@@ -511,7 +511,10 @@ object Bench {
         s""""per_rep_sec":$perRep}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(logPath),
         body.getBytes("UTF-8"))
-    } catch { case e: java.io.IOException =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal, not just IOException: a malformed SPARK_GRAFT_BENCHLOG
+      // throws InvalidPathException from Paths.get — best-effort means the
+      // log can never fail the bench for any recoverable reason
       System.err.println(s"[bench] BENCHLOG write failed: $e")
     }
     println(s"""{"metric":"per_rep","unit":"sec","times":$perRep,"sf":"$sfDir","reps":$reps}""")

@@ -364,7 +364,13 @@ object ScaleProbe {
         })),
         "w27_scan_full" -> (() => noop({
           val p = s"$genRoot/zscan_$tag"
-          val bands = zscanBands(tag) // build + pruned leg always ran first
+          // same lazy-fill as the pruned leg: SCALE_PROBE_ONLY may select
+          // this op WITHOUT w27_scan_pruned, so a bare map lookup would NPE
+          val bands = zscanBands.getOrElseUpdate(tag, {
+            val mx = graft.ops.Layout.zorderRead(spark, p)
+              .agg(max("l_orderkey"), max("l_suppkey")).collect()(0)
+            (mx.getLong(0), mx.getLong(1))
+          })
           graft.ops.Layout.zorderRead(spark, p)
             .filter(col("l_orderkey").between(bands._1 / 4, bands._1 / 2) &&
               col("l_suppkey").between(bands._2 * 2 / 5, bands._2 / 2))
