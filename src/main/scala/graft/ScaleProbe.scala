@@ -326,7 +326,7 @@ object ScaleProbe {
         // full incremental-maintenance lifecycle (r12): init on the low
         // 90% of the orderkey domain + blind tail append + ONE
         // incremental zorderMaintain (only edge tiles rewrite; the rest
-        // hard-link) — the OPTIMIZE cost curve at 10× rows
+        // carry as manifest rows) — the OPTIMIZE cost curve at 10× rows
         "zmaint_lifecycle" -> (() => {
           val p = s"$genRoot/zmaint_probe_$tag"
           graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(p))
@@ -346,10 +346,12 @@ object ScaleProbe {
         // parquet row-group pruning even starts
         "zscan_build_once" -> (() => {
           val p = s"$genRoot/zscan_$tag"
-          if (graft.ops.Layout.currentGen(p).isEmpty)
-            graft.ops.Layout.zorderInit(spark,
-              spark.read.parquet(s"$dir/lineitem.parquet"), p,
-              "l_orderkey", "l_suppkey", nFiles = 64)
+          // always rebuild: a leftover table from an older on-disk
+          // representation would pass a currentGen check and fail the scan
+          graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(p))
+          graft.ops.Layout.zorderInit(spark,
+            spark.read.parquet(s"$dir/lineitem.parquet"), p,
+            "l_orderkey", "l_suppkey", nFiles = 64)
         }),
         "w27_scan_pruned" -> (() => noop({
           val p = s"$genRoot/zscan_$tag"

@@ -288,7 +288,7 @@ object SparkEntry {
   /** Memoized MAINTAINED z-order table for w26: init from the low ~90% of
     * the orderkey domain, blind-append the high tail, then one
     * incremental zorderMaintain — the builder REQUIRES that some files
-    * carried over by hard link (incrementality engaged, not a silent full
+    * carried over as manifest rows (incrementality engaged, not a silent full
     * rewrite: the tail appends clamp to the curve's edge and route to the
     * last tiles only) and that a second maintain is an exact no-op. */
   private val zmaintMemo = layoutMemo
@@ -298,7 +298,7 @@ object SparkEntry {
       val name = "graft_w26_" + WarehouseMeta.md5Hex(d).take(12)
       val path = WarehouseMeta.tableLocation(s, name).toString
       val fp = WarehouseMeta.md5Hex(
-        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zmaint16c")
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zmaint16m")
       WarehouseMeta.withBuildLock(s, name) {
         val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
           .exists(_.get("sig").contains(fp)) &&
@@ -1992,7 +1992,7 @@ object SparkEntry {
 
     // incremental z-order maintenance (the lakehouse OPTIMIZE lifecycle):
     // init on the low 90% of the orderkey domain, blind-append the tail,
-    // ONE incremental maintain (builder requires hard-linked carry-over +
+    // ONE incremental maintain (builder requires manifest-row carry-over +
     // a no-op second maintain), then answer a full aggregate FROM THE
     // MAINTAINED GENERATION — layout and maintenance must never change
     // answers, so the twin derives from raw lineitem

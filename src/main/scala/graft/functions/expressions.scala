@@ -201,6 +201,79 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `searchsorted(cuts, v)`: index of the LAST element of `cuts` that is
+  * <= `v`, clamped to 0 — numpy's `searchsorted(..., side='right') - 1`
+  * with a floor. `cuts` must be a FOLDABLE sorted long array (a literal):
+  * it is evaluated once at plan time and referenced from generated code as
+  * a plain `long[]`, so each row pays one `Arrays.binarySearch` — O(log n)
+  * against 100k+ cutpoints where a CASE chain (O(n) per row, and a
+  * 100k-branch codegen method) stops being viable. Built for
+  * [[graft.ops.Layout.zorderMaintain]]'s file routing (new rows → the
+  * committed file whose z-range owns them) but generic: any
+  * sorted-boundary bucketization (histogramming, range routing) fits.
+  * Binary search is the shared static core ([[SearchSorted.lastLE]]) so
+  * interpreted and codegen paths cannot drift. */
+case class SearchSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def intish(t: DataType) = t == LongType || t == IntegerType
+    if (left.dataType == ArrayType(LongType, false) ||
+        left.dataType == ArrayType(LongType, true))
+      if (!left.foldable)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "searchsorted needs a literal (foldable) cuts array")
+      else if (intish(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"searchsorted needs an integral value, got ${right.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"searchsorted needs array<bigint> cuts, got ${left.dataType}")
+  }
+  override def nullable: Boolean = right.nullable
+  override def prettyName: String = "searchsorted"
+
+  // evaluated ONCE per plan (the foldable contract), shared by both paths
+  @transient private lazy val cutsArr: Array[Long] =
+    left.eval().asInstanceOf[ArrayData].toLongArray()
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = right.eval(input)
+    if (v == null) null else SearchSorted.lastLE(cutsArr, asLong(v))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arrRef = ctx.addReferenceObj("cuts", cutsArr, "long[]")
+    val rightGen = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${rightGen.code}
+      boolean ${ev.isNull} = ${rightGen.isNull};
+      int ${ev.value} = 0;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.SearchSorted.lastLE($arrRef, (long)${rightGen.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SearchSorted {
+  /** Index of the last `cuts(i) <= v`, clamped to 0 (v below every cut
+    * routes to bucket 0 — Layout's "first file owns everything below its
+    * start" clamp). `cuts` must be sorted ascending. */
+  def lastLE(cuts: Array[Long], v: Long): Int = {
+    val i = java.util.Arrays.binarySearch(cuts, v)
+    if (i >= 0) i else math.max(0, -i - 2)
+  }
+}
+
 /** 25-char base-36 random uid (uppercase, 36^25 ≈ 8.1e38 space). Marked
   * non-deterministic: never folded, re-evaluated per row. CodegenFallback is
   * deliberate — id generation is not a hot inner loop, and fallback keeps the
@@ -313,7 +386,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => HilbertIndex(children(0), children(1))),
     (FunctionIdentifier("uid_base36"),
       new ExpressionInfo(classOf[Base36Uid].getName, "uid_base36"),
-      (_: Seq[Expression]) => Base36Uid()))
+      (_: Seq[Expression]) => Base36Uid()),
+    (FunctionIdentifier("searchsorted"),
+      new ExpressionInfo(classOf[SearchSorted].getName, "searchsorted"),
+      (children: Seq[Expression]) => SearchSorted(children(0), children(1))))
 
   /** Runtime registration into an existing session's function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

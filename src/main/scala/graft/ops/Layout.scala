@@ -181,20 +181,33 @@ object Layout {
   // The lakehouse OPTIMIZE lifecycle on top of zorderWrite: appends land
   // BLIND (no clustering cost on the write path), and maintenance folds
   // them into the curve INCREMENTALLY — only the files whose z-range the
-  // new rows fall into rewrite; every other file carries over by hard
-  // link, byte-for-byte. Readers get snapshot isolation through
-  // generation directories: `gen=N` is immutable once built, a one-line
-  // CURRENT pointer flips atomically, and a crash anywhere leaves CURRENT
-  // on the old generation with partial debris healed by the next
-  // maintain. The z scaling bounds are FROZEN at init (stored in the
-  // table's meta sidecar) so every generation shares one curve; appended
+  // new rows fall into rewrite; every other file CARRIES OVER AS A
+  // MANIFEST ROW, zero filesystem work. A generation IS its manifest
+  // (`manifest-<N>.tsv`): the frozen curve bounds, the landing files it
+  // consumed, and one row per data file (relative path, row count,
+  // z-span, raw key spans — the statistics both maintenance routing and
+  // the driver-side pruned scan consult). Data files are immutable and
+  // live under `data/g<N>/`, named uniquely per write; nothing ever
+  // rewrites in place, so the design needs only PUT + LIST + DELETE and
+  // ports to object storage unchanged (the mini-Iceberg shape: Iceberg
+  // snapshots/manifests, public spec). Readers get snapshot isolation
+  // through the manifest: `manifest-<N>` is immutable once written, a
+  // one-line CURRENT pointer flips atomically, and a crash anywhere
+  // leaves CURRENT on the old generation with debris healed by exactly
+  // three rules (stray manifests, consumed landing files, unreferenced
+  // data files). The z scaling bounds are FROZEN at init (carried in
+  // every manifest header) so all generations share one curve; appended
   // keys outside the initial domain clamp to the curve's edge — their
   // files' spans widen, pruning elsewhere keeps working, and a domain
-  // drift big enough to matter is a re-init, not a maintain.
+  // drift big enough to matter is a zorderCompact (which re-freezes), not
+  // a maintain.
 
   private def currentPtr(path: String) = java.nio.file.Paths.get(path, "CURRENT")
-  private def genDir(path: String, gen: Long) = java.nio.file.Paths.get(path, s"gen=$gen")
+  private def dataDir(path: String) = java.nio.file.Paths.get(path, "data")
+  private def genDataDir(path: String, gen: Long) = dataDir(path).resolve(s"g$gen")
   private def landingDir(path: String) = java.nio.file.Paths.get(path, "landing")
+  private def manifestPath(path: String, gen: Long) =
+    java.nio.file.Paths.get(path, s"manifest-$gen.tsv")
 
   private def writeAtomic(target: java.nio.file.Path, body: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
@@ -205,103 +218,173 @@ object Layout {
     ()
   }
 
+  /** Maintenance and compaction hold this cross-process lock (advisory
+    * file lock on `<path>/.lock` + a JVM-global monitor, the
+    * WarehouseMeta.withBuildLock discipline: OS file locks are
+    * per-process, so a second lock() from the same JVM would throw
+    * instead of blocking). Two concurrent maintainers would otherwise
+    * interleave one builder's heal sweep with the other's staged files. */
+  private val jvmLock = new Object
+  private def withTableLock[A](path: String)(body: => A): A =
+    jvmLock.synchronized {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(path, ".lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
+
   /** The committed generation number, or None before init. */
   def currentGen(path: String): Option[Long] =
     if (!java.nio.file.Files.isRegularFile(currentPtr(path))) None
     else Some(new String(java.nio.file.Files.readAllBytes(currentPtr(path)),
       "UTF-8").trim.toLong)
 
-  /** Initialize a maintained z-ordered table at `path`: gen=0 holds the
-    * zorderWrite layout, the meta sidecar freezes the scaling bounds and
-    * layout columns, the spans sidecar records each file's z-range (what
-    * maintenance routes against), and CURRENT commits the generation. */
+  /** One manifest row per data file: relative path (under the table
+    * root), row count, z range (what maintenance routes on), and the raw
+    * key ranges (what [[zorderScan]] prunes on). */
+  private[ops] final case class Span(file: String, rows: Long, zLo: Long,
+      zHi: Long, aMin: Long, aMax: Long, bMin: Long, bMax: Long)
+
+  /** A generation's full state — the curve metadata travels INSIDE the
+    * manifest, so a compaction that re-freezes the scaling bounds commits
+    * them atomically with the file list: a crashed compact can never
+    * leave new bounds visible against old spans. `consumed` lists the
+    * landing files this generation folded — the exactly-once guard for
+    * the crash window between pointer flip and landing cleanup. */
+  private[ops] final case class Manifest(colA: String, colB: String,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      consumed: Seq[String], spans: Seq[Span])
+
+  private def writeManifest(path: String, gen: Long, m: Manifest): Unit = {
+    val hdr = Seq(s"#colA\t${m.colA}", s"#colB\t${m.colB}",
+      s"#aLo\t${m.aLo}", s"#aHi\t${m.aHi}", s"#bLo\t${m.bLo}", s"#bHi\t${m.bHi}") ++
+      m.consumed.map(f => s"#consumed\t$f")
+    val rows = m.spans.map(s =>
+      s"${s.file}\t${s.rows}\t${s.zLo}\t${s.zHi}\t${s.aMin}\t${s.aMax}\t${s.bMin}\t${s.bMax}")
+    writeAtomic(manifestPath(path, gen), (hdr ++ rows).mkString("\n"))
+  }
+
+  private[ops] def readManifest(path: String, gen: Long): Manifest = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(manifestPath(path, gen))
+      .asScala.filter(_.nonEmpty).toSeq
+    val (hdr, rows) = lines.partition(_.startsWith("#"))
+    val kv = hdr.map(_.stripPrefix("#").split("\t", 2)).collect {
+      case Array(k, v) => (k, v)
+    }
+    val meta = kv.filterNot(_._1 == "consumed").toMap
+    Manifest(meta("colA"), meta("colB"),
+      meta("aLo").toLong, meta("aHi").toLong, meta("bLo").toLong, meta("bHi").toLong,
+      kv.collect { case ("consumed", f) => f },
+      rows.map { l =>
+        val p = l.split("\t")
+        Span(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong,
+          p(5).toLong, p(6).toLong, p(7).toLong)
+      }.sortBy(_.zLo))
+  }
+
+  /** The CURRENT generation's manifest rows — the statistics a probe or
+    * an external planner consults (file count, per-file row counts and
+    * key spans) without touching data. */
+  def currentSpans(path: String): Seq[Span] = {
+    val gen = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    readManifest(path, gen).spans
+  }
+
+  /** [[currentSpans]] as a DataFrame shaped like [[fileSpans]] (columns
+    * `file, n, a_min, a_max, b_min, b_max` + the z span), so
+    * [[touchedFraction]] audits maintained tables too. */
+  def currentSpansDF(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    currentSpans(path).toDF()
+      .select(col("file"), col("rows").as("n"), col("zLo").as("z_lo"),
+        col("zHi").as("z_hi"), col("aMin").as("a_min"), col("aMax").as("a_max"),
+        col("bMin").as("b_min"), col("bMax").as("b_max"))
+  }
+
+  /** Scan freshly-written data files ONCE for their manifest rows: row
+    * count, z range, raw key spans. `files` are paths relative to the
+    * table root. */
+  private def spanStats(spark: SparkSession, root: String, files: Seq[String],
+      colA: String, colB: String, aLo: Long, aHi: Long, bLo: Long,
+      bHi: Long): Seq[Span] = {
+    val rootPath = java.nio.file.Paths.get(root).toAbsolutePath
+    val z = zValue(scale16(col(colA), aLo, aHi), scale16(col(colB), bLo, bHi))
+    spark.read.parquet(files.map(f => rootPath.resolve(f).toString): _*)
+      .select(input_file_name().as("f"), z.as("_z"),
+        col(colA).cast("long").as("_a"), col(colB).cast("long").as("_b"))
+      .groupBy("f").agg(count(lit(1)), min("_z"), max("_z"), min("_a"),
+        max("_a"), min("_b"), max("_b"))
+      .collect()
+      .map(r => Span(
+        rootPath.relativize(java.nio.file.Paths.get(
+          new java.net.URI(r.getString(0)).getPath)).toString,
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+      .sortBy(_.zLo).toSeq
+  }
+
+  private def parquetFilesUnder(dir: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+    else {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+      finally walk.close()
+    }
+  }
+
+  /** Initialize a maintained z-ordered table at `path`: `data/g0/` holds
+    * the zorderWrite layout, `manifest-0.tsv` freezes the scaling bounds
+    * and lists every file with its spans, and CURRENT commits the
+    * generation. Fails loudly on an already-initialized path (an init
+    * over a live table would strand its landing rows); debris from a
+    * CRASHED init (data/manifests without a CURRENT) is cleared first. */
   def zorderInit(spark: SparkSession, df: DataFrame, path: String,
-      colA: String, colB: String, nFiles: Int): Unit = {
+      colA: String, colB: String, nFiles: Int): Unit = withTableLock(path) {
     import java.nio.file.Files
     require(nFiles >= 1, "need nFiles >= 1")
+    require(currentGen(path).isEmpty,
+      s"zorderInit over a live maintained table at $path — zorderCompact " +
+        "re-lays-out in place; delete the table first to truly re-init")
+    // a crashed prior init left uncommitted debris — clear it
+    graft.engine.WarehouseMeta.deleteRecursively(dataDir(path))
+    graft.engine.WarehouseMeta.deleteRecursively(landingDir(path))
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(java.nio.file.Paths.get(path))
+    try ls.iterator().asScala.filter(_.getFileName.toString.startsWith("manifest-"))
+      .toList.foreach(Files.delete(_))
+    finally ls.close()
     val bounds = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).collect()(0)
     require(!bounds.isNullAt(0), "zorderInit needs a non-empty table")
     val (aLo, aHi, bLo, bHi) =
       (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
-    val g0 = genDir(path, 0L)
-    Files.createDirectories(java.nio.file.Paths.get(path))
+    val g0 = genDataDir(path, 0L)
     df.withColumn("_z", zValue(
         scale16(col(colA), aLo, aHi), scale16(col(colB), bLo, bHi)))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(g0.toString)
-    writeMeta(g0, colA, colB, aLo, aHi, bLo, bHi)
-    writeZSpans(spark, g0, colA, colB, aLo, aHi, bLo, bHi)
+    val rel = parquetFilesUnder(g0).map(f =>
+      java.nio.file.Paths.get(path).toAbsolutePath.relativize(
+        java.nio.file.Paths.get(f).toAbsolutePath).toString)
+    val spans = spanStats(spark, path, rel, colA, colB, aLo, aHi, bLo, bHi)
+    writeManifest(path, 0L, Manifest(colA, colB, aLo, aHi, bLo, bHi,
+      consumed = Seq.empty, spans = spans))
     Files.createDirectories(landingDir(path))
     writeAtomic(currentPtr(path), "0")
-  }
-
-  /** Curve metadata travels INSIDE each generation dir, so a compaction
-    * that re-freezes the scaling bounds commits them atomically with the
-    * pointer flip — a crashed compact can never leave new bounds visible
-    * against an old generation's spans. */
-  private def writeMeta(gen: java.nio.file.Path, colA: String, colB: String,
-      aLo: Long, aHi: Long, bLo: Long, bHi: Long): Unit =
-    writeAtomic(gen.resolve("_zmeta.tsv"),
-      s"colA\t$colA\ncolB\t$colB\naLo\t$aLo\naHi\t$aHi\nbLo\t$bLo\nbHi\t$bHi")
-
-  private def readMeta(gen: java.nio.file.Path): Map[String, String] = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(gen.resolve("_zmeta.tsv"))
-      .asScala.filter(_.contains('\t'))
-      .map { l => val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1) }
-      .toMap
-  }
-
-  /** Scan `gen`'s data files ONCE and record each file's (z_min, z_max)
-    * into its `_zspans.tsv` (underscore prefix: invisible to parquet
-    * readers). Maintenance routes new rows against these ranges without
-    * touching data. */
-  /** One span row per data file: z range (what maintenance routes on)
-    * plus the raw key ranges (what [[zorderScan]] prunes on). */
-  private[ops] final case class Span(file: String, zLo: Long, zHi: Long,
-      aMin: Long, aMax: Long, bMin: Long, bMax: Long)
-
-  private def spanStats(spark: SparkSession, paths: Seq[String],
-      colA: String, colB: String, aLo: Long, aHi: Long, bLo: Long,
-      bHi: Long): Seq[Span] = {
-    val z = zValue(scale16(col(colA), aLo, aHi), scale16(col(colB), bLo, bHi))
-    spark.read.parquet(paths: _*)
-      .select(input_file_name().as("f"), z.as("_z"),
-        col(colA).cast("long").as("_a"), col(colB).cast("long").as("_b"))
-      .groupBy("f").agg(min("_z"), max("_z"), min("_a"), max("_a"),
-        min("_b"), max("_b"))
-      .collect()
-      .map(r => Span(
-        java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
-          .getFileName.toString,
-        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getLong(5), r.getLong(6)))
-      .sortBy(_.zLo).toSeq
-  }
-
-  private def writeSpanRows(gen: java.nio.file.Path, rows: Seq[Span]): Unit =
-    writeAtomic(gen.resolve("_zspans.tsv"),
-      rows.map(s => s"${s.file}\t${s.zLo}\t${s.zHi}\t${s.aMin}\t${s.aMax}\t${s.bMin}\t${s.bMax}")
-        .mkString("\n"))
-
-  private def writeZSpans(spark: SparkSession, gen: java.nio.file.Path,
-      colA: String, colB: String, aLo: Long, aHi: Long, bLo: Long,
-      bHi: Long): Unit =
-    writeSpanRows(gen, spanStats(spark, Seq(gen.toString), colA, colB,
-      aLo, aHi, bLo, bHi))
-
-  private def readZSpans(gen: java.nio.file.Path): Seq[Span] = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(gen.resolve("_zspans.tsv")).asScala
-      .filter(_.nonEmpty).map { l =>
-        val p = l.split("\t")
-        Span(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong,
-          p(5).toLong, p(6).toLong)
-      }.toSeq
   }
 
   /** Blind append: rows land as plain parquet in `landing/` — no
@@ -310,58 +393,61 @@ object Layout {
   def zorderAppend(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(landingDir(path).toString)
 
+  private def currentManifest(path: String): (Long, Manifest) = {
+    val gen = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    (gen, readManifest(path, gen))
+  }
+
+  private def spanFiles(spark: SparkSession, path: String,
+      spans: Seq[Span]): DataFrame = {
+    val root = java.nio.file.Paths.get(path).toAbsolutePath
+    spark.read.parquet(spans.map(s => root.resolve(s.file).toString): _*)
+  }
+
   /** Read the CURRENT committed generation (landing rows are invisible
     * until maintained — snapshot semantics; use [[zorderReadWithLanding]]
     * for read-your-appends). */
   def zorderRead(spark: SparkSession, path: String): DataFrame = {
-    val gen = currentGen(path).getOrElse(
-      throw new IllegalStateException(s"no zorderInit at $path"))
-    spark.read.parquet(genDir(path, gen).toString)
+    val (_, man) = currentManifest(path)
+    spanFiles(spark, path, man.spans)
   }
 
   /** Span-pruned scan of the CURRENT generation: the reader-side payoff
     * of the layout — the file list is cut DRIVER-SIDE from the committed
-    * spans sidecar before Spark opens a single footer, so a two-sided
-    * band query on a 100k-file table plans against only the files whose
-    * key ranges intersect BOTH bands (conjunctive necessary condition);
-    * the residual filter still applies (spans admit false positives,
-    * never false negatives) and parquet row-group pruning stacks on top.
+    * manifest before Spark opens a single footer, so a two-sided band
+    * query on a 100k-file table plans against only the files whose key
+    * ranges intersect BOTH bands (conjunctive necessary condition); the
+    * residual filter still applies (spans admit false positives, never
+    * false negatives) and parquet row-group pruning stacks on top.
     * Returns an empty frame of the right schema when nothing matches. */
   def zorderScan(spark: SparkSession, path: String,
       aRange: (Long, Long), bRange: (Long, Long)): DataFrame = {
-    val gen = currentGen(path).getOrElse(
-      throw new IllegalStateException(s"no zorderInit at $path"))
-    val gDir = genDir(path, gen)
-    val meta = readMeta(gDir)
-    val (colA, colB) = (meta("colA"), meta("colB"))
-    val spans = readZSpans(gDir)
-    val hit = spans.filter(s =>
+    val (_, man) = currentManifest(path)
+    val hit = man.spans.filter(s =>
       s.aMin <= aRange._2 && s.aMax >= aRange._1 &&
       s.bMin <= bRange._2 && s.bMax >= bRange._1)
     val base =
-      if (hit.isEmpty) spark.read.parquet(gDir.toString).limit(0)
-      else spark.read.parquet(hit.map(s => gDir.resolve(s.file).toString): _*)
-    base.filter(col(colA).between(aRange._1, aRange._2) &&
-      col(colB).between(bRange._1, bRange._2))
+      if (hit.isEmpty) spanFiles(spark, path, man.spans).limit(0)
+      else spanFiles(spark, path, hit)
+    base.filter(col(man.colA).between(aRange._1, aRange._2) &&
+      col(man.colB).between(bRange._1, bRange._2))
   }
 
   /** How many of the CURRENT generation's files [[zorderScan]] would open
     * for the given bands — the audit twin of the scan itself. */
   def zorderScanFiles(path: String, aRange: (Long, Long),
       bRange: (Long, Long)): (Int, Int) = {
-    val gen = currentGen(path).getOrElse(
-      throw new IllegalStateException(s"no zorderInit at $path"))
-    val spans = readZSpans(genDir(path, gen))
-    (spans.count(s =>
+    val (_, man) = currentManifest(path)
+    (man.spans.count(s =>
       s.aMin <= aRange._2 && s.aMax >= aRange._1 &&
-      s.bMin <= bRange._2 && s.bMax >= bRange._1), spans.size)
+      s.bMin <= bRange._2 && s.bMax >= bRange._1), man.spans.size)
   }
 
   /** CURRENT generation plus any unmaintained landing rows — the
     * read-your-appends view (landing files are unclustered, so scans over
     * this view prune only the maintained part). */
   def zorderReadWithLanding(spark: SparkSession, path: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val base = zorderRead(spark, path)
     val landing = landingFiles(path)
     if (landing.isEmpty) base
@@ -372,77 +458,95 @@ object Layout {
     import scala.jdk.CollectionConverters._
     val d = landingDir(path)
     if (!java.nio.file.Files.isDirectory(d)) Seq.empty
-    else java.nio.file.Files.list(d).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
+    else {
+      val ls = java.nio.file.Files.list(d)
+      try ls.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally ls.close()
+    }
   }
+
+  /** Route each row's z value to the index of the committed file whose
+    * z-range owns it (= index of the last span start <= z, clamped to 0).
+    * Two codegen shapes, identical results (spec-pinned equal):
+    * a CASE chain up to `caseMax` files — O(files) per row but zero
+    * per-plan state, fine at layout-parameter file counts — and the
+    * [[graft.functions.SearchSorted]] binary-search expression above it:
+    * O(log files) per row against a plan-time long[], the 100k-file
+    * regime where a CASE chain would blow the codegen method budget. */
+  private[ops] def routeFid(cuts: Seq[Long], zCol: Column, caseMax: Int): Column =
+    if (cuts.length <= caseMax)
+      cuts.zipWithIndex.drop(1)
+        .foldRight(lit(cuts.length - 1): Column) { case ((c, i), acc) =>
+          when(zCol < c, i - 1).otherwise(acc)
+        }
+    else
+      call_function("searchsorted", lit(cuts.toArray), zCol)
 
   /** Fold landed appends into the curve. Incremental: new rows route to
     * the existing file whose committed z-range contains them (cutpoint
-    * arithmetic on the spans sidecar — codegen'd, no shuffle of the base
+    * arithmetic on the manifest — codegen'd, no shuffle of the base
     * table), ONLY those files rewrite (merged + re-sorted), and every
-    * untouched file carries into the next generation by HARD LINK —
-    * byte-for-byte, no data copied. Generation commit discipline:
+    * untouched file carries into the next generation AS A MANIFEST ROW —
+    * no link, no copy, no filesystem op, so maintain cost is independent
+    * of the untouched-file count. Generation commit discipline:
     *
-    *   1. heal debris (generations above CURRENT, stagings, landing files
-    *      already consumed by the committed generation's manifest),
-    *   2. build `gen=N+1` complete (links + merged files + spans +
-    *      consumed-landing manifest),
-    *   3. flip CURRENT atomically,
-    *   4. delete consumed landing files and `gen=N`.
+    *   1. heal debris (stray manifests, landing files the committed
+    *      manifest already consumed, data files no manifest references),
+    *   2. write the merged files under `data/g<N+1>/`,
+    *   3. write `manifest-<N+1>.tsv` complete (carried rows + fresh rows
+    *      + frozen bounds + consumed-landing list),
+    *   4. flip CURRENT atomically,
+    *   5. delete consumed landing files, the replaced data files, and
+    *      `manifest-<N>.tsv`.
     *
-    * A crash before (3) leaves CURRENT on N and step (1) removes the
-    * partial build; a crash after (3) leaves consumed landing files whose
-    * re-merge step (1) suppresses via the manifest — appends are folded
-    * exactly once. Returns (rowsMerged, filesRewritten, filesLinked);
-    * (0, 0, 0) when there is nothing to do. */
-  def zorderMaintain(spark: SparkSession, path: String): (Long, Int, Int) = {
+    * A crash before (4) leaves CURRENT on N and step (1) removes the
+    * partial build; a crash after (4) leaves consumed landing files whose
+    * re-fold step (1) suppresses via the manifest — appends are folded
+    * exactly once. Runs under the table's cross-process lock. Returns
+    * (rowsMerged, filesRewritten, filesCarried); (0, 0, 0) when there is
+    * nothing to do. */
+  def zorderMaintain(spark: SparkSession, path: String,
+      routeCaseMax: Int = 256): (Long, Int, Int) = withTableLock(path) {
     import java.nio.file.{Files, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val cur = currentGen(path).getOrElse(
       throw new IllegalStateException(s"no zorderInit at $path"))
-    healGenerations(path, cur)
+    heal(path, cur)
     val landing = landingFiles(path)
     if (landing.isEmpty) return (0L, 0, 0)
-    val meta = readMeta(genDir(path, cur))
-    val (colA, colB) = (meta("colA"), meta("colB"))
-    val (aLo, aHi, bLo, bHi) = (meta("aLo").toLong, meta("aHi").toLong,
-      meta("bLo").toLong, meta("bHi").toLong)
-    val z = zValue(scale16(col(colA), aLo, aHi), scale16(col(colB), bLo, bHi))
-    val curDir = genDir(path, cur)
-    val spans = readZSpans(curDir) // sorted by zLo
-    // cutpoint routing on a MATERIALIZED z column: fid = index of the last
-    // span start <= z, as a codegen'd CASE chain over the one `_zm` read.
-    // (An array-fold HOF here re-inlines the ~50-node z tree per element
-    // and runs interpreted — measured 59 s for 600k rows at sf1 before
-    // this shape; the CASE chain is <1 s.) File counts are a layout
-    // parameter (16-1024), so the chain stays small; for 100k-file tables
-    // swap this for a broadcast range join.
-    val cuts = spans.map(_.zLo)
-    val fid = cuts.zipWithIndex.drop(1)
-      .foldRight(lit(cuts.length - 1): Column) { case ((c, i), acc) =>
-        when(col("_zm") < c, i - 1).otherwise(acc)
-      }
+    val man = readManifest(path, cur)
+    val z = zValue(scale16(col(man.colA), man.aLo, man.aHi),
+      scale16(col(man.colB), man.bLo, man.bHi))
+    val spans = man.spans // sorted by zLo
+    graft.functions.GraftExtensions.register(spark)
+    // routing on a MATERIALIZED z column: fid = index of the last span
+    // start <= z. (An array-fold HOF here re-inlines the ~50-node z tree
+    // per element and runs interpreted — measured 59 s for 600k rows at
+    // sf1 before this shape; the codegen'd forms are <1 s.)
+    val fid = routeFid(spans.map(_.zLo), col("_zm"), routeCaseMax)
     val newRows = spark.read.parquet(landing.map(_.toString): _*)
       .withColumn("_zm", z)
       .withColumn("_fid", fid)
     val affectedFids = newRows.select("_fid").distinct()
       .collect().map(_.getInt(0)).sorted // bounded by the file count
-    val nextDir = genDir(path, cur + 1)
-    val staging = java.nio.file.Paths.get(path, s"gen=${cur + 1}.staging")
+    val root = java.nio.file.Paths.get(path).toAbsolutePath
+    val nextData = genDataDir(path, cur + 1)
+    val staging = dataDir(path).resolve(s"g${cur + 1}.staging")
     graft.engine.WarehouseMeta.deleteRecursively(staging)
     // affected old files re-read WITH their fid (tiny broadcast name->fid
     // map), unioned with the routed new rows, one file per fid
-    val affectedNames = affectedFids.map(i => spans(i).file)
+    val affectedSet = affectedFids.toSet
     import spark.implicits._
-    val nameToFid = affectedFids.map(i => (spans(i).file, i)).toSeq
+    val nameToFid = affectedFids.map(i =>
+      (java.nio.file.Paths.get(spans(i).file).getFileName.toString, i)).toSeq
       .toDF("fname", "_fid")
-    val oldRows = if (affectedNames.isEmpty) None
+    val oldRows = if (affectedFids.isEmpty) None
       else Some(spark.read
-        .parquet(affectedNames.map(n => curDir.resolve(n).toString): _*)
+        .parquet(affectedFids.toSeq.map(i => root.resolve(spans(i).file).toString): _*)
         .withColumn("_zm", z)
-        .withColumn("fname", element_at(
-          split(input_file_name(), "/"), -1))
+        .withColumn("fname", element_at(split(input_file_name(), "/"), -1))
         .join(broadcast(nameToFid), "fname")
         .drop("fname"))
     val merged = oldRows.map(_.unionByName(newRows)).getOrElse(newRows)
@@ -452,46 +556,39 @@ object Layout {
       .drop("_zm")
       .write.partitionBy("_fid").mode("overwrite").parquet(staging.toString)
     val nMerged = newRows.count()
-    // assemble gen N+1: links for untouched files, staged merges for the rest
-    Files.createDirectories(nextDir)
-    var linked = 0
-    val affectedSet = affectedFids.toSet
-    for ((s, i) <- spans.zipWithIndex) {
-      val fname = s.file
-      if (!affectedSet.contains(i)) {
-        try Files.createLink(nextDir.resolve(fname), curDir.resolve(fname))
-        catch { case _: UnsupportedOperationException =>
-          Files.copy(curDir.resolve(fname), nextDir.resolve(fname))
-        }
-        linked += 1
-      } else {
-        val partDir = staging.resolve(s"_fid=$i")
-        val part = Files.list(partDir).iterator().asScala
+    // move each merged file into data/g<N+1>/ (one driver-side move per
+    // REWRITTEN file — the carried files never touch the filesystem)
+    Files.createDirectories(nextData)
+    val mergedRel = affectedFids.map { i =>
+      val partDir = staging.resolve(s"_fid=$i")
+      val ls = Files.list(partDir)
+      val part =
+        try ls.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        require(part.size == 1, s"expected one merged file for fid $i, got ${part.size}")
-        Files.move(part.head, nextDir.resolve(s"merged-$cur-$i.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
-      }
+        finally ls.close()
+      require(part.size == 1, s"expected one merged file for fid $i, got ${part.size}")
+      val target = nextData.resolve(s"merged-$i.parquet")
+      Files.move(part.head, target, StandardCopyOption.ATOMIC_MOVE)
+      root.relativize(target).toString
     }
     graft.engine.WarehouseMeta.deleteRecursively(staging)
-    // spans update is INCREMENTAL too: linked files keep their committed
-    // ranges; only the merged files scan (they were just written)
-    val mergedSpans = if (affectedFids.isEmpty) Seq.empty
-      else spanStats(spark,
-        affectedFids.map(i => nextDir.resolve(s"merged-$cur-$i.parquet").toString).toSeq,
-        colA, colB, aLo, aHi, bLo, bHi)
-    val keptSpans = spans.zipWithIndex.collect {
+    // manifest update is INCREMENTAL too: carried files keep their
+    // committed rows verbatim; only the freshly-merged files scan
+    val mergedSpans = if (mergedRel.isEmpty) Seq.empty
+      else spanStats(spark, path, mergedRel.toSeq, man.colA, man.colB,
+        man.aLo, man.aHi, man.bLo, man.bHi)
+    val carried = spans.zipWithIndex.collect {
       case (s, i) if !affectedSet.contains(i) => s
     }
-    writeSpanRows(nextDir, (keptSpans ++ mergedSpans).sortBy(_.zLo))
-    writeMeta(nextDir, colA, colB, aLo, aHi, bLo, bHi) // bounds stay frozen
-    writeAtomic(nextDir.resolve("_consumed.tsv"),
-      landing.map(_.getFileName.toString).mkString("\n"))
-    // COMMIT, then clean up — both cleanups replay safely after a crash
+    writeManifest(path, cur + 1, man.copy(
+      consumed = landing.map(_.getFileName.toString),
+      spans = (carried ++ mergedSpans).sortBy(_.zLo))) // bounds stay frozen
+    // COMMIT, then clean up — every cleanup replays safely after a crash
     writeAtomic(currentPtr(path), (cur + 1).toString)
     landing.foreach(Files.deleteIfExists(_))
-    graft.engine.WarehouseMeta.deleteRecursively(curDir)
-    (nMerged, affectedFids.length, linked)
+    affectedFids.foreach(i => Files.deleteIfExists(root.resolve(spans(i).file)))
+    Files.deleteIfExists(manifestPath(path, cur))
+    (nMerged, affectedFids.length, carried.size)
   }
 
   /** Full re-layout into a fresh generation — the periodic OPTIMIZE that
@@ -500,69 +597,95 @@ object Layout {
     * bounds that no longer match the data (bounds RE-FREEZE here from the
     * observed min/max — the one place they may change, committed
     * atomically with the generation flip because the meta travels inside
-    * the gen dir). Folds any unmaintained landing rows too. Same commit
-    * discipline as maintain: build complete, flip CURRENT, clean up;
-    * crash-safe at every point. */
-  def zorderCompact(spark: SparkSession, path: String, nFiles: Int): Unit = {
+    * the manifest). Folds any unmaintained landing rows too. Same commit
+    * discipline and lock as maintain: build complete, flip CURRENT,
+    * clean up; crash-safe at every point. */
+  def zorderCompact(spark: SparkSession, path: String,
+      nFiles: Int): Unit = withTableLock(path) {
     import java.nio.file.Files
     require(nFiles >= 1, "need nFiles >= 1")
     val cur = currentGen(path).getOrElse(
       throw new IllegalStateException(s"no zorderInit at $path"))
-    healGenerations(path, cur)
-    val meta = readMeta(genDir(path, cur))
-    val (colA, colB) = (meta("colA"), meta("colB"))
+    heal(path, cur)
+    val man = readManifest(path, cur)
     val landing = landingFiles(path)
     val all = {
-      val base = spark.read.parquet(genDir(path, cur).toString)
+      val base = spanFiles(spark, path, man.spans)
       if (landing.isEmpty) base
       else base.unionByName(spark.read.parquet(landing.map(_.toString): _*))
     }
+    val (colA, colB) = (man.colA, man.colB)
     val bounds = all.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).collect()(0)
     val (aLo, aHi, bLo, bHi) =
       (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
-    val nextDir = genDir(path, cur + 1)
+    val nextData = genDataDir(path, cur + 1)
     all.withColumn("_z", zValue(
         scale16(col(colA), aLo, aHi), scale16(col(colB), bLo, bHi)))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
-      .write.mode("overwrite").parquet(nextDir.toString)
-    writeMeta(nextDir, colA, colB, aLo, aHi, bLo, bHi) // RE-frozen bounds
-    writeZSpans(spark, nextDir, colA, colB, aLo, aHi, bLo, bHi)
-    writeAtomic(nextDir.resolve("_consumed.tsv"),
-      landing.map(_.getFileName.toString).mkString("\n"))
+      .write.mode("overwrite").parquet(nextData.toString)
+    val root = java.nio.file.Paths.get(path).toAbsolutePath
+    val rel = parquetFilesUnder(nextData).map(f =>
+      root.relativize(java.nio.file.Paths.get(f).toAbsolutePath).toString)
+    val spans = spanStats(spark, path, rel, colA, colB, aLo, aHi, bLo, bHi)
+    writeManifest(path, cur + 1, Manifest(colA, colB, aLo, aHi, bLo, bHi,
+      consumed = landing.map(_.getFileName.toString), // RE-frozen bounds
+      spans = spans))
     writeAtomic(currentPtr(path), (cur + 1).toString)
     landing.foreach(Files.deleteIfExists(_))
-    graft.engine.WarehouseMeta.deleteRecursively(genDir(path, cur))
+    man.spans.foreach(s => Files.deleteIfExists(root.resolve(s.file)))
+    Files.deleteIfExists(manifestPath(path, cur))
     ()
   }
 
-  /** Remove debris a crashed [[zorderMaintain]] left: generation dirs and
-    * stagings ABOVE the committed pointer (the build never finished), the
-    * previous generation if its deletion was interrupted, and landing
-    * files the COMMITTED generation already consumed (the manifest is the
-    * exactly-once guard for the crash window between pointer flip and
-    * landing cleanup). */
-  private def healGenerations(path: String, cur: Long): Unit = {
+  /** Remove debris a crashed [[zorderMaintain]]/[[zorderCompact]] left,
+    * by exactly three rules against the committed manifest:
+    *
+    *   1. any `manifest-<G>.tsv` with G != CURRENT (a build that never
+    *      committed, or a replaced manifest whose deletion was
+    *      interrupted) and stray `.tmp` files,
+    *   2. landing files the COMMITTED manifest lists as consumed (the
+    *      exactly-once guard for the crash window between pointer flip
+    *      and landing cleanup),
+    *   3. data files the committed manifest does not reference (a crashed
+    *      build's partial output, or replaced files whose deletion was
+    *      interrupted) — including stale staging dirs. */
+  private def heal(path: String, cur: Long): Unit = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(path)
-    for (p <- Files.list(root).iterator().asScala.toList) {
-      val n = p.getFileName.toString
-      if (n.startsWith("gen=")) {
-        val gen = n.stripPrefix("gen=").stripSuffix(".staging")
-        val stale = n.endsWith(".staging") ||
-          (gen.forall(_.isDigit) && gen.toLong != cur)
-        if (stale) graft.engine.WarehouseMeta.deleteRecursively(p)
-      }
+    val root = java.nio.file.Paths.get(path).toAbsolutePath
+    val ls = Files.list(root)
+    val strays =
+      try ls.iterator().asScala.map(_.getFileName.toString).filter { n =>
+        (n.startsWith("manifest-") &&
+          n != manifestPath(path, cur).getFileName.toString) ||
+        n.endsWith(".tmp")
+      }.toList
+      finally ls.close()
+    strays.foreach(n => Files.deleteIfExists(root.resolve(n)))
+    val man = readManifest(path, cur)
+    man.consumed.foreach { f =>
+      Files.deleteIfExists(landingDir(path).resolve(f)); ()
     }
-    val consumed = genDir(path, cur).resolve("_consumed.tsv")
-    if (Files.isRegularFile(consumed))
-      Files.readAllLines(consumed).asScala.filter(_.nonEmpty).foreach { f =>
-        Files.deleteIfExists(landingDir(path).resolve(f)); ()
-      }
+    val referenced = man.spans.map(s => root.resolve(s.file)).toSet
+    val dd = dataDir(path)
+    if (Files.isDirectory(dd)) {
+      val walk = Files.walk(dd)
+      val all = try walk.iterator().asScala.toList finally walk.close()
+      all.filter(p => Files.isRegularFile(p) && !referenced.contains(p))
+        .foreach(Files.deleteIfExists(_))
+      // empty generation dirs left behind (deepest first)
+      all.filter(p => Files.isDirectory(p) && p != dd)
+        .sortBy(-_.getNameCount).foreach { d =>
+          val s = Files.list(d)
+          val empty = try !s.iterator().hasNext finally s.close()
+          if (empty) Files.deleteIfExists(d)
+          ()
+        }
+    }
   }
 
 }

@@ -112,6 +112,30 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("searchsorted: last index <= v clamped to 0, codegen ≡ static core, nulls propagate, non-literal cuts rejected") {
+    init
+    // static core pins: exact hit, between, below-all (clamp), above-all
+    val cuts = Array(-3L, 10L, 10000L)
+    assert(SearchSorted.lastLE(cuts, -100L) == 0, "below all cuts clamps to 0")
+    assert(SearchSorted.lastLE(cuts, -3L) == 0)
+    assert(SearchSorted.lastLE(cuts, 9L) == 0)
+    assert(SearchSorted.lastLE(cuts, 10L) == 1)
+    assert(SearchSorted.lastLE(cuts, 9999L) == 1)
+    assert(SearchSorted.lastLE(cuts, Long.MaxValue) == 2)
+    // SQL/codegen path agrees with the static core over a dense sweep
+    import spark.implicits._
+    val got = spark.range(-20L, 10030L)
+      .selectExpr("searchsorted(array(-3L, 10L, 10000L), id) AS f", "id").collect()
+    assert(got.forall(r => r.getInt(0) == SearchSorted.lastLE(cuts, r.getLong(1))))
+    assert(spark.sql("SELECT searchsorted(array(1L, 2L), CAST(NULL AS BIGINT))")
+      .head().isNullAt(0))
+    // cuts must be a plan-time literal — a per-row array is a contract bug
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(3).selectExpr("searchsorted(array(id), id)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable"))
+  }
+
   test("expression survives whole-stage codegen in a filter+project pipeline") {
     init
     import spark.implicits._

@@ -82,7 +82,7 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     zSpans.unpersist(); linSpans.unpersist()
   }
 
-  test("zorder maintenance: blind appends fold incrementally, untouched files carry by link, spans stay tight") {
+  test("zorder maintenance: blind appends fold incrementally, untouched files carry as manifest rows, spans stay tight") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zmaint").toString + "/t"
     // 64×64 grid, 8 files ⇒ each file owns a contiguous z tile
@@ -100,12 +100,17 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     // ...but the read-your-appends view does
     assert(Layout.zorderReadWithLanding(spark, dir).count() == 4096L + 32)
 
-    val (merged, rewritten, linked) = Layout.zorderMaintain(spark, dir)
+    val (merged, rewritten, carried) = Layout.zorderMaintain(spark, dir)
     assert(merged == 32L, s"all appended rows folded, got $merged")
     assert(rewritten >= 1 && rewritten <= 3,
       s"corner-clustered appends touch few tiles, got $rewritten")
-    assert(rewritten + linked == 8, "every base file either rewrote or linked")
+    assert(rewritten + carried == 8, "every base file either rewrote or carried")
     assert(Layout.currentGen(dir) == Some(1L))
+    // carried files are MANIFEST ROW copies of the committed generation's
+    // rows — same file path, same spans, zero filesystem work
+    val m0files = 8 - rewritten
+    assert(Layout.currentSpans(dir).count(_.file.startsWith("data/g0/")) == m0files,
+      "carried manifest rows still point at the gen-0 data files")
     val after = Layout.zorderRead(spark, dir)
     assert(after.count() == 4096L + 32)
     assert(after.except(base.unionByName(appendA)).count() == 0 &&
@@ -116,15 +121,17 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(after.groupBy("a", "b").count().agg(sum("count")).head().getLong(0)
       == 4096L + 32)
     // pruning survives maintenance: a narrow band on either key still
-    // skips most files
-    val spans = Layout.fileSpans(spark, dir + "/gen=1", "a", "b")
+    // skips most files (audited from the committed manifest itself)
+    val spans = Layout.currentSpansDF(spark, dir)
     assert(Layout.touchedFraction(spans, "b_min", "b_max", 40, 47) <= 0.6)
     assert(Layout.touchedFraction(spans, "a_min", "a_max", 40, 47) <= 0.6)
+    // manifest row counts are real: they sum to the table's row count
+    assert(Layout.currentSpans(dir).map(_.rows).sum == 4096L + 32)
     // nothing left to do → exact no-op
     assert(Layout.zorderMaintain(spark, dir) == ((0L, 0, 0)))
   }
 
-  test("zorder maintenance: crash debris heals — partial generations removed, consumed manifest stops double-folds") {
+  test("zorder maintenance: crash debris heals — stray manifests and orphan data files removed, consumed list stops double-folds") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
     val dir = java.nio.file.Files.createTempDirectory("graft_zheal").toString + "/t"
@@ -133,25 +140,36 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 4)
     Layout.zorderAppend(Seq((1L, 1L), (2L, 2L)).toDF("a", "b"), dir)
 
-    // crash BEFORE commit: a partial next-gen dir + staging must be swept,
-    // then the maintain proceeds normally
-    Files.createDirectories(Paths.get(dir, "gen=1"))
-    Files.write(Paths.get(dir, "gen=1", "junk.parquet"), Array[Byte](1, 2))
-    Files.createDirectories(Paths.get(dir, "gen=1.staging"))
+    // crash BEFORE commit: an uncommitted next-gen manifest, its partial
+    // data files, and a staging dir must all be swept (nothing references
+    // them), then the maintain proceeds normally
+    Files.write(Paths.get(dir, "manifest-1.tsv"),
+      "#colA\ta\n#colB\tb\n#aLo\t0\n#aHi\t1\n#bLo\t0\n#bHi\t1".getBytes("UTF-8"))
+    Files.createDirectories(Paths.get(dir, "data", "g1"))
+    Files.write(Paths.get(dir, "data", "g1", "junk.parquet"), Array[Byte](1, 2))
+    Files.createDirectories(Paths.get(dir, "data", "g1.staging"))
     val (merged, _, _) = Layout.zorderMaintain(spark, dir)
     assert(merged == 2L && Layout.currentGen(dir) == Some(1L))
     assert(Layout.zorderRead(spark, dir).count() == 1026L)
-    assert(!Files.exists(Paths.get(dir, "gen=1.staging")) &&
-      !Files.exists(Paths.get(dir, "gen=0")), "debris and old gen gone")
+    assert(!Files.exists(Paths.get(dir, "data", "g1.staging")) &&
+      !Files.exists(Paths.get(dir, "data", "g1", "junk.parquet")) &&
+      !Files.exists(Paths.get(dir, "manifest-0.tsv")), "debris and old manifest gone")
+    // no orphans anywhere: every file under data/ is a manifest row
+    import scala.jdk.CollectionConverters._
+    val listed = Layout.currentSpans(dir).map(_.file).toSet
+    val walk = Files.walk(Paths.get(dir, "data"))
+    val onDisk = try walk.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(p => Paths.get(dir).toAbsolutePath.relativize(p.toAbsolutePath).toString)
+      .toSet finally walk.close()
+    assert(onDisk == listed, s"data/ ≡ manifest: ${onDisk.diff(listed)} vs ${listed.diff(onDisk)}")
 
     // crash AFTER commit, BEFORE landing cleanup: a landing file the
-    // committed generation's manifest lists must be deleted, NOT re-folded
-    val consumed = Files.readAllLines(Paths.get(dir, "gen=1", "_consumed.tsv"))
-    assert(!consumed.isEmpty)
-    val ghost = Paths.get(dir, "landing", consumed.get(0))
+    // committed manifest lists as consumed must be deleted, NOT re-folded
+    val consumed = Layout.readManifest(dir, 1L).consumed
+    assert(consumed.nonEmpty)
+    val ghost = Paths.get(dir, "landing", consumed.head)
     Seq((9L, 9L)).toDF("a", "b").coalesce(1)
       .write.mode("overwrite").parquet(dir + "/.ghost")
-    import scala.jdk.CollectionConverters._
     val part = Files.list(Paths.get(dir, ".ghost")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).next()
     Files.move(part, ghost)
@@ -159,6 +177,13 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       "replayed landing file is healed away, never double-folded")
     assert(Layout.zorderRead(spark, dir).count() == 1026L)
     assert(!Files.exists(ghost))
+
+    // a second init over the live table must fail loudly (it would strand
+    // landing rows and orphan the committed manifest)
+    val ex = intercept[IllegalArgumentException] {
+      Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 4)
+    }
+    assert(ex.getMessage.contains("live maintained table"))
   }
 
   test("zValue3: exact 3-way interleave; zorderWrite3 prunes on all three keys") {
@@ -274,14 +299,49 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     // construction: base a occupies 3% of the re-frozen domain, so its
     // scaled bits sit below the 8-file tile granularity — the z-curve
     // trades per-dimension resolution for two-sidedness.)
-    val spans = Layout.fileSpans(spark, dir + "/gen=1", "a", "b")
+    val spans = Layout.currentSpansDF(spark, dir)
     assert(Layout.touchedFraction(spans, "a_min", "a_max", 900, 1027) <= 0.5)
     assert(Layout.touchedFraction(spans, "b_min", "b_max", 0, 7) <= 0.5)
     // the maintained lifecycle continues on the new generation
     Layout.zorderAppend(Seq((5L, 5L)).toDF("a", "b"), dir)
-    val (m, _, linked) = Layout.zorderMaintain(spark, dir)
-    assert(m == 1L && linked >= 5 && Layout.currentGen(dir) == Some(2L))
+    val (m, _, carried) = Layout.zorderMaintain(spark, dir)
+    assert(m == 1L && carried >= 5 && Layout.currentGen(dir) == Some(2L))
     assert(Layout.zorderRead(spark, dir).count() == 1024L + 128 + 1)
+  }
+
+  test("routeFid: CASE chain ≡ searchsorted binary search; maintain is identical on either path") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    // the two routing shapes agree on every value, including below the
+    // first cut (clamp to 0), exactly on cuts, between cuts, and above
+    val cuts = Seq(-50L, 0L, 7L, 8L, 1000L)
+    val vals = spark.range(-100L, 1100L).select(col("id").as("v"))
+    val both = vals
+      .withColumn("case_fid", Layout.routeFid(cuts, col("v"), caseMax = Int.MaxValue))
+      .withColumn("bs_fid", Layout.routeFid(cuts, col("v"), caseMax = 0))
+    assert(both.filter(col("case_fid") =!= col("bs_fid")).count() == 0)
+    // hand pins: numpy searchsorted(side=right)-1 clamped at 0
+    val pin = both.filter(col("v").isin(-100L, -50L, -1L, 0L, 7L, 8L, 999L, 1000L, 1099L))
+      .orderBy("v").select("bs_fid").as[Int].collect().toSeq
+    assert(pin == Seq(0, 0, 0, 1, 2, 3, 3, 4, 4))
+
+    // end-to-end: a maintain forced onto the binary-search path commits
+    // the same table as the CASE path (fresh copies, same input)
+    def build(routeCaseMax: Int): org.apache.spark.sql.DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_zroute").toString + "/t"
+      val base = spark.range(4096L)
+        .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+      Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 8)
+      Layout.zorderAppend((0 until 64).map(i => (i.toLong, 63L - i)).toDF("a", "b"), dir)
+      val (m, rw, _) = Layout.zorderMaintain(spark, dir, routeCaseMax)
+      assert(m == 64L && rw >= 1)
+      Layout.zorderRead(spark, dir)
+    }
+    val (viaCase, viaSearch) = (build(Int.MaxValue), build(0))
+    assert(viaCase.count() == viaSearch.count() &&
+      viaCase.except(viaSearch).count() == 0 &&
+      viaSearch.except(viaCase).count() == 0,
+      "routing path must never change the committed table")
   }
 
   test("zorderWrite: arbitrary key domains (beyond 16 bits, negative) keep locality via scaling") {
