@@ -641,6 +641,17 @@ object Layout {
     ()
   }
 
+  /** Probe/spec seam: commit a hand-built manifest as generation `gen`
+    * (manifest write + CURRENT flip, no data validation). Lets
+    * [[LayoutProbe]] measure driver-side span pruning against a synthetic
+    * 100k-file manifest without writing 100k parquet files. */
+  private[ops] def commitManifestUnsafe(path: String, gen: Long,
+      m: Manifest): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    writeManifest(path, gen, m)
+    writeAtomic(currentPtr(path), gen.toString)
+  }
+
   /** Remove debris a crashed [[zorderMaintain]]/[[zorderCompact]] left,
     * by exactly three rules against the committed manifest:
     *

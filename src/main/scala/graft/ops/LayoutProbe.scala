@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.util.Locale
+
+/** Layout-family measurement main (round 13) — three questions the manifest
+  * redesign must answer with numbers, not claims:
+  *
+  *   1. Is zorderMaintain's cost INDEPENDENT of the untouched-file count?
+  *      (The hard-link design paid one filesystem op per untouched file;
+  *      manifest carry-over is a row copy.) Same data, same append, file
+  *      counts 32 → 2048: wall time should track the affected tiles, not
+  *      the table's file count.
+  *   2. What does driver-side span pruning cost at LAKEHOUSE file counts?
+  *      zorderScanFiles over a synthetic 100k-row manifest — the regime
+  *      where the round-12 probe recorded an honest null at 64 files (the
+  *      sidecar read + linear intersect is the whole planning cost; at
+  *      100k files a footer-opening planner pays 100k opens instead).
+  *   3. What does fid routing cost per row at 100k cutpoints? The CASE
+  *      chain is structurally impossible there (a 100k-branch codegen
+  *      method); [[graft.functions.SearchSorted]] is O(log F) per row.
+  *
+  * Run: `sbt "runMain graft.ops.LayoutProbe"`. One JSON line per
+  * measurement; results land in BASELINE.md §Round-13.
+  */
+object LayoutProbe {
+
+  private def r4(v: Double): String = String.format(Locale.ROOT, "%.4f", Double.box(v))
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- 1. maintain cost vs untouched-file count (fixed data, fixed append)
+    // 4M-row 2048×2048 grid; the append lands in one corner (a,b < 64), so
+    // the AFFECTED tile count stays small at every file count while the
+    // untouched count grows 64×. Under the manifest design the wall time
+    // must not grow with the file count (the carried files cost one row
+    // copy each); rewrite volume actually SHRINKS as tiles get finer.
+    val base = spark.range(2048L * 2048L)
+      .select((col("id") / 2048).cast("long").as("a"), (col("id") % 2048).as("b"))
+    val corner = spark.range(50000L)
+      .select((col("id") % 64).cast("long").as("a"), (col("id") / 1024).as("b"))
+    for (nFiles <- Seq(32, 256, 2048)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lprobe").toString + "/t"
+      Layout.zorderInit(spark, base, dir, "a", "b", nFiles)
+      Layout.zorderAppend(corner, dir)
+      var stats = (0L, 0, 0)
+      val sec = time { stats = Layout.zorderMaintain(spark, dir) }
+      println(s"""{"metric":"zmaint_files_indep","files":$nFiles,""" +
+        s""""rewritten":${stats._2},"carried":${stats._3},"sec":${r4(sec)}}""")
+      graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(dir).getParent)
+    }
+
+    // ---- 2. zorderScanFiles over a synthetic 100k-span manifest
+    // 316×316 rectangular tiles over a 65536² key domain ≈ 99856 files —
+    // no data written; the measured quantity IS the planning path a
+    // 100k-file table pays per query: read the committed manifest, linear
+    // two-sided intersect, return the open list.
+    val g = 316
+    val step = 65536L / g
+    val spans = (0 until g * g).map { i =>
+      val (ai, bi) = (i / g, i % g)
+      Layout.Span(s"data/g0/f$i.parquet", 1000L, i.toLong, i.toLong,
+        ai * step, (ai + 1) * step - 1, bi * step, (bi + 1) * step - 1)
+    }
+    val synDir = java.nio.file.Files.createTempDirectory("graft_lsyn").toString + "/t"
+    Layout.commitManifestUnsafe(synDir, 0L,
+      Layout.Manifest("a", "b", 0L, 65535L, 0L, 65535L, Seq.empty, spans))
+    // a 2%-wide two-sided band — the shape w27 measures on real data
+    var hits = (0, 0)
+    val reps = 20
+    val scanSec = time {
+      for (r <- 0 until reps) {
+        val lo = (r * 2654435761L) % 60000
+        hits = Layout.zorderScanFiles(synDir, (lo, lo + 1300), (lo / 2, lo / 2 + 1300))
+      }
+    } / reps
+    println(s"""{"metric":"zscan_100k_spans","files":${spans.size},""" +
+      s""""hit":${hits._1},"sec_per_call":${r4(scanSec)}}""")
+
+    // ---- 3. searchsorted routing throughput at 100k cuts (CASE chain is
+    // structurally impossible here), 5M rows through one codegen'd pass
+    graft.functions.GraftExtensions.register(spark)
+    val cuts = (0 until 100000).map(i => i.toLong * 43000L)
+    val rows = spark.range(5000000L).select((col("id") * 859L % 4300000000L).as("z"))
+    val routeSec = time {
+      rows.select(Layout.routeFid(cuts, col("z"), caseMax = 0).as("fid"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(s"""{"metric":"searchsorted_route","cuts":${cuts.size},""" +
+      s""""rows":5000000,"sec":${r4(routeSec)}}""")
+
+    spark.stop()
+  }
+}
