@@ -322,6 +322,51 @@ object SparkEntry {
       path
     }
 
+  /** Memoized STREAM-SINK maintained table for w30: init on the low 80%
+    * of the orderkey domain, then [[graft.streaming.EventStreams
+    * .streamToZorder]]'s foreachBatch body driven as two deterministic
+    * batches through the exactly-once seam (Layout.zorderAppendBatch)
+    * with a cadence maintain between them — including a committed-replay
+    * no-op proof on the seam — so the oracle hash-checks the END STATE of
+    * the streamed lakehouse lifecycle, not just its spec pins. */
+  private val zsinkMemo = layoutMemo
+  private def zorderStreamSinkFor(s: SparkSession, d: String): String =
+    memoizedLayout(zsinkMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w30_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zsink16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val li = t(s, d, "lineitem")
+          val hi = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+          val (cut0, cut1) = (hi * 8 / 10, hi * 9 / 10)
+          Layout.zorderInit(s, li.filter(col("l_orderkey") <= cut0), path,
+            "l_orderkey", "l_suppkey", nFiles = 16)
+          val b0 = li.filter(col("l_orderkey") > cut0 && col("l_orderkey") <= cut1)
+          val b1 = li.filter(col("l_orderkey") > cut1)
+          require(Layout.zorderAppendBatch(s, b0, path, 0L) > 0,
+            "batch 0 must land rows")
+          require(Layout.zorderMaintain(s, path)._1 > 0,
+            "cadence maintain folds batch 0")
+          require(Layout.zorderAppendBatch(s, b1, path, 1L) > 0,
+            "batch 1 must land rows")
+          require(Layout.zorderAppendBatch(s, b1, path, 1L) == -1L,
+            "committed-batch replay must no-op")
+          val (m, _, carried) = Layout.zorderMaintain(s, path)
+          require(m > 0 && carried >= 1,
+            s"final maintain must fold batch 1 incrementally (carried $carried)")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized gopher GATE-ON-ARRIVAL ingest history for w24: the exactly-
     * once gate loop driven as two deterministic batches (doc_id parity),
     * with a committed-replay no-op proof on the seam — the first ingest
@@ -2002,6 +2047,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))),
+
+    // the streaming zorder sink's END STATE (two exactly-once batches +
+    // cadence maintains, built with a committed-replay no-op proof):
+    // layout, landing, and maintenance must never change answers, so the
+    // twin derives the same full aggregate from raw lineitem
+    "w30_zorder_stream_sink" -> ((s, d) =>
+      Layout.zorderRead(s, zorderStreamSinkFor(s, d))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))),
 
     // --- pipeline composition ----------------------------------------------
     // END-TO-END ingest chain as ONE composed plan — the deliverable the
@@ -3967,6 +4024,15 @@ object SparkEntry {
         |FROM lineitem, mx
         |WHERE l_suppkey BETWEEN m * 2 // 5 AND m // 2
         |GROUP BY 1""".stripMargin,
+
+    // the streamed-in table answers from its committed generation; the
+    // twin is the same full aggregate from raw lineitem (exactly-once
+    // landing means not one row more or less)
+    "w30_zorder_stream_sink" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // span-pruned reads must equal full-filter reads — the twin applies
     // the same two-sided band to raw lineitem (// = integer division,

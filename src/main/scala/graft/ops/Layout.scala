@@ -467,6 +467,74 @@ object Layout {
     }
   }
 
+  /** EXACTLY-ONCE blind append for streaming ingest (the `foreachBatch`
+    * body of [[graft.streaming.EventStreams.streamToZorder]]): Structured
+    * Streaming replays a crashed micro-batch with the same id, so a bare
+    * [[zorderAppend]] would double-land it. Per-table intent/commit log
+    * (`<path>/batchlog/`, the WarehouseMeta.exactlyOnceBatch discipline):
+    *
+    *   - `<id>.commit` exists → -1 (replay of a fully applied batch).
+    *   - any `.intent` without a `.commit` marks a CRASHED append: landing
+    *     files absent from its snapshot are that append's partial output —
+    *     deleted before anything runs ([[zorderMaintain]]/[[zorderCompact]]
+    *     run the same rollback first, so a maintain can never fold a
+    *     partial append).
+    *   - snapshot landing names to `<id>.intent`, append, promote
+    *     intent → commit. Returns the rows landed (footer counts of the
+    *     new files — no second pass over the batch).
+    *
+    * Manual [[zorderAppend]] calls must not interleave with a crashed
+    * batch's recovery window (the rollback cannot tell a manual append
+    * from partial batch output); a streaming table should take all its
+    * appends through this seam. */
+  def zorderAppendBatch(spark: SparkSession, df: DataFrame, path: String,
+      batchId: Long): Long = withTableLock(path) {
+    import java.nio.file.Files
+    require(currentGen(path).isDefined, s"no zorderInit at $path")
+    val log = java.nio.file.Paths.get(path, "batchlog")
+    Files.createDirectories(log)
+    val commit = log.resolve(s"$batchId.commit")
+    if (Files.exists(commit)) return -1L
+    rollbackStaleAppendIntents(path)
+    val before = landingFiles(path).map(_.getFileName.toString)
+    writeAtomic(log.resolve(s"$batchId.intent"), before.mkString("\n"))
+    df.write.mode("append").parquet(landingDir(path).toString)
+    val beforeSet = before.toSet
+    val added = landingFiles(path)
+      .filter(p => !beforeSet.contains(p.getFileName.toString))
+    val n = if (added.isEmpty) 0L
+      else spark.read.parquet(added.map(_.toString): _*).count()
+    Files.move(log.resolve(s"$batchId.intent"), commit,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    n
+  }
+
+  /** Roll back any crashed [[zorderAppendBatch]] (an `.intent` without a
+    * `.commit`): landing files absent from the intent's snapshot are the
+    * partial append's output — deleted, then the intent is cleared so the
+    * stream's replay re-applies cleanly. */
+  private def rollbackStaleAppendIntents(path: String): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val log = java.nio.file.Paths.get(path, "batchlog")
+    if (!Files.isDirectory(log)) return
+    val ls = Files.list(log)
+    val stale =
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".intent")).toList
+        .filter(p => !Files.exists(p.resolveSibling(
+          p.getFileName.toString.stripSuffix(".intent") + ".commit")))
+      finally ls.close()
+    if (stale.nonEmpty) {
+      val snapshot = stale.flatMap(p => Files.readAllLines(p).asScala)
+        .filter(_.nonEmpty).toSet
+      landingFiles(path)
+        .filter(p => !snapshot.contains(p.getFileName.toString))
+        .foreach(Files.deleteIfExists(_))
+      stale.foreach(Files.delete(_))
+    }
+  }
+
   /** Route each row's z value to the index of the committed file whose
     * z-range owns it (= index of the last span start <= z, clamped to 0).
     * Two codegen shapes, identical results (spec-pinned equal):
@@ -513,6 +581,7 @@ object Layout {
     import scala.jdk.CollectionConverters._
     val cur = currentGen(path).getOrElse(
       throw new IllegalStateException(s"no zorderInit at $path"))
+    rollbackStaleAppendIntents(path) // never fold a partial batch append
     heal(path, cur)
     val landing = landingFiles(path)
     if (landing.isEmpty) return (0L, 0, 0)
@@ -606,6 +675,7 @@ object Layout {
     require(nFiles >= 1, "need nFiles >= 1")
     val cur = currentGen(path).getOrElse(
       throw new IllegalStateException(s"no zorderInit at $path"))
+    rollbackStaleAppendIntents(path) // never fold a partial batch append
     heal(path, cur)
     val man = readManifest(path, cur)
     val landing = landingFiles(path)

@@ -276,6 +276,33 @@ object EventStreams {
       .toList
   }
 
+  /** Stream rows INTO a maintained z-ordered table
+    * ([[graft.ops.Layout.zorderInit]] must have run): each micro-batch
+    * blind-appends to the landing dir EXACTLY ONCE
+    * ([[graft.ops.Layout.zorderAppendBatch]] — intent/commit log, crash
+    * rollback, committed-replay no-op), and every `maintainEvery` batches
+    * one incremental [[graft.ops.Layout.zorderMaintain]] folds the landing
+    * into the curve (crash-safe by the generation protocol; a crashed
+    * maintain simply re-folds on the next cadence hit). This closes the
+    * lakehouse story the way the gate/block loops closed curation: the
+    * write path stays O(batch) — clustering cost is paid only by the
+    * maintenance cadence, never by arrival. Returns the started query;
+    * the caller owns its lifecycle. */
+  def streamToZorder(rows: DataFrame, path: String, checkpoint: String,
+      maintainEvery: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        graft.ops.Layout.zorderAppendBatch(s, batch, path, id)
+        if (maintainEvery > 0 && (id + 1) % maintainEvery == 0) {
+          graft.ops.Layout.zorderMaintain(s, path); ()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Convenience memory-sink runner for tests/demos: processes all available
     * input and returns the in-memory result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -919,6 +919,78 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       "compaction leaves one row per token")
   }
 
+  test("streamToZorder: exactly-once batch landing + cadence maintain — kill/restart ≡ batch, crash rollback, replay no-op") {
+    import scala.jdk.CollectionConverters._
+    import graft.ops.Layout
+    import java.nio.file.Files
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val cut = li.agg(max("l_orderkey")).head().getLong(0) * 8 / 10
+    val base = li.filter(col("l_orderkey") <= cut)
+    val tail = li.filter(col("l_orderkey") > cut)
+    val mid = li.agg(max("l_orderkey")).head().getLong(0) * 9 / 10
+    val (shard1, shard2) = (tail.filter(col("l_orderkey") <= mid),
+      tail.filter(col("l_orderkey") > mid))
+
+    val tmp = Files.createTempDirectory("graft_zsink")
+    val table = s"$tmp/t"; val ckpt = s"$tmp/ckpt"
+    val src = tmp.resolve("src"); Files.createDirectories(src)
+    Layout.zorderInit(spark, base, table, "l_orderkey", "l_suppkey", nFiles = 8)
+    def land(df: org.apache.spark.sql.DataFrame, fname: String): Unit = {
+      val stage = tmp.resolve(s"stage_$fname")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      Files.move(part, src.resolve(fname))
+    }
+    def runStream(): Unit = EventStreams.streamToZorder(
+      spark.readStream.schema(base.schema).parquet(src.toString),
+      table, ckpt, maintainEvery = 1).awaitTermination()
+
+    // run 1 lands shard1 (batch 0) and maintains it in; run 2 RESTARTS
+    // from the checkpoint and processes only the new file (kill/restart)
+    land(shard1, "f1.parquet"); runStream()
+    assert(Layout.currentGen(table).exists(_ >= 1L), "cadence maintain committed")
+    assert(Layout.zorderRead(spark, table).count() ==
+      base.count() + shard1.count())
+    land(shard2, "f2.parquet"); runStream()
+    val want = li.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val got = Layout.zorderRead(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == want, "streamed+maintained table ≡ batch union, exactly once")
+    // re-running with nothing new is a no-op (no dup landing, no new gen)
+    val genBefore = Layout.currentGen(table)
+    runStream()
+    assert(Layout.currentGen(table) == genBefore &&
+      Layout.zorderRead(spark, table).count() == li.count())
+
+    // crash at the seam: restore the last batch to "append ran, commit
+    // didn't land" + an orphan partial file; the replay rolls the orphan
+    // back and re-applies exactly once
+    val log = java.nio.file.Paths.get(table, "batchlog")
+    val last = Files.list(log).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".commit"))
+      .maxBy(_.getFileName.toString.stripSuffix(".commit").toLong)
+    val bid = last.getFileName.toString.stripSuffix(".commit").toLong
+    Files.move(last, log.resolve(s"$bid.intent"))
+    shard2.limit(7).coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/orphan")
+    val orphanPart = Files.list(tmp.resolve("orphan")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).next()
+    Files.move(orphanPart,
+      java.nio.file.Paths.get(table, "landing", "partial-orphan.parquet"))
+    val n = Layout.zorderAppendBatch(spark, shard2, table, bid)
+    assert(n == shard2.count(), "crashed batch re-applies its full row count")
+    assert(Layout.zorderAppendBatch(spark, shard2, table, bid) == -1L,
+      "committed-batch replay is a no-op")
+    assert(Layout.zorderMaintain(spark, table)._1 == shard2.count(),
+      "the re-applied batch folds once — the orphan partial never does")
+    assert(Layout.zorderRead(spark, table).count() ==
+      li.count() + shard2.count(), "exactly one extra copy of shard2 " +
+        "(the deliberate re-apply), zero copies of the orphan")
+    graft.engine.WarehouseMeta.deleteRecursively(tmp)
+  }
+
   test("journal stream tails warehouse appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft_js").toString
     val g = graft.engine.MemGraph(spark)
