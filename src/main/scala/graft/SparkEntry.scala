@@ -211,6 +211,32 @@ object SparkEntry {
       path.toString
     }
 
+  /** Memoized synthetic WARC crawl for p04 ([[graft.sources.WarcFile
+    * .syntheticWarcCorpus]] over documents — real ISO 28500 framing,
+    * content the oracle can re-derive): built once per corpus state;
+    * every later session re-parses the same bytes. */
+  private val warcMemo = layoutMemo
+  private def warcCorpusFor(s: SparkSession, d: String): String =
+    memoizedLayout(warcMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_warc_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name)
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/documents.parquet") + "#warc4")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          java.nio.file.Files.isDirectory(path)
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(path)
+          graft.sources.WarcFile.syntheticWarcCorpus(s, t(s, d, "documents"),
+            "doc_id", "text", path.toString, nFiles = 4)
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path.toString
+    }
+
   /** Memoized Z-ordered lineitem rewrite for w23 (Layout.zorderWrite on
     * the Morton curve of (l_orderkey, l_suppkey), sidecar-fingerprinted
     * like every durable layout here): rewritten once per corpus state,
@@ -2159,6 +2185,34 @@ object SparkEntry {
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_tokens")).cast("long").as("bin_tokens"))
+    }),
+
+    // RAW-CRAWL front door composed end-to-end: a synthetic WARC archive
+    // (real ISO 28500 framing, content derived from documents so the
+    // oracle can re-derive it) → record parse → responses only →
+    // htmlToText → canonicalizeUrl (tracking params drop) → word-count
+    // gate → exact-text dedup keeping the lexically-first canonical URL
+    // (the injected /alt/ duplicates lose or win deterministically) →
+    // per-host census. One lazy plan from the binary scan to the
+    // aggregate; the only driver materialization is the fixture build's
+    // nFiles-bounded manifest.
+    "p04_warc_pipeline" -> ((s, d) => {
+      val dir = warcCorpusFor(s, d)
+      val resp = graft.sources.WarcFile.read(s, dir).toDF()
+        .filter(col("warc_type") === "response")
+        .select(
+          TextAnalysis.canonicalizeUrl(col("url")).as("url"),
+          TextAnalysis.htmlToText(col("body").cast("string")).as("text"))
+        .filter(size(split(col("text"), " ")) >= 30) // arrival gate
+      resp.groupBy("text") // exact-content dedup across crawl copies
+        .agg(min("url").as("url"), count(lit(1)).as("copies"))
+        .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("copies").cast("long").as("n_records"),
+          sum(size(split(col("text"), " "))).cast("long").as("sum_words"),
+          sum(when(col("url").contains("/alt/"), 1L).otherwise(0L))
+            .cast("long").as("alt_survivors"))
     })
   )
 
@@ -4267,6 +4321,31 @@ object SparkEntry {
         |  FROM x)
         |SELECT lang, CAST(FLOOR(cm / 128.0) AS INT) AS bin,
         | COUNT(*) AS n_docs, CAST(SUM(ntoks) AS BIGINT) AS bin_tokens
-        |FROM cum GROUP BY 1, 2""".stripMargin
+        |FROM cum GROUP BY 1, 2""".stripMargin,
+
+    // the WARC pipeline's twin re-derives the crawl from the SAME fixture
+    // rules (host by doc_id % 5, /alt/ duplicate every 7th doc, tracking
+    // param canonicalized away, title prefixes the stripped text) and
+    // replays gate → exact-text dedup (min canonical URL survives) →
+    // per-host census in plain SQL
+    "p04_warc_pipeline" ->
+      """WITH base AS (SELECT doc_id,
+        |    trim(regexp_replace('Doc ' || doc_id || ' ' || text, '\s+', ' ', 'g')) AS t,
+        |    CASE (doc_id % 5) WHEN 0 THEN 'alpha.example.org'
+        |      WHEN 1 THEN 'beta.example.org' WHEN 2 THEN 'gamma.example.com'
+        |      WHEN 3 THEN 'delta.example.net' ELSE 'epsilon.example.org' END AS h
+        |  FROM documents),
+        |recs AS (
+        |  SELECT h, 'https://' || h || '/doc/' || doc_id || '?id=' || doc_id AS url, t FROM base
+        |  UNION ALL
+        |  SELECT h, 'https://' || h || '/alt/' || doc_id || '?id=' || doc_id AS url, t
+        |  FROM base WHERE doc_id % 7 = 0),
+        |gated AS (SELECT * FROM recs WHERE len(string_split(t, ' ')) >= 30),
+        |dedup AS (SELECT t, MIN(url) AS url, COUNT(*) AS copies FROM gated GROUP BY t)
+        |SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+        |  COUNT(*) AS n_docs, CAST(SUM(copies) AS BIGINT) AS n_records,
+        |  CAST(SUM(len(string_split(t, ' '))) AS BIGINT) AS sum_words,
+        |  CAST(SUM(CASE WHEN url LIKE '%/alt/%' THEN 1 ELSE 0 END) AS BIGINT) AS alt_survivors
+        |FROM dedup GROUP BY 1""".stripMargin
   )
 }
