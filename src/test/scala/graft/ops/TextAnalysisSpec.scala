@@ -208,6 +208,46 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       "a fully-merged vocabulary has no pairs left — training stops early")
   }
 
+  test("BPE external parity: Sennrich et al. 2016 worked example — published merge prefix, 'lowest' → 'low est</w>'") {
+    import spark.implicits._
+    // The dictionary from the paper's Figure-2 snippet (Sennrich, Haddow,
+    // Birch 2016, "Neural Machine Translation of Rare Words with Subword
+    // Units", ACL): {'low':5, 'lower':2, 'newest':6, 'widest':3}. The
+    // corpus realizes the word frequencies; the trainer collapses it back
+    // to exactly that dictionary.
+    val text = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+      .flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val merges = TextAnalysis.trainBpeMerges(spark,
+      Seq((1L, text)).toDF("doc_id", "text"), "text", nMerges = 10)
+    // the paper's published output starts (e,s), (es,t), (est,</w>),
+    // (l,o), (lo,w) — our trainer reproduces that prefix. (The 9-9-9 and
+    // 7-7 frequency ties inside it resolve identically under the paper
+    // snippet's dict-insertion order and our documented lexicographic
+    // rule; at merge 6 a 6-6-6 tie makes the two rules diverge — the
+    // paper's own snippet is tie-order-unspecified there, so the pin
+    // covers the tie-agreeing prefix plus the tie-robust segmentations.)
+    assert(merges.take(5) == Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w")), s"published merge prefix, got $merges")
+    // the full sequence under the documented lexicographic tie-break,
+    // hand-derived (merge 6 on: ties e<n<w, ew<n, then unique maxima,
+    // finally d<i<w among widest's 3-count remnants)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"), ("e", "w"), ("ew", "est</w>"),
+      ("n", "ewest</w>"), ("low", "</w>"), ("d", "est</w>")))
+    val ranks = merges.zipWithIndex.toMap
+    // the paper's headline example (§3.2): the UNSEEN word 'lowest'
+    // segments into the learned subwords 'low' + 'est</w>' — robust to
+    // the tie divergence (both subwords come from the agreed prefix)
+    assert(TextAnalysis.bpeEncodeWord("lowest", ranks, "</w>") ==
+      Seq("low", "est</w>"))
+    // seen words collapse to single symbols where training completed them
+    assert(TextAnalysis.bpeEncodeWord("low", ranks, "</w>") == Seq("low</w>"))
+    assert(TextAnalysis.bpeEncodeWord("newest", ranks, "</w>") == Seq("newest</w>"))
+    // an unseen word sharing no learned pair stays at character level
+    assert(TextAnalysis.bpeEncodeWord("wider", ranks, "</w>") ==
+      Seq("w", "i", "d", "e", "r", "</w>"))
+  }
+
   test("tfidfKeywords: hand-computed scores; rank cuts on rounded score with term tie-break") {
     import spark.implicits._
     // N=3; df: a=3 (idf 0), b=2, c=1, d=1
