@@ -288,6 +288,32 @@ object SparkEntry {
       path.toString
     }
 
+  /** Memoized 3-key HILBERT rewrite for w31 — [[zorder3LineitemFor]] with
+    * the no-jumps 3-D walk (Skilling transpose, codegen'd): the probe
+    * behind it measured Morton3 touching 0.50 of files on its weakest
+    * axis where the Hilbert3 layout touches 0.33 (LayoutSpec pins the
+    * comparison on a controlled grid). */
+  private val hilbert3Memo = layoutMemo
+  private def hilbert3LineitemFor(s: SparkSession, d: String): String =
+    memoizedLayout(hilbert3Memo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_h3_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name)
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#h3x64")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          java.nio.file.Files.isDirectory(path)
+        if (!ok) {
+          Layout.hilbertWrite3(t(s, d, "lineitem"), path.toString,
+            "l_orderkey", "l_suppkey", "l_partkey", nFiles = 64)
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path.toString
+    }
+
   /** Memoized Hilbert-curve lineitem rewrite for w28 — [[zorderLineitemFor]]
     * with the no-jumps curve (the codegen'd hilbert_index expression). */
   private val hilbertLineitemMemo = layoutMemo
@@ -1997,6 +2023,37 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))
+    }),
+
+    // THREE-key Hilbert layout (w29's no-jumps twin): same all-three-keys
+    // pruning audit, then a band aggregate on the FIRST key — the axis
+    // the 3-D walk tightens hardest over Morton3 (0.50 → 0.33 measured)
+    "w31_hilbert3" -> ((s, d) => {
+      val dir = hilbert3LineitemFor(s, d)
+      val spans = s.read.parquet(dir)
+        .groupBy(input_file_name().as("file"))
+        .agg(min("l_orderkey").as("a_min"), max("l_orderkey").as("a_max"),
+          min("l_suppkey").as("b_min"), max("l_suppkey").as("b_max"),
+          min("l_partkey").as("c_min"), max("l_partkey").as("c_max")).cache()
+      try {
+        if (spans.count() >= 32) { // tiny SFs can't spread 64 files
+          val mx = spans.agg(max("a_max"), max("b_max"), max("c_max")).collect()(0)
+          val fs = Seq(("a", mx.getLong(0)), ("b", mx.getLong(1)),
+            ("c", mx.getLong(2))).map { case (k, hi) =>
+            k -> Layout.touchedFraction(spans, s"${k}_min", s"${k}_max",
+              hi * 2 / 5, hi / 2)
+          }
+          require(fs.forall(_._2 <= 0.8),
+            s"hilbert3 layout must prune on all three keys: $fs")
+        }
+      } finally spans.unpersist()
+      val li = s.read.parquet(dir)
+      val aHi = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+      li.filter(col("l_orderkey").between(aHi * 2 / 5, aHi / 2))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
     }),
 
     // Hilbert-curve layout (the no-jumps quality option next to w23's
@@ -4067,6 +4124,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
         |FROM lineitem, mx
         |WHERE l_partkey BETWEEN m * 2 // 5 AND m // 2
+        |GROUP BY 1""".stripMargin,
+
+    // the 3-key Hilbert rewrite answers from its own files; the twin
+    // derives the same orderkey band from raw lineitem
+    "w31_hilbert3" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) AS m FROM lineitem)
+        |SELECT l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem, mx
+        |WHERE l_orderkey BETWEEN m * 2 // 5 AND m // 2
         |GROUP BY 1""".stripMargin,
 
     // the Hilbert rewrite answers from its own files; the twin derives the

@@ -201,6 +201,82 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** 3-D Hilbert index of three 16-bit cells (48-bit output) — the
+  * three-key twin of [[HilbertIndex]], via Skilling's transpose algorithm
+  * ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004 — the
+  * public n-dimensional form): undo the excess rotations high-bit-first,
+  * Gray-decode across axes, then interleave the transposed words. Same
+  * contracts as the 2-D form: inputs mask to 16 bits, nulls propagate,
+  * the walk is bijective and every consecutive index step moves exactly
+  * one grid unit (spec-pinned), and the loop is a shared static core so
+  * interpreted and codegen paths cannot drift. */
+case class Hilbert3Index(first: Expression, second: Expression,
+    third: Expression) extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t == LongType || t == IntegerType
+    if (children.forall(c => ok(c.dataType)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hilbert3_index needs integral inputs, got ${children.map(_.dataType)}")
+  }
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "hilbert3_index"
+
+  private def asLong(e: Expression, v: Any): Long =
+    if (e.dataType == LongType) v.asInstanceOf[Long]
+    else v.asInstanceOf[Int].toLong
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Hilbert3Index.xyz2d(16, asLong(first, a) & 0xFFFFL,
+      asLong(second, b) & 0xFFFFL, asLong(third, c) & 0xFFFFL)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, z) =>
+      s"${ev.value} = graft.functions.Hilbert3Index.xyz2d(16, ((long)$x) & 0xFFFFL, ((long)$y) & 0xFFFFL, ((long)$z) & 0xFFFFL);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+object Hilbert3Index {
+  /** Skilling's AxesToTranspose for n=3 + bit interleave: coordinates →
+    * Hilbert distance on a 2^order cube. */
+  def xyz2d(order: Int, x: Long, y: Long, z: Long): Long = {
+    val X = Array(x, y, z)
+    val M = 1L << (order - 1)
+    // inverse undo of the rotations, high plane to low
+    var q = M
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < 3) {
+        if ((X(i) & q) != 0) X(0) ^= p // invert low bits of axis 0
+        else { val t = (X(0) ^ X(i)) & p; X(0) ^= t; X(i) ^= t } // exchange
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode across axes
+    X(1) ^= X(0); X(2) ^= X(1)
+    var t2 = 0L
+    q = M
+    while (q > 1) { if ((X(2) & q) != 0) t2 ^= q - 1; q >>= 1 }
+    X(0) ^= t2; X(1) ^= t2; X(2) ^= t2
+    // interleave the transposed words, axis 0 most significant per plane
+    var d = 0L
+    var b = order - 1
+    while (b >= 0) {
+      d = (d << 1) | ((X(0) >> b) & 1L)
+      d = (d << 1) | ((X(1) >> b) & 1L)
+      d = (d << 1) | ((X(2) >> b) & 1L)
+      b -= 1
+    }
+    d
+  }
+}
+
 /** `searchsorted(cuts, v)`: index of the LAST element of `cuts` that is
   * <= `v`, clamped to 0 — numpy's `searchsorted(..., side='right') - 1`
   * with a floor. `cuts` must be a FOLDABLE sorted long array (a literal):
@@ -389,7 +465,11 @@ object GraftExtensions {
       (_: Seq[Expression]) => Base36Uid()),
     (FunctionIdentifier("searchsorted"),
       new ExpressionInfo(classOf[SearchSorted].getName, "searchsorted"),
-      (children: Seq[Expression]) => SearchSorted(children(0), children(1))))
+      (children: Seq[Expression]) => SearchSorted(children(0), children(1))),
+    (FunctionIdentifier("hilbert3_index"),
+      new ExpressionInfo(classOf[Hilbert3Index].getName, "hilbert3_index"),
+      (children: Seq[Expression]) =>
+        Hilbert3Index(children(0), children(1), children(2))))
 
   /** Runtime registration into an existing session's function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -154,6 +154,34 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Three-key [[hilbertWrite]] — the no-jumps twin of [[zorderWrite3]],
+    * clustering on the codegen'd 3-D Hilbert walk
+    * ([[graft.functions.Hilbert3Index]], Skilling 2004). The round-13
+    * probe that motivated it: Morton3 at 64 files on a 32³ grid touches
+    * 0.50/0.38/0.30 of files per 4-wide axis band where ideal 4×4×4
+    * tiling touches 0.25 — the first key's Morton jumps leave 2× on the
+    * table; the adjacent walk tightens it (LayoutSpec measures both). */
+  def hilbertWrite3(df: DataFrame, path: String, colA: String, colB: String,
+      colC: String, nFiles: Int): Unit = {
+    require(nFiles >= 1, "need nFiles >= 1")
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    val bounds = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long")),
+      min(col(colC).cast("long")), max(col(colC).cast("long"))).collect()(0)
+    if (bounds.isNullAt(0)) {
+      df.write.mode("overwrite").parquet(path); return
+    }
+    df.withColumn("_h", call_function("hilbert3_index",
+        scale16(col(colA), bounds.getLong(0), bounds.getLong(1)),
+        scale16(col(colB), bounds.getLong(2), bounds.getLong(3)),
+        scale16(col(colC), bounds.getLong(4), bounds.getLong(5))))
+      .repartitionByRange(nFiles, col("_h"))
+      .sortWithinPartitions("_h")
+      .drop("_h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Per-file (min, max) spans of the two layout columns — the statistics a
     * footer-pruning scan consults. Used to measure what fraction of files a
     * range predicate on either column would touch. */
