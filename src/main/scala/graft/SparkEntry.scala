@@ -419,6 +419,76 @@ object SparkEntry {
       path
     }
 
+  /** Memoized DELETED table for w32: init, one span-pruned zorderDelete
+    * of a two-sided band — the builder REQUIRES the prune engaged
+    * (rewritten < file count) and a repeat delete to be an exact no-op —
+    * then the oracle hash-checks the remaining table against the raw
+    * NOT-band twin. */
+  private val zdelMemo = layoutMemo
+  private def zorderDeletedFor(s: SparkSession, d: String): String =
+    memoizedLayout(zdelMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w32_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zdel16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val li = t(s, d, "lineitem")
+          val mx = li.agg(max("l_orderkey"), max("l_suppkey")).collect()(0)
+          val (ma, mb) = (mx.getLong(0), mx.getLong(1))
+          Layout.zorderInit(s, li, path, "l_orderkey", "l_suppkey", nFiles = 16)
+          val (aBand, bBand) = ((ma / 4, ma / 2), (mb * 2 / 5, mb / 2))
+          val (del, rewritten, carried) = Layout.zorderDelete(s, path, aBand, bBand)
+          require(del > 0, "the band must hold rows")
+          require(rewritten >= 1 && carried >= 1,
+            s"delete must be span-pruned: rewrote $rewritten, carried $carried")
+          require(Layout.zorderDelete(s, path, aBand, bBand) ==
+            ((0L, 0, rewritten + carried)),
+            "repeat delete over the same band must be an exact no-op")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
+  /** Memoized RETAINED-GENERATIONS table for w33: init with a 2-snapshot
+    * window on the low-90% orderkey domain, blind-append the tail, one
+    * maintain — then the oracle reads generation 0 AS OF (time travel on
+    * the maintained table) and hash-checks it against the low-90% twin,
+    * proving retained snapshots stay byte-faithful across later commits. */
+  private val zasofMemo = layoutMemo
+  private def zorderRetainedFor(s: SparkSession, d: String): String =
+    memoizedLayout(zasofMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w33_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zasof2")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val li = t(s, d, "lineitem")
+          val cut = li.agg(max("l_orderkey")).collect()(0).getLong(0) * 9 / 10
+          Layout.zorderInit(s, li.filter(col("l_orderkey") <= cut), path,
+            "l_orderkey", "l_suppkey", nFiles = 16, keepGenerations = 2)
+          Layout.zorderAppend(li.filter(col("l_orderkey") > cut), path)
+          require(Layout.zorderMaintain(s, path)._1 > 0)
+          require(Layout.retainedGens(path) == Seq(0L, 1L),
+            "both snapshots must be retained")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized gopher GATE-ON-ARRIVAL ingest history for w24: the exactly-
     * once gate loop driven as two deterministic batches (doc_id parity),
     * with a committed-replay no-op proof on the seam — the first ingest
@@ -2130,6 +2200,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))),
+
+    // span-pruned DELETE WHERE over the maintained table (builder proves
+    // the prune engaged + repeat no-op): the remaining table must equal
+    // raw lineitem minus the band, exactly — a delete must never touch a
+    // row outside the band or leave one inside it
+    "w32_zorder_delete" -> ((s, d) =>
+      Layout.zorderRead(s, zorderDeletedFor(s, d))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))),
+
+    // TIME TRAVEL on the maintained table: generation 0 read AS OF, after
+    // a later maintain committed generation 1 on top — the snapshot must
+    // still equal the low-90% corpus it froze, byte-faithful
+    "w33_zorder_asof" -> ((s, d) =>
+      Layout.zorderReadAsOf(s, zorderRetainedFor(s, d), 0L)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))),
 
     // the streaming zorder sink's END STATE (two exactly-once batches +
     // cadence maintains, built with a committed-replay no-op proof):
@@ -4144,6 +4235,27 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem, mx
         |WHERE l_suppkey BETWEEN m * 2 // 5 AND m // 2
+        |GROUP BY 1""".stripMargin,
+
+    // the deleted table ≡ raw lineitem minus the two-sided band (// =
+    // integer division, matching the builder's Long floor division)
+    "w32_zorder_delete" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) AS ma, MAX(l_suppkey) AS mb FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |FROM lineitem, mx
+        |WHERE NOT (l_orderkey BETWEEN ma // 4 AND ma // 2
+        |       AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2)
+        |GROUP BY 1""".stripMargin,
+
+    // generation 0 as-of ≡ the low-90% corpus it froze
+    "w33_zorder_asof" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) * 9 // 10 AS cut FROM lineitem)
+        |SELECT l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem, mx
+        |WHERE l_orderkey <= cut
         |GROUP BY 1""".stripMargin,
 
     // the streamed-in table answers from its committed generation; the

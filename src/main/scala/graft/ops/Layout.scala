@@ -272,6 +272,52 @@ object Layout {
     else Some(new String(java.nio.file.Files.readAllBytes(currentPtr(path)),
       "UTF-8").trim.toLong)
 
+  // ------------------------------------------------ generation retention
+  //
+  // A generation is one manifest file, so SNAPSHOT RETENTION is nearly
+  // free: keep the last K manifests instead of 1, GC only data files no
+  // RETAINED manifest references, and any retained generation reads back
+  // exactly ([[zorderReadAsOf]]) — the journal's time travel applied to
+  // the maintained table, same as Iceberg snapshots. Carried files are
+  // SHARED across manifests (a manifest row is the only cost of keeping
+  // them visible in K snapshots), so retention's storage overhead is the
+  // rewritten-file tail, not K copies of the table.
+
+  private def retentionPath(path: String) = java.nio.file.Paths.get(path, "RETENTION")
+
+  /** How many committed generations this table retains (1 = current only). */
+  def retentionOf(path: String): Int =
+    if (!java.nio.file.Files.isRegularFile(retentionPath(path))) 1
+    else new String(java.nio.file.Files.readAllBytes(retentionPath(path)),
+      "UTF-8").trim.toInt
+
+  /** Change the retention window. Raising it protects generations from
+    * the NEXT commit on; lowering it lets the next heal age them out. */
+  def setRetention(path: String, keepGenerations: Int): Unit =
+    withTableLock(path) {
+      require(keepGenerations >= 1, "need keepGenerations >= 1")
+      writeAtomic(retentionPath(path), keepGenerations.toString)
+    }
+
+  /** Retained generation numbers, oldest first (manifests on disk within
+    * the retention window of CURRENT). */
+  def retainedGens(path: String): Seq[Long] = {
+    val cur = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    val keep = retentionOf(path)
+    (math.max(0L, cur - keep + 1) to cur).filter(g =>
+      java.nio.file.Files.isRegularFile(manifestPath(path, g)))
+  }
+
+  /** TIME TRAVEL: read a RETAINED generation exactly as committed. */
+  def zorderReadAsOf(spark: SparkSession, path: String, gen: Long): DataFrame = {
+    require(java.nio.file.Files.isRegularFile(manifestPath(path, gen)),
+      s"generation $gen of $path is not retained (window: " +
+        s"${retainedGens(path).mkString(", ")}) — raise keepGenerations " +
+        "BEFORE the commits you want to travel to")
+    spanFiles(spark, path, readManifest(path, gen).spans)
+  }
+
   /** One manifest row per data file: relative path (under the table
     * root), row count, z range (what maintenance routes on), and the raw
     * key ranges (what [[zorderScan]] prunes on). */
@@ -378,9 +424,11 @@ object Layout {
     * over a live table would strand its landing rows); debris from a
     * CRASHED init (data/manifests without a CURRENT) is cleared first. */
   def zorderInit(spark: SparkSession, df: DataFrame, path: String,
-      colA: String, colB: String, nFiles: Int): Unit = withTableLock(path) {
+      colA: String, colB: String, nFiles: Int,
+      keepGenerations: Int = 1): Unit = withTableLock(path) {
     import java.nio.file.Files
     require(nFiles >= 1, "need nFiles >= 1")
+    require(keepGenerations >= 1, "need keepGenerations >= 1")
     require(currentGen(path).isEmpty,
       s"zorderInit over a live maintained table at $path — zorderCompact " +
         "re-lays-out in place; delete the table first to truly re-init")
@@ -392,6 +440,7 @@ object Layout {
     try ls.iterator().asScala.filter(_.getFileName.toString.startsWith("manifest-"))
       .toList.foreach(Files.delete(_))
     finally ls.close()
+    writeAtomic(retentionPath(path), keepGenerations.toString)
     val bounds = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).collect()(0)
@@ -680,11 +729,11 @@ object Layout {
     writeManifest(path, cur + 1, man.copy(
       consumed = landing.map(_.getFileName.toString),
       spans = (carried ++ mergedSpans).sortBy(_.zLo))) // bounds stay frozen
-    // COMMIT, then clean up — every cleanup replays safely after a crash
+    // COMMIT, then clean up: heal IS the cleanup (consumed landing, aged
+    // manifests, unreferenced data files) — a crash between the flip and
+    // here replays the identical sweep
     writeAtomic(currentPtr(path), (cur + 1).toString)
-    landing.foreach(Files.deleteIfExists(_))
-    affectedFids.foreach(i => Files.deleteIfExists(root.resolve(spans(i).file)))
-    Files.deleteIfExists(manifestPath(path, cur))
+    heal(path, cur + 1)
     (nMerged, affectedFids.length, carried.size)
   }
 
@@ -733,9 +782,7 @@ object Layout {
       consumed = landing.map(_.getFileName.toString), // RE-frozen bounds
       spans = spans))
     writeAtomic(currentPtr(path), (cur + 1).toString)
-    landing.foreach(Files.deleteIfExists(_))
-    man.spans.foreach(s => Files.deleteIfExists(root.resolve(s.file)))
-    Files.deleteIfExists(manifestPath(path, cur))
+    heal(path, cur + 1)
     ()
   }
 
@@ -750,36 +797,133 @@ object Layout {
     writeAtomic(currentPtr(path), gen.toString)
   }
 
-  /** Remove debris a crashed [[zorderMaintain]]/[[zorderCompact]] left,
-    * by exactly three rules against the committed manifest:
+  /** Span-pruned DELETE of a two-sided key band — the lakehouse
+    * `DELETE WHERE` over the maintained table: the committed manifest
+    * cuts the candidate list DRIVER-SIDE to files whose spans intersect
+    * BOTH bands (same conjunctive rule as [[zorderScan]]), ONE pruned
+    * counting pass finds which of those actually hold matching rows
+    * (spans admit false positives — this is what makes a repeat delete
+    * an exact no-op instead of a blind rewrite), and only those files
+    * rewrite (z-sorted, so span tightness survives); a file whose rows
+    * ALL match simply drops from the manifest. Commit discipline, lock,
+    * and healing identical to maintain. SNAPSHOT semantics: the delete
+    * covers the COMMITTED generation only — unmaintained landing rows are
+    * untouched (run [[zorderMaintain]] first if the delete must cover
+    * them). Returns (rowsDeleted, filesRewrittenOrDropped, filesCarried). */
+  def zorderDelete(spark: SparkSession, path: String, aRange: (Long, Long),
+      bRange: (Long, Long)): (Long, Int, Int) = withTableLock(path) {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val cur = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    rollbackStaleAppendIntents(path)
+    heal(path, cur)
+    val man = readManifest(path, cur)
+    val spans = man.spans
+    val pred = col(man.colA).between(aRange._1, aRange._2) &&
+      col(man.colB).between(bRange._1, bRange._2)
+    val hitIdx = spans.zipWithIndex.collect {
+      case (s, i) if s.aMin <= aRange._2 && s.aMax >= aRange._1 &&
+        s.bMin <= bRange._2 && s.bMax >= bRange._1 => i
+    }
+    if (hitIdx.isEmpty) return (0L, 0, spans.size)
+    val root = java.nio.file.Paths.get(path).toAbsolutePath
+    import spark.implicits._
+    val nameToFid = hitIdx.map(i =>
+      (java.nio.file.Paths.get(spans(i).file).getFileName.toString, i))
+      .toDF("fname", "_fid")
+    def hitRows = spark.read
+      .parquet(hitIdx.map(i => root.resolve(spans(i).file).toString): _*)
+      .withColumn("fname", element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(nameToFid), "fname")
+      .drop("fname")
+    val matched = hitRows.filter(pred).groupBy("_fid").agg(count(lit(1)))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ hit files
+    val affected = hitIdx.filter(matched.contains).sorted
+    if (affected.isEmpty) return (0L, 0, spans.size)
+    val nDeleted = matched.values.sum
+    val affectedSet = affected.toSet
+    val z = zValue(scale16(col(man.colA), man.aLo, man.aHi),
+      scale16(col(man.colB), man.bLo, man.bHi))
+    val nextData = genDataDir(path, cur + 1)
+    val staging = dataDir(path).resolve(s"g${cur + 1}.staging")
+    graft.engine.WarehouseMeta.deleteRecursively(staging)
+    hitRows.filter(col("_fid").isin(affected.map(Integer.valueOf): _*))
+      .filter(!pred)
+      .withColumn("_zm", z)
+      .repartition(math.max(1, affected.length), col("_fid"))
+      .sortWithinPartitions("_fid", "_zm") // files stay z-sorted
+      .drop("_zm")
+      .write.partitionBy("_fid").mode("overwrite").parquet(staging.toString)
+    Files.createDirectories(nextData)
+    val producedRel = affected.flatMap { i =>
+      val partDir = staging.resolve(s"_fid=$i")
+      if (!Files.isDirectory(partDir)) None // every row matched: file drops
+      else {
+        val ls = Files.list(partDir)
+        val part =
+          try ls.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          finally ls.close()
+        require(part.size == 1,
+          s"expected one rewritten file for fid $i, got ${part.size}")
+        val target = nextData.resolve(s"deleted-$i.parquet")
+        Files.move(part.head, target, StandardCopyOption.ATOMIC_MOVE)
+        Some(root.relativize(target).toString)
+      }
+    }
+    graft.engine.WarehouseMeta.deleteRecursively(staging)
+    val producedSpans = if (producedRel.isEmpty) Seq.empty
+      else spanStats(spark, path, producedRel.toSeq, man.colA, man.colB,
+        man.aLo, man.aHi, man.bLo, man.bHi)
+    val carried = spans.zipWithIndex.collect {
+      case (s, i) if !affectedSet.contains(i) => s
+    }
+    writeManifest(path, cur + 1, man.copy(consumed = Seq.empty,
+      spans = (carried ++ producedSpans).sortBy(_.zLo)))
+    writeAtomic(currentPtr(path), (cur + 1).toString)
+    heal(path, cur + 1)
+    (nDeleted, affected.length, carried.size)
+  }
+
+  /** Remove debris a crashed [[zorderMaintain]]/[[zorderCompact]]/
+    * [[zorderDelete]] left, AND age generations out of the retention
+    * window — this is the ONLY cleanup path (every commit just flips
+    * CURRENT and calls heal, so a crash anywhere between the two replays
+    * the identical sweep). Three rules against the RETAINED manifests:
     *
-    *   1. any `manifest-<G>.tsv` with G != CURRENT (a build that never
-    *      committed, or a replaced manifest whose deletion was
-    *      interrupted) and stray `.tmp` files,
-    *   2. landing files the COMMITTED manifest lists as consumed (the
+    *   1. any `manifest-<G>.tsv` outside the retention window ending at
+    *      CURRENT (a build that never committed, or an aged-out
+    *      generation) and stray `.tmp` files,
+    *   2. landing files the CURRENT manifest lists as consumed (the
     *      exactly-once guard for the crash window between pointer flip
     *      and landing cleanup),
-    *   3. data files the committed manifest does not reference (a crashed
-    *      build's partial output, or replaced files whose deletion was
-    *      interrupted) — including stale staging dirs. */
+    *   3. data files NO retained manifest references (a crashed build's
+    *      partial output, replaced files, or files only aged-out
+    *      generations used) — including stale staging dirs. */
   private def heal(path: String, cur: Long): Unit = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(path).toAbsolutePath
+    val keep = retentionOf(path)
+    val window = (math.max(0L, cur - keep + 1) to cur).toSet
     val ls = Files.list(root)
     val strays =
       try ls.iterator().asScala.map(_.getFileName.toString).filter { n =>
-        (n.startsWith("manifest-") &&
-          n != manifestPath(path, cur).getFileName.toString) ||
+        (n.startsWith("manifest-") && n.endsWith(".tsv") &&
+          !n.stripPrefix("manifest-").stripSuffix(".tsv").toLongOption
+            .exists(window.contains)) ||
         n.endsWith(".tmp")
       }.toList
       finally ls.close()
     strays.foreach(n => Files.deleteIfExists(root.resolve(n)))
-    val man = readManifest(path, cur)
-    man.consumed.foreach { f =>
+    val retained = window.toSeq.sorted
+      .filter(g => Files.isRegularFile(manifestPath(path, g)))
+      .map(g => readManifest(path, g))
+    retained.lastOption.foreach(_.consumed.foreach { f =>
       Files.deleteIfExists(landingDir(path).resolve(f)); ()
-    }
-    val referenced = man.spans.map(s => root.resolve(s.file)).toSet
+    })
+    val referenced = retained.flatMap(_.spans.map(s => root.resolve(s.file))).toSet
     val dd = dataDir(path)
     if (Files.isDirectory(dd)) {
       val walk = Files.walk(dd)

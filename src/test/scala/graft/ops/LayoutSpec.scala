@@ -382,6 +382,102 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       "routing path must never change the committed table")
   }
 
+  test("generation retention: as-of reads are exact, carried files shared, aged-out generations GC their exclusive files") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = java.nio.file.Files.createTempDirectory("graft_zret").toString + "/t"
+    val base = spark.range(4096L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 8, keepGenerations = 3)
+    assert(Layout.retentionOf(dir) == 3)
+
+    val add1 = (0 until 16).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+    Layout.zorderAppend(add1, dir)
+    Layout.zorderMaintain(spark, dir)
+    val add2 = (0 until 8).map(i => (63L - i, 63L - i)).toDF("a", "b")
+    Layout.zorderAppend(add2, dir)
+    Layout.zorderMaintain(spark, dir)
+    assert(Layout.retainedGens(dir) == Seq(0L, 1L, 2L), "three snapshots live")
+
+    // every retained generation reads back exactly as committed
+    assert(Layout.zorderReadAsOf(spark, dir, 0L).count() == 4096L)
+    assert(Layout.zorderReadAsOf(spark, dir, 1L).count() == 4096L + 16)
+    assert(Layout.zorderReadAsOf(spark, dir, 2L).count() == 4096L + 24)
+    assert(Layout.zorderReadAsOf(spark, dir, 0L).except(base).count() == 0)
+    // current read ≡ newest snapshot
+    assert(Layout.zorderRead(spark, dir).count() == 4096L + 24)
+
+    // carried files are SHARED rows across manifests, not copies: the
+    // union of retained manifests references more manifest rows than
+    // distinct on-disk files
+    val refs = Seq(0L, 1L, 2L).flatMap(g =>
+      Layout.readManifest(dir, g).spans.map(_.file))
+    assert(refs.size > refs.distinct.size, "snapshots share carried files")
+
+    // one more maintain ages gen 0 out (window is 3): its manifest goes,
+    // files ONLY it referenced go, files shared with retained gens stay
+    Layout.zorderAppend(Seq((5L, 6L)).toDF("a", "b"), dir)
+    Layout.zorderMaintain(spark, dir)
+    assert(Layout.retainedGens(dir) == Seq(1L, 2L, 3L))
+    assert(!Files.isRegularFile(Paths.get(dir, "manifest-0.tsv")))
+    val ex = intercept[IllegalArgumentException] {
+      Layout.zorderReadAsOf(spark, dir, 0L)
+    }
+    assert(ex.getMessage.contains("not retained"))
+    // retained snapshots still read exactly after the age-out GC
+    assert(Layout.zorderReadAsOf(spark, dir, 1L).count() == 4096L + 16)
+    assert(Layout.zorderReadAsOf(spark, dir, 2L).count() == 4096L + 24)
+    // no orphans AND no missing files: data/ ≡ union of retained manifests
+    import scala.jdk.CollectionConverters._
+    val listed = Seq(1L, 2L, 3L).flatMap(g =>
+      Layout.readManifest(dir, g).spans.map(_.file)).toSet
+    val walk = Files.walk(Paths.get(dir, "data"))
+    val onDisk = try walk.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(p => Paths.get(dir).toAbsolutePath.relativize(p.toAbsolutePath).toString)
+      .toSet finally walk.close()
+    assert(onDisk == listed, s"data/ ≡ retained manifests: " +
+      s"orphans=${onDisk.diff(listed)} missing=${listed.diff(onDisk)}")
+  }
+
+  test("zorderDelete: span-pruned band delete — only matching files rewrite, full files drop, repeat is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zdel").toString + "/t"
+    // 64×64 grid in 16 files ⇒ tiles ~16×16; a corner band hits few tiles
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16)
+
+    val (aBand, bBand) = ((4L, 11L), (4L, 11L)) // 64 rows in one corner
+    val (deleted, rewritten, carried) = Layout.zorderDelete(spark, dir, aBand, bBand)
+    assert(deleted == 64L, s"8×8 band holds 64 rows, got $deleted")
+    assert(rewritten >= 1 && rewritten <= 4,
+      s"corner band must rewrite few tiles, got $rewritten")
+    assert(rewritten + carried == 16)
+    assert(Layout.currentGen(dir) == Some(1L))
+    // result ≡ the filter twin, exactly
+    val want = base.filter(!(col("a").between(4, 11) && col("b").between(4, 11)))
+    val got = Layout.zorderRead(spark, dir)
+    assert(got.count() == 4096L - 64 && got.except(want).count() == 0 &&
+      want.except(got).count() == 0)
+    // repeat delete: spans may still intersect, but the counting pass
+    // finds no matching rows — exact no-op, no new generation
+    assert(Layout.zorderDelete(spark, dir, aBand, bBand) == ((0L, 0, 16)))
+    assert(Layout.currentGen(dir) == Some(1L))
+    // manifest row counts stay truthful after the rewrite
+    assert(Layout.currentSpans(dir).map(_.rows).sum == 4096L - 64)
+    // span-pruned scans keep working on the deleted table
+    val (hit, total) = Layout.zorderScanFiles(dir, (0L, 3L), (0L, 63L))
+    assert(hit < total)
+
+    // deleting EVERYTHING a file holds drops it from the manifest
+    val (d2, rw2, _) = Layout.zorderDelete(spark, dir, (0L, 63L), (0L, 31L))
+    assert(d2 == 2048L - 64,
+      s"half the grid minus the 64 already-deleted rows (all in b<=31): $d2")
+    assert(rw2 >= 1)
+    assert(Layout.zorderRead(spark, dir).count() == 4096L - 64 - d2)
+    assert(Layout.currentSpans(dir).map(_.rows).sum == 4096L - 64 - d2)
+  }
+
   test("zorderWrite: arbitrary key domains (beyond 16 bits, negative) keep locality via scaling") {
     import spark.implicits._
     // keys far outside [0, 65535]: pre-scaling these would collide/misorder
