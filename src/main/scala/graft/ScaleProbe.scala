@@ -209,6 +209,32 @@ object ScaleProbe {
             .orderBy(col("rank").desc, col("uid")).limit(20))),
         "p01_ingest_pipeline" -> (() => noop(
           SparkEntry.queries("p01_ingest_pipeline")(spark, dir))),
+        // r13: the WARC front door — archive build once per decade (one
+        // writer task per shard), then the full parse → strip → canon →
+        // gate → dedup → census pipeline; record split is per-file
+        // parallel, so expect ~linear in corpus size
+        "warc_build_once" -> (() => {
+          val p = s"$genRoot/warc_$tag"
+          if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))) {
+            graft.sources.WarcFile.syntheticWarcCorpus(spark, docs,
+              "doc_id", "text", p, nFiles = 8)
+            ()
+          }
+        }),
+        "p04_warc_pipeline" -> (() => noop({
+          import graft.ops.TextAnalysis
+          val resp = graft.sources.WarcFile.read(spark, s"$genRoot/warc_$tag")
+            .toDF()
+            .filter(col("warc_type") === "response")
+            .select(
+              TextAnalysis.canonicalizeUrl(col("url")).as("url"),
+              TextAnalysis.htmlToText(col("body").cast("string")).as("text"))
+            .filter(org.apache.spark.sql.functions.size(split(col("text"), " ")) >= 30)
+          resp.groupBy("text")
+            .agg(min("url").as("url"), count(lit(1)).as("copies"))
+            .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+            .groupBy("host").agg(count(lit(1)), sum("copies"))
+        })),
         // r11: media path (encode → real BMP decode → dHash → band join;
         // map-only per-row work + 16-byte shuffle rows — expect ~linear)
         "m01_image_dups" -> (() => noop(
