@@ -489,6 +489,45 @@ object SparkEntry {
       path
     }
 
+  /** Memoized UPSERTED table for w34: init from lineitem with a
+    * deliberately CORRUPTED orderkey band (quantity ×1000), then one
+    * keyed zorderUpsert of the band's true rows — the builder REQUIRES
+    * the span prune engaged and the replaced count to equal the band —
+    * so the oracle's plain-lineitem twin passes ONLY if the merge
+    * replaced every corrupted row and inserted nothing extra. */
+  private val zupsertMemo = layoutMemo
+  private def zorderUpsertedFor(s: SparkSession, d: String): String =
+    memoizedLayout(zupsertMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w34_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zup16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val li = t(s, d, "lineitem")
+          val ma = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+          val band = col("l_orderkey") > ma / 3 && col("l_orderkey") <= ma / 2
+          val corrupted = li.withColumn("l_quantity",
+            when(band, col("l_quantity") * 1000).otherwise(col("l_quantity")))
+          Layout.zorderInit(s, corrupted, path, "l_orderkey", "l_suppkey",
+            nFiles = 16)
+          val fix = li.filter(band)
+          val (replaced, upserted, rewritten) = Layout.zorderUpsert(s, fix, path)
+          require(replaced == upserted && replaced > 0,
+            s"every corrupted row must be replaced: $replaced vs $upserted")
+          require(rewritten < 16,
+            s"upsert must be span-pruned: rewrote $rewritten/16 files")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized gopher GATE-ON-ARRIVAL ingest history for w24: the exactly-
     * once gate loop driven as two deterministic batches (doc_id parity),
     * with a committed-replay no-op proof on the seam — the first ingest
@@ -2207,6 +2246,17 @@ object SparkEntry {
     // row outside the band or leave one inside it
     "w32_zorder_delete" -> ((s, d) =>
       Layout.zorderRead(s, zorderDeletedFor(s, d))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))),
+
+    // keyed UPSERT (MERGE INTO) over the maintained table: a corrupted
+    // band healed by one span-pruned upsert of the true rows — the plain
+    // raw-lineitem twin passes only if every corrupted row was replaced
+    // and nothing extra landed
+    "w34_zorder_upsert" -> ((s, d) =>
+      Layout.zorderRead(s, zorderUpsertedFor(s, d))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
@@ -4248,6 +4298,14 @@ object SparkEntry {
         |WHERE NOT (l_orderkey BETWEEN ma // 4 AND ma // 2
         |       AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2)
         |GROUP BY 1""".stripMargin,
+
+    // the upserted table ≡ raw lineitem, full stop: the corrupted-band
+    // init is invisible iff the keyed merge healed it exactly
+    "w34_zorder_upsert" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // generation 0 as-of ≡ the low-90% corpus it froze
     "w33_zorder_asof" ->

@@ -886,6 +886,123 @@ object Layout {
     (nDeleted, affected.length, carried.size)
   }
 
+  /** Keyed UPSERT (the MERGE INTO shape) over the maintained table:
+    * every committed row whose (colA, colB) key appears in `df` is
+    * REPLACED by the batch's rows for that key; keys new to the table
+    * insert. Span-pruned like [[zorderDelete]]: batch keys route to
+    * files through the same z cutpoints maintenance uses ([[routeFid]]),
+    * only files owning a batch key rewrite (old rows anti-joined against
+    * the broadcast key set, unioned with the batch's rows for those
+    * fids), everything else carries as manifest rows. Batch rows whose z
+    * falls outside every affected file's range still land (they route to
+    * their owning file like a maintain would). SNAPSHOT semantics like
+    * delete: unmaintained landing rows are not rewritten. The batch must
+    * be DRIVER-BROADCASTABLE in keys (it is one micro-batch, not a
+    * corpus — for corpus-sized replacement use [[zorderCompact]] over a
+    * rebuilt input). Returns (rowsReplaced = old rows removed,
+    * rowsUpserted = batch rows landed, filesRewritten). */
+  def zorderUpsert(spark: SparkSession, df: DataFrame,
+      path: String): (Long, Long, Int) = withTableLock(path) {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val cur = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    rollbackStaleAppendIntents(path)
+    heal(path, cur)
+    val man = readManifest(path, cur)
+    val spans = man.spans
+    val root = java.nio.file.Paths.get(path).toAbsolutePath
+    graft.functions.GraftExtensions.register(spark)
+    import spark.implicits._
+    val z = zValue(scale16(col(man.colA), man.aLo, man.aHi),
+      scale16(col(man.colB), man.bLo, man.bHi))
+    val fid = routeFid(spans.map(_.zLo), col("_zm"), 256)
+    val batch = df.withColumn("_zm", z).withColumn("_fid", fid)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nUpserted = batch.count()
+      if (nUpserted == 0) return (0L, 0L, 0)
+      // affected files by SPAN INTERSECTION, not just cutpoint ownership:
+      // repartitionByRange can split EQUAL z values across a file
+      // boundary, so a key's old copies may sit in a neighbor whose span
+      // still contains that z — every such file must rewrite or stale
+      // copies would survive the upsert
+      val spansDf = spans.zipWithIndex
+        .map { case (s, i) => (i, s.zLo, s.zHi) }.toDF("sfid", "zlo", "zhi")
+      val affected = batch.select("_zm").distinct()
+        .join(broadcast(spansDf),
+          col("_zm") >= col("zlo") && col("_zm") <= col("zhi"))
+        .select("sfid").distinct()
+        .union(batch.select(col("_fid").as("sfid")).distinct()) // new keys route here
+        .distinct().as[Int].collect().sorted // bounded by the file count
+      val affectedSet = affected.toSet
+      val keyCols = Seq(man.colA, man.colB)
+      val keys = batch.select(man.colA, man.colB).distinct()
+      val nameToFid = affected.map(i =>
+        (java.nio.file.Paths.get(spans(i).file).getFileName.toString, i)).toSeq
+        .toDF("fname", "_fid")
+      val oldRows = if (affected.isEmpty) None else Some(spark.read
+        .parquet(affected.toSeq.map(i => root.resolve(spans(i).file).toString): _*)
+        .withColumn("_zm", z)
+        .withColumn("fname", element_at(split(input_file_name(), "/"), -1))
+        .join(broadcast(nameToFid), "fname")
+        .drop("fname"))
+      val nReplaced = oldRows
+        .map(_.join(broadcast(keys), keyCols, "left_semi").count())
+        .getOrElse(0L)
+      val kept = oldRows.map(_.join(broadcast(keys), keyCols, "left_anti"))
+      val merged = kept.map(_.unionByName(batch)).getOrElse(batch)
+      val nextData = genDataDir(path, cur + 1)
+      val staging = dataDir(path).resolve(s"g${cur + 1}.staging")
+      graft.engine.WarehouseMeta.deleteRecursively(staging)
+      merged
+        .repartition(math.max(1, affected.length), col("_fid"))
+        .sortWithinPartitions("_fid", "_zm")
+        .drop("_zm")
+        .write.partitionBy("_fid").mode("overwrite").parquet(staging.toString)
+      Files.createDirectories(nextData)
+      val producedRel = affected.toSeq.flatMap { i =>
+        val partDir = staging.resolve(s"_fid=$i")
+        if (!Files.isDirectory(partDir)) None // everything in it was replaced away
+        else {
+          val ls = Files.list(partDir)
+          val part =
+            try ls.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+            finally ls.close()
+          require(part.size == 1,
+            s"expected one upserted file for fid $i, got ${part.size}")
+          val target = nextData.resolve(s"upsert-$i.parquet")
+          Files.move(part.head, target, StandardCopyOption.ATOMIC_MOVE)
+          Some(root.relativize(target).toString)
+        }
+      }
+      val producedSpans = if (producedRel.isEmpty) Seq.empty
+        else spanStats(spark, path, producedRel, man.colA, man.colB,
+          man.aLo, man.aHi, man.bLo, man.bHi)
+      val carried = spans.zipWithIndex.collect {
+        case (s, i) if !affectedSet.contains(i) => s
+      }
+      writeManifest(path, cur + 1, man.copy(consumed = Seq.empty,
+        spans = (carried ++ producedSpans).sortBy(_.zLo)))
+      writeAtomic(currentPtr(path), (cur + 1).toString)
+      heal(path, cur + 1)
+      (nReplaced, nUpserted, affected.length)
+    } finally { batch.unpersist(); () }
+  }
+
+  /** GC entry point without a commit: takes the table lock, rolls back
+    * crashed batch appends, and runs the standard heal sweep (stray
+    * manifests, consumed landing files, data files no retained manifest
+    * references) — what an operator runs after lowering retention or
+    * after a crashed external writer. */
+  def zorderVacuum(path: String): Unit = withTableLock(path) {
+    val cur = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    rollbackStaleAppendIntents(path)
+    heal(path, cur)
+  }
+
   /** Remove debris a crashed [[zorderMaintain]]/[[zorderCompact]]/
     * [[zorderDelete]] left, AND age generations out of the retention
     * window — this is the ONLY cleanup path (every commit just flips

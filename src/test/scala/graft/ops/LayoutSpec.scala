@@ -478,6 +478,58 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(Layout.currentSpans(dir).map(_.rows).sum == 4096L - 64 - d2)
   }
 
+  test("zorderUpsert: keyed replace + insert, span-pruned rewrite, vacuum GCs after retention drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zup").toString + "/t"
+    // rows carry a payload so replacement is observable beyond the keys
+    val base = spark.range(4096L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
+        lit("old").as("v"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16)
+
+    // batch: 32 replacements in one corner (keys exist) + 8 inserts with
+    // DUPLICATE keys outside the old domain... keys (100+i, 100+i) are new
+    val batch = ((0 until 32).map(i => (i.toLong % 8, i.toLong / 8, "new")) ++
+      (0 until 8).map(i => (100L + i, 100L + i, "ins"))).toDF("a", "b", "v")
+    val (replaced, upserted, rewritten) = Layout.zorderUpsert(spark, batch, dir)
+    assert(replaced == 32L, s"32 corner keys replaced, got $replaced")
+    assert(upserted == 40L)
+    assert(rewritten >= 1 && rewritten < 16,
+      s"corner batch must rewrite few files, got $rewritten")
+    assert(Layout.currentGen(dir) == Some(1L))
+    val after = Layout.zorderRead(spark, dir).cache()
+    try {
+      assert(after.count() == 4096L - 32 + 40,
+        "32 old rows out, 40 batch rows in")
+      // the MERGE contract: every batch key now holds exactly the batch's
+      // rows; untouched keys keep their old payload
+      assert(after.filter(col("v") === "new").count() == 32)
+      assert(after.filter(col("v") === "ins").count() == 8)
+      assert(after.filter(col("a") < 8 && col("b") < 4 && col("v") === "old")
+        .count() == 0, "no stale copy of a replaced key survives")
+      assert(after.filter(col("v") === "old").count() == 4096L - 32)
+      // exact multiset equality with the composed twin
+      val want = base.join(batch.select("a", "b").distinct(), Seq("a", "b"),
+        "left_anti").unionByName(batch)
+      assert(after.except(want).count() == 0 && want.except(after).count() == 0)
+    } finally after.unpersist()
+    // manifest row counts stay truthful; spans still prune
+    assert(Layout.currentSpans(dir).map(_.rows).sum == 4096L + 8)
+    val (hit, total) = Layout.zorderScanFiles(dir, (0L, 3L), (0L, 63L))
+    assert(hit < total)
+
+    // vacuum after a retention drop: raise retention, commit twice, drop
+    // retention, vacuum — old manifests age out without any new commit
+    Layout.setRetention(dir, 3)
+    Layout.zorderUpsert(spark, Seq((0L, 0L, "v2")).toDF("a", "b", "v"), dir)
+    Layout.zorderUpsert(spark, Seq((0L, 0L, "v3")).toDF("a", "b", "v"), dir)
+    assert(Layout.retainedGens(dir).size == 3)
+    Layout.setRetention(dir, 1)
+    Layout.zorderVacuum(dir)
+    assert(Layout.retainedGens(dir) == Seq(Layout.currentGen(dir).get))
+    assert(Layout.zorderRead(spark, dir).filter(col("v") === "v3").count() == 1)
+  }
+
   test("zorderWrite: arbitrary key domains (beyond 16 bits, negative) keep locality via scaling") {
     import spark.implicits._
     // keys far outside [0, 65535]: pre-scaling these would collide/misorder
