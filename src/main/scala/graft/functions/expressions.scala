@@ -343,10 +343,19 @@ case class SearchSorted(left: Expression, right: Expression)
 object SearchSorted {
   /** Index of the last `cuts(i) <= v`, clamped to 0 (v below every cut
     * routes to bucket 0 — Layout's "first file owns everything below its
-    * start" clamp). `cuts` must be sorted ascending. */
+    * start" clamp). `cuts` must be sorted ascending; DUPLICATE values are
+    * allowed and resolve to the LAST equal index — binarySearch's pick
+    * among duplicates is unspecified, and Layout's CASE-chain routing
+    * deterministically lands on the last duplicate, so the forward walk
+    * keeps the two routing shapes identical (duplicate zLo cuts are
+    * reachable: repartitionByRange can split equal z values across a
+    * file boundary). */
   def lastLE(cuts: Array[Long], v: Long): Int = {
-    val i = java.util.Arrays.binarySearch(cuts, v)
-    if (i >= 0) i else math.max(0, -i - 2)
+    var i = java.util.Arrays.binarySearch(cuts, v)
+    if (i >= 0) {
+      while (i + 1 < cuts.length && cuts(i + 1) == v) i += 1
+      i
+    } else math.max(0, -i - 2)
   }
 }
 

@@ -247,14 +247,19 @@ object Layout {
   }
 
   /** Maintenance and compaction hold this cross-process lock (advisory
-    * file lock on `<path>/.lock` + a JVM-global monitor, the
-    * WarehouseMeta.withBuildLock discipline: OS file locks are
-    * per-process, so a second lock() from the same JVM would throw
-    * instead of blocking). Two concurrent maintainers would otherwise
-    * interleave one builder's heal sweep with the other's staged files. */
-  private val jvmLock = new Object
-  private def withTableLock[A](path: String)(body: => A): A =
-    jvmLock.synchronized {
+    * file lock on `<path>/.lock` + a PER-TABLE JVM monitor — OS file
+    * locks are per-process, so a second lock() from the same JVM would
+    * throw instead of blocking, but one global monitor would serialize
+    * unrelated tables: two streaming sinks landing into two maintained
+    * tables must not block each other's micro-batches). Two concurrent
+    * maintainers of the SAME table would otherwise interleave one
+    * builder's heal sweep with the other's staged files. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withTableLock[A](path: String)(body: => A): A = {
+    val key = java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+    val monitor = tableLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
       val ch = java.nio.channels.FileChannel.open(
         java.nio.file.Paths.get(path, ".lock"),
@@ -265,6 +270,7 @@ object Layout {
         try body finally lock.release()
       } finally ch.close()
     }
+  }
 
   /** The committed generation number, or None before init. */
   def currentGen(path: String): Option[Long] =
@@ -443,8 +449,17 @@ object Layout {
     writeAtomic(retentionPath(path), keepGenerations.toString)
     val bounds = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
-      min(col(colB).cast("long")), max(col(colB).cast("long"))).collect()(0)
+      min(col(colB).cast("long")), max(col(colB).cast("long")),
+      sum(when(col(colA).isNull || col(colB).isNull, 1L).otherwise(0L)))
+      .collect()(0)
     require(!bounds.isNullAt(0), "zorderInit needs a non-empty table")
+    // NULL keys have no z, no route, and no span — the maintained-table
+    // contract rejects them at EVERY ingestion edge (init here; maintain
+    // checks folded landing rows; upsert checks its batch). Same agg
+    // pass as the bounds, zero extra scan.
+    require(bounds.getLong(4) == 0L,
+      s"layout keys ($colA, $colB) must be non-null: " +
+        s"${bounds.getLong(4)} null-keyed rows in the input")
     val (aLo, aHi, bLo, bHi) =
       (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
     val g0 = genDataDir(path, 0L)
@@ -629,6 +644,101 @@ object Layout {
     else
       call_function("searchsorted", lit(cuts.toArray), zCol)
 
+  /** Read a subset of a manifest's files with their span index attached:
+    * a tiny broadcast basename→fid map joined against the basename
+    * `input_file_name` exposes. Basenames are unique per table by
+    * construction ([[commitRewrite]] generation-qualifies every rewrite
+    * name; init part names carry job UUIDs) — the require makes a
+    * violation loud instead of silently fanning rows out through the
+    * join. */
+  private def readWithFid(spark: SparkSession, path: String, spans: Seq[Span],
+      idx: Seq[Int], z: Column): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Paths.get(path).toAbsolutePath
+    val names = idx.map(i =>
+      java.nio.file.Paths.get(spans(i).file).getFileName.toString)
+    require(names.distinct.size == names.size,
+      s"duplicate data-file basenames in the manifest at $path — " +
+        "rebuild the table via zorderCompact")
+    val nameToFid = names.zip(idx).toDF("fname", "_fid")
+    spark.read.parquet(idx.map(i => root.resolve(spans(i).file).toString): _*)
+      .withColumn("_zm", z)
+      .withColumn("fname", element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(nameToFid), "fname")
+      .drop("fname")
+  }
+
+  /** Shared commit tail for the rewrite family (maintain / delete /
+    * upsert): stage `merged` (must carry `_fid` and `_zm`) one file per
+    * affected fid, move each part into
+    * `data/g<cur+1>/<prefix>-g<cur+1>-<fid>.parquet` — GENERATION-
+    * QUALIFIED names, because the fname→fid routing joins key on the
+    * basename, so basenames must stay unique across every generation a
+    * retained manifest can reference — scan ONLY the fresh files for
+    * their spans, write manifest cur+1 = carried ∪ fresh, flip CURRENT,
+    * heal. `requireFilePerFid`: maintain can never legitimately empty a
+    * file (it only adds rows), delete/upsert can (the file drops from
+    * the manifest). REFUSES to commit an empty table (no carried, no
+    * fresh): the manifest format has no empty representation and a
+    * maintained table must stay readable — the refusal aborts BEFORE the
+    * manifest write, so the current generation is untouched and the
+    * staged debris heals on the next operation. */
+  private def commitRewrite(spark: SparkSession, path: String, cur: Long,
+      man: Manifest, affected: Seq[Int], merged: DataFrame, prefix: String,
+      requireFilePerFid: Boolean, consumed: Seq[String]): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path).toAbsolutePath
+    val nextData = genDataDir(path, cur + 1)
+    val staging = dataDir(path).resolve(s"g${cur + 1}.staging")
+    graft.engine.WarehouseMeta.deleteRecursively(staging)
+    merged
+      .repartition(math.max(1, affected.length), col("_fid"))
+      .sortWithinPartitions("_fid", "_zm")
+      .drop("_zm")
+      .write.partitionBy("_fid").mode("overwrite").parquet(staging.toString)
+    Files.createDirectories(nextData)
+    val producedRel = affected.flatMap { i =>
+      val partDir = staging.resolve(s"_fid=$i")
+      if (!Files.isDirectory(partDir)) {
+        require(!requireFilePerFid, s"expected a rewritten file for fid $i")
+        None
+      } else {
+        val ls = Files.list(partDir)
+        val part =
+          try ls.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          finally ls.close()
+        require(part.size == 1,
+          s"expected one rewritten file for fid $i, got ${part.size}")
+        val target = nextData.resolve(s"$prefix-g${cur + 1}-$i.parquet")
+        Files.move(part.head, target, StandardCopyOption.ATOMIC_MOVE)
+        Some(root.relativize(target).toString)
+      }
+    }
+    graft.engine.WarehouseMeta.deleteRecursively(staging)
+    // manifest update is INCREMENTAL: carried files keep their committed
+    // rows verbatim; only the freshly-written files scan
+    val fresh = if (producedRel.isEmpty) Seq.empty
+      else spanStats(spark, path, producedRel, man.colA, man.colB,
+        man.aLo, man.aHi, man.bLo, man.bHi)
+    val affectedSet = affected.toSet
+    val carried = man.spans.zipWithIndex.collect {
+      case (s, i) if !affectedSet.contains(i) => s
+    }
+    require(carried.nonEmpty || fresh.nonEmpty,
+      s"refusing to commit an EMPTY maintained table at $path — a " +
+        "manifest must reference at least one file; to drop the whole " +
+        "table, delete its directory instead")
+    writeManifest(path, cur + 1, man.copy(consumed = consumed,
+      spans = (carried ++ fresh).sortBy(_.zLo)))
+    // COMMIT, then clean up: heal IS the cleanup (consumed landing, aged
+    // manifests, unreferenced data files) — a crash between the flip and
+    // here replays the identical sweep
+    writeAtomic(currentPtr(path), (cur + 1).toString)
+    heal(path, cur + 1)
+  }
+
   /** Fold landed appends into the curve. Incremental: new rows route to
     * the existing file whose committed z-range contains them (cutpoint
     * arithmetic on the manifest — codegen'd, no shuffle of the base
@@ -654,8 +764,6 @@ object Layout {
     * nothing to do. */
   def zorderMaintain(spark: SparkSession, path: String,
       routeCaseMax: Int = 256): (Long, Int, Int) = withTableLock(path) {
-    import java.nio.file.{Files, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     val cur = currentGen(path).getOrElse(
       throw new IllegalStateException(s"no zorderInit at $path"))
     rollbackStaleAppendIntents(path) // never fold a partial batch append
@@ -675,66 +783,28 @@ object Layout {
     val newRows = spark.read.parquet(landing.map(_.toString): _*)
       .withColumn("_zm", z)
       .withColumn("_fid", fid)
-    val affectedFids = newRows.select("_fid").distinct()
-      .collect().map(_.getInt(0)).sorted // bounded by the file count
-    val root = java.nio.file.Paths.get(path).toAbsolutePath
-    val nextData = genDataDir(path, cur + 1)
-    val staging = dataDir(path).resolve(s"g${cur + 1}.staging")
-    graft.engine.WarehouseMeta.deleteRecursively(staging)
-    // affected old files re-read WITH their fid (tiny broadcast name->fid
-    // map), unioned with the routed new rows, one file per fid
-    val affectedSet = affectedFids.toSet
-    import spark.implicits._
-    val nameToFid = affectedFids.map(i =>
-      (java.nio.file.Paths.get(spans(i).file).getFileName.toString, i)).toSeq
-      .toDF("fname", "_fid")
-    val oldRows = if (affectedFids.isEmpty) None
-      else Some(spark.read
-        .parquet(affectedFids.toSeq.map(i => root.resolve(spans(i).file).toString): _*)
-        .withColumn("_zm", z)
-        .withColumn("fname", element_at(split(input_file_name(), "/"), -1))
-        .join(broadcast(nameToFid), "fname")
-        .drop("fname"))
+    // blind appends are unchecked by design — the fold is where a
+    // null-keyed row would corrupt routing/spans, so it fails HERE, loud,
+    // with the landing intact for the caller to fix. Check the KEY
+    // columns, not _zm: greatest/least skip nulls, so scale16(null) is 0
+    // and a null key would silently alias cell (0, 0).
+    require(newRows
+        .filter(col(man.colA).isNull || col(man.colB).isNull)
+        .limit(1).collect().isEmpty,
+      s"landing holds rows with NULL layout keys (${man.colA}, " +
+        s"${man.colB}) — the maintained-table contract requires non-null keys")
+    val affected = newRows.select("_fid").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq // bounded by the file count
+    // affected old files re-read WITH their fid, unioned with the routed
+    // new rows; bounds stay frozen (the manifest copy keeps them)
+    val oldRows = if (affected.isEmpty) None
+      else Some(readWithFid(spark, path, spans, affected, z))
     val merged = oldRows.map(_.unionByName(newRows)).getOrElse(newRows)
-    merged
-      .repartition(math.max(1, affectedFids.length), col("_fid"))
-      .sortWithinPartitions("_fid", "_zm")
-      .drop("_zm")
-      .write.partitionBy("_fid").mode("overwrite").parquet(staging.toString)
     val nMerged = newRows.count()
-    // move each merged file into data/g<N+1>/ (one driver-side move per
-    // REWRITTEN file — the carried files never touch the filesystem)
-    Files.createDirectories(nextData)
-    val mergedRel = affectedFids.map { i =>
-      val partDir = staging.resolve(s"_fid=$i")
-      val ls = Files.list(partDir)
-      val part =
-        try ls.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        finally ls.close()
-      require(part.size == 1, s"expected one merged file for fid $i, got ${part.size}")
-      val target = nextData.resolve(s"merged-$i.parquet")
-      Files.move(part.head, target, StandardCopyOption.ATOMIC_MOVE)
-      root.relativize(target).toString
-    }
-    graft.engine.WarehouseMeta.deleteRecursively(staging)
-    // manifest update is INCREMENTAL too: carried files keep their
-    // committed rows verbatim; only the freshly-merged files scan
-    val mergedSpans = if (mergedRel.isEmpty) Seq.empty
-      else spanStats(spark, path, mergedRel.toSeq, man.colA, man.colB,
-        man.aLo, man.aHi, man.bLo, man.bHi)
-    val carried = spans.zipWithIndex.collect {
-      case (s, i) if !affectedSet.contains(i) => s
-    }
-    writeManifest(path, cur + 1, man.copy(
-      consumed = landing.map(_.getFileName.toString),
-      spans = (carried ++ mergedSpans).sortBy(_.zLo))) // bounds stay frozen
-    // COMMIT, then clean up: heal IS the cleanup (consumed landing, aged
-    // manifests, unreferenced data files) — a crash between the flip and
-    // here replays the identical sweep
-    writeAtomic(currentPtr(path), (cur + 1).toString)
-    heal(path, cur + 1)
-    (nMerged, affectedFids.length, carried.size)
+    commitRewrite(spark, path, cur, man, affected, merged, "merged",
+      requireFilePerFid = true,
+      consumed = landing.map(_.getFileName.toString))
+    (nMerged, affected.length, spans.size - affected.length)
   }
 
   /** Full re-layout into a fresh generation — the periodic OPTIMIZE that
@@ -812,8 +882,6 @@ object Layout {
     * them). Returns (rowsDeleted, filesRewrittenOrDropped, filesCarried). */
   def zorderDelete(spark: SparkSession, path: String, aRange: (Long, Long),
       bRange: (Long, Long)): (Long, Int, Int) = withTableLock(path) {
-    import java.nio.file.{Files, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     val cur = currentGen(path).getOrElse(
       throw new IllegalStateException(s"no zorderInit at $path"))
     rollbackStaleAppendIntents(path)
@@ -827,63 +895,23 @@ object Layout {
         s.bMin <= bRange._2 && s.bMax >= bRange._1 => i
     }
     if (hitIdx.isEmpty) return (0L, 0, spans.size)
-    val root = java.nio.file.Paths.get(path).toAbsolutePath
-    import spark.implicits._
-    val nameToFid = hitIdx.map(i =>
-      (java.nio.file.Paths.get(spans(i).file).getFileName.toString, i))
-      .toDF("fname", "_fid")
-    def hitRows = spark.read
-      .parquet(hitIdx.map(i => root.resolve(spans(i).file).toString): _*)
-      .withColumn("fname", element_at(split(input_file_name(), "/"), -1))
-      .join(broadcast(nameToFid), "fname")
-      .drop("fname")
-    val matched = hitRows.filter(pred).groupBy("_fid").agg(count(lit(1)))
+    val z = zValue(scale16(col(man.colA), man.aLo, man.aHi),
+      scale16(col(man.colB), man.bLo, man.bHi))
+    val matched = readWithFid(spark, path, spans, hitIdx, z)
+      .filter(pred).groupBy("_fid").agg(count(lit(1)))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ hit files
     val affected = hitIdx.filter(matched.contains).sorted
     if (affected.isEmpty) return (0L, 0, spans.size)
     val nDeleted = matched.values.sum
-    val affectedSet = affected.toSet
-    val z = zValue(scale16(col(man.colA), man.aLo, man.aHi),
-      scale16(col(man.colB), man.bLo, man.bHi))
-    val nextData = genDataDir(path, cur + 1)
-    val staging = dataDir(path).resolve(s"g${cur + 1}.staging")
-    graft.engine.WarehouseMeta.deleteRecursively(staging)
-    hitRows.filter(col("_fid").isin(affected.map(Integer.valueOf): _*))
-      .filter(!pred)
-      .withColumn("_zm", z)
-      .repartition(math.max(1, affected.length), col("_fid"))
-      .sortWithinPartitions("_fid", "_zm") // files stay z-sorted
-      .drop("_zm")
-      .write.partitionBy("_fid").mode("overwrite").parquet(staging.toString)
-    Files.createDirectories(nextData)
-    val producedRel = affected.flatMap { i =>
-      val partDir = staging.resolve(s"_fid=$i")
-      if (!Files.isDirectory(partDir)) None // every row matched: file drops
-      else {
-        val ls = Files.list(partDir)
-        val part =
-          try ls.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-          finally ls.close()
-        require(part.size == 1,
-          s"expected one rewritten file for fid $i, got ${part.size}")
-        val target = nextData.resolve(s"deleted-$i.parquet")
-        Files.move(part.head, target, StandardCopyOption.ATOMIC_MOVE)
-        Some(root.relativize(target).toString)
-      }
-    }
-    graft.engine.WarehouseMeta.deleteRecursively(staging)
-    val producedSpans = if (producedRel.isEmpty) Seq.empty
-      else spanStats(spark, path, producedRel.toSeq, man.colA, man.colB,
-        man.aLo, man.aHi, man.bLo, man.bHi)
-    val carried = spans.zipWithIndex.collect {
-      case (s, i) if !affectedSet.contains(i) => s
-    }
-    writeManifest(path, cur + 1, man.copy(consumed = Seq.empty,
-      spans = (carried ++ producedSpans).sortBy(_.zLo)))
-    writeAtomic(currentPtr(path), (cur + 1).toString)
-    heal(path, cur + 1)
-    (nDeleted, affected.length, carried.size)
+    // the rewrite pass reads ONLY the files with actual matches (the
+    // counting pass read the wider span-hit set once). NULL-key rows make
+    // `pred` NULL, not false — coalesce keeps them, or they would vanish
+    // from the rewritten files without ever counting as deleted.
+    val survivors = readWithFid(spark, path, spans, affected, z)
+      .filter(!coalesce(pred, lit(false)))
+    commitRewrite(spark, path, cur, man, affected, survivors, "deleted",
+      requireFilePerFid = false, consumed = Seq.empty)
+    (nDeleted, affected.length, spans.size - affected.length)
   }
 
   /** Keyed UPSERT (the MERGE INTO shape) over the maintained table:
@@ -903,15 +931,12 @@ object Layout {
     * rowsUpserted = batch rows landed, filesRewritten). */
   def zorderUpsert(spark: SparkSession, df: DataFrame,
       path: String): (Long, Long, Int) = withTableLock(path) {
-    import java.nio.file.{Files, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     val cur = currentGen(path).getOrElse(
       throw new IllegalStateException(s"no zorderInit at $path"))
     rollbackStaleAppendIntents(path)
     heal(path, cur)
     val man = readManifest(path, cur)
     val spans = man.spans
-    val root = java.nio.file.Paths.get(path).toAbsolutePath
     graft.functions.GraftExtensions.register(spark)
     import spark.implicits._
     val z = zValue(scale16(col(man.colA), man.aLo, man.aHi),
@@ -922,6 +947,14 @@ object Layout {
     try {
       val nUpserted = batch.count()
       if (nUpserted == 0) return (0L, 0L, 0)
+      // a NULL key has no z and no match semantics — reject loudly. Check
+      // the KEY columns, not _zm: greatest/least skip nulls, so
+      // scale16(null) is 0 and a null key would silently alias cell (0, 0)
+      require(batch
+          .filter(col(man.colA).isNull || col(man.colB).isNull)
+          .limit(1).collect().isEmpty,
+        s"zorderUpsert batch holds NULL in a layout key column " +
+          s"(${man.colA}, ${man.colB}) — keys must be non-null")
       // affected files by SPAN INTERSECTION, not just cutpoint ownership:
       // repartitionByRange can split EQUAL z values across a file
       // boundary, so a key's old copies may sit in a neighbor whose span
@@ -934,59 +967,18 @@ object Layout {
           col("_zm") >= col("zlo") && col("_zm") <= col("zhi"))
         .select("sfid").distinct()
         .union(batch.select(col("_fid").as("sfid")).distinct()) // new keys route here
-        .distinct().as[Int].collect().sorted // bounded by the file count
-      val affectedSet = affected.toSet
+        .distinct().as[Int].collect().sorted.toSeq // bounded by the file count
       val keyCols = Seq(man.colA, man.colB)
       val keys = batch.select(man.colA, man.colB).distinct()
-      val nameToFid = affected.map(i =>
-        (java.nio.file.Paths.get(spans(i).file).getFileName.toString, i)).toSeq
-        .toDF("fname", "_fid")
-      val oldRows = if (affected.isEmpty) None else Some(spark.read
-        .parquet(affected.toSeq.map(i => root.resolve(spans(i).file).toString): _*)
-        .withColumn("_zm", z)
-        .withColumn("fname", element_at(split(input_file_name(), "/"), -1))
-        .join(broadcast(nameToFid), "fname")
-        .drop("fname"))
+      val oldRows = if (affected.isEmpty) None
+        else Some(readWithFid(spark, path, spans, affected, z))
       val nReplaced = oldRows
         .map(_.join(broadcast(keys), keyCols, "left_semi").count())
         .getOrElse(0L)
       val kept = oldRows.map(_.join(broadcast(keys), keyCols, "left_anti"))
       val merged = kept.map(_.unionByName(batch)).getOrElse(batch)
-      val nextData = genDataDir(path, cur + 1)
-      val staging = dataDir(path).resolve(s"g${cur + 1}.staging")
-      graft.engine.WarehouseMeta.deleteRecursively(staging)
-      merged
-        .repartition(math.max(1, affected.length), col("_fid"))
-        .sortWithinPartitions("_fid", "_zm")
-        .drop("_zm")
-        .write.partitionBy("_fid").mode("overwrite").parquet(staging.toString)
-      Files.createDirectories(nextData)
-      val producedRel = affected.toSeq.flatMap { i =>
-        val partDir = staging.resolve(s"_fid=$i")
-        if (!Files.isDirectory(partDir)) None // everything in it was replaced away
-        else {
-          val ls = Files.list(partDir)
-          val part =
-            try ls.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-            finally ls.close()
-          require(part.size == 1,
-            s"expected one upserted file for fid $i, got ${part.size}")
-          val target = nextData.resolve(s"upsert-$i.parquet")
-          Files.move(part.head, target, StandardCopyOption.ATOMIC_MOVE)
-          Some(root.relativize(target).toString)
-        }
-      }
-      val producedSpans = if (producedRel.isEmpty) Seq.empty
-        else spanStats(spark, path, producedRel, man.colA, man.colB,
-          man.aLo, man.aHi, man.bLo, man.bHi)
-      val carried = spans.zipWithIndex.collect {
-        case (s, i) if !affectedSet.contains(i) => s
-      }
-      writeManifest(path, cur + 1, man.copy(consumed = Seq.empty,
-        spans = (carried ++ producedSpans).sortBy(_.zLo)))
-      writeAtomic(currentPtr(path), (cur + 1).toString)
-      heal(path, cur + 1)
+      commitRewrite(spark, path, cur, man, affected, merged, "upsert",
+        requireFilePerFid = false, consumed = Seq.empty)
       (nReplaced, nUpserted, affected.length)
     } finally { batch.unpersist(); () }
   }

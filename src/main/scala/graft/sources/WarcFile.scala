@@ -120,7 +120,10 @@ object WarcFile {
             l.substring(i + 1).trim)
         }.toMap
         val len = kv.get("content-length").flatMap(_.toLongOption).getOrElse(-1L)
-        if (len < 0 || blank + 4 + len > bytes.length) return None
+        // overflow-safe bound: `blank + 4 + len` wraps negative for an
+        // adversarial huge Content-Length and would sneak past a
+        // left-side check, crashing copyOfRange instead of quarantining
+        if (len < 0 || len > (bytes.length - blank - 4).toLong) return None
         val payloadStart = blank + 4 // past \r\n\r\n
         val payload = java.util.Arrays.copyOfRange(bytes, payloadStart,
           (payloadStart + len).toInt)

@@ -152,6 +152,16 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(SearchSorted.lastLE(cuts, 10L) == 1)
     assert(SearchSorted.lastLE(cuts, 9999L) == 1)
     assert(SearchSorted.lastLE(cuts, Long.MaxValue) == 2)
+    // DUPLICATE cuts resolve to the LAST equal index — binarySearch's
+    // pick among duplicates is unspecified, and Layout's CASE chain
+    // deterministically lands on the last duplicate; the two routing
+    // shapes must agree (duplicate zLo spans are reachable via
+    // repartitionByRange splitting equal z values across a boundary)
+    val dup = Array(0L, 5L, 5L, 5L, 10L)
+    assert(SearchSorted.lastLE(dup, 5L) == 3, "last duplicate wins")
+    assert(SearchSorted.lastLE(dup, 4L) == 0)
+    assert(SearchSorted.lastLE(dup, 6L) == 3)
+    assert(SearchSorted.lastLE(Array(5L, 5L), 5L) == 1)
     // SQL/codegen path agrees with the static core over a dense sweep
     import spark.implicits._
     val got = spark.range(-20L, 10030L)

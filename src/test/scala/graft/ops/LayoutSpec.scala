@@ -358,6 +358,15 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       .withColumn("case_fid", Layout.routeFid(cuts, col("v"), caseMax = Int.MaxValue))
       .withColumn("bs_fid", Layout.routeFid(cuts, col("v"), caseMax = 0))
     assert(both.filter(col("case_fid") =!= col("bs_fid")).count() == 0)
+    // DUPLICATE cuts (equal zLo spans are reachable): both shapes must
+    // still agree — the CASE chain lands on the last duplicate, so the
+    // binary search must too
+    val dupCuts = Seq(-50L, 0L, 0L, 8L, 8L, 1000L)
+    val bothDup = vals
+      .withColumn("case_fid", Layout.routeFid(dupCuts, col("v"), caseMax = Int.MaxValue))
+      .withColumn("bs_fid", Layout.routeFid(dupCuts, col("v"), caseMax = 0))
+    assert(bothDup.filter(col("case_fid") =!= col("bs_fid")).count() == 0,
+      "routing shapes must agree on duplicate cutpoints")
     // hand pins: numpy searchsorted(side=right)-1 clamped at 0
     val pin = both.filter(col("v").isin(-100L, -50L, -1L, 0L, 7L, 8L, 999L, 1000L, 1099L))
       .orderBy("v").select("bs_fid").as[Int].collect().toSeq
@@ -528,6 +537,68 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     Layout.zorderVacuum(dir)
     assert(Layout.retainedGens(dir) == Seq(Layout.currentGen(dir).get))
     assert(Layout.zorderRead(spark, dir).filter(col("v") === "v3").count() == 1)
+  }
+
+  test("review regressions: repeated rewrites keep basenames unique; delete-everything refuses; NULL keys survive delete and reject in upsert") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zreg").toString + "/t"
+    val base = spark.range(1024L)
+      .select((col("id") / 32).cast("long").as("a"), (col("id") % 32).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 4, keepGenerations = 3)
+
+    // three successive rewrites touching overlapping files: generation-
+    // qualified names mean the retained manifests can never hold two
+    // files with one basename (the fname→fid join's uniqueness invariant)
+    Layout.zorderDelete(spark, dir, (0L, 1L), (0L, 31L))
+    Layout.zorderAppend(Seq((0L, 0L)).toDF("a", "b"), dir)
+    Layout.zorderMaintain(spark, dir)
+    Layout.zorderUpsert(spark, Seq((0L, 0L)).toDF("a", "b"), dir)
+    for (g <- Layout.retainedGens(dir)) {
+      // carried files legitimately RECUR across manifests (the sharing
+      // feature); the join invariant is uniqueness WITHIN each manifest —
+      // one read never touches two files with one basename
+      val basenames = Layout.readManifest(dir, g).spans.map(s =>
+        java.nio.file.Paths.get(s.file).getFileName.toString)
+      assert(basenames.distinct.size == basenames.size,
+        s"gen $g basenames must be unique: $basenames")
+    }
+    // and the committed table is exactly right after the rewrite chain
+    assert(Layout.zorderRead(spark, dir).count() == 1024L - 64 + 1)
+
+    // deleting EVERY remaining row must refuse before committing — the
+    // table stays readable on its current generation
+    val genBefore = Layout.currentGen(dir)
+    val ex = intercept[IllegalArgumentException] {
+      Layout.zorderDelete(spark, dir, (Long.MinValue, Long.MaxValue),
+        (Long.MinValue, Long.MaxValue))
+    }
+    assert(ex.getMessage.contains("EMPTY"))
+    assert(Layout.currentGen(dir) == genBefore &&
+      Layout.zorderRead(spark, dir).count() == 1024L - 64 + 1)
+
+    // NULL layout keys are rejected at EVERY ingestion edge (they have no
+    // z, no route, no span): init, the maintain fold, and the upsert batch
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_znul").toString + "/t"
+    val nullRows = Seq((Option.empty[Long], Option(5L)),
+      (Option(5L), Option.empty[Long])).toDF("a", "b")
+    val initEx = intercept[IllegalArgumentException] {
+      Layout.zorderInit(spark, base.unionByName(nullRows), dir2, "a", "b", nFiles = 2)
+    }
+    assert(initEx.getMessage.contains("non-null"))
+    // a failed init commits nothing; a real init then proceeds
+    Layout.zorderInit(spark, base, dir2, "a", "b", nFiles = 2)
+    Layout.zorderAppend(nullRows, dir2)
+    val mEx = intercept[IllegalArgumentException] {
+      Layout.zorderMaintain(spark, dir2)
+    }
+    assert(mEx.getMessage.contains("NULL layout keys"))
+    assert(Layout.zorderRead(spark, dir2).count() == 1024L,
+      "the failed fold leaves the committed generation untouched")
+    val up = intercept[IllegalArgumentException] {
+      Layout.zorderUpsert(spark,
+        Seq((Option.empty[Long], Option(1L))).toDF("a", "b"), dir2)
+    }
+    assert(up.getMessage.contains("NULL"))
   }
 
   test("zorderWrite: arbitrary key domains (beyond 16 bits, negative) keep locality via scaling") {

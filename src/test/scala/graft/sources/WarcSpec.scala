@@ -96,6 +96,28 @@ class WarcSpec extends AnyFunSuite with SparkSpec {
     assert(cut.init.map(_.url).toSeq == plain.init.map(_.url).toSeq)
   }
 
+  test("adversarial Content-Length (huge/negative/garbage) quarantines instead of crashing the task") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcovf").toString
+    def rec(lenDecl: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: $lenDecl\r\n\r\n")
+        .getBytes("UTF-8") ++ "tiny".getBytes("UTF-8") ++ "\r\n\r\n".getBytes("UTF-8")
+    val good = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://ok.example.org/\r\nContent-Length: 2\r\n\r\nok\r\n\r\n")
+      .getBytes("UTF-8")
+    // a huge declared length would overflow `header + 4 + len` — the
+    // record must quarantine as ONE invalid row, the earlier record parse
+    for ((name, decl) <- Seq(("huge", Long.MaxValue.toString),
+        ("over", "9223372036854775800"), ("neg", "-7"), ("nan", "zz"))) {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"$name.warc"), good ++ rec(decl))
+      val got = WarcFile.read(spark, s"$dir/$name.warc").collect().sortBy(_.offset)
+      assert(got.length == 2, s"$name: good + invalid, got ${got.length}")
+      assert(got.head.url == "https://ok.example.org/" &&
+        got.last.warc_type == "invalid",
+        s"$name: corrupt length quarantines, earlier record survives")
+    }
+  }
+
   test("streaming parse: tail a landing dir across restarts ≡ batch parse") {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("graft_warcst")
