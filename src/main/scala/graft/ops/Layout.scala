@@ -324,6 +324,39 @@ object Layout {
     spanFiles(spark, path, readManifest(path, gen).spans)
   }
 
+  /** [[zorderScan]] against a RETAINED generation: the same driver-side
+    * span pruning, planned from that generation's manifest — band queries
+    * over a snapshot prune exactly like queries over CURRENT. */
+  def zorderScanAsOf(spark: SparkSession, path: String, gen: Long,
+      aRange: (Long, Long), bRange: (Long, Long)): DataFrame = {
+    require(java.nio.file.Files.isRegularFile(manifestPath(path, gen)),
+      s"generation $gen of $path is not retained")
+    val man = readManifest(path, gen)
+    val hit = man.spans.filter(s =>
+      s.aMin <= aRange._2 && s.aMax >= aRange._1 &&
+      s.bMin <= bRange._2 && s.bMax >= bRange._1)
+    val base =
+      if (hit.isEmpty) spanFiles(spark, path, man.spans).limit(0)
+      else spanFiles(spark, path, hit)
+    base.filter(col(man.colA).between(aRange._1, aRange._2) &&
+      col(man.colB).between(bRange._1, bRange._2))
+  }
+
+  /** Operator-facing table census, all from manifests (never a data
+    * scan): one row per retained generation — files, rows, the clustered
+    * columns, frozen bounds, and unmaintained landing files. */
+  def zorderStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val landing = landingFiles(path).size.toLong
+    retainedGens(path).map { g =>
+      val m = readManifest(path, g)
+      (g, g == currentGen(path).get, m.spans.size.toLong,
+        m.spans.map(_.rows).sum, m.colA, m.colB,
+        s"[${m.aLo}, ${m.aHi}]", s"[${m.bLo}, ${m.bHi}]", landing)
+    }.toDF("gen", "is_current", "files", "rows", "col_a", "col_b",
+      "a_bounds", "b_bounds", "landing_files")
+  }
+
   /** One manifest row per data file: relative path (under the table
     * root), row count, z range (what maintenance routes on), and the raw
     * key ranges (what [[zorderScan]] prunes on). */

@@ -423,6 +423,18 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       Layout.readManifest(dir, g).spans.map(_.file))
     assert(refs.size > refs.distinct.size, "snapshots share carried files")
 
+    // snapshot scans prune from the retained manifest like CURRENT scans
+    val asofScan = Layout.zorderScanAsOf(spark, dir, 1L, (0L, 15L), (0L, 15L))
+    val asofWant = Layout.zorderReadAsOf(spark, dir, 1L)
+      .filter(col("a").between(0, 15) && col("b").between(0, 15))
+    assert(asofScan.count() == asofWant.count() &&
+      asofScan.except(asofWant).count() == 0, "as-of scan ≡ as-of filter")
+    // the manifest-only census is truthful per generation
+    val stats = Layout.zorderStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(3))).toMap
+    assert(stats(0L) == ((false, 4096L)) && stats(1L) == ((false, 4096L + 16)) &&
+      stats(2L) == ((true, 4096L + 24)))
+
     // one more maintain ages gen 0 out (window is 3): its manifest goes,
     // files ONLY it referenced go, files shared with retained gens stay
     Layout.zorderAppend(Seq((5L, 6L)).toDF("a", "b"), dir)
