@@ -61,6 +61,22 @@ object LayoutProbe {
       graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(dir).getParent)
     }
 
+    // ---- 1b. DML cost vs untouched-file count (round-13 continuation):
+    // the same fixed grid and a fixed corner band/batch — delete and
+    // upsert wall time must track the AFFECTED files, not the table size
+    for (nFiles <- Seq(32, 256, 2048)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ldml").toString + "/t"
+      Layout.zorderInit(spark, base, dir, "a", "b", nFiles)
+      var del = (0L, 0, 0)
+      val delSec = time { del = Layout.zorderDelete(spark, dir, (0L, 63L), (0L, 63L)) }
+      var ups = (0L, 0L, 0)
+      val upsSec = time { ups = Layout.zorderUpsert(spark, corner, dir) }
+      println(s"""{"metric":"zdml_files_indep","files":$nFiles,""" +
+        s""""del_rewritten":${del._2},"del_sec":${r4(delSec)},""" +
+        s""""ups_rewritten":${ups._3},"ups_sec":${r4(upsSec)}}""")
+      graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(dir).getParent)
+    }
+
     // ---- 2. zorderScanFiles over a synthetic 100k-span manifest
     // 316×316 rectangular tiles over a 65536² key domain ≈ 99856 files —
     // no data written; the measured quantity IS the planning path a
