@@ -613,6 +613,44 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(up.getMessage.contains("NULL"))
   }
 
+  test("concurrent writers on one table serialize under the per-path lock; no fold is lost or doubled") {
+    import spark.implicits._
+    import java.util.concurrent.{Executors, TimeUnit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_zconc").toString + "/t"
+    val base = spark.range(4096L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 8)
+    // 4 threads × (append a disjoint 16-row slab, then maintain), racing:
+    // the per-path lock must serialize the maintains (a heal sweeping
+    // another builder's staging would corrupt the fold), every appended
+    // row must land exactly once, and the generation chain must advance
+    // monotonically with no gaps in the committed row count
+    val pool = Executors.newFixedThreadPool(4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    for (t <- 0 until 4) pool.submit(new Runnable {
+      override def run(): Unit =
+        try {
+          val slab = (0 until 16).map(i => (100L + t, i.toLong)).toDF("a", "b")
+          Layout.zorderAppend(slab, dir)
+          Layout.zorderMaintain(spark, dir)
+          ()
+        } catch { case e: Throwable => errs.add(e); () }
+    })
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "writers must finish")
+    assert(errs.isEmpty, s"concurrent writers must not fail: ${errs.peek()}")
+    // a maintain may fold several threads' landings at once (fewer than 4
+    // generations is fine); the END STATE is exact either way
+    val after = Layout.zorderRead(spark, dir)
+    assert(after.count() == 4096L + 64, "all 64 appended rows landed exactly once")
+    assert(after.filter(col("a") >= 100).groupBy("a").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      (0 until 4).map(t => (100L + t) -> 16L).toMap)
+    assert(Layout.zorderMaintain(spark, dir) == ((0L, 0, 0)),
+      "nothing left to fold after the race")
+    assert(Layout.currentSpans(dir).map(_.rows).sum == 4096L + 64)
+  }
+
   test("zorderWrite: arbitrary key domains (beyond 16 bits, negative) keep locality via scaling") {
     import spark.implicits._
     // keys far outside [0, 65535]: pre-scaling these would collide/misorder
