@@ -1298,6 +1298,27 @@ object SparkEntry {
       Dedup.ngramContainmentPairs(tPar(s, d, "documents"), "doc_id", "text",
         k = 3, threshold = 0.8)),
 
+    // exact-substring dedup, detection view (Lee et al. 2021 re-expressed
+    // distributed): per-doc count of word-anchored 40-char windows whose
+    // text recurs ANYWHERE in the corpus — the twin re-derives the same
+    // word-start anchors from split-on-space prefix sums
+    "d22_dup_substrings" -> ((s, d) =>
+      Dedup.duplicatedWindows(tPar(s, d, "documents"), "doc_id", "text",
+          windowLen = 40)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_dup_windows"))),
+
+    // exact-substring SCRUB (the Lee 2021 removal): every duplicated
+    // window's span cut except the corpus-first occurrence, overlapping
+    // cuts merged — checked through per-doc scrubbed LENGTH, which the
+    // twin re-derives with the same election (row_number over (id, pos))
+    // and a gaps-and-islands merge of the fixed-length spans
+    "d23_substring_scrub" -> ((s, d) =>
+      Dedup.scrubDuplicatedSpans(tPar(s, d, "documents"), "doc_id", "text",
+          windowLen = 40)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("scrubbed_len"))),
+
     // INCREMENTAL dedup — the maintained-index production shape: batch 2
     // (odd doc_ids) deduped against the PERSISTED signature store of batch 1
     // (even doc_ids). Candidates come from a bucket join of new band
@@ -2917,6 +2938,55 @@ object SparkEntry {
         |SELECT id_a, id_b,
         |  ROUND(CAST(shared AS DOUBLE) / LEAST(na, nb), 6) AS containment
         |FROM pairs WHERE ROUND(CAST(shared AS DOUBLE) / LEAST(na, nb), 6) >= 0.8""".stripMargin,
+
+    // word-anchored 40-char windows (anchors = split-on-space prefix sums,
+    // empty tokens included — the exact positions anchoredWindows derives),
+    // duplicated = window text seen >= 2 times corpus-wide
+    "d22_dup_substrings" ->
+      """WITH st AS (
+        |  SELECT doc_id, text,
+        |    1 + COALESCE(SUM(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        |  FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok,
+        |               generate_subscripts(string_split(text, ' '), 1) AS idx
+        |        FROM documents)),
+        |w AS (SELECT doc_id, pos, substr(text, pos::INT, 40) AS win
+        |      FROM st WHERE pos + 39 <= length(text)),
+        |d AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1)
+        |SELECT doc_id, COUNT(*) AS n_dup_windows
+        |FROM w JOIN d USING (win) GROUP BY doc_id""".stripMargin,
+
+    // the scrub's election (first occurrence by (doc_id, pos) survives) as
+    // row_number, then a gaps-and-islands merge of the fixed 40-char spans
+    // gives each doc's removed-char total; scrubbed length = len - removed
+    "d23_substring_scrub" ->
+      """WITH st AS (
+        |  SELECT doc_id, text,
+        |    1 + COALESCE(SUM(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        |  FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok,
+        |               generate_subscripts(string_split(text, ' '), 1) AS idx
+        |        FROM documents)),
+        |w AS (SELECT doc_id, pos, substr(text, pos::INT, 40) AS win
+        |      FROM st WHERE pos + 39 <= length(text)),
+        |ranked AS (SELECT doc_id, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+        |    COUNT(*) OVER (PARTITION BY win) AS c
+        |  FROM w),
+        |rm AS (SELECT doc_id, pos FROM ranked WHERE c > 1 AND rn > 1),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN pos > COALESCE(MAX(pos + 40) OVER (
+        |      PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS new_island
+        |  FROM rm),
+        |isl2 AS (SELECT doc_id, pos,
+        |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl),
+        |merged AS (SELECT doc_id, island, MAX(pos + 40) - MIN(pos) AS cut
+        |  FROM isl2 GROUP BY doc_id, island),
+        |cuts AS (SELECT doc_id, SUM(cut) AS cut FROM merged GROUP BY doc_id)
+        |SELECT d.doc_id, length(d.text) - COALESCE(c.cut, 0) AS scrubbed_len
+        |FROM documents d LEFT JOIN cuts c USING (doc_id)""".stripMargin,
 
     "d10_jaccard_overflow" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

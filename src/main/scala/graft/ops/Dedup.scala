@@ -1376,4 +1376,131 @@ object Dedup {
         col("hamming"))
       .distinct()
   }
+
+  // -------------------------------------- exact-substring dedup (Lee 2021)
+  //
+  // "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+  // 2021, arXiv 2107.06499) removes every repeated substring of >= L chars,
+  // keeping one occurrence — the recipe behind C4/MassiveText exact-substring
+  // dedup. The paper builds one giant suffix array; that is a single-machine
+  // shape. The distributed re-expression: L-char windows ANCHORED AT WORD
+  // STARTS (content-defined positions — a fixed position grid would miss
+  // clones landing at unaligned offsets, since grids are doc-relative),
+  // grouped BY WINDOW TEXT; any window seen >= 2 times corpus-wide is a
+  // duplicated span, and all but the corpus-first occurrence (min (id, pos))
+  // are cut from their documents. Identical runs select identical interior
+  // anchors in every copy, so any repeated run containing at least one full
+  // word-anchored window is detected structurally — recall granularity
+  // follows anchor density (one per word for natural text), and surviving
+  // fragments shorter than L are exactly what "remove repeats >= L" allows.
+  //
+  // Scale posture: the shuffle carries (window, id, pos) — one row per WORD,
+  // the same order as [[wordShingles]]; `hashWindows = true` swaps the key
+  // for xxhash64(window), an 8-byte shuffle key (collision odds < n²/2⁶⁴),
+  // spec-pinned equal on the test corpus. `anchorEvery = q` keeps only
+  // windows with hash60(win) % q == 0 — CONTENT-correlated subsampling (a
+  // window is kept in all of its copies or none, so precision is unhurt and
+  // recall degrades geometrically, never by misalignment) — the 100 TB
+  // dial. Election is one groupBy with map-side partial min — never a
+  // window function over the corpus.
+
+  /** Word-anchored `windowLen`-char windows over `textCol`: (id, pos, win)
+    * with 1-based `pos` at each word start (position 1 and every position
+    * after a space — split semantics, empty tokens included), keeping only
+    * full windows (pos + windowLen - 1 <= length). The key column `win` is
+    * the window text, or its xxhash64 when `hashWindows`. Anchor positions
+    * come from one aggregate HOF over the token array (prefix sums —
+    * per-element work is a length read, the r12 HOF rule). */
+  private def anchoredWindows(df: DataFrame, idCol: String, textCol: String,
+      windowLen: Int, anchorEvery: Int, hashWindows: Boolean): DataFrame = {
+    require(windowLen >= 2, "need windowLen >= 2")
+    require(anchorEvery >= 1, "need anchorEvery >= 1")
+    val t = col(textCol)
+    val starts = aggregate(
+      split(t, " "),
+      struct(lit(1L).as("nxt"), typedLit(Seq.empty[Long]).as("st")),
+      (acc, tk) => struct(
+        (acc.getField("nxt") + length(tk) + 1L).as("nxt"),
+        concat(acc.getField("st"), array(acc.getField("nxt"))).as("st")),
+      acc => acc.getField("st"))
+    val win = col("_t").substr(col("pos").cast("int"), lit(windowLen))
+    val occ = df.filter(length(t) >= windowLen)
+      .select(col(idCol).as("id"), explode(starts).as("pos"), t.as("_t"))
+      .filter(col("pos") + (windowLen - 1) <= length(col("_t")))
+      .select(col("id"), col("pos"),
+        (if (hashWindows) xxhash64(win) else win).as("win"))
+    if (anchorEvery == 1) occ
+    else occ.filter(
+      pmod(if (hashWindows) col("win") else hash60(col("win")),
+        lit(anchorEvery.toLong)) === 0L)
+  }
+
+  /** Duplicated-window occurrences: every (id, pos) whose `windowLen`-char
+    * word-anchored window text occurs >= 2 times corpus-wide (within-doc
+    * repeats count, as in Lee 2021), with the occurrence count riding
+    * along. First occurrences are INCLUDED here — this is the
+    * detection/audit view; [[scrubDuplicatedSpans]] is the removal that
+    * spares the elected first. */
+  def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+      windowLen: Int, anchorEvery: Int = 1,
+      hashWindows: Boolean = false): DataFrame = {
+    val occ = anchoredWindows(df, idCol, textCol, windowLen, anchorEvery,
+      hashWindows)
+    val dups = occ.groupBy("win")
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+    occ.join(dups, Seq("win"), "inner")
+      .select(col("id"), col("pos"), col("dup_count"))
+  }
+
+  /** Exact-substring scrub (the Lee 2021 removal): every duplicated
+    * window's span [pos, pos+windowLen) is cut from its document EXCEPT
+    * the corpus-first occurrence (min (id, pos) per window text), which
+    * survives verbatim; overlapping cut spans within a document merge
+    * before excision. Returns the input columns with `textCol` replaced by
+    * the scrubbed text (docs with nothing to cut pass through verbatim,
+    * including docs shorter than a window).
+    *
+    * Shapes: election is groupBy(win) → min(struct(id, pos)) (map-side
+    * combinable); cuts per doc are a sorted position array (bounded by
+    * windows-per-doc); the excision itself is one `aggregate` HOF walking
+    * the sorted cut starts with a (cursor, acc) state — interpreted, but
+    * per-element work is an attribute read + substr (the r12 HOF rule:
+    * never capture a wide expression tree in the lambda). */
+  def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      windowLen: Int, anchorEvery: Int = 1,
+      hashWindows: Boolean = false): DataFrame = {
+    val occ = anchoredWindows(df, idCol, textCol, windowLen, anchorEvery,
+      hashWindows)
+    val winners = occ.groupBy("win")
+      .agg(min(struct(col("id"), col("pos"))).as("w0"),
+        count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val cuts = occ.join(winners, Seq("win"), "inner")
+      .filter(struct(col("id"), col("pos")) =!= col("w0"))
+      .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("_cuts"))
+      .withColumnRenamed("id", idCol)
+    val t = col(textCol)
+    // walk the sorted cut starts once: copy [cursor, s) when s is past the
+    // cursor, then jump the cursor over the span; the tail copies at finish.
+    // All positions 1-based to match substr/DuckDB.
+    val scrubbed = aggregate(
+      col("_cuts"),
+      struct(lit(1L).as("cur"), lit("").as("acc")),
+      (st, s) => struct(
+        greatest(st.getField("cur"), s + windowLen).as("cur"),
+        concat(st.getField("acc"),
+          when(s > st.getField("cur"),
+            t.substr(st.getField("cur").cast("int"),
+              (s - st.getField("cur")).cast("int")))
+            .otherwise(lit(""))).as("acc")),
+      st => concat(st.getField("acc"),
+        t.substr(st.getField("cur").cast("int"),
+          greatest(length(t).cast("long") - st.getField("cur") + 1L, lit(0L))
+            .cast("int"))))
+    df.join(cuts, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("_cuts").isNull, t).otherwise(scrubbed))
+      .drop("_cuts")
+  }
 }

@@ -649,4 +649,134 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(blind == Set(1L, 10L, 42L))
   }
+
+  // ------------------------------------ exact-substring dedup (Lee 2021)
+
+  /** Word-start anchor positions (1-based) by split-on-space prefix sums —
+    * the exact positions [[Dedup.anchoredWindows]] derives, empty tokens
+    * included. */
+  private def anchors(t: String, L: Int): Seq[Int] =
+    t.split(" ", -1).scanLeft(1)((p, tk) => p + tk.length + 1).init
+      .filter(p => p + L - 1 <= t.length)
+
+  /** Single-threaded reference of the exact semantics: L-char windows at
+    * word-start anchors, duplicated = window text seen >= 2 times
+    * corpus-wide, all but the min-(id, pos) occurrence cut, overlapping
+    * cuts merged. */
+  private def naiveScrub(docs: Seq[(Long, String)], L: Int): Map[Long, String] = {
+    val occ = for {
+      (id, t) <- docs; if t.length >= L
+      p <- anchors(t, L)
+    } yield (id, p, t.substring(p - 1, p - 1 + L))
+    val removals = occ.groupBy(_._3).values.filter(_.size > 1)
+      .flatMap(_.sortBy(o => (o._1, o._2)).drop(1))
+      .toSeq.groupBy(_._1).map { case (id, os) => id -> os.map(_._2).sorted }
+    docs.map { case (id, t) =>
+      val sb = new StringBuilder
+      var cur = 1
+      for (s <- removals.getOrElse(id, Seq.empty)) {
+        if (s > cur) sb.append(t.substring(cur - 1, s - 1))
+        cur = math.max(cur, s + L)
+      }
+      if (cur <= t.length) sb.append(t.substring(cur - 1))
+      id -> sb.toString
+    }.toMap
+  }
+
+  private def scrubbedMap(docs: Seq[(Long, String)], L: Int,
+      hashWindows: Boolean = false): Map[Long, String] = {
+    import spark.implicits._
+    Dedup.scrubDuplicatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+        L, hashWindows = hashWindows)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("exact-substring scrub: first occurrence survives verbatim, later copies cut at UNALIGNED offsets, overlaps merge") {
+    val clone = "subscribe to our newsletter for more content and offers today"
+    val docs = Seq(
+      // clone offsets differ by a non-round amount — a fixed position grid
+      // would never align; word anchors are content-defined so they must
+      (1L, s"unique preamble one $clone trailing text alpha"),
+      (2L, s"a different lead-in here $clone other tail words"),
+      (3L, "no duplicated content in this document at all, it stays whole"))
+    val L = 30
+    val out = scrubbedMap(docs, L)
+    val naive = naiveScrub(docs, L)
+    assert(out == naive)
+    assert(out(3L) == docs(2)._2, "untouched doc passes through verbatim")
+    assert(out(1L) == docs(0)._2,
+      "doc 1 holds every elected first occurrence — nothing cut")
+    assert(out(2L).length < docs(1)._2.length, "doc 2 lost its cloned span")
+    assert(out(2L).startsWith("a different lead-in here "),
+      "text outside the cut spans survives")
+    assert(!out(2L).contains("subscribe to our newsletter"),
+      "the cloned run is gone from doc 2")
+    // detection view agrees with the naive occurrence count
+    import spark.implicits._
+    val det = Dedup.duplicatedWindows(docs.toDF("doc_id", "text"),
+      "doc_id", "text", L).count()
+    val naiveDet = (for {
+      (id, t) <- docs; if t.length >= L
+      p <- anchors(t, L)
+    } yield (id, p, t.substring(p - 1, p - 1 + L)))
+      .groupBy(_._3).values.filter(_.size > 1).map(_.size).sum
+    assert(det == naiveDet.toLong)
+  }
+
+  test("exact-substring scrub: within-doc repeats dedup; every cross-doc clone carrier loses chars (randomized vs naive)") {
+    val rnd = new scala.util.Random(4213)
+    val words = Vector("alpha", "bravo", "code", "delta", "echo", "fox",
+      "golf", "hotel", "india", "jazz", "kilo", "lima")
+    def prose(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+    val L = 24
+    val clone = prose(10) // ~50 chars, several interior word anchors
+    val docs = (1L to 12L).map { id =>
+      val body =
+        if (id % 3 == 0) prose(8) + " " + clone + " " + prose(8) // cross-doc clone
+        else if (id == 7L) clone + " " + prose(3) + " " + clone  // within-doc repeat
+        else prose(20)
+      (id, body)
+    }
+    val out = scrubbedMap(docs, L)
+    val naive = naiveScrub(docs, L)
+    assert(out == naive)
+    // identical runs select identical interior anchors: every carrier but
+    // the elected first loses chars
+    val carriers = docs.filter(d => d._2.contains(clone)).map(_._1)
+    assert(carriers.size >= 4, "fixture sanity: clone planted in several docs")
+    val untouched = carriers.filter(id => out(id) == docs.find(_._1 == id).get._2)
+    assert(untouched.size <= 1,
+      s"at most the elected first carrier stays whole, got $untouched")
+    // doc 7's second within-doc copy is cut even though doc 7 holds winners
+    assert(out(7L).length < docs.find(_._1 == 7L).get._2.length)
+    // content-correlated subsampling: anchorEvery=3 removals ⊆ exhaustive
+    // removals per doc (kept-or-not is decided by window content, so a
+    // subsampled run can only cut less, never differently)
+    import spark.implicits._
+    val sub = Dedup.scrubDuplicatedSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", L, anchorEvery = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, t) =>
+      assert(sub(id).length >= out(id).length,
+        s"doc $id: subsampled scrub must cut no more than exhaustive")
+      assert(sub(id).length <= t.length)
+    }
+  }
+
+  test("exact-substring: hashWindows=true ≡ exact string grouping (detection and scrub), on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text")
+    val L = 40
+    val exactDet = Dedup.duplicatedWindows(docs, "doc_id", "text", L)
+      .groupBy("id").count()
+    val hashDet = Dedup.duplicatedWindows(docs, "doc_id", "text", L,
+      hashWindows = true).groupBy("id").count()
+    assert(exactDet.exceptAll(hashDet).isEmpty && hashDet.exceptAll(exactDet).isEmpty)
+    assert(exactDet.count() > 0, "fixture sanity: the corpus holds duplicated windows")
+    val a = Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", L)
+    val b = Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", L,
+      hashWindows = true)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() == docs.count(), "scrub never drops or duplicates documents")
+  }
 }
