@@ -489,6 +489,45 @@ object SparkEntry {
       path
     }
 
+  /** Memoized CHANGE-FEED table for w35: init on the low-90% orderkey
+    * domain with a 4-snapshot window, blind-append the tail + maintain
+    * (gen 1), then span-prune-DELETE a two-sided band (gen 2) — so the
+    * 0→2 change feed must surface the tail as inserts and the band as
+    * deletes, nothing else, even though the rewrites carried thousands of
+    * untouched rows through churned files. */
+  private val zcdcMemo = layoutMemo
+  private def zorderChangedFor(s: SparkSession, d: String): String =
+    memoizedLayout(zcdcMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w35_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zcdc16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val li = t(s, d, "lineitem")
+          val mx = li.agg(max("l_orderkey"), max("l_suppkey")).collect()(0)
+          val (ma, mb) = (mx.getLong(0), mx.getLong(1))
+          Layout.zorderInit(s, li.filter(col("l_orderkey") <= ma * 9 / 10),
+            path, "l_orderkey", "l_suppkey", nFiles = 16, keepGenerations = 4)
+          Layout.zorderAppend(li.filter(col("l_orderkey") > ma * 9 / 10), path)
+          require(Layout.zorderMaintain(s, path)._1 > 0,
+            "the tail append must fold rows")
+          val (del, _, _) = Layout.zorderDelete(s, path,
+            (ma / 4, ma / 2), (mb * 2 / 5, mb / 2))
+          require(del > 0, "the band must hold rows")
+          require(Layout.retainedGens(path) == Seq(0L, 1L, 2L),
+            "all three snapshots must be retained for the feed")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized UPSERTED table for w34: init from lineitem with a
     * deliberately CORRUPTED orderkey band (quantity ×1000), then one
     * keyed zorderUpsert of the band's true rows — the builder REQUIRES
@@ -2282,6 +2321,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))),
+
+    // CHANGE FEED (CDC) across the maintained table's lifecycle: the 0→2
+    // manifest diff must net out to exactly the appended tail (inserts)
+    // and the deleted band (deletes) — carried rows in churned files
+    // cancel, shared files are never read (the entry REQUIRES some were
+    // skipped); the twin re-derives both row sets from raw lineitem
+    "w35_zorder_changes" -> ((s, d) => {
+      val path = zorderChangedFor(s, d)
+      val (_, _, shared) = Layout.zorderChangesFiles(path, 0L, 2L)
+      require(shared >= 1, "the feed must skip shared files")
+      Layout.zorderChanges(s, path, 0L, 2L)
+        .groupBy("change_type", "l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
 
     // TIME TRAVEL on the maintained table: generation 0 read AS OF, after
     // a later maintain committed generation 1 on top — the snapshot must
@@ -4376,6 +4430,23 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // the 0→2 change feed ≡ inserts = the appended tail, deletes = the
+    // banded rows (the band sits inside the low-90% init domain and the
+    // tail outside it, so the two legs are disjoint by construction)
+    "w35_zorder_changes" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) AS ma, MAX(l_suppkey) AS mb FROM lineitem)
+        |SELECT 'insert' AS change_type, l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem, mx WHERE l_orderkey > ma * 9 // 10
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'delete' AS change_type, l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem, mx
+        |WHERE l_orderkey BETWEEN ma // 4 AND ma // 2
+        |  AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2
+        |GROUP BY 1, 2""".stripMargin,
 
     // generation 0 as-of ≡ the low-90% corpus it froze
     "w33_zorder_asof" ->

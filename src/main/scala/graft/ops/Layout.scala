@@ -1016,6 +1016,65 @@ object Layout {
     } finally { batch.unpersist(); () }
   }
 
+  // ------------------------------------------------- change feed (CDC)
+  //
+  // The manifest diff IS a change feed: data files are immutable and
+  // generation-unique by name, so a file listed in BOTH manifests holds
+  // byte-identical rows and contributes nothing — only the files unique
+  // to each side need reading, and a row-level multiset EXCEPT of those
+  // two slices yields exactly the rows that changed (the Delta Lake CDF /
+  // Iceberg changelog shape, recovered WITHOUT per-commit change files:
+  // the commit protocol already records everything needed). Cost scales
+  // with the CHURNED file set, never the table: a maintain that rewrote 3
+  // of 100k files diffs 6 files. Rows a rewrite carried verbatim (a
+  // maintain folding appends into a file, an upsert landing identical
+  // values) cancel in the EXCEPT — the feed reports net row changes, not
+  // file-level rewrites.
+
+  /** Which files a [[zorderChanges]] call would read: (fromOnly, toOnly,
+    * shared) — shared files are skipped entirely, the incrementality
+    * audit. */
+  def zorderChangesFiles(path: String, fromGen: Long,
+      toGen: Long): (Int, Int, Int) = {
+    val from = changeManifest(path, fromGen).spans.map(_.file).toSet
+    val to = changeManifest(path, toGen).spans.map(_.file).toSet
+    ((from -- to).size, (to -- from).size, (from & to).size)
+  }
+
+  private def changeManifest(path: String, gen: Long): Manifest = {
+    require(java.nio.file.Files.isRegularFile(manifestPath(path, gen)),
+      s"generation $gen of $path is not retained (window: " +
+        s"${retainedGens(path).mkString(", ")}) — raise keepGenerations " +
+        "BEFORE the commits you want a change feed across")
+    readManifest(path, gen)
+  }
+
+  /** CDC between two RETAINED generations: one row per NET row change
+    * from `fromGen` to `toGen`, the table's columns plus `change_type`
+    * ('insert' | 'delete'; an update surfaces as its delete+insert pair).
+    * Multiset semantics — a row present twice in `fromGen` and once in
+    * `toGen` yields one delete. Only files unique to one side are read
+    * ([[zorderChangesFiles]] audits); `fromGen == toGen` returns the
+    * empty feed. Unmaintained landing rows are in no manifest and thus in
+    * no feed — the feed covers COMMITTED generations, same snapshot
+    * semantics as every reader here. */
+  def zorderChanges(spark: SparkSession, path: String, fromGen: Long,
+      toGen: Long): DataFrame = {
+    val from = changeManifest(path, fromGen)
+    val to = changeManifest(path, toGen)
+    val fromFiles = from.spans.map(_.file).toSet
+    val toFiles = to.spans.map(_.file).toSet
+    val fromOnly = from.spans.filter(s => !toFiles.contains(s.file))
+    val toOnly = to.spans.filter(s => !fromFiles.contains(s.file))
+    def slice(spans: Seq[Span]) =
+      if (spans.isEmpty) spanFiles(spark, path, from.spans).limit(0)
+      else spanFiles(spark, path, spans)
+    val old = slice(fromOnly)
+    val neu = slice(toOnly)
+    old.exceptAll(neu).withColumn("change_type", lit("delete"))
+      .unionByName(neu.exceptAll(old).withColumn("change_type", lit("insert")))
+  }
+
   /** GC entry point without a commit: takes the table lock, rolls back
     * crashed batch appends, and runs the standard heal sweep (stray
     * manifests, consumed landing files, data files no retained manifest

@@ -460,6 +460,76 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       s"orphans=${onDisk.diff(listed)} missing=${listed.diff(onDisk)}")
   }
 
+  test("zorderChanges: net row feed between retained generations — shared files skipped, carried rows cancel, updates are delete+insert pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zcdc").toString + "/t"
+    val base = spark.range(4096L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
+        col("id").as("v"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 8, keepGenerations = 4)
+
+    // gen 1: blind append + incremental maintain
+    val add = (0 until 16).map(i => (i.toLong, i.toLong, 10000L + i)).toDF("a", "b", "v")
+    Layout.zorderAppend(add, dir)
+    Layout.zorderMaintain(spark, dir)
+    val (fOnly, tOnly, shared) = Layout.zorderChangesFiles(dir, 0L, 1L)
+    assert(shared >= 1, s"carried files must be skipped: $fOnly/$tOnly/$shared")
+    val ch01 = Layout.zorderChanges(spark, dir, 0L, 1L).cache()
+    try {
+      assert(ch01.filter(col("change_type") === "delete").isEmpty,
+        "a maintain deletes nothing")
+      val ins = ch01.filter(col("change_type") === "insert").drop("change_type")
+      assert(ins.count() == 16 && ins.exceptAll(add).isEmpty &&
+        add.exceptAll(ins).isEmpty,
+        "inserts ≡ the appended rows, even though the rewritten files " +
+          "also carried thousands of old rows")
+    } finally ch01.unpersist()
+
+    // gen 2: span-pruned band delete → pure deletes
+    val (aBand, bBand) = ((4L, 11L), (4L, 11L))
+    assert(Layout.zorderDelete(spark, dir, aBand, bBand)._1 > 0)
+    val ch12 = Layout.zorderChanges(spark, dir, 1L, 2L).cache()
+    try {
+      assert(ch12.filter(col("change_type") === "insert").isEmpty)
+      val dels = ch12.filter(col("change_type") === "delete").drop("change_type")
+      val want = Layout.zorderReadAsOf(spark, dir, 1L)
+        .filter(col("a").between(4, 11) && col("b").between(4, 11))
+      assert(dels.exceptAll(want).isEmpty && want.exceptAll(dels).isEmpty,
+        "deletes ≡ exactly the band rows")
+    } finally ch12.unpersist()
+
+    // gen 3: keyed upsert — a changed value surfaces as its delete+insert
+    // pair; a key upserted with IDENTICAL values rewrites its file but
+    // cancels in the feed (net semantics)
+    val batch = Seq((20L, 20L, -1L), (30L, 30L, 30L * 64 + 30)).toDF("a", "b", "v")
+    assert(Layout.zorderUpsert(spark, batch, dir)._1 == 2L)
+    val ch23 = Layout.zorderChanges(spark, dir, 2L, 3L).cache()
+    try {
+      val rows = ch23.collect().map(r =>
+        (r.getString(3), r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("delete", 20L, 20L, 20L * 64 + 20), ("insert", 20L, 20L, -1L)),
+        s"only the net change ships: $rows")
+    } finally ch23.unpersist()
+
+    // identity and composition: same-gen feed is empty; the 0→3 feed nets
+    // out to the same row delta as the snapshots themselves
+    assert(Layout.zorderChanges(spark, dir, 2L, 2L).isEmpty)
+    val ch03 = Layout.zorderChanges(spark, dir, 0L, 3L)
+      .groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val net = ch03.getOrElse("insert", 0L) - ch03.getOrElse("delete", 0L)
+    assert(net == Layout.zorderReadAsOf(spark, dir, 3L).count() -
+      Layout.zorderReadAsOf(spark, dir, 0L).count())
+    // a gen outside the retention window names itself loudly
+    Layout.setRetention(dir, 1)
+    Layout.zorderVacuum(dir)
+    val ex = intercept[IllegalArgumentException] {
+      Layout.zorderChanges(spark, dir, 0L, 3L)
+    }
+    assert(ex.getMessage.contains("not retained"))
+  }
+
   test("zorderDelete: span-pruned band delete — only matching files rewrite, full files drop, repeat is a no-op") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zdel").toString + "/t"
