@@ -528,6 +528,35 @@ object SparkEntry {
       path
     }
 
+  /** Memoized BLOOM-INDEXED table for w36: orders clustered on
+    * (o_custkey, o_totalprice) — spans useless for orderkey probes — with
+    * a bloom sidecar over the UNIQUE o_orderkey, so point lookups must
+    * resolve through the bitsets alone. */
+  private val zbloomMemo = layoutMemo
+  private def zorderBloomFor(s: SparkSession, d: String): String =
+    memoizedLayout(zbloomMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w36_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/orders.parquet") + "#zbloom16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          Layout.zorderInit(s, t(s, d, "orders"), path,
+            "o_custkey", "o_totalprice", nFiles = 16)
+          val (scanned, _) = Layout.zorderBloomBuild(s, path, "o_orderkey",
+            bits = 1 << 16, hashes = 5)
+          require(scanned >= 1, "the bloom build must scan the fresh files")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized UPSERTED table for w34: init from lineitem with a
     * deliberately CORRUPTED orderkey band (quantity ×1000), then one
     * keyed zorderUpsert of the band's true rows — the builder REQUIRES
@@ -2321,6 +2350,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))),
+
+    // BLOOM POINT LOOKUP on a non-layout column: orders clustered on
+    // (custkey, totalprice) — z-spans prune nothing for orderkey probes —
+    // so the per-file bloom sidecar alone must cut the file list (the
+    // entry REQUIRES pruning engaged; one probe key is deliberately
+    // absent); the twin is a plain IN filter over raw orders — bitsets
+    // must never change answers
+    "w36_zorder_bloom" -> ((s, d) => {
+      val path = zorderBloomFor(s, d)
+      val mo = Layout.zorderRead(s, path)
+        .agg(max("o_orderkey")).collect()(0).getLong(0)
+      val probes = Seq(mo / 7, mo / 3, mo / 2 + 1, mo + 99999)
+      val (open, total, used) = Layout.zorderLookupFiles(path, "o_orderkey", probes)
+      require(used && open < total, s"bloom must prune: $open/$total")
+      Layout.zorderPointLookup(s, path, "o_orderkey", probes)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    }),
 
     // CHANGE FEED (CDC) across the maintained table's lifecycle: the 0→2
     // manifest diff must net out to exactly the appended tail (inserts)
@@ -4430,6 +4476,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // bloom-pruned point lookups ≡ a plain IN filter (one key absent on
+    // purpose — a false positive may open a file but never lands a row)
+    "w36_zorder_bloom" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mo FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders, mx
+        |WHERE o_orderkey IN (mo // 7, mo // 3, mo // 2 + 1, mo + 99999)""".stripMargin,
 
     // the 0→2 change feed ≡ inserts = the appended tail, deletes = the
     // banded rows (the band sits inside the low-90% init domain and the

@@ -1016,6 +1016,171 @@ object Layout {
     } finally { batch.unpersist(); () }
   }
 
+  // --------------------------------- bloom point-lookup sidecar (per gen)
+  //
+  // Z-spans prune RANGE predicates on the layout keys; a point lookup on
+  // any OTHER high-cardinality column (fetch a document by id, an order
+  // by key) touches every file without more statistics. The standard
+  // lakehouse answer is a per-file Bloom filter (Parquet bloom filters /
+  // Delta bloom indexes, public formats): `bloom-<gen>-<col>.tsv` holds
+  // one bitset per data file over xxhash64 of the column, and a lookup
+  // ANDs the probe's k bit positions against each file's set DRIVER-SIDE
+  // — files failing any bit provably lack the value (no false negatives),
+  // so the reader opens ~1 file + ε·fp instead of all of them. The
+  // sidecar is generation-addressed and INCREMENTAL like everything else
+  // here: carried data files keep their bitset rows verbatim (bitsets
+  // depend only on file content, and files are immutable), so a rebuild
+  // after maintain scans only the files the maintain rewrote.
+  //
+  // Scale: build is one column-pruned pass over the fresh files with a
+  // (file, word) bit_or aggregate — the shuffle carries at most
+  // files × bits/64 longs; the sidecar itself is the driver-held planning
+  // state, same budget class as the manifest (bits is the dial: 2^16 bits
+  // = 8 KB/file ≈ 1 GB of sidecar at 100k files, read once per planner).
+
+  private def bloomPath(path: String, gen: Long, keyCol: String) =
+    java.nio.file.Paths.get(path, s"bloom-$gen-$keyCol.tsv")
+
+  private[ops] final case class BloomSidecar(bits: Int, hashes: Int,
+      words: Map[String, Map[Int, Long]]) // file → sparse wordIdx → word
+
+  private def readBloom(path: String, gen: Long,
+      keyCol: String): Option[BloomSidecar] = {
+    val p = bloomPath(path, gen, keyCol)
+    if (!java.nio.file.Files.isRegularFile(p)) return None
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(p).asScala
+      .filter(_.nonEmpty).toSeq
+    val (hdr, rows) = lines.partition(_.startsWith("#"))
+    val meta = hdr.map(_.stripPrefix("#").split("\t", 2))
+      .collect { case Array(k, v) => (k, v) }.toMap
+    Some(BloomSidecar(meta("bits").toInt, meta("hashes").toInt,
+      rows.map { l =>
+        val p = l.split("\t", 2)
+        val ws = if (p.length < 2 || p(1).isEmpty) Map.empty[Int, Long]
+          else p(1).split(",").map { e =>
+            val Array(i, h) = e.split(":")
+            i.toInt -> java.lang.Long.parseUnsignedLong(h, 16)
+          }.toMap
+        p(0) -> ws
+      }.toMap))
+  }
+
+  private def writeBloom(path: String, gen: Long, keyCol: String, bits: Int,
+      hashes: Int, words: Map[String, Map[Int, Long]]): Unit = {
+    val body = (Seq(s"#bits\t$bits", s"#hashes\t$hashes") ++
+      words.toSeq.sortBy(_._1).map { case (f, ws) =>
+        f + "\t" + ws.toSeq.sorted
+          .map { case (i, w) => s"$i:${java.lang.Long.toHexString(w)}" }
+          .mkString(",")
+      }).mkString("\n")
+    writeAtomic(bloomPath(path, gen, keyCol), body)
+  }
+
+  /** Driver twin of the build's `xxhash64(key, seed)` — the SAME Catalyst
+    * expression evaluated on literals, so probe positions match the built
+    * bitsets bit-for-bit by construction. */
+  private def probePositions(v: Long, bits: Int, hashes: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until hashes).map { i =>
+      val h = XxHash64(Seq(Literal(v), Literal(i.toLong)), 42L)
+        .eval(null).asInstanceOf[Long]
+      java.lang.Math.floorMod(h, bits.toLong).toInt
+    }
+  }
+
+  private def bloomMightContain(ws: Map[Int, Long], pos: Seq[Int]): Boolean =
+    pos.forall(p => (ws.getOrElse(p / 64, 0L) & (1L << (p % 64))) != 0L)
+
+  /** Build (or incrementally refresh) the CURRENT generation's bloom
+    * sidecar over `keyCol` (an integral column — hashed as long). Bitset
+    * rows for files carried from an earlier retained generation's sidecar
+    * with the same (bits, hashes) are copied, not rescanned — only fresh
+    * files pay a scan. Returns (filesScanned, filesCarried). */
+  def zorderBloomBuild(spark: SparkSession, path: String, keyCol: String,
+      bits: Int = 1 << 16, hashes: Int = 5): (Int, Int) = withTableLock(path) {
+    require(Integer.bitCount(bits) == 1 && bits >= 64,
+      "bits must be a power of two >= 64")
+    require(hashes >= 1 && hashes <= 16, "need 1 <= hashes <= 16")
+    val (cur, man) = currentManifest(path)
+    val prior: Map[String, Map[Int, Long]] =
+      retainedGens(path).filter(_ < cur).sorted.reverse
+        .flatMap(g => readBloom(path, g, keyCol))
+        .find(b => b.bits == bits && b.hashes == hashes)
+        .map(_.words).getOrElse(Map.empty)
+    val files = man.spans.map(_.file)
+    val carried = files.filter(prior.contains)
+    val toScan = files.filterNot(prior.contains)
+    val fresh: Map[String, Map[Int, Long]] =
+      if (toScan.isEmpty) Map.empty
+      else {
+        val root = java.nio.file.Paths.get(path).toAbsolutePath
+        val key = col(keyCol).cast("long")
+        val posArr = array((0 until hashes).map(i =>
+          pmod(xxhash64(key, lit(i.toLong)), lit(bits.toLong))): _*)
+        val byName = toScan.map(f =>
+          java.nio.file.Paths.get(f).getFileName.toString -> f).toMap
+        require(byName.size == toScan.size,
+          s"duplicate data-file basenames in the manifest at $path")
+        val rows = spark.read
+          .parquet(toScan.map(f => root.resolve(f).toString): _*)
+          .filter(key.isNotNull)
+          .select(element_at(split(input_file_name(), "/"), -1).as("fname"),
+            explode(posArr).as("pos"))
+          .groupBy(col("fname"), (col("pos") / 64).cast("int").as("w"))
+          .agg(expr("bit_or(shiftleft(1L, cast(pmod(pos, 64) as int)))").as("bits"))
+          .collect() // bounded: <= files × bits/64 sparse words
+        val built = rows.groupBy(_.getString(0)).map { case (fname, rs) =>
+          byName(fname) -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+        }
+        // all-null-key files legitimately build an empty bitset — every
+        // probe prunes them, and null never equals a probe value
+        toScan.map(f => f -> built.getOrElse(f, Map.empty[Int, Long])).toMap
+      }
+    writeBloom(path, cur, keyCol, bits, hashes,
+      carried.map(f => f -> prior(f)).toMap ++ fresh)
+    (toScan.size, carried.size)
+  }
+
+  /** Which files a [[zorderPointLookup]] would open: (open, total,
+    * bloomUsed). `bloomUsed = false` means no sidecar exists for the
+    * CURRENT generation + column — the lookup then falls back to every
+    * file (correct, unpruned; run [[zorderBloomBuild]] after commits to
+    * keep lookups pruned). */
+  def zorderLookupFiles(path: String, keyCol: String,
+      values: Seq[Long]): (Int, Int, Boolean) = {
+    val (cur, man) = currentManifest(path)
+    readBloom(path, cur, keyCol) match {
+      case None => (man.spans.size, man.spans.size, false)
+      case Some(b) =>
+        val probes = values.distinct.map(v => probePositions(v, b.bits, b.hashes))
+        (man.spans.count(s => probes.exists(p =>
+          bloomMightContain(b.words.getOrElse(s.file, Map.empty), p))),
+          man.spans.size, true)
+    }
+  }
+
+  /** Point lookup by bloom sidecar: rows of the CURRENT generation whose
+    * `keyCol` is one of `values`, opening only files whose bitset admits
+    * at least one probe (no false negatives — the residual IN filter
+    * handles bloom false positives). Without a current-generation sidecar
+    * the lookup still answers, unpruned. */
+  def zorderPointLookup(spark: SparkSession, path: String, keyCol: String,
+      values: Seq[Long]): DataFrame = {
+    val (cur, man) = currentManifest(path)
+    val hit = readBloom(path, cur, keyCol) match {
+      case None => man.spans
+      case Some(b) =>
+        val probes = values.distinct.map(v => probePositions(v, b.bits, b.hashes))
+        man.spans.filter(s => probes.exists(p =>
+          bloomMightContain(b.words.getOrElse(s.file, Map.empty), p)))
+    }
+    val base =
+      if (hit.isEmpty) spanFiles(spark, path, man.spans).limit(0)
+      else spanFiles(spark, path, hit)
+    base.filter(col(keyCol).cast("long").isin(values: _*))
+  }
+
   // ------------------------------------------------- change feed (CDC)
   //
   // The manifest diff IS a change feed: data files are immutable and
@@ -1113,6 +1278,10 @@ object Layout {
       try ls.iterator().asScala.map(_.getFileName.toString).filter { n =>
         (n.startsWith("manifest-") && n.endsWith(".tsv") &&
           !n.stripPrefix("manifest-").stripSuffix(".tsv").toLongOption
+            .exists(window.contains)) ||
+        // bloom sidecars are generation-addressed like manifests
+        (n.startsWith("bloom-") && n.endsWith(".tsv") &&
+          !n.stripPrefix("bloom-").takeWhile(_ != '-').toLongOption
             .exists(window.contains)) ||
         n.endsWith(".tmp")
       }.toList

@@ -460,6 +460,73 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       s"orphans=${onDisk.diff(listed)} missing=${listed.diff(onDisk)}")
   }
 
+  test("bloom point lookup: prunes to ~1 file with no false negatives; rebuild is incremental; stale sidecar falls back; heal GCs aged sidecars") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = java.nio.file.Files.createTempDirectory("graft_zbloom").toString + "/t"
+    // layout keys (a, b); lookup key k is a scrambled unique id, so every
+    // file holds a scattered slice of keys — exactly where z-spans prune
+    // nothing and the bloom must carry the lookup alone
+    val base = spark.range(4096L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
+        pmod(col("id") * 2654435761L, lit(1L << 31)).as("k"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16, keepGenerations = 2)
+    def kOf(id: Long) = java.lang.Math.floorMod(id * 2654435761L, 1L << 31)
+
+    val (scanned0, carried0) = Layout.zorderBloomBuild(spark, dir, "k",
+      bits = 1 << 14, hashes = 5)
+    assert(scanned0 == 16 && carried0 == 0)
+    val present = Seq(kOf(7), kOf(999), kOf(4000))
+    val absent = Seq(kOf(7) + 1) // scrambled domain: +1 is (almost surely) no key
+    val (open, total, used) = Layout.zorderLookupFiles(dir, "k", present)
+    assert(used && open < total, s"bloom must prune: $open/$total")
+    assert(open >= 1 && open <= 8, s"three unique keys live in <= 3 files + fp: $open")
+    val got = Layout.zorderPointLookup(spark, dir, "k", present)
+    val want = Layout.zorderRead(spark, dir).filter(col("k").isin(present: _*))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "lookup ≡ full filter (no false negatives)")
+    assert(Layout.zorderPointLookup(spark, dir, "k", absent).isEmpty)
+
+    // maintain commits gen 1 — the gen-0 sidecar no longer applies, and the
+    // lookup FALLS BACK to all files rather than miss the appended row
+    Layout.zorderAppend(Seq((5L, 6L, 777777777L)).toDF("a", "b", "k"), dir)
+    val (_, rewritten, carriedFiles) = Layout.zorderMaintain(spark, dir)
+    val (o2, t2, used2) = Layout.zorderLookupFiles(dir, "k", Seq(777777777L))
+    assert(!used2 && o2 == t2, "no current-gen sidecar → unpruned fallback")
+    assert(Layout.zorderPointLookup(spark, dir, "k", Seq(777777777L)).count() == 1)
+
+    // param mismatch forces a full rescan; matching params carry bitsets
+    // for every file the maintain left untouched
+    val (sMis, cMis) = Layout.zorderBloomBuild(spark, dir, "k",
+      bits = 1 << 13, hashes = 5)
+    assert(sMis == rewritten + carriedFiles && cMis == 0,
+      "different bits → nothing carries")
+    val (s1, c1) = Layout.zorderBloomBuild(spark, dir, "k",
+      bits = 1 << 14, hashes = 5)
+    assert(s1 == rewritten && c1 == carriedFiles,
+      s"incremental rebuild scans only rewritten files: $s1/$c1")
+    val (o3, t3, used3) = Layout.zorderLookupFiles(dir, "k", Seq(777777777L))
+    assert(used3 && o3 < t3)
+    assert(Layout.zorderPointLookup(spark, dir, "k", Seq(777777777L))
+      .count() == 1, "the appended key resolves through the rebuilt bloom")
+    val all = Layout.zorderPointLookup(spark, dir, "k", present :+ 777777777L)
+    assert(all.count() == 4, "mixed probes across generations of files")
+
+    // another maintain ages gen 0 out (window 2) — heal GCs bloom-0 and
+    // keeps bloom-1; the next build carries from bloom-1
+    Layout.zorderAppend(Seq((60L, 60L, 888888888L)).toDF("a", "b", "k"), dir)
+    Layout.zorderMaintain(spark, dir)
+    assert(!Files.isRegularFile(Paths.get(dir, "bloom-0-k.tsv")),
+      "aged-out generation's sidecar is GC'd")
+    assert(Files.isRegularFile(Paths.get(dir, "bloom-1-k.tsv")),
+      "retained generation's sidecar survives")
+    val (s2, c2) = Layout.zorderBloomBuild(spark, dir, "k",
+      bits = 1 << 14, hashes = 5)
+    assert(c2 >= 1 && s2 >= 1, s"carry from the retained sidecar: $s2/$c2")
+    assert(Layout.zorderPointLookup(spark, dir, "k",
+      Seq(777777777L, 888888888L)).count() == 2)
+  }
+
   test("zorderChanges: net row feed between retained generations — shared files skipped, carried rows cancel, updates are delete+insert pairs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zcdc").toString + "/t"
