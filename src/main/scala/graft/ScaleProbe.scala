@@ -340,6 +340,17 @@ object ScaleProbe {
           ()
         }),
 
+        // r13 session 2: exact-substring dedup (Lee 2021) — word-anchored
+        // windows shuffle one row per word (the shingle family's budget),
+        // election is one min-struct groupBy; the scrub adds a per-doc
+        // sorted-cut fold. Expect ~linear decades.
+        "d22_dup_windows" -> (() => noop(
+          Dedup.duplicatedWindows(docs, "doc_id", "text", windowLen = 40)
+            .groupBy("id").count())),
+        "d23_substring_scrub" -> (() => noop(
+          Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", windowLen = 40)
+            .select(col("doc_id"), length(col("text"))))),
+
         // z-order rewrite (r12): bounds aggregate + repartitionByRange +
         // within-partition sort + parquet write over lineitem — the whole
         // layout pipeline, timed at 10× rows (star decade only)

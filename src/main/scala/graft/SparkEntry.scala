@@ -528,6 +528,32 @@ object SparkEntry {
       path
     }
 
+  /** Memoized 64-file CENSUS table for w37: a plain zorderInit over full
+    * lineitem (exact frozen bounds, no appends — tight spans), enough
+    * files that a wide interior band fully covers interior tiles and the
+    * metadata-only count path genuinely engages. */
+  private val zcensusMemo = layoutMemo
+  private def zorderCensusFor(s: SparkSession, d: String): String =
+    memoizedLayout(zcensusMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w37_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zcensus64")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          Layout.zorderInit(s, t(s, d, "lineitem"), path,
+            "l_orderkey", "l_suppkey", nFiles = 64)
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized BLOOM-INDEXED table for w36: orders clustered on
     * (o_custkey, o_totalprice) — spans useless for orderkey probes — with
     * a bloom sidecar over the UNIQUE o_orderkey, so point lookups must
@@ -2350,6 +2376,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))),
+
+    // METADATA-ONLY band count over a maintained 64-file table: files
+    // fully inside the wide interior band count from their manifest rows
+    // without being opened (the entry REQUIRES some did — the python
+    // presim measured 15-21 covered of 64 at every SF), only perimeter
+    // files scan — the twin counts the same band from raw lineitem
+    "w37_zorder_meta_count" -> ((s, d) => {
+      import s.implicits._
+      val path = zorderCensusFor(s, d)
+      val mx = Layout.zorderRead(s, path)
+        .agg(max("l_orderkey"), max("l_suppkey")).collect()(0)
+      val (ma, mb) = (mx.getLong(0), mx.getLong(1))
+      val (aB, bB) = ((ma / 8, ma * 7 / 8), (mb / 8, mb * 7 / 8))
+      val (covered, boundary, total) = Layout.zorderCountFiles(path, aB, bB)
+      require(covered >= 1,
+        s"the interior band must cover whole files: $covered/$boundary/$total")
+      require(covered + boundary < total,
+        s"the band must also prune files outright: $covered/$boundary/$total")
+      Seq(Layout.zorderCountBand(s, path, aB, bB)).toDF("n_band")
+    }),
 
     // BLOOM POINT LOOKUP on a non-layout column: orders clustered on
     // (custkey, totalprice) — z-spans prune nothing for orderkey probes —
@@ -4476,6 +4522,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // the metadata-assisted band count ≡ a plain band count
+    "w37_zorder_meta_count" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) AS ma, MAX(l_suppkey) AS mb FROM lineitem)
+        |SELECT COUNT(*) AS n_band FROM lineitem, mx
+        |WHERE l_orderkey BETWEEN ma // 8 AND ma * 7 // 8
+        |  AND l_suppkey BETWEEN mb // 8 AND mb * 7 // 8""".stripMargin,
 
     // bloom-pruned point lookups ≡ a plain IN filter (one key absent on
     // purpose — a false positive may open a file but never lands a row)

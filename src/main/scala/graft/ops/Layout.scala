@@ -1181,6 +1181,56 @@ object Layout {
     base.filter(col(keyCol).cast("long").isin(values: _*))
   }
 
+  // -------------------------------------- metadata-only band aggregates
+  //
+  // The manifest's per-file row counts + key spans answer a band COUNT
+  // mostly WITHOUT data: a file whose spans lie entirely inside both
+  // bands matches with every row (count += manifest rows, file never
+  // opened); a file whose spans miss either band contributes nothing;
+  // only BOUNDARY files — intersecting but not contained — scan. On a
+  // z-clustered table boundary files are the band's perimeter, so the
+  // scanned fraction shrinks as the file count grows (perimeter/area) —
+  // the Iceberg/Delta "answer from metadata" shape, here for the
+  // operator a curation pipeline actually runs (how many rows in this
+  // date×tenant slab?).
+
+  /** How a [[zorderCountBand]] splits the CURRENT generation:
+    * (covered, boundary, total) — covered files count from the manifest
+    * alone, boundary files scan, the rest are pruned. */
+  def zorderCountFiles(path: String, aRange: (Long, Long),
+      bRange: (Long, Long)): (Int, Int, Int) = {
+    val (_, man) = currentManifest(path)
+    val (cov, bnd) = splitCovered(man.spans, aRange, bRange)
+    (cov.size, bnd.size, man.spans.size)
+  }
+
+  private def splitCovered(spans: Seq[Span], aRange: (Long, Long),
+      bRange: (Long, Long)): (Seq[Span], Seq[Span]) = {
+    val touched = spans.filter(s =>
+      s.aMin <= aRange._2 && s.aMax >= aRange._1 &&
+      s.bMin <= bRange._2 && s.bMax >= bRange._1)
+    touched.partition(s =>
+      s.aMin >= aRange._1 && s.aMax <= aRange._2 &&
+      s.bMin >= bRange._1 && s.bMax <= bRange._2)
+  }
+
+  /** COUNT of CURRENT-generation rows inside the two-sided band, reading
+    * only boundary files (see [[zorderCountFiles]]); a whole-domain band
+    * answers purely from the manifest. */
+  def zorderCountBand(spark: SparkSession, path: String,
+      aRange: (Long, Long), bRange: (Long, Long)): Long = {
+    val (_, man) = currentManifest(path)
+    val (covered, boundary) = splitCovered(man.spans, aRange, bRange)
+    val metaRows = covered.map(_.rows).sum
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else spanFiles(spark, path, boundary)
+        .filter(col(man.colA).between(aRange._1, aRange._2) &&
+          col(man.colB).between(bRange._1, bRange._2))
+        .count()
+    metaRows + scanned
+  }
+
   // ------------------------------------------------- change feed (CDC)
   //
   // The manifest diff IS a change feed: data files are immutable and

@@ -527,6 +527,32 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       Seq(777777777L, 888888888L)).count() == 2)
   }
 
+  test("zorderCountBand: covered files count from the manifest, only boundary files scan, answers ≡ filter counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zcnt").toString + "/t"
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16)
+    def want(aB: (Long, Long), bB: (Long, Long)) =
+      Layout.zorderRead(spark, dir)
+        .filter(col("a").between(aB._1, aB._2) && col("b").between(bB._1, bB._2))
+        .count()
+    // wide interior band: most files covered (metadata), few boundary
+    val (aB, bB) = ((8L, 55L), (8L, 55L))
+    val (cov, bnd, tot) = Layout.zorderCountFiles(dir, aB, bB)
+    assert(cov >= 1, s"interior band must fully cover files: $cov/$bnd/$tot")
+    assert(cov + bnd <= tot)
+    assert(Layout.zorderCountBand(spark, dir, aB, bB) == want(aB, bB))
+    // whole-domain band: answered purely from the manifest
+    val whole = ((0L, 63L), (0L, 63L))
+    val (covW, bndW, totW) = Layout.zorderCountFiles(dir, whole._1, whole._2)
+    assert(covW == totW && bndW == 0, "whole domain reads nothing")
+    assert(Layout.zorderCountBand(spark, dir, whole._1, whole._2) == 64L * 64L)
+    // narrow corner band ≡ filter; empty band = 0
+    val (aN, bN) = ((3L, 9L), (50L, 60L))
+    assert(Layout.zorderCountBand(spark, dir, aN, bN) == want(aN, bN))
+    assert(Layout.zorderCountBand(spark, dir, (100L, 200L), bN) == 0L)
+  }
+
   test("zorderChanges: net row feed between retained generations — shared files skipped, carried rows cancel, updates are delete+insert pairs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zcdc").toString + "/t"
