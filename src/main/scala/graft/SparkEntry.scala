@@ -528,6 +528,42 @@ object SparkEntry {
       path
     }
 
+  /** Memoized SCHEMA-EVOLVED table for w38: init on the low-90% orderkey
+    * domain with the ORIGINAL lineitem columns, then append the tail WITH
+    * AN ADDED l_bonus column (quantity × 2) and maintain — the generation
+    * goes mixed, reads reconcile by name (old rows null-fill l_bonus),
+    * and the builder REQUIRES the mixed flag engaged. */
+  private val zevoMemo = layoutMemo
+  private def zorderEvolvedFor(s: SparkSession, d: String): String =
+    memoizedLayout(zevoMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w38_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zevo16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val li = t(s, d, "lineitem")
+          val cut = li.agg(max("l_orderkey")).collect()(0).getLong(0) * 9 / 10
+          Layout.zorderInit(s, li.filter(col("l_orderkey") <= cut), path,
+            "l_orderkey", "l_suppkey", nFiles = 16)
+          Layout.zorderAppend(li.filter(col("l_orderkey") > cut)
+            .withColumn("l_bonus", col("l_quantity") * 2), path)
+          require(Layout.zorderMaintain(s, path)._1 > 0,
+            "the evolved tail must fold rows")
+          require(Layout.zorderStats(s, path).count() >= 1 &&
+            Layout.zorderRead(s, path).columns.contains("l_bonus"),
+            "the evolved column must be visible through the committed read")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized 64-file CENSUS table for w37: a plain zorderInit over full
     * lineitem (exact frozen bounds, no appends — tight spans), enough
     * files that a wide interior band fully covers interior tiles and the
@@ -2376,6 +2412,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))),
+
+    // SCHEMA EVOLUTION through maintenance: the tail appended WITH an
+    // added l_bonus column, old rows null-fill by name — the aggregate
+    // proves both legs (full-corpus counts intact, bonus sums only over
+    // the evolved tail); the twin re-derives l_bonus with a CASE over the
+    // same cut from raw lineitem
+    "w38_zorder_evolve" -> ((s, d) => {
+      val path = zorderEvolvedFor(s, d)
+      Layout.zorderRead(s, path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_bonus").cast("decimal(18,2)")).cast("double").as("sum_bonus"))
+    }),
 
     // METADATA-ONLY band count over a maintained 64-file table: files
     // fully inside the wide interior band count from their manifest rows
@@ -4522,6 +4572,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // evolved reads ≡ raw lineitem with l_bonus derived for the tail only
+    "w38_zorder_evolve" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) * 9 // 10 AS cut FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CASE WHEN l_orderkey > cut
+        |    THEN CAST(l_quantity * 2 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_bonus
+        |FROM lineitem, mx GROUP BY 1""".stripMargin,
 
     // the metadata-assisted band count ≡ a plain band count
     "w37_zorder_meta_count" ->

@@ -321,7 +321,8 @@ object Layout {
       s"generation $gen of $path is not retained (window: " +
         s"${retainedGens(path).mkString(", ")}) — raise keepGenerations " +
         "BEFORE the commits you want to travel to")
-    spanFiles(spark, path, readManifest(path, gen).spans)
+    val man = readManifest(path, gen)
+    spanFiles(spark, path, man.spans, man.mixedSchema)
   }
 
   /** [[zorderScan]] against a RETAINED generation: the same driver-side
@@ -336,8 +337,8 @@ object Layout {
       s.aMin <= aRange._2 && s.aMax >= aRange._1 &&
       s.bMin <= bRange._2 && s.bMax >= bRange._1)
     val base =
-      if (hit.isEmpty) spanFiles(spark, path, man.spans).limit(0)
-      else spanFiles(spark, path, hit)
+      if (hit.isEmpty) spanFiles(spark, path, man.spans, man.mixedSchema).limit(0)
+      else spanFiles(spark, path, hit, man.mixedSchema)
     base.filter(col(man.colA).between(aRange._1, aRange._2) &&
       col(man.colB).between(bRange._1, bRange._2))
   }
@@ -368,14 +369,21 @@ object Layout {
     * them atomically with the file list: a crashed compact can never
     * leave new bounds visible against old spans. `consumed` lists the
     * landing files this generation folded — the exactly-once guard for
-    * the crash window between pointer flip and landing cleanup. */
+    * the crash window between pointer flip and landing cleanup.
+    * `mixedSchema` records that this generation's files do not all share
+    * one column set (SCHEMA EVOLUTION through maintain/upsert: appends
+    * may add or omit non-key columns, reconciled BY NAME with null fill —
+    * the Iceberg/Delta rule); readers then merge footer schemas, the one
+    * extra planning cost evolution carries, and a compact rewrites every
+    * file and resets the flag — homogeneous tables keep the fast path. */
   private[ops] final case class Manifest(colA: String, colB: String,
       aLo: Long, aHi: Long, bLo: Long, bHi: Long,
-      consumed: Seq[String], spans: Seq[Span])
+      consumed: Seq[String], spans: Seq[Span], mixedSchema: Boolean = false)
 
   private def writeManifest(path: String, gen: Long, m: Manifest): Unit = {
     val hdr = Seq(s"#colA\t${m.colA}", s"#colB\t${m.colB}",
-      s"#aLo\t${m.aLo}", s"#aHi\t${m.aHi}", s"#bLo\t${m.bLo}", s"#bHi\t${m.bHi}") ++
+      s"#aLo\t${m.aLo}", s"#aHi\t${m.aHi}", s"#bLo\t${m.bLo}", s"#bHi\t${m.bHi}",
+      s"#mixed\t${if (m.mixedSchema) 1 else 0}") ++
       m.consumed.map(f => s"#consumed\t$f")
     val rows = m.spans.map(s =>
       s"${s.file}\t${s.rows}\t${s.zLo}\t${s.zHi}\t${s.aMin}\t${s.aMax}\t${s.bMin}\t${s.bMax}")
@@ -398,7 +406,8 @@ object Layout {
         val p = l.split("\t")
         Span(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong,
           p(5).toLong, p(6).toLong, p(7).toLong)
-      }.sortBy(_.zLo))
+      }.sortBy(_.zLo),
+      mixedSchema = meta.get("mixed").contains("1"))
   }
 
   /** The CURRENT generation's manifest rows — the statistics a probe or
@@ -524,10 +533,12 @@ object Layout {
     (gen, readManifest(path, gen))
   }
 
-  private def spanFiles(spark: SparkSession, path: String,
-      spans: Seq[Span]): DataFrame = {
+  private def spanFiles(spark: SparkSession, path: String, spans: Seq[Span],
+      mixedSchema: Boolean = false): DataFrame = {
     val root = java.nio.file.Paths.get(path).toAbsolutePath
-    spark.read.parquet(spans.map(s => root.resolve(s.file).toString): _*)
+    val rd = if (mixedSchema) spark.read.option("mergeSchema", "true")
+      else spark.read
+    rd.parquet(spans.map(s => root.resolve(s.file).toString): _*)
   }
 
   /** Read the CURRENT committed generation (landing rows are invisible
@@ -535,7 +546,7 @@ object Layout {
     * for read-your-appends). */
   def zorderRead(spark: SparkSession, path: String): DataFrame = {
     val (_, man) = currentManifest(path)
-    spanFiles(spark, path, man.spans)
+    spanFiles(spark, path, man.spans, man.mixedSchema)
   }
 
   /** Span-pruned scan of the CURRENT generation: the reader-side payoff
@@ -553,8 +564,8 @@ object Layout {
       s.aMin <= aRange._2 && s.aMax >= aRange._1 &&
       s.bMin <= bRange._2 && s.bMax >= bRange._1)
     val base =
-      if (hit.isEmpty) spanFiles(spark, path, man.spans).limit(0)
-      else spanFiles(spark, path, hit)
+      if (hit.isEmpty) spanFiles(spark, path, man.spans, man.mixedSchema).limit(0)
+      else spanFiles(spark, path, hit, man.mixedSchema)
     base.filter(col(man.colA).between(aRange._1, aRange._2) &&
       col(man.colB).between(bRange._1, bRange._2))
   }
@@ -576,7 +587,10 @@ object Layout {
     val base = zorderRead(spark, path)
     val landing = landingFiles(path)
     if (landing.isEmpty) base
-    else base.unionByName(spark.read.parquet(landing.map(_.toString): _*))
+    else base.unionByName(
+      spark.read.option("mergeSchema", "true")
+        .parquet(landing.map(_.toString): _*),
+      allowMissingColumns = true)
   }
 
   private def landingFiles(path: String): Seq[java.nio.file.Path] = {
@@ -685,7 +699,7 @@ object Layout {
     * violation loud instead of silently fanning rows out through the
     * join. */
   private def readWithFid(spark: SparkSession, path: String, spans: Seq[Span],
-      idx: Seq[Int], z: Column): DataFrame = {
+      idx: Seq[Int], z: Column, mixedSchema: Boolean = false): DataFrame = {
     import spark.implicits._
     val root = java.nio.file.Paths.get(path).toAbsolutePath
     val names = idx.map(i =>
@@ -694,7 +708,9 @@ object Layout {
       s"duplicate data-file basenames in the manifest at $path — " +
         "rebuild the table via zorderCompact")
     val nameToFid = names.zip(idx).toDF("fname", "_fid")
-    spark.read.parquet(idx.map(i => root.resolve(spans(i).file).toString): _*)
+    val rd = if (mixedSchema) spark.read.option("mergeSchema", "true")
+      else spark.read
+    rd.parquet(idx.map(i => root.resolve(spans(i).file).toString): _*)
       .withColumn("_zm", z)
       .withColumn("fname", element_at(split(input_file_name(), "/"), -1))
       .join(broadcast(nameToFid), "fname")
@@ -813,7 +829,10 @@ object Layout {
     // per element and runs interpreted — measured 59 s for 600k rows at
     // sf1 before this shape; the codegen'd forms are <1 s.)
     val fid = routeFid(spans.map(_.zLo), col("_zm"), routeCaseMax)
-    val newRows = spark.read.parquet(landing.map(_.toString): _*)
+    // landing reads always merge footer schemas: two pending appends may
+    // disagree (SCHEMA EVOLUTION — reconciled by name, null-filled)
+    val newRows = spark.read.option("mergeSchema", "true")
+      .parquet(landing.map(_.toString): _*)
       .withColumn("_zm", z)
       .withColumn("_fid", fid)
     // blind appends are unchecked by design — the fold is where a
@@ -829,12 +848,25 @@ object Layout {
     val affected = newRows.select("_fid").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq // bounded by the file count
     // affected old files re-read WITH their fid, unioned with the routed
-    // new rows; bounds stay frozen (the manifest copy keeps them)
+    // new rows BY NAME with null fill (schema evolution: appends may add
+    // or omit non-key columns); bounds stay frozen (the manifest copy
+    // keeps them)
     val oldRows = if (affected.isEmpty) None
-      else Some(readWithFid(spark, path, spans, affected, z))
-    val merged = oldRows.map(_.unionByName(newRows)).getOrElse(newRows)
+      else Some(readWithFid(spark, path, spans, affected, z, man.mixedSchema))
+    val merged = oldRows
+      .map(_.unionByName(newRows, allowMissingColumns = true))
+      .getOrElse(newRows)
+    // the generation goes mixed when the landing's column set differs
+    // from the committed files' (rewritten files carry the merged schema,
+    // carried files keep theirs); a compact heals back to homogeneous
+    val mixedNow = man.mixedSchema || {
+      val curNames = spanFiles(spark, path, man.spans.take(1))
+        .schema.fieldNames.toSet
+      newRows.drop("_zm", "_fid").schema.fieldNames.toSet != curNames
+    }
     val nMerged = newRows.count()
-    commitRewrite(spark, path, cur, man, affected, merged, "merged",
+    commitRewrite(spark, path, cur, man.copy(mixedSchema = mixedNow),
+      affected, merged, "merged",
       requireFilePerFid = true,
       consumed = landing.map(_.getFileName.toString))
     (nMerged, affected.length, spans.size - affected.length)
@@ -860,9 +892,12 @@ object Layout {
     val man = readManifest(path, cur)
     val landing = landingFiles(path)
     val all = {
-      val base = spanFiles(spark, path, man.spans)
+      val base = spanFiles(spark, path, man.spans, man.mixedSchema)
       if (landing.isEmpty) base
-      else base.unionByName(spark.read.parquet(landing.map(_.toString): _*))
+      else base.unionByName(
+        spark.read.option("mergeSchema", "true")
+          .parquet(landing.map(_.toString): _*),
+        allowMissingColumns = true)
     }
     val (colA, colB) = (man.colA, man.colB)
     val bounds = all.agg(
@@ -883,7 +918,7 @@ object Layout {
     val spans = spanStats(spark, path, rel, colA, colB, aLo, aHi, bLo, bHi)
     writeManifest(path, cur + 1, Manifest(colA, colB, aLo, aHi, bLo, bHi,
       consumed = landing.map(_.getFileName.toString), // RE-frozen bounds
-      spans = spans))
+      spans = spans, mixedSchema = false)) // every file rewritten: healed
     writeAtomic(currentPtr(path), (cur + 1).toString)
     heal(path, cur + 1)
     ()
@@ -930,7 +965,7 @@ object Layout {
     if (hitIdx.isEmpty) return (0L, 0, spans.size)
     val z = zValue(scale16(col(man.colA), man.aLo, man.aHi),
       scale16(col(man.colB), man.bLo, man.bHi))
-    val matched = readWithFid(spark, path, spans, hitIdx, z)
+    val matched = readWithFid(spark, path, spans, hitIdx, z, man.mixedSchema)
       .filter(pred).groupBy("_fid").agg(count(lit(1)))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ hit files
     val affected = hitIdx.filter(matched.contains).sorted
@@ -940,7 +975,7 @@ object Layout {
     // counting pass read the wider span-hit set once). NULL-key rows make
     // `pred` NULL, not false — coalesce keeps them, or they would vanish
     // from the rewritten files without ever counting as deleted.
-    val survivors = readWithFid(spark, path, spans, affected, z)
+    val survivors = readWithFid(spark, path, spans, affected, z, man.mixedSchema)
       .filter(!coalesce(pred, lit(false)))
     commitRewrite(spark, path, cur, man, affected, survivors, "deleted",
       requireFilePerFid = false, consumed = Seq.empty)
@@ -1004,13 +1039,22 @@ object Layout {
       val keyCols = Seq(man.colA, man.colB)
       val keys = batch.select(man.colA, man.colB).distinct()
       val oldRows = if (affected.isEmpty) None
-        else Some(readWithFid(spark, path, spans, affected, z))
+        else Some(readWithFid(spark, path, spans, affected, z, man.mixedSchema))
       val nReplaced = oldRows
         .map(_.join(broadcast(keys), keyCols, "left_semi").count())
         .getOrElse(0L)
       val kept = oldRows.map(_.join(broadcast(keys), keyCols, "left_anti"))
-      val merged = kept.map(_.unionByName(batch)).getOrElse(batch)
-      commitRewrite(spark, path, cur, man, affected, merged, "upsert",
+      val merged = kept
+        .map(_.unionByName(batch, allowMissingColumns = true))
+        .getOrElse(batch)
+      // schema evolution through upsert, same rule as maintain
+      val mixedNow = man.mixedSchema || {
+        val curNames = spanFiles(spark, path, man.spans.take(1))
+          .schema.fieldNames.toSet
+        batch.drop("_zm", "_fid").schema.fieldNames.toSet != curNames
+      }
+      commitRewrite(spark, path, cur, man.copy(mixedSchema = mixedNow),
+        affected, merged, "upsert",
         requireFilePerFid = false, consumed = Seq.empty)
       (nReplaced, nUpserted, affected.length)
     } finally { batch.unpersist(); () }
@@ -1122,7 +1166,10 @@ object Layout {
           java.nio.file.Paths.get(f).getFileName.toString -> f).toMap
         require(byName.size == toScan.size,
           s"duplicate data-file basenames in the manifest at $path")
-        val rows = spark.read
+        // merge schemas: on an evolved table older files may lack the
+        // bloom column — their rows read null and build empty bitsets,
+        // which prune (null never equals a probe value)
+        val rows = spark.read.option("mergeSchema", "true")
           .parquet(toScan.map(f => root.resolve(f).toString): _*)
           .filter(key.isNotNull)
           .select(element_at(split(input_file_name(), "/"), -1).as("fname"),
@@ -1176,8 +1223,8 @@ object Layout {
           bloomMightContain(b.words.getOrElse(s.file, Map.empty), p)))
     }
     val base =
-      if (hit.isEmpty) spanFiles(spark, path, man.spans).limit(0)
-      else spanFiles(spark, path, hit)
+      if (hit.isEmpty) spanFiles(spark, path, man.spans, man.mixedSchema).limit(0)
+      else spanFiles(spark, path, hit, man.mixedSchema)
     base.filter(col(keyCol).cast("long").isin(values: _*))
   }
 
@@ -1224,7 +1271,7 @@ object Layout {
     val metaRows = covered.map(_.rows).sum
     val scanned =
       if (boundary.isEmpty) 0L
-      else spanFiles(spark, path, boundary)
+      else spanFiles(spark, path, boundary, man.mixedSchema)
         .filter(col(man.colA).between(aRange._1, aRange._2) &&
           col(man.colB).between(bRange._1, bRange._2))
         .count()
@@ -1281,11 +1328,26 @@ object Layout {
     val toFiles = to.spans.map(_.file).toSet
     val fromOnly = from.spans.filter(s => !toFiles.contains(s.file))
     val toOnly = to.spans.filter(s => !fromFiles.contains(s.file))
-    def slice(spans: Seq[Span]) =
-      if (spans.isEmpty) spanFiles(spark, path, from.spans).limit(0)
-      else spanFiles(spark, path, spans)
-    val old = slice(fromOnly)
-    val neu = slice(toOnly)
+    def slice(spans: Seq[Span], mixed: Boolean) =
+      if (spans.isEmpty) spanFiles(spark, path, from.spans, mixed).limit(0)
+      else spanFiles(spark, path, spans, mixed)
+    val old0 = slice(fromOnly, from.mixedSchema)
+    val neu0 = slice(toOnly, to.mixedSchema)
+    // schema evolution between the generations: conform both slices to
+    // the united column set (null fill, by name) so the EXCEPT compares
+    // rows — null-safe set semantics make a column added with null values
+    // cancel for carried rows, exactly like an unchanged value
+    val cols = (old0.columns ++ neu0.columns.filterNot(old0.columns.contains)).toSeq
+    def conform(df: DataFrame) = df.select(cols.map { c =>
+      if (df.columns.contains(c)) col(c)
+      else {
+        val t = (old0.schema.fields ++ neu0.schema.fields)
+          .find(_.name == c).get.dataType
+        lit(null).cast(t).as(c)
+      }
+    }: _*)
+    val old = conform(old0)
+    val neu = conform(neu0)
     old.exceptAll(neu).withColumn("change_type", lit("delete"))
       .unionByName(neu.exceptAll(old).withColumn("change_type", lit("insert")))
   }

@@ -527,6 +527,61 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       Seq(777777777L, 888888888L)).count() == 2)
   }
 
+  test("schema evolution: appends add/omit non-key columns reconciled by name; CDC conforms; compact heals to homogeneous") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zevo").toString + "/t"
+    val base = spark.range(4096L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
+        col("id").as("v"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 8, keepGenerations = 4)
+    assert(!Layout.readManifest(dir, 0L).mixedSchema)
+
+    // gen 1: append ADDS column w → generation goes mixed; reads reconcile
+    val addW = Seq((1L, 1L, 9000L, "x1"), (2L, 2L, 9001L, "x2"))
+      .toDF("a", "b", "v", "w")
+    Layout.zorderAppend(addW, dir)
+    Layout.zorderMaintain(spark, dir)
+    assert(Layout.readManifest(dir, 1L).mixedSchema, "evolved generation is mixed")
+    val g1 = Layout.zorderRead(spark, dir)
+    assert(g1.columns.toSet == Set("a", "b", "v", "w"))
+    assert(g1.count() == 4098 && g1.filter(col("w").isNotNull).count() == 2)
+    assert(g1.filter(col("a") === 0 && col("b") === 0)
+      .select("v").collect().map(_.getLong(0)).toSeq == Seq(0L),
+      "pre-evolution rows keep their values, null-filled w")
+
+    // CDC across the evolution: carried rows (null w on both sides) cancel;
+    // inserts surface with their w values
+    val ch = Layout.zorderChanges(spark, dir, 0L, 1L).cache()
+    try {
+      assert(ch.filter(col("change_type") === "delete").isEmpty)
+      val ins = ch.filter(col("change_type") === "insert").drop("change_type")
+      assert(ins.count() == 2 &&
+        ins.select("a", "b", "v", "w").exceptAll(addW).isEmpty)
+    } finally ch.unpersist()
+
+    // gen 2: append OMITS non-key column v → null-filled by name
+    Layout.zorderAppend(Seq((3L, 3L, "y")).toDF("a", "b", "w"), dir)
+    Layout.zorderMaintain(spark, dir)
+    val g2 = Layout.zorderRead(spark, dir)
+    assert(g2.count() == 4099 && g2.filter(col("v").isNull).count() == 1)
+
+    // the scan/count/upsert surfaces keep answering on the mixed table
+    assert(Layout.zorderScan(spark, dir, (3L, 3L), (3L, 3L)).count() == 2)
+    assert(Layout.zorderCountBand(spark, dir, (0L, 63L), (0L, 63L)) == 4099)
+    assert(Layout.zorderUpsert(spark,
+      Seq((2L, 2L, -1L, "x2b")).toDF("a", "b", "v", "w"), dir)._1 == 2L,
+      "the upsert replaces the base row AND the evolved row for key (2,2)")
+
+    // compact rewrites every file: homogeneous again, nothing lost
+    Layout.zorderCompact(spark, dir, 8)
+    val curGen = Layout.currentGen(dir).get
+    assert(!Layout.readManifest(dir, curGen).mixedSchema, "compact heals")
+    val g3 = Layout.zorderRead(spark, dir)
+    assert(g3.columns.toSet == Set("a", "b", "v", "w"))
+    assert(g3.count() == 4098, "4099 - the two (2,2) rows + one upserted")
+    assert(g3.filter(col("w") === "x2b").count() == 1)
+  }
+
   test("zorderCountBand: covered files count from the manifest, only boundary files scan, answers ≡ filter counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zcnt").toString + "/t"
     val base = spark.range(64L * 64L)
