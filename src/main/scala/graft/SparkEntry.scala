@@ -1438,6 +1438,19 @@ object SparkEntry {
         .groupBy(col("id").as("doc_id"))
         .agg(count(lit(1)).as("n_dup_windows"))),
 
+    // substring-granular contamination: eval docs (doc_id % 17 == 0)
+    // probed against the train split — verbatim 40-char spans count even
+    // when the surrounding document is novel (shingle-set scores dilute
+    // them); the twin mirrors the window CTEs + a distinct semi-join
+    "d24_substring_contamination" -> ((s, d) => {
+      val docs = tPar(s, d, "documents")
+      Dedup.substringContamination(
+          docs.filter(col("doc_id") % 17 === 0),
+          docs.filter(col("doc_id") % 17 =!= 0),
+          "doc_id", "text", windowLen = 40)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // exact-substring SCRUB (the Lee 2021 removal): every duplicated
     // window's span cut except the corpus-first occurrence, overlapping
     // cuts merged — checked through per-doc scrubbed LENGTH, which the
@@ -3151,6 +3164,27 @@ object SparkEntry {
         |d AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1)
         |SELECT doc_id, COUNT(*) AS n_dup_windows
         |FROM w JOIN d USING (win) GROUP BY doc_id""".stripMargin,
+
+    // eval windows (doc_id % 17 == 0) semi-joined against the train
+    // split's distinct windows; docs shorter than a window emit no row
+    "d24_substring_contamination" ->
+      """WITH st AS (
+        |  SELECT doc_id, text,
+        |    1 + COALESCE(SUM(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        |  FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok,
+        |               generate_subscripts(string_split(text, ' '), 1) AS idx
+        |        FROM documents)),
+        |w AS (SELECT doc_id, substr(text, pos::INT, 40) AS win
+        |      FROM st WHERE pos + 39 <= length(text)),
+        |ew AS (SELECT doc_id, win FROM w WHERE doc_id % 17 = 0),
+        |cw AS (SELECT DISTINCT win FROM w WHERE doc_id % 17 <> 0),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM ew GROUP BY doc_id),
+        |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM ew
+        |        WHERE win IN (SELECT win FROM cw) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_windows, COALESCE(h.n_hit, 0) AS n_hit,
+        |  ROUND(COALESCE(h.n_hit, 0)::DOUBLE / t.n_windows, 6) AS hit_frac
+        |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin,
 
     // the scrub's election (first occurrence by (doc_id, pos) survives) as
     // row_number, then a gaps-and-islands merge of the fixed 40-char spans

@@ -1453,6 +1453,32 @@ object Dedup {
       .select(col("id"), col("pos"), col("dup_count"))
   }
 
+  /** Substring-granular CONTAMINATION: word-anchored `windowLen`-char
+    * windows of `eval` found VERBATIM anywhere in `corpus` — catches a
+    * quoted benchmark answer inside an otherwise-novel training document,
+    * which the shingle-set scores ([[contaminationScores]],
+    * [[contaminationAgainstStore]]) dilute by document length. One row
+    * per eval doc that has at least one full window: total windows, hit
+    * windows, and the hit fraction. Shuffle budget: one row per word on
+    * each side; the corpus side reduces to DISTINCT window keys before
+    * the join. */
+  def substringContamination(eval: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, windowLen: Int, anchorEvery: Int = 1,
+      hashWindows: Boolean = false): DataFrame = {
+    val evalW = anchoredWindows(eval, idCol, textCol, windowLen, anchorEvery,
+      hashWindows)
+    val corpusW = anchoredWindows(corpus, idCol, textCol, windowLen,
+      anchorEvery, hashWindows).select("win").distinct()
+    val totals = evalW.groupBy("id").agg(count(lit(1)).as("n_windows"))
+    val hits = evalW.join(corpusW, Seq("win"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_windows"), 6).as("hit_frac"))
+  }
+
   /** Exact-substring scrub (the Lee 2021 removal): every duplicated
     * window's span [pos, pos+windowLen) is cut from its document EXCEPT
     * the corpus-first occurrence (min (id, pos) per window text), which

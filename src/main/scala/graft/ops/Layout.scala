@@ -1110,7 +1110,7 @@ object Layout {
       }.toMap))
   }
 
-  private def writeBloom(path: String, gen: Long, keyCol: String, bits: Int,
+  private[ops] def writeBloom(path: String, gen: Long, keyCol: String, bits: Int,
       hashes: Int, words: Map[String, Map[Int, Long]]): Unit = {
     val body = (Seq(s"#bits\t$bits", s"#hashes\t$hashes") ++
       words.toSeq.sortBy(_._1).map { case (f, ws) =>
@@ -1124,7 +1124,7 @@ object Layout {
   /** Driver twin of the build's `xxhash64(key, seed)` — the SAME Catalyst
     * expression evaluated on literals, so probe positions match the built
     * bitsets bit-for-bit by construction. */
-  private def probePositions(v: Long, bits: Int, hashes: Int): Seq[Int] = {
+  private[ops] def probePositions(v: Long, bits: Int, hashes: Int): Seq[Int] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     (0 until hashes).map { i =>
       val h = XxHash64(Seq(Literal(v), Literal(i.toLong)), 42L)

@@ -104,6 +104,34 @@ object LayoutProbe {
     println(s"""{"metric":"zscan_100k_spans","files":${spans.size},""" +
       s""""hit":${hits._1},"sec_per_call":${r4(scanSec)}}""")
 
+    // ---- 2b. change-feed cost vs untouched-file count (r13 session 2):
+    // fixed grid, fixed corner delete — zorderChanges(0→1) must read only
+    // the churned files, so its wall time tracks the delete's rewrite
+    // set, not the table's file count
+    for (nFiles <- Seq(32, 256, 2048)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lcdc").toString + "/t"
+      Layout.zorderInit(spark, base, dir, "a", "b", nFiles, keepGenerations = 2)
+      Layout.zorderDelete(spark, dir, (0L, 63L), (0L, 63L))
+      val (fOnly, tOnly, shared) = Layout.zorderChangesFiles(dir, 0L, 1L)
+      var n = 0L
+      val sec = time { n = Layout.zorderChanges(spark, dir, 0L, 1L).count() }
+      println(s"""{"metric":"zcdc_files_indep","files":$nFiles,""" +
+        s""""churned":${fOnly + tOnly},"shared":$shared,"rows":$n,"sec":${r4(sec)}}""")
+      graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(dir).getParent)
+    }
+
+    // ---- 2c. change-feed PLANNING at ~100k manifest rows: the manifest
+    // diff is pure driver set arithmetic — measured against two synthetic
+    // 99856-row manifests differing in 40 files
+    run100kChangePlanning()
+
+    // ---- 2d. bloom lookup planning at 10k files: sidecar read + per-file
+    // k-bit AND per call (planted hit + background density ~0.3 per bit,
+    // so false positives admit a realistic handful of files). The sidecar
+    // IS the cost dial: 2^14 bits = 2 KB/file here; 100k files at 2^16
+    // bits would hold 800 MB — shard the sidecar read before that regime.
+    run10kBloomPlanning()
+
     // ---- 3. searchsorted routing throughput at 100k cuts (CASE chain is
     // structurally impossible here), 5M rows through one codegen'd pass
     graft.functions.GraftExtensions.register(spark)
@@ -117,5 +145,72 @@ object LayoutProbe {
       s""""rows":5000000,"sec":${r4(routeSec)}}""")
 
     spark.stop()
+  }
+
+  private def run100kChangePlanning(): Unit = {
+    val g = 316
+    val step = 65536L / g
+    def spansFor(gen: Long, churn: Int) = (0 until g * g).map { i =>
+      val (ai, bi) = (i / g, i % g)
+      // churned files get generation-qualified names, the rest are shared
+      val f = if (i < churn) s"data/g$gen/f$i.parquet" else s"data/g0/f$i.parquet"
+      Layout.Span(f, 1000L, i.toLong, i.toLong,
+        ai * step, (ai + 1) * step - 1, bi * step, (bi + 1) * step - 1)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lcdcp").toString + "/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    graft.ops.Layout.setRetention(dir, 2)
+    Layout.commitManifestUnsafe(dir, 0L,
+      Layout.Manifest("a", "b", 0L, 65535L, 0L, 65535L, Seq.empty, spansFor(0L, 0)))
+    Layout.commitManifestUnsafe(dir, 1L,
+      Layout.Manifest("a", "b", 0L, 65535L, 0L, 65535L, Seq.empty, spansFor(1L, 40)))
+    val reps = 20
+    var split = (0, 0, 0)
+    val sec = time {
+      for (_ <- 0 until reps) split = Layout.zorderChangesFiles(dir, 0L, 1L)
+    } / reps
+    println(s"""{"metric":"zcdc_100k_planning","files":${g * g},""" +
+      s""""churned":${split._1 + split._2},"shared":${split._3},"sec_per_call":${r4(sec)}}""")
+  }
+
+  private def run10kBloomPlanning(): Unit = {
+    val nFiles = 10000
+    val bits = 1 << 14
+    val hashes = 5
+    val g = 100
+    val step = 65536L / g
+    val spans = (0 until nFiles).map { i =>
+      val (ai, bi) = (i / g, i % g)
+      Layout.Span(s"data/g0/f$i.parquet", 1000L, i.toLong, i.toLong,
+        ai * step, (ai + 1) * step - 1, bi * step, (bi + 1) * step - 1)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lbloom").toString + "/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    Layout.commitManifestUnsafe(dir, 0L,
+      Layout.Manifest("a", "b", 0L, 65535L, 0L, 65535L, Seq.empty, spans))
+    // background: every word filled to ~0.3 bit density from a cheap
+    // deterministic mix; the probe value's positions planted in file 4242
+    val probe = 987654321L
+    val pos = Layout.probePositions(probe, bits, hashes)
+    val words = (0 until nFiles).map { i =>
+      val base = (0 until bits / 64).map { w =>
+        var x = i.toLong * 1099511628211L + w * 2654435761L
+        x ^= (x << 13); x ^= (x >>> 7); x ^= (x << 17)
+        w -> (x & x >>> 1) // ~25-30% ones
+      }.toMap
+      val ws = if (i == 4242)
+        pos.foldLeft(base)((m, p) => m.updated(p / 64,
+          m.getOrElse(p / 64, 0L) | (1L << (p % 64))))
+        else base
+      spans(i).file -> ws
+    }.toMap
+    Layout.writeBloom(dir, 0L, "k", bits, hashes, words)
+    val reps = 10
+    var res = (0, 0, false)
+    val sec = time {
+      for (_ <- 0 until reps) res = Layout.zorderLookupFiles(dir, "k", Seq(probe))
+    } / reps
+    println(s"""{"metric":"zbloom_10k_planning","files":$nFiles,""" +
+      s""""open":${res._1},"sec_per_call":${r4(sec)}}""")
   }
 }
