@@ -2624,6 +2624,23 @@ object SparkEntry {
     // per-host census. One lazy plan from the binary scan to the
     // aggregate; the only driver materialization is the fixture build's
     // nFiles-bounded manifest.
+    // the Lee-2021 prep chain as ONE composed lazy plan: exact-substring
+    // scrub (word-anchored windows, corpus-first survives) → minimum-size
+    // gate over the SCRUBBED text → per-lang training census. The twin
+    // reconstructs the scrubbed text itself in SQL (kept segments between
+    // merged cut islands, string_agg'd in order), so the census only
+    // matches if the distributed excision is byte-exact corpus-wide —
+    // this is the text-level check d23's length row approximates
+    "p05_substring_pipeline" -> ((s, d) =>
+      Dedup.scrubDuplicatedSpans(tPar(s, d, "documents"), "doc_id", "text",
+          windowLen = 40)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .filter(col("n_tokens") >= 30)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"),
+          sum(length(col("text"))).cast("long").as("sum_chars"))),
+
     "p04_warc_pipeline" -> ((s, d) => {
       val dir = warcCorpusFor(s, d)
       val resp = graft.sources.WarcFile.read(s, dir).toDF()
@@ -3164,6 +3181,55 @@ object SparkEntry {
         |d AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1)
         |SELECT doc_id, COUNT(*) AS n_dup_windows
         |FROM w JOIN d USING (win) GROUP BY doc_id""".stripMargin,
+
+    // the scrub twin taken all the way to TEXT: kept segments between
+    // merged cut islands rebuilt with string_agg (fully-scrubbed docs
+    // rebuild as '', via the zero-length-segment GREATEST guard), then
+    // the same size gate and census — byte-exact excision or no match
+    "p05_substring_pipeline" ->
+      """WITH st AS (
+        |  SELECT doc_id, text,
+        |    1 + COALESCE(SUM(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        |  FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok,
+        |               generate_subscripts(string_split(text, ' '), 1) AS idx
+        |        FROM documents)),
+        |w AS (SELECT doc_id, pos, substr(text, pos::INT, 40) AS win
+        |      FROM st WHERE pos + 39 <= length(text)),
+        |ranked AS (SELECT doc_id, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+        |    COUNT(*) OVER (PARTITION BY win) AS c FROM w),
+        |rm AS (SELECT doc_id, pos FROM ranked WHERE c > 1 AND rn > 1),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN pos > COALESCE(MAX(pos + 40) OVER (
+        |      PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS new_island FROM rm),
+        |isl2 AS (SELECT doc_id, pos,
+        |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+        |merged AS (SELECT doc_id, island, MIN(pos) AS cut_lo, MAX(pos + 40) AS cut_hi
+        |  FROM isl2 GROUP BY doc_id, island),
+        |segs AS (
+        |  SELECT doc_id,
+        |    COALESCE(LAG(cut_hi) OVER (PARTITION BY doc_id ORDER BY cut_lo), 1) AS seg_start,
+        |    cut_lo AS seg_end
+        |  FROM merged
+        |  UNION ALL
+        |  SELECT m.doc_id, MAX(m.cut_hi) AS seg_start, MAX(length(d.text)) + 1 AS seg_end
+        |  FROM merged m JOIN documents d USING (doc_id) GROUP BY m.doc_id),
+        |rebuilt AS (
+        |  SELECT s.doc_id,
+        |    string_agg(substr(d.text, s.seg_start::INT,
+        |      GREATEST(s.seg_end - s.seg_start, 0)::INT), '' ORDER BY s.seg_start) AS scrubbed
+        |  FROM segs s JOIN documents d USING (doc_id)
+        |  GROUP BY s.doc_id),
+        |final AS (
+        |  SELECT d.doc_id, d.lang, COALESCE(r.scrubbed, d.text) AS text
+        |  FROM documents d LEFT JOIN rebuilt r USING (doc_id))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        |FROM final WHERE len(string_split(text, ' ')) >= 30
+        |GROUP BY lang""".stripMargin,
 
     // eval windows (doc_id % 17 == 0) semi-joined against the train
     // split's distinct windows; docs shorter than a window emit no row

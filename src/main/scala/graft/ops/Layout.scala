@@ -1368,6 +1368,21 @@ object Layout {
       .unionByName(neu.exceptAll(old).withColumn("change_type", lit("insert")))
   }
 
+  /** Cursor-based incremental consumption of the change feed: the net
+    * changes from `sinceGen` (exclusive) to CURRENT plus the new cursor
+    * value to persist — a follower that applies each batch (delete rows
+    * out, insert rows in) reconstructs the table exactly, regardless of
+    * how many commits each poll spans (the feed composes). `sinceGen`
+    * must still be retained: size the retention window to the consumer's
+    * poll cadence, or the feed names the gap loudly instead of silently
+    * skipping commits. */
+  def zorderChangesSince(spark: SparkSession, path: String,
+      sinceGen: Long): (DataFrame, Long) = {
+    val cur = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    (zorderChanges(spark, path, sinceGen, cur), cur)
+  }
+
   /** GC entry point without a commit: takes the table lock, rolls back
     * crashed batch appends, and runs the standard heal sweep (stray
     * manifests, consumed landing files, data files no retained manifest

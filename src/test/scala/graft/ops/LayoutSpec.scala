@@ -582,6 +582,59 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(g3.filter(col("w") === "x2b").count() == 1)
   }
 
+  test("zorderChangesSince: a cursor-driven follower reconstructs the table exactly across mixed commits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zfol").toString + "/t"
+    val base = spark.range(2048L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
+        col("id").as("v"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 8, keepGenerations = 8)
+    var follower = Layout.zorderReadAsOf(spark, dir, 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cursor = 0L
+
+    def poll(): Unit = {
+      val (feed, newCur) = Layout.zorderChangesSince(spark, dir, cursor)
+      val f = feed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = follower
+        .exceptAll(f.filter(col("change_type") === "delete").drop("change_type"))
+        .unionByName(f.filter(col("change_type") === "insert").drop("change_type"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      follower.unpersist(); f.unpersist()
+      follower = next
+      cursor = newCur
+    }
+
+    // commit 1+2 between polls: append+maintain, then a band delete — one
+    // poll spans BOTH commits (feeds compose across generations)
+    Layout.zorderAppend((0 until 10).map(i => (i.toLong, i.toLong, 5000L + i))
+      .toDF("a", "b", "v"), dir)
+    Layout.zorderMaintain(spark, dir)
+    Layout.zorderDelete(spark, dir, (2L, 5L), (2L, 5L))
+    poll()
+    def table() = Layout.zorderRead(spark, dir)
+    assert(follower.exceptAll(table()).isEmpty && table().exceptAll(follower).isEmpty,
+      "follower ≡ table after a multi-commit poll")
+
+    // commit 3: upsert, then an idle poll (no commits) must be a no-op
+    Layout.zorderUpsert(spark, Seq((10L, 10L, -7L)).toDF("a", "b", "v"), dir)
+    poll()
+    assert(follower.exceptAll(table()).isEmpty && table().exceptAll(follower).isEmpty)
+    val (idle, cur2) = Layout.zorderChangesSince(spark, dir, cursor)
+    assert(cur2 == cursor && idle.isEmpty, "idle poll: empty feed, same cursor")
+
+    // a cursor older than the retention window names the gap loudly
+    Layout.setRetention(dir, 1)
+    Layout.zorderVacuum(dir)
+    val ex = intercept[IllegalArgumentException] {
+      Layout.zorderChangesSince(spark, dir, 0L)
+    }
+    assert(ex.getMessage.contains("not retained"))
+    follower.unpersist()
+    ()
+  }
+
   test("zorderCountBand: covered files count from the manifest, only boundary files scan, answers ≡ filter counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zcnt").toString + "/t"
     val base = spark.range(64L * 64L)
