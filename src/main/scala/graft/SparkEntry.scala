@@ -564,6 +564,49 @@ object SparkEntry {
       path
     }
 
+  /** Memoized TAKEDOWN table for w39: the w36 shape (orders clustered on
+    * (custkey, totalprice), bloom over the unique o_orderkey) — then one
+    * bloom-pruned [[Layout.zorderDeleteByKey]] of three known orderkeys;
+    * the builder REQUIRES the rewrite set bloom-bounded and the repeat a
+    * no-op, so the oracle's NOT-IN twin passes only if exactly those
+    * rows vanished. */
+  private val ztakedownMemo = layoutMemo
+  private def zorderTakedownFor(s: SparkSession, d: String): String =
+    memoizedLayout(ztakedownMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w39_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/orders.parquet") + "#ztake16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val orders = t(s, d, "orders")
+          Layout.zorderInit(s, orders, path, "o_custkey", "o_totalprice",
+            nFiles = 16)
+          Layout.zorderBloomBuild(s, path, "o_orderkey", bits = 1 << 16,
+            hashes = 5)
+          val mo = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+          val doomed = Seq(mo / 7, mo / 3, mo / 2 + 1)
+          val (open, total, used) =
+            Layout.zorderLookupFiles(path, "o_orderkey", doomed)
+          require(used && open < total, s"bloom must prune: $open/$total")
+          val (del, rew, car) =
+            Layout.zorderDeleteByKey(s, path, "o_orderkey", doomed)
+          require(del == 3L, s"three unique orderkeys must vanish: $del")
+          require(rew <= open && car >= 1,
+            s"the rewrite set must be bloom-bounded: $rew <= $open, carried $car")
+          require(Layout.zorderDeleteByKey(s, path, "o_orderkey", doomed)._1 == 0L,
+            "repeat takedown must be a no-op")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized 64-file CENSUS table for w37: a plain zorderInit over full
     * lineitem (exact frozen bounds, no appends — tight spans), enough
     * files that a wide interior band fully covers interior tiles and the
@@ -2459,6 +2502,17 @@ object SparkEntry {
         s"the band must also prune files outright: $covered/$boundary/$total")
       Seq(Layout.zorderCountBand(s, path, aB, bB)).toDF("n_band")
     }),
+
+    // KEYED TAKEDOWN (DELETE WHERE key IN ...) on a non-layout column,
+    // bloom-pruned: three known orderkeys removed from the maintained
+    // orders table (builder proves the bloom bounded the rewrite and the
+    // repeat no-ops); the twin is raw orders minus the same keys
+    "w39_zorder_takedown" -> ((s, d) =>
+      Layout.zorderRead(s, zorderTakedownFor(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))),
 
     // BLOOM POINT LOOKUP on a non-layout column: orders clustered on
     // (custkey, totalprice) — z-spans prune nothing for orderkey probes —
@@ -4688,6 +4742,15 @@ object SparkEntry {
         |SELECT COUNT(*) AS n_band FROM lineitem, mx
         |WHERE l_orderkey BETWEEN ma // 8 AND ma * 7 // 8
         |  AND l_suppkey BETWEEN mb // 8 AND mb * 7 // 8""".stripMargin,
+
+    // the taken-down table ≡ raw orders minus exactly the three keys
+    "w39_zorder_takedown" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mo FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders, mx
+        |WHERE o_orderkey NOT IN (mo // 7, mo // 3, mo // 2 + 1)
+        |GROUP BY 1""".stripMargin,
 
     // bloom-pruned point lookups ≡ a plain IN filter (one key absent on
     // purpose — a false positive may open a file but never lands a row)

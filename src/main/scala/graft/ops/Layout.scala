@@ -1294,6 +1294,52 @@ object Layout {
     metaRows + scanned
   }
 
+  /** Keyed DELETE on a NON-layout column (the GDPR/takedown shape:
+    * `DELETE WHERE key IN (...)` by document id, order key, user id —
+    * values the z-spans know nothing about): candidate files come from
+    * the bloom sidecar when one exists for the CURRENT generation
+    * (no false negatives — a file the bloom rejects provably holds no
+    * probe key), else every file; ONE pruned counting pass finds files
+    * with actual matches, only those rewrite (z-sorted — span tightness
+    * survives), fully-emptied files drop from the manifest. Same commit
+    * discipline, lock, and heal as every rewrite here. NOTE: the bloom
+    * sidecar is generation-addressed, so the new generation needs a
+    * [[zorderBloomBuild]] refresh (incremental — only the rewritten
+    * files rescan) before the next pruned lookup. Returns (rowsDeleted,
+    * filesRewrittenOrDropped, filesCarried). */
+  def zorderDeleteByKey(spark: SparkSession, path: String, keyCol: String,
+      values: Seq[Long]): (Long, Int, Int) = withTableLock(path) {
+    val cur = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    rollbackStaleAppendIntents(path)
+    heal(path, cur)
+    val man = readManifest(path, cur)
+    val spans = man.spans
+    val candIdx = readBloom(path, cur, keyCol) match {
+      case None => spans.indices.toSeq
+      case Some(b) =>
+        val probes = values.distinct.map(v => probePositions(v, b.bits, b.hashes))
+        spans.indices.filter(i => probes.exists(p =>
+          bloomMightContain(b.words.getOrElse(spans(i).file, Map.empty), p)))
+    }
+    if (candIdx.isEmpty) return (0L, 0, spans.size)
+    graft.functions.GraftExtensions.register(spark)
+    val z = zValue(scale16(col(man.colA), man.aLo, man.aHi),
+      scale16(col(man.colB), man.bLo, man.bHi))
+    val pred = col(keyCol).cast("long").isin(values: _*)
+    val matched = readWithFid(spark, path, spans, candIdx, z, man.mixedSchema)
+      .filter(pred).groupBy("_fid").agg(count(lit(1)))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val affected = candIdx.filter(matched.contains).sorted
+    if (affected.isEmpty) return (0L, 0, spans.size)
+    val nDeleted = matched.values.sum
+    val survivors = readWithFid(spark, path, spans, affected, z, man.mixedSchema)
+      .filter(!coalesce(pred, lit(false))) // NULL keys never match: kept
+    commitRewrite(spark, path, cur, man, affected, survivors, "keydel",
+      requireFilePerFid = false, consumed = Seq.empty)
+    (nDeleted, affected.length, spans.size - affected.length)
+  }
+
   // ------------------------------------------------- change feed (CDC)
   //
   // The manifest diff IS a change feed: data files are immutable and

@@ -582,6 +582,45 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(g3.filter(col("w") === "x2b").count() == 1)
   }
 
+  test("zorderDeleteByKey: bloom-pruned takedown by non-layout key — exact removal, no-op repeat, incremental bloom refresh, CDC sees it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zkdel").toString + "/t"
+    val base = spark.range(4096L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
+        pmod(col("id") * 2654435761L, lit(1L << 31)).as("k"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16, keepGenerations = 2)
+    Layout.zorderBloomBuild(spark, dir, "k", bits = 1 << 14, hashes = 5)
+    def kOf(id: Long) = java.lang.Math.floorMod(id * 2654435761L, 1L << 31)
+
+    val doomed = Seq(kOf(100), kOf(2000), kOf(3999), 424242L) // last absent
+    val (open, total, _) = Layout.zorderLookupFiles(dir, "k", doomed)
+    val (deleted, rewritten, carried) = Layout.zorderDeleteByKey(spark, dir, "k", doomed)
+    assert(deleted == 3L, s"three present keys: $deleted")
+    assert(rewritten <= open && carried >= total - open,
+      s"the rewrite set is bloom-bounded: $rewritten <= $open, carried $carried")
+    val now = Layout.zorderRead(spark, dir)
+    assert(now.count() == 4093L && now.filter(col("k").isin(doomed: _*)).isEmpty)
+
+    // repeat is an exact no-op even without a fresh bloom (counting pass
+    // finds nothing); then the incremental refresh scans only rewrites
+    assert(Layout.zorderDeleteByKey(spark, dir, "k", doomed) ==
+      ((0L, 0, now.inputFiles.length)))
+    val (scanned, carriedB) = Layout.zorderBloomBuild(spark, dir, "k",
+      bits = 1 << 14, hashes = 5)
+    assert(scanned == rewritten && carriedB == carried,
+      s"bloom refresh is incremental: $scanned/$carriedB")
+    val (o2, t2, used2) = Layout.zorderLookupFiles(dir, "k", Seq(kOf(7)))
+    assert(used2 && o2 < t2)
+    assert(Layout.zorderPointLookup(spark, dir, "k", Seq(kOf(7))).count() == 1)
+
+    // the change feed reports exactly the taken-down rows
+    val ch = Layout.zorderChanges(spark, dir, 0L, 1L)
+    assert(ch.filter(col("change_type") === "insert").isEmpty)
+    val dels = ch.filter(col("change_type") === "delete")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(dels == doomed.dropRight(1).toSet)
+  }
+
   test("zorderChangesSince: a cursor-driven follower reconstructs the table exactly across mixed commits") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zfol").toString + "/t"
