@@ -483,6 +483,8 @@ object Layout {
     // a crashed prior init left uncommitted debris — clear it
     graft.engine.WarehouseMeta.deleteRecursively(dataDir(path))
     graft.engine.WarehouseMeta.deleteRecursively(landingDir(path))
+    graft.engine.WarehouseMeta.deleteRecursively(
+      java.nio.file.Paths.get(path, "landing-staging"))
     import scala.jdk.CollectionConverters._
     val ls = Files.list(java.nio.file.Paths.get(path))
     try ls.iterator().asScala.filter(_.getFileName.toString.startsWith("manifest-"))
@@ -522,10 +524,34 @@ object Layout {
   }
 
   /** Blind append: rows land as plain parquet in `landing/` — no
-    * clustering work on the hot write path (unique part names make
-    * concurrent appends safe); [[zorderMaintain]] folds them in. */
-  def zorderAppend(df: DataFrame, path: String): Unit =
-    df.write.mode("append").parquet(landingDir(path).toString)
+    * clustering work on the hot write path; [[zorderMaintain]] folds
+    * them in. CONCURRENT appends are safe, but not via a shared
+    * `mode("append")` write: simultaneous Spark jobs committing into one
+    * directory share `_temporary/0` and one job's cleanup deletes the
+    * other's attempt files (reproduced by LayoutSpec's racing-writers
+    * test under full-suite load). Each append therefore writes to a
+    * PRIVATE staging dir under the table root (same filesystem — the
+    * move must be atomic) and then moves its completed parts into
+    * `landing/` one atomic rename each; part names carry job UUIDs, so
+    * names never collide. A crash mid-append leaves its staging dir
+    * untouched-by-readers; [[heal]] sweeps staging dirs older than an
+    * hour (young ones may be in-flight appends, which never hold the
+    * table lock). */
+  def zorderAppend(df: DataFrame, path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staging = Paths.get(path, "landing-staging",
+      java.util.UUID.randomUUID().toString)
+    df.write.mode("overwrite").parquet(staging.toString)
+    val landing = landingDir(path)
+    Files.createDirectories(landing)
+    parquetFilesUnder(staging).foreach { f =>
+      val p = Paths.get(f)
+      Files.move(p, landing.resolve(p.getFileName),
+        StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+    graft.engine.WarehouseMeta.deleteRecursively(staging)
+  }
 
   private def currentManifest(path: String): (Long, Manifest) = {
     val gen = currentGen(path).getOrElse(
@@ -637,7 +663,7 @@ object Layout {
     rollbackStaleAppendIntents(path)
     val before = landingFiles(path).map(_.getFileName.toString)
     writeAtomic(log.resolve(s"$batchId.intent"), before.mkString("\n"))
-    df.write.mode("append").parquet(landingDir(path).toString)
+    zorderAppend(df, path) // private-staging append: no committer races
     val beforeSet = before.toSet
     val added = landingFiles(path)
       .filter(p => !beforeSet.contains(p.getFileName.toString))
@@ -1476,6 +1502,19 @@ object Layout {
       }.toList
       finally ls.close()
     strays.foreach(n => Files.deleteIfExists(root.resolve(n)))
+    // crashed zorderAppend staging dirs: appends never hold the table
+    // lock, so a YOUNG staging dir may be an in-flight writer — only
+    // sweep dirs older than an hour (crash debris, never read by anyone)
+    val stagingRoot = root.resolve("landing-staging")
+    if (Files.isDirectory(stagingRoot)) {
+      val cutoff = java.time.Instant.now().minusSeconds(3600)
+      val ls2 = Files.list(stagingRoot)
+      val aged = try ls2.iterator().asScala.toList.filter(d =>
+          Files.isDirectory(d) &&
+          Files.getLastModifiedTime(d).toInstant.isBefore(cutoff))
+        finally ls2.close()
+      aged.foreach(graft.engine.WarehouseMeta.deleteRecursively)
+    }
     val retained = window.toSeq.sorted
       .filter(g => Files.isRegularFile(manifestPath(path, g)))
       .map(g => readManifest(path, g))

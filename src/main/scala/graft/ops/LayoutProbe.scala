@@ -132,6 +132,24 @@ object LayoutProbe {
     // bits would hold 800 MB — shard the sidecar read before that regime.
     run10kBloomPlanning()
 
+    // ---- 2e. what the #mixed flag saves: zorderRead PLANNING on a
+    // 2048-file homogeneous table (no mergeSchema) vs the same table
+    // read with mergeSchema forced — the footer-merge job evolution pays
+    // and homogeneous generations skip
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft_levo").toString + "/t"
+      Layout.zorderInit(spark, base, dir, "a", "b", 2048)
+      val plain = time { Layout.zorderRead(spark, dir).schema }
+      val root = java.nio.file.Paths.get(dir).toAbsolutePath
+      val files = Layout.currentSpans(dir).map(s => root.resolve(s.file).toString)
+      val merged = time {
+        spark.read.option("mergeSchema", "true").parquet(files: _*).schema
+      }
+      println(s"""{"metric":"zevo_mergeschema_cost","files":2048,""" +
+        s""""plain_sec":${r4(plain)},"merged_sec":${r4(merged)}}""")
+      graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(dir).getParent)
+    }
+
     // ---- 3. searchsorted routing throughput at 100k cuts (CASE chain is
     // structurally impossible here), 5M rows through one codegen'd pass
     graft.functions.GraftExtensions.register(spark)

@@ -937,15 +937,23 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     // monotonically with no gaps in the committed row count
     val pool = Executors.newFixedThreadPool(4)
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // all four appends released at once, multi-part each: the shape that
+    // reproduced the shared-committer `_temporary/0` collision before
+    // zorderAppend staged privately (one writer's cleanup deleted
+    // another's attempt files mid-commit)
+    val gate = new java.util.concurrent.CountDownLatch(1)
     for (t <- 0 until 4) pool.submit(new Runnable {
       override def run(): Unit =
         try {
           val slab = (0 until 16).map(i => (100L + t, i.toLong)).toDF("a", "b")
+            .repartition(4)
+          gate.await()
           Layout.zorderAppend(slab, dir)
           Layout.zorderMaintain(spark, dir)
           ()
         } catch { case e: Throwable => errs.add(e); () }
     })
+    gate.countDown()
     pool.shutdown()
     assert(pool.awaitTermination(300, TimeUnit.SECONDS), "writers must finish")
     assert(errs.isEmpty, s"concurrent writers must not fail: ${errs.peek()}")
