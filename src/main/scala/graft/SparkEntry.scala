@@ -564,6 +564,46 @@ object SparkEntry {
       path
     }
 
+  /** Memoized BIN-PACKED table for w40: 64-file init, a two-sided band
+    * delete shrinks the band's boundary files (interior files drop
+    * whole), then ONE [[Layout.zorderCompactSmall]] at the mean file
+    * size merges the z-adjacent remnants — the builder REQUIRES groups
+    * formed, big files carried, and a repeat no-op. */
+  private val zbinMemo = layoutMemo
+  private def zorderBinpackedFor(s: SparkSession, d: String): String =
+    memoizedLayout(zbinMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w40_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zbin64")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val li = t(s, d, "lineitem")
+          val mx = li.agg(max("l_orderkey"), max("l_suppkey")).collect()(0)
+          val (ma, mb) = (mx.getLong(0), mx.getLong(1))
+          Layout.zorderInit(s, li, path, "l_orderkey", "l_suppkey", nFiles = 64)
+          require(Layout.zorderDelete(s, path,
+            (ma / 8, ma * 3 / 8), (mb / 8, mb * 3 / 8))._1 > 0)
+          val spans = Layout.currentSpans(path)
+          val mean = spans.map(_.rows).sum / spans.size
+          val (groups, mergedIn, carried) =
+            Layout.zorderCompactSmall(s, path, mean)
+          require(groups >= 1 && mergedIn >= 2,
+            s"bin-packing must engage: $groups groups / $mergedIn files")
+          require(carried >= 1, "adequately-sized files must carry")
+          require(Layout.zorderCompactSmall(s, path, mean)._1 == 0,
+            "repeat bin-pack at the same target must be a no-op")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized TAKEDOWN table for w39: the w36 shape (orders clustered on
     * (custkey, totalprice), bloom over the unique o_orderkey) — then one
     * bloom-pruned [[Layout.zorderDeleteByKey]] of three known orderkeys;
@@ -2502,6 +2542,17 @@ object SparkEntry {
         s"the band must also prune files outright: $covered/$boundary/$total")
       Seq(Layout.zorderCountBand(s, path, aB, bB)).toDF("n_band")
     }),
+
+    // SMALL-FILE BIN-PACKING (incremental OPTIMIZE): after a band delete
+    // shrinks the boundary files, z-adjacent remnants merge into ~mean-
+    // size files while everything else carries — compaction must never
+    // change answers, so the twin is raw lineitem minus the band
+    "w40_zorder_binpack" -> ((s, d) =>
+      Layout.zorderRead(s, zorderBinpackedFor(s, d))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))),
 
     // KEYED TAKEDOWN (DELETE WHERE key IN ...) on a non-layout column,
     // bloom-pruned: three known orderkeys removed from the maintained
@@ -4742,6 +4793,16 @@ object SparkEntry {
         |SELECT COUNT(*) AS n_band FROM lineitem, mx
         |WHERE l_orderkey BETWEEN ma // 8 AND ma * 7 // 8
         |  AND l_suppkey BETWEEN mb // 8 AND mb * 7 // 8""".stripMargin,
+
+    // the bin-packed table ≡ raw lineitem minus the deleted band
+    "w40_zorder_binpack" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) AS ma, MAX(l_suppkey) AS mb FROM lineitem)
+        |SELECT l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem, mx
+        |WHERE NOT (l_orderkey BETWEEN ma // 8 AND ma * 3 // 8
+        |       AND l_suppkey BETWEEN mb // 8 AND mb * 3 // 8)
+        |GROUP BY 1""".stripMargin,
 
     // the taken-down table ≡ raw orders minus exactly the three keys
     "w39_zorder_takedown" ->

@@ -1440,6 +1440,60 @@ object Layout {
       .unionByName(neu.exceptAll(old).withColumn("change_type", lit("insert")))
   }
 
+  /** Incremental SMALL-FILE compaction (the OPTIMIZE bin-packing step,
+    * distinct from [[zorderCompact]]'s full rewrite): greedily groups
+    * RUNS of z-adjacent files whose row counts sit below `targetRows`
+    * into merge groups summing to ~targetRows, rewrites each group into
+    * ONE z-sorted file, and carries every adequately-sized file as a
+    * manifest row — cost tracks the small-file population, not the
+    * table. Z-adjacency keeps the merged file's span the union of a
+    * contiguous z run, so span pruning stays as tight as before. Bounds
+    * stay frozen (this is maintenance, not the re-freezing full
+    * compact). Returns (groupsMerged, filesMergedIn, filesCarried);
+    * (0, 0, files) when no two adjacent small files exist. */
+  def zorderCompactSmall(spark: SparkSession, path: String,
+      targetRows: Long): (Int, Int, Int) = withTableLock(path) {
+    require(targetRows >= 1, "need targetRows >= 1")
+    val cur = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    rollbackStaleAppendIntents(path)
+    heal(path, cur)
+    val man = readManifest(path, cur)
+    val spans = man.spans // sorted by zLo
+    // greedy run packing: consecutive small files fold into a group until
+    // the group reaches targetRows; singleton groups carry unchanged
+    val groups = scala.collection.mutable.ListBuffer.empty[Seq[Int]]
+    var runStart = -1
+    var runRows = 0L
+    def flush(end: Int): Unit = {
+      if (runStart >= 0 && end - runStart >= 2)
+        groups += (runStart until end)
+      runStart = -1; runRows = 0L
+    }
+    for (i <- spans.indices) {
+      val s = spans(i)
+      if (s.rows >= targetRows) flush(i)
+      else {
+        if (runStart < 0) { runStart = i; runRows = 0L }
+        runRows += s.rows
+        if (runRows >= targetRows) { flush(i + 1) }
+      }
+    }
+    flush(spans.size)
+    if (groups.isEmpty) return (0, 0, spans.size)
+    val affected = groups.flatten.toSeq.sorted
+    val leaderOf = groups.flatMap(g => g.map(i => i -> g.head)).toMap
+    graft.functions.GraftExtensions.register(spark)
+    val z = zValue(scale16(col(man.colA), man.aLo, man.aHi),
+      scale16(col(man.colB), man.bLo, man.bHi))
+    val merged = readWithFid(spark, path, spans, affected, z, man.mixedSchema)
+      .withColumn("_fid",
+        element_at(typedLit(leaderOf.map { case (k, v) => k -> v }), col("_fid")))
+    commitRewrite(spark, path, cur, man, affected, merged, "binpack",
+      requireFilePerFid = false, consumed = Seq.empty)
+    (groups.size, affected.size, spans.size - affected.size)
+  }
+
   /** Cursor-based incremental consumption of the change feed: the net
     * changes from `sinceGen` (exclusive) to CURRENT plus the new cursor
     * value to persist — a follower that applies each batch (delete rows

@@ -582,6 +582,47 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(g3.filter(col("w") === "x2b").count() == 1)
   }
 
+  test("zorderCompactSmall: z-adjacent small files bin-pack, big files carry, answers and pruning unchanged, repeat no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zbin").toString + "/t"
+    val base = spark.range(4096L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    // keep two generations: the pre-compaction snapshot stays readable
+    // for the answers-unchanged comparison after the bin-pack GCs the
+    // replaced files
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 32,
+      keepGenerations = 2) // 128 rows/file
+    // shrink a z-contiguous corner with an UNALIGNED band (an aligned
+    // 16×16 corner would cover files 0-1 exactly and drop them whole):
+    // (0..11)² hits 96 rows of file 0 and 48 of file 1 → 32- and 80-row
+    // small files, z-adjacent
+    assert(Layout.zorderDelete(spark, dir, (0L, 11L), (0L, 11L))._1 == 144L)
+    def before = Layout.zorderReadAsOf(spark, dir, 1L)
+    val beforeRows = before.count()
+    val beforeFiles = Layout.currentSpans(dir).size
+    val small = Layout.currentSpans(dir).count(_.rows < 100L)
+    assert(small >= 2, s"fixture sanity: need adjacent small files, got $small")
+
+    val (groups, mergedIn, carried) = Layout.zorderCompactSmall(spark, dir, 100L)
+    assert(groups >= 1 && mergedIn >= 2 && carried >= 1,
+      s"bin-pack must engage and carry big files: $groups/$mergedIn/$carried")
+    val after = Layout.zorderRead(spark, dir)
+    assert(after.count() == beforeRows &&
+      after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "compaction must never change answers")
+    val spansAfter = Layout.currentSpans(dir)
+    assert(spansAfter.size == beforeFiles - mergedIn + groups)
+    assert(spansAfter.forall(_.rows > 0))
+    assert(spansAfter.map(_.zLo) == spansAfter.map(_.zLo).sorted,
+      "manifest stays z-ordered")
+    // pruned scans still ≡ filters on the packed table
+    val scan = Layout.zorderScan(spark, dir, (20L, 40L), (20L, 40L))
+    val want = after.filter(col("a").between(20, 40) && col("b").between(20, 40))
+    assert(scan.count() == want.count() && scan.exceptAll(want).isEmpty)
+    // no two adjacent smalls remain below target → exact no-op
+    assert(Layout.zorderCompactSmall(spark, dir, 100L) ==
+      ((0, 0, spansAfter.size)))
+  }
+
   test("zorderDeleteByKey: bloom-pruned takedown by non-layout key — exact removal, no-op repeat, incremental bloom refresh, CDC sees it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zkdel").toString + "/t"
