@@ -456,6 +456,148 @@ object SparkEntry {
       path
     }
 
+  /** Memoized VECTOR-DELETED table for w41: init on lineitem, one
+    * MERGE-ON-READ band delete (`zorderDeleteVectored` — tombstones
+    * written, ZERO data files touched: the builder snapshots every data
+    * file's mtime and requires the set unchanged) over the SAME band
+    * arithmetic as w32's copy-on-write delete. The table keeps its
+    * deletion vector permanently, so the oracle row hash-checks the
+    * DV-applying live read against the raw NOT-band twin — together with
+    * w32 this pins copy-on-write ≡ merge-on-read on real data. */
+  private val zdvMemo = layoutMemo
+  private def zorderDvDeletedFor(s: SparkSession, d: String): String =
+    memoizedLayout(zdvMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w41_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zdv16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val li = t(s, d, "lineitem")
+          val mx = li.agg(max("l_orderkey"), max("l_suppkey")).collect()(0)
+          val (ma, mb) = (mx.getLong(0), mx.getLong(1))
+          Layout.zorderInit(s, li, path, "l_orderkey", "l_suppkey", nFiles = 16)
+          val before = layoutDataFiles(path)
+          val (aBand, bBand) = ((ma / 4, ma / 2), (mb * 2 / 5, mb / 2))
+          val (del, tomb) = Layout.zorderDeleteVectored(s, path, aBand, bBand)
+          require(del > 0, "the band must hold rows")
+          require(tomb >= 1 && tomb < 16,
+            s"vectored delete must be span-pruned: tombstoned $tomb of 16")
+          require(layoutDataFiles(path) == before,
+            "a merge-on-read delete must not touch any data file")
+          require(Layout.zorderDeleteVectored(s, path, aBand, bBand) == ((0L, 0)),
+            "repeat vectored delete over the same band must be an exact no-op")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
+  /** Memoized REPLICA for w44: [[Layout.zorderMirror]] of the w41 table
+    * (a maintained table WITH a live deletion vector — so the sync ships
+    * manifests, data files, and the DV sidecar). The builder requires the
+    * repeat sync to be an exact no-op and the replica to sit at the
+    * primary's generation; the oracle then hash-checks the REPLICA's live
+    * read against the primary's twin — replication must be byte-faithful
+    * including merge-on-read state. Re-syncs from scratch when the
+    * primary was rebuilt (signature mismatch). */
+  private val zmirrorMemo = layoutMemo
+  private def zorderMirroredFor(s: SparkSession, d: String): String =
+    memoizedLayout(zmirrorMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val primary = zorderDvDeletedFor(s, d)
+      val name = "graft_w44_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zdv16#mirror")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          // a stale replica of a REBUILT primary must not incrementally
+          // sync (manifest numbers would collide across unrelated tables)
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val (files, mans) = Layout.zorderMirror(primary, path)
+          require(files >= 1 && mans >= 1,
+            s"first sync must ship the table: $files files, $mans manifests")
+          require(Layout.zorderMirror(primary, path) == ((0, 0)),
+            "repeat sync must be an exact no-op")
+          require(Layout.currentGen(path) == Layout.currentGen(primary),
+            "replica must sit at the primary's generation")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
+  /** Every data-file path → mtime under a maintained table (DV sidecars
+    * excluded) — the w41/w42 builders' zero-write / carried-bytes proof. */
+  private def layoutDataFiles(path: String): Map[String, java.nio.file.attribute.FileTime] = {
+    import scala.jdk.CollectionConverters._
+    val dd = java.nio.file.Paths.get(path, "data")
+    if (!java.nio.file.Files.isDirectory(dd)) return Map.empty
+    val walk = java.nio.file.Files.walk(dd)
+    try walk.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("dv-"))
+      .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p))
+      .toMap
+    finally walk.close()
+  }
+
+  /** Memoized PURGED table for w42: its own init + vectored band delete,
+    * then [[Layout.zorderDvMaterialize]] — the PHYSICAL erasure step of
+    * the takedown two-step. The builder requires the purge to rewrite
+    * exactly the tombstoned files (untouched files carried byte-identical
+    * by mtime), the deletion vector to be GC'd, and a repeat materialize
+    * to be a no-op; the oracle then hash-checks the DV-free table against
+    * the same NOT-band twin. */
+  private val zdvmatMemo = layoutMemo
+  private def zorderDvPurgedFor(s: SparkSession, d: String): String =
+    memoizedLayout(zdvmatMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w42_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zdvmat16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val li = t(s, d, "lineitem")
+          val mx = li.agg(max("l_orderkey"), max("l_suppkey")).collect()(0)
+          val (ma, mb) = (mx.getLong(0), mx.getLong(1))
+          Layout.zorderInit(s, li, path, "l_orderkey", "l_suppkey", nFiles = 16)
+          val (aBand, bBand) = ((ma / 4, ma / 2), (mb * 2 / 5, mb / 2))
+          val (del, tomb) = Layout.zorderDeleteVectored(s, path, aBand, bBand)
+          require(del > 0 && tomb >= 1)
+          val before = layoutDataFiles(path)
+          val (rewritten, purged) = Layout.zorderDvMaterialize(s, path)
+          require(rewritten == tomb && purged == del,
+            s"purge must rewrite exactly the tombstoned files: $rewritten/$tomb, $purged/$del")
+          val after = layoutDataFiles(path)
+          val carriedUnchanged = before.keySet & after.keySet
+          require(carriedUnchanged.forall(f => before(f) == after(f)),
+            "carried files must be byte-untouched by the purge")
+          require(Layout.zorderDvMaterialize(s, path) == ((0, 0L)),
+            "repeat materialize must be a no-op")
+          require(Layout.currentSpans(path).forall(_.dvRows == 0),
+            "no tombstone survives the purge")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized RETAINED-GENERATIONS table for w33: init with a 2-snapshot
     * window on the low-90% orderkey domain, blind-append the tail, one
     * maintain — then the oracle reads generation 0 AS OF (time travel on
@@ -2459,6 +2601,34 @@ object SparkEntry {
             .as("sum_price"))
     }),
 
+    // CATALYST-INTEGRATED table read (ZTable: a manifest-backed FileIndex
+    // inside Spark's scan planning, the Delta TahoeFileIndex shape): the
+    // SAME band as w27 expressed as a plain .filter on a plain DataFrame —
+    // no zorderScan call — must prune files at PLANNING time (the entry
+    // requires listFiles to cut the list) and hash-match the same twin;
+    // together w27 and w43 pin driver-side scan ≡ planner-integrated scan
+    "w43_zorder_fileindex" -> ((s, d) => {
+      val path = zorderMaintainedFor(s, d)
+      val mx = Layout.zorderRead(s, path)
+        .agg(max("l_orderkey"), max("l_suppkey")).collect()(0)
+      val (ma, mb) = (mx.getLong(0), mx.getLong(1))
+      val (aBand, bBand) = ((ma / 4, ma / 2), (mb * 2 / 5, mb / 2))
+      val (df, fi) = graft.ops.ZTable.dataFrameWithIndex(s, path)
+      val pred = col("l_orderkey").between(aBand._1, aBand._2) &&
+        col("l_suppkey").between(bBand._1, bBand._2)
+      val res = df.filter(pred)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+      // planner-level audit: run the aggregate once eagerly so the REAL
+      // FileSourceScanExec listing happens, then require it pruned
+      res.collect()
+      require(fi.lastListed > 0 && fi.lastListed < fi.inputFiles.length,
+        s"FileIndex must prune the band scan: ${fi.lastListed}/${fi.inputFiles.length}")
+      res
+    }),
+
     // gate-on-arrival ingest loop driven end to end (two parity batches +
     // a committed-replay no-op proof in the builder), then the AUDIT
     // HISTORY read back — the twin re-derives each batch's per-rule
@@ -2497,6 +2667,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))),
+
+    // MERGE-ON-READ delete (deletion vectors): the same band as w32 is
+    // tombstoned, not rewritten — zero data files touched (builder proves
+    // by mtime snapshot) — and every read applies the DV anti-join. The
+    // identical twin as w32 certifies copy-on-write ≡ merge-on-read.
+    "w41_zorder_dv_delete" -> ((s, d) => {
+      val path = zorderDvDeletedFor(s, d)
+      // the demonstration lives in the read: this table must still carry
+      // live tombstones (nothing materialized them)
+      require(Layout.currentSpans(path).map(_.dvRows).sum > 0,
+        "w41 table must read through a live deletion vector")
+      Layout.zorderRead(s, path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))
+    }),
+
+    // REPLICATION (zorderMirror): the replica of the w41 table — synced
+    // manifests + data files + the deletion-vector sidecar, repeat-sync
+    // no-op proven in the builder — must hash-match the primary's twin:
+    // replication is byte-faithful including merge-on-read state
+    "w44_zorder_mirror" -> ((s, d) => {
+      val path = zorderMirroredFor(s, d)
+      require(Layout.currentSpans(path).map(_.dvRows).sum > 0,
+        "w44 replica must read through the mirrored deletion vector")
+      Layout.zorderRead(s, path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))
+    }),
+
+    // PHYSICAL purge (zorderDvMaterialize): only the tombstoned files
+    // rewrote, the DV is GC'd (builder proves), answers unchanged — the
+    // GDPR erasure step after w41's instant logical delete
+    "w42_zorder_dv_purge" -> ((s, d) => {
+      val path = zorderDvPurgedFor(s, d)
+      require(Layout.currentSpans(path).forall(_.dvRows == 0),
+        "w42 table must be tombstone-free after the purge")
+      Layout.zorderRead(s, path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))
+    }),
 
     // keyed UPSERT (MERGE INTO) over the maintained table: a corrupted
     // band healed by one span-pruned upsert of the true rows — the plain
@@ -4770,6 +4986,40 @@ object SparkEntry {
         |       AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2)
         |GROUP BY 1""".stripMargin,
 
+    // merge-on-read delete reads ≡ the SAME not-band twin as w32: the
+    // deletion vector must hide exactly the band, nothing else
+    "w41_zorder_dv_delete" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) AS ma, MAX(l_suppkey) AS mb FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |FROM lineitem, mx
+        |WHERE NOT (l_orderkey BETWEEN ma // 4 AND ma // 2
+        |       AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2)
+        |GROUP BY 1""".stripMargin,
+
+    // the replica ≡ the primary ≡ the not-band twin
+    "w44_zorder_mirror" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) AS ma, MAX(l_suppkey) AS mb FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |FROM lineitem, mx
+        |WHERE NOT (l_orderkey BETWEEN ma // 4 AND ma // 2
+        |       AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2)
+        |GROUP BY 1""".stripMargin,
+
+    // the physical purge changes bytes, never answers
+    "w42_zorder_dv_purge" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) AS ma, MAX(l_suppkey) AS mb FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |FROM lineitem, mx
+        |WHERE NOT (l_orderkey BETWEEN ma // 4 AND ma // 2
+        |       AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2)
+        |GROUP BY 1""".stripMargin,
+
     // the upserted table ≡ raw lineitem, full stop: the corrupted-band
     // init is invisible iff the keyed merge healed it exactly
     "w34_zorder_upsert" ->
@@ -4860,6 +5110,17 @@ object SparkEntry {
     // the same two-sided band to raw lineitem (// = integer division,
     // matching Scala Long floor division on the band bounds)
     "w27_zorder_scan" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) AS ma, MAX(l_suppkey) AS mb FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem, mx
+        |WHERE l_orderkey BETWEEN ma // 4 AND ma // 2
+        |  AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2
+        |GROUP BY 1""".stripMargin,
+
+    // the planner-integrated read of the same maintained table over the
+    // same band must produce the identical aggregate
+    "w43_zorder_fileindex" ->
       """WITH mx AS (SELECT MAX(l_orderkey) AS ma, MAX(l_suppkey) AS mb FROM lineitem)
         |SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -322,7 +322,7 @@ object Layout {
         s"${retainedGens(path).mkString(", ")}) — raise keepGenerations " +
         "BEFORE the commits you want to travel to")
     val man = readManifest(path, gen)
-    spanFiles(spark, path, man.spans, man.mixedSchema)
+    spanFilesLive(spark, path, man, man.spans)
   }
 
   /** [[zorderScan]] against a RETAINED generation: the same driver-side
@@ -338,7 +338,7 @@ object Layout {
       s.bMin <= bRange._2 && s.bMax >= bRange._1)
     val base =
       if (hit.isEmpty) spanFiles(spark, path, man.spans, man.mixedSchema).limit(0)
-      else spanFiles(spark, path, hit, man.mixedSchema)
+      else spanFilesLive(spark, path, man, hit)
     base.filter(col(man.colA).between(aRange._1, aRange._2) &&
       col(man.colB).between(bRange._1, bRange._2))
   }
@@ -352,17 +352,20 @@ object Layout {
     retainedGens(path).map { g =>
       val m = readManifest(path, g)
       (g, g == currentGen(path).get, m.spans.size.toLong,
-        m.spans.map(_.rows).sum, m.colA, m.colB,
+        m.spans.map(s => s.rows - s.dvRows).sum, m.colA, m.colB, // LIVE rows
         s"[${m.aLo}, ${m.aHi}]", s"[${m.bLo}, ${m.bHi}]", landing)
     }.toDF("gen", "is_current", "files", "rows", "col_a", "col_b",
       "a_bounds", "b_bounds", "landing_files")
   }
 
   /** One manifest row per data file: relative path (under the table
-    * root), row count, z range (what maintenance routes on), and the raw
-    * key ranges (what [[zorderScan]] prunes on). */
+    * root), row count, z range (what maintenance routes on), the raw
+    * key ranges (what [[zorderScan]] prunes on), and `dvRows` — how many
+    * of the file's PHYSICAL rows the generation's deletion vector
+    * tombstones (`rows` stays the physical count; live = rows − dvRows). */
   private[ops] final case class Span(file: String, rows: Long, zLo: Long,
-      zHi: Long, aMin: Long, aMax: Long, bMin: Long, bMax: Long)
+      zHi: Long, aMin: Long, aMax: Long, bMin: Long, bMax: Long,
+      dvRows: Long = 0L)
 
   /** A generation's full state — the curve metadata travels INSIDE the
     * manifest, so a compaction that re-freezes the scaling bounds commits
@@ -375,18 +378,23 @@ object Layout {
     * may add or omit non-key columns, reconciled BY NAME with null fill —
     * the Iceberg/Delta rule); readers then merge footer schemas, the one
     * extra planning cost evolution carries, and a compact rewrites every
-    * file and resets the flag — homogeneous tables keep the fast path. */
+    * file and resets the flag — homogeneous tables keep the fast path.
+    * `dv` names the generation's DELETION VECTOR file (relative path of a
+    * parquet of (fname, pos) tombstones — merge-on-read row deletes);
+    * None means no tombstones anywhere in this generation. */
   private[ops] final case class Manifest(colA: String, colB: String,
       aLo: Long, aHi: Long, bLo: Long, bHi: Long,
-      consumed: Seq[String], spans: Seq[Span], mixedSchema: Boolean = false)
+      consumed: Seq[String], spans: Seq[Span], mixedSchema: Boolean = false,
+      dv: Option[String] = None)
 
   private def writeManifest(path: String, gen: Long, m: Manifest): Unit = {
     val hdr = Seq(s"#colA\t${m.colA}", s"#colB\t${m.colB}",
       s"#aLo\t${m.aLo}", s"#aHi\t${m.aHi}", s"#bLo\t${m.bLo}", s"#bHi\t${m.bHi}",
       s"#mixed\t${if (m.mixedSchema) 1 else 0}") ++
+      m.dv.map(f => s"#dv\t$f").toSeq ++
       m.consumed.map(f => s"#consumed\t$f")
     val rows = m.spans.map(s =>
-      s"${s.file}\t${s.rows}\t${s.zLo}\t${s.zHi}\t${s.aMin}\t${s.aMax}\t${s.bMin}\t${s.bMax}")
+      s"${s.file}\t${s.rows}\t${s.zLo}\t${s.zHi}\t${s.aMin}\t${s.aMax}\t${s.bMin}\t${s.bMax}\t${s.dvRows}")
     writeAtomic(manifestPath(path, gen), (hdr ++ rows).mkString("\n"))
   }
 
@@ -405,9 +413,11 @@ object Layout {
       rows.map { l =>
         val p = l.split("\t")
         Span(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong,
-          p(5).toLong, p(6).toLong, p(7).toLong)
+          p(5).toLong, p(6).toLong, p(7).toLong,
+          dvRows = if (p.length > 8) p(8).toLong else 0L) // pre-DV manifests: 8 cols
       }.sortBy(_.zLo),
-      mixedSchema = meta.get("mixed").contains("1"))
+      mixedSchema = meta.get("mixed").contains("1"),
+      dv = meta.get("dv"))
   }
 
   /** The CURRENT generation's manifest rows — the statistics a probe or
@@ -553,7 +563,7 @@ object Layout {
     graft.engine.WarehouseMeta.deleteRecursively(staging)
   }
 
-  private def currentManifest(path: String): (Long, Manifest) = {
+  private[ops] def currentManifest(path: String): (Long, Manifest) = {
     val gen = currentGen(path).getOrElse(
       throw new IllegalStateException(s"no zorderInit at $path"))
     (gen, readManifest(path, gen))
@@ -567,12 +577,66 @@ object Layout {
     rd.parquet(spans.map(s => root.resolve(s.file).toString): _*)
   }
 
+  private def basenameOf(file: String): String =
+    java.nio.file.Paths.get(file).getFileName.toString
+
+  /** The generation's deletion-vector rows — (fname, pos) tombstones —
+    * or None when the generation has none. */
+  private def dvDF(spark: SparkSession, path: String,
+      man: Manifest): Option[DataFrame] =
+    man.dv.map { rel =>
+      spark.read.parquet(
+        java.nio.file.Paths.get(path).toAbsolutePath.resolve(rel).toString)
+    }
+
+  /** LIVE read of a span subset: physical rows minus the generation's
+    * deletion-vector tombstones. Files without tombstones (`dvRows == 0`,
+    * the common case) take the plain scan path — no metadata column, no
+    * join; only tombstoned files read with `_metadata.row_index` and
+    * anti-join the (broadcast) tombstone set for exactly those files.
+    * Positions are parquet physical row indexes, stable because data
+    * files are immutable — the Iceberg v2 positional-delete / Delta
+    * deletion-vector shape. */
+  private def spanFilesLive(spark: SparkSession, path: String, man: Manifest,
+      spans: Seq[Span]): DataFrame =
+    spanFilesLiveNamed(spark, path, man, spans).drop("_live_fname")
+
+  /** [[spanFilesLive]] keeping a `_live_fname` basename column, stamped
+    * at SCAN time in both branches — `input_file_name()` is unreliable
+    * after joins/unions, so callers that need per-row file identity
+    * ([[readWithFid]]) take it from here instead of recomputing. */
+  private def spanFilesLiveNamed(spark: SparkSession, path: String,
+      man: Manifest, spans: Seq[Span]): DataFrame = {
+    val root = java.nio.file.Paths.get(path).toAbsolutePath
+    val rd = if (man.mixedSchema) spark.read.option("mergeSchema", "true")
+      else spark.read
+    def named(ss: Seq[Span]) =
+      rd.parquet(ss.map(s => root.resolve(s.file).toString): _*)
+        .withColumn("_live_fname", element_at(split(input_file_name(), "/"), -1))
+    val tomb = spans.filter(_.dvRows > 0)
+    if (tomb.isEmpty || man.dv.isEmpty) return named(spans)
+    val clean = spans.filter(_.dvRows == 0)
+    val tombNames = tomb.map(s => basenameOf(s.file))
+    val dv = dvDF(spark, path, man).get
+      .filter(col("fname").isin(tombNames: _*))
+      .withColumnRenamed("fname", "_dv_fname")
+      .withColumnRenamed("pos", "_dv_pos")
+    val tombLive = named(tomb)
+      .withColumn("_pos", col("_metadata.row_index"))
+      .join(broadcast(dv),
+        col("_live_fname") === col("_dv_fname") && col("_pos") === col("_dv_pos"),
+        "left_anti")
+      .drop("_pos")
+    if (clean.isEmpty) tombLive
+    else named(clean).unionByName(tombLive, allowMissingColumns = true)
+  }
+
   /** Read the CURRENT committed generation (landing rows are invisible
     * until maintained — snapshot semantics; use [[zorderReadWithLanding]]
     * for read-your-appends). */
   def zorderRead(spark: SparkSession, path: String): DataFrame = {
     val (_, man) = currentManifest(path)
-    spanFiles(spark, path, man.spans, man.mixedSchema)
+    spanFilesLive(spark, path, man, man.spans)
   }
 
   /** Span-pruned scan of the CURRENT generation: the reader-side payoff
@@ -591,7 +655,7 @@ object Layout {
       s.bMin <= bRange._2 && s.bMax >= bRange._1)
     val base =
       if (hit.isEmpty) spanFiles(spark, path, man.spans, man.mixedSchema).limit(0)
-      else spanFiles(spark, path, hit, man.mixedSchema)
+      else spanFilesLive(spark, path, man, hit)
     base.filter(col(man.colA).between(aRange._1, aRange._2) &&
       col(man.colB).between(bRange._1, bRange._2))
   }
@@ -723,24 +787,24 @@ object Layout {
     * construction ([[commitRewrite]] generation-qualifies every rewrite
     * name; init part names carry job UUIDs) — the require makes a
     * violation loud instead of silently fanning rows out through the
-    * join. */
-  private def readWithFid(spark: SparkSession, path: String, spans: Seq[Span],
-      idx: Seq[Int], z: Column, mixedSchema: Boolean = false): DataFrame = {
+    * join. LIVE rows only: tombstoned positions of deletion-vectored
+    * files anti-join out here, so every rewrite path (maintain / delete /
+    * upsert / bin-pack) MATERIALIZES the affected files' tombstones —
+    * a rewritten file never resurrects a vector-deleted row. */
+  private def readWithFid(spark: SparkSession, path: String, man: Manifest,
+      idx: Seq[Int], z: Column): DataFrame = {
     import spark.implicits._
+    val spans = man.spans
     val root = java.nio.file.Paths.get(path).toAbsolutePath
-    val names = idx.map(i =>
-      java.nio.file.Paths.get(spans(i).file).getFileName.toString)
+    val names = idx.map(i => basenameOf(spans(i).file))
     require(names.distinct.size == names.size,
       s"duplicate data-file basenames in the manifest at $path — " +
         "rebuild the table via zorderCompact")
-    val nameToFid = names.zip(idx).toDF("fname", "_fid")
-    val rd = if (mixedSchema) spark.read.option("mergeSchema", "true")
-      else spark.read
-    rd.parquet(idx.map(i => root.resolve(spans(i).file).toString): _*)
+    val nameToFid = names.zip(idx).toDF("_live_fname", "_fid")
+    spanFilesLiveNamed(spark, path, man, idx.map(spans))
       .withColumn("_zm", z)
-      .withColumn("fname", element_at(split(input_file_name(), "/"), -1))
-      .join(broadcast(nameToFid), "fname")
-      .drop("fname")
+      .join(broadcast(nameToFid), "_live_fname")
+      .drop("_live_fname")
   }
 
   /** Shared commit tail for the rewrite family (maintain / delete /
@@ -805,8 +869,14 @@ object Layout {
       s"refusing to commit an EMPTY maintained table at $path — a " +
         "manifest must reference at least one file; to drop the whole " +
         "table, delete its directory instead")
+    // deletion-vector carry: a REWRITTEN file materialized its tombstones
+    // (readWithFid reads live rows) and got a new generation-qualified
+    // basename, so its old DV rows can never match again — the DV file
+    // carries verbatim (a manifest reference, zero filesystem work) while
+    // any carried file still holds tombstones, and drops otherwise
+    val dvNext = if (carried.exists(_.dvRows > 0)) man.dv else None
     writeManifest(path, cur + 1, man.copy(consumed = consumed,
-      spans = (carried ++ fresh).sortBy(_.zLo)))
+      spans = (carried ++ fresh).sortBy(_.zLo), dv = dvNext))
     // COMMIT, then clean up: heal IS the cleanup (consumed landing, aged
     // manifests, unreferenced data files) — a crash between the flip and
     // here replays the identical sweep
@@ -878,7 +948,7 @@ object Layout {
     // or omit non-key columns); bounds stay frozen (the manifest copy
     // keeps them)
     val oldRows = if (affected.isEmpty) None
-      else Some(readWithFid(spark, path, spans, affected, z, man.mixedSchema))
+      else Some(readWithFid(spark, path, man, affected, z))
     val merged = oldRows
       .map(_.unionByName(newRows, allowMissingColumns = true))
       .getOrElse(newRows)
@@ -918,7 +988,7 @@ object Layout {
     val man = readManifest(path, cur)
     val landing = landingFiles(path)
     val all = {
-      val base = spanFiles(spark, path, man.spans, man.mixedSchema)
+      val base = spanFilesLive(spark, path, man, man.spans)
       if (landing.isEmpty) base
       else base.unionByName(
         spark.read.option("mergeSchema", "true")
@@ -991,7 +1061,7 @@ object Layout {
     if (hitIdx.isEmpty) return (0L, 0, spans.size)
     val z = zValue(scale16(col(man.colA), man.aLo, man.aHi),
       scale16(col(man.colB), man.bLo, man.bHi))
-    val matched = readWithFid(spark, path, spans, hitIdx, z, man.mixedSchema)
+    val matched = readWithFid(spark, path, man, hitIdx, z)
       .filter(pred).groupBy("_fid").agg(count(lit(1)))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ hit files
     val affected = hitIdx.filter(matched.contains).sorted
@@ -1001,7 +1071,7 @@ object Layout {
     // counting pass read the wider span-hit set once). NULL-key rows make
     // `pred` NULL, not false — coalesce keeps them, or they would vanish
     // from the rewritten files without ever counting as deleted.
-    val survivors = readWithFid(spark, path, spans, affected, z, man.mixedSchema)
+    val survivors = readWithFid(spark, path, man, affected, z)
       .filter(!coalesce(pred, lit(false)))
     commitRewrite(spark, path, cur, man, affected, survivors, "deleted",
       requireFilePerFid = false, consumed = Seq.empty)
@@ -1065,7 +1135,7 @@ object Layout {
       val keyCols = Seq(man.colA, man.colB)
       val keys = batch.select(man.colA, man.colB).distinct()
       val oldRows = if (affected.isEmpty) None
-        else Some(readWithFid(spark, path, spans, affected, z, man.mixedSchema))
+        else Some(readWithFid(spark, path, man, affected, z))
       val nReplaced = oldRows
         .map(_.join(broadcast(keys), keyCols, "left_semi").count())
         .getOrElse(0L)
@@ -1266,7 +1336,7 @@ object Layout {
     }
     val base =
       if (hit.isEmpty) spanFiles(spark, path, man.spans, man.mixedSchema).limit(0)
-      else spanFiles(spark, path, hit, man.mixedSchema)
+      else spanFilesLive(spark, path, man, hit)
     base.filter(col(keyCol).cast("long").isin(values: _*))
   }
 
@@ -1310,10 +1380,12 @@ object Layout {
       aRange: (Long, Long), bRange: (Long, Long)): Long = {
     val (_, man) = currentManifest(path)
     val (covered, boundary) = splitCovered(man.spans, aRange, bRange)
-    val metaRows = covered.map(_.rows).sum
+    // a tombstoned row is deleted wherever it sits, so a fully-covered
+    // file contributes its LIVE count (physical minus tombstones)
+    val metaRows = covered.map(s => s.rows - s.dvRows).sum
     val scanned =
       if (boundary.isEmpty) 0L
-      else spanFiles(spark, path, boundary, man.mixedSchema)
+      else spanFilesLive(spark, path, man, boundary)
         .filter(col(man.colA).between(aRange._1, aRange._2) &&
           col(man.colB).between(bRange._1, bRange._2))
         .count()
@@ -1353,17 +1425,201 @@ object Layout {
     val z = zValue(scale16(col(man.colA), man.aLo, man.aHi),
       scale16(col(man.colB), man.bLo, man.bHi))
     val pred = col(keyCol).cast("long").isin(values: _*)
-    val matched = readWithFid(spark, path, spans, candIdx, z, man.mixedSchema)
+    val matched = readWithFid(spark, path, man, candIdx, z)
       .filter(pred).groupBy("_fid").agg(count(lit(1)))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val affected = candIdx.filter(matched.contains).sorted
     if (affected.isEmpty) return (0L, 0, spans.size)
     val nDeleted = matched.values.sum
-    val survivors = readWithFid(spark, path, spans, affected, z, man.mixedSchema)
+    val survivors = readWithFid(spark, path, man, affected, z)
       .filter(!coalesce(pred, lit(false))) // NULL keys never match: kept
     commitRewrite(spark, path, cur, man, affected, survivors, "keydel",
       requireFilePerFid = false, consumed = Seq.empty)
     (nDeleted, affected.length, spans.size - affected.length)
+  }
+
+  // ------------------------------------- deletion vectors (merge-on-read)
+  //
+  // [[zorderDelete]]/[[zorderDeleteByKey]] are COPY-ON-WRITE: every file
+  // holding a match rewrites, so a takedown's cost is the size of the
+  // touched files, not of the deleted rows. The merge-on-read twin
+  // (Iceberg v2 positional deletes / Delta deletion vectors, public
+  // specs) writes TOMBSTONES instead: one parquet of (file basename,
+  // physical row position) per generation, referenced from the manifest
+  // header, with a per-span tombstone counter so readers know which
+  // files even need the anti-join. A vectored delete writes ONLY the
+  // tombstones — zero data files touched, cost O(deleted rows) — and
+  // every reader applies them ([[spanFilesLive]]); every rewrite path
+  // materializes them for the files it rewrites (live rows only, fresh
+  // basename), so DVs drain out of the table through normal maintenance,
+  // or all at once through [[zorderDvMaterialize]] — the PHYSICAL purge
+  // a GDPR erasure ultimately requires (the vectored delete is the
+  // instant logical step; materialize is the bounded-latency physical
+  // step, touching only tombstoned files).
+  //
+  // Positions are parquet physical row indexes (`_metadata.row_index`),
+  // stable because data files are immutable. Tombstone sets are MONOTONE
+  // per file name: a file's DV rows only grow until the file itself is
+  // rewritten under a new generation-qualified name — which is what
+  // makes `dvRows` equality a content-equality check for the change feed.
+
+  private def dvFileName(gen: Long) = s"dv-g$gen.parquet"
+
+  /** Write `df` as ONE parquet file at `target` (stage to a dir, move the
+    * single part): manifest-referenced sidecars are single files so heal's
+    * referenced-set arithmetic stays path-exact. repartition(1) not
+    * coalesce(1): coalesce would collapse the upstream scan to one task. */
+  private def writeSingleParquet(df: DataFrame, staging: java.nio.file.Path,
+      target: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    graft.engine.WarehouseMeta.deleteRecursively(staging)
+    df.repartition(1).write.mode("overwrite").parquet(staging.toString)
+    val parts = parquetFilesUnder(staging)
+    require(parts.size == 1, s"expected one staged part, got ${parts.size}")
+    Files.createDirectories(target.getParent)
+    Files.move(java.nio.file.Paths.get(parts.head), target,
+      StandardCopyOption.ATOMIC_MOVE)
+    graft.engine.WarehouseMeta.deleteRecursively(staging)
+  }
+
+  /** Shared merge-on-read delete: tombstone live rows of the candidate
+    * files that match `pred`, touching NO data file. Returns
+    * (rowsDeleted, filesTombstoned). */
+  private def dvDelete(spark: SparkSession, path: String,
+      candIdxOf: Manifest => Seq[Int],
+      predOf: Manifest => Column): (Long, Int) = withTableLock(path) {
+    val cur = currentGen(path).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $path"))
+    rollbackStaleAppendIntents(path)
+    heal(path, cur)
+    val man = readManifest(path, cur)
+    val spans = man.spans
+    val candIdx = candIdxOf(man)
+    if (candIdx.isEmpty) return (0L, 0)
+    val root = java.nio.file.Paths.get(path).toAbsolutePath
+    val rd = if (man.mixedSchema) spark.read.option("mergeSchema", "true")
+      else spark.read
+    // physical candidate read with per-row file identity + position;
+    // NULL-key rows make pred NULL → never tombstoned (kept, like the
+    // copy-on-write delete's survivors)
+    val matches = rd
+      .parquet(candIdx.map(i => root.resolve(spans(i).file).toString): _*)
+      .withColumn("_fname", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("_pos", col("_metadata.row_index"))
+      .filter(coalesce(predOf(man), lit(false)))
+      .select(col("_fname").as("fname"), col("_pos").as("pos"))
+    // exclude positions an earlier vectored delete already tombstoned —
+    // repeat deletes are exact no-ops and counts stay exact
+    val fresh = dvDF(spark, path, man)
+      .map(dv => matches.join(broadcast(dv), Seq("fname", "pos"), "left_anti"))
+      .getOrElse(matches)
+    val counts = fresh.groupBy("fname").agg(count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ cand files
+    if (counts.isEmpty) return (0L, 0)
+    val nDeleted = counts.values.sum
+    val bumped = spans.map { s =>
+      counts.get(basenameOf(s.file))
+        .map(c => s.copy(dvRows = s.dvRows + c)).getOrElse(s)
+    }
+    // a file whose every physical row is tombstoned drops from the
+    // manifest entirely (and from the DV — its rows would never match)
+    val (dead, alive) = bumped.partition(s => s.dvRows >= s.rows)
+    require(alive.nonEmpty,
+      s"refusing to vector-delete the ENTIRE table at $path — a manifest " +
+        "must reference at least one file; to drop the whole table, " +
+        "delete its directory instead")
+    val aliveTombNames = alive.filter(_.dvRows > 0).map(s => basenameOf(s.file))
+    val dvNext = if (aliveTombNames.isEmpty) None else { // all tombstoned files went fully dead
+      val dvAll = dvDF(spark, path, man)
+        .map(_.unionByName(fresh)).getOrElse(fresh)
+        .filter(col("fname").isin(aliveTombNames: _*))
+      val target = genDataDir(path, cur + 1).resolve(dvFileName(cur + 1))
+      writeSingleParquet(dvAll, dataDir(path).resolve(s"g${cur + 1}.dvstaging"),
+        target)
+      Some(root.relativize(target).toString)
+    }
+    writeManifest(path, cur + 1, man.copy(consumed = Seq.empty,
+      spans = alive.sortBy(_.zLo), dv = dvNext))
+    writeAtomic(currentPtr(path), (cur + 1).toString)
+    heal(path, cur + 1)
+    val _ = dead // dead files become unreferenced → healed when aged out
+    (nDeleted, counts.size)
+  }
+
+  /** Merge-on-read DELETE of a two-sided key band: the vectored twin of
+    * [[zorderDelete]] — candidates span-pruned the same way, but matches
+    * are TOMBSTONED (written to the generation's deletion vector), not
+    * rewritten: no data file is touched, so the commit costs O(deleted
+    * rows) regardless of file sizes — the instant-takedown shape. Readers
+    * apply the DV transparently; [[zorderDvMaterialize]] (or any rewrite
+    * that touches the file) makes the deletes physical. Same lock, commit
+    * discipline, snapshot semantics (landing rows untouched), and repeat-
+    * is-a-no-op contract as the copy-on-write delete. Returns
+    * (rowsDeleted, filesTombstoned). */
+  def zorderDeleteVectored(spark: SparkSession, path: String,
+      aRange: (Long, Long), bRange: (Long, Long)): (Long, Int) =
+    dvDelete(spark, path,
+      man => man.spans.zipWithIndex.collect {
+        case (s, i) if s.aMin <= aRange._2 && s.aMax >= aRange._1 &&
+          s.bMin <= bRange._2 && s.bMax >= bRange._1 => i
+      },
+      man => col(man.colA).between(aRange._1, aRange._2) &&
+        col(man.colB).between(bRange._1, bRange._2))
+
+  /** Merge-on-read keyed DELETE on a NON-layout column — the vectored
+    * twin of [[zorderDeleteByKey]]: candidates bloom-pruned when the
+    * CURRENT generation has a sidecar for `keyCol` (no false negatives),
+    * matches tombstoned, zero data files touched. The GDPR/takedown
+    * two-step: this call makes the rows unreadable NOW;
+    * [[zorderDvMaterialize]] erases them physically on the operator's
+    * cadence. Returns (rowsDeleted, filesTombstoned). */
+  def zorderDeleteVectoredByKey(spark: SparkSession, path: String,
+      keyCol: String, values: Seq[Long]): (Long, Int) =
+    dvDelete(spark, path,
+      man => readBloom(path, currentGen(path).get, keyCol) match {
+        case None => man.spans.indices.toSeq
+        case Some(b) =>
+          val probes = values.distinct.map(v =>
+            probePositions(v, b.bits, b.hashes))
+          man.spans.indices.filter(i => probes.exists(p =>
+            bloomMightContain(b.words.getOrElse(man.spans(i).file, Map.empty), p)))
+      },
+      _ => col(keyCol).cast("long").isin(values: _*))
+
+  /** PHYSICAL purge of every tombstone: rewrite exactly the files with
+    * deletion-vector rows (live rows only, z-sorted — span tightness
+    * survives), drop the DV. Cost tracks the TOMBSTONED file set, never
+    * the table. After this, vector-deleted bytes are gone from disk —
+    * the erasure step of the takedown two-step. Returns (filesRewritten,
+    * rowsPurged); (0, 0) when the table has no tombstones. */
+  def zorderDvMaterialize(spark: SparkSession, path: String): (Int, Long) =
+    withTableLock(path) {
+      val cur = currentGen(path).getOrElse(
+        throw new IllegalStateException(s"no zorderInit at $path"))
+      rollbackStaleAppendIntents(path)
+      heal(path, cur)
+      val man = readManifest(path, cur)
+      val affected = man.spans.zipWithIndex.collect {
+        case (s, i) if s.dvRows > 0 => i
+      }
+      if (affected.isEmpty) return (0, 0L)
+      val purged = affected.map(i => man.spans(i).dvRows).sum
+      val z = zValue(scale16(col(man.colA), man.aLo, man.aHi),
+        scale16(col(man.colB), man.bLo, man.bHi))
+      val merged = readWithFid(spark, path, man, affected, z)
+      commitRewrite(spark, path, cur, man, affected, merged, "dvmat",
+        requireFilePerFid = false, consumed = Seq.empty)
+      (affected.length, purged)
+    }
+
+  /** Per-file tombstone census of the CURRENT generation, manifest-only
+    * (never a data scan): file, physical rows, tombstoned rows, live
+    * rows. The operator's audit for sizing a [[zorderDvMaterialize]]. */
+  def zorderDvStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (_, man) = currentManifest(path)
+    man.spans.map(s => (s.file, s.rows, s.dvRows, s.rows - s.dvRows))
+      .toDF("file", "physical_rows", "dv_rows", "live_rows")
   }
 
   // ------------------------------------------------- change feed (CDC)
@@ -1386,9 +1642,28 @@ object Layout {
     * audit. */
   def zorderChangesFiles(path: String, fromGen: Long,
       toGen: Long): (Int, Int, Int) = {
-    val from = changeManifest(path, fromGen).spans.map(_.file).toSet
-    val to = changeManifest(path, toGen).spans.map(_.file).toSet
-    ((from -- to).size, (to -- from).size, (from & to).size)
+    val from = changeManifest(path, fromGen)
+    val to = changeManifest(path, toGen)
+    val (fromSide, toSide, shared) = changeSides(from, to)
+    (fromSide.size, toSide.size, shared)
+  }
+
+  /** Which spans each side of the feed must read: files unique to one
+    * manifest, PLUS files shared by name whose tombstone counts differ —
+    * DV sets are monotone per file name (they only grow until the file
+    * rewrites under a new name), so equal `dvRows` ⇒ identical tombstone
+    * sets ⇒ identical live rows, and the file skips. Returns (fromSide,
+    * toSide, sharedUnchangedCount). */
+  private def changeSides(from: Manifest,
+      to: Manifest): (Seq[Span], Seq[Span], Int) = {
+    val fromDv = from.spans.map(s => s.file -> s.dvRows).toMap
+    val toDv = to.spans.map(s => s.file -> s.dvRows).toMap
+    val churned = (fromDv.keySet & toDv.keySet).filter(f => fromDv(f) != toDv(f))
+    val fromSide = from.spans.filter(s =>
+      !toDv.contains(s.file) || churned(s.file))
+    val toSide = to.spans.filter(s =>
+      !fromDv.contains(s.file) || churned(s.file))
+    (fromSide, toSide, (fromDv.keySet & toDv.keySet).size - churned.size)
   }
 
   private def changeManifest(path: String, gen: Long): Manifest = {
@@ -1412,15 +1687,16 @@ object Layout {
       toGen: Long): DataFrame = {
     val from = changeManifest(path, fromGen)
     val to = changeManifest(path, toGen)
-    val fromFiles = from.spans.map(_.file).toSet
-    val toFiles = to.spans.map(_.file).toSet
-    val fromOnly = from.spans.filter(s => !toFiles.contains(s.file))
-    val toOnly = to.spans.filter(s => !fromFiles.contains(s.file))
-    def slice(spans: Seq[Span], mixed: Boolean) =
-      if (spans.isEmpty) spanFiles(spark, path, from.spans, mixed).limit(0)
-      else spanFiles(spark, path, spans, mixed)
-    val old0 = slice(fromOnly, from.mixedSchema)
-    val neu0 = slice(toOnly, to.mixedSchema)
+    // each side reads LIVE rows under its own generation's deletion
+    // vector: a vectored delete thus surfaces in the feed as plain
+    // 'delete' rows (shared-by-name files with churned tombstone counts
+    // read on both sides; untouched rows cancel in the EXCEPT)
+    val (fromSide, toSide, _) = changeSides(from, to)
+    def slice(man: Manifest, spans: Seq[Span]) =
+      if (spans.isEmpty) spanFiles(spark, path, from.spans, man.mixedSchema).limit(0)
+      else spanFilesLive(spark, path, man, spans)
+    val old0 = slice(from, fromSide)
+    val neu0 = slice(to, toSide)
     // schema evolution between the generations: conform both slices to
     // the united column set (null fill, by name) so the EXCEPT compares
     // rows — null-safe set semantics make a column added with null values
@@ -1486,7 +1762,7 @@ object Layout {
     graft.functions.GraftExtensions.register(spark)
     val z = zValue(scale16(col(man.colA), man.aLo, man.aHi),
       scale16(col(man.colB), man.bLo, man.bHi))
-    val merged = readWithFid(spark, path, spans, affected, z, man.mixedSchema)
+    val merged = readWithFid(spark, path, man, affected, z)
       .withColumn("_fid",
         element_at(typedLit(leaderOf.map { case (k, v) => k -> v }), col("_fid")))
     commitRewrite(spark, path, cur, man, affected, merged, "binpack",
@@ -1507,6 +1783,96 @@ object Layout {
     val cur = currentGen(path).getOrElse(
       throw new IllegalStateException(s"no zorderInit at $path"))
     (zorderChanges(spark, path, sinceGen, cur), cur)
+  }
+
+  // ----------------------------------------------- replication (mirror)
+  //
+  // A generation IS its manifest and data files are immutable and
+  // name-unique, so REPLICATION is a manifest diff plus a file copy of
+  // whatever the replica is missing — the cost tracks the CHANGED file
+  // set (same arithmetic as the CDC feed), never the table: a maintain
+  // that rewrote 3 of 100k files ships 3 files + one manifest. The
+  // replica is a byte-faithful maintained table — every reader
+  // (zorderRead/Scan, ZTable, CDC, time travel) works against it
+  // unchanged, because manifests hold RELATIVE paths. Commit discipline
+  // mirrors the primary's: copy data files first, then manifests, then
+  // RETENTION, flip CURRENT atomically, heal — a crash at any point
+  // leaves the replica readable at its previous generation with debris
+  // the next sync (or vacuum) heals. Landing files and batch logs do NOT
+  // mirror: replication covers COMMITTED generations, the same snapshot
+  // semantics as every reader here. At object-store scale the
+  // Files.copy below is the one seam to swap for GET/PUT.
+
+  /** One incremental sync of `replicaPath` to `primaryPath`'s retained
+    * window. Returns (dataFilesCopied, manifestsCopied); (0, 0) when the
+    * replica is already at the primary's CURRENT generation with an
+    * identical manifest set. Run it on the consumer's cadence — each sync
+    * ships only what changed since the last, however many commits that
+    * spans. */
+  def zorderMirror(primaryPath: String, replicaPath: String): (Int, Int) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val pRoot = Paths.get(primaryPath).toAbsolutePath.normalize
+    val rRoot = Paths.get(replicaPath).toAbsolutePath.normalize
+    require(pRoot != rRoot, "mirror target must differ from the primary")
+    // snapshot the primary's retained window OUTSIDE the replica lock:
+    // reads are lock-free by design (manifests immutable, CURRENT flips
+    // atomically) — a concurrent primary commit just means this sync
+    // ships the generation that was CURRENT when it started
+    val pCur = currentGen(primaryPath).getOrElse(
+      throw new IllegalStateException(s"no zorderInit at $primaryPath"))
+    val gens = retainedGens(primaryPath)
+    val mans = gens.map(g => g -> readManifest(primaryPath, g))
+    val keep = retentionOf(primaryPath)
+    withTableLock(replicaPath) {
+      val upToDate = currentGen(replicaPath).contains(pCur) &&
+        gens.forall(g => Files.isRegularFile(manifestPath(replicaPath, g)))
+      if (upToDate) return (0, 0)
+      // 1. data files (including deletion vectors) the replica is missing
+      val wanted = mans.flatMap { case (_, m) =>
+        m.spans.map(_.file) ++ m.dv.toSeq
+      }.distinct
+      var copied = 0
+      wanted.foreach { rel =>
+        val dst = rRoot.resolve(rel)
+        if (!Files.isRegularFile(dst)) {
+          Files.createDirectories(dst.getParent)
+          val tmp = dst.resolveSibling(dst.getFileName.toString + ".tmp")
+          Files.copy(pRoot.resolve(rel), tmp,
+            StandardCopyOption.REPLACE_EXISTING)
+          Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+          copied += 1
+        }
+      }
+      // 2. manifests (immutable: present ⇒ identical), bloom sidecars
+      // (generation-addressed planning state — cheap, keeps replica
+      // point lookups pruned), then retention, then the atomic flip
+      var manifests = 0
+      gens.foreach { g =>
+        if (!Files.isRegularFile(manifestPath(replicaPath, g))) {
+          writeAtomic(manifestPath(replicaPath, g), new String(
+            Files.readAllBytes(manifestPath(primaryPath, g)), "UTF-8"))
+          manifests += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(pRoot)
+      val blooms = try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("bloom-") && n.endsWith(".tsv") &&
+          n.stripPrefix("bloom-").takeWhile(_ != '-').toLongOption
+            .exists(gens.contains))
+        .toList
+        finally ls.close()
+      blooms.foreach { n =>
+        writeAtomic(rRoot.resolve(n), new String(
+          Files.readAllBytes(pRoot.resolve(n)), "UTF-8"))
+      }
+      writeAtomic(retentionPath(replicaPath), keep.toString)
+      Files.createDirectories(landingDir(replicaPath))
+      writeAtomic(currentPtr(replicaPath), pCur.toString)
+      // 3. heal ages out what the window left behind on the replica
+      heal(replicaPath, pCur)
+      (copied, manifests)
+    }
   }
 
   /** GC entry point without a commit: takes the table lock, rolls back
@@ -1575,7 +1941,8 @@ object Layout {
     retained.lastOption.foreach(_.consumed.foreach { f =>
       Files.deleteIfExists(landingDir(path).resolve(f)); ()
     })
-    val referenced = retained.flatMap(_.spans.map(s => root.resolve(s.file))).toSet
+    val referenced = (retained.flatMap(_.spans.map(s => root.resolve(s.file))) ++
+      retained.flatMap(_.dv.map(root.resolve))).toSet // DV files live in data/ too
     val dd = dataDir(path)
     if (Files.isDirectory(dd)) {
       val walk = Files.walk(dd)

@@ -77,6 +77,55 @@ object LayoutProbe {
       graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(dir).getParent)
     }
 
+    // ---- 1c. merge-on-read vs copy-on-write delete (round-13 session 3):
+    // the same fixed corner band at each file count, deleted two ways on
+    // two identical tables. The vectored delete writes tombstones only —
+    // its cost tracks the MATCHED ROWS (one pruned scan + one small
+    // parquet write), while copy-on-write pays the full rewrite of every
+    // matched file; materialize afterwards pays CoW's price back, but on
+    // the OPERATOR'S cadence, off the takedown latency path.
+    for (nFiles <- Seq(32, 256, 2048)) {
+      val cowDir = java.nio.file.Files.createTempDirectory("graft_lcow").toString + "/t"
+      val dvDir = java.nio.file.Files.createTempDirectory("graft_ldv").toString + "/t"
+      Layout.zorderInit(spark, base, cowDir, "a", "b", nFiles)
+      Layout.zorderInit(spark, base, dvDir, "a", "b", nFiles)
+      var cow = (0L, 0, 0)
+      val cowSec = time { cow = Layout.zorderDelete(spark, cowDir, (0L, 63L), (0L, 63L)) }
+      var dv = (0L, 0)
+      val dvSec = time { dv = Layout.zorderDeleteVectored(spark, dvDir, (0L, 63L), (0L, 63L)) }
+      var mat = (0, 0L)
+      val matSec = time { mat = Layout.zorderDvMaterialize(spark, dvDir) }
+      println(s"""{"metric":"zdv_vs_cow_delete","files":$nFiles,""" +
+        s""""rows":${cow._1},"cow_rewritten":${cow._2},"cow_sec":${r4(cowSec)},""" +
+        s""""dv_tombstoned":${dv._2},"dv_sec":${r4(dvSec)},""" +
+        s""""mat_rewritten":${mat._1},"mat_sec":${r4(matSec)}}""")
+      graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(cowDir).getParent)
+      graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(dvDir).getParent)
+    }
+
+    // ---- 1d. replication cost vs churn (round-13 session 3): first sync
+    // ships the table; after a corner delete the incremental sync must
+    // ship only the churned files + one manifest — replication cost
+    // tracks the commit's churn, never the table size
+    locally {
+      val pri = java.nio.file.Files.createTempDirectory("graft_lmirp").toString + "/t"
+      val rep = java.nio.file.Files.createTempDirectory("graft_lmirr").toString + "/t"
+      Layout.zorderInit(spark, base, pri, "a", "b", 2048)
+      var full = (0, 0)
+      val fullSec = time { full = Layout.zorderMirror(pri, rep) }
+      Layout.zorderDelete(spark, pri, (0L, 63L), (0L, 63L))
+      var inc = (0, 0)
+      val incSec = time { inc = Layout.zorderMirror(pri, rep) }
+      var noop = (0, 0)
+      val noopSec = time { noop = Layout.zorderMirror(pri, rep) }
+      println(s"""{"metric":"zmirror_churn","files":2048,""" +
+        s""""full_copied":${full._1},"full_sec":${r4(fullSec)},""" +
+        s""""inc_copied":${inc._1},"inc_sec":${r4(incSec)},""" +
+        s""""noop_copied":${noop._1},"noop_sec":${r4(noopSec)}}""")
+      graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(pri).getParent)
+      graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(rep).getParent)
+    }
+
     // ---- 2. zorderScanFiles over a synthetic 100k-span manifest
     // 316×316 rectangular tiles over a 65536² key domain ≈ 99856 files —
     // no data written; the measured quantity IS the planning path a

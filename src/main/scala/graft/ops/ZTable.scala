@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+  Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
+  PartitionDirectory}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** CATALYST-INTEGRATED reads of a maintained z-order table: a manifest-backed
+  * [[FileIndex]] plugged into Spark's own scan planning (the shape Delta
+  * Lake's TahoeFileIndex uses, public source), so span pruning happens
+  * INSIDE the optimizer — `ZTable.dataFrame(spark, path).filter(band)` plans
+  * a FileSourceScanExec over only the files whose manifest spans intersect
+  * the filter, with parquet footer pruning, column pruning, and predicate
+  * pushdown all stacking on top for free. Unlike [[Layout.zorderScan]]
+  * (an explicit band API), this read composes with EVERYTHING Spark can
+  * express — joins, aggregates, SQL over a registered view — and still
+  * prunes, because pruning rides the planner's `listFiles(dataFilters)`
+  * call rather than a pre-computed file list.
+  *
+  * Why it matters at 100 TB: the query author doesn't call a special scan
+  * entry point; the table IS a DataFrame, every ad-hoc predicate on the
+  * layout keys prunes at planning time, and the manifest read is one
+  * driver-side TSV parse (no namenode LIST, no footer fetches for pruned
+  * files — the object-store planning budget the manifest design exists for).
+  */
+object ZTable {
+
+  /** The maintained table as a plain DataFrame whose scan prunes via the
+    * manifest. Deletion-vector tombstones apply transparently (an
+    * anti-join wrapped around the scan — clean files stream through
+    * untouched; filters on data columns still push into the scan through
+    * the join's streamed side). Snapshot semantics: the CURRENT
+    * generation at call time, like [[Layout.zorderRead]]. */
+  def dataFrame(spark: SparkSession, path: String): DataFrame =
+    dataFrameWithIndex(spark, path)._1
+
+  /** [[dataFrame]] plus its [[ManifestFileIndex]], for callers auditing
+    * what a predicate prunes ([[ManifestFileIndex.prunedCount]]). */
+  def dataFrameWithIndex(spark: SparkSession,
+      path: String): (DataFrame, ManifestFileIndex) = {
+    val (_, man) = Layout.currentManifest(path)
+    val fi = new ManifestFileIndex(path, man)
+    val dataSchema =
+      if (man.mixedSchema)
+        spark.read.option("mergeSchema", "true").parquet(fi.inputFiles: _*).schema
+      else spark.read.parquet(fi.inputFiles.head).schema
+    val relation = HadoopFsRelation(
+      location = fi,
+      partitionSchema = new StructType(),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      options =
+        if (man.mixedSchema) Map("mergeSchema" -> "true") else Map.empty
+    )(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    val base = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
+    val tomb = man.spans.filter(_.dvRows > 0)
+    val df = if (tomb.isEmpty || man.dv.isEmpty) base
+    else {
+      // deletion-vector anti-join over the scan: same live contract as
+      // Layout.spanFilesLive, expressed against the single relation
+      val root = java.nio.file.Paths.get(path).toAbsolutePath
+      val dv = spark.read.parquet(root.resolve(man.dv.get).toString)
+        .withColumnRenamed("fname", "_dv_fname")
+        .withColumnRenamed("pos", "_dv_pos")
+      base
+        .withColumn("_fname", element_at(split(input_file_name(), "/"), -1))
+        .withColumn("_pos", col("_metadata.row_index"))
+        .join(broadcast(dv),
+          col("_fname") === col("_dv_fname") && col("_pos") === col("_dv_pos"),
+          "left_anti")
+        .drop("_fname", "_pos")
+    }
+    (df, fi)
+  }
+}
+
+/** [[FileIndex]] over one committed generation's manifest: `listFiles`
+  * extracts [lo, hi] bounds for the two layout columns from the planner's
+  * data filters (conjunctions of >, >=, <, <=, = against literals — the
+  * shapes Catalyst normalizes range predicates into) and returns only the
+  * files whose spans intersect both. Unrecognized conjuncts simply don't
+  * narrow the bounds — never false pruning, spans admit false positives
+  * and the planner applies every filter residually. File statuses come
+  * from the manifest too (length from the filesystem once, at index
+  * construction — zero per-query LIST calls). */
+final class ManifestFileIndex private[ops] (path: String,
+    man: Layout.Manifest) extends FileIndex {
+
+  private val root = java.nio.file.Paths.get(path).toAbsolutePath
+
+  private val statuses: Seq[(Layout.Span, FileStatus)] = man.spans.map { s =>
+    val p = root.resolve(s.file)
+    s -> new FileStatus(java.nio.file.Files.size(p), false, 1, 0L,
+      java.nio.file.Files.getLastModifiedTime(p).toMillis,
+      new HPath(p.toUri))
+  }
+
+  /** How many listFiles calls pruned at least one file — a test/audit
+    * hook (metrics on FileSourceScanExec need an executed plan; this is
+    * readable right after planning). */
+  @volatile var prunedCount: Int = 0
+  @volatile var lastListed: Int = -1
+
+  override def rootPaths: Seq[HPath] = Seq(new HPath(root.toUri))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val (aLo, aHi) = boundsFor(man.colA, dataFilters)
+    val (bLo, bHi) = boundsFor(man.colB, dataFilters)
+    val hit = statuses.filter { case (s, _) =>
+      s.aMin <= aHi && s.aMax >= aLo && s.bMin <= bHi && s.bMax >= bLo
+    }
+    if (hit.size < statuses.size) prunedCount += 1
+    lastListed = hit.size
+    Seq(PartitionDirectory(InternalRow.empty, hit.map(_._2).toArray))
+  }
+
+  /** Conjunctive [lo, hi] bounds the filters imply for `colName`;
+    * unbounded sides stay at Long.Min/MaxValue. Only literal comparisons
+    * on a bare attribute narrow — casts, arithmetic, OR trees don't
+    * (conservative: no false pruning). */
+  private def boundsFor(colName: String,
+      filters: Seq[Expression]): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def asLong(l: Literal): Option[Long] = l.value match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case i: java.lang.Long => Some(i.longValue)
+      case i: java.lang.Short => Some(i.longValue)
+      case i: java.lang.Byte => Some(i.longValue)
+      case _ => None
+    }
+    def attrIs(e: Expression): Boolean = e match {
+      case a: Attribute => a.name == colName
+      case _ => false
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case GreaterThanOrEqual(a, l: Literal) if attrIs(a) =>
+        asLong(l).foreach(v => lo = math.max(lo, v))
+      case GreaterThan(a, l: Literal) if attrIs(a) =>
+        asLong(l).foreach(v =>
+          lo = math.max(lo, if (v == Long.MaxValue) v else v + 1))
+      case LessThanOrEqual(a, l: Literal) if attrIs(a) =>
+        asLong(l).foreach(v => hi = math.min(hi, v))
+      case LessThan(a, l: Literal) if attrIs(a) =>
+        asLong(l).foreach(v =>
+          hi = math.min(hi, if (v == Long.MinValue) v else v - 1))
+      case EqualTo(a, l: Literal) if attrIs(a) =>
+        asLong(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v) }
+      // literal-on-the-left mirrors
+      case GreaterThanOrEqual(l: Literal, a) if attrIs(a) =>
+        asLong(l).foreach(v => hi = math.min(hi, v))
+      case GreaterThan(l: Literal, a) if attrIs(a) =>
+        asLong(l).foreach(v =>
+          hi = math.min(hi, if (v == Long.MinValue) v else v - 1))
+      case LessThanOrEqual(l: Literal, a) if attrIs(a) =>
+        asLong(l).foreach(v => lo = math.max(lo, v))
+      case LessThan(l: Literal, a) if attrIs(a) =>
+        asLong(l).foreach(v =>
+          lo = math.max(lo, if (v == Long.MaxValue) v else v + 1))
+      case EqualTo(l: Literal, a) if attrIs(a) =>
+        asLong(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v) }
+      case _ => () // unknown conjunct: no narrowing, never false pruning
+    }
+    filters.foreach(walk)
+    (lo, hi)
+  }
+
+  override def inputFiles: Array[String] =
+    statuses.map(_._2.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+
+  override def partitionSchema: StructType = new StructType()
+}

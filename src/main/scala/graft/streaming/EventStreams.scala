@@ -303,6 +303,39 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** STREAMING TAKEDOWN loop over a maintained z-table: each micro-batch
+    * of the `keys` stream (one integral column) is applied as a
+    * MERGE-ON-READ delete (`zorderDeleteVectoredByKey` — tombstones only,
+    * zero data files touched), so takedown latency is one tiny DV commit
+    * regardless of table size; physical erasure runs on the operator's
+    * cadence via `materializeEvery` (a [[graft.ops.Layout
+    * .zorderDvMaterialize]] every N batches — rewrites only tombstoned
+    * files). Exactly-once comes FREE here, no intent log needed: a
+    * replayed batch re-deletes keys whose live rows are already
+    * tombstoned, and a repeat vectored delete is an exact no-op by
+    * construction — the idempotence the DV design buys the streaming
+    * seam. */
+  def takedownStream(keys: DataFrame, path: String, keyCol: String,
+      checkpoint: String,
+      materializeEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    keys.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val vs = batch.select(org.apache.spark.sql.functions.col(keyCol)
+            .cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq // one takedown batch: bounded
+        if (vs.nonEmpty) {
+          graft.ops.Layout.zorderDeleteVectoredByKey(s, path, keyCol, vs); ()
+        }
+        if (materializeEvery > 0 && (id + 1) % materializeEvery == 0) {
+          graft.ops.Layout.zorderDvMaterialize(s, path); ()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Convenience memory-sink runner for tests/demos: processes all available
     * input and returns the in-memory result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -1010,6 +1010,292 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(Layout.currentSpans(dir).map(_.rows).sum == 4096L + 64)
   }
 
+  private def dataFileState(dir: String): Map[String, java.nio.file.attribute.FileTime] = {
+    import scala.jdk.CollectionConverters._
+    val dd = java.nio.file.Paths.get(dir, "data")
+    val walk = java.nio.file.Files.walk(dd)
+    try walk.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("dv-"))
+      .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p))
+      .toMap
+    finally walk.close()
+  }
+
+  test("zorderDeleteVectored: tombstones only — zero data files touched, every reader live, repeat no-op, full-dead files drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zdv").toString + "/t"
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16)
+    val before = dataFileState(dir)
+
+    val (aBand, bBand) = ((4L, 11L), (4L, 11L)) // 64 rows in one corner
+    val (deleted, tombstoned) = Layout.zorderDeleteVectored(spark, dir, aBand, bBand)
+    assert(deleted == 64L, s"8×8 band holds 64 rows, got $deleted")
+    assert(tombstoned >= 1 && tombstoned <= 4,
+      s"corner band tombstones few tiles, got $tombstoned")
+    assert(Layout.currentGen(dir) == Some(1L))
+    // THE merge-on-read claim: not one data file was written or replaced
+    assert(dataFileState(dir) == before,
+      "a vectored delete must not touch any data file")
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(dir, "data", "g1", "dv-g1.parquet")))
+
+    // every reader applies the DV: plain read, span-pruned scan, the
+    // metadata-assisted count (covered files subtract manifest dvRows)
+    val want = base.filter(!(col("a").between(4, 11) && col("b").between(4, 11)))
+    val got = Layout.zorderRead(spark, dir)
+    assert(got.count() == 4096L - 64 && got.except(want).count() == 0 &&
+      want.except(got).count() == 0)
+    assert(Layout.zorderScan(spark, dir, (0L, 15L), (0L, 15L)).count() ==
+      256L - 64L)
+    assert(Layout.zorderCountBand(spark, dir, (0L, 63L), (0L, 63L)) == 4096L - 64)
+    assert(Layout.zorderCountBand(spark, dir, aBand, bBand) == 0L)
+    // manifest-only census: physical vs live
+    val dvStats = Layout.zorderDvStats(spark, dir)
+    assert(dvStats.agg(sum("dv_rows"), sum("live_rows")).head().getLong(0) == 64L)
+    assert(dvStats.filter(col("dv_rows") > 0).count() == tombstoned.toLong)
+
+    // repeat: same band, all matches already tombstoned — exact no-op,
+    // no new generation
+    assert(Layout.zorderDeleteVectored(spark, dir, aBand, bBand) == ((0L, 0)))
+    assert(Layout.currentGen(dir) == Some(1L))
+
+    // vector-deleting everything a file holds drops it from the manifest
+    val filesBefore = Layout.currentSpans(dir).size
+    val (d2, _) = Layout.zorderDeleteVectored(spark, dir, (0L, 63L), (0L, 31L))
+    assert(d2 == 2048L - 64, s"half the grid minus the corner, got $d2")
+    assert(Layout.currentSpans(dir).size < filesBefore,
+      "fully-tombstoned files must drop from the manifest")
+    assert(Layout.zorderRead(spark, dir).count() == 4096L - 64 - d2)
+  }
+
+  test("deletion vectors drain through maintenance: rewrites materialize their files' tombstones, carried files keep the DV, no row resurrects") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zdvm").toString + "/t"
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16)
+    val (deleted, _) = Layout.zorderDeleteVectored(spark, dir, (4L, 11L), (4L, 11L))
+    assert(deleted == 64L)
+
+    // appends into the FAR corner: maintain rewrites files there, none of
+    // which hold tombstones — the DV carries verbatim (a manifest row),
+    // and reads stay exact
+    Layout.zorderAppend(Seq((60L, 60L), (61L, 61L)).toDF("a", "b"), dir)
+    val (m1, rw1, _) = Layout.zorderMaintain(spark, dir)
+    assert(m1 == 2L && rw1 >= 1)
+    assert(Layout.currentSpans(dir).map(_.dvRows).sum == 64L,
+      "far-corner maintain must not disturb the tombstones")
+    val want1 = base.filter(!(col("a").between(4, 11) && col("b").between(4, 11)))
+      .unionByName(Seq((60L, 60L), (61L, 61L)).toDF("a", "b"))
+    val got1 = Layout.zorderRead(spark, dir)
+    assert(got1.exceptAll(want1).count() == 0 && want1.exceptAll(got1).count() == 0)
+
+    // appends into the DELETED corner: the owning files rewrite, their
+    // tombstones materialize (live rows only — nothing resurrects), and
+    // with the last tombstoned file rewritten the DV itself drops
+    Layout.zorderAppend(Seq((5L, 5L), (6L, 6L)).toDF("a", "b"), dir)
+    val (m2, rw2, _) = Layout.zorderMaintain(spark, dir)
+    assert(m2 == 2L && rw2 >= 1)
+    val want2 = want1.unionByName(Seq((5L, 5L), (6L, 6L)).toDF("a", "b"))
+    val got2 = Layout.zorderRead(spark, dir)
+    assert(got2.exceptAll(want2).count() == 0 && want2.exceptAll(got2).count() == 0,
+      "a rewrite must materialize tombstones, never resurrect deleted rows")
+    // the two appended keys exist exactly once; their deleted neighbors stay gone
+    assert(got2.filter(col("a") === 5 && col("b") === 5).count() == 1)
+    assert(got2.filter(col("a") === 4 && col("b") === 4).count() == 0)
+
+    // compact always heals to a DV-free homogeneous generation
+    Layout.zorderCompact(spark, dir, nFiles = 8)
+    assert(Layout.currentSpans(dir).forall(_.dvRows == 0))
+    val got3 = Layout.zorderRead(spark, dir)
+    assert(got3.exceptAll(want2).count() == 0 && want2.exceptAll(got3).count() == 0)
+  }
+
+  test("zorderDvMaterialize: physical purge rewrites exactly the tombstoned files, DV file GCs, answers unchanged, repeat no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zdvp").toString + "/t"
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16)
+    val (deleted, tombstoned) = Layout.zorderDeleteVectored(spark, dir, (4L, 11L), (4L, 11L))
+    assert(deleted == 64L)
+    val before = dataFileState(dir)
+
+    val (rewritten, purged) = Layout.zorderDvMaterialize(spark, dir)
+    assert(rewritten == tombstoned && purged == 64L)
+    val after = dataFileState(dir)
+    // untouched files carried byte-identical; only the tombstoned ones
+    // were replaced (fresh generation-qualified names)
+    val carriedUnchanged = before.keySet & after.keySet
+    assert(carriedUnchanged.size == 16 - tombstoned)
+    assert(carriedUnchanged.forall(f => before(f) == after(f)))
+    // no DV file survives the purge (heal GC'd it with the old manifest)
+    assert(Layout.currentSpans(dir).forall(_.dvRows == 0))
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+    val dvLeft = try walk.iterator().asScala.count(
+        _.getFileName.toString.startsWith("dv-")) finally walk.close()
+    assert(dvLeft == 0, "materialize + heal must GC the deletion vector")
+
+    val want = base.filter(!(col("a").between(4, 11) && col("b").between(4, 11)))
+    val got = Layout.zorderRead(spark, dir)
+    assert(got.count() == 4096L - 64 && got.except(want).count() == 0 &&
+      want.except(got).count() == 0)
+    assert(Layout.zorderDvMaterialize(spark, dir) == ((0, 0L)))
+  }
+
+  test("zorderDeleteVectoredByKey: bloom-bounded tombstoning; CDC reports vectored deletes; time travel still sees the rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zdvk").toString + "/t"
+    // unique non-layout key k = a*64 + b
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
+        col("id").as("k"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16,
+      keepGenerations = 2)
+    Layout.zorderBloomBuild(spark, dir, "k")
+    val victims = Seq(5L, 777L, 2048L, 4095L)
+
+    val beforeFiles = dataFileState(dir)
+    val (deleted, tombstoned) = Layout.zorderDeleteVectoredByKey(spark, dir, "k", victims)
+    assert(deleted == 4L)
+    assert(tombstoned <= 4, s"bloom must bound the tombstoned set, got $tombstoned")
+    assert(dataFileState(dir) == beforeFiles, "no data file touched")
+    assert(Layout.zorderRead(spark, dir)
+      .filter(col("k").isin(victims: _*)).count() == 0)
+    assert(Layout.zorderRead(spark, dir).count() == 4096L - 4)
+
+    // the change feed reports exactly the vectored deletes — shared files
+    // with churned tombstone counts read on both sides, nothing else
+    val feed = Layout.zorderChanges(spark, dir, 0L, 1L).cache()
+    try {
+      assert(feed.count() == 4L)
+      assert(feed.filter(col("change_type") === "delete").count() == 4L)
+      assert(feed.select("k").collect().map(_.getLong(0)).sorted.toSeq == victims)
+    } finally feed.unpersist()
+    val (fromSide, toSide, _) = Layout.zorderChangesFiles(dir, 0L, 1L)
+    assert(fromSide == tombstoned && toSide == tombstoned,
+      "only dv-churned files read on either side of the feed")
+
+    // time travel: the retained pre-delete generation still has the rows
+    assert(Layout.zorderReadAsOf(spark, dir, 0L)
+      .filter(col("k").isin(victims: _*)).count() == 4L)
+    // point lookups through the (carried) bloom sidecar stay live
+    Layout.zorderBloomBuild(spark, dir, "k")
+    assert(Layout.zorderPointLookup(spark, dir, "k", victims).count() == 0)
+    assert(Layout.zorderPointLookup(spark, dir, "k", Seq(6L)).count() == 1)
+  }
+
+  test("ZTable: Catalyst-integrated reads — ad-hoc filters prune files inside the planner, SQL views prune too, DVs apply, unknown predicates never false-prune") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zti").toString + "/t"
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16)
+
+    // unfiltered: the full table, every file listed
+    val (df0, fi0) = ZTable.dataFrameWithIndex(spark, dir)
+    assert(df0.count() == 4096L && fi0.lastListed == 16)
+
+    // a two-sided band composed with plain .filter prunes at PLANNING
+    // time — no zorderScan call, just a DataFrame predicate
+    val (df1, fi1) = ZTable.dataFrameWithIndex(spark, dir)
+    val band = df1.filter(col("a").between(4, 11) && col("b").between(4, 11))
+    assert(band.count() == 64L)
+    assert(fi1.lastListed >= 1 && fi1.lastListed <= 4,
+      s"planner must prune to the corner tiles, listed ${fi1.lastListed} of 16")
+    // and the filters also reach the parquet scan (footer pruning stacks)
+    val plan = band.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(a,4)"),
+      s"band filter must push into the scan:\n$plan")
+
+    // SQL over a registered view prunes identically — the table IS a view
+    val (df2, fi2) = ZTable.dataFrameWithIndex(spark, dir)
+    df2.createOrReplaceTempView("zt_spec")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM zt_spec WHERE a BETWEEN 4 AND 11 AND b BETWEEN 4 AND 11")
+      .head().getLong(0) == 64L)
+    assert(fi2.lastListed <= 4, s"SQL must prune too, listed ${fi2.lastListed}")
+
+    // a predicate the index can't bound (expression on the column) still
+    // answers exactly — unknown conjuncts never narrow, never false-prune
+    val (df3, fi3) = ZTable.dataFrameWithIndex(spark, dir)
+    assert(df3.filter((col("a") + col("b")) === 126).count() == 1L)
+    assert(fi3.lastListed == 16, "unbounded predicate must list every file")
+
+    // out-of-domain band → planner lists zero files, empty result
+    val (df4, fi4) = ZTable.dataFrameWithIndex(spark, dir)
+    assert(df4.filter(col("a") > 1000L).count() == 0L && fi4.lastListed == 0)
+
+    // deletion vectors apply through the relation: vector-delete the
+    // corner, re-derive the table, same band now counts zero
+    val (deleted, _) = Layout.zorderDeleteVectored(spark, dir, (4L, 11L), (4L, 11L))
+    assert(deleted == 64L)
+    val df5 = ZTable.dataFrame(spark, dir)
+    assert(df5.count() == 4096L - 64)
+    assert(df5.filter(col("a").between(4, 11) && col("b").between(4, 11))
+      .count() == 0L)
+    // composition: an aggregate-join over the live table matches the twin
+    val want = base.filter(!(col("a").between(4, 11) && col("b").between(4, 11)))
+      .groupBy("a").agg(count(lit(1)).as("n"))
+    val got = df5.groupBy("a").agg(count(lit(1)).as("n"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
+  test("zorderMirror: replication ships only changed files, replica byte-faithful through maintain/DV-delete/time-travel, repeat no-op") {
+    import spark.implicits._
+    val pri = java.nio.file.Files.createTempDirectory("graft_zmirp").toString + "/t"
+    val rep = java.nio.file.Files.createTempDirectory("graft_zmirr").toString + "/t"
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, base, pri, "a", "b", nFiles = 16,
+      keepGenerations = 2)
+
+    // first sync: full copy — 16 data files + 1 manifest
+    assert(Layout.zorderMirror(pri, rep) == ((16, 1)))
+    assert(Layout.zorderMirror(pri, rep) == ((0, 0)), "repeat sync is a no-op")
+    val r0 = Layout.zorderRead(spark, rep)
+    assert(r0.count() == 4096L && r0.exceptAll(base).count() == 0)
+
+    // append + maintain on the primary: the next sync ships ONLY the
+    // rewritten files (plus the new manifest) — replication cost tracks
+    // the churn, not the table
+    Layout.zorderAppend(Seq((5L, 5L), (60L, 60L)).toDF("a", "b"), pri)
+    val (_, rw, _) = Layout.zorderMaintain(spark, pri)
+    val (copied1, mans1) = Layout.zorderMirror(pri, rep)
+    assert(copied1 == rw && mans1 == 1,
+      s"incremental sync must ship exactly the $rw rewritten files, shipped $copied1")
+    val want1 = base.unionByName(Seq((5L, 5L), (60L, 60L)).toDF("a", "b"))
+    val r1 = Layout.zorderRead(spark, rep)
+    assert(r1.exceptAll(want1).count() == 0 && want1.exceptAll(r1).count() == 0)
+
+    // vectored delete on the primary: the sync ships ONE file — the
+    // deletion vector — and the replica's live read applies it
+    val (deleted, _) = Layout.zorderDeleteVectored(spark, pri, (4L, 11L), (4L, 11L))
+    assert(deleted > 0)
+    val (copied2, mans2) = Layout.zorderMirror(pri, rep)
+    assert(copied2 == 1 && mans2 == 1,
+      s"a vectored delete ships only its DV file, shipped $copied2")
+    val want2 = want1.filter(!(col("a").between(4, 11) && col("b").between(4, 11)))
+    val r2 = Layout.zorderRead(spark, rep)
+    assert(r2.exceptAll(want2).count() == 0 && want2.exceptAll(r2).count() == 0)
+
+    // the replica is a full maintained table: retained-window time travel
+    // and the CDC feed work against it directly
+    assert(Layout.retainedGens(rep) == Layout.retainedGens(pri))
+    val feed = Layout.zorderChanges(spark, rep,
+      Layout.retainedGens(rep).head, Layout.currentGen(rep).get)
+    assert(feed.filter(col("change_type") === "delete").count() >= deleted)
+    // replica reads equal primary reads, generation for generation
+    Layout.retainedGens(rep).foreach { g =>
+      val p = Layout.zorderReadAsOf(spark, pri, g)
+      val r = Layout.zorderReadAsOf(spark, rep, g)
+      assert(p.exceptAll(r).count() == 0 && r.exceptAll(p).count() == 0,
+        s"generation $g must be byte-faithful on the replica")
+    }
+  }
+
   test("zorderWrite: arbitrary key domains (beyond 16 bits, negative) keep locality via scaling") {
     import spark.implicits._
     // keys far outside [0, 65535]: pre-scaling these would collide/misorder

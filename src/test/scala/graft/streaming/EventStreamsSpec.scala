@@ -991,6 +991,57 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     graft.engine.WarehouseMeta.deleteRecursively(tmp)
   }
 
+  test("takedownStream: streamed keys vector-delete exactly once across kill/restart, zero data files touched, cadence purge erases") {
+    import scala.jdk.CollectionConverters._
+    import graft.ops.Layout
+    import java.nio.file.Files
+    val grid = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
+        col("id").as("k"))
+    val tmp = Files.createTempDirectory("graft_tdown")
+    val table = s"$tmp/t"; val ckpt = s"$tmp/ckpt"
+    val src = tmp.resolve("src"); Files.createDirectories(src)
+    Layout.zorderInit(spark, grid, table, "a", "b", nFiles = 16)
+    Layout.zorderBloomBuild(spark, table, "k")
+    def land(keys: Seq[Long], fname: String): Unit = {
+      import spark.implicits._
+      val stage = tmp.resolve(s"stage_$fname")
+      keys.toDF("k").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      Files.move(part, src.resolve(fname)); ()
+    }
+    val keySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    def runStream(materializeEvery: Int = 0): Unit = EventStreams.takedownStream(
+      spark.readStream.schema(keySchema).parquet(src.toString),
+      table, "k", ckpt, materializeEvery).awaitTermination()
+
+    // batch 0: three keys vector-delete with zero data-file writes
+    val filesBefore = Layout.currentSpans(table).map(_.file).toSet
+    land(Seq(5L, 777L, 2048L), "b0.parquet"); runStream()
+    assert(Layout.zorderRead(spark, table).count() == 4096L - 3)
+    assert(Layout.currentSpans(table).map(_.file).toSet == filesBefore,
+      "takedown batches must not touch data files")
+    // kill/restart: the checkpoint replays nothing; a forced re-delete of
+    // the same keys is a no-op by DV idempotence (the exactly-once proof)
+    runStream()
+    assert(Layout.zorderDeleteVectoredByKey(spark, table, "k",
+      Seq(5L, 777L, 2048L)) == ((0L, 0)))
+    assert(Layout.zorderRead(spark, table).count() == 4096L - 3)
+
+    // batch 1 with cadence purge: new keys tombstone, then materialize
+    // erases every tombstone physically
+    land(Seq(4095L, 6L), "b1.parquet"); runStream(materializeEvery = 1)
+    assert(Layout.zorderRead(spark, table).count() == 4096L - 5)
+    assert(Layout.currentSpans(table).forall(_.dvRows == 0),
+      "cadence materialize must leave no tombstones")
+    assert(Layout.zorderRead(spark, table)
+      .filter(col("k").isin(5L, 777L, 2048L, 4095L, 6L)).count() == 0)
+    graft.engine.WarehouseMeta.deleteRecursively(tmp)
+  }
+
   test("journal stream tails warehouse appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft_js").toString
     val g = graft.engine.MemGraph(spark)
