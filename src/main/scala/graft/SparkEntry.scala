@@ -536,6 +536,54 @@ object SparkEntry {
       path
     }
 
+  /** Memoized STAT-COLUMN table for w45: events z-ordered on
+    * (event_id, user_id) with `ts` declared a MANIFEST STAT COLUMN —
+    * the auto-increment-id ↔ created-at correlation every event table
+    * has (measured 0.99998 on this corpus), so per-file ts min/max spans
+    * are tight and a TIME predicate prunes files without ts being a
+    * layout key. The builder requires the stat pruning to engage on a
+    * mid-range band via both audits (manifest count + the planner's own
+    * listing through ZTable). */
+  private val zstatMemo = layoutMemo
+  private def zorderEventsStatsFor(s: SparkSession, d: String): String =
+    memoizedLayout(zstatMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w45_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/events.parquet") + "#zstat32")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val ev = events(s, d)
+            .select("event_id", "user_id", "ts", "event_type", "value")
+          Layout.zorderInit(s, ev, path, "event_id", "user_id", nFiles = 32,
+            statCols = Seq("ts"))
+          val (sec1, sec2) = w45Band(s, path)
+          val (hit, total) = Layout.zorderStatFiles(path, "ts",
+            (sec1 * 1000000L, sec2 * 1000000L)) // manifest stats are micros
+          require(hit > 0 && hit < total,
+            s"ts stats must prune the band: $hit/$total files")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
+  /** The w45 time band in WHOLE SECONDS (floor), 30%–45% of the observed
+    * ts range — second-aligned endpoints so the Spark and DuckDB twins
+    * compare timestamps at identical precision. */
+  private def w45Band(s: SparkSession, path: String): (Long, Long) = {
+    val mm = Layout.zorderRead(s, path)
+      .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+      .collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    (lo + (hi - lo) * 3 / 10, lo + (hi - lo) * 45 / 100)
+  }
+
   /** Every data-file path → mtime under a maintained table (DV sidecars
     * excluded) — the w41/w42 builders' zero-write / carried-bytes proof. */
   private def layoutDataFiles(path: String): Map[String, java.nio.file.attribute.FileTime] = {
@@ -2626,6 +2674,27 @@ object SparkEntry {
       res.collect()
       require(fi.lastListed > 0 && fi.lastListed < fi.inputFiles.length,
         s"FileIndex must prune the band scan: ${fi.lastListed}/${fi.inputFiles.length}")
+      res
+    }),
+
+    // MANIFEST COLUMN STATS (Iceberg column-stats shape): ts is a STAT
+    // column, not a layout key, yet a time-band .filter on the ZTable
+    // relation prunes files at planning time (id ↔ created-at
+    // correlation keeps per-file ts spans tight); the twin re-derives the
+    // band from raw events — stats must never change answers
+    "w45_zorder_colstats" -> ((s, d) => {
+      val path = zorderEventsStatsFor(s, d)
+      val (sec1, sec2) = w45Band(s, path)
+      val (df, fi) = graft.ops.ZTable.dataFrameWithIndex(s, path)
+      val res = df.filter(col("ts").between(
+          lit(java.time.Instant.ofEpochSecond(sec1)),
+          lit(java.time.Instant.ofEpochSecond(sec2))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_val"))
+      res.collect() // force the planner's real listing, then audit it
+      require(fi.lastListed > 0 && fi.lastListed < fi.inputFiles.length,
+        s"ts stats must prune in the planner: ${fi.lastListed}/${fi.inputFiles.length}")
       res
     }),
 
@@ -5116,6 +5185,18 @@ object SparkEntry {
         |FROM lineitem, mx
         |WHERE l_orderkey BETWEEN ma // 4 AND ma // 2
         |  AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2
+        |GROUP BY 1""".stripMargin,
+
+    // the stat-pruned time band ≡ the raw events band (second-aligned
+    // endpoints; // = integer division, matching the builder's Long math)
+    "w45_zorder_colstats" ->
+      """WITH mx AS (SELECT CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS lo,
+        |                  CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS hi FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM events, mx
+        |WHERE ts >= make_timestamp((lo + (hi - lo) * 3 // 10) * 1000000)
+        |  AND ts <= make_timestamp((lo + (hi - lo) * 45 // 100) * 1000000)
         |GROUP BY 1""".stripMargin,
 
     // the planner-integrated read of the same maintained table over the

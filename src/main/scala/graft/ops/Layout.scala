@@ -365,7 +365,7 @@ object Layout {
     * tombstones (`rows` stays the physical count; live = rows − dvRows). */
   private[ops] final case class Span(file: String, rows: Long, zLo: Long,
       zHi: Long, aMin: Long, aMax: Long, bMin: Long, bMax: Long,
-      dvRows: Long = 0L)
+      dvRows: Long = 0L, stats: Seq[(Long, Long)] = Nil)
 
   /** A generation's full state — the curve metadata travels INSIDE the
     * manifest, so a compaction that re-freezes the scaling bounds commits
@@ -385,16 +385,19 @@ object Layout {
   private[ops] final case class Manifest(colA: String, colB: String,
       aLo: Long, aHi: Long, bLo: Long, bHi: Long,
       consumed: Seq[String], spans: Seq[Span], mixedSchema: Boolean = false,
-      dv: Option[String] = None)
+      dv: Option[String] = None, statCols: Seq[String] = Nil)
 
   private def writeManifest(path: String, gen: Long, m: Manifest): Unit = {
     val hdr = Seq(s"#colA\t${m.colA}", s"#colB\t${m.colB}",
       s"#aLo\t${m.aLo}", s"#aHi\t${m.aHi}", s"#bLo\t${m.bLo}", s"#bHi\t${m.bHi}",
       s"#mixed\t${if (m.mixedSchema) 1 else 0}") ++
       m.dv.map(f => s"#dv\t$f").toSeq ++
+      (if (m.statCols.isEmpty) Seq.empty
+       else Seq(s"#statcols\t${m.statCols.mkString(",")}")) ++
       m.consumed.map(f => s"#consumed\t$f")
     val rows = m.spans.map(s =>
-      s"${s.file}\t${s.rows}\t${s.zLo}\t${s.zHi}\t${s.aMin}\t${s.aMax}\t${s.bMin}\t${s.bMax}\t${s.dvRows}")
+      s"${s.file}\t${s.rows}\t${s.zLo}\t${s.zHi}\t${s.aMin}\t${s.aMax}\t${s.bMin}\t${s.bMax}\t${s.dvRows}" +
+        s.stats.map { case (lo, hi) => s"\t$lo\t$hi" }.mkString)
     writeAtomic(manifestPath(path, gen), (hdr ++ rows).mkString("\n"))
   }
 
@@ -414,10 +417,13 @@ object Layout {
         val p = l.split("\t")
         Span(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong,
           p(5).toLong, p(6).toLong, p(7).toLong,
-          dvRows = if (p.length > 8) p(8).toLong else 0L) // pre-DV manifests: 8 cols
+          dvRows = if (p.length > 8) p(8).toLong else 0L, // pre-DV manifests: 8 cols
+          stats = (9 until p.length by 2).map(i =>
+            (p(i).toLong, p(i + 1).toLong)))
       }.sortBy(_.zLo),
       mixedSchema = meta.get("mixed").contains("1"),
-      dv = meta.get("dv"))
+      dv = meta.get("dv"),
+      statCols = meta.get("statcols").map(_.split(",").toSeq).getOrElse(Nil))
   }
 
   /** The CURRENT generation's manifest rows — the statistics a probe or
@@ -440,25 +446,65 @@ object Layout {
         col("bMin").as("b_min"), col("bMax").as("b_max"))
   }
 
+  /** The Long-domain view of a stat column, chosen to MATCH the internal
+    * representation Catalyst literals carry for that type — so manifest
+    * stat spans compare directly against planner filter literals
+    * ([[ManifestFileIndex]]): integral → the value, timestamp → micros
+    * since epoch, date → days since epoch. Anything else is rejected at
+    * [[zorderInit]]. */
+  private def statLongExpr(dt: org.apache.spark.sql.types.DataType,
+      c: String): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType => unix_micros(col(c))
+      case DateType => unix_date(col(c)).cast("long")
+      case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"stat column $c has unsupported type $other — integral, " +
+          "timestamp, and date columns carry manifest stats")
+    }
+  }
+
   /** Scan freshly-written data files ONCE for their manifest rows: row
-    * count, z range, raw key spans. `files` are paths relative to the
-    * table root. */
+    * count, z range, raw key spans, and per-file min/max of every
+    * declared stat column (the Iceberg column-stats shape — what lets
+    * [[ManifestFileIndex]] prune on NON-layout predicates). `files` are
+    * paths relative to the table root. A file where a stat column is
+    * all-NULL (or absent, on an evolved table) records the EMPTY interval
+    * (MaxValue, MinValue) — it provably holds no row matching any range
+    * predicate on that column, so empty always prunes. */
   private def spanStats(spark: SparkSession, root: String, files: Seq[String],
       colA: String, colB: String, aLo: Long, aHi: Long, bLo: Long,
-      bHi: Long): Seq[Span] = {
+      bHi: Long, statCols: Seq[String] = Nil): Seq[Span] = {
     val rootPath = java.nio.file.Paths.get(root).toAbsolutePath
     val z = zValue(scale16(col(colA), aLo, aHi), scale16(col(colB), bLo, bHi))
-    spark.read.parquet(files.map(f => rootPath.resolve(f).toString): _*)
-      .select(input_file_name().as("f"), z.as("_z"),
-        col(colA).cast("long").as("_a"), col(colB).cast("long").as("_b"))
-      .groupBy("f").agg(count(lit(1)), min("_z"), max("_z"), min("_a"),
-        max("_a"), min("_b"), max("_b"))
+    // mergeSchema: evolved appends may omit a stat column in some files
+    val rd = if (statCols.isEmpty) spark.read
+      else spark.read.option("mergeSchema", "true")
+    val df = rd.parquet(files.map(f => rootPath.resolve(f).toString): _*)
+    val statSel = statCols.map { c =>
+      if (df.columns.contains(c)) statLongExpr(df.schema(c).dataType, c).as(s"_s_$c")
+      else lit(null).cast("long").as(s"_s_$c") // absent on this file set
+    }
+    val statAggs = statCols.flatMap(c =>
+      Seq(min(col(s"_s_$c")), max(col(s"_s_$c"))))
+    df.select(Seq(input_file_name().as("f"), z.as("_z"),
+        col(colA).cast("long").as("_a"), col(colB).cast("long").as("_b")) ++
+        statSel: _*)
+      .groupBy("f").agg(count(lit(1)),
+        (Seq(min(col("_z")), max(col("_z")), min(col("_a")), max(col("_a")),
+          min(col("_b")), max(col("_b"))) ++ statAggs): _*)
       .collect()
       .map(r => Span(
         rootPath.relativize(java.nio.file.Paths.get(
           new java.net.URI(r.getString(0)).getPath)).toString,
         r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
-        r.getLong(6), r.getLong(7)))
+        r.getLong(6), r.getLong(7),
+        stats = statCols.indices.map { i =>
+          val (loI, hiI) = (8 + 2 * i, 9 + 2 * i)
+          if (r.isNullAt(loI)) (Long.MaxValue, Long.MinValue) // empty: prunes
+          else (r.getLong(loI), r.getLong(hiI))
+        }))
       .sortBy(_.zLo).toSeq
   }
 
@@ -483,10 +529,14 @@ object Layout {
     * CRASHED init (data/manifests without a CURRENT) is cleared first. */
   def zorderInit(spark: SparkSession, df: DataFrame, path: String,
       colA: String, colB: String, nFiles: Int,
-      keepGenerations: Int = 1): Unit = withTableLock(path) {
+      keepGenerations: Int = 1, statCols: Seq[String] = Nil): Unit = withTableLock(path) {
     import java.nio.file.Files
     require(nFiles >= 1, "need nFiles >= 1")
     require(keepGenerations >= 1, "need keepGenerations >= 1")
+    statCols.foreach { c =>
+      require(df.columns.contains(c), s"stat column $c is not in the input")
+      statLongExpr(df.schema(c).dataType, c) // rejects unsupported types loudly
+    }
     require(currentGen(path).isEmpty,
       s"zorderInit over a live maintained table at $path — zorderCompact " +
         "re-lays-out in place; delete the table first to truly re-init")
@@ -526,9 +576,10 @@ object Layout {
     val rel = parquetFilesUnder(g0).map(f =>
       java.nio.file.Paths.get(path).toAbsolutePath.relativize(
         java.nio.file.Paths.get(f).toAbsolutePath).toString)
-    val spans = spanStats(spark, path, rel, colA, colB, aLo, aHi, bLo, bHi)
+    val spans = spanStats(spark, path, rel, colA, colB, aLo, aHi, bLo, bHi,
+      statCols)
     writeManifest(path, 0L, Manifest(colA, colB, aLo, aHi, bLo, bHi,
-      consumed = Seq.empty, spans = spans))
+      consumed = Seq.empty, spans = spans, statCols = statCols))
     Files.createDirectories(landingDir(path))
     writeAtomic(currentPtr(path), "0")
   }
@@ -860,7 +911,7 @@ object Layout {
     // rows verbatim; only the freshly-written files scan
     val fresh = if (producedRel.isEmpty) Seq.empty
       else spanStats(spark, path, producedRel, man.colA, man.colB,
-        man.aLo, man.aHi, man.bLo, man.bHi)
+        man.aLo, man.aHi, man.bLo, man.bHi, man.statCols)
     val affectedSet = affected.toSet
     val carried = man.spans.zipWithIndex.collect {
       case (s, i) if !affectedSet.contains(i) => s
@@ -1011,10 +1062,12 @@ object Layout {
     val root = java.nio.file.Paths.get(path).toAbsolutePath
     val rel = parquetFilesUnder(nextData).map(f =>
       root.relativize(java.nio.file.Paths.get(f).toAbsolutePath).toString)
-    val spans = spanStats(spark, path, rel, colA, colB, aLo, aHi, bLo, bHi)
+    val spans = spanStats(spark, path, rel, colA, colB, aLo, aHi, bLo, bHi,
+      man.statCols)
     writeManifest(path, cur + 1, Manifest(colA, colB, aLo, aHi, bLo, bHi,
       consumed = landing.map(_.getFileName.toString), // RE-frozen bounds
-      spans = spans, mixedSchema = false)) // every file rewritten: healed
+      spans = spans, mixedSchema = false, // every file rewritten: healed
+      statCols = man.statCols))
     writeAtomic(currentPtr(path), (cur + 1).toString)
     heal(path, cur + 1)
     ()
@@ -1181,25 +1234,32 @@ object Layout {
   private def bloomPath(path: String, gen: Long, keyCol: String) =
     java.nio.file.Paths.get(path, s"bloom-$gen-$keyCol.tsv")
 
+  private def bloomShardPath(path: String, gen: Long, keyCol: String,
+      k: Int, s: Int) =
+    java.nio.file.Paths.get(path, s"bloom-$gen-$keyCol.shard${k}of$s.tsv")
+
+  /** Stable shard of a data-file basename: String.hashCode is specified
+    * by the JLS, so shard assignment survives JVM restarts and mirrors. */
+  private def bloomShardOf(fname: String, shards: Int): Int =
+    java.lang.Math.floorMod(fname.hashCode, shards)
+
   private[ops] final case class BloomSidecar(bits: Int, hashes: Int,
       words: Map[String, Map[Int, Long]]) // file → sparse wordIdx → word
 
-  /** Parsed-sidecar cache (mtime-checked): a point lookup is interactive,
-    * and re-parsing a 10k-file sidecar per call measured 0.56 s in
-    * LayoutProbe where the bitset ANDs are microseconds. Sidecars are
-    * immutable once written (writeAtomic replaces whole files and
-    * [[writeBloom]] invalidates), so an mtime match is a content match. */
+  /** Parsed-sidecar cache (mtime-checked, PER FILE — shards cache
+    * independently): a point lookup is interactive, and re-parsing a
+    * 10k-file sidecar per call measured 0.56 s in LayoutProbe where the
+    * bitset ANDs are microseconds. Sidecar files are immutable once
+    * written (writeAtomic replaces whole files and [[writeBloom]]
+    * invalidates), so an mtime match is a content match. */
   private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
     String, (java.nio.file.attribute.FileTime, BloomSidecar)]()
 
-  private def readBloom(path: String, gen: Long,
-      keyCol: String): Option[BloomSidecar] = {
-    val p = bloomPath(path, gen, keyCol)
-    if (!java.nio.file.Files.isRegularFile(p)) return None
+  private def parseBloomFile(p: java.nio.file.Path): BloomSidecar = {
     val key = p.toAbsolutePath.toString
     val mt = java.nio.file.Files.getLastModifiedTime(p)
     val cached = bloomCache.get(key)
-    if (cached != null && cached._1 == mt) return Some(cached._2)
+    if (cached != null && cached._1 == mt) return cached._2
     import scala.jdk.CollectionConverters._
     val lines = java.nio.file.Files.readAllLines(p).asScala
       .filter(_.nonEmpty).toSeq
@@ -1217,20 +1277,62 @@ object Layout {
         p(0) -> ws
       }.toMap)
     bloomCache.put(key, (mt, parsed))
-    Some(parsed)
+    parsed
+  }
+
+  /** All sidecar files of (gen, keyCol): the legacy single file, or the
+    * shard set (the 100k-file regime: 2^16-bit sets are 8 KB/file ≈
+    * 800 MB of sidecar — sharding bounds each parse and lets a cold read
+    * parse shards IN PARALLEL; warm reads hit the per-shard mtime cache). */
+  private def bloomFiles(path: String, gen: Long,
+      keyCol: String): Seq[java.nio.file.Path] = {
+    val single = bloomPath(path, gen, keyCol)
+    if (java.nio.file.Files.isRegularFile(single)) return Seq(single)
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
+    val prefix = s"bloom-$gen-$keyCol.shard"
+    val ls = java.nio.file.Files.list(root)
+    try ls.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(prefix) &&
+        p.getFileName.toString.endsWith(".tsv"))
+      .toSeq.sortBy(_.getFileName.toString)
+    finally ls.close()
+  }
+
+  private def readBloom(path: String, gen: Long,
+      keyCol: String): Option[BloomSidecar] = {
+    val files = bloomFiles(path, gen, keyCol)
+    if (files.isEmpty) return None
+    import scala.collection.parallel.CollectionConverters._
+    val parts = files.par.map(parseBloomFile).seq
+    require(parts.map(p => (p.bits, p.hashes)).distinct.size == 1,
+      s"bloom shards of $path gen $gen disagree on (bits, hashes)")
+    Some(BloomSidecar(parts.head.bits, parts.head.hashes,
+      parts.flatMap(_.words).toMap))
   }
 
   private[ops] def writeBloom(path: String, gen: Long, keyCol: String, bits: Int,
-      hashes: Int, words: Map[String, Map[Int, Long]]): Unit = {
-    val body = (Seq(s"#bits\t$bits", s"#hashes\t$hashes") ++
-      words.toSeq.sortBy(_._1).map { case (f, ws) =>
-        f + "\t" + ws.toSeq.sorted
-          .map { case (i, w) => s"$i:${java.lang.Long.toHexString(w)}" }
-          .mkString(",")
-      }).mkString("\n")
-    writeAtomic(bloomPath(path, gen, keyCol), body)
-    bloomCache.remove(bloomPath(path, gen, keyCol).toAbsolutePath.toString)
-    ()
+      hashes: Int, words: Map[String, Map[Int, Long]],
+      shards: Int = 1): Unit = {
+    def body(ws: Map[String, Map[Int, Long]]) =
+      (Seq(s"#bits\t$bits", s"#hashes\t$hashes") ++
+        ws.toSeq.sortBy(_._1).map { case (f, w) =>
+          f + "\t" + w.toSeq.sorted
+            .map { case (i, v) => s"$i:${java.lang.Long.toHexString(v)}" }
+            .mkString(",")
+        }).mkString("\n")
+    // clear BOTH layouts first: a rebuild with a different shard count
+    // must not leave stale files the reader would merge in
+    (bloomFiles(path, gen, keyCol) :+ bloomPath(path, gen, keyCol)).foreach { p =>
+      java.nio.file.Files.deleteIfExists(p)
+      bloomCache.remove(p.toAbsolutePath.toString)
+    }
+    if (shards <= 1) writeAtomic(bloomPath(path, gen, keyCol), body(words))
+    else (0 until shards).foreach { k =>
+      writeAtomic(bloomShardPath(path, gen, keyCol, k, shards),
+        body(words.filter { case (f, _) => bloomShardOf(f, shards) == k }))
+    }
   }
 
   /** Driver twin of the build's `xxhash64(key, seed)` — the SAME Catalyst
@@ -1254,10 +1356,12 @@ object Layout {
     * with the same (bits, hashes) are copied, not rescanned — only fresh
     * files pay a scan. Returns (filesScanned, filesCarried). */
   def zorderBloomBuild(spark: SparkSession, path: String, keyCol: String,
-      bits: Int = 1 << 16, hashes: Int = 5): (Int, Int) = withTableLock(path) {
+      bits: Int = 1 << 16, hashes: Int = 5,
+      shards: Int = 1): (Int, Int) = withTableLock(path) {
     require(Integer.bitCount(bits) == 1 && bits >= 64,
       "bits must be a power of two >= 64")
     require(hashes >= 1 && hashes <= 16, "need 1 <= hashes <= 16")
+    require(shards >= 1, "need shards >= 1")
     val (cur, man) = currentManifest(path)
     val prior: Map[String, Map[Int, Long]] =
       retainedGens(path).filter(_ < cur).sorted.reverse
@@ -1297,7 +1401,7 @@ object Layout {
         toScan.map(f => f -> built.getOrElse(f, Map.empty[Int, Long])).toMap
       }
     writeBloom(path, cur, keyCol, bits, hashes,
-      carried.map(f => f -> prior(f)).toMap ++ fresh)
+      carried.map(f => f -> prior(f)).toMap ++ fresh, shards)
     (toScan.size, carried.size)
   }
 
@@ -1390,6 +1494,23 @@ object Layout {
           col(man.colB).between(bRange._1, bRange._2))
         .count()
     metaRows + scanned
+  }
+
+  /** How many files a range predicate on a STAT column would touch:
+    * (hit, total) — the audit twin of [[ManifestFileIndex]]'s stat-span
+    * pruning. `range` is in the column's manifest-stat domain (integral
+    * value, timestamp micros, date days — see `statLongExpr`). Spans
+    * from generations before the column was declared count as hits
+    * (missing stats never prune). */
+  def zorderStatFiles(path: String, statCol: String,
+      range: (Long, Long)): (Int, Int) = {
+    val (_, man) = currentManifest(path)
+    val i = man.statCols.indexOf(statCol)
+    require(i >= 0, s"$statCol is not a declared stat column of $path " +
+      s"(declared: ${man.statCols.mkString(", ")})")
+    (man.spans.count(s => s.stats.lift(i)
+      .map { case (lo, hi) => lo <= hi && lo <= range._2 && hi >= range._1 }
+      .getOrElse(true)), man.spans.size)
   }
 
   /** Keyed DELETE on a NON-layout column (the GDPR/takedown shape:

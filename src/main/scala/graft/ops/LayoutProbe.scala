@@ -103,6 +103,31 @@ object LayoutProbe {
       graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(dvDir).getParent)
     }
 
+    // ---- 1c2. SCATTERED takedown, the merge-on-read headline: ~2000
+    // victim keys spread uniformly over the whole table hit EVERY file,
+    // so copy-on-write rewrites the entire table while the vectored
+    // delete writes one small tombstone parquet — the gap is the whole
+    // point of deletion vectors (takedown latency independent of how
+    // much data the victims touch)
+    locally {
+      val nFiles = 512
+      val keyed = base.withColumn("k", col("a") * 2048 + col("b"))
+      val victims = (0 until 2000).map(i => i.toLong * 2099L % (2048L * 2048L))
+      val cowDir = java.nio.file.Files.createTempDirectory("graft_lscow").toString + "/t"
+      val dvDir = java.nio.file.Files.createTempDirectory("graft_lsdv").toString + "/t"
+      Layout.zorderInit(spark, keyed, cowDir, "a", "b", nFiles)
+      Layout.zorderInit(spark, keyed, dvDir, "a", "b", nFiles)
+      var cow = (0L, 0, 0)
+      val cowSec = time { cow = Layout.zorderDeleteByKey(spark, cowDir, "k", victims) }
+      var dv = (0L, 0)
+      val dvSec = time { dv = Layout.zorderDeleteVectoredByKey(spark, dvDir, "k", victims) }
+      println(s"""{"metric":"zdv_vs_cow_scattered","files":$nFiles,""" +
+        s""""victims":${victims.size},"cow_rewritten":${cow._2},"cow_sec":${r4(cowSec)},""" +
+        s""""dv_tombstoned":${dv._2},"dv_sec":${r4(dvSec)}}""")
+      graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(cowDir).getParent)
+      graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(dvDir).getParent)
+    }
+
     // ---- 1d. replication cost vs churn (round-13 session 3): first sync
     // ships the table; after a corner delete the incremental sync must
     // ship only the churned files + one manifest — replication cost

@@ -40,11 +40,26 @@ object ZTable {
   def dataFrame(spark: SparkSession, path: String): DataFrame =
     dataFrameWithIndex(spark, path)._1
 
+  /** [[dataFrame]] against a RETAINED generation — planner-integrated
+    * TIME TRAVEL: the same FileIndex pruning, DV application, and SQL
+    * composability, planned from that generation's manifest. */
+  def dataFrameAsOf(spark: SparkSession, path: String, gen: Long): DataFrame = {
+    require(Layout.retainedGens(path).contains(gen),
+      s"generation $gen of $path is not retained (window: " +
+        s"${Layout.retainedGens(path).mkString(", ")})")
+    fromManifest(spark, path, Layout.readManifest(path, gen))._1
+  }
+
   /** [[dataFrame]] plus its [[ManifestFileIndex]], for callers auditing
     * what a predicate prunes ([[ManifestFileIndex.prunedCount]]). */
   def dataFrameWithIndex(spark: SparkSession,
       path: String): (DataFrame, ManifestFileIndex) = {
     val (_, man) = Layout.currentManifest(path)
+    fromManifest(spark, path, man)
+  }
+
+  private def fromManifest(spark: SparkSession, path: String,
+      man: Layout.Manifest): (DataFrame, ManifestFileIndex) = {
     val fi = new ManifestFileIndex(path, man)
     val dataSchema =
       if (man.mixedSchema)
@@ -84,14 +99,17 @@ object ZTable {
 }
 
 /** [[FileIndex]] over one committed generation's manifest: `listFiles`
-  * extracts [lo, hi] bounds for the two layout columns from the planner's
-  * data filters (conjunctions of >, >=, <, <=, = against literals — the
-  * shapes Catalyst normalizes range predicates into) and returns only the
-  * files whose spans intersect both. Unrecognized conjuncts simply don't
-  * narrow the bounds — never false pruning, spans admit false positives
-  * and the planner applies every filter residually. File statuses come
-  * from the manifest too (length from the filesystem once, at index
-  * construction — zero per-query LIST calls). */
+  * extracts [lo, hi] bounds for the two layout columns AND every declared
+  * stat column from the planner's data filters (conjunctions of >, >=, <,
+  * <=, = against literals — the shapes Catalyst normalizes range
+  * predicates into) and returns only the files whose spans intersect all
+  * of them. Stat spans live in Catalyst's internal literal domains
+  * (micros for timestamps, days for dates), so the comparison is direct.
+  * Unrecognized conjuncts simply don't narrow the bounds — never false
+  * pruning, spans admit false positives and the planner applies every
+  * filter residually. File statuses come from the manifest too (length
+  * from the filesystem once, at index construction — zero per-query LIST
+  * calls). */
 final class ManifestFileIndex private[ops] (path: String,
     man: Layout.Manifest) extends FileIndex {
 
@@ -116,8 +134,21 @@ final class ManifestFileIndex private[ops] (path: String,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val (aLo, aHi) = boundsFor(man.colA, dataFilters)
     val (bLo, bHi) = boundsFor(man.colB, dataFilters)
+    // declared STAT columns prune too (the Iceberg column-stats shape):
+    // timestamp/date literals arrive in Catalyst's internal micros/days —
+    // exactly the domain the manifest stat spans were computed in
+    val statBounds = man.statCols.map(c => boundsFor(c, dataFilters))
     val hit = statuses.filter { case (s, _) =>
-      s.aMin <= aHi && s.aMax >= aLo && s.bMin <= bHi && s.bMax >= bLo
+      s.aMin <= aHi && s.aMax >= aLo && s.bMin <= bHi && s.bMax >= bLo &&
+      statBounds.zipWithIndex.forall { case ((lo, hi), i) =>
+        // a column the filters did NOT narrow never prunes — an
+        // unconstrained query must return all-null-stat files too
+        (lo == Long.MinValue && hi == Long.MaxValue) ||
+        s.stats.lift(i) // generations predating the column: never prune
+          .map { case (sLo, sHi) => // sLo > sHi = the EMPTY interval (all-null)
+            sLo <= sHi && sLo <= hi && sHi >= lo }
+          .getOrElse(true)
+      }
     }
     if (hit.size < statuses.size) prunedCount += 1
     lastListed = hit.size

@@ -1296,6 +1296,115 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("manifest column stats: non-layout predicates prune in the planner, timestamps use Catalyst's micros domain, maintain/compact carry stats, all-null files always prune") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zstat").toString + "/t"
+    // c correlates with layout key a (the auto-increment-id ↔ created_at
+    // shape); ts = epoch + c seconds as a real timestamp column
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
+        (col("id") * 3 + (col("id") % 7)).as("c"),
+        timestamp_seconds(lit(1700000000L) + col("id")).as("ts"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16,
+      statCols = Seq("c", "ts"))
+
+    // stat spans prune a c-band to the tiles its correlated a-range owns
+    val (hitC, totC) = Layout.zorderStatFiles(dir, "c", (0L, 1000L))
+    assert(totC == 16 && hitC >= 1 && hitC <= 6,
+      s"c-band must prune via stats: $hitC/$totC")
+    // ... and the PLANNER prunes on the same predicate through ZTable
+    val (df1, fi1) = ZTable.dataFrameWithIndex(spark, dir)
+    assert(df1.filter(col("c").between(0, 1000)).count() ==
+      base.filter(col("c").between(0, 1000)).count())
+    assert(fi1.lastListed == hitC, s"planner listed ${fi1.lastListed}, audit says $hitC")
+
+    // timestamp predicates: Catalyst literals are micros — the manifest's
+    // unix_micros stats compare directly
+    val (df2, fi2) = ZTable.dataFrameWithIndex(spark, dir)
+    val t0 = java.time.Instant.ofEpochSecond(1700000000L)
+    val t1 = java.time.Instant.ofEpochSecond(1700000000L + 256)
+    val got = df2.filter(col("ts").between(lit(t0), lit(t1))).count()
+    assert(got == base.filter(col("ts").between(lit(t0), lit(t1))).count())
+    assert(fi2.lastListed >= 1 && fi2.lastListed < 16,
+      s"timestamp band must prune: ${fi2.lastListed}/16")
+
+    // maintain: fresh files recompute stats, carried files keep theirs —
+    // pruning still exact afterwards
+    Layout.zorderAppend(Seq((5L, 5L, -100L, new java.sql.Timestamp(1700000000L * 1000)))
+      .toDF("a", "b", "c", "ts"), dir)
+    val (m, rw, _) = Layout.zorderMaintain(spark, dir)
+    assert(m == 1L && rw >= 1)
+    val (df3, fi3) = ZTable.dataFrameWithIndex(spark, dir)
+    assert(df3.filter(col("c") === -100L).count() == 1L,
+      "the appended row must be found through a stat predicate")
+    assert(fi3.lastListed >= 1 && fi3.lastListed < 16,
+      "the c = -100 point lookup must prune to the rewritten tile")
+
+    // compact re-lays-out and RECOMPUTES stats under the same declaration
+    Layout.zorderCompact(spark, dir, nFiles = 8)
+    val (hitC2, totC2) = Layout.zorderStatFiles(dir, "c", (0L, 1000L))
+    assert(totC2 == 8 && hitC2 < 8, "stats survive a compact")
+
+    // an all-null stat column records the EMPTY interval and always
+    // prunes; rows still readable (stats only serve pruning)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_zstatn").toString + "/t"
+    val withNull = spark.range(256L)
+      .select((col("id") / 16).cast("long").as("a"), (col("id") % 16).as("b"),
+        lit(null).cast("long").as("c"))
+    Layout.zorderInit(spark, withNull, dir2, "a", "b", nFiles = 4,
+      statCols = Seq("c"))
+    assert(Layout.zorderStatFiles(dir2, "c", (Long.MinValue, Long.MaxValue)) == ((0, 4)),
+      "all-null stat columns prove no row matches any range predicate")
+    assert(ZTable.dataFrame(spark, dir2).count() == 256L)
+
+    // unsupported stat column types reject loudly at init
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_zstatx").toString + "/t"
+    val bad = intercept[IllegalArgumentException] {
+      Layout.zorderInit(spark,
+        withNull.withColumn("s", lit("x")), dir3, "a", "b", 4, statCols = Seq("s"))
+    }
+    assert(bad.getMessage.contains("unsupported type"))
+  }
+
+  test("sharded bloom sidecars ≡ single-file sidecar; ZTable as-of reads a retained generation with pruning and DVs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zshard").toString + "/t"
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
+        col("id").as("k"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16,
+      keepGenerations = 2)
+
+    // single-file and 8-shard builds answer identically
+    Layout.zorderBloomBuild(spark, dir, "k")
+    val single = Layout.zorderLookupFiles(dir, "k", Seq(777L))
+    Layout.zorderBloomBuild(spark, dir, "k", shards = 8)
+    import scala.jdk.CollectionConverters._
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val shardFiles = try ls.iterator().asScala
+      .count(_.getFileName.toString.contains(".shard")) finally ls.close()
+    assert(shardFiles == 8, s"expected 8 shard files, got $shardFiles")
+    assert(Layout.zorderLookupFiles(dir, "k", Seq(777L)) == single,
+      "sharded sidecar must answer exactly like the single file")
+    assert(single._3 && single._1 <= 2, s"lookup must prune: $single")
+    assert(Layout.zorderPointLookup(spark, dir, "k", Seq(777L)).count() == 1)
+
+    // ZTable AS-OF: vector-delete a corner, then read generation 0
+    // through the planner — the deleted rows are still there, and the
+    // band filter still prunes via gen-0's manifest
+    val (deleted, _) = Layout.zorderDeleteVectored(spark, dir, (4L, 11L), (4L, 11L))
+    assert(deleted == 64L)
+    assert(ZTable.dataFrame(spark, dir).count() == 4096L - 64)
+    val asOf = ZTable.dataFrameAsOf(spark, dir, 0L)
+    assert(asOf.count() == 4096L)
+    assert(asOf.filter(col("a").between(4, 11) && col("b").between(4, 11))
+      .count() == 64L, "time travel must still see the vector-deleted rows")
+    val bad = intercept[IllegalArgumentException] {
+      ZTable.dataFrameAsOf(spark, dir, 99L)
+    }
+    assert(bad.getMessage.contains("not retained"))
+  }
+
   test("zorderWrite: arbitrary key domains (beyond 16 bits, negative) keep locality via scaling") {
     import spark.implicits._
     // keys far outside [0, 65535]: pre-scaling these would collide/misorder
