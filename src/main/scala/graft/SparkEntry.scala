@@ -419,6 +419,52 @@ object SparkEntry {
       path
     }
 
+  /** Memoized TAKEDOWN-LOOP table for w46: the streaming takedown shape
+    * ([[graft.streaming.EventStreams.takedownStream]]'s foreachBatch
+    * body) driven as two key batches against a bloom-indexed table —
+    * each batch a MERGE-ON-READ delete by l_partkey (a non-layout
+    * column), a forced REPLAY of batch 0 proving the loop's exactly-once
+    * (repeat vectored deletes are no-ops by DV idempotence — no intent
+    * log at all), then the cadence materialize erasing every tombstone
+    * physically. The oracle hash-checks the end state against the
+    * NOT-IN twin. */
+  private val ztdownLoopMemo = layoutMemo
+  private def takedownLoopFor(s: SparkSession, d: String): String =
+    memoizedLayout(ztdownLoopMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w46_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#ztdown16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val li = t(s, d, "lineitem")
+          Layout.zorderInit(s, li, path, "l_orderkey", "l_suppkey", nFiles = 16)
+          Layout.zorderBloomBuild(s, path, "l_partkey", shards = 4)
+          val batch0 = Seq(1L, 2L, 3L)
+          val batch1 = Seq(4L, 5L)
+          val (d0, t0) = Layout.zorderDeleteVectoredByKey(s, path, "l_partkey", batch0)
+          require(d0 > 0 && t0 >= 1, "batch 0 must tombstone rows")
+          require(Layout.zorderDeleteVectoredByKey(s, path, "l_partkey", batch0)
+            == ((0L, 0)),
+            "a REPLAYED takedown batch must be an exact no-op — the " +
+              "loop's exactly-once guarantee")
+          val (d1, _) = Layout.zorderDeleteVectoredByKey(s, path, "l_partkey", batch1)
+          require(d1 > 0, "batch 1 must tombstone rows")
+          val (_, purged) = Layout.zorderDvMaterialize(s, path)
+          require(purged == d0 + d1,
+            s"cadence materialize must purge every tombstone: $purged vs ${d0 + d1}")
+          require(Layout.currentSpans(path).forall(_.dvRows == 0))
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized DELETED table for w32: init, one span-pruned zorderDelete
     * of a two-sided band — the builder REQUIRES the prune engaged
     * (rewritten < file count) and a repeat delete to be an exact no-op —
@@ -2754,6 +2800,21 @@ object SparkEntry {
           sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))
     }),
 
+    // STREAMING TAKEDOWN LOOP end state (two key batches + a forced
+    // replay no-op + cadence materialize, the takedownStream body): the
+    // table must equal lineitem minus every taken-down partkey's rows —
+    // exactly-once takedown certified by hash, not just spec
+    "w46_takedown_loop" -> ((s, d) => {
+      val path = takedownLoopFor(s, d)
+      require(Layout.currentSpans(path).forall(_.dvRows == 0),
+        "w46 table must be physically purged")
+      Layout.zorderRead(s, path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))
+    }),
+
     // REPLICATION (zorderMirror): the replica of the w41 table — synced
     // manifests + data files + the deletion-vector sidecar, repeat-sync
     // no-op proven in the builder — must hash-match the primary's twin:
@@ -5065,6 +5126,15 @@ object SparkEntry {
         |FROM lineitem, mx
         |WHERE NOT (l_orderkey BETWEEN ma // 4 AND ma // 2
         |       AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2)
+        |GROUP BY 1""".stripMargin,
+
+    // the takedown-loop end state ≡ lineitem minus the victims' rows
+    "w46_takedown_loop" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |FROM lineitem
+        |WHERE l_partkey NOT IN (1, 2, 3, 4, 5)
         |GROUP BY 1""".stripMargin,
 
     // the replica ≡ the primary ≡ the not-band twin

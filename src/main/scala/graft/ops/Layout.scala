@@ -365,7 +365,8 @@ object Layout {
     * tombstones (`rows` stays the physical count; live = rows − dvRows). */
   private[ops] final case class Span(file: String, rows: Long, zLo: Long,
       zHi: Long, aMin: Long, aMax: Long, bMin: Long, bMax: Long,
-      dvRows: Long = 0L, stats: Seq[(Long, Long)] = Nil)
+      dvRows: Long = 0L, stats: Seq[(Long, Long)] = Nil,
+      bytes: Long = -1L) // -1: written before manifests carried lengths
 
   /** A generation's full state — the curve metadata travels INSIDE the
     * manifest, so a compaction that re-freezes the scaling bounds commits
@@ -395,10 +396,13 @@ object Layout {
       (if (m.statCols.isEmpty) Seq.empty
        else Seq(s"#statcols\t${m.statCols.mkString(",")}")) ++
       m.consumed.map(f => s"#consumed\t$f")
+    // format v2: field 9 is the file's BYTE LENGTH (the Iceberg
+    // file_size_in_bytes idea) so planners build FileStatus objects from
+    // the manifest alone — zero per-file stat/HEAD calls at query time
     val rows = m.spans.map(s =>
-      s"${s.file}\t${s.rows}\t${s.zLo}\t${s.zHi}\t${s.aMin}\t${s.aMax}\t${s.bMin}\t${s.bMax}\t${s.dvRows}" +
+      s"${s.file}\t${s.rows}\t${s.zLo}\t${s.zHi}\t${s.aMin}\t${s.aMax}\t${s.bMin}\t${s.bMax}\t${s.dvRows}\t${s.bytes}" +
         s.stats.map { case (lo, hi) => s"\t$lo\t$hi" }.mkString)
-    writeAtomic(manifestPath(path, gen), (hdr ++ rows).mkString("\n"))
+    writeAtomic(manifestPath(path, gen), (Seq("#v\t2") ++ hdr ++ rows).mkString("\n"))
   }
 
   private[ops] def readManifest(path: String, gen: Long): Manifest = {
@@ -415,10 +419,12 @@ object Layout {
       kv.collect { case ("consumed", f) => f },
       rows.map { l =>
         val p = l.split("\t")
+        val v2 = meta.get("v").exists(_.toInt >= 2)
         Span(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong,
           p(5).toLong, p(6).toLong, p(7).toLong,
           dvRows = if (p.length > 8) p(8).toLong else 0L, // pre-DV manifests: 8 cols
-          stats = (9 until p.length by 2).map(i =>
+          bytes = if (v2) p(9).toLong else -1L,
+          stats = ((if (v2) 10 else 9) until p.length by 2).map(i =>
             (p(i).toLong, p(i + 1).toLong)))
       }.sortBy(_.zLo),
       mixedSchema = meta.get("mixed").contains("1"),
@@ -495,16 +501,21 @@ object Layout {
         (Seq(min(col("_z")), max(col("_z")), min(col("_a")), max(col("_a")),
           min(col("_b")), max(col("_b"))) ++ statAggs): _*)
       .collect()
-      .map(r => Span(
-        rootPath.relativize(java.nio.file.Paths.get(
-          new java.net.URI(r.getString(0)).getPath)).toString,
-        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
-        r.getLong(6), r.getLong(7),
-        stats = statCols.indices.map { i =>
-          val (loI, hiI) = (8 + 2 * i, 9 + 2 * i)
-          if (r.isNullAt(loI)) (Long.MaxValue, Long.MinValue) // empty: prunes
-          else (r.getLong(loI), r.getLong(hiI))
-        }))
+      .map { r =>
+        val rel = rootPath.relativize(java.nio.file.Paths.get(
+          new java.net.URI(r.getString(0)).getPath)).toString
+        Span(rel,
+          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7),
+          stats = statCols.indices.map { i =>
+            val (loI, hiI) = (8 + 2 * i, 9 + 2 * i)
+            if (r.isNullAt(loI)) (Long.MaxValue, Long.MinValue) // empty: prunes
+            else (r.getLong(loI), r.getLong(hiI))
+          },
+          // one stat call per FRESH file, at write time — query-time
+          // planners then never touch the filesystem for lengths
+          bytes = java.nio.file.Files.size(rootPath.resolve(rel)))
+      }
       .sortBy(_.zLo).toSeq
   }
 
@@ -1904,6 +1915,61 @@ object Layout {
     val cur = currentGen(path).getOrElse(
       throw new IllegalStateException(s"no zorderInit at $path"))
     (zorderChanges(spark, path, sinceGen, cur), cur)
+  }
+
+  /** OPTIMIZE advisor: a manifest-only health census of the maintained
+    * table with a recommended action per signal — what an operator (or a
+    * maintenance cron) consults to decide WHICH lifecycle call to run,
+    * without scanning a byte of data. Signals: unmaintained landing
+    * files → maintain; tombstone fraction → materialize; small-file
+    * population → bin-pack; keys clamped outside the frozen curve bounds
+    * → full compact (the one call that re-freezes); files referenced
+    * only by aged-out generations → vacuum. `fire=false` rows report the
+    * measured value anyway, so the census doubles as a monitoring feed. */
+  def zorderAdvise(spark: SparkSession, path: String,
+      smallFileRows: Long = 100000L, tombstoneFraction: Double = 0.1):
+      DataFrame = {
+    import spark.implicits._
+    val (_, man) = currentManifest(path)
+    val spans = man.spans
+    val landing = landingFiles(path).size.toLong
+    val physical = spans.map(_.rows).sum
+    val tombs = spans.map(_.dvRows).sum
+    val tombFrac = if (physical == 0) 0.0 else tombs.toDouble / physical
+    val small = spans.count(_.rows < smallFileRows).toLong
+    // z-ADJACENT small runs are what bin-packing can actually merge
+    val smallRuns = spans.map(_.rows < smallFileRows)
+      .foldLeft((0L, 0)) { case ((runs, cur), isSmall) =>
+        if (!isSmall) (runs, 0)
+        else if (cur == 1) (runs + 1, 2) // second adjacent small file: a run
+        else (runs, cur + 1)
+      }._1
+    val clamped = spans.count(s =>
+      s.aMin < man.aLo || s.aMax > man.aHi ||
+      s.bMin < man.bLo || s.bMax > man.bHi).toLong
+    val unreferenced = {
+      val root = java.nio.file.Paths.get(path).toAbsolutePath
+      val referenced = retainedGens(path).map(g => readManifest(path, g))
+        .flatMap(m => m.spans.map(s => root.resolve(s.file)) ++
+          m.dv.map(root.resolve)).toSet
+      parquetFilesUnder(dataDir(path))
+        .count(f => !referenced.contains(java.nio.file.Paths.get(f))).toLong
+    }
+    Seq(
+      ("landing_files", landing.toDouble, landing > 0,
+        "zorderMaintain", "unmaintained appends are invisible to readers"),
+      ("tombstone_fraction", tombFrac, tombFrac > tombstoneFraction,
+        "zorderDvMaterialize", "tombstoned rows still occupy disk and " +
+          "pay the read-side anti-join"),
+      ("small_file_runs", smallRuns.toDouble, smallRuns > 0,
+        "zorderCompactSmall", s"$small files under $smallFileRows rows; " +
+          "z-adjacent runs merge without a full rewrite"),
+      ("clamped_edge_files", clamped.toDouble, clamped > 0,
+        "zorderCompact", "keys outside the frozen curve bounds bloat edge " +
+          "tiles; a compact re-freezes the scaling"),
+      ("unreferenced_data_files", unreferenced.toDouble, unreferenced > 0,
+        "zorderVacuum", "crash debris or aged-out generations hold disk")
+    ).toDF("signal", "value", "fire", "recommended_action", "reason")
   }
 
   // ----------------------------------------------- replication (mirror)

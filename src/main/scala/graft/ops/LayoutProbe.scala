@@ -299,10 +299,24 @@ object LayoutProbe {
     Layout.writeBloom(dir, 0L, "k", bits, hashes, words)
     val reps = 10
     var res = (0, 0, false)
+    // first call after a build parses cold (fresh mtimes miss the cache)
+    val coldSingle = time { res = Layout.zorderLookupFiles(dir, "k", Seq(probe)) }
     val sec = time {
       for (_ <- 0 until reps) res = Layout.zorderLookupFiles(dir, "k", Seq(probe))
     } / reps
     println(s"""{"metric":"zbloom_10k_planning","files":$nFiles,""" +
-      s""""open":${res._1},"sec_per_call":${r4(sec)}}""")
+      s""""open":${res._1},"cold_sec":${r4(coldSingle)},"sec_per_call":${r4(sec)}}""")
+    // SHARDED sidecar: same bitsets in 16 shard files — the cold parse
+    // parallelizes across shards (the 100k-file/800 MB regime's fix),
+    // answers identical, warm path unchanged
+    Layout.writeBloom(dir, 0L, "k", bits, hashes, words, shards = 16)
+    var res16 = (0, 0, false)
+    val coldSharded = time { res16 = Layout.zorderLookupFiles(dir, "k", Seq(probe)) }
+    val warmSharded = time {
+      for (_ <- 0 until reps) res16 = Layout.zorderLookupFiles(dir, "k", Seq(probe))
+    } / reps
+    require(res16 == res, s"sharded answers must equal single-file: $res16 vs $res")
+    println(s"""{"metric":"zbloom_10k_sharded","files":$nFiles,"shards":16,""" +
+      s""""open":${res16._1},"cold_sec":${r4(coldSharded)},"warm_sec":${r4(warmSharded)}}""")
   }
 }

@@ -117,9 +117,12 @@ final class ManifestFileIndex private[ops] (path: String,
 
   private val statuses: Seq[(Layout.Span, FileStatus)] = man.spans.map { s =>
     val p = root.resolve(s.file)
-    s -> new FileStatus(java.nio.file.Files.size(p), false, 1, 0L,
-      java.nio.file.Files.getLastModifiedTime(p).toMillis,
-      new HPath(p.toUri))
+    // v2 manifests carry byte lengths (the Iceberg file_size_in_bytes
+    // idea): index construction makes ZERO filesystem calls per file —
+    // at 100k files on an object store that's 100k HEADs saved per query.
+    // Pre-v2 spans (bytes = -1) fall back to one stat each.
+    val len = if (s.bytes >= 0) s.bytes else java.nio.file.Files.size(p)
+    s -> new FileStatus(len, false, 1, 0L, 0L, new HPath(p.toUri))
   }
 
   /** How many listFiles calls pruned at least one file — a test/audit

@@ -1405,6 +1405,84 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(bad.getMessage.contains("not retained"))
   }
 
+  test("zorderAdvise: each lifecycle signal fires on the condition it names and clears after its recommended action") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zadv").toString + "/t"
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16)
+    def fired(): Map[String, Boolean] =
+      Layout.zorderAdvise(spark, dir, smallFileRows = 64L)
+        .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(fired().forall(!_._2), s"a fresh table is healthy: ${fired()}")
+
+    // landing → maintain
+    Layout.zorderAppend(Seq((70L, 70L), (71L, 71L)).toDF("a", "b"), dir)
+    assert(fired()("landing_files"))
+    Layout.zorderMaintain(spark, dir)
+    assert(!fired()("landing_files"))
+    // the (70,70) append sits OUTSIDE the frozen 0..63 bounds → clamped
+    // edge signal → compact re-freezes and clears it
+    assert(fired()("clamped_edge_files"))
+
+    // tombstones → materialize (threshold 10%): an UNALIGNED 28×28
+    // corner — the inner 16×16 tile fully dies and DROPS from the
+    // manifest (no tombstones), the boundary tiles carry ~528 tombstones
+    // over ~3.8k surviving physical rows ≈ 14%
+    Layout.zorderDeleteVectored(spark, dir, (0L, 27L), (0L, 27L))
+    assert(fired()("tombstone_fraction"))
+    Layout.zorderDvMaterialize(spark, dir)
+    assert(!fired()("tombstone_fraction"))
+
+    // compact clears the clamped-edge signal (re-frozen bounds)
+    Layout.zorderCompact(spark, dir, nFiles = 16)
+    assert(!fired()("clamped_edge_files"))
+
+    // small files: a 16-file table of ~3k rows at threshold 5000 is all
+    // small runs → bin-pack merges them and the signal clears
+    val small = Layout.zorderAdvise(spark, dir, smallFileRows = 5000L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(small("small_file_runs"))
+    Layout.zorderCompactSmall(spark, dir, targetRows = 5000L)
+    val after = Layout.zorderAdvise(spark, dir, smallFileRows = 5000L)
+      .collect().map(r => (r.getString(0), r.getBoolean(2), r.getDouble(1)))
+    val runsAfter = after.find(_._1 == "small_file_runs").get
+    assert(runsAfter._3 < small.size || !runsAfter._2 ||
+      Layout.currentSpans(dir).size < 16,
+      "bin-packing must shrink the small-run population")
+  }
+
+  test("reader snapshot isolation: a pre-commit reader keeps answering across a maintain under retention >= 2; new readers see the new generation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zsnap").toString + "/t"
+    val base = spark.range(4096L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16,
+      keepGenerations = 2)
+    // the reader plans against generation 0's concrete file list
+    val reader = Layout.zorderRead(spark, dir)
+    assert(reader.count() == 4096L)
+
+    Layout.zorderAppend(Seq((5L, 5L), (6L, 6L)).toDF("a", "b"), dir)
+    val (m, _, _) = Layout.zorderMaintain(spark, dir)
+    assert(m == 2L && Layout.currentGen(dir) == Some(1L))
+
+    // SNAPSHOT ISOLATION: the in-flight reader still answers from its
+    // generation — retention >= 2 keeps gen-0's replaced files on disk
+    // until the window moves past them
+    assert(reader.count() == 4096L,
+      "a pre-commit reader must keep answering its snapshot")
+    // a fresh reader sees the maintained generation
+    assert(Layout.zorderRead(spark, dir).count() == 4098L)
+    // and a vectored delete behaves the same way: old reader unaffected
+    val reader1 = Layout.zorderRead(spark, dir)
+    // the (5,5) cell now holds TWO rows (grid + appended) — both go
+    Layout.zorderDeleteVectored(spark, dir, (5L, 5L), (5L, 5L))
+    assert(reader1.count() == 4098L, "DV commits are invisible to " +
+      "in-flight readers (the DV anti-join binds at plan time)")
+    assert(Layout.zorderRead(spark, dir).count() == 4096L)
+  }
+
   test("zorderWrite: arbitrary key domains (beyond 16 bits, negative) keep locality via scaling") {
     import spark.implicits._
     // keys far outside [0, 65535]: pre-scaling these would collide/misorder
