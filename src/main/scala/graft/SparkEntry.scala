@@ -2744,6 +2744,31 @@ object SparkEntry {
       res
     }),
 
+    // the ZTable relation COMPOSES: a broadcast dimension join + band
+    // filter over the planner-integrated read — pruning still engages
+    // (filters push to the scan through the join's streamed side), and
+    // the aggregate matches the raw lineitem ⨝ supplier twin
+    "w47_ztable_join" -> ((s, d) => {
+      val path = zorderMaintainedFor(s, d)
+      val mx = Layout.zorderRead(s, path)
+        .agg(max("l_orderkey"), max("l_suppkey")).collect()(0)
+      val (ma, mb) = (mx.getLong(0), mx.getLong(1))
+      val pred = col("l_orderkey").between(ma / 4, ma / 2) &&
+        col("l_suppkey").between(mb * 2 / 5, mb / 2)
+      val (df, fi) = graft.ops.ZTable.dataFrameWithIndex(s, path)
+      val supp = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val res = df.filter(pred)
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+      res.collect() // force the planner's listing, then audit the prune
+      require(fi.lastListed > 0 && fi.lastListed < fi.inputFiles.length,
+        s"band must prune through the join: ${fi.lastListed}/${fi.inputFiles.length}")
+      res
+    }),
+
     // gate-on-arrival ingest loop driven end to end (two parity batches +
     // a committed-replay no-op proof in the builder), then the AUDIT
     // HISTORY read back — the twin re-derives each batch's per-rule
@@ -5267,6 +5292,17 @@ object SparkEntry {
         |FROM events, mx
         |WHERE ts >= make_timestamp((lo + (hi - lo) * 3 // 10) * 1000000)
         |  AND ts <= make_timestamp((lo + (hi - lo) * 45 // 100) * 1000000)
+        |GROUP BY 1""".stripMargin,
+
+    // the joined-and-pruned ZTable read ≡ the raw band join
+    "w47_ztable_join" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) AS ma, MAX(l_suppkey) AS mb FROM lineitem)
+        |SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem, mx, supplier
+        |WHERE l_suppkey = s_suppkey
+        |  AND l_orderkey BETWEEN ma // 4 AND ma // 2
+        |  AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2
         |GROUP BY 1""".stripMargin,
 
     // the planner-integrated read of the same maintained table over the
