@@ -290,6 +290,21 @@ object Layout {
   // rewritten-file tail, not K copies of the table.
 
   private def retentionPath(path: String) = java.nio.file.Paths.get(path, "RETENTION")
+  private def tableIdPath(path: String) = java.nio.file.Paths.get(path, "TABLEID")
+
+  /** The table's immutable identity (a UUID written at init). Pre-existing
+    * tables that predate the marker get one lazily, under the table lock —
+    * the identity only needs to exist before the first mirror reads it. */
+  private def ensureTableId(path: String): String = {
+    val p = tableIdPath(path)
+    if (java.nio.file.Files.isRegularFile(p))
+      return new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    withTableLock(path) {
+      if (!java.nio.file.Files.isRegularFile(p))
+        writeAtomic(p, java.util.UUID.randomUUID().toString)
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    }
+  }
 
   /** How many committed generations this table retains (1 = current only). */
   def retentionOf(path: String): Int =
@@ -562,6 +577,9 @@ object Layout {
       .toList.foreach(Files.delete(_))
     finally ls.close()
     writeAtomic(retentionPath(path), keepGenerations.toString)
+    // a FRESH identity every init: mirrors of a deleted-and-reinitialized
+    // table must not confuse the new table with the old one
+    writeAtomic(tableIdPath(path), java.util.UUID.randomUUID().toString)
     val bounds = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long")),
@@ -1311,14 +1329,34 @@ object Layout {
     finally ls.close()
   }
 
+  /** A sidecar is used ONLY when provably complete and consistent —
+    * anything else (a crashed build's partial shard set, a reader racing
+    * a rebuild, stale mixed shard counts on a mirror) returns None and
+    * the caller falls back to scanning every file: bloom pruning may be
+    * LOST, never WRONG. Completeness is checked against the shard count
+    * encoded in every shard's own filename. */
   private def readBloom(path: String, gen: Long,
       keyCol: String): Option[BloomSidecar] = {
     val files = bloomFiles(path, gen, keyCol)
     if (files.isEmpty) return None
+    val single = bloomPath(path, gen, keyCol)
+    if (files != Seq(single)) {
+      // shard set: every file must agree on S and all k in 0 until S exist
+      val ks = files.map { f =>
+        val n = f.getFileName.toString
+        val tag = n.substring(n.indexOf(".shard") + 6).stripSuffix(".tsv")
+        val Array(k, total) = tag.split("of")
+        (k.toInt, total.toInt)
+      }
+      val totals = ks.map(_._2).distinct
+      if (totals.size != 1 || ks.map(_._1).sorted != (0 until totals.head))
+        return None // partial or mixed shard set: unpruned, never wrong
+    }
     import scala.collection.parallel.CollectionConverters._
-    val parts = files.par.map(parseBloomFile).seq
-    require(parts.map(p => (p.bits, p.hashes)).distinct.size == 1,
-      s"bloom shards of $path gen $gen disagree on (bits, hashes)")
+    val parts = try files.par.map(parseBloomFile).seq
+      catch { case scala.util.control.NonFatal(_) => return None } // racing delete
+    if (parts.map(p => (p.bits, p.hashes)).distinct.size != 1)
+      return None // stale mix (e.g. on a mirror): fall back, don't throw
     Some(BloomSidecar(parts.head.bits, parts.head.hashes,
       parts.flatMap(_.words).toMap))
   }
@@ -1360,6 +1398,18 @@ object Layout {
 
   private def bloomMightContain(ws: Map[Int, Long], pos: Seq[Int]): Boolean =
     pos.forall(p => (ws.getOrElse(p / 64, 0L) & (1L << (p % 64))) != 0L)
+
+  /** Whether the sidecar admits `file` for a probe. A file ABSENT from
+    * the sidecar must be OPENED (true) — absent means "not yet indexed"
+    * (e.g. a sidecar carried across a DV commit, or an incremental
+    * refresh that hasn't run), and pruning it would be a false negative.
+    * An explicit EMPTY entry (an all-null-key file) still prunes. */
+  private def bloomAdmits(b: BloomSidecar, file: String,
+      pos: Seq[Int]): Boolean =
+    b.words.get(file) match {
+      case None => true
+      case Some(ws) => bloomMightContain(ws, pos)
+    }
 
   /** Build (or incrementally refresh) the CURRENT generation's bloom
     * sidecar over `keyCol` (an integral column — hashed as long). Bitset
@@ -1429,7 +1479,7 @@ object Layout {
       case Some(b) =>
         val probes = values.distinct.map(v => probePositions(v, b.bits, b.hashes))
         (man.spans.count(s => probes.exists(p =>
-          bloomMightContain(b.words.getOrElse(s.file, Map.empty), p))),
+          bloomAdmits(b, s.file, p))),
           man.spans.size, true)
     }
   }
@@ -1447,7 +1497,7 @@ object Layout {
       case Some(b) =>
         val probes = values.distinct.map(v => probePositions(v, b.bits, b.hashes))
         man.spans.filter(s => probes.exists(p =>
-          bloomMightContain(b.words.getOrElse(s.file, Map.empty), p)))
+          bloomAdmits(b, s.file, p)))
     }
     val base =
       if (hit.isEmpty) spanFiles(spark, path, man.spans, man.mixedSchema).limit(0)
@@ -1550,7 +1600,7 @@ object Layout {
       case Some(b) =>
         val probes = values.distinct.map(v => probePositions(v, b.bits, b.hashes))
         spans.indices.filter(i => probes.exists(p =>
-          bloomMightContain(b.words.getOrElse(spans(i).file, Map.empty), p)))
+          bloomAdmits(b, spans(i).file, p)))
     }
     if (candIdx.isEmpty) return (0L, 0, spans.size)
     graft.functions.GraftExtensions.register(spark)
@@ -1641,10 +1691,15 @@ object Layout {
       .filter(coalesce(predOf(man), lit(false)))
       .select(col("_fname").as("fname"), col("_pos").as("pos"))
     // exclude positions an earlier vectored delete already tombstoned —
-    // repeat deletes are exact no-ops and counts stay exact
+    // repeat deletes are exact no-ops and counts stay exact. Persisted:
+    // the candidate scan + anti-join feeds BOTH the counts collect and
+    // the DV write below — without the persist it would run twice, and
+    // the scan is the takedown's dominant cost.
     val fresh = dvDF(spark, path, man)
       .map(dv => matches.join(broadcast(dv), Seq("fname", "pos"), "left_anti"))
       .getOrElse(matches)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val counts = fresh.groupBy("fname").agg(count(lit(1)))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ cand files
     if (counts.isEmpty) return (0L, 0)
@@ -1672,10 +1727,39 @@ object Layout {
     }
     writeManifest(path, cur + 1, man.copy(consumed = Seq.empty,
       spans = alive.sortBy(_.zLo), dv = dvNext))
+    // CARRY bloom sidecars to the new generation: a DV commit touches no
+    // data file, so every surviving file's bitset is still exact (dead
+    // files' entries become unreachable names — harmless). Without this,
+    // the sidecar ages out with the old generation and the takedown
+    // loop's SECOND batch would scan every candidate file. Safe because
+    // a file ABSENT from a sidecar is always opened ([[bloomAdmits]]).
+    carryBloomSidecars(path, cur, cur + 1)
     writeAtomic(currentPtr(path), (cur + 1).toString)
     heal(path, cur + 1)
     val _ = dead // dead files become unreferenced → healed when aged out
     (nDeleted, counts.size)
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** Copy every bloom sidecar file of `fromGen` under `toGen`'s names —
+    * the zero-rescan carry for commits that rewrite no data file
+    * (vectored deletes). Driver-side TSV copies, atomic per file. */
+  private def carryBloomSidecars(path: String, fromGen: Long,
+      toGen: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val prefix = s"bloom-$fromGen-"
+    val ls = java.nio.file.Files.list(root)
+    val files = try ls.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".tsv")).toList
+      finally ls.close()
+    files.foreach { n =>
+      val target = root.resolve(s"bloom-$toGen-" + n.stripPrefix(prefix))
+      writeAtomic(target, new String(
+        java.nio.file.Files.readAllBytes(root.resolve(n)), "UTF-8"))
+      bloomCache.remove(target.toAbsolutePath.toString)
+    }
   }
 
   /** Merge-on-read DELETE of a two-sided key band: the vectored twin of
@@ -1714,7 +1798,7 @@ object Layout {
           val probes = values.distinct.map(v =>
             probePositions(v, b.bits, b.hashes))
           man.spans.indices.filter(i => probes.exists(p =>
-            bloomMightContain(b.words.getOrElse(man.spans(i).file, Map.empty), p)))
+            bloomAdmits(b, man.spans(i).file, p)))
       },
       _ => col(keyCol).cast("long").isin(values: _*))
 
@@ -2007,10 +2091,26 @@ object Layout {
     // ships the generation that was CURRENT when it started
     val pCur = currentGen(primaryPath).getOrElse(
       throw new IllegalStateException(s"no zorderInit at $primaryPath"))
+    val pId = ensureTableId(primaryPath)
     val gens = retainedGens(primaryPath)
     val mans = gens.map(g => g -> readManifest(primaryPath, g))
     val keep = retentionOf(primaryPath)
     withTableLock(replicaPath) {
+      // IDENTITY check: generation numbers restart when a primary is
+      // deleted and re-initialized, so "manifest-N exists" proves nothing
+      // across rebuilds — a replica of a DIFFERENT table (or of this
+      // table's previous life) must refuse loudly, never silently serve
+      // the old data or adopt colliding manifest numbers
+      if (currentGen(replicaPath).isDefined) {
+        val rId =
+          if (Files.isRegularFile(tableIdPath(replicaPath)))
+            new String(Files.readAllBytes(tableIdPath(replicaPath)), "UTF-8").trim
+          else "" // a replica always carries the id its first sync copied
+        require(rId == pId,
+          s"$replicaPath is a replica of a DIFFERENT table (id " +
+            s"${if (rId.isEmpty) "<none>" else rId} vs $pId) — delete the " +
+            "replica directory to re-seed it from this primary")
+      }
       val upToDate = currentGen(replicaPath).contains(pCur) &&
         gens.forall(g => Files.isRegularFile(manifestPath(replicaPath, g)))
       if (upToDate) return (0, 0)
@@ -2054,6 +2154,7 @@ object Layout {
           Files.readAllBytes(pRoot.resolve(n)), "UTF-8"))
       }
       writeAtomic(retentionPath(replicaPath), keep.toString)
+      writeAtomic(tableIdPath(replicaPath), pId)
       Files.createDirectories(landingDir(replicaPath))
       writeAtomic(currentPtr(replicaPath), pCur.toString)
       // 3. heal ages out what the window left behind on the replica

@@ -32,11 +32,15 @@ import org.apache.spark.sql.types.StructType
 object ZTable {
 
   /** The maintained table as a plain DataFrame whose scan prunes via the
-    * manifest. Deletion-vector tombstones apply transparently (an
-    * anti-join wrapped around the scan — clean files stream through
-    * untouched; filters on data columns still push into the scan through
-    * the join's streamed side). Snapshot semantics: the CURRENT
-    * generation at call time, like [[Layout.zorderRead]]. */
+    * manifest. Deletion-vector tombstones apply transparently: one
+    * broadcast anti-join over the scan, with the DV filtered to the
+    * TOMBSTONED files' basenames (per-span dvRows counters), so the
+    * broadcast never carries stale rows a rewrite already materialized;
+    * every row pays one broadcast-hash probe (the single-relation price —
+    * [[Layout.zorderRead]] splits clean files onto a join-free plan when
+    * that matters more than SQL composability). Filters on data columns
+    * still push into the scan through the join's streamed side. Snapshot
+    * semantics: the CURRENT generation at call time. */
   def dataFrame(spark: SparkSession, path: String): DataFrame =
     dataFrameWithIndex(spark, path)._1
 
@@ -81,9 +85,15 @@ object ZTable {
     val df = if (tomb.isEmpty || man.dv.isEmpty) base
     else {
       // deletion-vector anti-join over the scan: same live contract as
-      // Layout.spanFilesLive, expressed against the single relation
+      // Layout.spanFilesLive, expressed against the single relation.
+      // The DV is FILTERED to tombstoned basenames — carried DV files
+      // accumulate rows for rewritten (renamed) files until a
+      // materialize, and those must not bloat the broadcast
       val root = java.nio.file.Paths.get(path).toAbsolutePath
+      val tombNames = tomb.map(s =>
+        java.nio.file.Paths.get(s.file).getFileName.toString)
       val dv = spark.read.parquet(root.resolve(man.dv.get).toString)
+        .filter(col("fname").isin(tombNames: _*))
         .withColumnRenamed("fname", "_dv_fname")
         .withColumnRenamed("pos", "_dv_pos")
       base

@@ -321,8 +321,11 @@ object EventStreams {
     keys.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
-        val vs = batch.select(org.apache.spark.sql.functions.col(keyCol)
-            .cast("long")).distinct()
+        // NULL keys (or values that cast to null) never match a delete —
+        // the same contract as the engine's delete paths; without the
+        // filter, getLong(0) on a null row would kill the whole stream
+        val kc = org.apache.spark.sql.functions.col(keyCol).cast("long")
+        val vs = batch.select(kc).filter(kc.isNotNull).distinct()
           .collect().map(_.getLong(0)).toSeq // one takedown batch: bounded
         if (vs.nonEmpty) {
           graft.ops.Layout.zorderDeleteVectoredByKey(s, path, keyCol, vs); ()

@@ -1181,8 +1181,13 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     // time travel: the retained pre-delete generation still has the rows
     assert(Layout.zorderReadAsOf(spark, dir, 0L)
       .filter(col("k").isin(victims: _*)).count() == 4L)
-    // point lookups through the (carried) bloom sidecar stay live
-    Layout.zorderBloomBuild(spark, dir, "k")
+    // REVIEW PIN: a DV commit touches no data file, so the sidecar
+    // CARRIES to the new generation — lookups stay bloom-pruned with NO
+    // rebuild (the takedown loop's second batch must not degrade to a
+    // full-table candidate scan)
+    val (openC, totalC, usedC) = Layout.zorderLookupFiles(dir, "k", Seq(6L))
+    assert(usedC && openC < totalC,
+      s"sidecar must carry across the DV commit: ($openC, $totalC, $usedC)")
     assert(Layout.zorderPointLookup(spark, dir, "k", victims).count() == 0)
     assert(Layout.zorderPointLookup(spark, dir, "k", Seq(6L)).count() == 1)
   }
@@ -1294,6 +1299,16 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       assert(p.exceptAll(r).count() == 0 && r.exceptAll(p).count() == 0,
         s"generation $g must be byte-faithful on the replica")
     }
+
+    // REVIEW PIN: a replica must refuse a DIFFERENT table loudly —
+    // generation numbers restart on re-init, so without the identity
+    // check a stale replica would silently serve the OLD table's data
+    graft.engine.WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(pri))
+    Layout.zorderInit(spark, base.limit(100), pri, "a", "b", nFiles = 2)
+    val clash = intercept[IllegalArgumentException] {
+      Layout.zorderMirror(pri, rep)
+    }
+    assert(clash.getMessage.contains("DIFFERENT table"))
   }
 
   test("manifest column stats: non-layout predicates prune in the planner, timestamps use Catalyst's micros domain, maintain/compact carry stats, all-null files always prune") {
@@ -1388,6 +1403,22 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       "sharded sidecar must answer exactly like the single file")
     assert(single._3 && single._1 <= 2, s"lookup must prune: $single")
     assert(Layout.zorderPointLookup(spark, dir, "k", Seq(777L)).count() == 1)
+
+    // REVIEW PIN: a PARTIAL shard set (crashed build / racing reader /
+    // mid-build mirror) must fall back to scanning every file — bloom
+    // pruning may be LOST, never WRONG (a false negative here would be a
+    // takedown silently missing rows)
+    val ls2 = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val oneShard = try ls2.iterator().asScala
+      .filter(_.getFileName.toString.contains(".shard")).toSeq.head
+      finally ls2.close()
+    java.nio.file.Files.delete(oneShard)
+    val (open, total, used) = Layout.zorderLookupFiles(dir, "k", Seq(777L))
+    assert(!used && open == total,
+      s"incomplete shard set must disable pruning, got ($open, $total, $used)")
+    assert(Layout.zorderPointLookup(spark, dir, "k", Seq(777L)).count() == 1,
+      "answers stay exact without the sidecar")
+    Layout.zorderBloomBuild(spark, dir, "k", shards = 8) // restore
 
     // ZTable AS-OF: vector-delete a corner, then read generation 0
     // through the planner — the deleted rows are still there, and the

@@ -1018,9 +1018,20 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       spark.readStream.schema(keySchema).parquet(src.toString),
       table, "k", ckpt, materializeEvery).awaitTermination()
 
-    // batch 0: three keys vector-delete with zero data-file writes
+    // batch 0: three keys vector-delete with zero data-file writes; a
+    // NULL key rides along (REVIEW PIN: it must be ignored, not kill the
+    // stream — the engine's NULL-never-matches delete contract)
     val filesBefore = Layout.currentSpans(table).map(_.file).toSet
-    land(Seq(5L, 777L, 2048L), "b0.parquet"); runStream()
+    locally {
+      import spark.implicits._
+      val stage = tmp.resolve("stage_b0")
+      Seq(Some(5L), Some(777L), Some(2048L), None).toDF("k")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      Files.move(part, src.resolve("b0.parquet")); ()
+    }
+    runStream()
     assert(Layout.zorderRead(spark, table).count() == 4096L - 3)
     assert(Layout.currentSpans(table).map(_.file).toSet == filesBefore,
       "takedown batches must not touch data files")
