@@ -2079,7 +2079,12 @@ object Layout {
     * replica is already at the primary's CURRENT generation with an
     * identical manifest set. Run it on the consumer's cadence — each sync
     * ships only what changed since the last, however many commits that
-    * spans. */
+    * spans. Concurrency: the primary is read WITHOUT its lock (reads are
+    * lock-free by design); if the primary's retention window moves past a
+    * file mid-copy, the copy throws and the sync aborts CLEANLY — the
+    * replica stays readable at its previous generation and the next sync
+    * re-snapshots (size the primary's retention to cover the sync
+    * cadence, same rule as the CDC cursor). */
   def zorderMirror(primaryPath: String, replicaPath: String): (Int, Int) = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val pRoot = Paths.get(primaryPath).toAbsolutePath.normalize
