@@ -957,6 +957,12 @@ object Layout {
     val dvNext = if (carried.exists(_.dvRows > 0)) man.dv else None
     writeManifest(path, cur + 1, man.copy(consumed = consumed,
       spans = (carried ++ fresh).sortBy(_.zLo), dv = dvNext))
+    // bloom sidecars CARRY across every rewrite commit: carried files'
+    // bitsets stay exact (immutable content), rewritten files' NEW names
+    // are simply absent — and absent always opens ([[bloomAdmits]]), so
+    // untouched files keep their pruning with zero rescan while a
+    // later incremental [[zorderBloomBuild]] fills the gaps
+    carryBloomSidecars(path, cur, cur + 1)
     // COMMIT, then clean up: heal IS the cleanup (consumed landing, aged
     // manifests, unreferenced data files) — a crash between the flip and
     // here replays the identical sweep

@@ -460,7 +460,7 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       s"orphans=${onDisk.diff(listed)} missing=${listed.diff(onDisk)}")
   }
 
-  test("bloom point lookup: prunes to ~1 file with no false negatives; rebuild is incremental; stale sidecar falls back; heal GCs aged sidecars") {
+  test("bloom point lookup: prunes to ~1 file with no false negatives; rebuild is incremental; sidecar carries across commits (absent files open); heal GCs aged sidecars") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
     val dir = java.nio.file.Files.createTempDirectory("graft_zbloom").toString + "/t"
@@ -487,12 +487,17 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       "lookup ≡ full filter (no false negatives)")
     assert(Layout.zorderPointLookup(spark, dir, "k", absent).isEmpty)
 
-    // maintain commits gen 1 — the gen-0 sidecar no longer applies, and the
-    // lookup FALLS BACK to all files rather than miss the appended row
+    // maintain commits gen 1 — the sidecar CARRIES (untouched files keep
+    // their exact bitsets); the appended row lives in a REWRITTEN file
+    // whose new name is absent from the carried sidecar, and absent
+    // always OPENS — so the lookup stays pruned AND cannot miss the row
     Layout.zorderAppend(Seq((5L, 6L, 777777777L)).toDF("a", "b", "k"), dir)
     val (_, rewritten, carriedFiles) = Layout.zorderMaintain(spark, dir)
     val (o2, t2, used2) = Layout.zorderLookupFiles(dir, "k", Seq(777777777L))
-    assert(!used2 && o2 == t2, "no current-gen sidecar → unpruned fallback")
+    assert(used2 && o2 < t2,
+      s"carried sidecar keeps pruning after a maintain: $o2/$t2")
+    assert(o2 >= rewritten,
+      "rewritten files are absent from the carried sidecar and must open")
     assert(Layout.zorderPointLookup(spark, dir, "k", Seq(777777777L)).count() == 1)
 
     // param mismatch forces a full rescan; matching params carry bitsets
@@ -1512,6 +1517,23 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(reader1.count() == 4098L, "DV commits are invisible to " +
       "in-flight readers (the DV anti-join binds at plan time)")
     assert(Layout.zorderRead(spark, dir).count() == 4096L)
+  }
+
+  test("ZTable: manifest-derived sizeInBytes lets Catalyst AUTO-broadcast a small z-table — no hint needed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zbc").toString + "/t"
+    val dim = spark.range(4096L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, dim, dir, "a", "b", nFiles = 4)
+    val fact = spark.range(200000L).select((col("id") % 64).cast("long").as("a"))
+    // NO broadcast() hint: the relation's sizeInBytes comes from the
+    // manifest's byte lengths, well under the auto-broadcast threshold,
+    // so Catalyst must pick BroadcastHashJoin on its own — the planner
+    // integration paying off in join strategy, not just pruning
+    val joined = fact.join(ZTable.dataFrame(spark, dir), Seq("a"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small z-table must auto-broadcast:\n${plan.take(2000)}")
+    assert(joined.count() == 200000L * 64)
   }
 
   test("zorderWrite: arbitrary key domains (beyond 16 bits, negative) keep locality via scaling") {
