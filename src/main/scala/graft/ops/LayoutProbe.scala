@@ -32,6 +32,7 @@ object LayoutProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("ztable100k")) { runZTable100k(); return }
     val cpus = Runtime.getRuntime.availableProcessors().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -237,6 +238,49 @@ object LayoutProbe {
       s""""rows":5000000,"sec":${r4(routeSec)}}""")
 
     spark.stop()
+  }
+
+  /** Planner-integrated listing at 100k files: construct a
+    * ManifestFileIndex over a synthetic 99,856-span v2 manifest (byte
+    * lengths in the manifest → ZERO filesystem calls for nonexistent
+    * files — exactly the object-store property the format exists for)
+    * and measure the listFiles call FileSourceScanExec makes per query.
+    * Standalone: `sbt "runMain graft.ops.LayoutProbe ztable100k"`. */
+  private[ops] def runZTable100k(): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+      AttributeReference, GreaterThanOrEqual => CGte, LessThanOrEqual => CLte,
+      Literal => CLit}
+    import org.apache.spark.sql.types.LongType
+    val g = 316
+    val step = 65536L / g
+    val spans = (0 until g * g).map { i =>
+      val (ai, bi) = (i / g, i % g)
+      Layout.Span(s"data/g0/f$i.parquet", 1000L, i.toLong, i.toLong,
+        ai * step, (ai + 1) * step - 1, bi * step, (bi + 1) * step - 1,
+        bytes = 1L << 20)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lzt100k").toString + "/t"
+    Layout.commitManifestUnsafe(dir, 0L,
+      Layout.Manifest("a", "b", 0L, 65535L, 0L, 65535L, Seq.empty, spans))
+    val man = Layout.readManifest(dir, 0L)
+    val buildSec = time { new ManifestFileIndex(dir, man) }
+    val fi = new ManifestFileIndex(dir, man)
+    val a = AttributeReference("a", LongType)()
+    val b = AttributeReference("b", LongType)()
+    val reps = 50
+    var hit = 0
+    val listSec = time {
+      for (r <- 0 until reps) {
+        val lo = (r * 2654435761L) % 60000
+        val pred = CAnd(
+          CAnd(CGte(a, CLit(lo)), CLte(a, CLit(lo + 1300))),
+          CAnd(CGte(b, CLit(lo / 2)), CLte(b, CLit(lo / 2 + 1300))))
+        hit = fi.listFiles(Nil, Seq(pred)).map(_.files.size).sum
+      }
+    } / reps
+    println(s"""{"metric":"ztable_100k_planning","files":${spans.size},""" +
+      s""""index_build_sec":${r4(buildSec)},"hit":$hit,""" +
+      s""""list_sec_per_query":${r4(listSec)}}""")
   }
 
   private def run100kChangePlanning(): Unit = {
