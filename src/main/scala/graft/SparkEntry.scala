@@ -1423,6 +1423,23 @@ object SparkEntry {
         .groupBy("band").agg(count(lit(1)).as("n"))
     }),
 
+    // SQLite aggregate surface through the dialect (SURVEY §2.4 contract):
+    // group_concat 1-arg + 2-arg (separator is SQLite's SECOND argument) and
+    // total() (always-REAL NULL→0.0 sum). Concat element order is
+    // unspecified in both engines, so the pinned outputs are the
+    // order-invariant lengths; total() runs over the integer customer key
+    // (exact in doubles at any summation order).
+    "g19_group_concat_total" -> ((s, d) => {
+      Fetch.df(StarGraph(s, d), Fetch.Args(
+        chain = "[n:nation,namechars,namechars2,totbal] <(e:InNation)- (c:customer)",
+        group = Some("n.uid"),
+        params = Map(
+          "namechars" -> "CAST(length(group_concat(c.uid)) AS BIGINT)",
+          "namechars2" -> "CAST(length(group_concat(c.uid, '; ')) AS BIGINT)",
+          "totbal" -> "total(substr(c.uid, 10))")))
+        .select("uid", "namechars", "namechars2", "totbal")
+    }),
+
     "g08_orders_of_customer" -> ((s, d) => {
       Fetch.df(StarGraph(s, d), Fetch.Args(
         chain = "[o:orders] -(e:PlacedBy)> (c:customer)",
@@ -3512,6 +3529,14 @@ object SparkEntry {
 
     "g08_orders_of_customer" -> OrdersOfCustomerSql,
 
+    "g19_group_concat_total" ->
+      """SELECT 'nation:' || n_nationkey AS uid,
+        |  CAST(length(string_agg('customer:' || c_custkey, ',')) AS BIGINT) AS namechars,
+        |  CAST(length(string_agg('customer:' || c_custkey, '; ')) AS BIGINT) AS namechars2,
+        |  COALESCE(SUM(CAST(c_custkey AS DOUBLE)), 0.0) AS totbal
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_nationkey""".stripMargin,
+
     "g14_iif_band" ->
       """SELECT CASE WHEN CAST(c_acctbal AS DOUBLE) >= 5000 THEN 'high' ELSE 'low' END AS band,
         | COUNT(*) AS n
@@ -3757,7 +3782,7 @@ object SparkEntry {
         |merged AS (SELECT doc_id, island, MAX(pos + 40) - MIN(pos) AS cut
         |  FROM isl2 GROUP BY doc_id, island),
         |cuts AS (SELECT doc_id, SUM(cut) AS cut FROM merged GROUP BY doc_id)
-        |SELECT d.doc_id, length(d.text) - COALESCE(c.cut, 0) AS scrubbed_len
+        |SELECT d.doc_id, CAST(length(d.text) - COALESCE(c.cut, 0) AS BIGINT) AS scrubbed_len
         |FROM documents d LEFT JOIN cuts c USING (doc_id)""".stripMargin,
 
     "d10_jaccard_overflow" ->

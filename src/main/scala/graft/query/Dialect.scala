@@ -31,6 +31,7 @@ object Dialect {
     * untouched — `'a==b'`, `"see :note"` stay literal. */
   def translate(s: String, params: Map[String, Any] = Map.empty): String = {
     var out = rewriteGlobScan(s, params)
+    out = rewriteAggFns(out)
     out = mapOutsideQuotes(out)(bindParamsRaw(_, params))
     out = mapOutsideQuotes(out)(seg =>
       rewriteSqliteFnsRaw(rewriteDoubleEqualsRaw(rewriteJsonPathsRaw(seg))))
@@ -220,4 +221,112 @@ object Dialect {
     FnRenames.foldLeft(s) { case (acc, (from, to)) =>
       acc.replaceAll(s"(?i)(?<![\\w.])$from\\s*\\(", to + "(")
     }
+
+  /** SQLite aggregate functions Spark lacks under those names
+    * (graphydb.py:810-811 passes aggregate strings to SQLite verbatim;
+    * SURVEY §2.4 names these two as contract):
+    *
+    *   - `group_concat(x)`        → `concat_ws(',', collect_list(x))`
+    *   - `group_concat(x, sep)`   → `concat_ws(sep, collect_list(x))`
+    *     (SQLite's separator is the SECOND argument; concat_ws wants it
+    *     first, so this is argument-aware, not a rename)
+    *   - `group_concat(DISTINCT x)` → `concat_ws(',', collect_set(x))`
+    *     (SQLite allows DISTINCT only in the 1-arg form; element order is
+    *     unspecified in both engines)
+    *   - `total(x)` → `coalesce(sum(CAST(x AS DOUBLE)), 0.0D)` (SQLite
+    *     total() is the always-REAL, NULL→0.0 sum; `0.0D` keeps Spark's
+    *     literal a double, not a decimal)
+    *
+    * Unlike the simple renames this must scan the WHOLE string quote-aware
+    * (the separator operand is itself a quoted literal, so the
+    * `mapOutsideQuotes` segment path can't see the full call) and split
+    * arguments at top-level commas only. Arguments are rewritten
+    * recursively, then re-wrapped. A call that never closes its paren is
+    * left untouched for Spark's parser to report. */
+  def rewriteAggFns(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    def nameStartsAt(idx: Int, name: String): Boolean =
+      s.regionMatches(true, idx, name, 0, name.length) &&
+        (idx == 0 || (!isWordChar(s.charAt(idx - 1)) && s.charAt(idx - 1) != '.'))
+    // from `open` (index of '('), return (args split at top-level commas,
+    // index just past the closing ')') — or None if unbalanced
+    def parseArgs(open: Int): Option[(List[String], Int)] = {
+      var k = open + 1
+      var depth = 1
+      var q: Char = 0
+      var argStart = k
+      val args = List.newBuilder[String]
+      while (k < s.length && depth > 0) {
+        val c = s.charAt(k)
+        if (q != 0) {
+          if (c == q) {
+            if (c == '\'' && k + 1 < s.length && s.charAt(k + 1) == '\'') k += 1
+            else q = 0
+          }
+        } else c match {
+          case '\'' | '"' => q = c
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) { args += s.substring(argStart, k) }
+          case ',' if depth == 1 =>
+            args += s.substring(argStart, k); argStart = k + 1
+          case _ =>
+        }
+        k += 1
+      }
+      if (depth == 0) Some((args.result(), k)) else None
+    }
+    def fnAt(idx: Int): Option[(String, Int)] =
+      Seq("group_concat", "total").collectFirst {
+        case name if nameStartsAt(idx, name) &&
+            // require '(' (after optional whitespace) so a bare column named
+            // `total` is never rewritten
+            { var j = idx + name.length
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              j < s.length && s.charAt(j) == '(' } =>
+          var j = idx + name.length
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          (name, j)
+      }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) {
+          if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            out.append('\''); i += 1
+          } else quote = 0
+        }
+        i += 1
+      } else if (c == '\'' || c == '"') {
+        out.append(c); quote = c; i += 1
+      } else fnAt(i) match {
+        case Some((name, open)) =>
+          parseArgs(open) match {
+            case Some((rawArgs, next)) =>
+              val args = rawArgs.map(a => rewriteAggFns(a).trim)
+              val sql = (name, args) match {
+                case ("total", List(x)) =>
+                  s"coalesce(sum(CAST($x AS DOUBLE)), 0.0D)"
+                case ("group_concat", List(x)) if x.toUpperCase.startsWith("DISTINCT ") =>
+                  s"concat_ws(',', collect_set(${x.drop("DISTINCT ".length).trim}))"
+                case ("group_concat", List(x)) =>
+                  s"concat_ws(',', collect_list($x))"
+                case ("group_concat", List(x, sep)) =>
+                  s"concat_ws($sep, collect_list($x))"
+                case _ => // wrong arity: leave verbatim for Spark to reject
+                  s.substring(i, next)
+              }
+              out.append(sql); i = next
+            case None => out.append(c); i += 1
+          }
+        case None => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
 }

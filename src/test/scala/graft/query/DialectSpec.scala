@@ -51,6 +51,30 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.translate("ifnull(n.a, 0)") == "ifnull(n.a, 0)")
   }
 
+  test("SQLite aggregates: group_concat 1/2-arg + DISTINCT, total (SURVEY §2.4)") {
+    assert(Dialect.translate("group_concat(c.uid)") ==
+      "concat_ws(',', collect_list(c.uid))")
+    // SQLite's separator is the SECOND argument; concat_ws wants it first
+    assert(Dialect.translate("group_concat(c.uid, '; ')") ==
+      "concat_ws('; ', collect_list(c.uid))")
+    assert(Dialect.translate("GROUP_CONCAT(DISTINCT n.kind)") ==
+      "concat_ws(',', collect_set(n.kind))")
+    assert(Dialect.translate("total(n.data.v)") ==
+      "coalesce(sum(CAST(get_json_object(n.props, '$.v') AS DOUBLE)), 0.0D)")
+    // nested inside another call; inner rewrites still apply
+    assert(Dialect.translate("length(group_concat(c.uid, ','))") ==
+      "length(concat_ws(',', collect_list(c.uid)))")
+    // a separator containing a comma and a paren must not split/terminate args
+    assert(Dialect.translate("group_concat(x, ',)')") ==
+      "concat_ws(',)', collect_list(x))")
+    // identifiers and quoted literals are untouched; bare `total` column too
+    assert(Dialect.translate("subtotal(x)") == "subtotal(x)")
+    assert(Dialect.translate("n.total + 1") == "n.total + 1")
+    assert(Dialect.translate("n.s = 'total(1)'") == "n.s = 'total(1)'")
+    // wrong arity is left verbatim for Spark's parser to reject
+    assert(Dialect.translate("total(a, b)") == "total(a, b)")
+  }
+
   test("rewrites never touch single-quoted literals") {
     assert(Dialect.translate("n.data.op = 'a==b'") ==
       "get_json_object(n.props, '$.op') = 'a==b'")
