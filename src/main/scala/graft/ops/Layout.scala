@@ -60,9 +60,27 @@ object Layout {
     * within-partition sort, so every written file covers a contiguous,
     * disjoint z range. LayoutSpec pins the resulting spans and the
     * two-sided pruning win over a single-key linear layout. */
+  /** Column names the layout machinery injects with `withColumn` during
+    * writes and live/DV reads. A user column with one of these names would
+    * be silently overwritten and dropped (or mis-anti-joined), so every
+    * data ingestion edge rejects them up front — loud at write time, never
+    * corrupt at read time. */
+  private[ops] val ReservedCols: Set[String] = Set(
+    "_z", "_zm", "_fid", "_pos", "_fname", "_live_fname",
+    "_dv_fname", "_dv_pos")
+
+  private[ops] def requireNoReservedCols(df: DataFrame): Unit = {
+    val clash = df.columns.filter(c => ReservedCols.contains(c))
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} are reserved by the layout " +
+        "machinery (scan/DV helper columns) — rename them before writing " +
+        "to a maintained table")
+  }
+
   def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
       nFiles: Int): Unit = {
     require(nFiles >= 1, "need nFiles >= 1")
+    requireNoReservedCols(df)
     val bounds = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).collect()(0)
@@ -108,6 +126,7 @@ object Layout {
   def zorderWrite3(df: DataFrame, path: String, colA: String, colB: String,
       colC: String, nFiles: Int): Unit = {
     require(nFiles >= 1, "need nFiles >= 1")
+    requireNoReservedCols(df)
     val bounds = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long")),
@@ -237,13 +256,35 @@ object Layout {
   private def manifestPath(path: String, gen: Long) =
     java.nio.file.Paths.get(path, s"manifest-$gen.tsv")
 
+  /** The storage seam: every finalize (staged file → committed name) in
+    * the layout machinery goes through here. On a local filesystem that's
+    * an atomic rename; on an object store there IS no rename — finalize
+    * is a server-side copy (or a direct upload) and the commit protocol's
+    * atomicity point is the whole-object PUT of the manifest/pointer,
+    * which object stores provide natively. `noRename = true` is the
+    * in-test object-store model: rename and hard-link are forbidden,
+    * finalize degrades to copy+delete — the suite passing under it proves
+    * the protocol's correctness never leans on rename atomicity for data
+    * files (only on per-object PUT, which writeAtomic models). */
+  private[ops] object Store {
+    @volatile private[ops] var noRename: Boolean = false
+    private[ops] def finalizeFile(src: java.nio.file.Path,
+        dst: java.nio.file.Path): Unit = {
+      import java.nio.file.{Files, StandardCopyOption}
+      if (noRename) {
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.delete(src)
+      } else
+        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
   private def writeAtomic(target: java.nio.file.Path, body: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
+    Store.finalizeFile(tmp, target)
   }
 
   /** Maintenance and compaction hold this cross-process lock (advisory
@@ -256,7 +297,7 @@ object Layout {
     * builder's heal sweep with the other's staged files. */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def withTableLock[A](path: String)(body: => A): A = {
+  private[ops] def withTableLock[A](path: String)(body: => A): A = {
     val key = java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
     val monitor = tableLocks.computeIfAbsent(key, _ => new Object)
     monitor.synchronized {
@@ -401,13 +442,46 @@ object Layout {
   private[ops] final case class Manifest(colA: String, colB: String,
       aLo: Long, aHi: Long, bLo: Long, bHi: Long,
       consumed: Seq[String], spans: Seq[Span], mixedSchema: Boolean = false,
-      dv: Option[String] = None, statCols: Seq[String] = Nil)
+      dv: Option[String] = None, statCols: Seq[String] = Nil,
+      // the generation's data schema (StructType.json), recorded at commit
+      // time for HOMOGENEOUS generations so planners build the read schema
+      // driver-side with ZERO parquet footer fetches (the Iceberg
+      // schema-in-metadata idea); None for mixed generations (readers
+      // merge footers — the documented evolution cost until a compact
+      // heals) and for pre-schema manifests (footer fallback)
+      schemaJson: Option[String] = None)
+
+  /** The schema to persist for a generation: everything NULLABLE, exactly
+    * as a parquet footer read reports it — persisting a non-null field
+    * would let the optimizer assert non-nullness the files don't enforce
+    * (e.g. fold `IsNull` to false), and init-time DataFrame schemas carry
+    * non-null flags (spark.range) that footers drop. */
+  private def persistableSchemaJson(
+      schema: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types._
+    def nullableize(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullableize(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = nullableize(a.elementType), containsNull = true)
+      case m: MapType =>
+        m.copy(keyType = nullableize(m.keyType),
+          valueType = nullableize(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    nullableize(schema).asInstanceOf[StructType].json
+  }
 
   private def writeManifest(path: String, gen: Long, m: Manifest): Unit = {
     val hdr = Seq(s"#colA\t${m.colA}", s"#colB\t${m.colB}",
       s"#aLo\t${m.aLo}", s"#aHi\t${m.aHi}", s"#bLo\t${m.bLo}", s"#bHi\t${m.bHi}",
       s"#mixed\t${if (m.mixedSchema) 1 else 0}") ++
       m.dv.map(f => s"#dv\t$f").toSeq ++
+      // base64: the TSV header splits key/value on the first tab, and a
+      // field name could legally contain one
+      m.schemaJson.map(j => s"#schema\t${java.util.Base64.getEncoder
+        .encodeToString(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))}")
+        .toSeq ++
       (if (m.statCols.isEmpty) Seq.empty
        else Seq(s"#statcols\t${m.statCols.mkString(",")}")) ++
       m.consumed.map(f => s"#consumed\t$f")
@@ -444,7 +518,10 @@ object Layout {
       }.sortBy(_.zLo),
       mixedSchema = meta.get("mixed").contains("1"),
       dv = meta.get("dv"),
-      statCols = meta.get("statcols").map(_.split(",").toSeq).getOrElse(Nil))
+      statCols = meta.get("statcols").map(_.split(",").toSeq).getOrElse(Nil),
+      schemaJson = meta.get("schema").map(b => new String(
+        java.util.Base64.getDecoder.decode(b),
+        java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   /** The CURRENT generation's manifest rows — the statistics a probe or
@@ -559,6 +636,7 @@ object Layout {
     import java.nio.file.Files
     require(nFiles >= 1, "need nFiles >= 1")
     require(keepGenerations >= 1, "need keepGenerations >= 1")
+    requireNoReservedCols(df)
     statCols.foreach { c =>
       require(df.columns.contains(c), s"stat column $c is not in the input")
       statLongExpr(df.schema(c).dataType, c) // rejects unsupported types loudly
@@ -608,7 +686,8 @@ object Layout {
     val spans = spanStats(spark, path, rel, colA, colB, aLo, aHi, bLo, bHi,
       statCols)
     writeManifest(path, 0L, Manifest(colA, colB, aLo, aHi, bLo, bHi,
-      consumed = Seq.empty, spans = spans, statCols = statCols))
+      consumed = Seq.empty, spans = spans, statCols = statCols,
+      schemaJson = Some(persistableSchemaJson(df.schema))))
     Files.createDirectories(landingDir(path))
     writeAtomic(currentPtr(path), "0")
   }
@@ -629,6 +708,7 @@ object Layout {
     * table lock). */
   def zorderAppend(df: DataFrame, path: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    requireNoReservedCols(df)
     val staging = Paths.get(path, "landing-staging",
       java.util.UUID.randomUUID().toString)
     df.write.mode("overwrite").parquet(staging.toString)
@@ -636,9 +716,7 @@ object Layout {
     Files.createDirectories(landing)
     parquetFilesUnder(staging).foreach { f =>
       val p = Paths.get(f)
-      Files.move(p, landing.resolve(p.getFileName),
-        StandardCopyOption.ATOMIC_MOVE)
-      ()
+      Store.finalizeFile(p, landing.resolve(p.getFileName))
     }
     graft.engine.WarehouseMeta.deleteRecursively(staging)
   }
@@ -813,8 +891,7 @@ object Layout {
       .filter(p => !beforeSet.contains(p.getFileName.toString))
     val n = if (added.isEmpty) 0L
       else spark.read.parquet(added.map(_.toString): _*).count()
-    Files.move(log.resolve(s"$batchId.intent"), commit,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Store.finalizeFile(log.resolve(s"$batchId.intent"), commit)
     n
   }
 
@@ -828,12 +905,16 @@ object Layout {
     val log = java.nio.file.Paths.get(path, "batchlog")
     if (!Files.isDirectory(log)) return
     val ls = Files.list(log)
-    val stale =
+    val intents =
       try ls.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".intent")).toList
-        .filter(p => !Files.exists(p.resolveSibling(
-          p.getFileName.toString.stripSuffix(".intent") + ".commit")))
       finally ls.close()
+    val (landed, stale) = intents.partition(p => Files.exists(p.resolveSibling(
+      p.getFileName.toString.stripSuffix(".intent") + ".commit")))
+    // an intent WHOSE COMMIT EXISTS is the finalize-as-copy+delete crash
+    // window (object stores have no rename): the batch committed, only the
+    // intent's cleanup was lost — GC it, never roll it back
+    landed.foreach(Files.deleteIfExists(_))
     if (stale.nonEmpty) {
       val snapshot = stale.flatMap(p => Files.readAllLines(p).asScala)
         .filter(_.nonEmpty).toSet
@@ -931,7 +1012,7 @@ object Layout {
         require(part.size == 1,
           s"expected one rewritten file for fid $i, got ${part.size}")
         val target = nextData.resolve(s"$prefix-g${cur + 1}-$i.parquet")
-        Files.move(part.head, target, StandardCopyOption.ATOMIC_MOVE)
+        Store.finalizeFile(part.head, target)
         Some(root.relativize(target).toString)
       }
     }
@@ -955,8 +1036,16 @@ object Layout {
     // carries verbatim (a manifest reference, zero filesystem work) while
     // any carried file still holds tombstones, and drops otherwise
     val dvNext = if (carried.exists(_.dvRows > 0)) man.dv else None
+    // homogeneous generation: the merged write's schema IS the table
+    // schema (left-biased unionByName keeps committed column order), so
+    // persist it and spare readers every footer fetch; mixed generations
+    // drop the header — footer merge is the one evolution cost
+    val schemaNext =
+      if (man.mixedSchema) None
+      else Some(persistableSchemaJson(merged.drop("_zm", "_fid").schema))
     writeManifest(path, cur + 1, man.copy(consumed = consumed,
-      spans = (carried ++ fresh).sortBy(_.zLo), dv = dvNext))
+      spans = (carried ++ fresh).sortBy(_.zLo), dv = dvNext,
+      schemaJson = schemaNext))
     // bloom sidecars CARRY across every rewrite commit: carried files'
     // bitsets stay exact (immutable content), rewritten files' NEW names
     // are simply absent — and absent always opens ([[bloomAdmits]]), so
@@ -1102,7 +1191,7 @@ object Layout {
     writeManifest(path, cur + 1, Manifest(colA, colB, aLo, aHi, bLo, bHi,
       consumed = landing.map(_.getFileName.toString), // RE-frozen bounds
       spans = spans, mixedSchema = false, // every file rewritten: healed
-      statCols = man.statCols))
+      statCols = man.statCols, schemaJson = Some(persistableSchemaJson(all.schema))))
     writeAtomic(currentPtr(path), (cur + 1).toString)
     heal(path, cur + 1)
     ()
@@ -1183,6 +1272,7 @@ object Layout {
     * rowsUpserted = batch rows landed, filesRewritten). */
   def zorderUpsert(spark: SparkSession, df: DataFrame,
       path: String): (Long, Long, Int) = withTableLock(path) {
+    requireNoReservedCols(df)
     val cur = currentGen(path).getOrElse(
       throw new IllegalStateException(s"no zorderInit at $path"))
     rollbackStaleAppendIntents(path)
@@ -1665,8 +1755,7 @@ object Layout {
     val parts = parquetFilesUnder(staging)
     require(parts.size == 1, s"expected one staged part, got ${parts.size}")
     Files.createDirectories(target.getParent)
-    Files.move(java.nio.file.Paths.get(parts.head), target,
-      StandardCopyOption.ATOMIC_MOVE)
+    Store.finalizeFile(java.nio.file.Paths.get(parts.head), target)
     graft.engine.WarehouseMeta.deleteRecursively(staging)
   }
 
@@ -2092,6 +2181,27 @@ object Layout {
     * re-snapshots (size the primary's retention to cover the sync
     * cadence, same rule as the CDC cursor). */
   def zorderMirror(primaryPath: String, replicaPath: String): (Int, Int) = {
+    // the snapshot below is lock-free against the PRIMARY, so a primary
+    // committing (and healing aged generations) mid-sync can yank a
+    // manifest or data file out from under this sync — re-snapshot from
+    // the new CURRENT and retry; each retry observes a strictly newer
+    // generation, so this terminates unless the primary commits faster
+    // than one sync pass runs (at which point the bounded retry surfaces
+    // the cadence mismatch loudly instead of spinning)
+    var attempt = 0
+    while (true) {
+      try return mirrorOnce(primaryPath, replicaPath)
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def mirrorOnce(primaryPath: String,
+      replicaPath: String): (Int, Int) = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val pRoot = Paths.get(primaryPath).toAbsolutePath.normalize
     val rRoot = Paths.get(replicaPath).toAbsolutePath.normalize
@@ -2122,9 +2232,32 @@ object Layout {
             s"${if (rId.isEmpty) "<none>" else rId} vs $pId) — delete the " +
             "replica directory to re-seed it from this primary")
       }
+      import scala.jdk.CollectionConverters._
+      def bloomNames(root: java.nio.file.Path): List[String] = {
+        val ls = Files.list(root)
+        try ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("bloom-") && n.endsWith(".tsv") &&
+            n.stripPrefix("bloom-").takeWhile(_ != '-').toLongOption
+              .exists(gens.contains))
+          .toList
+        finally ls.close()
+      }
+      val blooms = bloomNames(pRoot)
       val upToDate = currentGen(replicaPath).contains(pCur) &&
         gens.forall(g => Files.isRegularFile(manifestPath(replicaPath, g)))
-      if (upToDate) return (0, 0)
+      if (upToDate) {
+        // generations match, but a bloom sidecar built (or rebuilt) on the
+        // primary AFTER the replica reached this generation would
+        // otherwise never ship until the next generation commit — sync
+        // any missing sidecars so replica point lookups keep pruning
+        // (absent sidecars are never wrong, just unpruned)
+        blooms.filterNot(n => Files.isRegularFile(rRoot.resolve(n)))
+          .foreach { n =>
+            writeAtomic(rRoot.resolve(n), new String(
+              Files.readAllBytes(pRoot.resolve(n)), "UTF-8"))
+          }
+        return (0, 0)
+      }
       // 1. data files (including deletion vectors) the replica is missing
       val wanted = mans.flatMap { case (_, m) =>
         m.spans.map(_.file) ++ m.dv.toSeq
@@ -2137,7 +2270,7 @@ object Layout {
           val tmp = dst.resolveSibling(dst.getFileName.toString + ".tmp")
           Files.copy(pRoot.resolve(rel), tmp,
             StandardCopyOption.REPLACE_EXISTING)
-          Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+          Store.finalizeFile(tmp, dst)
           copied += 1
         }
       }
@@ -2152,14 +2285,6 @@ object Layout {
           manifests += 1
         }
       }
-      import scala.jdk.CollectionConverters._
-      val ls = Files.list(pRoot)
-      val blooms = try ls.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.startsWith("bloom-") && n.endsWith(".tsv") &&
-          n.stripPrefix("bloom-").takeWhile(_ != '-').toLongOption
-            .exists(gens.contains))
-        .toList
-        finally ls.close()
       blooms.foreach { n =>
         writeAtomic(rRoot.resolve(n), new String(
           Files.readAllBytes(pRoot.resolve(n)), "UTF-8"))

@@ -260,8 +260,20 @@ object LayoutProbe {
         bytes = 1L << 20)
     }
     val dir = java.nio.file.Files.createTempDirectory("graft_lzt100k").toString + "/t"
+    // r14: the manifest carries the data schema, so the probe can measure
+    // FULL DataFrame derivation too — over 100k files that DON'T EXIST,
+    // the hard proof that planning makes zero filesystem calls of any
+    // kind (no LIST, no HEAD, no footer GET)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
     Layout.commitManifestUnsafe(dir, 0L,
-      Layout.Manifest("a", "b", 0L, 65535L, 0L, 65535L, Seq.empty, spans))
+      Layout.Manifest("a", "b", 0L, 65535L, 0L, 65535L, Seq.empty, spans,
+        schemaJson = Some(schema.json)))
     val man = Layout.readManifest(dir, 0L)
     val buildSec = time { new ManifestFileIndex(dir, man) }
     val fi = new ManifestFileIndex(dir, man)
@@ -278,9 +290,23 @@ object LayoutProbe {
         hit = fi.listFiles(Nil, Seq(pred)).map(_.files.size).sum
       }
     } / reps
+    // full DataFrame derivation (schema from the manifest + FileIndex +
+    // HadoopFsRelation + analysis) — plan-only; the files never exist,
+    // so ANY filesystem touch would throw, not just slow down
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val deriveReps = 20
+    var nCols = 0
+    val deriveSec = time {
+      for (_ <- 0 until deriveReps)
+        nCols = ZTable.dataFrame(spark, dir).schema.size
+    } / deriveReps
+    spark.stop()
     println(s"""{"metric":"ztable_100k_planning","files":${spans.size},""" +
       s""""index_build_sec":${r4(buildSec)},"hit":$hit,""" +
-      s""""list_sec_per_query":${r4(listSec)}}""")
+      s""""list_sec_per_query":${r4(listSec)},""" +
+      s""""dataframe_derive_sec":${r4(deriveSec)},"cols":$nCols}""")
   }
 
   private def run100kChangePlanning(): Unit = {

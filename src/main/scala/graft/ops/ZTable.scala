@@ -65,10 +65,19 @@ object ZTable {
   private def fromManifest(spark: SparkSession, path: String,
       man: Layout.Manifest): (DataFrame, ManifestFileIndex) = {
     val fi = new ManifestFileIndex(path, man)
-    val dataSchema =
-      if (man.mixedSchema)
-        spark.read.option("mergeSchema", "true").parquet(fi.inputFiles: _*).schema
-      else spark.read.parquet(fi.inputFiles.head).schema
+    // v2+ manifests persist the homogeneous generation's schema at commit
+    // time — the read schema builds DRIVER-SIDE with zero parquet footer
+    // fetches (at 100k files on object storage, footer HEAD+GETs are the
+    // planning budget). Mixed generations and pre-schema manifests fall
+    // back to footer reads.
+    val dataSchema = man.schemaJson.filter(_ => !man.mixedSchema)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse {
+        if (man.mixedSchema)
+          spark.read.option("mergeSchema", "true").parquet(fi.inputFiles: _*).schema
+        else spark.read.parquet(fi.inputFiles.head).schema
+      }
     val relation = HadoopFsRelation(
       location = fi,
       partitionSchema = new StructType(),
@@ -145,12 +154,22 @@ final class ManifestFileIndex private[ops] (path: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (aLo, aHi) = boundsFor(man.colA, dataFilters)
-    val (bLo, bHi) = boundsFor(man.colB, dataFilters)
+    // LAYOUT-key spans are recorded in the `cast("long")` domain
+    // (Layout.zorderInit) — for an integral column that IS the value, but a
+    // timestamp casts to SECONDS while the planner's filter literal arrives
+    // in Catalyst-internal MICROS. Narrowing across that domain mismatch
+    // would silently false-prune nearly every file, so layout bounds only
+    // narrow when the filtered attribute's type is integral
+    // (integralOnly = true); a timestamp/date layout key still scans
+    // correctly — just unpruned here (parquet footer stats still apply).
+    val (aLo, aHi) = boundsFor(man.colA, dataFilters, integralOnly = true)
+    val (bLo, bHi) = boundsFor(man.colB, dataFilters, integralOnly = true)
     // declared STAT columns prune too (the Iceberg column-stats shape):
     // timestamp/date literals arrive in Catalyst's internal micros/days —
     // exactly the domain the manifest stat spans were computed in
-    val statBounds = man.statCols.map(c => boundsFor(c, dataFilters))
+    // (statLongExpr uses unix_micros/unix_date; types validated at init)
+    val statBounds =
+      man.statCols.map(c => boundsFor(c, dataFilters, integralOnly = false))
     val hit = statuses.filter { case (s, _) =>
       s.aMin <= aHi && s.aMax >= aLo && s.bMin <= bHi && s.bMax >= bLo &&
       statBounds.zipWithIndex.forall { case ((lo, hi), i) =>
@@ -171,9 +190,12 @@ final class ManifestFileIndex private[ops] (path: String,
   /** Conjunctive [lo, hi] bounds the filters imply for `colName`;
     * unbounded sides stay at Long.Min/MaxValue. Only literal comparisons
     * on a bare attribute narrow — casts, arithmetic, OR trees don't
-    * (conservative: no false pruning). */
-  private def boundsFor(colName: String,
-      filters: Seq[Expression]): (Long, Long) = {
+    * (conservative: no false pruning). With `integralOnly` the attribute's
+    * own type must be integral too (layout-key spans live in the
+    * `cast("long")` domain, which only coincides with Catalyst's literal
+    * domain for integral columns). */
+  private def boundsFor(colName: String, filters: Seq[Expression],
+      integralOnly: Boolean): (Long, Long) = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
     def asLong(l: Literal): Option[Long] = l.value match {
@@ -184,7 +206,14 @@ final class ManifestFileIndex private[ops] (path: String,
       case _ => None
     }
     def attrIs(e: Expression): Boolean = e match {
-      case a: Attribute => a.name == colName
+      case a: Attribute => a.name == colName &&
+        (!integralOnly || (a.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }))
       case _ => false
     }
     def walk(e: Expression): Unit = e match {

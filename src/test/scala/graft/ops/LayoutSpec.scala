@@ -1554,4 +1554,134 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).except(df).count() == 0)
     spans.unpersist()
   }
+
+  test("ZTable: timestamp layout key never false-prunes — literal micros vs span seconds domains must not compare") {
+    import spark.implicits._
+    // layout spans record cast("long") = SECONDS for a timestamp column;
+    // Catalyst filter literals arrive in internal MICROS. Narrowing across
+    // that mismatch would prune ~every file; the index must instead skip
+    // narrowing for non-integral layout keys (correct, just unpruned).
+    val dir = java.nio.file.Files.createTempDirectory("graft_ztts").toString + "/t"
+    val base = spark.range(1024)
+      .select(timestamp_seconds(lit(1700000000L) + col("id") * 60).as("ts"),
+        (col("id") % 64).as("b"), col("id").as("v"))
+    Layout.zorderInit(spark, base, dir, "ts", "b", nFiles = 8)
+    val (df, fi) = ZTable.dataFrameWithIndex(spark, dir)
+    val cut = timestamp_seconds(lit(1700000000L + 512 * 60))
+    assert(df.filter(col("ts") >= cut).count() == 512L,
+      "timestamp filter must return every matching row (no false pruning)")
+    assert(fi.lastListed == 8,
+      s"timestamp bounds must not narrow (seconds-domain spans vs micros " +
+        s"literal), listed ${fi.lastListed} of 8")
+    // the INTEGRAL co-key still prunes as before
+    val (df2, fi2) = ZTable.dataFrameWithIndex(spark, dir)
+    assert(df2.filter(col("b") < 8).count() == 128L)
+    assert(fi2.lastListed < 8, s"integral key must still prune, ${fi2.lastListed}")
+  }
+
+  test("reserved helper column names are rejected at every ingestion edge") {
+    import spark.implicits._
+    val good = spark.range(256).select(col("id").as("a"), (col("id") % 16).as("b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zres").toString + "/t"
+    Layout.zorderInit(spark, good, dir, "a", "b", nFiles = 2)
+    for (bad <- Seq("_pos", "_fname", "_zm", "_fid", "_z", "_live_fname")) {
+      val df = good.withColumn(bad, lit("user-data"))
+      val e1 = intercept[IllegalArgumentException] {
+        Layout.zorderInit(spark, df,
+          java.nio.file.Files.createTempDirectory("graft_zresi").toString + "/t",
+          "a", "b", nFiles = 2)
+      }
+      assert(e1.getMessage.contains(bad))
+      intercept[IllegalArgumentException] { Layout.zorderAppend(df, dir) }
+      intercept[IllegalArgumentException] { Layout.zorderUpsert(spark, df, dir) }
+      intercept[IllegalArgumentException] {
+        Layout.zorderWrite(df,
+          java.nio.file.Files.createTempDirectory("graft_zresw").toString + "/t",
+          "a", "b", nFiles = 2)
+      }
+    }
+    // the guard must not have corrupted the live table
+    assert(ZTable.dataFrame(spark, dir).count() == 256L)
+  }
+
+  test("manifest-persisted schema: clean reads plan with ZERO footer fetches; evolution falls back; compact heals") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles}
+    import java.nio.file.attribute.PosixFilePermissions
+    val dir = java.nio.file.Files.createTempDirectory("graft_zsch").toString + "/t"
+    val base = spark.range(512)
+      .select(col("id").as("a"), (col("id") % 16).as("b"),
+        concat(lit("v"), col("id")).as("v"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 4)
+    val (_, man0) = Layout.currentManifest(dir)
+    assert(man0.schemaJson.isDefined, "init must persist the schema")
+    // the hard proof of zero footer reads at PLANNING time: make every
+    // data file unreadable, derive the DataFrame (schema + plan), restore,
+    // then execute — the footer path would throw at derive time
+    val dataFiles = Layout.currentSpans(dir).map(s =>
+      java.nio.file.Paths.get(dir).toAbsolutePath.resolve(s.file))
+    val none = PosixFilePermissions.fromString("---------")
+    val rw = PosixFilePermissions.fromString("rw-r--r--")
+    dataFiles.foreach(p => JFiles.setPosixFilePermissions(p, none))
+    val planned =
+      try ZTable.dataFrame(spark, dir)
+      finally dataFiles.foreach(p => JFiles.setPosixFilePermissions(p, rw))
+    assert(planned.schema.fieldNames.toSeq == Seq("a", "b", "v"))
+    assert(planned.count() == 512L)
+    // same-schema maintain keeps the persisted schema
+    Layout.zorderAppend(spark.range(512, 600)
+      .select(col("id").as("a"), (col("id") % 16).as("b"),
+        concat(lit("v"), col("id")).as("v")), dir)
+    Layout.zorderMaintain(spark, dir)
+    val (_, man1) = Layout.currentManifest(dir)
+    assert(!man1.mixedSchema && man1.schemaJson.isDefined)
+    assert(ZTable.dataFrame(spark, dir).schema == planned.schema)
+    // schema evolution → mixed generation drops the header, merged-footer
+    // fallback still reads the union schema
+    Layout.zorderAppend(spark.range(600, 640)
+      .select(col("id").as("a"), (col("id") % 16).as("b"),
+        concat(lit("v"), col("id")).as("v"), lit(1L).as("extra")), dir)
+    Layout.zorderMaintain(spark, dir)
+    val (_, man2) = Layout.currentManifest(dir)
+    assert(man2.mixedSchema && man2.schemaJson.isEmpty,
+      "a mixed generation must not claim a single schema")
+    val evolved = ZTable.dataFrame(spark, dir)
+    assert(evolved.columns.contains("extra") && evolved.count() == 640L)
+    // compact heals to homogeneous and re-persists
+    Layout.zorderCompact(spark, dir, nFiles = 4)
+    val (_, man3) = Layout.currentManifest(dir)
+    assert(!man3.mixedSchema && man3.schemaJson.isDefined)
+    val healed = ZTable.dataFrame(spark, dir)
+    assert(healed.columns.contains("extra") && healed.count() == 640L)
+  }
+
+  test("zorderMirror: a bloom sidecar built AFTER the replica is current still ships on the next sync") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles}
+    val pri = java.nio.file.Files.createTempDirectory("graft_zmbp").toString + "/t"
+    val rep = java.nio.file.Files.createTempDirectory("graft_zmbr").toString + "/t"
+    val base = spark.range(4096)
+      .select(col("id").as("a"), (col("id") % 64).as("b"), col("id").as("k"))
+    Layout.zorderInit(spark, base, pri, "a", "b", nFiles = 8)
+    Layout.zorderMirror(pri, rep)
+    assert(Layout.zorderMirror(pri, rep) == ((0, 0)))
+    // sidecar lands on the primary AFTER the replica reached this
+    // generation — the up-to-date early return must still sync it
+    Layout.zorderBloomBuild(spark, pri, "k")
+    assert(Layout.zorderMirror(pri, rep) == ((0, 0)),
+      "generation unchanged: still the no-op fast path")
+    import scala.jdk.CollectionConverters._
+    val ls = JFiles.list(java.nio.file.Paths.get(pri))
+    val priBlooms = try ls.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("bloom-") && n.endsWith(".tsv")).toList
+      finally ls.close()
+    assert(priBlooms.nonEmpty)
+    priBlooms.foreach { n =>
+      assert(JFiles.isRegularFile(java.nio.file.Paths.get(rep).resolve(n)),
+        s"replica must receive late-built sidecar $n")
+    }
+    // and the replica's point lookups actually prune with it
+    val (open, total, used) = Layout.zorderLookupFiles(rep, "k", Seq(7L))
+    assert(used && open < total, s"replica lookup unpruned: ($open, $total, $used)")
+  }
 }
