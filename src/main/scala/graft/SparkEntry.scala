@@ -2510,6 +2510,23 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // unicode61 remove_diacritics tokenizer fidelity (the reference's FTS5
+    // tables use the default unicode61 tokenizer, graphydb.py:652-658): the
+    // corpus is deterministically accent-ified (e→é, a→à), indexed through
+    // the normalize_text fold, and queried with one accented and one plain
+    // term — all four accent combinations land on the same folded tokens,
+    // so the ASCII oracle twin (plain lower()) is exactly equivalent
+    "g20_fts_unicode61" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("text_acc",
+          translate(col("text"), "ea", "éà"))
+      Fts.matchScoresU61(
+        Fts.postings(docs, "doc_id", Map("text" -> "text_acc"),
+          unicode61 = true),
+        "thé AND scan")
+        .withColumnRenamed("uid", "doc_id")
+    }),
+
     // --- event analytics ----------------------------------------------------
     "e01_sessions" -> ((s, d) =>
       Events.sessionStats(events(s, d), gapSeconds = 1800)),
@@ -3528,6 +3545,19 @@ object SparkEntry {
         |  AND regexp_matches(LOWER(p_name), '\bwidget\b')""".stripMargin,
 
     "g08_orders_of_customer" -> OrdersOfCustomerSql,
+
+    // the accentify→unicode61-fold pipeline is an exact no-op over the
+    // ASCII corpus, so the twin is plain lower() tokenization — that
+    // equivalence IS the fidelity claim under test
+    "g20_fts_unicode61" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(list_filter(t, x -> x = 'the')) AS c1,
+        |  len(list_filter(t, x -> x = 'scan')) AS c2 FROM toks)
+        |SELECT doc_id, CAST(c1 + c2 AS BIGINT) AS score FROM m
+        |WHERE c1 > 0 AND c2 > 0""".stripMargin,
 
     "g19_group_concat_total" ->
       """SELECT 'nation:' || n_nationkey AS uid,

@@ -29,6 +29,14 @@ object Fts {
 
   val TokenSplit = "[^\\p{L}\\p{N}]+"
 
+  /** The unicode61 `remove_diacritics` fold applied to a driver-side query
+    * token: NFD → strip combining marks → ROOT lowercase → NFC — the same
+    * [[graft.functions.TextNorm]] core the `normalize_text` expression runs
+    * distributed, so folded postings and folded query terms always agree. */
+  def unicode61Fold(s: String): String =
+    graft.functions.TextNorm.normalize(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+
   /** Posting rows for (uid, field, text) triples: lower → split → drop empty
     * slots → posexplode. One row PER OCCURRENCE (positions feed phrases,
     * multiplicity feeds tf scores); match sets always project DISTINCT uids.
@@ -37,11 +45,26 @@ object Fts {
     * punctuation ("(red) october") splits to an empty first element, and
     * numbering the raw array would put the first real token at pos 1 —
     * breaking the `^anchor`'s `pos = 0` compile against FTS5 semantics,
-    * where positions count tokens, not separator slots. */
-  def postings(df: DataFrame, uidCol: String, fieldToTextCol: Map[String, String]): DataFrame = {
+    * where positions count tokens, not separator slots.
+    *
+    * `unicode61 = true` opts into the reference default tokenizer's
+    * `remove_diacritics` behavior (FTS5 creates its tables with plain
+    * unicode61, graphydb.py:652-658): tokens fold through the codegen'd
+    * `normalize_text` expression (accent strip + lowercase) instead of
+    * plain `lower`, so "café" and "cafe" index identically; pair with
+    * [[matchSql]]'s matching flag so query terms fold the same way. The
+    * default (false) keeps the pre-r14 ASCII-exact tokenizer — the plans
+    * and postings are byte-identical to earlier rounds. */
+  def postings(df: DataFrame, uidCol: String,
+      fieldToTextCol: Map[String, String],
+      unicode61: Boolean = false): DataFrame = {
+    if (unicode61) graft.functions.GraftExtensions.register(df.sparkSession)
     val perField = fieldToTextCol.toSeq.map { case (field, textCol) =>
+      val folded =
+        if (unicode61) expr(s"normalize_text(`$textCol`)")
+        else lower(col(textCol))
       df.select(col(uidCol).as("uid"),
-          posexplode(filter(split(lower(col(textCol)), TokenSplit),
+          posexplode(filter(split(folded, TokenSplit),
             t => t =!= "")).as(Seq("pos", "term")))
         .select(col("term"), lit(field).as("field"), col("uid"), col("pos"))
     }
@@ -485,8 +508,32 @@ object Fts {
   /** SQL subquery over a postings view returning matching uids with a tf
     * `score` (total posting rows matched by any POSITIVE query atom).
     * AND-ed atoms INTERSECT; negated atoms EXCEPT; OR branches UNION. */
-  def matchSql(postingsView: String, query: String): String = {
-    val root = parseQuery(query)
+  /** Fold every term/phrase token in a parsed tree through
+    * [[unicode61Fold]] — applied AFTER parsing so grammar keywords
+    * (AND/OR/NOT/NEAR), field scopes, and prefix/anchor markers are
+    * untouched; only the matchable text folds. */
+  private def foldAtom(a: Atom): Atom = a match {
+    case t: Term   => t.copy(text = unicode61Fold(t.text))
+    case p: Phrase => p.copy(tokens = p.tokens.map(unicode61Fold))
+    case n: Near   => n.copy(members = n.members.map(foldAtom))
+  }
+  private def foldNode(n: MNode): MNode = n match {
+    case MLeaf(a)   => MLeaf(foldAtom(a))
+    case MAnd(l, r) => MAnd(foldNode(l), foldNode(r))
+    case MOr(l, r)  => MOr(foldNode(l), foldNode(r))
+    case MNot(l, r) => MNot(foldNode(l), foldNode(r))
+  }
+
+  def matchSql(postingsView: String, query: String): String =
+    matchSql(postingsView, query, unicode61 = false)
+
+  /** [[matchSql]] with the query terms folded like a `unicode61 = true`
+    * postings build (accented query, accented corpus, or both — all four
+    * combinations match once both sides fold). */
+  def matchSql(postingsView: String, query: String,
+      unicode61: Boolean): String = {
+    val root = parseQuery(query).map(n =>
+      if (unicode61) foldNode(n) else n)
     require(root.nonEmpty, s"empty FTS match: '$query'")
     val matches = nodeMatch(postingsView, root.get)
     val scores = positives(root.get)
@@ -512,8 +559,10 @@ object Fts {
     * unweighted formula, byte-identical SQL to pre-r11). */
   def bm25Sql(postingsView: String, query: String,
       k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4,
-      fieldWeights: Map[String, Double] = Map.empty): String = {
-    val root = parseQuery(query)
+      fieldWeights: Map[String, Double] = Map.empty,
+      unicode61: Boolean = false): String = {
+    val root = parseQuery(query).map(n =>
+      if (unicode61) foldNode(n) else n)
     require(root.nonEmpty, s"empty FTS match: '$query'")
     val atoms = positives(root.get)
     val tfs = atoms.zipWithIndex.map { case (a, i) =>
@@ -680,6 +729,11 @@ object Fts {
   /** DataFrame form with the tf ranking column: (uid, score). */
   def matchScores(postings: DataFrame, query: String): DataFrame =
     withView(postings)(matchSql(_, query))
+
+  /** [[matchScores]] over a `unicode61 = true` postings build: query terms
+    * fold through the same diacritic-stripping normalizer the index used. */
+  def matchScoresU61(postings: DataFrame, query: String): DataFrame =
+    withView(postings)(matchSql(_, query, unicode61 = true))
 
   /** DataFrame form of [[bm25Sql]]: (uid, score). `fieldWeights` = FTS5
     * `bm25(idx, w1, w2…)` per-column weights (unlisted fields weigh 1.0). */

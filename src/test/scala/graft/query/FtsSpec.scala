@@ -293,4 +293,35 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(phr.keySet == Set("u1", "u2") && phr.values.forall(_ > 0))
   }
+
+  test("unicode61 fold (r14): diacritic corpus and query match in all four accent combinations; default tokenizer unchanged") {
+    import spark.implicits._
+    val accented = Seq(
+      ("a1", "Café com leite à tarde"),   // é, à decompose
+      ("a2", "cafe com leite a tarde"),   // plain twin
+      ("a3", "résumé review"),
+      ("a4", "resume review"),
+      ("a5", "straße tour")               // ß does NOT decompose: stays distinct
+    ).toDF("uid", "body")
+    val folded = Fts.postings(accented, "uid", Map("body" -> "body"),
+      unicode61 = true)
+    def u61(q: String): Set[String] =
+      Fts.matchScoresU61(folded, q).select("uid")
+        .collect().map(_.getString(0)).toSet
+    // plain query × accented corpus AND accented query × plain corpus
+    assert(u61("cafe") == Set("a1", "a2"))
+    assert(u61("café") == Set("a1", "a2"))
+    assert(u61("resume") == Set("a3", "a4"))
+    assert(u61("résumé") == Set("a3", "a4"))
+    // prefix and phrase fold too
+    assert(u61("caf*") == Set("a1", "a2"))
+    assert(u61("\"café com\"") == Set("a1", "a2"))
+    // non-decomposable letters pass through unmerged (unicode61 parity)
+    assert(u61("straße") == Set("a5") && u61("strasse").isEmpty)
+    // the DEFAULT tokenizer is untouched: accent-exact matching
+    val ascii = Fts.postings(accented, "uid", Map("body" -> "body"))
+    def plain(q: String): Set[String] =
+      Fts.matchUids(ascii, q).collect().map(_.getString(0)).toSet
+    assert(plain("café") == Set("a1") && plain("cafe") == Set("a2"))
+  }
 }
