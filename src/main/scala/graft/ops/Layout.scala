@@ -66,7 +66,7 @@ object Layout {
     * data ingestion edge rejects them up front — loud at write time, never
     * corrupt at read time. */
   private[ops] val ReservedCols: Set[String] = Set(
-    "_z", "_zm", "_fid", "_pos", "_fname", "_live_fname",
+    "_z", "_zm", "_fid", "_h", "_pos", "_fname", "_live_fname",
     "_dv_fname", "_dv_pos")
 
   private[ops] def requireNoReservedCols(df: DataFrame): Unit = {
@@ -156,6 +156,7 @@ object Layout {
   def hilbertWrite(df: DataFrame, path: String, colA: String, colB: String,
       nFiles: Int): Unit = {
     require(nFiles >= 1, "need nFiles >= 1")
+    requireNoReservedCols(df)
     graft.functions.GraftExtensions.register(df.sparkSession)
     val bounds = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
@@ -183,6 +184,7 @@ object Layout {
   def hilbertWrite3(df: DataFrame, path: String, colA: String, colB: String,
       colC: String, nFiles: Int): Unit = {
     require(nFiles >= 1, "need nFiles >= 1")
+    requireNoReservedCols(df)
     graft.functions.GraftExtensions.register(df.sparkSession)
     val bounds = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),

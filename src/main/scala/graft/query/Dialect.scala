@@ -244,6 +244,12 @@ object Dialect {
     * recursively, then re-wrapped. A call that never closes its paren is
     * left untouched for Spark's parser to report. */
   def rewriteAggFns(s: String): String = {
+    // fast path: almost no query names these aggregates — one contains()
+    // pass instead of the per-character scan ("total" also matches
+    // subtotal/o_totalprice, but that only means the full scan runs and
+    // then correctly leaves them alone)
+    val lower = s.toLowerCase
+    if (!lower.contains("group_concat") && !lower.contains("total")) return s
     val out = new StringBuilder
     var i = 0
     var quote: Char = 0
@@ -309,15 +315,29 @@ object Dialect {
           parseArgs(open) match {
             case Some((rawArgs, next)) =>
               val args = rawArgs.map(a => rewriteAggFns(a).trim)
+              // SQLite's group_concat is NULL (not '') over a group with
+              // zero non-null values — concat_ws over an empty collected
+              // array yields '', so the rewrite guards on count(x) = 0
+              def gc(x: String, sep: String, distinct: Boolean): String = {
+                val collected =
+                  if (distinct) s"collect_set($x)" else s"collect_list($x)"
+                s"CASE WHEN count($x) = 0 THEN NULL " +
+                  s"ELSE concat_ws($sep, $collected) END"
+              }
               val sql = (name, args) match {
                 case ("total", List(x)) =>
-                  s"coalesce(sum(CAST($x AS DOUBLE)), 0.0D)"
+                  // try_cast, not CAST: under Spark's default ANSI mode a
+                  // non-numeric string would THROW, where SQLite's total()
+                  // counts it as 0.0 — try_cast → NULL → 0.0 matches (the
+                  // one residual delta: SQLite parses a numeric PREFIX,
+                  // '12abc' → 12.0, try_cast → 0.0)
+                  s"coalesce(sum(coalesce(try_cast($x AS DOUBLE), 0.0D)), 0.0D)"
                 case ("group_concat", List(x)) if x.toUpperCase.startsWith("DISTINCT ") =>
-                  s"concat_ws(',', collect_set(${x.drop("DISTINCT ".length).trim}))"
+                  gc(x.drop("DISTINCT ".length).trim, "','", distinct = true)
                 case ("group_concat", List(x)) =>
-                  s"concat_ws(',', collect_list($x))"
+                  gc(x, "','", distinct = false)
                 case ("group_concat", List(x, sep)) =>
-                  s"concat_ws($sep, collect_list($x))"
+                  gc(x, sep, distinct = false)
                 case _ => // wrong arity: leave verbatim for Spark to reject
                   s.substring(i, next)
               }

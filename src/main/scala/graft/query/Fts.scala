@@ -60,8 +60,10 @@ object Fts {
       unicode61: Boolean = false): DataFrame = {
     if (unicode61) graft.functions.GraftExtensions.register(df.sparkSession)
     val perField = fieldToTextCol.toSeq.map { case (field, textCol) =>
+      // call_function, not an expr() string splice: both branches resolve
+      // textCol through the same col() path (struct fields, odd names)
       val folded =
-        if (unicode61) expr(s"normalize_text(`$textCol`)")
+        if (unicode61) call_function("normalize_text", col(textCol))
         else lower(col(textCol))
       df.select(col(uidCol).as("uid"),
           posexplode(filter(split(folded, TokenSplit),
@@ -625,13 +627,18 @@ object Fts {
     * (the g17 rewrite measured 2.4× on the cheaper half of that plan). */
   def snippet(df: DataFrame, uidCol: String, textCol: String, terms: Seq[String],
       maxTokens: Int = 8, startMark: String = "<b>", endMark: String = "</b>",
-      ellipsis: String = "..."): DataFrame = {
+      ellipsis: String = "...", unicode61: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "snippet needs at least one term")
     require(maxTokens >= 1, "window must hold at least one token")
-    val lowered = terms.map(_.toLowerCase)
+    if (unicode61) graft.functions.GraftExtensions.register(df.sparkSession)
+    val lowered =
+      if (unicode61) terms.map(unicode61Fold) else terms.map(_.toLowerCase)
     // (pos, term) of every query-term occurrence, 0-based over the same
-    // normalized token stream as [[postings]]
-    val toksC = filter(split(lower(col(textCol)), TokenSplit), t => t =!= "")
+    // normalized token stream as [[postings]] (folded when the index is)
+    val foldedText =
+      if (unicode61) call_function("normalize_text", col(textCol))
+      else lower(col(textCol))
+    val toksC = filter(split(foldedText, TokenSplit), t => t =!= "")
     val hitsC = filter(
       transform(col("_toks"), (t, i) => struct(i.as("pos"), t.as("term"))),
       s => s.getField("term").isin(lowered: _*))
@@ -674,15 +681,19 @@ object Fts {
     * rides along so a ranking consumer needs no second pass. */
   def highlight(df: DataFrame, uidCol: String, textCol: String,
       terms: Seq[String], startMark: String = "<b>",
-      endMark: String = "</b>"): DataFrame = {
+      endMark: String = "</b>", unicode61: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "highlight needs at least one term")
-    val lowered = terms.map(_.toLowerCase)
+    if (unicode61) graft.functions.GraftExtensions.register(df.sparkSession)
+    val lowered =
+      if (unicode61) terms.map(unicode61Fold) else terms.map(_.toLowerCase)
     // PURE MAP WORK: the source row already holds its tokens in order, so
     // marking is a row-local array transform — unlike [[snippet]] (whose
     // window CHOICE genuinely joins match positions), highlight never
     // needs to explode or shuffle the corpus token stream
     df.withColumn("_toks",
-        filter(split(lower(col(textCol)), TokenSplit), t => t =!= ""))
+        filter(split(
+          if (unicode61) call_function("normalize_text", col(textCol))
+          else lower(col(textCol)), TokenSplit), t => t =!= ""))
       .select(col(uidCol).as("uid"),
         concat_ws(" ", transform(col("_toks"), t =>
           when(t.isin(lowered: _*), concat(lit(startMark), t, lit(endMark)))
@@ -722,9 +733,11 @@ object Fts {
     finally spark.sessionState.catalog.dropTempView(view)
   }
 
-  /** DataFrame form of a match: DISTINCT matching uids. */
-  def matchUids(postings: DataFrame, query: String): DataFrame =
-    withView(postings)(matchSql(_, query)).select("uid")
+  /** DataFrame form of a match: DISTINCT matching uids. `unicode61` folds
+    * the query terms to match a `unicode61 = true` postings build. */
+  def matchUids(postings: DataFrame, query: String,
+      unicode61: Boolean = false): DataFrame =
+    withView(postings)(matchSql(_, query, unicode61)).select("uid")
 
   /** DataFrame form with the tf ranking column: (uid, score). */
   def matchScores(postings: DataFrame, query: String): DataFrame =
@@ -739,6 +752,8 @@ object Fts {
     * `bm25(idx, w1, w2…)` per-column weights (unlisted fields weigh 1.0). */
   def matchBm25(postings: DataFrame, query: String,
       k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4,
-      fieldWeights: Map[String, Double] = Map.empty): DataFrame =
-    withView(postings)(bm25Sql(_, query, k1, b, roundTo, fieldWeights))
+      fieldWeights: Map[String, Double] = Map.empty,
+      unicode61: Boolean = false): DataFrame =
+    withView(postings)(bm25Sql(_, query, k1, b, roundTo, fieldWeights,
+      unicode61))
 }

@@ -1600,6 +1600,18 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
           "a", "b", nFiles = 2)
       }
     }
+    // the hilbert edges guard too, including their own `_h` helper
+    val withH = good.withColumn("_h", lit(1L))
+    intercept[IllegalArgumentException] {
+      Layout.hilbertWrite(withH,
+        java.nio.file.Files.createTempDirectory("graft_zresh").toString + "/t",
+        "a", "b", nFiles = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.hilbertWrite3(withH,
+        java.nio.file.Files.createTempDirectory("graft_zresh3").toString + "/t",
+        "a", "b", "b", nFiles = 2)
+    }
     // the guard must not have corrupted the live table
     assert(ZTable.dataFrame(spark, dir).count() == 256L)
   }

@@ -52,27 +52,54 @@ class DialectSpec extends AnyFunSuite {
   }
 
   test("SQLite aggregates: group_concat 1/2-arg + DISTINCT, total (SURVEY §2.4)") {
+    // empty-group guard: SQLite group_concat is NULL over zero non-null
+    // values; concat_ws alone would yield ''
+    def gc(x: String, sep: String, coll: String) =
+      s"CASE WHEN count($x) = 0 THEN NULL ELSE concat_ws($sep, $coll($x)) END"
     assert(Dialect.translate("group_concat(c.uid)") ==
-      "concat_ws(',', collect_list(c.uid))")
+      gc("c.uid", "','", "collect_list"))
     // SQLite's separator is the SECOND argument; concat_ws wants it first
     assert(Dialect.translate("group_concat(c.uid, '; ')") ==
-      "concat_ws('; ', collect_list(c.uid))")
+      gc("c.uid", "'; '", "collect_list"))
     assert(Dialect.translate("GROUP_CONCAT(DISTINCT n.kind)") ==
-      "concat_ws(',', collect_set(n.kind))")
+      gc("n.kind", "','", "collect_set"))
     assert(Dialect.translate("total(n.data.v)") ==
-      "coalesce(sum(CAST(get_json_object(n.props, '$.v') AS DOUBLE)), 0.0D)")
+      "coalesce(sum(coalesce(try_cast(get_json_object(n.props, '$.v') " +
+        "AS DOUBLE), 0.0D)), 0.0D)")
     // nested inside another call; inner rewrites still apply
     assert(Dialect.translate("length(group_concat(c.uid, ','))") ==
-      "length(concat_ws(',', collect_list(c.uid)))")
+      s"length(${gc("c.uid", "','", "collect_list")})")
     // a separator containing a comma and a paren must not split/terminate args
     assert(Dialect.translate("group_concat(x, ',)')") ==
-      "concat_ws(',)', collect_list(x))")
+      gc("x", "',)'", "collect_list"))
     // identifiers and quoted literals are untouched; bare `total` column too
     assert(Dialect.translate("subtotal(x)") == "subtotal(x)")
     assert(Dialect.translate("n.total + 1") == "n.total + 1")
     assert(Dialect.translate("n.s = 'total(1)'") == "n.s = 'total(1)'")
     // wrong arity is left verbatim for Spark's parser to reject
     assert(Dialect.translate("total(a, b)") == "total(a, b)")
+  }
+
+  test("group_concat/total SEMANTICS in Spark: NULL-skipping, NULL (not '') on empty groups, total is 0.0 and REAL") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    Seq(("g1", Some("a")), ("g1", None), ("g1", Some("b")),
+        ("g2", Option.empty[String]))
+      .toDF("g", "v").createOrReplaceTempView("dialect_agg_pin")
+    val sql = "SELECT g, " +
+      Dialect.translate("group_concat(v, '|')") + " AS gc, " +
+      Dialect.translate("total(v)") + " AS tot " +
+      "FROM dialect_agg_pin GROUP BY g ORDER BY g"
+    val rows = spark.sql(sql).collect()
+    // g1: NULLs skipped, separator honored (order from collect_list is
+    // arrival order on this single partition)
+    assert(rows(0).getString(1) == "a|b")
+    // g2: all-NULL group → NULL, matching SQLite (concat_ws alone → '')
+    assert(rows(1).isNullAt(1), "empty group_concat must be NULL, not ''")
+    // total: non-numeric strings cast to NULL under try-ish double cast?
+    // v is non-numeric, so sum is NULL → total falls to 0.0 (SQLite treats
+    // non-numeric text as 0.0 in total(); both engines land on 0.0 here)
+    assert(rows(1).getDouble(2) == 0.0)
   }
 
   test("rewrites never touch single-quoted literals") {

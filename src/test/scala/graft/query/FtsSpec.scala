@@ -324,4 +324,31 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
       Fts.matchUids(ascii, q).collect().map(_.getString(0)).toSet
     assert(plain("café") == Set("a1") && plain("cafe") == Set("a2"))
   }
+
+  test("unicode61 reaches EVERY entry point: matchUids, matchBm25, snippet, highlight (r14 review fix)") {
+    import spark.implicits._
+    val accented = Seq(
+      ("a1", "Café com leite à tarde"),
+      ("a2", "cafe com leite a tarde")
+    ).toDF("uid", "body")
+    val folded = Fts.postings(accented, "uid", Map("body" -> "body"),
+      unicode61 = true)
+    // matchUids and matchBm25 fold the query like matchScoresU61 does
+    assert(Fts.matchUids(folded, "café", unicode61 = true)
+      .collect().map(_.getString(0)).toSet == Set("a1", "a2"))
+    val bm = Fts.matchBm25(folded, "café", unicode61 = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bm.keySet == Set("a1", "a2"))
+    // snippet/highlight tokenize through the SAME fold, so an accented
+    // occurrence is marked when queried plain (and vice versa)
+    val hi = Fts.highlight(accented, "uid", "body", Seq("café"),
+      unicode61 = true).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(hi.keySet == Set("a1", "a2"))
+    assert(hi("a1").startsWith("<b>cafe</b>") && hi("a2").startsWith("<b>cafe</b>"))
+    val sn = Fts.snippet(accented, "uid", "body", Seq("tarde"), maxTokens = 3,
+      unicode61 = true).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sn.keySet == Set("a1", "a2"))
+    assert(sn.values.forall(_.contains("<b>tarde</b>")))
+  }
 }
