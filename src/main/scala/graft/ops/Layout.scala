@@ -1564,6 +1564,21 @@ object Layout {
     (toScan.size, carried.size)
   }
 
+  /** Planner seam for [[graft.ops.ZTable]]'s FileIndex: parse the
+    * generation's bloom sidecar over `keyCol` ONCE and return a
+    * values→file admission predicate, or None when no usable sidecar
+    * exists (no pruning — never wrong). The index caches the result for
+    * its lifetime, so the TSV parse amortizes across every query planned
+    * against that generation. Admission is may-contain: absent files
+    * open, explicit empty entries (all-null-key files) prune, and the
+    * planner's residual filter absorbs bloom false positives. */
+  private[ops] def bloomFilePredicate(path: String, gen: Long,
+      keyCol: String): Option[Seq[Long] => (String => Boolean)] =
+    readBloom(path, gen, keyCol).map { b => (values: Seq[Long]) =>
+      val probes = values.distinct.map(v => probePositions(v, b.bits, b.hashes))
+      (file: String) => probes.exists(p => bloomAdmits(b, file, p))
+    }
+
   /** Which files a [[zorderPointLookup]] would open: (open, total,
     * bloomUsed). `bloomUsed = false` means no sidecar exists for the
     * CURRENT generation + column — the lookup then falls back to every

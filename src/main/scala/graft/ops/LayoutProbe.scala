@@ -275,8 +275,8 @@ object LayoutProbe {
       Layout.Manifest("a", "b", 0L, 65535L, 0L, 65535L, Seq.empty, spans,
         schemaJson = Some(schema.json)))
     val man = Layout.readManifest(dir, 0L)
-    val buildSec = time { new ManifestFileIndex(dir, man) }
-    val fi = new ManifestFileIndex(dir, man)
+    val buildSec = time { new ManifestFileIndex(dir, man, 0L) }
+    val fi = new ManifestFileIndex(dir, man, 0L)
     val a = AttributeReference("a", LongType)()
     val b = AttributeReference("b", LongType)()
     val reps = 50

@@ -4,8 +4,8 @@ import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
-  Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
-  Literal}
+  Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
+  LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
   PartitionDirectory}
 import org.apache.spark.sql.functions._
@@ -51,20 +51,20 @@ object ZTable {
     require(Layout.retainedGens(path).contains(gen),
       s"generation $gen of $path is not retained (window: " +
         s"${Layout.retainedGens(path).mkString(", ")})")
-    fromManifest(spark, path, Layout.readManifest(path, gen))._1
+    fromManifest(spark, path, Layout.readManifest(path, gen), gen)._1
   }
 
   /** [[dataFrame]] plus its [[ManifestFileIndex]], for callers auditing
     * what a predicate prunes ([[ManifestFileIndex.prunedCount]]). */
   def dataFrameWithIndex(spark: SparkSession,
       path: String): (DataFrame, ManifestFileIndex) = {
-    val (_, man) = Layout.currentManifest(path)
-    fromManifest(spark, path, man)
+    val (gen, man) = Layout.currentManifest(path)
+    fromManifest(spark, path, man, gen)
   }
 
   private def fromManifest(spark: SparkSession, path: String,
-      man: Layout.Manifest): (DataFrame, ManifestFileIndex) = {
-    val fi = new ManifestFileIndex(path, man)
+      man: Layout.Manifest, gen: Long): (DataFrame, ManifestFileIndex) = {
+    val fi = new ManifestFileIndex(path, man, gen)
     // v2+ manifests persist the homogeneous generation's schema at commit
     // time — the read schema builds DRIVER-SIDE with zero parquet footer
     // fetches (at 100k files on object storage, footer HEAD+GETs are the
@@ -130,9 +130,18 @@ object ZTable {
   * from the filesystem once, at index construction — zero per-query LIST
   * calls). */
 final class ManifestFileIndex private[ops] (path: String,
-    man: Layout.Manifest) extends FileIndex {
+    man: Layout.Manifest, gen: Long) extends FileIndex {
 
   private val root = java.nio.file.Paths.get(path).toAbsolutePath
+
+  // bloom sidecars, parsed lazily ONCE per column for the index's
+  // lifetime (the index is pinned to one generation, and sidecars are
+  // generation-addressed, so the cache can never serve a stale bitset)
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Seq[Long] => (String => Boolean)]]()
+  private def bloomFor(colName: String): Option[Seq[Long] => (String => Boolean)] =
+    bloomCache.computeIfAbsent(colName,
+      c => Layout.bloomFilePredicate(path, gen, c))
 
   private val statuses: Seq[(Layout.Span, FileStatus)] = man.spans.map { s =>
     val p = root.resolve(s.file)
@@ -170,6 +179,17 @@ final class ManifestFileIndex private[ops] (path: String,
     // (statLongExpr uses unix_micros/unix_date; types validated at init)
     val statBounds =
       man.statCols.map(c => boundsFor(c, dataFilters, integralOnly = false))
+    // BLOOM point pruning inside the planner (r14): equality/IN
+    // predicates on a column with a generation-addressed bloom sidecar
+    // keep only the files whose bitset may contain one of the values —
+    // `dataFrame(path).filter(k === 42)` plans the same ~1-file scan as
+    // the explicit zorderPointLookup API. One admission predicate per
+    // (column, values) conjunct, all conjunctive; may-contain semantics
+    // and the planner's residual filter keep the result exact.
+    val bloomConjuncts: Seq[String => Boolean] =
+      pointValues(dataFilters).flatMap { case (colName, values) =>
+        bloomFor(colName).map(mk => mk(values))
+      }
     val hit = statuses.filter { case (s, _) =>
       s.aMin <= aHi && s.aMax >= aLo && s.bMin <= bHi && s.bMax >= bLo &&
       statBounds.zipWithIndex.forall { case ((lo, hi), i) =>
@@ -180,11 +200,62 @@ final class ManifestFileIndex private[ops] (path: String,
           .map { case (sLo, sHi) => // sLo > sHi = the EMPTY interval (all-null)
             sLo <= sHi && sLo <= hi && sHi >= lo }
           .getOrElse(true)
-      }
+      } &&
+      bloomConjuncts.forall(_(s.file))
     }
     if (hit.size < statuses.size) prunedCount += 1
     lastListed = hit.size
     Seq(PartitionDirectory(InternalRow.empty, hit.map(_._2).toArray))
+  }
+
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  private def litLong(l: Literal): Option[Long] = l.value match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case i: java.lang.Long => Some(i.longValue)
+    case i: java.lang.Short => Some(i.longValue)
+    case i: java.lang.Byte => Some(i.longValue)
+    case _ => None
+  }
+
+  /** Top-level-conjunct point predicates on INTEGRAL columns — the shapes
+    * a bloom sidecar can prune on: `k = v`, `v = k`, `k IN (…)`, and the
+    * optimizer's `InSet` form. One entry per predicate (conjunctive);
+    * a predicate with any non-literal / non-integral piece contributes
+    * nothing (no pruning, never wrong). */
+  private def pointValues(
+      filters: Seq[Expression]): Seq[(String, Seq[Long])] = {
+    val out = Seq.newBuilder[(String, Seq[Long])]
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a: Attribute, l: Literal) if isIntegral(a.dataType) =>
+        litLong(l).foreach(v => out += (a.name -> Seq(v)))
+      case EqualTo(l: Literal, a: Attribute) if isIntegral(a.dataType) =>
+        litLong(l).foreach(v => out += (a.name -> Seq(v)))
+      case In(a: Attribute, list) if isIntegral(a.dataType) &&
+          list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.map(l => litLong(l.asInstanceOf[Literal]))
+        if (vs.forall(_.isDefined)) out += (a.name -> vs.map(_.get))
+      case InSet(a: Attribute, set) if isIntegral(a.dataType) && set.nonEmpty =>
+        val vs = set.toSeq.map {
+          case i: java.lang.Integer => Some(i.longValue)
+          case i: java.lang.Long => Some(i.longValue)
+          case i: java.lang.Short => Some(i.longValue)
+          case i: java.lang.Byte => Some(i.longValue)
+          case _ => None
+        }
+        if (vs.forall(_.isDefined)) out += (a.name -> vs.map(_.get))
+      case _ => ()
+    }
+    filters.foreach(walk)
+    out.result()
   }
 
   /** Conjunctive [lo, hi] bounds the filters imply for `colName`;
@@ -243,6 +314,28 @@ final class ManifestFileIndex private[ops] (path: String,
           lo = math.max(lo, if (v == Long.MaxValue) v else v + 1))
       case EqualTo(l: Literal, a) if attrIs(a) =>
         asLong(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v) }
+      // IN-lists narrow to the values' envelope [min, max] — coarser than
+      // the exact set, but sound, and tight enough to prune when the list
+      // is clustered (the common point-lookup batch shape)
+      case In(a, list) if attrIs(a) && list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.map(l => asLong(l.asInstanceOf[Literal]))
+        if (vs.forall(_.isDefined)) {
+          lo = math.max(lo, vs.map(_.get).min)
+          hi = math.min(hi, vs.map(_.get).max)
+        }
+      case InSet(a, set) if attrIs(a) && set.nonEmpty =>
+        val vs = set.toSeq.map {
+          case i: java.lang.Integer => Some(i.longValue)
+          case i: java.lang.Long => Some(i.longValue)
+          case i: java.lang.Short => Some(i.longValue)
+          case i: java.lang.Byte => Some(i.longValue)
+          case _ => None
+        }
+        if (vs.forall(_.isDefined)) {
+          lo = math.max(lo, vs.map(_.get).min)
+          hi = math.min(hi, vs.map(_.get).max)
+        }
       case _ => () // unknown conjunct: no narrowing, never false pruning
     }
     filters.foreach(walk)
