@@ -297,4 +297,49 @@ class FtsPropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("random accented corpora: unicode61 fold ≡ naive evaluator over folded tokens (r14)") {
+    // accent VARIANTS that fold together (café/cafe, résumé/resume …) plus
+    // ß, which does NOT decompose and must stay its own token
+    val accVocab = Vector("café", "cafe", "résumé", "resume", "naïve",
+      "naive", "tarde", "tàrde", "straße", "beta")
+    def fold(t: String): String = Fts.unicode61Fold(t)
+    val rng = new Random(4114)
+    for (round <- 1 to 4) {
+      val docs = (1 to (6 + rng.nextInt(4))).map { i =>
+        def ts() = Seq.fill(3 + rng.nextInt(5))(accVocab(rng.nextInt(accVocab.size)))
+        NDoc(s"u$i", ts(), ts())
+      }
+      // the naive twin evaluates over FOLDED tokens with FOLDED query text
+      val folded = docs.map(d =>
+        d.copy(title = d.title.map(fold), body = d.body.map(fold)))
+      import spark.implicits._
+      val df = docs.map(d => (d.uid, d.title.mkString(" "), d.body.mkString(" ")))
+        .toDF("uid", "title", "body")
+      val idx = Fts.postings(df, "uid",
+        Map("title" -> "title", "body" -> "body"), unicode61 = true)
+      for (_ <- 1 to 8) {
+        def pick() = accVocab(rng.nextInt(accVocab.size))
+        val (q, atom) = rng.nextInt(4) match {
+          case 0 => // bare term, random accent variant
+            val t = pick()
+            (t, QTerm(fold(t), prefix = false, None))
+          case 1 => // prefix (fold the stem, then prefix-match folded tokens)
+            val t = pick()
+            val stem = t.substring(0, math.max(1, t.length - 2))
+            (stem + "*", QTerm(fold(stem), prefix = true, None))
+          case 2 => // two-token phrase of random variants
+            val (t1, t2) = (pick(), pick())
+            (s"\"$t1 $t2\"", QPhrase(Seq(fold(t1), fold(t2)), None))
+          case _ => // field-scoped term
+            val t = pick(); val f = fields(rng.nextInt(2))
+            (s"$f:$t", QTerm(fold(t), prefix = false, Some(f)))
+        }
+        val got = Fts.matchUids(idx, q, unicode61 = true)
+          .collect().map(_.getString(0)).toSet
+        val want = folded.filter(naiveAtom(_, atom)).map(_.uid).toSet
+        assert(got == want, s"round $round query <$q>: got $got want $want")
+      }
+    }
+  }
 }
