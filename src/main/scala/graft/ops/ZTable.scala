@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
   Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
-  LessThanOrEqual, Literal}
+  LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
   PartitionDirectory}
 import org.apache.spark.sql.functions._
@@ -190,6 +190,12 @@ final class ManifestFileIndex private[ops] (path: String,
       pointValues(dataFilters).flatMap { case (colName, values) =>
         bloomFor(colName).map(mk => mk(values))
       }
+    // disjunctive trees (r14): Catalyst hands a top-level OR to listFiles
+    // as one expression, which the conjunctive boundsFor path can't use —
+    // evaluate those per span with may-match interval logic, so
+    // `a < 5 OR a > 1000` (two-window time ranges, id-set unions) prunes
+    // instead of listing everything
+    val orFilters = dataFilters.collect { case o: Or => o }
     val hit = statuses.filter { case (s, _) =>
       s.aMin <= aHi && s.aMax >= aLo && s.bMin <= bHi && s.bMax >= bLo &&
       statBounds.zipWithIndex.forall { case ((lo, hi), i) =>
@@ -201,7 +207,8 @@ final class ManifestFileIndex private[ops] (path: String,
             sLo <= sHi && sLo <= hi && sHi >= lo }
           .getOrElse(true)
       } &&
-      bloomConjuncts.forall(_(s.file))
+      bloomConjuncts.forall(_(s.file)) &&
+      orFilters.forall(o => mayMatch(o, s))
     }
     if (hit.size < statuses.size) prunedCount += 1
     lastListed = hit.size
@@ -223,6 +230,85 @@ final class ManifestFileIndex private[ops] (path: String,
     case i: java.lang.Short => Some(i.longValue)
     case i: java.lang.Byte => Some(i.longValue)
     case _ => None
+  }
+
+  /** The span's [lo, hi] for an attribute, when the manifest knows it:
+    * `None` = unknown column (or a layout key whose type isn't integral —
+    * the cast("long") domain mismatch, see boundsFor); `Some(None)` = a
+    * KNOWN stat column whose interval is EMPTY (all-null file);
+    * `Some(Some(interval))` otherwise. */
+  private def spanInterval(aName: String,
+      aType: org.apache.spark.sql.types.DataType,
+      s: Layout.Span): Option[Option[(Long, Long)]] =
+    if (aName == man.colA && isIntegral(aType)) Some(Some((s.aMin, s.aMax)))
+    else if (aName == man.colB && isIntegral(aType)) Some(Some((s.bMin, s.bMax)))
+    else {
+      val i = man.statCols.indexOf(aName)
+      if (i < 0) None
+      else s.stats.lift(i) match {
+        case None => None // generation predates the column: unknown
+        case Some((lo, hi)) =>
+          if (lo > hi) Some(None) else Some(Some((lo, hi)))
+      }
+    }
+
+  /** May `e` match any row of span `s`? Evaluates OR/AND trees of literal
+    * comparisons against the span's intervals; every unrecognized node or
+    * leaf answers TRUE (may match — never false pruning). A comparison
+    * leaf on a known all-null column answers FALSE (NULL fails every
+    * comparison; IsNull itself is an unrecognized node, so it admits). */
+  private def mayMatch(e: Expression, s: Layout.Span): Boolean = {
+    def leaf(a: Attribute, lv: Option[Long],
+        test: (Long, Long, Long) => Boolean): Boolean =
+      (spanInterval(a.name, a.dataType, s), lv) match {
+        case (Some(None), _) => false
+        case (Some(Some((lo, hi))), Some(v)) => test(lo, hi, v)
+        case _ => true
+      }
+    e match {
+      case Or(l, r) => mayMatch(l, s) || mayMatch(r, s)
+      case And(l, r) => mayMatch(l, s) && mayMatch(r, s)
+      case EqualTo(a: Attribute, l: Literal) =>
+        leaf(a, litLong(l), (lo, hi, v) => lo <= v && v <= hi)
+      case EqualTo(l: Literal, a: Attribute) =>
+        leaf(a, litLong(l), (lo, hi, v) => lo <= v && v <= hi)
+      case GreaterThan(a: Attribute, l: Literal) =>
+        leaf(a, litLong(l), (_, hi, v) => hi > v)
+      case GreaterThan(l: Literal, a: Attribute) =>
+        leaf(a, litLong(l), (lo, _, v) => lo < v)
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        leaf(a, litLong(l), (_, hi, v) => hi >= v)
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        leaf(a, litLong(l), (lo, _, v) => lo <= v)
+      case LessThan(a: Attribute, l: Literal) =>
+        leaf(a, litLong(l), (lo, _, v) => lo < v)
+      case LessThan(l: Literal, a: Attribute) =>
+        leaf(a, litLong(l), (_, hi, v) => hi > v)
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        leaf(a, litLong(l), (lo, _, v) => lo <= v)
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        leaf(a, litLong(l), (_, hi, v) => hi >= v)
+      case In(a: Attribute, list) if list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.map(l => litLong(l.asInstanceOf[Literal]))
+        if (vs.forall(_.isDefined))
+          vs.flatten.exists(v =>
+            leaf(a, Some(v), (lo, hi, x) => lo <= x && x <= hi))
+        else true
+      case InSet(a: Attribute, set) if set.nonEmpty =>
+        val vs = set.toSeq.map {
+          case i: java.lang.Integer => Some(i.longValue)
+          case i: java.lang.Long => Some(i.longValue)
+          case i: java.lang.Short => Some(i.longValue)
+          case i: java.lang.Byte => Some(i.longValue)
+          case _ => None
+        }
+        if (vs.forall(_.isDefined))
+          vs.flatten.exists(v =>
+            leaf(a, Some(v), (lo, hi, x) => lo <= x && x <= hi))
+        else true
+      case _ => true
+    }
   }
 
   /** Top-level-conjunct point predicates on INTEGRAL columns — the shapes

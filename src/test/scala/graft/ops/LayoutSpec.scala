@@ -1710,6 +1710,31 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(df6.filter(col("k") === 777L).count() == 1L)
   }
 
+  test("ZTable: disjunctive (OR) predicates prune via per-span may-match (r14)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ztor").toString + "/t"
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16)
+    // two disjoint corner bands as ONE OR filter: the conjunctive
+    // bounds path can't use it, the may-match walk prunes to both corners
+    val (df1, fi1) = ZTable.dataFrameWithIndex(spark, dir)
+    val twoCorners = (col("a") < 8 && col("b") < 8) ||
+      (col("a") >= 56 && col("b") >= 56)
+    assert(df1.filter(twoCorners).count() == 128L)
+    assert(fi1.lastListed < 16,
+      s"OR of two corner bands must prune, listed ${fi1.lastListed} of 16")
+    // OR with one unboundable branch admits everything (never wrong)
+    val (df2, fi2) = ZTable.dataFrameWithIndex(spark, dir)
+    assert(df2.filter(col("a") < 8 || (col("a") + col("b")) === 126).count() ==
+      8 * 64 + 1L)
+    assert(fi2.lastListed == 16, "an unboundable OR branch must admit all")
+    // OR entirely out of domain lists zero files
+    val (df3, fi3) = ZTable.dataFrameWithIndex(spark, dir)
+    assert(df3.filter(col("a") > 1000L || col("a") < -5L).count() == 0L)
+    assert(fi3.lastListed == 0)
+  }
+
   test("zorderMirror: a bloom sidecar built AFTER the replica is current still ships on the next sync") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles}
