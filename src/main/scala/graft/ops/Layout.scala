@@ -1579,6 +1579,27 @@ object Layout {
       (file: String) => probes.exists(p => bloomAdmits(b, file, p))
     }
 
+  /** [[bloomFilePredicate]]'s index-aligned form: resolve `files` →
+    * bitsets ONCE (the per-file string-keyed map lookup measured as the
+    * dominant cost at 100k files — 84 ms/query vs 9 ms for span
+    * listing), so each query pays only the probe ANDs over a positional
+    * array. Files absent from the sidecar resolve to always-admit. */
+  private[ops] def bloomSpanAdmission(path: String, gen: Long,
+      keyCol: String,
+      files: Seq[String]): Option[Seq[Long] => Array[Boolean]] =
+    readBloom(path, gen, keyCol).map { b =>
+      val wordsByFile: Array[Option[Map[Int, Long]]] =
+        files.iterator.map(f => b.words.get(f)).toArray
+      (values: Seq[Long]) => {
+        val probes =
+          values.distinct.map(v => probePositions(v, b.bits, b.hashes))
+        wordsByFile.map {
+          case None => true // absent = not yet indexed: must open
+          case Some(ws) => probes.exists(p => bloomMightContain(ws, p))
+        }
+      }
+    }
+
   /** Which files a [[zorderPointLookup]] would open: (open, total,
     * bloomUsed). `bloomUsed = false` means no sidecar exists for the
     * CURRENT generation + column — the lookup then falls back to every

@@ -290,6 +290,44 @@ object LayoutProbe {
         hit = fi.listFiles(Nil, Seq(pred)).map(_.files.size).sum
       }
     } / reps
+    // r14: bloom-planner listing at 100k files — synthesize a sidecar
+    // where file i's bitset holds key i (the point-lookup regime), then
+    // measure the listFiles call with an EqualTo data filter on the
+    // bloomed column: the per-query cost of planner-integrated point
+    // pruning at lakehouse file counts
+    locally {
+      val bits = 1 << 10 // small per-file bitset: the probe measures the
+      val hashes = 5     // admission loop, not the parse volume dial
+      val rows = spans.map { sp =>
+        val i = sp.zLo // one key per file: the file's own index
+        val words = Layout.probePositions(i, bits, hashes)
+          .map(p => p / 64 -> (1L << (p % 64)))
+          .groupBy(_._1).map { case (w, ps) =>
+            w -> ps.map(_._2).reduce(_ | _) }
+        // row keys are the manifest's RELATIVE file paths (what
+        // bloomAdmits is probed with), not basenames
+        sp.file + "\t" + words.map { case (w, b) =>
+          s"$w:${java.lang.Long.toHexString(b)}" }.mkString(",")
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "bloom-0-k.tsv"),
+        (Seq(s"#bits\t$bits", s"#hashes\t$hashes") ++ rows)
+          .mkString("\n").getBytes("UTF-8"))
+      val fib = new ManifestFileIndex(dir, man, 0L)
+      val k = AttributeReference("k", LongType)()
+      val bloomReps = 50
+      var bhit = 0
+      val bloomSec = time {
+        for (r <- 0 until bloomReps) {
+          val pred = org.apache.spark.sql.catalyst.expressions.EqualTo(
+            k, CLit((r * 2654435761L) % spans.size))
+          bhit = fib.listFiles(Nil, Seq(pred)).map(_.files.size).sum
+        }
+      } / bloomReps
+      println(s"""{"metric":"ztable_100k_bloom_point","files":${spans.size},""" +
+        s""""hit":$bhit,"list_sec_per_query":${r4(bloomSec)}}""")
+    }
+
     // full DataFrame derivation (schema from the manifest + FileIndex +
     // HadoopFsRelation + analysis) — plan-only; the files never exist,
     // so ANY filesystem touch would throw, not just slow down
