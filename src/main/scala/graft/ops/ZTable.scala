@@ -156,6 +156,11 @@ final class ManifestFileIndex private[ops] (path: String,
     s -> new FileStatus(len, false, 1, 0L, 0L, new HPath(p.toUri))
   }
 
+  /** The generation's total physical row count and tombstone presence —
+    * the facts [[graft.plans.ManifestCount]] folds `count(*)` from. */
+  def manifestRowCount: Long = man.spans.map(_.rows).sum
+  def hasTombstones: Boolean = man.spans.exists(_.dvRows > 0)
+
   /** How many listFiles calls pruned at least one file — a test/audit
     * hook (metrics on FileSourceScanExec need an executed plan; this is
     * readable right after planning). */

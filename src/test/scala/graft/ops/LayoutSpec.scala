@@ -1735,6 +1735,44 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(fi3.lastListed == 0)
   }
 
+  test("ManifestCount: count(*) folds to the manifest total with zero file reads; filters/DVs/other aggregates block it (r14)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zcnt").toString + "/t"
+    val base = spark.range(4096L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
+        col("id").as("k"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 8)
+    graft.plans.ManifestCount.enable(spark)
+    try {
+      def optimized(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.optimizedPlan.toString
+      val df = ZTable.dataFrame(spark, dir)
+      val counted = df.groupBy().count()
+      assert(counted.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        s"count(*) must fold to metadata:\n${optimized(counted)}")
+      assert(counted.head().getLong(0) == 4096L)
+      assert(df.count() == 4096L) // the Dataset.count() path folds too
+      // a Filter changes cardinality: the fold must NOT fire
+      val filtered = df.filter(col("a") < 8).groupBy().count()
+      assert(!optimized(filtered).contains("LocalRelation"))
+      assert(filtered.head().getLong(0) == 512L)
+      // any other aggregate blocks the rewrite
+      assert(df.agg(countDistinct(col("a"))).head().getLong(0) == 64L)
+      // a tombstoned generation must never fold (the physical total would
+      // overcount) — the DV anti-join plan doesn't match, and the index
+      // check backstops it; the answer stays exact
+      Layout.zorderDeleteVectored(spark, dir, (0L, 3L), (0L, 63L))
+      val live = ZTable.dataFrame(spark, dir)
+      assert(live.count() == 4096L - 256L)
+      // after materialize the table is clean again: folds at the new total
+      Layout.zorderDvMaterialize(spark, dir)
+      val clean = ZTable.dataFrame(spark, dir).groupBy().count()
+      assert(optimized(clean).contains("LocalRelation"))
+      assert(clean.head().getLong(0) == 4096L - 256L)
+    } finally graft.plans.ManifestCount.disable(spark)
+  }
+
   test("zorderMirror: a bloom sidecar built AFTER the replica is current still ships on the next sync") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles}
