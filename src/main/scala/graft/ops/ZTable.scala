@@ -157,9 +157,38 @@ final class ManifestFileIndex private[ops] (path: String,
   }
 
   /** The generation's total physical row count and tombstone presence —
-    * the facts [[graft.plans.ManifestCount]] folds `count(*)` from. */
+    * the facts [[graft.plans.ManifestAggs]] folds `count(*)` from. */
   def manifestRowCount: Long = man.spans.map(_.rows).sum
   def hasTombstones: Boolean = man.spans.exists(_.dvRows > 0)
+
+  /** Generation-wide [min, max] for a span-covered column
+    * ([[graft.plans.ManifestAggs]]'s min/max source — spans record EXACT
+    * per-file extremes, so this is the scan's answer, not an estimate):
+    * `Some((Some(lo), Some(hi)))` normally; `Some((None, None))` when
+    * every file's interval is EMPTY (an all-null column: the scan would
+    * answer NULL); `None` when the column isn't covered — unknown name, a
+    * layout key whose type isn't integral (cast-long seconds vs micros),
+    * or any file predating the stat column's declaration (its values are
+    * unknown, so no metadata answer exists). */
+  def spanExtremes(colName: String,
+      integralOk: Boolean): Option[(Option[Long], Option[Long])] =
+    if (colName == man.colA && integralOk)
+      Some((Some(man.spans.map(_.aMin).min), Some(man.spans.map(_.aMax).max)))
+    else if (colName == man.colB && integralOk)
+      Some((Some(man.spans.map(_.bMin).min), Some(man.spans.map(_.bMax).max)))
+    else {
+      val i = man.statCols.indexOf(colName)
+      if (i < 0) None
+      else {
+        val entries = man.spans.map(_.stats.lift(i))
+        if (entries.exists(_.isEmpty)) None // pre-column files: unknown
+        else {
+          val nonEmpty = entries.flatten.filter { case (lo, hi) => lo <= hi }
+          if (nonEmpty.isEmpty) Some((None, None))
+          else Some((Some(nonEmpty.map(_._1).min), Some(nonEmpty.map(_._2).max)))
+        }
+      }
+    }
 
   /** How many listFiles calls pruned at least one file — a test/audit
     * hook (metrics on FileSourceScanExec need an executed plan; this is

@@ -1,0 +1,130 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+import graft.ops.ManifestFileIndex
+
+/** Metadata-only aggregates over a manifest-backed table — the
+  * Iceberg/Delta "answer from table metadata" optimization as a Catalyst
+  * [[Rule]]: a grouping-free aggregate whose every expression is
+  * `count(1)`, `min(col)`, or `max(col)` over span-covered columns, and
+  * whose child bottoms out at a [[graft.ops.ManifestFileIndex]] relation
+  * (through row-preserving Projects only), folds to a [[LocalRelation]]
+  * computed from the manifest — zero tasks, zero file opens. Spans record
+  * EXACT per-file min/max (not sketches), so the fold is exact:
+  *
+  *   - `count(1)` → Σ span rows;
+  *   - `min`/`max` of a LAYOUT key (integral attribute only — a
+  *     timestamp layout key's spans live in cast-long SECONDS, not the
+  *     micros Catalyst wants) → min/max over span intervals;
+  *   - `min`/`max` of a declared STAT column → same, already recorded in
+  *     Catalyst's internal literal domains (micros/days/integral), with
+  *     all-null files' EMPTY intervals skipped and an all-null table
+  *     answering NULL — exactly what the scan would return.
+  *
+  * Any filter, grouping key, DISTINCT, filter clause, other aggregate, or
+  * uncovered column blocks the fold; so does a generation carrying
+  * deletion-vector tombstones (tombstoned rows may hold the extremes, and
+  * the physical count overcounts — that plan shape reads through an
+  * anti-join and never matches here, but the index check backstops it).
+  *
+  * Registration is session-level and explicit:
+  * `ManifestAggs.enable(spark)` appends the rule to
+  * `spark.experimental.extraOptimizations` (idempotent; `disable`
+  * removes it). Kept opt-in so the default ZTable read path stays
+  * byte-identical to earlier rounds.
+  */
+object ManifestAggs extends Rule[LogicalPlan] {
+
+  def enable(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  def disable(spark: SparkSession): Unit = synchronized {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq this)
+  }
+
+  /** The chain below the aggregate must preserve rows exactly: Projects
+    * do, nothing else is admitted. Returns the index when the relation
+    * is manifest-backed and tombstone-free. */
+  private def manifestOf(plan: LogicalPlan): Option[ManifestFileIndex] =
+    plan match {
+      case Project(_, child) => manifestOf(child)
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case mfi: ManifestFileIndex if !mfi.hasTombstones => Some(mfi)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Render a span-domain Long back into the column's Catalyst-internal
+    * value. Timestamp/date stat spans are ALREADY micros/days (the
+    * domains statLongExpr recorded); integral values narrow to the
+    * column's width. */
+  private def internalValue(v: Long, dt: DataType): Option[Any] = dt match {
+    case LongType => Some(v)
+    case IntegerType => Some(v.toInt)
+    case ShortType => Some(v.toShort)
+    case ByteType => Some(v.toByte)
+    case TimestampType => Some(v)
+    case DateType => Some(v.toInt)
+    case _ => None
+  }
+
+  /** Fold one aggregate expression to its manifest answer (the value in
+    * the output row), or None when it isn't foldable. */
+  private def fold(ae: AggregateExpression,
+      mfi: ManifestFileIndex): Option[Any] = ae match {
+    case AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _) =>
+      Some(mfi.manifestRowCount)
+    case AggregateExpression(Min(a: Attribute), Complete, false, None, _) =>
+      mfi.spanExtremes(a.name, isIntegral(a.dataType))
+        .flatMap { case (lo, _) =>
+          lo.map(v => internalValue(v, a.dataType)).getOrElse(Some(null))
+        }
+    case AggregateExpression(Max(a: Attribute), Complete, false, None, _) =>
+      mfi.spanExtremes(a.name, isIntegral(a.dataType))
+        .flatMap { case (_, hi) =>
+          hi.map(v => internalValue(v, a.dataType)).getOrElse(Some(null))
+        }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case agg @ Aggregate(Nil, aggExprs, child, _)
+        if aggExprs.nonEmpty && aggExprs.forall {
+          case Alias(_: AggregateExpression, _) => true
+          case _ => false
+        } =>
+      manifestOf(child) match {
+        case Some(mfi) =>
+          val vals = aggExprs.map {
+            case Alias(ae: AggregateExpression, _) => fold(ae, mfi)
+            case _ => None
+          }
+          if (vals.forall(_.isDefined))
+            LocalRelation(agg.output.map(_.toAttribute),
+              Seq(InternalRow.fromSeq(vals.map(_.get))))
+          else agg
+        case None => agg
+      }
+  }
+}

@@ -1735,14 +1735,14 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(fi3.lastListed == 0)
   }
 
-  test("ManifestCount: count(*) folds to the manifest total with zero file reads; filters/DVs/other aggregates block it (r14)") {
+  test("ManifestAggs: count/min/max fold to the manifest with zero file reads; filters/DVs/unfoldables block (r14)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zcnt").toString + "/t"
     val base = spark.range(4096L)
       .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
         col("id").as("k"))
     Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 8)
-    graft.plans.ManifestCount.enable(spark)
+    graft.plans.ManifestAggs.enable(spark)
     try {
       def optimized(df: org.apache.spark.sql.DataFrame): String =
         df.queryExecution.optimizedPlan.toString
@@ -1757,8 +1757,23 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       val filtered = df.filter(col("a") < 8).groupBy().count()
       assert(!optimized(filtered).contains("LocalRelation"))
       assert(filtered.head().getLong(0) == 512L)
-      // any other aggregate blocks the rewrite
+      // min/max over span-covered columns fold too — spans are exact
+      val mm = df.agg(min(col("a")).as("lo"), max(col("b")).as("hi"),
+        count(lit(1)).as("n"))
+      assert(mm.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      val mmRow = mm.head()
+      assert(mmRow.getLong(0) == 0L && mmRow.getLong(1) == 63L &&
+        mmRow.getLong(2) == 4096L)
+      // any other aggregate blocks the rewrite (answer exact either way)
       assert(df.agg(countDistinct(col("a"))).head().getLong(0) == 64L)
+      val summed = df.agg(min(col("a")), sum(col("b")))
+      assert(!summed.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      // min/max of a column the manifest doesn't cover blocks too
+      assert(!df.agg(max(col("k"))).queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      assert(df.agg(max(col("k"))).head().getLong(0) == 4095L)
       // a tombstoned generation must never fold (the physical total would
       // overcount) — the DV anti-join plan doesn't match, and the index
       // check backstops it; the answer stays exact
@@ -1770,7 +1785,23 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       val clean = ZTable.dataFrame(spark, dir).groupBy().count()
       assert(optimized(clean).contains("LocalRelation"))
       assert(clean.head().getLong(0) == 4096L - 256L)
-    } finally graft.plans.ManifestCount.disable(spark)
+      // STAT-column min/max: spans hold Catalyst-internal micros, so a
+      // timestamp extreme folds to the exact value the scan returns
+      val tsDir = java.nio.file.Files.createTempDirectory("graft_zcntts")
+        .toString + "/t"
+      val tsBase = spark.range(512L)
+        .select(col("id").as("a"), (col("id") % 16).as("b"),
+          timestamp_seconds(lit(1700000000L) + col("id") * 60).as("ts"))
+      Layout.zorderInit(spark, tsBase, tsDir, "a", "b", nFiles = 4,
+        statCols = Seq("ts"))
+      val tdf = ZTable.dataFrame(spark, tsDir)
+      val tsAgg = tdf.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      assert(tsAgg.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      val want = tsBase.agg(min(col("ts")), max(col("ts"))).head()
+      assert(tsAgg.head() == want,
+        "metadata timestamp extremes must equal the scan's")
+    } finally graft.plans.ManifestAggs.disable(spark)
   }
 
   test("zorderMirror: a bloom sidecar built AFTER the replica is current still ships on the next sync") {
