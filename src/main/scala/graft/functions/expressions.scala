@@ -442,13 +442,18 @@ object HilbertIndex {
   }
 }
 
-/** SparkSessionExtensions hook: register the functions on any session with
-  * `.withExtensions(new GraftExtensions)` or
+/** SparkSessionExtensions hook: register the functions (and the
+  * metadata-aggregate optimizer rule — it only ever matches
+  * manifest-backed relations, so it is inert elsewhere) on any session
+  * with `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`; for an already
-  * built session use [[GraftExtensions.register]]. */
+  * built session use [[GraftExtensions.register]] (functions) and
+  * [[graft.plans.ManifestAggs.enable]] (the rule). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.ManifestAggs)
+  }
 }
 
 object GraftExtensions {
