@@ -117,6 +117,26 @@ object ZTable {
   }
 }
 
+/** Shared value-domain helpers for span pruning and metadata folds —
+  * the ONE place to widen admitted literal/attribute types (prune and
+  * fold paths must never diverge). */
+private[graft] object SpanDomains {
+  def anyLong(v: Any): Option[Long] = v match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case i: java.lang.Long => Some(i.longValue)
+    case i: java.lang.Short => Some(i.longValue)
+    case i: java.lang.Byte => Some(i.longValue)
+    case _ => None
+  }
+  def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+}
+
 /** [[FileIndex]] over one committed generation's manifest: `listFiles`
   * extracts [lo, hi] bounds for the two layout columns AND every declared
   * stat column from the planner's data filters (conjunctions of >, >=, <,
@@ -172,7 +192,9 @@ final class ManifestFileIndex private[ops] (path: String,
     * unknown, so no metadata answer exists). */
   def spanExtremes(colName: String,
       integralOk: Boolean): Option[(Option[Long], Option[Long])] =
-    if (colName == man.colA && integralOk)
+    if (man.spans.isEmpty) // zero-file generation: the scan answers NULL
+      Some((None, None))
+    else if (colName == man.colA && integralOk)
       Some((Some(man.spans.map(_.aMin).min), Some(man.spans.map(_.aMax).max)))
     else if (colName == man.colB && integralOk)
       Some((Some(man.spans.map(_.bMin).min), Some(man.spans.map(_.bMax).max)))
@@ -253,21 +275,9 @@ final class ManifestFileIndex private[ops] (path: String,
   }
 
   private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
-    dt match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
+    SpanDomains.isIntegral(dt)
 
-  private def litLong(l: Literal): Option[Long] = l.value match {
-    case i: java.lang.Integer => Some(i.longValue)
-    case i: java.lang.Long => Some(i.longValue)
-    case i: java.lang.Short => Some(i.longValue)
-    case i: java.lang.Byte => Some(i.longValue)
-    case _ => None
-  }
+  private def litLong(l: Literal): Option[Long] = SpanDomains.anyLong(l.value)
 
   /** The span's [lo, hi] for an attribute, when the manifest knows it:
     * `None` = unknown column (or a layout key whose type isn't integral —
@@ -333,13 +343,7 @@ final class ManifestFileIndex private[ops] (path: String,
             leaf(a, Some(v), (lo, hi, x) => lo <= x && x <= hi))
         else true
       case InSet(a: Attribute, set) if set.nonEmpty =>
-        val vs = set.toSeq.map {
-          case i: java.lang.Integer => Some(i.longValue)
-          case i: java.lang.Long => Some(i.longValue)
-          case i: java.lang.Short => Some(i.longValue)
-          case i: java.lang.Byte => Some(i.longValue)
-          case _ => None
-        }
+        val vs = set.toSeq.map(SpanDomains.anyLong)
         if (vs.forall(_.isDefined))
           vs.flatten.exists(v =>
             leaf(a, Some(v), (lo, hi, x) => lo <= x && x <= hi))
@@ -367,13 +371,7 @@ final class ManifestFileIndex private[ops] (path: String,
         val vs = list.map(l => litLong(l.asInstanceOf[Literal]))
         if (vs.forall(_.isDefined)) out += (a.name -> vs.map(_.get))
       case InSet(a: Attribute, set) if isIntegral(a.dataType) && set.nonEmpty =>
-        val vs = set.toSeq.map {
-          case i: java.lang.Integer => Some(i.longValue)
-          case i: java.lang.Long => Some(i.longValue)
-          case i: java.lang.Short => Some(i.longValue)
-          case i: java.lang.Byte => Some(i.longValue)
-          case _ => None
-        }
+        val vs = set.toSeq.map(SpanDomains.anyLong)
         if (vs.forall(_.isDefined)) out += (a.name -> vs.map(_.get))
       case _ => ()
     }
@@ -392,22 +390,10 @@ final class ManifestFileIndex private[ops] (path: String,
       integralOnly: Boolean): (Long, Long) = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
-    def asLong(l: Literal): Option[Long] = l.value match {
-      case i: java.lang.Integer => Some(i.longValue)
-      case i: java.lang.Long => Some(i.longValue)
-      case i: java.lang.Short => Some(i.longValue)
-      case i: java.lang.Byte => Some(i.longValue)
-      case _ => None
-    }
+    def asLong(l: Literal): Option[Long] = SpanDomains.anyLong(l.value)
     def attrIs(e: Expression): Boolean = e match {
       case a: Attribute => a.name == colName &&
-        (!integralOnly || (a.dataType match {
-          case org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.LongType => true
-          case _ => false
-        }))
+        (!integralOnly || SpanDomains.isIntegral(a.dataType))
       case _ => false
     }
     def walk(e: Expression): Unit = e match {
@@ -448,13 +434,7 @@ final class ManifestFileIndex private[ops] (path: String,
           hi = math.min(hi, vs.map(_.get).max)
         }
       case InSet(a, set) if attrIs(a) && set.nonEmpty =>
-        val vs = set.toSeq.map {
-          case i: java.lang.Integer => Some(i.longValue)
-          case i: java.lang.Long => Some(i.longValue)
-          case i: java.lang.Short => Some(i.longValue)
-          case i: java.lang.Byte => Some(i.longValue)
-          case _ => None
-        }
+        val vs = set.toSeq.map(SpanDomains.anyLong)
         if (vs.forall(_.isDefined)) {
           lo = math.max(lo, vs.map(_.get).min)
           hi = math.min(hi, vs.map(_.get).max)

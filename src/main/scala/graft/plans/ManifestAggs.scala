@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -35,11 +35,14 @@ import graft.ops.ManifestFileIndex
   * the physical count overcounts — that plan shape reads through an
   * anti-join and never matches here, but the index check backstops it).
   *
-  * Registration is session-level and explicit:
-  * `ManifestAggs.enable(spark)` appends the rule to
+  * Registration: `ManifestAggs.enable(spark)` appends the rule to
   * `spark.experimental.extraOptimizations` (idempotent; `disable`
-  * removes it). Kept opt-in so the default ZTable read path stays
-  * byte-identical to earlier rounds.
+  * removes that copy), and sessions built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` get it
+  * injected at build time (that copy has no off switch — it matches
+  * only manifest-backed relations, so it is inert on every other
+  * plan). A plain SparkSession without either is byte-identical to
+  * earlier rounds.
   */
 object ManifestAggs extends Rule[LogicalPlan] {
 
@@ -56,13 +59,24 @@ object ManifestAggs extends Rule[LogicalPlan] {
 
   /** The chain below the aggregate must preserve rows exactly: Projects
     * do, nothing else is admitted. Returns the index when the relation
-    * is manifest-backed and tombstone-free. */
-  private def manifestOf(plan: LogicalPlan): Option[ManifestFileIndex] =
+    * is manifest-backed and tombstone-free, PLUS the exprIds of relation
+    * output attributes each Project passed through UNCHANGED — min/max
+    * may only fold on those (an expression ALIASED to a span-covered
+    * column's name, e.g. `withColumn("a", a * 2)` or
+    * `select(b.as("a"))`, must not resolve to the manifest's extremes
+    * by name). */
+  private def manifestOf(
+      plan: LogicalPlan): Option[(ManifestFileIndex, Set[ExprId])] =
     plan match {
-      case Project(_, child) => manifestOf(child)
+      case Project(list, child) => manifestOf(child).map { case (mfi, ids) =>
+        (mfi, list.collect {
+          case a: Attribute if ids.contains(a.exprId) => a.exprId
+        }.toSet)
+      }
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation => fs.location match {
-          case mfi: ManifestFileIndex if !mfi.hasTombstones => Some(mfi)
+          case mfi: ManifestFileIndex if !mfi.hasTombstones =>
+            Some((mfi, l.output.map(_.exprId).toSet))
           case _ => None
         }
         case _ => None
@@ -70,10 +84,8 @@ object ManifestAggs extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def isIntegral(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType => true
-    case _ => false
-  }
+  private def isIntegral(dt: DataType): Boolean =
+    graft.ops.SpanDomains.isIntegral(dt)
 
   /** Render a span-domain Long back into the column's Catalyst-internal
     * value. Timestamp/date stat spans are ALREADY micros/days (the
@@ -90,17 +102,22 @@ object ManifestAggs extends Rule[LogicalPlan] {
   }
 
   /** Fold one aggregate expression to its manifest answer (the value in
-    * the output row), or None when it isn't foldable. */
-  private def fold(ae: AggregateExpression,
-      mfi: ManifestFileIndex): Option[Any] = ae match {
+    * the output row), or None when it isn't foldable. `passedIds` =
+    * relation output attributes the Project chain passed through
+    * unchanged: min/max attributes must be among them (count(1) only
+    * needs row preservation, which Projects give). */
+  private def fold(ae: AggregateExpression, mfi: ManifestFileIndex,
+      passedIds: Set[ExprId]): Option[Any] = ae match {
     case AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _) =>
       Some(mfi.manifestRowCount)
-    case AggregateExpression(Min(a: Attribute), Complete, false, None, _) =>
+    case AggregateExpression(Min(a: Attribute), Complete, false, None, _)
+        if passedIds.contains(a.exprId) =>
       mfi.spanExtremes(a.name, isIntegral(a.dataType))
         .flatMap { case (lo, _) =>
           lo.map(v => internalValue(v, a.dataType)).getOrElse(Some(null))
         }
-    case AggregateExpression(Max(a: Attribute), Complete, false, None, _) =>
+    case AggregateExpression(Max(a: Attribute), Complete, false, None, _)
+        if passedIds.contains(a.exprId) =>
       mfi.spanExtremes(a.name, isIntegral(a.dataType))
         .flatMap { case (_, hi) =>
           hi.map(v => internalValue(v, a.dataType)).getOrElse(Some(null))
@@ -115,9 +132,9 @@ object ManifestAggs extends Rule[LogicalPlan] {
           case _ => false
         } =>
       manifestOf(child) match {
-        case Some(mfi) =>
+        case Some((mfi, passedIds)) =>
           val vals = aggExprs.map {
-            case Alias(ae: AggregateExpression, _) => fold(ae, mfi)
+            case Alias(ae: AggregateExpression, _) => fold(ae, mfi, passedIds)
             case _ => None
           }
           if (vals.forall(_.isDefined))

@@ -1774,6 +1774,23 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       assert(!df.agg(max(col("k"))).queryExecution.optimizedPlan
         .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
       assert(df.agg(max(col("k"))).head().getLong(0) == 4095L)
+      // ATTRIBUTE IDENTITY, not name (r14 review fix): an expression or
+      // another column ALIASED to a span-covered name must not resolve to
+      // the manifest's extremes — the fold requires the relation's own
+      // attribute passed through unchanged
+      val doubled = df.withColumn("a", col("a") * 2).agg(max(col("a")))
+      assert(!doubled.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      assert(doubled.head().getLong(0) == 126L)
+      val renamed = df.select(col("b").as("a")).agg(max(col("a")))
+      assert(!renamed.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      assert(renamed.head().getLong(0) == 63L)
+      // a plain column-pruning select still folds
+      val selected = df.select("a").agg(max(col("a")))
+      assert(selected.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      assert(selected.head().getLong(0) == 63L)
       // a tombstoned generation must never fold (the physical total would
       // overcount) — the DV anti-join plan doesn't match, and the index
       // check backstops it; the answer stays exact
