@@ -139,9 +139,35 @@ class LayoutPropertySpec extends AnyFunSuite with SparkSpec {
           }
         }
       })
+      // a RACING READER alongside the writers: every successful
+      // planner-integrated read must see a consistent committed snapshot
+      // (all 4096 base keys are never deleted, so any snapshot counts
+      // >= 4096). Reads that lose their snapshot to generation aging are
+      // the documented retention contract (size keepGenerations to the
+      // reader lifetime), tolerated here — but a WRONG count never is.
+      val readerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val badReads = new ConcurrentLinkedQueue[Long]()
+      val goodReads = new java.util.concurrent.atomic.AtomicInteger(0)
+      val reader = new Thread(() => {
+        gate.await()
+        while (!readerDone.get()) {
+          try {
+            val n = ZTable.dataFrame(spark, dir).count()
+            goodReads.incrementAndGet()
+            if (n < 4096L) badReads.add(n)
+          } catch { case _: Throwable => () } // aged-out snapshot: allowed
+        }
+      })
+      reader.setDaemon(true)
+      reader.start()
       gate.countDown()
       pool.shutdown()
       assert(pool.awaitTermination(600, TimeUnit.SECONDS), "torture hung")
+      readerDone.set(true)
+      reader.join(60000)
+      assert(badReads.isEmpty,
+        s"seed=$seed racing reader saw an inconsistent count: ${badReads.peek()}")
+      assert(goodReads.get() > 0, "the racing reader never completed a read")
       import scala.jdk.CollectionConverters._
       val traceStr = trace.iterator().asScala.mkString(", ")
       val firstErr = Option(errs.peek())
@@ -170,6 +196,45 @@ class LayoutPropertySpec extends AnyFunSuite with SparkSpec {
       assert(gotRep == expect, s"seed=$seed replica diverged")
       assertDataEqualsManifests(rep, s"seed=$seed replica")
     }
+  }
+
+  test("persisted schema ≡ footer schema under randomized shuffled-column appends (seeded)") {
+    import spark.implicits._
+    // the schema-in-manifest fast path asserts that left-biased
+    // unionByName keeps the committed column order through every
+    // rewrite; feed maintains/upserts whose INPUT column order is
+    // randomly shuffled (same column set → still homogeneous) and pin
+    // manifest schema == head-file footer schema after each commit
+    val rng = new Random(77)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zscho").toString + "/t"
+    val base = spark.range(256L)
+      .select(col("id").as("a"), (col("id") % 16).as("b"),
+        concat(lit("v"), col("id")).as("v"), (col("id") * 7).as("w"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 2)
+    val cols = Seq("a", "b", "v", "w")
+    for (step <- 1 to 6) {
+      val shuffled = rng.shuffle(cols)
+      val slab = spark.range(1000L + step * 100, 1000L + step * 100 + 20)
+        .select(col("id").as("a"), (col("id") % 16).as("b"),
+          concat(lit("v"), col("id")).as("v"), (col("id") * 7).as("w"))
+        .select(shuffled.map(col): _*)
+      if (rng.nextBoolean()) {
+        Layout.zorderAppend(slab, dir)
+        Layout.zorderMaintain(spark, dir)
+      } else Layout.zorderUpsert(spark, slab, dir)
+      val (_, man) = Layout.currentManifest(dir)
+      assert(!man.mixedSchema && man.schemaJson.isDefined,
+        s"step $step (input order $shuffled): still homogeneous")
+      val viaManifest = ZTable.dataFrame(spark, dir).schema
+      val headFile = java.nio.file.Paths.get(dir).toAbsolutePath
+        .resolve(Layout.currentSpans(dir).head.file).toString
+      val viaFooter = spark.read.parquet(headFile).schema
+      assert(viaManifest == viaFooter,
+        s"step $step (input order $shuffled): manifest schema " +
+          s"${viaManifest.fieldNames.toSeq} != footer " +
+          s"${viaFooter.fieldNames.toSeq}")
+    }
+    assert(ZTable.dataFrame(spark, dir).count() >= 256L)
   }
 
   test("object-store model: the full lifecycle runs rename-free (finalize = copy+delete; atomicity only from whole-object PUT)") {
