@@ -2987,6 +2987,27 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     }),
 
+    // PLANNER-INTEGRATED bloom point lookup (r14): the SAME probes as w36
+    // expressed as a plain .isin filter on the ZTable relation — no
+    // zorderPointLookup call — must cut the file list at PLANNING time
+    // via the bloom sidecar (z-spans prune nothing for orderkey probes)
+    // and hash-match w36's twin; together w36 and w48 pin explicit
+    // lookup ≡ planner-integrated lookup
+    "w48_ztable_point" -> ((s, d) => {
+      val path = zorderBloomFor(s, d)
+      val mo = Layout.zorderRead(s, path)
+        .agg(max("o_orderkey")).collect()(0).getLong(0)
+      val probes = Seq(mo / 7, mo / 3, mo / 2 + 1, mo + 99999)
+      val (df, fi) = graft.ops.ZTable.dataFrameWithIndex(s, path)
+      val res = df.filter(col("o_orderkey").isin(probes: _*))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      res.collect() // force the planner's real listing, then audit it
+      require(fi.lastListed > 0 && fi.lastListed < fi.inputFiles.length,
+        s"bloom must prune the planner listing: " +
+          s"${fi.lastListed}/${fi.inputFiles.length}")
+      res
+    }),
+
     // CHANGE FEED (CDC) across the maintained table's lifecycle: the 0→2
     // manifest diff must net out to exactly the appended tail (inserts)
     // and the deleted band (deletes) — carried rows in churned files
@@ -5285,6 +5306,14 @@ object SparkEntry {
     // bloom-pruned point lookups ≡ a plain IN filter (one key absent on
     // purpose — a false positive may open a file but never lands a row)
     "w36_zorder_bloom" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mo FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders, mx
+        |WHERE o_orderkey IN (mo // 7, mo // 3, mo // 2 + 1, mo + 99999)""".stripMargin,
+
+    // the planner-integrated lookup over the same table and probes must
+    // produce the identical rows (w36's twin verbatim)
+    "w48_ztable_point" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mo FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders, mx
