@@ -299,13 +299,21 @@ object Layout {
     * builder's heal sweep with the other's staged files. */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[ops] def withTableLock[A](path: String)(body: => A): A = {
-    val key = java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+  private[ops] def withTableLock[A](path: String)(body: => A): A =
+    withNamedLock(path, ".lock")(body)
+
+  /** NOT REENTRANT across the file-lock layer (a second `lock()` on the
+    * same channel file from the same JVM throws) — an operation composed
+    * OF locked operations must take a DIFFERENT lock name
+    * ([[zorderCdcApply]]'s `.cdc-lock`), never nest the same one. */
+  private def withNamedLock[A](path: String, name: String)(body: => A): A = {
+    val key = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      .toString + "::" + name
     val monitor = tableLocks.computeIfAbsent(key, _ => new Object)
     monitor.synchronized {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
       val ch = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(path, ".lock"),
+        java.nio.file.Paths.get(path, name),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
@@ -2134,6 +2142,89 @@ object Layout {
     (zorderChanges(spark, path, sinceGen, cur), cur)
   }
 
+  private def cdcCursorPath(followerPath: String) =
+    java.nio.file.Paths.get(followerPath, "cdc-cursor")
+
+  /** Seed a CDC FOLLOWER table: snapshot the primary's CURRENT generation
+    * (pinned to that generation's manifest — a racing primary commit
+    * cannot tear the read), init the follower with the SAME layout keys,
+    * and persist the cursor at that generation. A crash between init and
+    * cursor write leaves a follower [[zorderCdcApply]] refuses loudly —
+    * delete the follower directory and re-seed (the same rule as a
+    * crashed re-init). */
+  def zorderCdcSeed(spark: SparkSession, primaryPath: String,
+      followerPath: String, nFiles: Int, keepGenerations: Int = 1): Long = {
+    val (gen, man) = currentManifest(primaryPath)
+    val snapshot = zorderReadAsOf(spark, primaryPath, gen)
+    zorderInit(spark, snapshot, followerPath, man.colA, man.colB, nFiles,
+      keepGenerations)
+    writeAtomic(cdcCursorPath(followerPath), gen.toString)
+    gen
+  }
+
+  /** CDC FOLLOWER apply — the consumer side the change feed exists for:
+    * pull the primary's committed net changes past the persisted cursor
+    * and apply them to the follower table, EXACTLY-ONCE, keyed on
+    * `keyCol` (a unique integral row id, the same column a takedown
+    * would key on). Returns (insertsApplied, deletesApplied, newCursor).
+    *
+    * The apply is DELETE-THEN-INSERT by key, which makes replay
+    * idempotent with NO intent log: every changed key (the feed's delete
+    * rows AND insert rows — an update is its delete+insert pair) is
+    * vector-deleted first (repeat deletes are exact no-ops), then the
+    * insert rows append and fold. A crash before the cursor write
+    * replays the whole poll: the re-delete tombstones the crashed run's
+    * copies, the re-insert lands them once — net exactly one copy. The
+    * cursor advances atomically LAST.
+    *
+    * Scale shape: changed keys collect to the driver (churn-bounded per
+    * poll — the takedown loop's contract; size the poll cadence to the
+    * churn, not the table). A poll whose churn would tombstone EVERY
+    * follower row refuses (the vectored delete's empty-table guard) —
+    * re-seed instead of replaying a table-wide rewrite through the feed.
+    * `sinceGen` must still be retained on the primary: size its
+    * retention window to the consumer's poll cadence, or the feed names
+    * the gap loudly instead of silently skipping commits. */
+  def zorderCdcApply(spark: SparkSession, primaryPath: String,
+      followerPath: String, keyCol: String): (Long, Long, Long) =
+    // the applier's OWN lock (not the table lock — the inner delete/
+    // append/maintain each take that, and the file-lock layer is not
+    // reentrant): serializes concurrent appliers, whose interleaved
+    // delete-then-insert phases could otherwise double-apply a poll
+    withNamedLock(followerPath, ".cdc-lock") {
+      require(java.nio.file.Files.isRegularFile(cdcCursorPath(followerPath)),
+        s"$followerPath is not a seeded CDC follower — run zorderCdcSeed " +
+          "first (or delete the directory and re-seed after a crashed seed)")
+      val cursor = new String(java.nio.file.Files.readAllBytes(
+        cdcCursorPath(followerPath)), "UTF-8").trim.toLong
+      val (changes, newCur) = zorderChangesSince(spark, primaryPath, cursor)
+      if (newCur == cursor) return (0L, 0L, cursor)
+      val cached = changes.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val kc = col(keyCol).cast("long")
+        val keys = cached.select(kc).filter(kc.isNotNull).distinct()
+          .collect().map(_.getLong(0)).toSeq // churn-bounded per poll
+        val nDeletes =
+          cached.filter(col("change_type") === "delete").count()
+        val inserts = cached.filter(col("change_type") === "insert")
+          .drop("change_type")
+        val nInserts = inserts.count()
+        if (keys.nonEmpty) {
+          // a feed that nets to zero (e.g. the primary compacted) has no
+          // keys and skips straight to the cursor advance
+          zorderDeleteVectoredByKey(spark, followerPath, keyCol, keys)
+          if (nInserts > 0) {
+            zorderAppend(inserts, followerPath)
+            zorderMaintain(spark, followerPath)
+            ()
+          }
+        }
+        writeAtomic(cdcCursorPath(followerPath), newCur.toString)
+        (nInserts, nDeletes, newCur)
+      } finally { cached.unpersist(); () }
+    }
+
   /** OPTIMIZE advisor: a manifest-only health census of the maintained
     * table with a recommended action per signal — what an operator (or a
     * maintenance cron) consults to decide WHICH lifecycle call to run,
@@ -2147,7 +2238,7 @@ object Layout {
       smallFileRows: Long = 100000L, tombstoneFraction: Double = 0.1):
       DataFrame = {
     import spark.implicits._
-    val (_, man) = currentManifest(path)
+    val (cur, man) = currentManifest(path)
     val spans = man.spans
     val landing = landingFiles(path).size.toLong
     val physical = spans.map(_.rows).sum
@@ -2172,9 +2263,37 @@ object Layout {
       parquetFilesUnder(dataDir(path))
         .count(f => !referenced.contains(java.nio.file.Paths.get(f))).toLong
     }
+    // bloom sidecar staleness: files written since the last
+    // zorderBloomBuild are ABSENT from the carried sidecar and always
+    // open — point lookups on them degrade to full candidate scans until
+    // an incremental rebuild fills the gaps (never wrong, just unpruned)
+    val bloomStale = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      val prefix = s"bloom-$cur-"
+      val cols =
+        if (!java.nio.file.Files.isDirectory(root)) Seq.empty[String]
+        else {
+          val ls = java.nio.file.Files.list(root)
+          try ls.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.startsWith(prefix) && n.endsWith(".tsv"))
+            .map(_.stripPrefix(prefix).takeWhile(_ != '.')).toList.distinct
+          finally ls.close()
+        }
+      cols.map { c =>
+        readBloom(path, cur, c) match {
+          case Some(b) => spans.count(s => !b.words.contains(s.file)).toLong
+          case None => spans.size.toLong // partial shard set: all unpruned
+        }
+      }.sum
+    }
     Seq(
       ("landing_files", landing.toDouble, landing > 0,
         "zorderMaintain", "unmaintained appends are invisible to readers"),
+      ("bloom_stale_files", bloomStale.toDouble, bloomStale > 0,
+        "zorderBloomBuild", "files absent from the current sidecar always " +
+          "open — point lookups on them are unpruned until an incremental " +
+          "rebuild"),
       ("tombstone_fraction", tombFrac, tombFrac > tombstoneFraction,
         "zorderDvMaterialize", "tombstoned rows still occupy disk and " +
           "pay the read-side anti-join"),

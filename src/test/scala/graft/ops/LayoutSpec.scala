@@ -1486,6 +1486,27 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(runsAfter._3 < small.size || !runsAfter._2 ||
       Layout.currentSpans(dir).size < 16,
       "bin-packing must shrink the small-run population")
+
+    // bloom staleness: a table with NO sidecar reports nothing; after a
+    // build it is clean; a maintain writes fresh files absent from the
+    // carried sidecar → fires → an incremental rebuild clears it
+    assert(!fired().getOrElse("bloom_stale_files", false))
+    val keyed = Layout.zorderRead(spark, dir)
+      .withColumn("k", col("a") * 64 + col("b"))
+    // rebuild the table with a key column so the sidecar has a target
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_zadvb").toString + "/t"
+    Layout.zorderInit(spark, keyed, dir2, "a", "b", nFiles = 8)
+    def fired2(): Map[String, Boolean] =
+      Layout.zorderAdvise(spark, dir2).collect()
+        .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    Layout.zorderBloomBuild(spark, dir2, "k")
+    assert(!fired2()("bloom_stale_files"), "a fresh sidecar is complete")
+    Layout.zorderAppend(Seq((100L, 1L, 9999L)).toDF("a", "b", "k"), dir2)
+    Layout.zorderMaintain(spark, dir2)
+    assert(fired2()("bloom_stale_files"),
+      "files written after the build must surface as unpruned")
+    Layout.zorderBloomBuild(spark, dir2, "k") // incremental: fills the gaps
+    assert(!fired2()("bloom_stale_files"))
   }
 
   test("reader snapshot isolation: a pre-commit reader keeps answering across a maintain under retention >= 2; new readers see the new generation") {
@@ -1819,6 +1840,65 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       assert(tsAgg.head() == want,
         "metadata timestamp extremes must equal the scan's")
     } finally graft.plans.ManifestAggs.disable(spark)
+  }
+
+  test("CDC follower: seed + exactly-once apply tracks the primary through append/delete/upsert/compact; crash-replay is idempotent (r14)") {
+    import spark.implicits._
+    val pri = java.nio.file.Files.createTempDirectory("graft_zcdcp").toString + "/t"
+    val fol = java.nio.file.Files.createTempDirectory("graft_zcdcf").toString + "/t"
+    val base = spark.range(2048L)
+      .select((col("id") / 32).cast("long").as("a"), (col("id") % 64).as("b"),
+        col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+    Layout.zorderInit(spark, base, pri, "a", "b", nFiles = 4,
+      keepGenerations = 8) // retention sized to the poll cadence
+    val cursor0 = Layout.zorderCdcSeed(spark, pri, fol, nFiles = 4)
+    assert(cursor0 == 0L)
+    def rows(path: String): Set[(Long, String)] =
+      Layout.zorderRead(spark, path).select("k", "v")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(fol) == rows(pri), "seed snapshot equals the primary")
+
+    // a MULTI-COMMIT poll: append+maintain, vectored delete, and a keyed
+    // upsert (an update = delete+insert of the same k) land as one apply
+    Layout.zorderAppend((3000L until 3100L)
+      .map(k => (k % 64, (k / 64) % 64, k, s"v$k")).toDF("a", "b", "k", "v"), pri)
+    Layout.zorderMaintain(spark, pri)
+    Layout.zorderDeleteVectoredByKey(spark, pri, "k", (0L until 32L).toSeq)
+    Layout.zorderUpsert(spark,
+      Seq((7L, 7L, 999999L, "updated")).toDF("a", "b", "k", "v"), pri)
+    val (ins1, del1, cur1) = Layout.zorderCdcApply(spark, pri, fol, "k")
+    assert(cur1 > cursor0 && ins1 > 0 && del1 > 0)
+    assert(rows(fol) == rows(pri), "apply reconstructs the primary exactly")
+
+    // a net-zero poll (compact rewrites every file, rows unchanged):
+    // carried rows cancel in the feed, the cursor still advances
+    Layout.zorderCompact(spark, pri, nFiles = 4)
+    val (ins2, del2, cur2) = Layout.zorderCdcApply(spark, pri, fol, "k")
+    assert(ins2 == 0L && del2 == 0L && cur2 > cur1,
+      s"compaction must net to zero: ($ins2, $del2)")
+    assert(rows(fol) == rows(pri))
+
+    // CRASH-REPLAY idempotence: apply a poll, then roll the cursor back
+    // (the crash window between apply and cursor write) and re-apply —
+    // delete-then-insert by key must land exactly one copy
+    Layout.zorderAppend(Seq((9L, 9L, 5000L, "once")).toDF("a", "b", "k", "v"), pri)
+    Layout.zorderMaintain(spark, pri)
+    val (_, _, cur3) = Layout.zorderCdcApply(spark, pri, fol, "k")
+    java.nio.file.Files.write(java.nio.file.Paths.get(fol, "cdc-cursor"),
+      cur2.toString.getBytes("UTF-8")) // simulate the lost cursor write
+    val (_, _, cur4) = Layout.zorderCdcApply(spark, pri, fol, "k")
+    assert(cur4 == cur3)
+    assert(Layout.zorderRead(spark, fol).filter(col("k") === 5000L)
+      .count() == 1L, "replayed poll must land exactly one copy")
+    assert(rows(fol) == rows(pri))
+
+    // a caught-up apply is a no-op; an unseeded follower refuses loudly
+    assert(Layout.zorderCdcApply(spark, pri, fol, "k") == ((0L, 0L, cur4)))
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderCdcApply(spark, pri,
+        java.nio.file.Files.createTempDirectory("graft_zcdcu").toString + "/t", "k")
+    }
+    assert(e.getMessage.contains("seeded"))
   }
 
   test("zorderMirror: a bloom sidecar built AFTER the replica is current still ships on the next sync") {
