@@ -1882,19 +1882,38 @@ object Layout {
     } finally { fresh.unpersist(); () }
   }
 
+  /** Basenames of `gen`'s bloom sidecar files under the table root — the
+    * ONE directory listing shared by the carry, the advisor census, and
+    * anything else that enumerates sidecars (sidecar NAMING changes land
+    * here once). */
+  private def bloomSidecarNames(path: String, gen: Long): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
+    val prefix = s"bloom-$gen-"
+    val ls = java.nio.file.Files.list(root)
+    try ls.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".tsv")).toList
+      finally ls.close()
+  }
+
+  /** Sidecar-indexed column names of `gen` (shard suffixes folded). */
+  private def bloomColumnsOf(path: String, gen: Long): Seq[String] =
+    bloomSidecarNames(path, gen)
+      .map(_.stripPrefix(s"bloom-$gen-").stripSuffix(".tsv"))
+      .map(stem => stem.indexOf(".shard") match {
+        case -1 => stem
+        case i => stem.substring(0, i)
+      }).distinct
+
   /** Copy every bloom sidecar file of `fromGen` under `toGen`'s names —
     * the zero-rescan carry for commits that rewrite no data file
     * (vectored deletes). Driver-side TSV copies, atomic per file. */
   private def carryBloomSidecars(path: String, fromGen: Long,
       toGen: Long): Unit = {
-    import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isDirectory(root)) return
     val prefix = s"bloom-$fromGen-"
-    val ls = java.nio.file.Files.list(root)
-    val files = try ls.iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.startsWith(prefix) && n.endsWith(".tsv")).toList
-      finally ls.close()
+    val files = bloomSidecarNames(path, fromGen)
     files.foreach { n =>
       val target = root.resolve(s"bloom-$toGen-" + n.stripPrefix(prefix))
       writeAtomic(target, new String(
@@ -2044,6 +2063,21 @@ object Layout {
       toGen: Long): DataFrame = {
     val from = changeManifest(path, fromGen)
     val to = changeManifest(path, toGen)
+    // the feed SYNTHESIZES change_type; a user column of that name would
+    // be silently overwritten here and dropped by every consumer — refuse
+    // loudly (the reserved-column rule, applied to the feed's one name).
+    // Schema from the manifest when persisted (zero footer reads), else
+    // one footer
+    val fromCols: Seq[String] = from.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq)
+      .getOrElse(
+        if (from.spans.isEmpty) Seq.empty
+        else spanFiles(spark, path, from.spans.take(1), from.mixedSchema)
+          .columns.toSeq)
+    require(!fromCols.contains("change_type"),
+      "the table has a column named change_type — reserved by the CDC " +
+        "feed; rename it before consuming changes")
     // each side reads LIVE rows under its own generation's deletion
     // vector: a vectored delete thus surfaces in the feed as plain
     // 'delete' rows (shared-by-name files with churned tombstone counts
@@ -2157,7 +2191,7 @@ object Layout {
     val (gen, man) = currentManifest(primaryPath)
     val snapshot = zorderReadAsOf(spark, primaryPath, gen)
     zorderInit(spark, snapshot, followerPath, man.colA, man.colB, nFiles,
-      keepGenerations)
+      keepGenerations, statCols = man.statCols)
     writeAtomic(cdcCursorPath(followerPath), gen.toString)
     gen
   }
@@ -2197,25 +2231,39 @@ object Layout {
           "first (or delete the directory and re-seed after a crashed seed)")
       val cursor = new String(java.nio.file.Files.readAllBytes(
         cdcCursorPath(followerPath)), "UTF-8").trim.toLong
+      // fold any follower landing FIRST: a run that crashed between its
+      // append and its maintain left the poll's insert rows in landing/,
+      // INVISIBLE to the vectored delete (it tombstones manifest rows
+      // only) — committing them here is what lets the replay's re-delete
+      // reach the crashed copies, closing the last at-least-once window
+      zorderMaintain(spark, followerPath)
       val (changes, newCur) = zorderChangesSince(spark, primaryPath, cursor)
       if (newCur == cursor) return (0L, 0L, cursor)
       val cached = changes.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val kc = col(keyCol).cast("long")
-        val keys = cached.select(kc).filter(kc.isNotNull).distinct()
-          .collect().map(_.getLong(0)).toSeq // churn-bounded per poll
-        val nDeletes =
-          cached.filter(col("change_type") === "delete").count()
-        val inserts = cached.filter(col("change_type") === "insert")
-          .drop("change_type")
-        val nInserts = inserts.count()
+        // ONE driver action over the feed: (key, change_type) pairs are
+        // exactly the churn-bounded state the apply needs
+        val pairs = cached
+          .select(kc.as("k"), col("change_type").as("ct")).collect()
+        // a NULL key can never be deleted back out (and a null-keyed
+        // delete could never remove its target) — applying it would be
+        // silent permanent divergence, so refuse BEFORE any mutation and
+        // BEFORE the cursor moves
+        require(!pairs.exists(_.isNullAt(0)),
+          s"the change feed carries rows with a NULL $keyCol — the " +
+            "CDC apply key must be non-null (and unique) on every row")
+        val keys = pairs.map(_.getLong(0)).distinct.toSeq
+        val nDeletes = pairs.count(_.getString(1) == "delete").toLong
+        val nInserts = pairs.length - nDeletes
         if (keys.nonEmpty) {
           // a feed that nets to zero (e.g. the primary compacted) has no
           // keys and skips straight to the cursor advance
           zorderDeleteVectoredByKey(spark, followerPath, keyCol, keys)
           if (nInserts > 0) {
-            zorderAppend(inserts, followerPath)
+            zorderAppend(cached.filter(col("change_type") === "insert")
+              .drop("change_type"), followerPath)
             zorderMaintain(spark, followerPath)
             ()
           }
@@ -2268,24 +2316,15 @@ object Layout {
     // open — point lookups on them degrade to full candidate scans until
     // an incremental rebuild fills the gaps (never wrong, just unpruned)
     val bloomStale = {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(path)
-      val prefix = s"bloom-$cur-"
-      val cols =
-        if (!java.nio.file.Files.isDirectory(root)) Seq.empty[String]
-        else {
-          val ls = java.nio.file.Files.list(root)
-          try ls.iterator().asScala.map(_.getFileName.toString)
-            .filter(n => n.startsWith(prefix) && n.endsWith(".tsv"))
-            .map(_.stripPrefix(prefix).takeWhile(_ != '.')).toList.distinct
-          finally ls.close()
-        }
-      cols.map { c =>
+      // per-column WORST file count (a sum would count one fresh file
+      // once per indexed column — unreadable as a file population)
+      val counts = bloomColumnsOf(path, cur).map { c =>
         readBloom(path, cur, c) match {
           case Some(b) => spans.count(s => !b.words.contains(s.file)).toLong
           case None => spans.size.toLong // partial shard set: all unpruned
         }
-      }.sum
+      }
+      if (counts.isEmpty) 0L else counts.max
     }
     Seq(
       ("landing_files", landing.toDouble, landing > 0,

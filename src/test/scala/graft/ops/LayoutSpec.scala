@@ -1899,6 +1899,39 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
         java.nio.file.Files.createTempDirectory("graft_zcdcu").toString + "/t", "k")
     }
     assert(e.getMessage.contains("seeded"))
+
+    // the OTHER crash window (r14 review): append landed on the follower
+    // but maintain/cursor were lost — the crashed copies sit in landing/,
+    // invisible to the vectored delete. The replay must fold them first,
+    // then tombstone, then re-insert → exactly one copy
+    Layout.zorderAppend(Seq((11L, 11L, 6000L, "crashwin"))
+      .toDF("a", "b", "k", "v"), pri)
+    Layout.zorderMaintain(spark, pri)
+    val (_, _, cur5) = Layout.zorderCdcApply(spark, pri, fol, "k")
+    // reproduce the crashed run's exact state: its insert rows in
+    // landing/ and the cursor never advanced
+    Layout.zorderAppend(Seq((11L, 11L, 6000L, "crashwin"))
+      .toDF("a", "b", "k", "v"), fol)
+    java.nio.file.Files.write(java.nio.file.Paths.get(fol, "cdc-cursor"),
+      cur4.toString.getBytes("UTF-8"))
+    val (_, _, cur6) = Layout.zorderCdcApply(spark, pri, fol, "k")
+    assert(cur6 == cur5)
+    assert(Layout.zorderRead(spark, fol).filter(col("k") === 6000L)
+      .count() == 1L, "a landing-window crash replay must land ONE copy")
+    assert(rows(fol) == rows(pri))
+
+    // a null-keyed feed row refuses BEFORE the cursor moves (silent
+    // divergence otherwise: a null key can never be deleted back out)
+    Layout.zorderAppend(Seq((12L, 12L, Option.empty[Long], Some("nullk")))
+      .toDF("a", "b", "k", "v"), pri)
+    Layout.zorderMaintain(spark, pri)
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.zorderCdcApply(spark, pri, fol, "k")
+    }
+    assert(e2.getMessage.contains("NULL"))
+    assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fol, "cdc-cursor")), "UTF-8").trim.toLong
+      == cur6, "a refused poll must not advance the cursor")
   }
 
   test("zorderMirror: a bloom sidecar built AFTER the replica is current still ships on the next sync") {
