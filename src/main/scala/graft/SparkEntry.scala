@@ -883,6 +883,36 @@ object SparkEntry {
       path
     }
 
+  /** Memoized STRING-STATS table for w50: orders plus a zero-padded
+    * string business key `o_label` (lexicographic order ≡ numeric
+    * orderkey order — the invoice-number shape), z-clustered on
+    * (o_orderkey, o_custkey) with `o_label` declared as a STRING stat
+    * column — v3 manifests record its Prefix8-embedded bounds + null
+    * counts, so string range predicates prune inside the planner. */
+  private val zstrMemo = layoutMemo
+  private def zorderStrStatFor(s: SparkSession, d: String): String =
+    memoizedLayout(zstrMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w50_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/orders.parquet") + "#zstr16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val orders = t(s, d, "orders").withColumn("o_label",
+            lpad(col("o_orderkey").cast("string"), 8, "0"))
+          Layout.zorderInit(s, orders, path, "o_orderkey", "o_custkey",
+            nFiles = 16, statCols = Seq("o_label"))
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized 64-file CENSUS table for w37: a plain zorderInit over full
     * lineitem (exact frozen bounds, no appends — tight spans), enough
     * files that a wide interior band fully covers interior tiles and the
@@ -3004,6 +3034,50 @@ object SparkEntry {
       res.collect() // force the planner's real listing, then audit it
       require(fi.lastListed > 0 && fi.lastListed < fi.inputFiles.length,
         s"bloom must prune the planner listing: " +
+          s"${fi.lastListed}/${fi.inputFiles.length}")
+      res
+    }),
+
+    // PLANNER-INTEGRATED graph traversal (r15 — the warehouse halves
+    // unified): g08's point traversal ("orders of customer 42") over the
+    // star graph stored as maintained z-tables — the PlacedBy/enduid
+    // lookup is a literal _end_key equality on the edge ZTable, so the
+    // bloom sidecar + z spans must cut the planner's file listing (the
+    // entry REQUIRES it); kind/enduid filter residually. Twin = g08's
+    // oracle verbatim: storage layout must never change a traversal's
+    // answer.
+    "w49_ztable_traverse" -> ((s, d) => {
+      val (edf, fi) = ZStarWarehouse.edgesWithIndex(s, d)
+      val res = edf
+        .filter(col("_end_key") === 42L && col("kind") === "PlacedBy" &&
+          col("enduid") === "customer:42")
+        .select(col("startuid").as("uid"))
+      res.collect() // force the planner's real listing, then audit it
+      require(fi.lastListed > 0 && fi.lastListed < fi.inputFiles.length,
+        s"the point traversal must prune the planner listing: " +
+          s"${fi.lastListed}/${fi.inputFiles.length}")
+      res
+    }),
+
+    // STRING COLUMN STATS (r15, manifest v3): a string range predicate
+    // on the z-table's o_label stat column must prune the planner's file
+    // listing through the Prefix8-embedded bounds (the entry REQUIRES
+    // it) and still answer exactly — the twin applies the same
+    // lexicographic band to raw orders via the same lpad derivation
+    "w50_zorder_strstats" -> ((s, d) => {
+      val path = zorderStrStatFor(s, d)
+      val mo = Layout.zorderRead(s, path)
+        .agg(max("o_orderkey")).collect()(0).getLong(0)
+      val (loS, hiS) = (f"${mo / 4}%08d", f"${mo / 2}%08d")
+      val (df, fi) = graft.ops.ZTable.dataFrameWithIndex(s, path)
+      val res = df.filter(col("o_label") >= loS && col("o_label") <= hiS)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+      res.collect() // force the planner's real listing, then audit it
+      require(fi.lastListed > 0 && fi.lastListed < fi.inputFiles.length,
+        s"string stats must prune the planner listing: " +
           s"${fi.lastListed}/${fi.inputFiles.length}")
       res
     }),
@@ -5310,6 +5384,24 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders, mx
         |WHERE o_orderkey IN (mo // 7, mo // 3, mo // 2 + 1, mo + 99999)""".stripMargin,
+
+    // the planner-pruned point traversal over z-table edges ≡ g08's
+    // oracle verbatim (storage layout never changes a traversal's answer)
+    "w49_ztable_traverse" -> OrdersOfCustomerSql,
+
+    // the string-stat-pruned band ≡ the same lexicographic band over raw
+    // orders (identical lpad derivation on both sides; zero-padded labels
+    // order exactly like the numeric key, so the band is well-defined)
+    "w50_zorder_strstats" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mo FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders, mx
+        |WHERE lpad(CAST(o_orderkey AS VARCHAR), 8, '0')
+        |        >= lpad(CAST(mo // 4 AS VARCHAR), 8, '0')
+        |  AND lpad(CAST(o_orderkey AS VARCHAR), 8, '0')
+        |        <= lpad(CAST(mo // 2 AS VARCHAR), 8, '0')
+        |GROUP BY 1""".stripMargin,
 
     // the planner-integrated lookup over the same table and probes must
     // produce the identical rows (w36's twin verbatim)

@@ -37,6 +37,15 @@ trait GraphSource {
     * would be served silently. */
   def analyticsVersion: Long = 0L
 
+  /** Whether this source's FTS postings were tokenized with the
+    * unicode61 `remove_diacritics` fold (the reference's FTS5 default
+    * tokenizer, graphydb.py:652-658) — [[graft.query.Fetch]] folds MATCH
+    * query terms the same way when true, so postings and probes always
+    * agree. Ad-hoc sources default to the plain lower+split tokenizer
+    * (byte-identical to pre-r15 behavior); [[MemGraph]] defaults to
+    * unicode61, matching the reference. */
+  def ftsUnicode61: Boolean = false
+
   /** (Re-)register temp views for SQL-based query compilation. Cheap; called
     * per fetch so mutable sources always expose current state. */
   def registerViews(): Unit = {

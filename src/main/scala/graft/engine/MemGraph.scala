@@ -270,11 +270,23 @@ final class MemGraph(val spark: SparkSession) extends GraphSource {
 
   // --------------------------------------------------------------------- FTS
 
-  def resetFts(nodeFields: Seq[String] = null, edgeFields: Seq[String] = null): Unit = {
+  /** (Re)configure the FTS index. `unicode61 = true` (the DEFAULT, r15 —
+    * the reference's FTS5 tables are created with the plain unicode61
+    * tokenizer, graphydb.py:652-658) tokenizes postings with the
+    * `remove_diacritics` fold, so "café" indexes as "cafe" and query
+    * terms fold to match ([[graft.query.Fetch]] reads [[ftsUnicode61]]);
+    * pass false to opt back into the ASCII-exact lower+split tokenizer.
+    * On pure-ASCII content the two are byte-identical. */
+  def resetFts(nodeFields: Seq[String] = null, edgeFields: Seq[String] = null,
+      unicode61: Boolean = true): Unit = {
     nodeFtsFields = Option(nodeFields).map(_.toSet)
     edgeFtsFields = Option(edgeFields).map(_.toSet)
+    ftsUnicode = unicode61
     nodeFtsDocs.clear(); edgeFtsDocs.clear(); bump()
   }
+
+  private var ftsUnicode: Boolean = true
+  override def ftsUnicode61: Boolean = ftsUnicode
 
   /** Re-index every EXISTING item's configured FTS fields from its stored
     * data (string-valued props only) — the bulk counterpart of per-item
@@ -369,8 +381,12 @@ final class MemGraph(val spark: SparkSession) extends GraphSource {
     docs.toSeq.flatMap { case (uid, fields) =>
       fields.toSeq.flatMap { case (field, text) =>
         // keep split indices as positions (phrase adjacency); one row per
-        // occurrence so tf scores count repeats, like Fts.postings
-        text.toLowerCase.split(Fts.TokenSplit).zipWithIndex
+        // occurrence so tf scores count repeats, like Fts.postings — and
+        // the SAME fold-then-split order as Fts.postings' unicode61 path,
+        // so working-set and distributed postings can never disagree
+        val folded =
+          if (ftsUnicode) Fts.unicode61Fold(text) else text.toLowerCase
+        folded.split(Fts.TokenSplit).zipWithIndex
           .filter(_._1.nonEmpty).toSeq
           .map { case (term, pos) => Row(term, field, uid, pos) }
       }

@@ -442,6 +442,60 @@ object HilbertIndex {
   }
 }
 
+/** Order-preserving 8-byte prefix embedding of UTF-8 strings into the
+  * signed Long domain — the trick that lets STRING column statistics ride
+  * the manifest's existing (Long, Long) span intervals (the Iceberg
+  * truncate(N)-bounds idea, re-expressed as a numeric embedding): take the
+  * first 8 bytes, zero-pad, read big-endian, flip the sign bit so
+  * unsigned byte order maps to signed Long order. Monotone w.r.t.
+  * UTF8_BINARY (byte-lexicographic) string ordering — `a <= b` implies
+  * `of(a) <= of(b)` — so `[of(min), of(max)]` is a sound covering
+  * interval for every value's embedding, and a range/equality predicate
+  * on the string prunes through interval logic (with strict comparisons
+  * RELAXED to non-strict by the consumer: distinct strings longer than
+  * the prefix can share an embedding). Lossy by construction: never used
+  * to answer min/max, only to prune. */
+object Prefix8 {
+  def of(bytes: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < bytes.length) bytes(i) & 0xffL else 0L)
+      i += 1
+    }
+    v ^ Long.MinValue // map unsigned order onto signed Long order
+  }
+  def of(s: UTF8String): Long = of(s.getBytes)
+  def of(s: String): Long =
+    of(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+}
+
+/** [[Prefix8]] as a codegen'd expression (`str_prefix8`) — what
+  * [[graft.ops.Layout]]'s manifest stat scan records for string stat
+  * columns; the planner-side literal conversion calls the SAME static
+  * core, so write-time spans and query-time probes can never drift. */
+case class StrPrefix8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"str_prefix8 expects a string, got ${child.dataType}")
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "str_prefix8"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Prefix8.of(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Prefix8.of($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SparkSessionExtensions hook: register the functions (and the
   * metadata-aggregate optimizer rule — it only ever matches
   * manifest-backed relations, so it is inert elsewhere) on any session
@@ -483,7 +537,10 @@ object GraftExtensions {
     (FunctionIdentifier("hilbert3_index"),
       new ExpressionInfo(classOf[Hilbert3Index].getName, "hilbert3_index"),
       (children: Seq[Expression]) =>
-        Hilbert3Index(children(0), children(1), children(2))))
+        Hilbert3Index(children(0), children(1), children(2))),
+    (FunctionIdentifier("str_prefix8"),
+      new ExpressionInfo(classOf[StrPrefix8].getName, "str_prefix8"),
+      (children: Seq[Expression]) => StrPrefix8(children(0))))
 
   /** Runtime registration into an existing session's function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -432,7 +432,11 @@ object Layout {
   private[ops] final case class Span(file: String, rows: Long, zLo: Long,
       zHi: Long, aMin: Long, aMax: Long, bMin: Long, bMax: Long,
       dvRows: Long = 0L, stats: Seq[(Long, Long)] = Nil,
-      bytes: Long = -1L) // -1: written before manifests carried lengths
+      bytes: Long = -1L, // -1: written before manifests carried lengths
+      // v3: per-stat-column NULL count in this file (aligned with stats;
+      // -1 = unknown — a span parsed from a pre-v3 manifest row). What
+      // lets count(col) answer from metadata and IsNull/IsNotNull prune.
+      nulls: Seq[Long] = Nil)
 
   /** A generation's full state — the curve metadata travels INSIDE the
     * manifest, so a compaction that re-freezes the scaling bounds commits
@@ -497,11 +501,16 @@ object Layout {
       m.consumed.map(f => s"#consumed\t$f")
     // format v2: field 9 is the file's BYTE LENGTH (the Iceberg
     // file_size_in_bytes idea) so planners build FileStatus objects from
-    // the manifest alone — zero per-file stat/HEAD calls at query time
+    // the manifest alone — zero per-file stat/HEAD calls at query time.
+    // format v3: each stat column carries THREE fields (lo, hi, nulls) —
+    // the null count Iceberg records as null_value_counts; -1 = unknown
+    // (a span carried from a pre-v3 manifest keeps its honest unknown)
     val rows = m.spans.map(s =>
       s"${s.file}\t${s.rows}\t${s.zLo}\t${s.zHi}\t${s.aMin}\t${s.aMax}\t${s.bMin}\t${s.bMax}\t${s.dvRows}\t${s.bytes}" +
-        s.stats.map { case (lo, hi) => s"\t$lo\t$hi" }.mkString)
-    writeAtomic(manifestPath(path, gen), (Seq("#v\t2") ++ hdr ++ rows).mkString("\n"))
+        s.stats.zipWithIndex.map { case ((lo, hi), i) =>
+          s"\t$lo\t$hi\t${s.nulls.lift(i).getOrElse(-1L)}"
+        }.mkString)
+    writeAtomic(manifestPath(path, gen), (Seq("#v\t3") ++ hdr ++ rows).mkString("\n"))
   }
 
   private[ops] def readManifest(path: String, gen: Long): Manifest = {
@@ -518,13 +527,17 @@ object Layout {
       kv.collect { case ("consumed", f) => f },
       rows.map { l =>
         val p = l.split("\t")
-        val v2 = meta.get("v").exists(_.toInt >= 2)
+        val v = meta.get("v").map(_.toInt).getOrElse(1)
+        val statStart = if (v >= 2) 10 else 9
+        val stride = if (v >= 3) 3 else 2 // v3 adds per-column null counts
         Span(p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong,
           p(5).toLong, p(6).toLong, p(7).toLong,
           dvRows = if (p.length > 8) p(8).toLong else 0L, // pre-DV manifests: 8 cols
-          bytes = if (v2) p(9).toLong else -1L,
-          stats = ((if (v2) 10 else 9) until p.length by 2).map(i =>
-            (p(i).toLong, p(i + 1).toLong)))
+          bytes = if (v >= 2) p(9).toLong else -1L,
+          stats = (statStart until p.length by stride).map(i =>
+            (p(i).toLong, p(i + 1).toLong)),
+          nulls = (statStart until p.length by stride).map(i =>
+            if (v >= 3) p(i + 2).toLong else -1L)) // pre-v3: honest unknown
       }.sortBy(_.zLo),
       mixedSchema = meta.get("mixed").contains("1"),
       dv = meta.get("dv"),
@@ -558,8 +571,11 @@ object Layout {
     * representation Catalyst literals carry for that type — so manifest
     * stat spans compare directly against planner filter literals
     * ([[ManifestFileIndex]]): integral → the value, timestamp → micros
-    * since epoch, date → days since epoch. Anything else is rejected at
-    * [[zorderInit]]. */
+    * since epoch, date → days since epoch, string → the order-preserving
+    * [[graft.functions.Prefix8]] embedding (Iceberg's truncated string
+    * bounds, as a numeric interval; the index relaxes strict comparisons
+    * for it and never answers min/max from it). Anything else is rejected
+    * at [[zorderInit]]. */
   private def statLongExpr(dt: org.apache.spark.sql.types.DataType,
       c: String): Column = {
     import org.apache.spark.sql.types._
@@ -567,9 +583,10 @@ object Layout {
       case TimestampType => unix_micros(col(c))
       case DateType => unix_date(col(c)).cast("long")
       case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+      case StringType => call_function("str_prefix8", col(c))
       case other => throw new IllegalArgumentException(
         s"stat column $c has unsupported type $other — integral, " +
-          "timestamp, and date columns carry manifest stats")
+          "timestamp, date, and string columns carry manifest stats")
     }
   }
 
@@ -584,6 +601,8 @@ object Layout {
   private def spanStats(spark: SparkSession, root: String, files: Seq[String],
       colA: String, colB: String, aLo: Long, aHi: Long, bLo: Long,
       bHi: Long, statCols: Seq[String] = Nil): Seq[Span] = {
+    if (statCols.nonEmpty) // string stats use the str_prefix8 expression
+      graft.functions.GraftExtensions.register(spark)
     val rootPath = java.nio.file.Paths.get(root).toAbsolutePath
     val z = zValue(scale16(col(colA), aLo, aHi), scale16(col(colB), bLo, bHi))
     // mergeSchema: evolved appends may omit a stat column in some files
@@ -594,8 +613,11 @@ object Layout {
       if (df.columns.contains(c)) statLongExpr(df.schema(c).dataType, c).as(s"_s_$c")
       else lit(null).cast("long").as(s"_s_$c") // absent on this file set
     }
+    // per column: min, max, NON-NULL count (the transforms above are
+    // null-preserving, so count(_s_c) counts the source column's
+    // non-null rows; nulls = file rows − that)
     val statAggs = statCols.flatMap(c =>
-      Seq(min(col(s"_s_$c")), max(col(s"_s_$c"))))
+      Seq(min(col(s"_s_$c")), max(col(s"_s_$c")), count(col(s"_s_$c"))))
     df.select(Seq(input_file_name().as("f"), z.as("_z"),
         col(colA).cast("long").as("_a"), col(colB).cast("long").as("_b")) ++
         statSel: _*)
@@ -606,14 +628,16 @@ object Layout {
       .map { r =>
         val rel = rootPath.relativize(java.nio.file.Paths.get(
           new java.net.URI(r.getString(0)).getPath)).toString
+        val rows = r.getLong(1)
         Span(rel,
-          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          rows, r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
           r.getLong(6), r.getLong(7),
           stats = statCols.indices.map { i =>
-            val (loI, hiI) = (8 + 2 * i, 9 + 2 * i)
+            val (loI, hiI) = (8 + 3 * i, 9 + 3 * i)
             if (r.isNullAt(loI)) (Long.MaxValue, Long.MinValue) // empty: prunes
             else (r.getLong(loI), r.getLong(hiI))
           },
+          nulls = statCols.indices.map(i => rows - r.getLong(10 + 3 * i)),
           // one stat call per FRESH file, at write time — query-time
           // planners then never touch the filesystem for lengths
           bytes = java.nio.file.Files.size(rootPath.resolve(rel)))
@@ -1530,8 +1554,12 @@ object Layout {
     require(hashes >= 1 && hashes <= 16, "need 1 <= hashes <= 16")
     require(shards >= 1, "need shards >= 1")
     val (cur, man) = currentManifest(path)
+    // carry from the newest retained sidecar with matching parameters —
+    // INCLUDING the current generation's own (a same-generation refresh
+    // after a maintain-then-bloom-carry gap is the advisor's
+    // bloom_stale remedy, and must rescan only the gap files)
     val prior: Map[String, Map[Int, Long]] =
-      retainedGens(path).filter(_ < cur).sorted.reverse
+      retainedGens(path).sorted.reverse
         .flatMap(g => readBloom(path, g, keyCol))
         .find(b => b.bits == bits && b.hashes == hashes)
         .map(_.words).getOrElse(Map.empty)
@@ -1805,12 +1833,22 @@ object Layout {
     graft.engine.WarehouseMeta.deleteRecursively(staging)
   }
 
-  /** Shared merge-on-read delete: tombstone live rows of the candidate
-    * files that match `pred`, touching NO data file. Returns
-    * (rowsDeleted, filesTombstoned). */
+  /** [[dvDelete]] with a plain Column predicate — the shape every
+    * driver-keyed caller uses. */
   private def dvDelete(spark: SparkSession, path: String,
       candIdxOf: Manifest => Seq[Int],
-      predOf: Manifest => Column): (Long, Int) = withTableLock(path) {
+      predOf: Manifest => Column): (Long, Int) =
+    dvDeleteMatched(spark, path, candIdxOf,
+      (man, scan) => scan.filter(coalesce(predOf(man), lit(false))))
+
+  /** Shared merge-on-read delete: tombstone live rows of the candidate
+    * files that `matchOf` keeps (given the candidate scan with `_fname`/
+    * `_pos` identity columns, return the doomed rows — a filter for
+    * literal predicates, a semi-join for DISTRIBUTED key sets), touching
+    * NO data file. Returns (rowsDeleted, filesTombstoned). */
+  private def dvDeleteMatched(spark: SparkSession, path: String,
+      candIdxOf: Manifest => Seq[Int],
+      matchOf: (Manifest, DataFrame) => DataFrame): (Long, Int) = withTableLock(path) {
     val cur = currentGen(path).getOrElse(
       throw new IllegalStateException(s"no zorderInit at $path"))
     rollbackStaleAppendIntents(path)
@@ -1823,13 +1861,14 @@ object Layout {
     val rd = if (man.mixedSchema) spark.read.option("mergeSchema", "true")
       else spark.read
     // physical candidate read with per-row file identity + position;
-    // NULL-key rows make pred NULL → never tombstoned (kept, like the
-    // copy-on-write delete's survivors)
-    val matches = rd
+    // NULL-key rows make a filter pred NULL (→ never tombstoned, kept
+    // like the copy-on-write delete's survivors) and never equal a
+    // semi-join key
+    val scan = rd
       .parquet(candIdx.map(i => root.resolve(spans(i).file).toString): _*)
       .withColumn("_fname", element_at(split(input_file_name(), "/"), -1))
       .withColumn("_pos", col("_metadata.row_index"))
-      .filter(coalesce(predOf(man), lit(false)))
+    val matches = matchOf(man, scan)
       .select(col("_fname").as("fname"), col("_pos").as("pos"))
     // exclude positions an earlier vectored delete already tombstoned —
     // repeat deletes are exact no-ops and counts stay exact. Persisted:
@@ -1961,6 +2000,26 @@ object Layout {
             bloomAdmits(b, man.spans(i).file, p)))
       },
       _ => col(keyCol).cast("long").isin(values: _*))
+
+  /** [[zorderDeleteVectoredByKey]] with a DISTRIBUTED key set — the
+    * shape a large CDC poll needs: `keys` is a single-column DataFrame of
+    * long key values that never lands on the driver; doomed rows resolve
+    * through one semi-join of the candidate scan against it. No bloom
+    * narrowing (bitset probes need driver-side values), so every file
+    * scans — the right trade exactly when the key set is too big to
+    * collect, because churn that size touches most files anyway. NULL
+    * keys in `keys` match nothing (join equality), mirroring the
+    * driver-keyed twin. Returns (rowsDeleted, filesTombstoned). */
+  def zorderDeleteVectoredByKey(spark: SparkSession, path: String,
+      keyCol: String, keys: DataFrame): (Long, Int) = {
+    require(keys.columns.length == 1,
+      s"keys must be a single-column DataFrame, got ${keys.columns.length}")
+    val k = keys.select(col(keys.columns.head).cast("long").as("_del_key"))
+    dvDeleteMatched(spark, path,
+      man => man.spans.indices.toSeq,
+      (_, scan) => scan.join(k,
+        scan(keyCol).cast("long") === k("_del_key"), "left_semi"))
+  }
 
   /** PHYSICAL purge of every tombstone: rewrite exactly the files with
     * deletion-vector rows (live rows only, z-sorted — span tightness
@@ -2179,6 +2238,22 @@ object Layout {
   private def cdcCursorPath(followerPath: String) =
     java.nio.file.Paths.get(followerPath, "cdc-cursor")
 
+  /** Poll INTENT marker: the primary generation a [[zorderCdcApply]] poll
+    * committed to BEFORE its first mutation. Exists only between that
+    * write and the poll's cursor advance — a crash in between leaves it
+    * behind, and the replay pins its feed to this generation instead of
+    * the primary's (possibly newer) CURRENT. Without the pin, a primary
+    * commit during the crash window can CANCEL a key's net membership
+    * over the wider replay range (insert-then-delete, or
+    * delete-then-identical-reinsert), the two-sided net diff omits the
+    * key entirely, and the crashed run's partial application is never
+    * repaired — silent permanent divergence. Pinned, the replayed feed is
+    * byte-identical to the crashed poll's (manifests are immutable), so
+    * delete-then-insert idempotence repairs fully; the NEXT poll then
+    * picks up whatever the primary committed meanwhile. */
+  private def cdcIntentPath(followerPath: String) =
+    java.nio.file.Paths.get(followerPath, "cdc-intent")
+
   /** Seed a CDC FOLLOWER table: snapshot the primary's CURRENT generation
     * (pinned to that generation's manifest — a racing primary commit
     * cannot tear the read), init the follower with the SAME layout keys,
@@ -2203,24 +2278,35 @@ object Layout {
     * would key on). Returns (insertsApplied, deletesApplied, newCursor).
     *
     * The apply is DELETE-THEN-INSERT by key, which makes replay
-    * idempotent with NO intent log: every changed key (the feed's delete
-    * rows AND insert rows — an update is its delete+insert pair) is
-    * vector-deleted first (repeat deletes are exact no-ops), then the
-    * insert rows append and fold. A crash before the cursor write
-    * replays the whole poll: the re-delete tombstones the crashed run's
-    * copies, the re-insert lands them once — net exactly one copy. The
-    * cursor advances atomically LAST.
+    * idempotent: every changed key (the feed's delete rows AND insert
+    * rows — an update is its delete+insert pair) is vector-deleted first
+    * (repeat deletes are exact no-ops), then the insert rows append and
+    * fold. A crash before the cursor write replays the whole poll: the
+    * re-delete tombstones the crashed run's copies, the re-insert lands
+    * them once — net exactly one copy. Replay correctness additionally
+    * needs the replayed feed to EQUAL the crashed poll's feed, so each
+    * poll persists an intent marker pinning its target generation before
+    * the first mutation ([[cdcIntentPath]] — without it, a primary
+    * commit during the crash window could cancel a key's net membership
+    * over the widened range and the replay would never repair that key).
+    * The cursor advances atomically LAST; the intent clears after it.
     *
-    * Scale shape: changed keys collect to the driver (churn-bounded per
-    * poll — the takedown loop's contract; size the poll cadence to the
-    * churn, not the table). A poll whose churn would tombstone EVERY
-    * follower row refuses (the vectored delete's empty-table guard) —
-    * re-seed instead of replaying a table-wide rewrite through the feed.
-    * `sinceGen` must still be retained on the primary: size its
+    * Scale shape: the feed's summary stats are ONE aggregate row; the
+    * changed keys collect to the driver only while the poll's churn is at
+    * most `collectThreshold` rows (small churn → bloom-pruned vectored
+    * delete). Above it, keys stay DISTRIBUTED: the delete phase
+    * semi-joins the follower scan against the key set and the insert
+    * slice appends directly — driver memory stays flat no matter how
+    * large a restatement the primary committed. A poll whose churn would
+    * tombstone EVERY follower row refuses (the vectored delete's
+    * empty-table guard) — re-seed instead of replaying a table-wide
+    * rewrite through the feed. `sinceGen` (and a crashed poll's pinned
+    * intent generation) must still be retained on the primary: size its
     * retention window to the consumer's poll cadence, or the feed names
     * the gap loudly instead of silently skipping commits. */
   def zorderCdcApply(spark: SparkSession, primaryPath: String,
-      followerPath: String, keyCol: String): (Long, Long, Long) =
+      followerPath: String, keyCol: String,
+      collectThreshold: Long = 100000L): (Long, Long, Long) =
     // the applier's OWN lock (not the table lock — the inner delete/
     // append/maintain each take that, and the file-lock layer is not
     // reentrant): serializes concurrent appliers, whose interleaved
@@ -2237,30 +2323,66 @@ object Layout {
       // only) — committing them here is what lets the replay's re-delete
       // reach the crashed copies, closing the last at-least-once window
       zorderMaintain(spark, followerPath)
-      val (changes, newCur) = zorderChangesSince(spark, primaryPath, cursor)
-      if (newCur == cursor) return (0L, 0L, cursor)
-      val cached = changes.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // a leftover intent = a poll crashed after its first mutation and
+      // before its cursor write: REPLAY that poll against its pinned
+      // generation (see cdcIntentPath); a fresh poll pins the primary's
+      // CURRENT before mutating anything
+      val intent = cdcIntentPath(followerPath)
+      val pinned = if (java.nio.file.Files.isRegularFile(intent))
+        Some(new String(java.nio.file.Files.readAllBytes(intent),
+          "UTF-8").trim.toLong)
+      else None
+      val targetGen = pinned match {
+        case Some(g) if g != cursor => g
+        case other =>
+          // g == cursor: the crash fell between cursor write and intent
+          // delete — the poll completed; clear the marker and poll fresh
+          if (other.isDefined) java.nio.file.Files.deleteIfExists(intent)
+          val cur = currentGen(primaryPath).getOrElse(
+            throw new IllegalStateException(s"no zorderInit at $primaryPath"))
+          if (cur == cursor) return (0L, 0L, cursor)
+          cur
+      }
+      val cached = zorderChanges(spark, primaryPath, cursor, targetGen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val kc = col(keyCol).cast("long")
-        // ONE driver action over the feed: (key, change_type) pairs are
-        // exactly the churn-bounded state the apply needs
-        val pairs = cached
-          .select(kc.as("k"), col("change_type").as("ct")).collect()
+        // ONE bounded driver action over the feed: total/null/delete
+        // counters — a single aggregate row regardless of churn
+        val st = cached.agg(count(lit(1)),
+          sum(when(kc.isNull, 1L).otherwise(0L)),
+          sum(when(col("change_type") === "delete", 1L).otherwise(0L)))
+          .collect()(0)
+        val total = st.getLong(0)
         // a NULL key can never be deleted back out (and a null-keyed
         // delete could never remove its target) — applying it would be
         // silent permanent divergence, so refuse BEFORE any mutation and
-        // BEFORE the cursor moves
-        require(!pairs.exists(_.isNullAt(0)),
+        // BEFORE the cursor moves. Validation runs BEFORE the intent
+        // write too, so a refused poll never leaves a pinned marker (a
+        // genuine crashed-poll replay re-passes this check by feed
+        // determinism — pinned generations replay byte-identical feeds)
+        require(total == 0L || st.getLong(1) == 0L,
           s"the change feed carries rows with a NULL $keyCol — the " +
             "CDC apply key must be non-null (and unique) on every row")
-        val keys = pairs.map(_.getLong(0)).distinct.toSeq
-        val nDeletes = pairs.count(_.getString(1) == "delete").toLong
-        val nInserts = pairs.length - nDeletes
-        if (keys.nonEmpty) {
+        val nDeletes = if (total == 0L) 0L else st.getLong(2)
+        val nInserts = total - nDeletes
+        if (total > 0L) {
+          // the poll commits to its target generation BEFORE the first
+          // mutation (idempotent overwrite on a pinned replay); a feed
+          // with zero rows mutates nothing, so it needs no pin
+          writeAtomic(intent, targetGen.toString)
           // a feed that nets to zero (e.g. the primary compacted) has no
           // keys and skips straight to the cursor advance
-          zorderDeleteVectoredByKey(spark, followerPath, keyCol, keys)
+          if (total <= collectThreshold) {
+            // churn-bounded poll: driver-side keys, bloom-pruned delete
+            val keys = cached.select(kc.as("k")).distinct()
+              .collect().map(_.getLong(0)).toSeq
+            zorderDeleteVectoredByKey(spark, followerPath, keyCol, keys)
+          } else {
+            // bulk restatement: keys stay distributed end to end
+            zorderDeleteVectoredByKey(spark, followerPath, keyCol,
+              cached.select(kc.as("k")).distinct())
+          }
           if (nInserts > 0) {
             zorderAppend(cached.filter(col("change_type") === "insert")
               .drop("change_type"), followerPath)
@@ -2268,8 +2390,9 @@ object Layout {
             ()
           }
         }
-        writeAtomic(cdcCursorPath(followerPath), newCur.toString)
-        (nInserts, nDeletes, newCur)
+        writeAtomic(cdcCursorPath(followerPath), targetGen.toString)
+        java.nio.file.Files.deleteIfExists(intent)
+        (nInserts, nDeletes, targetGen)
       } finally { cached.unpersist(); () }
     }
 
@@ -2346,6 +2469,58 @@ object Layout {
         "zorderVacuum", "crash debris or aged-out generations hold disk")
     ).toDF("signal", "value", "fire", "recommended_action", "reason")
   }
+
+  /** Advisor AUTO-PILOT: run [[zorderAdvise]] and EXECUTE its
+    * highest-priority fired recommendation — bounded to ONE action per
+    * call (each action changes the census, so a maintenance cron
+    * converges one bounded step per tick instead of stacking a full
+    * rewrite pipeline into one outage window), idempotent (all-clear
+    * census → no-op). Returns the (signal, action) executed, or None
+    * when nothing fired. Signal order IS the priority order
+    * zorderAdvise emits: landing first (unmaintained appends are
+    * invisible to readers), then planning-state freshness (blooms),
+    * then space/read-amplification (tombstones, small files, clamped
+    * bounds), then GC. Serialized against concurrent optimizers by its
+    * own lock — NOT the table lock, which every executed action takes
+    * itself (the file-lock layer is not reentrant). A bloom rebuild
+    * reuses the stale sidecar's own (bits, hashes, shards), so the
+    * auto-pilot never silently re-sizes an operator's index. */
+  def zorderOptimize(spark: SparkSession, path: String,
+      smallFileRows: Long = 100000L, tombstoneFraction: Double = 0.1):
+      Option[(String, String)] =
+    withNamedLock(path, ".optimize-lock") {
+      val fired = zorderAdvise(spark, path, smallFileRows, tombstoneFraction)
+        .filter(col("fire")).select("signal", "recommended_action")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      fired.headOption.map { case (sig, act) =>
+        act match {
+          case "zorderMaintain" => zorderMaintain(spark, path); ()
+          case "zorderBloomBuild" =>
+            val cur = currentGen(path).get
+            bloomColumnsOf(path, cur).foreach { c =>
+              val shards = bloomSidecarNames(path, cur)
+                .filter(_.startsWith(s"bloom-$cur-$c.shard"))
+                .flatMap(_.split("of").lastOption
+                  .flatMap(_.stripSuffix(".tsv").toIntOption))
+                .headOption.getOrElse(1)
+              readBloom(path, cur, c) match {
+                case Some(b) =>
+                  zorderBloomBuild(spark, path, c, b.bits, b.hashes, shards)
+                case None => zorderBloomBuild(spark, path, c, shards = shards)
+              }
+            }
+          case "zorderDvMaterialize" => zorderDvMaterialize(spark, path); ()
+          case "zorderCompactSmall" =>
+            zorderCompactSmall(spark, path, smallFileRows); ()
+          case "zorderCompact" =>
+            zorderCompact(spark, path, math.max(1, currentSpans(path).size))
+          case "zorderVacuum" => zorderVacuum(path)
+          case other => throw new IllegalStateException(
+            s"zorderAdvise recommended an unknown action $other") // unreachable
+        }
+        (sig, act)
+      }
+    }
 
   // ----------------------------------------------- replication (mirror)
   //
@@ -2442,16 +2617,22 @@ object Layout {
       val upToDate = currentGen(replicaPath).contains(pCur) &&
         gens.forall(g => Files.isRegularFile(manifestPath(replicaPath, g)))
       if (upToDate) {
-        // generations match, but a bloom sidecar built (or rebuilt) on the
+        // generations match, but a bloom sidecar built (or REBUILT) on the
         // primary AFTER the replica reached this generation would
         // otherwise never ship until the next generation commit — sync
-        // any missing sidecars so replica point lookups keep pruning
-        // (absent sidecars are never wrong, just unpruned)
-        blooms.filterNot(n => Files.isRegularFile(rRoot.resolve(n)))
-          .foreach { n =>
-            writeAtomic(rRoot.resolve(n), new String(
-              Files.readAllBytes(pRoot.resolve(n)), "UTF-8"))
-          }
+        // sidecars that are missing OR whose CONTENT differs (an
+        // incremental rebuild at the same generation reuses the same
+        // bloom-<gen>-<col>.tsv name with gap entries filled, so a
+        // name-only check would leave replica point lookups unpruned for
+        // those files; absent/stale sidecars are never wrong, just
+        // unpruned — this keeps the replica pruned too)
+        blooms.foreach { n =>
+          val src = Files.readAllBytes(pRoot.resolve(n))
+          val dst = rRoot.resolve(n)
+          if (!Files.isRegularFile(dst) ||
+              !java.util.Arrays.equals(src, Files.readAllBytes(dst)))
+            writeAtomic(dst, new String(src, "UTF-8"))
+        }
         return (0, 0)
       }
       // 1. data files (including deletion vectors) the replica is missing

@@ -33,6 +33,8 @@ object LayoutProbe {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("ztable100k")) { runZTable100k(); return }
+    if (args.headOption.contains("ztraverse100k")) { runTraverse100k(); return }
+    if (args.headOption.contains("cdcdecades")) { runCdcDecades(); return }
     val cpus = Runtime.getRuntime.availableProcessors().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -345,6 +347,131 @@ object LayoutProbe {
       s""""index_build_sec":${r4(buildSec)},"hit":$hit,""" +
       s""""list_sec_per_query":${r4(listSec)},""" +
       s""""dataframe_derive_sec":${r4(deriveSec)},"cols":$nCols}""")
+  }
+
+  /** The r15 warehouse-unification probe: a POINT TRAVERSAL (the
+    * reference's `node.inE` / `getuid` shape, expressed as a literal
+    * `_end_key` equality on the edge z-table) planned against a synthetic
+    * 100k-file edge manifest with a bloom sidecar over `_end_key`. The
+    * span bounds narrow the b dimension to one grid column (~316 files);
+    * the bitset conjunct then cuts that to the file(s) actually holding
+    * the key — the composition a 100 TB graph warehouse's hot path pays
+    * per lookup, all driver-side, zero file opens. */
+  private[ops] def runTraverse100k(): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      EqualTo => CEq, Literal => CLit}
+    import org.apache.spark.sql.types.LongType
+    val g = 316
+    val step = 65536L / g
+    val spans = (0 until g * g).map { i =>
+      val (ai, bi) = (i / g, i % g)
+      Layout.Span(s"data/g0/e$i.parquet", 1000L, i.toLong, i.toLong,
+        ai * step, (ai + 1) * step - 1, bi * step, (bi + 1) * step - 1,
+        bytes = 1L << 20)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ltrav").toString + "/t"
+    Layout.commitManifestUnsafe(dir, 0L,
+      Layout.Manifest("_start_key", "_end_key", 0L, 65535L, 0L, 65535L,
+        Seq.empty, spans))
+    // sidecar over _end_key: each file's bitset holds ONE end key inside
+    // its b stripe — the sparse-neighborhood regime of a real graph
+    val bits = 1 << 10
+    val hashes = 5
+    val rows = spans.map { sp =>
+      val key = sp.bMin + (sp.zLo % step) // a key inside the file's stripe
+      val words = Layout.probePositions(key, bits, hashes)
+        .map(p => p / 64 -> (1L << (p % 64)))
+        .groupBy(_._1).map { case (w, ps) => w -> ps.map(_._2).reduce(_ | _) }
+      sp.file + "\t" + words.map { case (w, b) =>
+        s"$w:${java.lang.Long.toHexString(b)}" }.mkString(",")
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "bloom-0-_end_key.tsv"),
+      (Seq(s"#bits\t$bits", s"#hashes\t$hashes") ++ rows)
+        .mkString("\n").getBytes("UTF-8"))
+    val fi = new ManifestFileIndex(dir, Layout.readManifest(dir, 0L), 0L)
+    val endKey = AttributeReference("_end_key", LongType)()
+    val reps = 50
+    var spanOnly = 0
+    var hit = 0
+    val sec = time {
+      for (r <- 0 until reps) {
+        val i = ((r * 2654435761L) % (g * g)).toInt
+        val probe = spans(i).bMin + (spans(i).zLo % step)
+        hit = fi.listFiles(Nil, Seq(CEq(endKey, CLit(probe))))
+          .map(_.files.size).sum
+      }
+    } / reps
+    // span-only narrowing for comparison (bloom sidecar removed)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "bloom-0-_end_key.tsv"))
+    val fi2 = new ManifestFileIndex(dir, Layout.readManifest(dir, 0L), 0L)
+    spanOnly = fi2.listFiles(Nil, Seq(CEq(endKey, CLit(spans(0).bMin))))
+      .map(_.files.size).sum
+    println(s"""{"metric":"ztraverse_100k_point","files":${g * g},""" +
+      s""""span_only_listed":$spanOnly,"bloom_listed":$hit,""" +
+      s""""list_sec_per_query":${r4(sec)}}""")
+  }
+
+  /** The r15 CDC-follower decades (VERDICT r14 worklist #7): the two
+    * curves that certify [[Layout.zorderCdcApply]]'s cost tracks CHURN,
+    * not table size. Churn decade: fixed primary, 10×/100× churn per
+    * poll. History decade: fixed churn, 4×/16× table. One extra row
+    * drives the top churn through the DISTRIBUTED key path
+    * (collectThreshold = 0) — the bulk-restatement shape whose driver
+    * memory stays flat. Real tables, measured wall time. */
+  private[ops] def runCdcDecades(): Unit = {
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def table(rows: Long): org.apache.spark.sql.DataFrame =
+      spark.range(rows).select((col("id") / 1024).cast("long").as("a"),
+        (col("id") % 1024).as("b"), col("id").as("k"),
+        concat(lit("v"), col("id")).as("v"))
+    def pollSec(rows: Long, files: Int, churn: Int,
+        collectThreshold: Long): Double = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lcdcd")
+      val pri = s"$tmp/pri"; val fol = s"$tmp/fol"
+      Layout.zorderInit(spark, table(rows), pri, "a", "b", files,
+        keepGenerations = 8)
+      Layout.zorderCdcSeed(spark, pri, fol, files)
+      // half the churn deletes existing keys, half appends new rows —
+      // the restatement mix a follower actually sees
+      Layout.zorderDeleteVectoredByKey(spark, pri, "k",
+        (0L until churn / 2).toSeq)
+      Layout.zorderAppend(spark.range(rows * 2, rows * 2 + churn / 2)
+        .select((col("id") % 1024).as("a"), (col("id") / 1024 % 1024).as("b"),
+          col("id").as("k"), concat(lit("v"), col("id")).as("v")), pri)
+      Layout.zorderMaintain(spark, pri)
+      var out = (0L, 0L, 0L)
+      val sec = time {
+        out = Layout.zorderCdcApply(spark, pri, fol, "k", collectThreshold)
+      }
+      require(out._1 > 0 && out._2 > 0, s"probe poll applied nothing: $out")
+      graft.engine.WarehouseMeta.deleteRecursively(tmp)
+      sec
+    }
+    // churn decade: fixed 1M-row primary, churn 1k → 10k → 100k
+    for (churn <- Seq(1000, 10000, 100000)) {
+      val sec = pollSec(1L << 20, 64, churn, collectThreshold = 100000L)
+      println(s"""{"metric":"zcdc_apply_churn","table_rows":${1L << 20},""" +
+        s""""churn":$churn,"sec":${r4(sec)}}""")
+    }
+    // history decade: fixed 10k churn, table 256k → 1M → 4M
+    for ((rows, files) <- Seq((1L << 18, 16), (1L << 20, 64), (1L << 22, 256))) {
+      val sec = pollSec(rows, files, 10000, collectThreshold = 100000L)
+      println(s"""{"metric":"zcdc_apply_history","table_rows":$rows,""" +
+        s""""churn":10000,"sec":${r4(sec)}}""")
+    }
+    // the distributed path at the top churn (bulk restatement shape)
+    val dsec = pollSec(1L << 20, 64, 100000, collectThreshold = 0L)
+    println(s"""{"metric":"zcdc_apply_distributed","table_rows":${1L << 20},""" +
+      s""""churn":100000,"sec":${r4(dsec)}}""")
+    spark.stop()
   }
 
   private def run100kChangePlanning(): Unit = {

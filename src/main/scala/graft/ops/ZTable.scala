@@ -4,8 +4,8 @@ import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
-  Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
-  LessThanOrEqual, Literal, Or}
+  Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull,
+  LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
   PartitionDirectory}
 import org.apache.spark.sql.functions._
@@ -135,6 +135,27 @@ private[graft] object SpanDomains {
          org.apache.spark.sql.types.LongType => true
     case _ => false
   }
+  def isString(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.StringType
+  /** A Catalyst-internal literal value rendered into the column's span
+    * domain: integral/micros/days arrive as boxed integrals (anyLong);
+    * a STRING literal (UTF8String) embeds via [[graft.functions.Prefix8]]
+    * — the same static core the manifest stat scan recorded, so spans
+    * and probes agree byte-for-byte. The embedding is LOSSY (an 8-byte
+    * prefix): consumers must relax strict string comparisons to
+    * non-strict ([[relaxStrict]]), or risk false pruning on prefix ties. */
+  def domainLong(dt: org.apache.spark.sql.types.DataType,
+      v: Any): Option[Long] = v match {
+    case null => None
+    case u: org.apache.spark.unsafe.types.UTF8String if isString(dt) =>
+      Some(graft.functions.Prefix8.of(u))
+    case other => anyLong(other)
+  }
+  /** Strict comparisons stay strict only where the span domain is exact
+    * — the prefix embedding maps distinct strings to equal longs, so
+    * `a > v` on a string can only prune as `a >= v`. */
+  def relaxStrict(dt: org.apache.spark.sql.types.DataType): Boolean =
+    isString(dt)
 }
 
 /** [[FileIndex]] over one committed generation's manifest: `listFiles`
@@ -212,6 +233,24 @@ final class ManifestFileIndex private[ops] (path: String,
       }
     }
 
+  /** Generation-wide NON-NULL row count for a declared stat column —
+    * what [[graft.plans.ManifestAggs]] folds `count(col)` from (v3
+    * manifests record per-file null counts; Iceberg's
+    * null_value_counts): `Some(Σ(rows − nulls))` when EVERY span's
+    * counter is known, `None` when the column isn't declared or any file
+    * predates the counter (pre-v3 manifest rows: honest unknown). Callers
+    * must separately require a tombstone-free generation — counts here
+    * are physical. */
+  def spanNonNullCount(colName: String): Option[Long] = {
+    val i = man.statCols.indexOf(colName)
+    if (i < 0) None
+    else {
+      val entries = man.spans.map(s => s.nulls.lift(i).filter(_ >= 0))
+      if (entries.exists(_.isEmpty)) None
+      else Some(man.spans.map(_.rows).sum - entries.flatten.sum)
+    }
+  }
+
   /** How many listFiles calls pruned at least one file — a test/audit
     * hook (metrics on FileSourceScanExec need an executed plan; this is
     * readable right after planning). */
@@ -253,8 +292,13 @@ final class ManifestFileIndex private[ops] (path: String,
     // as one expression, which the conjunctive boundsFor path can't use —
     // evaluate those per span with may-match interval logic, so
     // `a < 5 OR a > 1000` (two-window time ranges, id-set unions) prunes
-    // instead of listing everything
-    val orFilters = dataFilters.collect { case o: Or => o }
+    // instead of listing everything. IsNull/IsNotNull conjuncts (r15)
+    // ride the same per-span walk, pruning through v3 null counters.
+    val orFilters = dataFilters.collect {
+      case o: Or => (o: Expression)
+      case n: IsNull => (n: Expression)
+      case n: IsNotNull => (n: Expression)
+    }
     val hit = statuses.zipWithIndex.filter { case ((s, _), idx) =>
       s.aMin <= aHi && s.aMax >= aLo && s.bMin <= bHi && s.bMax >= bLo &&
       statBounds.zipWithIndex.forall { case ((lo, hi), i) =>
@@ -299,13 +343,32 @@ final class ManifestFileIndex private[ops] (path: String,
       }
     }
 
+  /** The span's recorded NULL count for `aName`, when known: a declared
+    * stat column whose manifest row carries a v3 null counter (−1 and
+    * pre-v3 rows are honest unknowns — no pruning). Counts are PHYSICAL
+    * rows, which is sound under tombstones in both directions: all
+    * physical rows null ⇒ all live rows null, zero physical nulls ⇒ zero
+    * live nulls. */
+  private def spanNulls(aName: String, s: Layout.Span): Option[Long] = {
+    val i = man.statCols.indexOf(aName)
+    if (i < 0) None else s.nulls.lift(i).filter(_ >= 0)
+  }
+
   /** May `e` match any row of span `s`? Evaluates OR/AND trees of literal
     * comparisons against the span's intervals; every unrecognized node or
     * leaf answers TRUE (may match — never false pruning). A comparison
     * leaf on a known all-null column answers FALSE (NULL fails every
-    * comparison; IsNull itself is an unrecognized node, so it admits). */
+    * comparison); IsNull/IsNotNull leaves prune through the v3 null
+    * counters when recorded. STRING columns compare in the lossy
+    * [[graft.functions.Prefix8]] domain, so their strict comparisons
+    * relax to non-strict ([[SpanDomains.relaxStrict]]). */
   private def mayMatch(e: Expression, s: Layout.Span): Boolean = {
-    def leaf(a: Attribute, lv: Option[Long],
+    def leaf(a: Attribute, l: Literal,
+        test: (Long, Long, Long) => Boolean,
+        relaxed: (Long, Long, Long) => Boolean): Boolean =
+      leafV(a, SpanDomains.domainLong(a.dataType, l.value),
+        if (SpanDomains.relaxStrict(a.dataType)) relaxed else test)
+    def leafV(a: Attribute, lv: Option[Long],
         test: (Long, Long, Long) => Boolean): Boolean =
       (spanInterval(a.name, a.dataType, s), lv) match {
         case (Some(None), _) => false
@@ -316,37 +379,46 @@ final class ManifestFileIndex private[ops] (path: String,
       case Or(l, r) => mayMatch(l, s) || mayMatch(r, s)
       case And(l, r) => mayMatch(l, s) && mayMatch(r, s)
       case EqualTo(a: Attribute, l: Literal) =>
-        leaf(a, litLong(l), (lo, hi, v) => lo <= v && v <= hi)
+        leaf(a, l, (lo, hi, v) => lo <= v && v <= hi,
+          (lo, hi, v) => lo <= v && v <= hi)
       case EqualTo(l: Literal, a: Attribute) =>
-        leaf(a, litLong(l), (lo, hi, v) => lo <= v && v <= hi)
+        leaf(a, l, (lo, hi, v) => lo <= v && v <= hi,
+          (lo, hi, v) => lo <= v && v <= hi)
       case GreaterThan(a: Attribute, l: Literal) =>
-        leaf(a, litLong(l), (_, hi, v) => hi > v)
+        leaf(a, l, (_, hi, v) => hi > v, (_, hi, v) => hi >= v)
       case GreaterThan(l: Literal, a: Attribute) =>
-        leaf(a, litLong(l), (lo, _, v) => lo < v)
+        leaf(a, l, (lo, _, v) => lo < v, (lo, _, v) => lo <= v)
       case GreaterThanOrEqual(a: Attribute, l: Literal) =>
-        leaf(a, litLong(l), (_, hi, v) => hi >= v)
+        leaf(a, l, (_, hi, v) => hi >= v, (_, hi, v) => hi >= v)
       case GreaterThanOrEqual(l: Literal, a: Attribute) =>
-        leaf(a, litLong(l), (lo, _, v) => lo <= v)
+        leaf(a, l, (lo, _, v) => lo <= v, (lo, _, v) => lo <= v)
       case LessThan(a: Attribute, l: Literal) =>
-        leaf(a, litLong(l), (lo, _, v) => lo < v)
+        leaf(a, l, (lo, _, v) => lo < v, (lo, _, v) => lo <= v)
       case LessThan(l: Literal, a: Attribute) =>
-        leaf(a, litLong(l), (_, hi, v) => hi > v)
+        leaf(a, l, (_, hi, v) => hi > v, (_, hi, v) => hi >= v)
       case LessThanOrEqual(a: Attribute, l: Literal) =>
-        leaf(a, litLong(l), (lo, _, v) => lo <= v)
+        leaf(a, l, (lo, _, v) => lo <= v, (lo, _, v) => lo <= v)
       case LessThanOrEqual(l: Literal, a: Attribute) =>
-        leaf(a, litLong(l), (_, hi, v) => hi >= v)
+        leaf(a, l, (_, hi, v) => hi >= v, (_, hi, v) => hi >= v)
+      case IsNotNull(a: Attribute) =>
+        // a file whose every physical row is null provably holds no
+        // IsNotNull match; unknown counters admit
+        spanNulls(a.name, s).forall(_ < s.rows)
+      case IsNull(a: Attribute) =>
+        spanNulls(a.name, s).forall(_ > 0)
       case In(a: Attribute, list) if list.nonEmpty &&
           list.forall(_.isInstanceOf[Literal]) =>
-        val vs = list.map(l => litLong(l.asInstanceOf[Literal]))
+        val vs = list.map(l =>
+          SpanDomains.domainLong(a.dataType, l.asInstanceOf[Literal].value))
         if (vs.forall(_.isDefined))
           vs.flatten.exists(v =>
-            leaf(a, Some(v), (lo, hi, x) => lo <= x && x <= hi))
+            leafV(a, Some(v), (lo, hi, x) => lo <= x && x <= hi))
         else true
       case InSet(a: Attribute, set) if set.nonEmpty =>
-        val vs = set.toSeq.map(SpanDomains.anyLong)
+        val vs = set.toSeq.map(SpanDomains.domainLong(a.dataType, _))
         if (vs.forall(_.isDefined))
           vs.flatten.exists(v =>
-            leaf(a, Some(v), (lo, hi, x) => lo <= x && x <= hi))
+            leafV(a, Some(v), (lo, hi, x) => lo <= x && x <= hi))
         else true
       case _ => true
     }
@@ -390,55 +462,60 @@ final class ManifestFileIndex private[ops] (path: String,
       integralOnly: Boolean): (Long, Long) = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
-    def asLong(l: Literal): Option[Long] = SpanDomains.anyLong(l.value)
-    def attrIs(e: Expression): Boolean = e match {
-      case a: Attribute => a.name == colName &&
-        (!integralOnly || SpanDomains.isIntegral(a.dataType))
-      case _ => false
+    def attrOf(e: Expression): Option[Attribute] = e match {
+      case a: Attribute if a.name == colName &&
+        (!integralOnly || SpanDomains.isIntegral(a.dataType)) => Some(a)
+      case _ => None
     }
+    def conv(a: Attribute, l: Literal): Option[Long] =
+      SpanDomains.domainLong(a.dataType, l.value)
+    // STRICT bounds bump by one only in exact domains; the lossy string
+    // prefix domain relaxes `>`/`<` to `>=`/`<=` (prefix ties)
+    def bumpUp(a: Attribute, v: Long): Long =
+      if (SpanDomains.relaxStrict(a.dataType) || v == Long.MaxValue) v else v + 1
+    def bumpDown(a: Attribute, v: Long): Long =
+      if (SpanDomains.relaxStrict(a.dataType) || v == Long.MinValue) v else v - 1
     def walk(e: Expression): Unit = e match {
       case And(l, r) => walk(l); walk(r)
-      case GreaterThanOrEqual(a, l: Literal) if attrIs(a) =>
-        asLong(l).foreach(v => lo = math.max(lo, v))
-      case GreaterThan(a, l: Literal) if attrIs(a) =>
-        asLong(l).foreach(v =>
-          lo = math.max(lo, if (v == Long.MaxValue) v else v + 1))
-      case LessThanOrEqual(a, l: Literal) if attrIs(a) =>
-        asLong(l).foreach(v => hi = math.min(hi, v))
-      case LessThan(a, l: Literal) if attrIs(a) =>
-        asLong(l).foreach(v =>
-          hi = math.min(hi, if (v == Long.MinValue) v else v - 1))
-      case EqualTo(a, l: Literal) if attrIs(a) =>
-        asLong(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v) }
+      case GreaterThanOrEqual(ae, l: Literal) => attrOf(ae).foreach(a =>
+        conv(a, l).foreach(v => lo = math.max(lo, v)))
+      case GreaterThan(ae, l: Literal) => attrOf(ae).foreach(a =>
+        conv(a, l).foreach(v => lo = math.max(lo, bumpUp(a, v))))
+      case LessThanOrEqual(ae, l: Literal) => attrOf(ae).foreach(a =>
+        conv(a, l).foreach(v => hi = math.min(hi, v)))
+      case LessThan(ae, l: Literal) => attrOf(ae).foreach(a =>
+        conv(a, l).foreach(v => hi = math.min(hi, bumpDown(a, v))))
+      case EqualTo(ae, l: Literal) => attrOf(ae).foreach(a =>
+        conv(a, l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v) })
       // literal-on-the-left mirrors
-      case GreaterThanOrEqual(l: Literal, a) if attrIs(a) =>
-        asLong(l).foreach(v => hi = math.min(hi, v))
-      case GreaterThan(l: Literal, a) if attrIs(a) =>
-        asLong(l).foreach(v =>
-          hi = math.min(hi, if (v == Long.MinValue) v else v - 1))
-      case LessThanOrEqual(l: Literal, a) if attrIs(a) =>
-        asLong(l).foreach(v => lo = math.max(lo, v))
-      case LessThan(l: Literal, a) if attrIs(a) =>
-        asLong(l).foreach(v =>
-          lo = math.max(lo, if (v == Long.MaxValue) v else v + 1))
-      case EqualTo(l: Literal, a) if attrIs(a) =>
-        asLong(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v) }
+      case GreaterThanOrEqual(l: Literal, ae) => attrOf(ae).foreach(a =>
+        conv(a, l).foreach(v => hi = math.min(hi, v)))
+      case GreaterThan(l: Literal, ae) => attrOf(ae).foreach(a =>
+        conv(a, l).foreach(v => hi = math.min(hi, bumpDown(a, v))))
+      case LessThanOrEqual(l: Literal, ae) => attrOf(ae).foreach(a =>
+        conv(a, l).foreach(v => lo = math.max(lo, v)))
+      case LessThan(l: Literal, ae) => attrOf(ae).foreach(a =>
+        conv(a, l).foreach(v => lo = math.max(lo, bumpUp(a, v))))
+      case EqualTo(l: Literal, ae) => attrOf(ae).foreach(a =>
+        conv(a, l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v) })
       // IN-lists narrow to the values' envelope [min, max] — coarser than
       // the exact set, but sound, and tight enough to prune when the list
       // is clustered (the common point-lookup batch shape)
-      case In(a, list) if attrIs(a) && list.nonEmpty &&
-          list.forall(_.isInstanceOf[Literal]) =>
-        val vs = list.map(l => asLong(l.asInstanceOf[Literal]))
+      case In(ae, list) if list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) => attrOf(ae).foreach { a =>
+        val vs = list.map(l => conv(a, l.asInstanceOf[Literal]))
         if (vs.forall(_.isDefined)) {
           lo = math.max(lo, vs.map(_.get).min)
           hi = math.min(hi, vs.map(_.get).max)
         }
-      case InSet(a, set) if attrIs(a) && set.nonEmpty =>
-        val vs = set.toSeq.map(SpanDomains.anyLong)
+      }
+      case InSet(ae, set) if set.nonEmpty => attrOf(ae).foreach { a =>
+        val vs = set.toSeq.map(SpanDomains.domainLong(a.dataType, _))
         if (vs.forall(_.isDefined)) {
           lo = math.max(lo, vs.map(_.get).min)
           hi = math.min(hi, vs.map(_.get).max)
         }
+      }
       case _ => () // unknown conjunct: no narrowing, never false pruning
     }
     filters.foreach(walk)

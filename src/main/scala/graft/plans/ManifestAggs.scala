@@ -20,7 +20,9 @@ import graft.ops.ManifestFileIndex
   * computed from the manifest — zero tasks, zero file opens. Spans record
   * EXACT per-file min/max (not sketches), so the fold is exact:
   *
-  *   - `count(1)` → Σ span rows;
+  *   - `count(1)` (non-null literal) → Σ span rows; `count(col)` over a
+  *     declared stat column → Σ (rows − nulls) when every file records a
+  *     v3 null counter (Iceberg's null_value_counts);
   *   - `min`/`max` of a LAYOUT key (integral attribute only — a
   *     timestamp layout key's spans live in cast-long SECONDS, not the
   *     micros Catalyst wants) → min/max over span intervals;
@@ -108,8 +110,19 @@ object ManifestAggs extends Rule[LogicalPlan] {
     * needs row preservation, which Projects give). */
   private def fold(ae: AggregateExpression, mfi: ManifestFileIndex,
       passedIds: Set[ExprId]): Option[Any] = ae match {
-    case AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _) =>
+    // non-null literal only: count(NULL) is 0, not the row count. Spark's
+    // NullPropagation normally rewrites count(null) before this rule
+    // fires, but correctness must not rest on rule ordering (it breaks
+    // under spark.sql.optimizer.excludedRules)
+    case AggregateExpression(Count(Seq(Literal(v, _))), Complete, false, None, _)
+        if v != null =>
       Some(mfi.manifestRowCount)
+    // count(col) — non-null rows — folds from the v3 per-file null
+    // counters when every file records one (pre-v3 files block the fold:
+    // their null counts are unknown)
+    case AggregateExpression(Count(Seq(a: Attribute)), Complete, false, None, _)
+        if passedIds.contains(a.exprId) =>
+      mfi.spanNonNullCount(a.name)
     case AggregateExpression(Min(a: Attribute), Complete, false, None, _)
         if passedIds.contains(a.exprId) =>
       mfi.spanExtremes(a.name, isIntegral(a.dataType))

@@ -105,7 +105,8 @@ object Fetch extends org.apache.spark.internal.Logging {
     // FTS semi-joins (graphydb.py:876-898): match set as a subquery
     ftsParams.foreach { case (alias, term) =>
       val link = parsed.links.find(_.alias == alias).get
-      val matchSql = Fts.matchSql(ftsViewFor(link.isEdge), term)
+      val matchSql = Fts.matchSql(ftsViewFor(link.isEdge), term,
+        unicode61 = src.ftsUnicode61)
       sb.append(s"\nJOIN ($matchSql) AS ${alias}_fts ON ${alias}.uid = ${alias}_fts.uid")
     }
 

@@ -339,6 +339,36 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** STREAMING CDC FOLLOWER loop over a maintained z-table pair: each
+    * micro-batch of `ticks` (its CONTENT is ignored — the stream is only
+    * the polling cadence; a rate source, a file stream over the primary's
+    * landing dir, or any other ticker works) runs ONE
+    * [[graft.ops.Layout.zorderCdcApply]] poll, pulling the primary's
+    * committed net changes past the follower's cursor and applying them
+    * delete-then-insert. Exactly-once rides the follower's CURSOR +
+    * POLL-INTENT protocol, not the stream checkpoint: a replayed tick
+    * merely re-polls (no new commits → cursor stasis, zero mutations),
+    * and a poll killed mid-apply replays pinned to its intent generation
+    * — so kill/restart at ANY point converges to the primary's committed
+    * state with net exactly one copy per row (EventStreamsSpec pins the
+    * kill/restart and replay-no-op paths, same discipline as the other
+    * exactly-once loops here). Keys stay distributed above
+    * `collectThreshold` feed rows, so a bulk restatement on the primary
+    * never materializes on the follower's driver. */
+  def cdcFollowStream(ticks: DataFrame, primaryPath: String,
+      followerPath: String, keyCol: String, checkpoint: String,
+      collectThreshold: Long = 100000L): org.apache.spark.sql.streaming.StreamingQuery =
+    ticks.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        graft.ops.Layout.zorderCdcApply(s, primaryPath, followerPath,
+          keyCol, collectThreshold)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Convenience memory-sink runner for tests/demos: processes all available
     * input and returns the in-memory result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.query.Fetch
+
+/** Round-15 warehouse unification (VERDICT r14 "Next round" #1): the star
+  * graph stored as maintained z-tables must answer every chain exactly
+  * like the parquet projection AND prune point traversals inside the
+  * planner (bloom + span pruning through the ManifestFileIndex). */
+class ZStarWarehouseSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("Fetch chains over the z-table warehouse ≡ the parquet star graph") {
+    val zg = ZStarWarehouse(spark, dir)
+    val sg = StarGraph(spark, dir)
+    val chains = Seq(
+      Fetch.Args(chain = "[o:orders] -(e:PlacedBy)> (c:customer)",
+        where = Seq("c.uid = 'customer:42'")), // g08's point traversal
+      Fetch.Args(
+        chain = "[c:customer,ordercount] <(e:PlacedBy)- (o:orders)",
+        group = Some("c.uid"),
+        params = Map("ordercount" -> "COUNT(o.uid)")), // g01's shape
+      Fetch.Args(chain = "(n:nation) <(e:InNation)- [c:customer]",
+        where = Seq("n.uid = 'nation:3'")))
+    chains.foreach { args =>
+      assert(rows(Fetch.df(zg, args)) == rows(Fetch.df(sg, args)),
+        s"z-table fetch diverged on ${args.chain}")
+    }
+  }
+
+  test("point traversals prune the planner's file listing (getuid / outE / inE)") {
+    // getuid: bloom + span pruning on the node table's _key
+    val (ndf, nfi) = ZStarWarehouse.nodesWithIndex(spark, dir)
+    val got = ndf.filter(col("_key") === 42L && col("uid") === "customer:42")
+    assert(got.count() == 1L)
+    assert(nfi.lastListed > 0 && nfi.lastListed < nfi.inputFiles.length,
+      s"getuid must prune: ${nfi.lastListed}/${nfi.inputFiles.length}")
+    assert(rows(ZStarWarehouse.getuid(spark, dir, "customer:42").select("uid"))
+      == Set(Seq("customer:42")))
+    // outE of customer:42 = its InNation edge (the star projection's only
+    // out-kind from customer nodes)
+    val out = ZStarWarehouse.outEdges(spark, dir, "customer:42")
+    assert(rows(out.select("kind", "startuid")) ==
+      Set(Seq("InNation", "customer:42")))
+    // inE of customer:42 = its PlacedBy edges — one per order, and the
+    // planner must have pruned the edge listing for the point probe
+    val (edf, efi) = ZStarWarehouse.edgesWithIndex(spark, dir)
+    val in = edf.filter(col("_end_key") === 42L && col("enduid") === "customer:42")
+    val inKinds = in.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(inKinds.contains("PlacedBy"))
+    assert(efi.lastListed > 0 && efi.lastListed < efi.inputFiles.length,
+      s"inE must prune: ${efi.lastListed}/${efi.inputFiles.length}")
+    val expected = StarGraph(spark, dir).edges
+      .filter(col("enduid") === "customer:42")
+    assert(rows(ZStarWarehouse.inEdges(spark, dir, "customer:42")
+        .select("uid", "kind", "startuid", "enduid")) ==
+      rows(expected.select("uid", "kind", "startuid", "enduid")))
+  }
+
+  test("the build reuses existing tables by fingerprint (no rewrite on re-open)") {
+    val (nPath, ePath) = ZStarWarehouse.tables(spark, dir)
+    val before = graft.ops.Layout.currentGen(nPath)
+    ZStarWarehouse.invalidate() // new session-memo miss, same disk state
+    val (nPath2, ePath2) = ZStarWarehouse.tables(spark, dir)
+    assert(nPath2 == nPath && ePath2 == ePath)
+    assert(graft.ops.Layout.currentGen(nPath) == before,
+      "a fingerprint-matched reopen must not re-init the table")
+  }
+}

@@ -32,6 +32,26 @@ class FriendGraphSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterEach
       Set("Fred", "Charlotte", "Anne", "Bob", "Dirk", "Eugene"))
   }
 
+  test("FTS default tokenizer is unicode61 (reference FTS5 default, graphydb.py:652-658): accents fold both ways; opt-out restores exact matching (r15)") {
+    val g2 = MemGraph(spark)
+    val rene = g2.node("Person", "name" -> "René Café").save()
+    val plain = g2.node("Person", "name" -> "Plain Cafe").save()
+    def index(): Unit = Seq(rene, plain)
+      .foreach(n => n.updatefts("name" -> n("name").toString))
+    def hits(q: String): Set[String] =
+      names(g2.fetchN("(n:Person)", params = Map("n_fts" -> q)))
+    // DEFAULT: unicode61 remove_diacritics — postings and query terms
+    // both fold, so accented and plain spellings match each other
+    g2.resetFts(nodeFields = Seq("name")); index()
+    assert(hits("cafe") == Set("René Café", "Plain Cafe"))
+    assert(hits("café") == Set("René Café", "Plain Cafe"))
+    assert(hits("rené") == Set("René Café"))
+    // OPT-OUT: the pre-r15 ASCII-exact lower+split tokenizer
+    g2.resetFts(nodeFields = Seq("name"), unicode61 = false); index()
+    assert(hits("cafe") == Set("Plain Cafe"))
+    assert(hits("café") == Set("René Café"))
+  }
+
   test("GLOB prefix on uid (test_graphdb.py:64-67)") {
     val got = g.fetchN("(n)", Seq("n.uid GLOB :a"),
       params = Map("a" -> (p(0).uid.take(5) + "*")))

@@ -55,6 +55,47 @@ class ExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(mismatch.isNullAt(0), "length mismatch yields NULL")
   }
 
+  test("str_prefix8: codegen ≡ driver core; order-preserving on byte order; strict ties collapse (r15)") {
+    init
+    import spark.implicits._
+    val samples = Seq("", "a", "A", "ab", "abc", "zzzzzzzz", "zzzzzzzzz",
+      "aaaaaaaa", "aaaaaaaaX", "aaaaaaaaY", "00001234", "00001235",
+      "café", "caf", "ÿ", "😀" /* 4-byte emoji */)
+    val viaExpr = samples.toDF("s")
+      .select(col("s"), expr("str_prefix8(s)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the distributed expression and the driver-side planner helper are
+    // the SAME static core — byte-for-byte equal on every input
+    samples.foreach { s =>
+      assert(viaExpr(s) == graft.functions.Prefix8.of(s),
+        s"expr vs driver core diverge on '$s'")
+    }
+    // monotone w.r.t. UTF8_BINARY (byte-lexicographic) order: the
+    // property that makes [of(min), of(max)] a sound covering interval
+    def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def byteLe(x: String, y: String): Boolean = {
+      val (a, b) = (bytes(x), bytes(y))
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      a.length <= b.length
+    }
+    for (x <- samples; y <- samples if byteLe(x, y))
+      assert(graft.functions.Prefix8.of(x) <= graft.functions.Prefix8.of(y),
+        s"prefix order must follow byte order: '$x' vs '$y'")
+    // distinct strings sharing 8 leading bytes EMBED EQUAL — the lossy
+    // tie the planner's relaxed strict comparisons exist for
+    assert(graft.functions.Prefix8.of("aaaaaaaaX") ==
+      graft.functions.Prefix8.of("aaaaaaaaY"))
+    // null propagates
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(expr("str_prefix8(s)")).head().isNullAt(0))
+  }
+
   test("normalize_text: accent strip + ROOT lowercase + NFC, form-insensitive, through codegen") {
     init
     import spark.implicits._

@@ -1640,7 +1640,6 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
   test("manifest-persisted schema: clean reads plan with ZERO footer fetches; evolution falls back; compact heals") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles}
-    import java.nio.file.attribute.PosixFilePermissions
     val dir = java.nio.file.Files.createTempDirectory("graft_zsch").toString + "/t"
     val base = spark.range(512)
       .select(col("id").as("a"), (col("id") % 16).as("b"),
@@ -1648,17 +1647,20 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 4)
     val (_, man0) = Layout.currentManifest(dir)
     assert(man0.schemaJson.isDefined, "init must persist the schema")
-    // the hard proof of zero footer reads at PLANNING time: make every
-    // data file unreadable, derive the DataFrame (schema + plan), restore,
-    // then execute — the footer path would throw at derive time
+    // the hard proof of zero footer reads at PLANNING time: MOVE every
+    // data file aside, derive the DataFrame (schema + plan), restore,
+    // then execute — any footer read throws FileNotFound at derive time.
+    // (Moving, not chmod 000: POSIX permission bits don't apply to uid 0,
+    // and this suite runs as root in CI — a permissions-based proof would
+    // pass even if planning read footers.)
     val dataFiles = Layout.currentSpans(dir).map(s =>
       java.nio.file.Paths.get(dir).toAbsolutePath.resolve(s.file))
-    val none = PosixFilePermissions.fromString("---------")
-    val rw = PosixFilePermissions.fromString("rw-r--r--")
-    dataFiles.foreach(p => JFiles.setPosixFilePermissions(p, none))
+    def aside(p: java.nio.file.Path) =
+      p.resolveSibling(p.getFileName.toString + ".aside")
+    dataFiles.foreach(p => JFiles.move(p, aside(p)))
     val planned =
       try ZTable.dataFrame(spark, dir)
-      finally dataFiles.foreach(p => JFiles.setPosixFilePermissions(p, rw))
+      finally dataFiles.foreach(p => JFiles.move(aside(p), p))
     assert(planned.schema.fieldNames.toSeq == Seq("a", "b", "v"))
     assert(planned.count() == 512L)
     // same-schema maintain keeps the persisted schema
@@ -1962,5 +1964,261 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     // and the replica's point lookups actually prune with it
     val (open, total, used) = Layout.zorderLookupFiles(rep, "k", Seq(7L))
     assert(used && open < total, s"replica lookup unpruned: ($open, $total, $used)")
+
+    // a REBUILD at the same generation reuses the same sidecar NAME with
+    // different content (here: different bits) — the up-to-date fast path
+    // must re-ship on content, not existence (r15, ADVICE fix)
+    Layout.zorderBloomBuild(spark, pri, "k", bits = 1 << 12)
+    assert(Layout.zorderMirror(pri, rep) == ((0, 0)))
+    priBlooms.foreach { n =>
+      val p = JFiles.readAllBytes(java.nio.file.Paths.get(pri).resolve(n))
+      val r = JFiles.readAllBytes(java.nio.file.Paths.get(rep).resolve(n))
+      assert(java.util.Arrays.equals(p, r),
+        s"replica sidecar $n must match the rebuilt primary content")
+    }
+  }
+
+  test("CDC poll intent: a crashed poll replays PINNED to its target generation — a canceling primary commit cannot strand phantom rows (r15)") {
+    import spark.implicits._
+    val pri = java.nio.file.Files.createTempDirectory("graft_zinp").toString + "/t"
+    val fol = java.nio.file.Files.createTempDirectory("graft_zinf").toString + "/t"
+    val base = spark.range(256L)
+      .select((col("id") / 8).cast("long").as("a"), (col("id") % 8).as("b"),
+        col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+    Layout.zorderInit(spark, base, pri, "a", "b", nFiles = 4,
+      keepGenerations = 8)
+    Layout.zorderCdcSeed(spark, pri, fol, nFiles = 4)
+    // gen1 on the primary: one new key arrives
+    Layout.zorderAppend(Seq((13L, 3L, 7777L, "phantom"))
+      .toDF("a", "b", "k", "v"), pri)
+    Layout.zorderMaintain(spark, pri)
+    // simulate a poll that CRASHED mid-apply: intent pinned at gen1, the
+    // insert slice already landed on the follower (still in landing/ —
+    // the crash fell before its maintain), cursor never advanced
+    java.nio.file.Files.write(java.nio.file.Paths.get(fol, "cdc-intent"),
+      "1".getBytes("UTF-8"))
+    Layout.zorderAppend(Seq((13L, 3L, 7777L, "phantom"))
+      .toDF("a", "b", "k", "v"), fol)
+    // the primary then CANCELS the key before the follower recovers —
+    // over the widened range 0→2 the key nets to zero: an unpinned
+    // replay would never see it, and the crashed copy would live forever
+    Layout.zorderDeleteVectoredByKey(spark, pri, "k", Seq(7777L))
+    assert(Layout.zorderChanges(spark, pri, 0L, 2L)
+        .filter(col("k") === 7777L).count() == 0L,
+      "scenario precondition: the net 0→2 feed must omit the canceled key")
+    // replay: pinned to gen1 → repairs to exactly one copy, cursor = 1
+    val (_, _, c1) = Layout.zorderCdcApply(spark, pri, fol, "k")
+    assert(c1 == 1L, "the replay must advance only to the pinned generation")
+    assert(Layout.zorderRead(spark, fol).filter(col("k") === 7777L)
+      .count() == 1L, "pinned replay lands exactly one copy")
+    assert(!java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(fol, "cdc-intent")), "intent clears after the poll")
+    // next poll picks up the primary's cancel — the phantom is gone
+    val (_, d2, c2) = Layout.zorderCdcApply(spark, pri, fol, "k")
+    assert(c2 == 2L && d2 == 1L)
+    def rows(path: String): Set[(Long, String)] =
+      Layout.zorderRead(spark, path).select("k", "v")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(fol) == rows(pri), "follower converges to the primary exactly")
+    // a completed-poll leftover (crash between cursor write and intent
+    // delete): the marker equals the cursor → cleared, fresh poll no-ops
+    java.nio.file.Files.write(java.nio.file.Paths.get(fol, "cdc-intent"),
+      c2.toString.getBytes("UTF-8"))
+    assert(Layout.zorderCdcApply(spark, pri, fol, "k") == ((0L, 0L, c2)))
+    assert(!java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(fol, "cdc-intent")))
+  }
+
+  test("CDC apply above the churn threshold: the distributed-key path matches the collected path; DataFrame-keys vectored delete (r15)") {
+    import spark.implicits._
+    val pri = java.nio.file.Files.createTempDirectory("graft_zjop").toString + "/t"
+    val fol = java.nio.file.Files.createTempDirectory("graft_zjof").toString + "/t"
+    val base = spark.range(1024L)
+      .select((col("id") / 16).cast("long").as("a"), (col("id") % 16).as("b"),
+        col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+    Layout.zorderInit(spark, base, pri, "a", "b", nFiles = 4,
+      keepGenerations = 8)
+    Layout.zorderCdcSeed(spark, pri, fol, nFiles = 4)
+    // a bulk restatement: delete a band, append a tail, update some keys
+    Layout.zorderDeleteVectoredByKey(spark, pri, "k", (0L until 200L).toSeq)
+    Layout.zorderAppend((5000L until 5300L)
+      .map(k => (k % 64, k % 16, k, s"v$k")).toDF("a", "b", "k", "v"), pri)
+    Layout.zorderMaintain(spark, pri)
+    Layout.zorderUpsert(spark,
+      (300L until 350L).map(k => (k / 16, k % 16, k, s"u$k"))
+        .toDF("a", "b", "k", "v"), pri)
+    // collectThreshold = 0 forces EVERY poll through the distributed
+    // path: keys never land on the driver, results must be identical
+    val (ins, del, _) =
+      Layout.zorderCdcApply(spark, pri, fol, "k", collectThreshold = 0L)
+    assert(ins > 0 && del > 0)
+    def rows(path: String): Set[(Long, String)] =
+      Layout.zorderRead(spark, path).select("k", "v")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(fol) == rows(pri),
+      "the join-path apply must reconstruct the primary exactly")
+    // caught-up distributed poll is a no-op too
+    val (i2, d2, _) =
+      Layout.zorderCdcApply(spark, pri, fol, "k", collectThreshold = 0L)
+    assert(i2 == 0L && d2 == 0L)
+
+    // the DataFrame-keys overload directly: distributed delete ≡ driver
+    // keys, repeat no-op, single-column contract enforced
+    val dir = java.nio.file.Files.createTempDirectory("graft_zjdf").toString + "/t"
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 4)
+    val doomed = spark.range(100L, 300L).select(col("id").as("k"))
+    val (n1, f1) = Layout.zorderDeleteVectoredByKey(spark, dir, "k", doomed)
+    assert(n1 == 200L && f1 >= 1)
+    assert(Layout.zorderRead(spark, dir).count() == 1024L - 200L)
+    assert(Layout.zorderRead(spark, dir)
+      .filter(col("k").between(100L, 299L)).count() == 0L)
+    assert(Layout.zorderDeleteVectoredByKey(spark, dir, "k", doomed)
+      == ((0L, 0)), "repeat distributed delete must be an exact no-op")
+    intercept[IllegalArgumentException] {
+      Layout.zorderDeleteVectoredByKey(spark, dir, "k",
+        spark.range(3).select(col("id"), col("id").as("x")))
+    }
+  }
+
+  test("zorderOptimize: the auto-pilot converges a dirtied table to an all-clear census, one bounded action per call (r15)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zopt").toString + "/t"
+    val base = spark.range(2048L)
+      .select((col("id") / 32).cast("long").as("a"), (col("id") % 32).as("b"),
+        col("id").as("k"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 8,
+      keepGenerations = 2)
+    Layout.zorderBloomBuild(spark, dir, "k")
+    // dirty the table every way the census watches: tombstones (well
+    // above the fraction), unmaintained landing rows (whose fold will
+    // also stale the bloom sidecar and clamp the frozen bounds)
+    Layout.zorderDeleteVectored(spark, dir, (0L, 15L), (0L, 31L))
+    Layout.zorderAppend(spark.range(9000L, 9400L)
+      .select((col("id") / 32).cast("long").as("a"), (col("id") % 32).as("b"),
+        col("id").as("k")), dir)
+    val expectKeys = ((512L until 2048L) ++ (9000L until 9400L)).toSet
+    val actions = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var step = Layout.zorderOptimize(spark, dir, smallFileRows = 64L)
+    var guard = 0
+    while (step.isDefined && guard < 16) {
+      actions += step.get; guard += 1
+      step = Layout.zorderOptimize(spark, dir, smallFileRows = 64L)
+    }
+    assert(step.isEmpty && guard < 16,
+      s"the auto-pilot must converge, ran: ${actions.mkString(", ")}")
+    // all-clear census, answers unchanged
+    val census = Layout.zorderAdvise(spark, dir, smallFileRows = 64L)
+      .filter(col("fire")).collect()
+    assert(census.isEmpty, s"census still fires: ${census.mkString(", ")}")
+    assert(actions.map(_._2).contains("zorderMaintain"),
+      "the landing signal must have executed a maintain")
+    assert(Layout.zorderRead(spark, dir).select("k")
+      .collect().map(_.getLong(0)).toSet == expectKeys,
+      "the auto-pilot must never change answers")
+    // idempotent on a clean table
+    assert(Layout.zorderOptimize(spark, dir, smallFileRows = 64L).isEmpty)
+  }
+
+  test("manifest v3: string stats prune in the planner via the prefix embedding; null counters prune IsNull/IsNotNull; v2 manifests still parse (r15)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zstr").toString + "/t"
+    // b ≡ a makes z monotone in id, so the 4 files are exact id quarters
+    // (deterministic layout for the pruning counts below). s is a
+    // zero-padded label ordered like a (tight per-file ranges); null for
+    // the top quarter, so exactly one file is ALL-null on s. t shares an
+    // 8-byte prefix across every row — the tie case where strict
+    // comparisons MUST relax instead of false-pruning
+    val base = spark.range(1024L)
+      .select(col("id").as("a"), col("id").as("b"),
+        when(col("id") >= 768L, lit(null))
+          .otherwise(lpad(col("id").cast("string"), 6, "0")).as("s"),
+        concat(lit("aaaaaaaa"), lpad(col("id").cast("string"), 6, "0")).as("t"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 8,
+      statCols = Seq("s", "t"))
+    def audited(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame):
+        (Long, Int, Int) = {
+      val (df, fi) = ZTable.dataFrameWithIndex(spark, dir)
+      val n = f(df).count()
+      (n, fi.lastListed, fi.inputFiles.length)
+    }
+    // string RANGE predicate prunes through the Prefix8-embedded spans
+    val (n1, listed1, total1) =
+      audited(_.filter(col("s") >= "000100" && col("s") <= "000299"))
+    assert(n1 == 200L && listed1 > 0 && listed1 < total1,
+      s"string band must prune: $listed1/$total1")
+    // equality point prunes to the file(s) whose label span covers it
+    // (≤2 — range-partitioner boundary jitter can split a value's
+    // neighborhood across two adjacent files)
+    val (n2, listed2, _) = audited(_.filter(col("s") === "000500"))
+    assert(n2 == 1L && listed2 >= 1 && listed2 <= 2,
+      s"string point must prune to the covering file(s): $listed2")
+    // PREFIX TIES: every t shares its first 8 bytes, so t's spans are a
+    // single embedded point — strict > must relax (admit all), never
+    // false-prune; the answer stays exact via the residual filter
+    val (n3, _, _) = audited(_.filter(col("t") > "aaaaaaaa000500"))
+    assert(n3 == 523L, s"prefix-tied strict compare must stay exact: $n3")
+    // IsNotNull prunes the all-null file; IsNull prunes the no-null files
+    val (n4, listed4, total4) = audited(_.filter(col("s").isNotNull))
+    assert(n4 == 768L && listed4 < total4,
+      s"IsNotNull must prune the all-null file: $listed4/$total4")
+    val (n5, listed5, total5) = audited(_.filter(col("s").isNull))
+    assert(n5 == 256L && listed5 < total5,
+      s"IsNull must prune zero-null files: $listed5/$total5")
+    // count(col) folds from the null counters with zero tasks
+    graft.plans.ManifestAggs.enable(spark)
+    try {
+      val cnt = ZTable.dataFrame(spark, dir).agg(count(col("s")).as("n"))
+      assert(cnt.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "count(col) must fold to metadata on a v3 manifest")
+      assert(cnt.head().getLong(0) == 768L)
+      // count(NULL) is 0, never the row count — even with NullPropagation
+      // disabled, the rule's non-null literal guard holds (ADVICE fix)
+      val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.NullPropagation")
+      try {
+        val nullCnt = ZTable.dataFrame(spark, dir)
+          .agg(count(lit(null)).as("n")).head().getLong(0)
+        assert(nullCnt == 0L, s"count(NULL) must be 0, got $nullCnt")
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+        case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+      }
+      // min/max of a STRING stat column must NOT fold (the embedding is
+      // lossy) — answered by the scan, exactly
+      val mm = ZTable.dataFrame(spark, dir).agg(min(col("s")), max(col("s")))
+      assert(!mm.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      assert(mm.head() == org.apache.spark.sql.Row("000000", "000767"))
+    } finally graft.plans.ManifestAggs.disable(spark)
+    // v2 COMPATIBILITY: strip the null counters back out of the manifest
+    // (the on-disk format older tables carry) — reads stay exact, the
+    // null-dependent pruning and folds just turn off
+    val manPath = java.nio.file.Paths.get(dir, "manifest-0.tsv")
+    val v2 = new String(java.nio.file.Files.readAllBytes(manPath), "UTF-8")
+      .linesIterator.map { l =>
+        if (l.startsWith("#v\t")) "#v\t2"
+        else if (l.startsWith("#")) l
+        else {
+          val p = l.split("\t")
+          val (head, stats) = p.splitAt(10)
+          (head ++ stats.grouped(3).flatMap(_.take(2))).mkString("\t")
+        }
+      }.mkString("\n")
+    java.nio.file.Files.write(manPath, v2.getBytes("UTF-8"))
+    val (n6, _, _) = audited(_.filter(col("s") >= "000100" && col("s") <= "000299"))
+    assert(n6 == 200L, "a v2 manifest must still read exactly")
+    val (n7, listed7, total7) = audited(_.filter(col("s").isNotNull))
+    assert(n7 == 768L && listed7 == total7,
+      "v2 manifests carry no null counters: IsNotNull must not prune")
+    graft.plans.ManifestAggs.enable(spark)
+    try {
+      val cnt2 = ZTable.dataFrame(spark, dir).agg(count(col("s")).as("n"))
+      assert(!cnt2.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "count(col) must NOT fold without null counters")
+      assert(cnt2.head().getLong(0) == 768L)
+    } finally graft.plans.ManifestAggs.disable(spark)
   }
 }

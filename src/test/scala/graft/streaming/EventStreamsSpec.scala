@@ -1053,6 +1053,71 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     graft.engine.WarehouseMeta.deleteRecursively(tmp)
   }
 
+  test("cdcFollowStream: cadence polls apply exactly-once; kill/restart and replayed ticks are no-ops; crashed-poll intent replays pinned (r15)") {
+    import scala.jdk.CollectionConverters._
+    import graft.ops.Layout
+    import java.nio.file.Files
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_cdcs")
+    val pri = s"$tmp/pri"; val fol = s"$tmp/fol"
+    val ticks = tmp.resolve("ticks"); Files.createDirectories(ticks)
+    val base = spark.range(512L)
+      .select((col("id") / 8).cast("long").as("a"), (col("id") % 8).as("b"),
+        col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+    Layout.zorderInit(spark, base, pri, "a", "b", nFiles = 4,
+      keepGenerations = 8)
+    Layout.zorderCdcSeed(spark, pri, fol, nFiles = 4)
+    def tick(name: String): Unit = {
+      val stage = tmp.resolve(s"stage_$name")
+      Seq(1L).toDF("t").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      Files.move(part, ticks.resolve(s"$name.parquet")); ()
+    }
+    val tickSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.LongType)))
+    def run(ckpt: String): Unit = EventStreams.cdcFollowStream(
+      spark.readStream.schema(tickSchema).parquet(ticks.toString),
+      pri, fol, "k", ckpt).awaitTermination()
+    def cursor(): Long = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(fol, "cdc-cursor")), "UTF-8").trim.toLong
+    def rows(path: String): Set[(Long, String)] =
+      Layout.zorderRead(spark, path).select("k", "v")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // tick with no primary change: cursor stasis, zero mutations
+    tick("t0"); run(s"$tmp/ckpt")
+    assert(cursor() == 0L && rows(fol) == rows(pri))
+    // primary mutates; the next tick's poll applies it all
+    Layout.zorderAppend((900L until 950L)
+      .map(k => (k % 64, k % 8, k, s"v$k")).toDF("a", "b", "k", "v"), pri)
+    Layout.zorderMaintain(spark, pri)
+    Layout.zorderDeleteVectoredByKey(spark, pri, "k", (0L until 16L).toSeq)
+    tick("t1"); run(s"$tmp/ckpt")
+    assert(rows(fol) == rows(pri), "the cadence poll must apply the changes")
+    val cur1 = cursor()
+    // kill/restart with the SAME checkpoint: no new ticks, nothing runs;
+    // a FRESH checkpoint replays BOTH ticks — each re-poll is a cursor
+    // stasis no-op (exactly-once rides the cursor protocol, not the sink)
+    run(s"$tmp/ckpt")
+    run(s"$tmp/ckpt2")
+    assert(cursor() == cur1 && rows(fol) == rows(pri),
+      "replayed ticks must be exact no-ops")
+    // a poll that crashed mid-apply (intent pinned, partial insert in the
+    // follower's landing): the next tick repairs it, exactly once
+    Layout.zorderAppend(Seq((9L, 1L, 8000L, "late")).toDF("a", "b", "k", "v"), pri)
+    Layout.zorderMaintain(spark, pri)
+    java.nio.file.Files.write(java.nio.file.Paths.get(fol, "cdc-intent"),
+      (cur1 + 1).toString.getBytes("UTF-8"))
+    Layout.zorderAppend(Seq((9L, 1L, 8000L, "late")).toDF("a", "b", "k", "v"), fol)
+    tick("t2"); run(s"$tmp/ckpt")
+    assert(rows(fol) == rows(pri) &&
+      Layout.zorderRead(spark, fol).filter(col("k") === 8000L).count() == 1L,
+      "the crashed poll's replay must land exactly one copy")
+    graft.engine.WarehouseMeta.deleteRecursively(tmp)
+  }
+
   test("journal stream tails warehouse appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft_js").toString
     val g = graft.engine.MemGraph(spark)
