@@ -883,12 +883,94 @@ object SparkEntry {
       path
     }
 
-  /** Memoized STRING-STATS table for w50: orders plus a zero-padded
+  /** Memoized CDC FOLLOWER pair for w51: a primary initialized on the
+    * low-90% orderkey domain (unique `l_rowid` = xxhash64 of the full
+    * row — (orderkey, linenumber) is NOT unique in the synthetic data,
+    * but whole rows are, and the builder REQUIRES key uniqueness
+    * loudly), seeded into a follower, then TWO primary
+    * commits (tail append+maintain, band delete) applied by ONE
+    * [[graft.streaming.EventStreams.cdcFollowStream]] tick — and a
+    * replayed tick through a fresh checkpoint proven a cursor-stasis
+    * no-op. The follower's final state must equal lineitem minus the
+    * band, byte-faithful, which the w51 oracle checks directly. */
+  private val zcdcfMemo = layoutMemo
+  private def zorderCdcFollowerFor(s: SparkSession, d: String): String =
+    memoizedLayout(zcdcfMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w51_" + WarehouseMeta.md5Hex(d).take(12)
+      val root = WarehouseMeta.tableLocation(s, name)
+      val pri = s"$root/pri"; val fol = s"$root/fol"
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zcdcf16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(fol).isDefined
+        if (!ok) {
+          import scala.jdk.CollectionConverters._
+          WarehouseMeta.deleteRecursively(root)
+          val li0 = t(s, d, "lineitem")
+          val li = li0.withColumn("l_rowid",
+            xxhash64(li0.columns.map(col): _*))
+          val uq = li.agg(count(lit(1)), countDistinct(col("l_rowid")))
+            .collect()(0)
+          require(uq.getLong(0) == uq.getLong(1),
+            "l_rowid (xxhash64 of the full row) must be unique — the CDC " +
+              "apply key contract")
+          val mx = li.agg(max("l_orderkey"), max("l_suppkey")).collect()(0)
+          val (ma, mb) = (mx.getLong(0), mx.getLong(1))
+          Layout.zorderInit(s, li.filter(col("l_orderkey") <= ma * 9 / 10),
+            pri, "l_orderkey", "l_suppkey", nFiles = 16, keepGenerations = 8)
+          Layout.zorderCdcSeed(s, pri, fol, nFiles = 16)
+          Layout.zorderAppend(li.filter(col("l_orderkey") > ma * 9 / 10), pri)
+          require(Layout.zorderMaintain(s, pri)._1 > 0,
+            "the tail append must fold rows")
+          require(Layout.zorderDelete(s, pri,
+            (ma / 4, ma / 2), (mb * 2 / 5, mb / 2))._1 > 0,
+            "the band must hold rows")
+          // ONE ticker batch drives the follower through both commits
+          val ticks = java.nio.file.Paths.get(s"$root/ticks")
+          java.nio.file.Files.createDirectories(ticks)
+          locally {
+            import s.implicits._
+            val stage = java.nio.file.Paths.get(s"$root/tick_stage")
+            Seq(1L).toDF("t").coalesce(1).write.mode("overwrite")
+              .parquet(stage.toString)
+            val part = java.nio.file.Files.list(stage).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).next()
+            java.nio.file.Files.move(part, ticks.resolve("t0.parquet")); ()
+          }
+          val tickSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("t",
+              org.apache.spark.sql.types.LongType)))
+          def runTicks(ckpt: String): Unit =
+            graft.streaming.EventStreams.cdcFollowStream(
+              s.readStream.schema(tickSchema).parquet(ticks.toString),
+              pri, fol, "l_rowid", ckpt).awaitTermination()
+          runTicks(s"$root/ckpt")
+          def cursor(): Long = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(fol, "cdc-cursor")), "UTF-8").trim.toLong
+          require(cursor() == 2L,
+            s"the poll must reach the primary's current generation: ${cursor()}")
+          // a REPLAYED tick (fresh checkpoint re-delivers t0) must be a
+          // cursor-stasis no-op — exactly-once rides the cursor protocol
+          runTicks(s"$root/ckpt_replay")
+          require(cursor() == 2L, "a replayed tick must not move the cursor")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      fol
+    }
+
+  /** Memoized STRING-STATS table for w50/w52: orders plus a zero-padded
     * string business key `o_label` (lexicographic order ≡ numeric
-    * orderkey order — the invoice-number shape), z-clustered on
-    * (o_orderkey, o_custkey) with `o_label` declared as a STRING stat
-    * column — v3 manifests record its Prefix8-embedded bounds + null
-    * counts, so string range predicates prune inside the planner. */
+    * orderkey order — the invoice-number shape) declared as a STRING stat
+    * column (v3 manifests record its Prefix8-embedded bounds + null
+    * counts, so string RANGE predicates prune inside the planner — w50),
+    * and `o_ref` — the label's digits REVERSED (an opaque external
+    * reference: decorrelated from the layout, so spans are useless for
+    * it) with a STRING-domain bloom sidecar, so string POINT predicates
+    * prune through the bitsets alone (w52). */
   private val zstrMemo = layoutMemo
   private def zorderStrStatFor(s: SparkSession, d: String): String =
     memoizedLayout(zstrMemo, s, d) {
@@ -896,17 +978,21 @@ object SparkEntry {
       val name = "graft_w50_" + WarehouseMeta.md5Hex(d).take(12)
       val path = WarehouseMeta.tableLocation(s, name).toString
       val fp = WarehouseMeta.md5Hex(
-        WarehouseMeta.sourceSignature(s"$d/orders.parquet") + "#zstr16")
+        WarehouseMeta.sourceSignature(s"$d/orders.parquet") + "#zstr16b")
       WarehouseMeta.withBuildLock(s, name) {
         val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
           .exists(_.get("sig").contains(fp)) &&
           Layout.currentGen(path).isDefined
         if (!ok) {
           WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
-          val orders = t(s, d, "orders").withColumn("o_label",
-            lpad(col("o_orderkey").cast("string"), 8, "0"))
+          val orders = t(s, d, "orders")
+            .withColumn("o_label",
+              lpad(col("o_orderkey").cast("string"), 8, "0"))
+            .withColumn("o_ref",
+              concat(lit("ref-"), reverse(lpad(col("o_orderkey").cast("string"), 8, "0"))))
           Layout.zorderInit(s, orders, path, "o_orderkey", "o_custkey",
             nFiles = 16, statCols = Seq("o_label"))
+          Layout.zorderBloomBuild(s, path, "o_ref")
           WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
         }
       }
@@ -3059,6 +3145,18 @@ object SparkEntry {
       res
     }),
 
+    // STREAMING CDC FOLLOWER (r15): the follower table after ONE ticker
+    // poll applied two primary commits (tail append+maintain, band
+    // delete), with a replayed tick proven a cursor-stasis no-op in the
+    // builder — the follower must equal lineitem minus the band exactly
+    // (exactly-once through the cursor + poll-intent protocol)
+    "w51_cdc_follower" -> ((s, d) =>
+      Layout.zorderRead(s, zorderCdcFollowerFor(s, d))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))),
+
     // STRING COLUMN STATS (r15, manifest v3): a string range predicate
     // on the z-table's o_label stat column must prune the planner's file
     // listing through the Prefix8-embedded bounds (the entry REQUIRES
@@ -3078,6 +3176,28 @@ object SparkEntry {
       res.collect() // force the planner's real listing, then audit it
       require(fi.lastListed > 0 && fi.lastListed < fi.inputFiles.length,
         s"string stats must prune the planner listing: " +
+          s"${fi.lastListed}/${fi.inputFiles.length}")
+      res
+    }),
+
+    // STRING-KEY BLOOM POINT LOOKUP (r15): .isin over the OPAQUE string
+    // reference o_ref — reversed digits decorrelate it from the layout,
+    // so z-spans prune nothing and any listing cut is the STRING-domain
+    // bitset's (the entry REQUIRES it; one probe is deliberately absent);
+    // the twin derives the same references over raw orders — bitsets
+    // must never change answers
+    "w52_ztable_strpoint" -> ((s, d) => {
+      val path = zorderStrStatFor(s, d)
+      val mo = Layout.zorderRead(s, path)
+        .agg(max("o_orderkey")).collect()(0).getLong(0)
+      val probes = Seq(mo / 7, mo / 3, mo / 2 + 1, mo + 99999)
+        .map(k => "ref-" + f"$k%08d".reverse)
+      val (df, fi) = graft.ops.ZTable.dataFrameWithIndex(s, path)
+      val res = df.filter(col("o_ref").isin(probes: _*))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      res.collect() // force the planner's real listing, then audit it
+      require(fi.lastListed > 0 && fi.lastListed < fi.inputFiles.length,
+        s"the string bloom must prune the planner listing: " +
           s"${fi.lastListed}/${fi.inputFiles.length}")
       res
     }),
@@ -5389,6 +5509,18 @@ object SparkEntry {
     // oracle verbatim (storage layout never changes a traversal's answer)
     "w49_ztable_traverse" -> OrdersOfCustomerSql,
 
+    // the streamed CDC follower's final state ≡ raw lineitem minus the
+    // band (low-90% seed + tail append − band delete = full − band);
+    // exactly-once means not one row more or less
+    "w51_cdc_follower" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) AS ma, MAX(l_suppkey) AS mb FROM lineitem)
+        |SELECT l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem, mx
+        |WHERE NOT (l_orderkey BETWEEN ma // 4 AND ma // 2
+        |       AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2)
+        |GROUP BY 1""".stripMargin,
+
     // the string-stat-pruned band ≡ the same lexicographic band over raw
     // orders (identical lpad derivation on both sides; zero-padded labels
     // order exactly like the numeric key, so the band is well-defined)
@@ -5402,6 +5534,19 @@ object SparkEntry {
         |  AND lpad(CAST(o_orderkey AS VARCHAR), 8, '0')
         |        <= lpad(CAST(mo // 2 AS VARCHAR), 8, '0')
         |GROUP BY 1""".stripMargin,
+
+    // string-keyed point lookups through the planner ≡ a plain IN over
+    // the same derived references on raw orders (the absent probe may
+    // open a file via a bloom false positive but never lands a row)
+    "w52_ztable_strpoint" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mo FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders, mx
+        |WHERE 'ref-' || reverse(lpad(CAST(o_orderkey AS VARCHAR), 8, '0')) IN (
+        |  'ref-' || reverse(lpad(CAST(mo // 7 AS VARCHAR), 8, '0')),
+        |  'ref-' || reverse(lpad(CAST(mo // 3 AS VARCHAR), 8, '0')),
+        |  'ref-' || reverse(lpad(CAST(mo // 2 + 1 AS VARCHAR), 8, '0')),
+        |  'ref-' || reverse(lpad(CAST(mo + 99999 AS VARCHAR), 8, '0')))""".stripMargin,
 
     // the planner-integrated lookup over the same table and probes must
     // produce the identical rows (w36's twin verbatim)

@@ -1403,7 +1403,14 @@ object Layout {
     java.lang.Math.floorMod(fname.hashCode, shards)
 
   private[ops] final case class BloomSidecar(bits: Int, hashes: Int,
-      words: Map[String, Map[Int, Long]]) // file → sparse wordIdx → word
+      words: Map[String, Map[Int, Long]], // file → sparse wordIdx → word
+      // the key's HASH DOMAIN: "long" (values cast to long — the original
+      // integral-key sidecars; absent header ⇒ long, so every pre-r15
+      // sidecar parses unchanged) or "str" (raw string values hashed as
+      // UTF8 — doc ids, URLs, uid business keys). Probes must convert in
+      // the SAME domain or not prune at all (mismatch admits, never
+      // wrong).
+      domain: String = "long")
 
   /** Parsed-sidecar cache (mtime-checked, PER FILE — shards cache
     * independently): a point lookup is interactive, and re-parsing a
@@ -1434,7 +1441,8 @@ object Layout {
             i.toInt -> java.lang.Long.parseUnsignedLong(h, 16)
           }.toMap
         p(0) -> ws
-      }.toMap)
+      }.toMap,
+      domain = meta.getOrElse("domain", "long"))
     bloomCache.put(key, (mt, parsed))
     parsed
   }
@@ -1485,17 +1493,18 @@ object Layout {
     import scala.collection.parallel.CollectionConverters._
     val parts = try files.par.map(parseBloomFile).seq
       catch { case scala.util.control.NonFatal(_) => return None } // racing delete
-    if (parts.map(p => (p.bits, p.hashes)).distinct.size != 1)
+    if (parts.map(p => (p.bits, p.hashes, p.domain)).distinct.size != 1)
       return None // stale mix (e.g. on a mirror): fall back, don't throw
     Some(BloomSidecar(parts.head.bits, parts.head.hashes,
-      parts.flatMap(_.words).toMap))
+      parts.flatMap(_.words).toMap, domain = parts.head.domain))
   }
 
   private[ops] def writeBloom(path: String, gen: Long, keyCol: String, bits: Int,
       hashes: Int, words: Map[String, Map[Int, Long]],
-      shards: Int = 1): Unit = {
+      shards: Int = 1, domain: String = "long"): Unit = {
     def body(ws: Map[String, Map[Int, Long]]) =
       (Seq(s"#bits\t$bits", s"#hashes\t$hashes") ++
+        (if (domain == "long") Seq.empty else Seq(s"#domain\t$domain")) ++
         ws.toSeq.sortBy(_._1).map { case (f, w) =>
           f + "\t" + w.toSeq.sorted
             .map { case (i, v) => s"$i:${java.lang.Long.toHexString(v)}" }
@@ -1526,6 +1535,33 @@ object Layout {
     }
   }
 
+  /** [[probePositions]]' STRING-domain twin — the same Catalyst XxHash64
+    * over a string literal, matching a `domain = "str"` sidecar's build
+    * expression bit-for-bit. */
+  private[ops] def probePositionsStr(v: String, bits: Int,
+      hashes: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until hashes).map { i =>
+      val h = XxHash64(Seq(Literal(v), Literal(i.toLong)), 42L)
+        .eval(null).asInstanceOf[Long]
+      java.lang.Math.floorMod(h, bits.toLong).toInt
+    }
+  }
+
+  /** Probe positions for an arbitrary planner value against a sidecar's
+    * domain — None when the value can't convert in that domain (the
+    * caller must then admit EVERYTHING: pruning on the convertible
+    * subset of an IN-list would false-prune files holding the others). */
+  private def probeFor(b: BloomSidecar, v: Any): Option[Seq[Int]] =
+    (b.domain, v) match {
+      case ("str", u: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(probePositionsStr(u.toString, b.bits, b.hashes))
+      case ("str", s: String) => Some(probePositionsStr(s, b.bits, b.hashes))
+      case ("long", other) =>
+        SpanDomains.anyLong(other).map(probePositions(_, b.bits, b.hashes))
+      case _ => None
+    }
+
   private def bloomMightContain(ws: Map[Int, Long], pos: Seq[Int]): Boolean =
     pos.forall(p => (ws.getOrElse(p / 64, 0L) & (1L << (p % 64))) != 0L)
 
@@ -1542,10 +1578,14 @@ object Layout {
     }
 
   /** Build (or incrementally refresh) the CURRENT generation's bloom
-    * sidecar over `keyCol` (an integral column — hashed as long). Bitset
-    * rows for files carried from an earlier retained generation's sidecar
-    * with the same (bits, hashes) are copied, not rescanned — only fresh
-    * files pay a scan. Returns (filesScanned, filesCarried). */
+    * sidecar over `keyCol`. Integral columns hash as long (the original
+    * sidecars); STRING columns (r15) hash the raw UTF-8 value and the
+    * sidecar records `#domain str`, so point lookups on document ids,
+    * URLs, or uid business keys prune exactly like integral keys —
+    * planner probes convert in the recorded domain or admit everything.
+    * Bitset rows for files carried from a retained generation's sidecar
+    * with the same (bits, hashes, domain) are copied, not rescanned —
+    * only fresh files pay a scan. Returns (filesScanned, filesCarried). */
   def zorderBloomBuild(spark: SparkSession, path: String, keyCol: String,
       bits: Int = 1 << 16, hashes: Int = 5,
       shards: Int = 1): (Int, Int) = withTableLock(path) {
@@ -1554,6 +1594,20 @@ object Layout {
     require(hashes >= 1 && hashes <= 16, "need 1 <= hashes <= 16")
     require(shards >= 1, "need shards >= 1")
     val (cur, man) = currentManifest(path)
+    val root0 = java.nio.file.Paths.get(path).toAbsolutePath
+    val files = man.spans.map(_.file)
+    // the key's hash domain follows the column's type: persisted schema
+    // when the generation is homogeneous, merged footers otherwise
+    val dom = {
+      val st = man.schemaJson
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => root0.resolve(f).toString): _*).schema)
+      if (st.fieldNames.contains(keyCol) &&
+          st(keyCol).dataType == org.apache.spark.sql.types.StringType) "str"
+      else "long"
+    }
     // carry from the newest retained sidecar with matching parameters —
     // INCLUDING the current generation's own (a same-generation refresh
     // after a maintain-then-bloom-carry gap is the advisor's
@@ -1561,16 +1615,15 @@ object Layout {
     val prior: Map[String, Map[Int, Long]] =
       retainedGens(path).sorted.reverse
         .flatMap(g => readBloom(path, g, keyCol))
-        .find(b => b.bits == bits && b.hashes == hashes)
+        .find(b => b.bits == bits && b.hashes == hashes && b.domain == dom)
         .map(_.words).getOrElse(Map.empty)
-    val files = man.spans.map(_.file)
     val carried = files.filter(prior.contains)
     val toScan = files.filterNot(prior.contains)
     val fresh: Map[String, Map[Int, Long]] =
       if (toScan.isEmpty) Map.empty
       else {
-        val root = java.nio.file.Paths.get(path).toAbsolutePath
-        val key = col(keyCol).cast("long")
+        val root = root0
+        val key = if (dom == "str") col(keyCol) else col(keyCol).cast("long")
         val posArr = array((0 until hashes).map(i =>
           pmod(xxhash64(key, lit(i.toLong)), lit(bits.toLong))): _*)
         val byName = toScan.map(f =>
@@ -1596,7 +1649,7 @@ object Layout {
         toScan.map(f => f -> built.getOrElse(f, Map.empty[Int, Long])).toMap
       }
     writeBloom(path, cur, keyCol, bits, hashes,
-      carried.map(f => f -> prior(f)).toMap ++ fresh, shards)
+      carried.map(f => f -> prior(f)).toMap ++ fresh, shards, domain = dom)
     (toScan.size, carried.size)
   }
 
@@ -1610,10 +1663,11 @@ object Layout {
     * planner's residual filter absorbs bloom false positives. */
   private[ops] def bloomFilePredicate(path: String, gen: Long,
       keyCol: String): Option[Seq[Long] => (String => Boolean)] =
-    readBloom(path, gen, keyCol).map { b => (values: Seq[Long]) =>
-      val probes = values.distinct.map(v => probePositions(v, b.bits, b.hashes))
-      (file: String) => probes.exists(p => bloomAdmits(b, file, p))
-    }
+    readBloom(path, gen, keyCol).filter(_.domain == "long") // long probes only
+      .map { b => (values: Seq[Long]) =>
+        val probes = values.distinct.map(v => probePositions(v, b.bits, b.hashes))
+        (file: String) => probes.exists(p => bloomAdmits(b, file, p))
+      }
 
   /** [[bloomFilePredicate]]'s index-aligned form: resolve `files` →
     * bitsets ONCE (the per-file string-keyed map lookup measured as the
@@ -1622,16 +1676,23 @@ object Layout {
     * array. Files absent from the sidecar resolve to always-admit. */
   private[ops] def bloomSpanAdmission(path: String, gen: Long,
       keyCol: String,
-      files: Seq[String]): Option[Seq[Long] => Array[Boolean]] =
+      files: Seq[String]): Option[Seq[Any] => Array[Boolean]] =
     readBloom(path, gen, keyCol).map { b =>
       val wordsByFile: Array[Option[Map[Int, Long]]] =
         files.iterator.map(f => b.words.get(f)).toArray
-      (values: Seq[Long]) => {
-        val probes =
-          values.distinct.map(v => probePositions(v, b.bits, b.hashes))
-        wordsByFile.map {
-          case None => true // absent = not yet indexed: must open
-          case Some(ws) => probes.exists(p => bloomMightContain(ws, p))
+      (values: Seq[Any]) => {
+        val converted = values.distinct.map(v => probeFor(b, v))
+        // any value the sidecar's domain can't hash ⇒ admit EVERYTHING
+        // (pruning on the convertible subset would false-prune files
+        // holding the unconvertible values)
+        if (values.isEmpty || converted.exists(_.isEmpty))
+          Array.fill(wordsByFile.length)(true)
+        else {
+          val probes = converted.flatten
+          wordsByFile.map {
+            case None => true // absent = not yet indexed: must open
+            case Some(ws) => probes.exists(p => bloomMightContain(ws, p))
+          }
         }
       }
     }
@@ -1642,12 +1703,24 @@ object Layout {
     * file (correct, unpruned; run [[zorderBloomBuild]] after commits to
     * keep lookups pruned). */
   def zorderLookupFiles(path: String, keyCol: String,
-      values: Seq[Long]): (Int, Int, Boolean) = {
+      values: Seq[Long]): (Int, Int, Boolean) =
+    lookupFilesAny(path, keyCol, values, "long")
+
+  /** [[zorderLookupFiles]] for a STRING-keyed sidecar. */
+  def zorderLookupFilesStr(path: String, keyCol: String,
+      values: Seq[String]): (Int, Int, Boolean) =
+    lookupFilesAny(path, keyCol, values, "str")
+
+  private def lookupFilesAny(path: String, keyCol: String,
+      values: Seq[Any], wantDom: String): (Int, Int, Boolean) = {
     val (cur, man) = currentManifest(path)
-    readBloom(path, cur, keyCol) match {
+    // a sidecar in the WRONG domain is the same as no sidecar: probing
+    // long positions against string-hashed bitsets (or vice versa) would
+    // false-prune — fall back to every file instead
+    readBloom(path, cur, keyCol).filter(_.domain == wantDom) match {
       case None => (man.spans.size, man.spans.size, false)
       case Some(b) =>
-        val probes = values.distinct.map(v => probePositions(v, b.bits, b.hashes))
+        val probes = values.distinct.flatMap(v => probeFor(b, v))
         (man.spans.count(s => probes.exists(p =>
           bloomAdmits(b, s.file, p))),
           man.spans.size, true)
@@ -1658,21 +1731,35 @@ object Layout {
     * `keyCol` is one of `values`, opening only files whose bitset admits
     * at least one probe (no false negatives — the residual IN filter
     * handles bloom false positives). Without a current-generation sidecar
-    * the lookup still answers, unpruned. */
+    * (or with one in the wrong hash domain) the lookup still answers,
+    * unpruned. */
   def zorderPointLookup(spark: SparkSession, path: String, keyCol: String,
-      values: Seq[Long]): DataFrame = {
+      values: Seq[Long]): DataFrame =
+    pointLookupAny(spark, path, keyCol, values, "long",
+      col(keyCol).cast("long").isin(values: _*))
+
+  /** [[zorderPointLookup]] for a STRING key — the doc-id/URL/business-key
+    * shape a training-data pipeline probes with (r15). */
+  def zorderPointLookupStr(spark: SparkSession, path: String, keyCol: String,
+      values: Seq[String]): DataFrame =
+    pointLookupAny(spark, path, keyCol, values, "str",
+      col(keyCol).isin(values: _*))
+
+  private def pointLookupAny(spark: SparkSession, path: String,
+      keyCol: String, values: Seq[Any], wantDom: String,
+      residual: Column): DataFrame = {
     val (cur, man) = currentManifest(path)
-    val hit = readBloom(path, cur, keyCol) match {
+    val hit = readBloom(path, cur, keyCol).filter(_.domain == wantDom) match {
       case None => man.spans
       case Some(b) =>
-        val probes = values.distinct.map(v => probePositions(v, b.bits, b.hashes))
+        val probes = values.distinct.flatMap(v => probeFor(b, v))
         man.spans.filter(s => probes.exists(p =>
           bloomAdmits(b, s.file, p)))
     }
     val base =
       if (hit.isEmpty) spanFiles(spark, path, man.spans, man.mixedSchema).limit(0)
       else spanFilesLive(spark, path, man, hit)
-    base.filter(col(keyCol).cast("long").isin(values: _*))
+    base.filter(residual)
   }
 
   // -------------------------------------- metadata-only band aggregates
@@ -1765,7 +1852,9 @@ object Layout {
     heal(path, cur)
     val man = readManifest(path, cur)
     val spans = man.spans
-    val candIdx = readBloom(path, cur, keyCol) match {
+    // wrong-domain sidecars never narrow (probing long positions against
+    // string-hashed bitsets would false-prune)
+    val candIdx = readBloom(path, cur, keyCol).filter(_.domain == "long") match {
       case None => spans.indices.toSeq
       case Some(b) =>
         val probes = values.distinct.map(v => probePositions(v, b.bits, b.hashes))
@@ -1991,7 +2080,8 @@ object Layout {
   def zorderDeleteVectoredByKey(spark: SparkSession, path: String,
       keyCol: String, values: Seq[Long]): (Long, Int) =
     dvDelete(spark, path,
-      man => readBloom(path, currentGen(path).get, keyCol) match {
+      man => readBloom(path, currentGen(path).get, keyCol)
+          .filter(_.domain == "long") match { // wrong domain never narrows
         case None => man.spans.indices.toSeq
         case Some(b) =>
           val probes = values.distinct.map(v =>

@@ -182,8 +182,8 @@ final class ManifestFileIndex private[ops] (path: String,
   // query pays probe ANDs over an array instead of a string-keyed map
   // lookup per file (84 → 45 ms/query at 100k files, see LayoutProbe)
   private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Option[Seq[Long] => Array[Boolean]]]()
-  private def bloomFor(colName: String): Option[Seq[Long] => Array[Boolean]] =
+    String, Option[Seq[Any] => Array[Boolean]]]()
+  private def bloomFor(colName: String): Option[Seq[Any] => Array[Boolean]] =
     bloomCache.computeIfAbsent(colName,
       c => Layout.bloomSpanAdmission(path, gen, c, man.spans.map(_.file)))
 
@@ -321,8 +321,6 @@ final class ManifestFileIndex private[ops] (path: String,
   private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
     SpanDomains.isIntegral(dt)
 
-  private def litLong(l: Literal): Option[Long] = SpanDomains.anyLong(l.value)
-
   /** The span's [lo, hi] for an attribute, when the manifest knows it:
     * `None` = unknown column (or a layout key whose type isn't integral —
     * the cast("long") domain mismatch, see boundsFor); `Some(None)` = a
@@ -424,27 +422,32 @@ final class ManifestFileIndex private[ops] (path: String,
     }
   }
 
-  /** Top-level-conjunct point predicates on INTEGRAL columns — the shapes
-    * a bloom sidecar can prune on: `k = v`, `v = k`, `k IN (…)`, and the
-    * optimizer's `InSet` form. One entry per predicate (conjunctive);
-    * a predicate with any non-literal / non-integral piece contributes
-    * nothing (no pruning, never wrong). */
+  /** Top-level-conjunct point predicates on INTEGRAL or STRING columns —
+    * the shapes a bloom sidecar can prune on: `k = v`, `v = k`,
+    * `k IN (…)`, and the optimizer's `InSet` form. Values pass RAW
+    * (boxed integrals / UTF8String) — [[Layout.bloomSpanAdmission]]
+    * converts them in the sidecar's recorded hash domain and admits
+    * everything on any mismatch. One entry per predicate (conjunctive);
+    * a predicate with any non-literal piece contributes nothing (no
+    * pruning, never wrong). */
   private def pointValues(
-      filters: Seq[Expression]): Seq[(String, Seq[Long])] = {
-    val out = Seq.newBuilder[(String, Seq[Long])]
+      filters: Seq[Expression]): Seq[(String, Seq[Any])] = {
+    def ok(a: Attribute): Boolean =
+      isIntegral(a.dataType) || SpanDomains.isString(a.dataType)
+    val out = Seq.newBuilder[(String, Seq[Any])]
     def walk(e: Expression): Unit = e match {
       case And(l, r) => walk(l); walk(r)
-      case EqualTo(a: Attribute, l: Literal) if isIntegral(a.dataType) =>
-        litLong(l).foreach(v => out += (a.name -> Seq(v)))
-      case EqualTo(l: Literal, a: Attribute) if isIntegral(a.dataType) =>
-        litLong(l).foreach(v => out += (a.name -> Seq(v)))
-      case In(a: Attribute, list) if isIntegral(a.dataType) &&
+      case EqualTo(a: Attribute, l: Literal) if ok(a) && l.value != null =>
+        out += (a.name -> Seq(l.value))
+      case EqualTo(l: Literal, a: Attribute) if ok(a) && l.value != null =>
+        out += (a.name -> Seq(l.value))
+      case In(a: Attribute, list) if ok(a) &&
           list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
-        val vs = list.map(l => litLong(l.asInstanceOf[Literal]))
-        if (vs.forall(_.isDefined)) out += (a.name -> vs.map(_.get))
-      case InSet(a: Attribute, set) if isIntegral(a.dataType) && set.nonEmpty =>
-        val vs = set.toSeq.map(SpanDomains.anyLong)
-        if (vs.forall(_.isDefined)) out += (a.name -> vs.map(_.get))
+        val vs = list.map(_.asInstanceOf[Literal].value)
+        if (vs.forall(_ != null)) out += (a.name -> vs)
+      case InSet(a: Attribute, set) if ok(a) && set.nonEmpty =>
+        val vs = set.toSeq
+        if (vs.forall(_ != null)) out += (a.name -> vs)
       case _ => ()
     }
     filters.foreach(walk)

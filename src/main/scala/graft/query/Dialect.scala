@@ -328,10 +328,17 @@ object Dialect {
                 case ("total", List(x)) =>
                   // try_cast, not CAST: under Spark's default ANSI mode a
                   // non-numeric string would THROW, where SQLite's total()
-                  // counts it as 0.0 — try_cast → NULL → 0.0 matches (the
-                  // one residual delta: SQLite parses a numeric PREFIX,
-                  // '12abc' → 12.0, try_cast → 0.0)
-                  s"coalesce(sum(coalesce(try_cast($x AS DOUBLE), 0.0D)), 0.0D)"
+                  // converts it leniently. Full fidelity (r15): SQLite's
+                  // text→REAL (sqlite3AtoF) parses the longest NUMERIC
+                  // PREFIX — '12abc' → 12.0, '.5x' → 0.5, '1e2y' → 100.0,
+                  // '1e' → 1.0 (incomplete exponent drops), 'abc' → 0.0 —
+                  // so when the direct cast misses, a second branch
+                  // extracts that prefix (regex in backslash-free char
+                  // classes; empty extract → NULL → 0.0)
+                  s"coalesce(sum(coalesce(try_cast($x AS DOUBLE), " +
+                    s"try_cast(regexp_extract(CAST($x AS STRING), " +
+                    "'^ *[+-]?([0-9]+[.]?[0-9]*|[.][0-9]+)([eE][+-]?[0-9]+)?', 0) " +
+                    "AS DOUBLE), 0.0D)), 0.0D)"
                 case ("group_concat", List(x)) if x.toUpperCase.startsWith("DISTINCT ") =>
                   gc(x.drop("DISTINCT ".length).trim, "','", distinct = true)
                 case ("group_concat", List(x)) =>

@@ -2119,6 +2119,50 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(Layout.zorderOptimize(spark, dir, smallFileRows = 64L).isEmpty)
   }
 
+  test("string-domain bloom sidecars: point lookups on string keys prune in the planner and the explicit API; wrong-domain probes never prune (r15)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zsb").toString + "/t"
+    // doc-id-shaped string keys, decorrelated from the layout (reversed
+    // digits) so spans are useless and any cut is the bitset's
+    val base = spark.range(2048L)
+      .select((col("id") / 32).cast("long").as("a"), (col("id") % 32).as("b"),
+        col("id").as("k"),
+        concat(lit("doc-"), reverse(lpad(col("id").cast("string"), 6, "0")))
+          .as("doc_id"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 8)
+    val (scanned, _) = Layout.zorderBloomBuild(spark, dir, "doc_id")
+    assert(scanned == 8, "the string build must scan the fresh files")
+    def ref(i: Long): String = "doc-" + f"$i%06d".reverse
+    val probes = Seq(ref(7), ref(901), ref(1777), "doc-absent")
+    // explicit API: pruned file census + exact rows
+    val (open, total, used) = Layout.zorderLookupFilesStr(dir, "doc_id", probes)
+    assert(used && open < total, s"string bloom must prune: $open/$total")
+    val got = Layout.zorderPointLookupStr(spark, dir, "doc_id", probes)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == Set(7L, 901L, 1777L))
+    // the LONG-probe APIs see a wrong-domain sidecar as NO sidecar
+    // (probing long positions against string bitsets would false-prune)
+    val (openL, totalL, usedL) = Layout.zorderLookupFiles(dir, "doc_id", Seq(7L))
+    assert(!usedL && openL == totalL)
+    // planner integration: equality and IN on the string column prune
+    // the real listing and answer exactly
+    val (df, fi) = ZTable.dataFrameWithIndex(spark, dir)
+    val one = df.filter(col("doc_id") === ref(901)).select("k")
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(901L))
+    assert(fi.lastListed > 0 && fi.lastListed < fi.inputFiles.length,
+      s"string equality must prune the planner listing: " +
+        s"${fi.lastListed}/${fi.inputFiles.length}")
+    val (df2, fi2) = ZTable.dataFrameWithIndex(spark, dir)
+    val in = df2.filter(col("doc_id").isin(probes: _*)).select("k")
+    assert(in.collect().map(_.getLong(0)).toSet == Set(7L, 901L, 1777L))
+    assert(fi2.lastListed < fi2.inputFiles.length,
+      "string IN must prune the planner listing")
+    // takedown by key keeps working (its bloom narrowing falls back to
+    // all files under the wrong-domain sidecar, correct and unpruned)
+    assert(Layout.zorderDeleteVectoredByKey(spark, dir, "k", Seq(901L))._1 == 1L)
+    assert(Layout.zorderRead(spark, dir).filter(col("k") === 901L).count() == 0L)
+  }
+
   test("manifest v3: string stats prune in the planner via the prefix embedding; null counters prune IsNull/IsNotNull; v2 manifests still parse (r15)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zstr").toString + "/t"

@@ -65,6 +65,9 @@ class DialectSpec extends AnyFunSuite {
       gc("n.kind", "','", "collect_set"))
     assert(Dialect.translate("total(n.data.v)") ==
       "coalesce(sum(coalesce(try_cast(get_json_object(n.props, '$.v') " +
+        "AS DOUBLE), try_cast(regexp_extract(CAST(get_json_object(n.props, " +
+        "'$.v') AS STRING), " +
+        "'^ *[+-]?([0-9]+[.]?[0-9]*|[.][0-9]+)([eE][+-]?[0-9]+)?', 0) " +
         "AS DOUBLE), 0.0D)), 0.0D)")
     // nested inside another call; inner rewrites still apply
     assert(Dialect.translate("length(group_concat(c.uid, ','))") ==
@@ -100,6 +103,25 @@ class DialectSpec extends AnyFunSuite {
     // v is non-numeric, so sum is NULL → total falls to 0.0 (SQLite treats
     // non-numeric text as 0.0 in total(); both engines land on 0.0 here)
     assert(rows(1).getDouble(2) == 0.0)
+  }
+
+  test("total() parses SQLite's NUMERIC PREFIX from text (sqlite3AtoF fidelity, r15)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // one row per case so each total() isolates one conversion;
+    // expectations are sqlite3AtoF's: longest valid numeric prefix,
+    // incomplete exponents drop, garbage → 0.0
+    val cases = Seq(
+      ("12abc", 12.0), (".5x", 0.5), ("1e2y", 100.0), ("1e", 1.0),
+      ("1e+", 1.0), ("-3.5junk", -3.5), ("  7rest", 7.0), ("0x1A", 0.0),
+      ("abc", 0.0), ("", 0.0), ("+.25z", 0.25), ("1.2.3", 1.2),
+      ("42", 42.0), ("-0.0", -0.0), ("e5", 0.0))
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      Seq(in).toDF("v").createOrReplaceTempView(s"dialect_total_pin_$i")
+      val got = spark.sql("SELECT " + Dialect.translate("total(v)") +
+        s" AS t FROM dialect_total_pin_$i").head().getDouble(0)
+      assert(got == want, s"total('$in') = $got, want $want")
+    }
   }
 
   test("rewrites never touch single-quoted literals") {
