@@ -2344,19 +2344,27 @@ object Layout {
   private def cdcIntentPath(followerPath: String) =
     java.nio.file.Paths.get(followerPath, "cdc-intent")
 
+  private def cdcPrimaryIdPath(followerPath: String) =
+    java.nio.file.Paths.get(followerPath, "cdc-primary-id")
+
   /** Seed a CDC FOLLOWER table: snapshot the primary's CURRENT generation
     * (pinned to that generation's manifest — a racing primary commit
     * cannot tear the read), init the follower with the SAME layout keys,
-    * and persist the cursor at that generation. A crash between init and
-    * cursor write leaves a follower [[zorderCdcApply]] refuses loudly —
-    * delete the follower directory and re-seed (the same rule as a
-    * crashed re-init). */
+    * persist the cursor at that generation, and record the primary's
+    * TABLE IDENTITY — generation numbers restart when a primary is
+    * deleted and re-initialized, so a cursor number alone proves nothing
+    * across rebuilds ([[zorderCdcApply]] refuses a mismatched identity
+    * loudly, the same rule [[zorderMirror]] enforces). A crash between
+    * init and cursor write leaves a follower the apply refuses — delete
+    * the follower directory and re-seed (the same rule as a crashed
+    * re-init). */
   def zorderCdcSeed(spark: SparkSession, primaryPath: String,
       followerPath: String, nFiles: Int, keepGenerations: Int = 1): Long = {
     val (gen, man) = currentManifest(primaryPath)
     val snapshot = zorderReadAsOf(spark, primaryPath, gen)
     zorderInit(spark, snapshot, followerPath, man.colA, man.colB, nFiles,
       keepGenerations, statCols = man.statCols)
+    writeAtomic(cdcPrimaryIdPath(followerPath), ensureTableId(primaryPath))
     writeAtomic(cdcCursorPath(followerPath), gen.toString)
     gen
   }
@@ -2405,6 +2413,19 @@ object Layout {
       require(java.nio.file.Files.isRegularFile(cdcCursorPath(followerPath)),
         s"$followerPath is not a seeded CDC follower — run zorderCdcSeed " +
           "first (or delete the directory and re-seed after a crashed seed)")
+      // IDENTITY check: a primary deleted and re-initialized restarts its
+      // generation numbers — applying its feed against a cursor from the
+      // old table's life would silently mix two unrelated histories.
+      // Followers seeded before the marker existed skip the check.
+      if (java.nio.file.Files.isRegularFile(cdcPrimaryIdPath(followerPath))) {
+        val seededId = new String(java.nio.file.Files.readAllBytes(
+          cdcPrimaryIdPath(followerPath)), "UTF-8").trim
+        val priId = ensureTableId(primaryPath)
+        require(seededId == priId,
+          s"$followerPath follows a DIFFERENT primary (table id $seededId " +
+            s"vs $priId) — the primary was re-initialized; delete the " +
+            "follower directory and re-seed")
+      }
       val cursor = new String(java.nio.file.Files.readAllBytes(
         cdcCursorPath(followerPath)), "UTF-8").trim.toLong
       // fold any follower landing FIRST: a run that crashed between its

@@ -2027,6 +2027,15 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(Layout.zorderCdcApply(spark, pri, fol, "k") == ((0L, 0L, c2)))
     assert(!java.nio.file.Files.isRegularFile(
       java.nio.file.Paths.get(fol, "cdc-intent")))
+    // PRIMARY IDENTITY: a follower of a different table's life (the
+    // primary deleted + re-initialized restarts generation numbers) must
+    // refuse loudly, never mix histories (r15 review hardening)
+    java.nio.file.Files.write(java.nio.file.Paths.get(fol, "cdc-primary-id"),
+      "not-the-primary".getBytes("UTF-8"))
+    val eId = intercept[IllegalArgumentException] {
+      Layout.zorderCdcApply(spark, pri, fol, "k")
+    }
+    assert(eId.getMessage.contains("DIFFERENT primary"))
   }
 
   test("CDC apply above the churn threshold: the distributed-key path matches the collected path; DataFrame-keys vectored delete (r15)") {
