@@ -198,6 +198,106 @@ class LayoutPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("CDC crash-point torture: a poll killed at ANY phase, with racing primary commits in the crash window, always converges exactly (seeded)") {
+    import spark.implicits._
+    for (seed <- Seq(1500L, 1501L)) {
+      val rng = new Random(seed)
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_zcdct$seed")
+      val pri = s"$tmp/pri"; val fol = s"$tmp/fol"
+      var nextKey = 512L
+      def frame(rows: Seq[(Long, String)]) =
+        rows.map { case (k, v) => (k / 8, k % 8, k, v) }.toDF("a", "b", "k", "v")
+      Layout.zorderInit(spark,
+        frame((0L until 512L).map(k => (k, s"v$k"))), pri, "a", "b",
+        nFiles = 4, keepGenerations = 64) // retention >> rounds × commits
+      Layout.zorderCdcSeed(spark, pri, fol, nFiles = 4)
+      def rows(path: String): Set[(Long, String)] =
+        Layout.zorderRead(spark, path).select("k", "v")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      def liveKeys(): Seq[Long] = Layout.zorderRead(spark, pri)
+        .select("k").collect().map(_.getLong(0)).toSeq
+      def primaryCommit(): Unit = rng.nextInt(3) match {
+        case 0 => // fresh keys arrive
+          val ks = (0 until 1 + rng.nextInt(16)).map { _ => nextKey += 1; nextKey }
+          Layout.zorderAppend(frame(ks.map(k => (k, s"v$k"))), pri)
+          Layout.zorderMaintain(spark, pri); ()
+        case 1 => // some existing keys vanish
+          val doomed = rng.shuffle(liveKeys()).take(1 + rng.nextInt(8))
+          if (doomed.nonEmpty) {
+            Layout.zorderDeleteVectoredByKey(spark, pri, "k", doomed); ()
+          }
+        case 2 => // some existing keys update (delete+insert in the feed)
+          val up = rng.shuffle(liveKeys()).take(1 + rng.nextInt(8))
+          if (up.nonEmpty) {
+            Layout.zorderUpsert(spark,
+              frame(up.map(k => (k, s"u$k-${rng.nextInt(99)}"))), pri); ()
+          }
+      }
+      def cursor(): Long = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fol, "cdc-cursor")), "UTF-8").trim.toLong
+      for (round <- 0 until 8) {
+        primaryCommit()
+        if (rng.nextBoolean()) primaryCommit()
+        // crash ∈ 0..4 = the poll dies after phase N (0: intent written;
+        // 1: +delete; 2: +append landed; 3: +maintain; 4: +cursor, intent
+        // leftover); 5 = clean poll. The simulation replays zorderCdcApply's
+        // EXACT phase order against the same file markers.
+        val crash = rng.nextInt(6)
+        if (crash == 5) {
+          Layout.zorderCdcApply(spark, pri, fol, "k",
+            collectThreshold = if (rng.nextBoolean()) 100000L else 0L)
+          ()
+        } else {
+          val cur0 = cursor()
+          val target = Layout.currentGen(pri).get
+          if (target != cur0) {
+            Layout.zorderMaintain(spark, fol) // the apply's first step
+            val feed = Layout.zorderChanges(spark, pri, cur0, target)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              if (feed.count() > 0) {
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(fol, "cdc-intent"),
+                  target.toString.getBytes("UTF-8"))
+                if (crash >= 1) {
+                  val ks = feed.select(col("k").cast("long")).distinct()
+                    .collect().map(_.getLong(0)).toSeq
+                  Layout.zorderDeleteVectoredByKey(spark, fol, "k", ks); ()
+                }
+                if (crash >= 2)
+                  Layout.zorderAppend(feed
+                    .filter(col("change_type") === "insert")
+                    .drop("change_type"), fol)
+                if (crash >= 3) { Layout.zorderMaintain(spark, fol); () }
+                if (crash >= 4)
+                  java.nio.file.Files.write(
+                    java.nio.file.Paths.get(fol, "cdc-cursor"),
+                    target.toString.getBytes("UTF-8"))
+              }
+            } finally { feed.unpersist(); () }
+          }
+          // the ADVICE hazard: the primary commits INSIDE the crash window
+          // (a canceling commit is what an unpinned replay would miss)
+          primaryCommit()
+        }
+        // recovery: one poll replays any pinned crash, one more reaches
+        // the primary's CURRENT; a third must be a caught-up no-op
+        Layout.zorderCdcApply(spark, pri, fol, "k")
+        Layout.zorderCdcApply(spark, pri, fol, "k",
+          collectThreshold = if (rng.nextBoolean()) 100000L else 0L)
+        val (i3, d3, c3) = Layout.zorderCdcApply(spark, pri, fol, "k")
+        assert(i3 == 0L && d3 == 0L && c3 == Layout.currentGen(pri).get,
+          s"seed=$seed round=$round crash=$crash: not caught up")
+        assert(rows(fol) == rows(pri),
+          s"seed=$seed round=$round crash=$crash: follower diverged")
+        assert(!java.nio.file.Files.isRegularFile(
+          java.nio.file.Paths.get(fol, "cdc-intent")),
+          s"seed=$seed round=$round: intent must clear after convergence")
+      }
+      graft.engine.WarehouseMeta.deleteRecursively(tmp)
+    }
+  }
+
   test("persisted schema ≡ footer schema under randomized shuffled-column appends (seeded)") {
     import spark.implicits._
     // the schema-in-manifest fast path asserts that left-biased
