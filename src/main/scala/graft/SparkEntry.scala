@@ -962,6 +962,60 @@ object SparkEntry {
       fol
     }
 
+  /** Memoized AUTO-PILOT table for w53: a lineitem z-table dirtied every
+    * way the advisor census watches — a bloom sidecar that will go stale,
+    * unmaintained landing rows (the tail append), clamped-out-of-bounds
+    * keys, and a tombstoned band — then [[Layout.zorderOptimize]] runs
+    * UNTIL all-clear (one bounded action per call; the builder requires
+    * convergence and a clean census). Maintenance must never change
+    * answers: the final table is exactly lineitem minus the band, which
+    * the w53 oracle checks directly. */
+  private val zoptMemo = layoutMemo
+  private def zorderOptimizedFor(s: SparkSession, d: String): String =
+    memoizedLayout(zoptMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      val name = "graft_w53_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/lineitem.parquet") + "#zopt16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val li = t(s, d, "lineitem")
+          val mx = li.agg(max("l_orderkey"), max("l_suppkey")).collect()(0)
+          val (ma, mb) = (mx.getLong(0), mx.getLong(1))
+          Layout.zorderInit(s, li.filter(col("l_orderkey") <= ma * 9 / 10),
+            path, "l_orderkey", "l_suppkey", nFiles = 16, keepGenerations = 2)
+          Layout.zorderBloomBuild(s, path, "l_orderkey")
+          Layout.zorderAppend(li.filter(col("l_orderkey") > ma * 9 / 10), path)
+          require(Layout.zorderDeleteVectored(s, path,
+            (ma / 4, ma / 2), (mb * 2 / 5, mb / 2))._1 > 0,
+            "the band must hold rows")
+          val actions = scala.collection.mutable.ListBuffer.empty[(String, String)]
+          var step = Layout.zorderOptimize(s, path,
+            smallFileRows = 100L, tombstoneFraction = 0.01)
+          var guard = 0
+          while (step.isDefined && guard < 16) {
+            actions += step.get; guard += 1
+            step = Layout.zorderOptimize(s, path,
+              smallFileRows = 100L, tombstoneFraction = 0.01)
+          }
+          require(guard < 16, s"auto-pilot must converge: $actions")
+          require(Layout.zorderAdvise(s, path,
+              smallFileRows = 100L, tombstoneFraction = 0.01)
+            .filter(col("fire")).count() == 0, "census must be all-clear")
+          require(actions.map(_._2).contains("zorderMaintain") &&
+            actions.map(_._2).contains("zorderDvMaterialize"),
+            s"the landing and tombstone signals must have executed: $actions")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized STRING-STATS table for w50/w52: orders plus a zero-padded
     * string business key `o_label` (lexicographic order ≡ numeric
     * orderkey order — the invoice-number shape) declared as a STRING stat
@@ -2355,6 +2409,18 @@ object SparkEntry {
         .groupBy("kind").agg(count(lit(1)).as("reached"))
     }),
 
+    // the SAME k-hop over the z-table warehouse (r15 unification): a
+    // whole-graph traversal operator running unchanged over the
+    // planner-integrated maintained tables — the storage layout (plain
+    // parquet / bucketed catalog / manifest-backed z-tables) must never
+    // change a traversal's answer; x03/x03w/x03z triangulate all three
+    "x03z_khop_ztable" -> ((s, d) => {
+      val g = ZStarWarehouse(s, d)
+      val seed = g.nodes.filter(col("uid") === "nation:0")
+      graft.ops.Traversals.kHop(g, seed, hops = 2)
+        .groupBy("kind").agg(count(lit(1)).as("reached"))
+    }),
+
     // whole-graph BFS distances from one seed (GraphX Pregel, one superstep
     // per level) histogrammed by (kind, dist) — the unbounded-k counterpart
     // of x03; oracle = recursive CTE with a depth bound above the diameter
@@ -3179,6 +3245,18 @@ object SparkEntry {
           s"${fi.lastListed}/${fi.inputFiles.length}")
       res
     }),
+
+    // ADVISOR AUTO-PILOT (r15): the table was dirtied every way the
+    // census watches (stale bloom, landing rows, clamped bounds,
+    // tombstones) and zorderOptimize ran until all-clear in the builder
+    // (bounded steps, census-clean require) — maintenance must never
+    // change answers, so the twin is raw lineitem minus the band
+    "w53_zorder_optimize" -> ((s, d) =>
+      Layout.zorderRead(s, zorderOptimizedFor(s, d))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))),
 
     // STRING-KEY BLOOM POINT LOOKUP (r15): .isin over the OPAQUE string
     // reference o_ref — reversed digits decorrelate it from the layout,
@@ -4383,6 +4461,7 @@ object SparkEntry {
     "x02_pagerank" -> PageRankSql,
     "x03_khop_reach" -> KhopReachSql,
     "x03w_khop_bucketed" -> KhopReachSql,
+    "x03z_khop_ztable" -> KhopReachSql,
 
     // BFS distances: same undirected star edges as x03, recursion bounded at
     // d < 8 (star-graph eccentricity from nation:0 is ~5), MIN(d) per uid =
@@ -5533,6 +5612,17 @@ object SparkEntry {
         |        >= lpad(CAST(mo // 4 AS VARCHAR), 8, '0')
         |  AND lpad(CAST(o_orderkey AS VARCHAR), 8, '0')
         |        <= lpad(CAST(mo // 2 AS VARCHAR), 8, '0')
+        |GROUP BY 1""".stripMargin,
+
+    // the auto-piloted table ≡ raw lineitem minus the band (the advisor's
+    // maintain/bloom/binpack/compact/materialize chain never changes rows)
+    "w53_zorder_optimize" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) AS ma, MAX(l_suppkey) AS mb FROM lineitem)
+        |SELECT l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem, mx
+        |WHERE NOT (l_orderkey BETWEEN ma // 4 AND ma // 2
+        |       AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2)
         |GROUP BY 1""".stripMargin,
 
     // string-keyed point lookups through the planner ≡ a plain IN over
