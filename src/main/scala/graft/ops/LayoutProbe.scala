@@ -440,9 +440,15 @@ object LayoutProbe {
         keepGenerations = 8)
       Layout.zorderCdcSeed(spark, pri, fol, files)
       // half the churn deletes existing keys, half appends new rows —
-      // the restatement mix a follower actually sees
-      Layout.zorderDeleteVectoredByKey(spark, pri, "k",
-        (0L until churn / 2).toSeq)
+      // the restatement mix a follower actually sees. The setup delete
+      // goes through the distributed overload above the same threshold
+      // the apply uses (a 500k-literal isin would be a driver-plan bomb).
+      if (churn / 2 > 100000)
+        Layout.zorderDeleteVectoredByKey(spark, pri, "k",
+          spark.range(0L, churn / 2).select(col("id").as("k")))
+      else
+        Layout.zorderDeleteVectoredByKey(spark, pri, "k",
+          (0L until churn / 2).toSeq)
       Layout.zorderAppend(spark.range(rows * 2, rows * 2 + churn / 2)
         .select((col("id") % 1024).as("a"), (col("id") / 1024 % 1024).as("b"),
           col("id").as("k"), concat(lit("v"), col("id")).as("v")), pri)
@@ -471,6 +477,21 @@ object LayoutProbe {
     val dsec = pollSec(1L << 20, 64, 100000, collectThreshold = 0L)
     println(s"""{"metric":"zcdc_apply_distributed","table_rows":${1L << 20},""" +
       s""""churn":100000,"sec":${r4(dsec)}}""")
+    // the MILLION-key restatement through the distributed path — the
+    // poll's only driver rows are the 1-row stats aggregate and manifest
+    // state, so driver heap stays flat no matter the churn (recorded
+    // alongside the wall time: used-heap delta across the poll, after a
+    // GC on each side — indicative, not exact)
+    locally {
+      val rt = Runtime.getRuntime
+      def usedMb(): Long = { System.gc(); (rt.totalMemory - rt.freeMemory) >> 20 }
+      val before = usedMb()
+      val xlSec = pollSec(1L << 21, 128, 1 << 20, collectThreshold = 0L)
+      val after = usedMb()
+      println(s"""{"metric":"zcdc_apply_distributed_xl","table_rows":${1L << 21},""" +
+        s""""churn":${1 << 20},"sec":${r4(xlSec)},""" +
+        s""""driver_heap_delta_mb":${after - before}}""")
+    }
     spark.stop()
   }
 
