@@ -129,6 +129,56 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     }
   }
 
+  /** Compact into MAINTAINED Z-TABLES (`<path>/znodes`, `<path>/zedges`)
+    * — the r15 unification applied to the MUTABLE warehouse: uids here
+    * are opaque base36 ids (no numeric suffix to cluster on), so the
+    * layout key is `xxhash64(uid)` (uniform spread; spans deliberately
+    * carry no selectivity) and point access prunes through STRING-domain
+    * bloom sidecars over the uid columns themselves — `getuid`/`outE`/
+    * `inE` on a mutable graph become literal string predicates the
+    * planner cuts to the file(s) that may contain the key
+    * ([[zPointNode]]/[[zOutEdges]]/[[zInEdges]]). Each call is a full
+    * re-materialization of the CURRENT state (compaction is a full
+    * rewrite by definition); the journal is NOT truncated — pair with
+    * [[compact]] for clearchanges semantics. */
+  def compactZorder(nFiles: Int = 16): Unit = {
+    import graft.ops.Layout
+    val (n, e) = currentState
+    val zn = s"$path/znodes"; val ze = s"$path/zedges"
+    Seq(zn, ze).foreach(d => WarehouseMeta.deleteRecursively(Paths.get(d)))
+    Layout.zorderInit(spark, n.withColumn("_kh", xxhash64(col("uid"))),
+      zn, "_kh", "_kh", nFiles)
+    Layout.zorderBloomBuild(spark, zn, "uid")
+    Layout.zorderInit(spark,
+      e.withColumn("_khs", xxhash64(col("startuid")))
+        .withColumn("_khe", xxhash64(col("enduid"))),
+      ze, "_khs", "_khe", nFiles)
+    Layout.zorderBloomBuild(spark, ze, "startuid")
+    Layout.zorderBloomBuild(spark, ze, "enduid")
+  }
+
+  private def zTable(dir: String, helpers: String*): DataFrame =
+    graft.ops.ZTable.dataFrame(spark, dir).drop(helpers: _*)
+
+  /** The compacted z-table views (planner-integrated reads; require a
+    * prior [[compactZorder]]). Snapshot semantics: the z-tables hold the
+    * state AS OF the compaction — journal appends after it are visible
+    * through [[nodes]]/[[edges]], not here, until the next compaction. */
+  def zNodes: DataFrame = zTable(s"$path/znodes", "_kh")
+  def zEdges: DataFrame = zTable(s"$path/zedges", "_khs", "_khe")
+
+  /** Point node lookup over the compacted z-table — the reference's
+    * `getuid` (graphydb.py:1025-1044) as a string-bloom-pruned scan. */
+  def zPointNode(uid: String): DataFrame =
+    zNodes.filter(col("uid") === uid)
+
+  /** Out-/in-edges of one node over the compacted z-table — the
+    * reference's `node.outE`/`inE` (graphydb.py:1335-1357). */
+  def zOutEdges(uid: String): DataFrame =
+    zEdges.filter(col("startuid") === uid)
+  def zInEdges(uid: String): DataFrame =
+    zEdges.filter(col("enduid") === uid)
+
   private def replaceDir(from: String, to: String): Unit = {
     import scala.jdk.CollectionConverters._
     val toPath = Paths.get(to)

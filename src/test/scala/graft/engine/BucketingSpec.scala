@@ -33,6 +33,45 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
         hop.queryExecution.executedPlan)
   }
 
+  test("z-table compaction: mutable-warehouse point lookups prune through string blooms and answer exactly (r15)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zwh").toString
+    val g = MemGraph(spark)
+    val ns = (1 to 200).map(i => g.node("P", "i" -> i).save())
+    for (i <- 0 until 199) g.edge(ns(i), "E", ns(i + 1)).save()
+    val wh = new WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    wh.compactZorder(nFiles = 8)
+    // the z-table views equal the journal-folded state exactly
+    assert(wh.zNodes.count() == 200L && wh.zEdges.count() == 199L)
+    assert(wh.zNodes.select("uid").except(wh.nodes.select("uid")).count() == 0)
+    assert(wh.zEdges.select("uid").except(wh.edges.select("uid")).count() == 0)
+    // getuid / outE / inE: literal string predicates on opaque base36
+    // uids — the planner must cut the listing via the STRING bloom (the
+    // hash layout's spans deliberately carry no selectivity)
+    val probe = ns(57).uid
+    val (ndf, nfi) = graft.ops.ZTable.dataFrameWithIndex(spark, s"$dir/znodes")
+    assert(ndf.filter(col("uid") === probe).count() == 1L)
+    assert(nfi.lastListed > 0 && nfi.lastListed < nfi.inputFiles.length,
+      s"getuid must prune: ${nfi.lastListed}/${nfi.inputFiles.length}")
+    assert(wh.zPointNode(probe).count() == 1L)
+    val (edf, efi) = graft.ops.ZTable.dataFrameWithIndex(spark, s"$dir/zedges")
+    assert(edf.filter(col("startuid") === probe).count() == 1L)
+    assert(efi.lastListed < efi.inputFiles.length, "outE must prune")
+    assert(wh.zOutEdges(probe).select("enduid").head().getString(0) == ns(58).uid)
+    assert(wh.zInEdges(probe).select("startuid").head().getString(0) == ns(56).uid)
+    // the z-tables are a SNAPSHOT: later journal appends show through
+    // nodes/edges, not the compacted views, until the next compaction —
+    // which refreshes them in place
+    val g2 = MemGraph(spark)
+    val extra = g2.node("P", "i" -> 999).save()
+    val docs = g2.changesDf.withColumn("seq", col("seq") + lit(wh.maxSeq))
+    wh.append(docs)
+    assert(wh.nodes.count() == 201L && wh.zNodes.count() == 200L)
+    wh.compactZorder(nFiles = 8)
+    assert(wh.zNodes.count() == 201L)
+    assert(wh.zPointNode(extra.uid).count() == 1L)
+  }
+
   private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
     // string-count so AQE-wrapped plans are included too
     "Exchange hashpartitioning".r
