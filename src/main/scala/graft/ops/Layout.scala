@@ -2091,6 +2091,25 @@ object Layout {
       },
       _ => col(keyCol).cast("long").isin(values: _*))
 
+  /** [[zorderDeleteVectoredByKey]] for a STRING key (r15) — the
+    * takedown-by-URL/doc-id shape: candidates narrow through a
+    * STRING-domain bloom sidecar when the CURRENT generation has one
+    * (no false negatives), matches tombstone, zero data files touched,
+    * repeat is an exact no-op. Returns (rowsDeleted, filesTombstoned). */
+  def zorderDeleteVectoredByKeyStr(spark: SparkSession, path: String,
+      keyCol: String, values: Seq[String]): (Long, Int) =
+    dvDelete(spark, path,
+      man => readBloom(path, currentGen(path).get, keyCol)
+          .filter(_.domain == "str") match { // wrong domain never narrows
+        case None => man.spans.indices.toSeq
+        case Some(b) =>
+          val probes = values.distinct.map(v =>
+            probePositionsStr(v, b.bits, b.hashes))
+          man.spans.indices.filter(i => probes.exists(p =>
+            bloomAdmits(b, man.spans(i).file, p)))
+      },
+      _ => col(keyCol).isin(values: _*))
+
   /** [[zorderDeleteVectoredByKey]] with a DISTRIBUTED key set — the
     * shape a large CDC poll needs: `keys` is a single-column DataFrame of
     * long key values that never lands on the driver; doomed rows resolve

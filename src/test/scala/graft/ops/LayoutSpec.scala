@@ -2177,6 +2177,21 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     // all files under the wrong-domain sidecar, correct and unpruned)
     assert(Layout.zorderDeleteVectoredByKey(spark, dir, "k", Seq(901L))._1 == 1L)
     assert(Layout.zorderRead(spark, dir).filter(col("k") === 901L).count() == 0L)
+    // STRING-KEY takedown (the GDPR-by-URL shape): bloom-bounded
+    // tombstoning on the string key itself, repeat an exact no-op
+    val doomed = Seq(ref(7), ref(1777), "doc-never-existed")
+    val (openD, totalD, usedD) =
+      Layout.zorderLookupFilesStr(dir, "doc_id", doomed)
+    assert(usedD && openD < totalD)
+    val (nDel, fTomb) =
+      Layout.zorderDeleteVectoredByKeyStr(spark, dir, "doc_id", doomed)
+    assert(nDel == 2L && fTomb >= 1 && fTomb <= openD,
+      s"string takedown must be bloom-bounded: $nDel rows, $fTomb <= $openD files")
+    assert(Layout.zorderRead(spark, dir)
+      .filter(col("doc_id").isin(doomed: _*)).count() == 0L)
+    assert(Layout.zorderDeleteVectoredByKeyStr(spark, dir, "doc_id", doomed)
+      == ((0L, 0)), "repeat string takedown must be an exact no-op")
+    assert(Layout.zorderRead(spark, dir).count() == 2048L - 3L) // 901 + 2 strings
   }
 
   test("manifest v3: string stats prune in the planner via the prefix embedding; null counters prune IsNull/IsNotNull; v2 manifests still parse (r15)") {
