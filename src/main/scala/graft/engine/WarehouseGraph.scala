@@ -143,6 +143,7 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     * [[compact]] for clearchanges semantics. */
   def compactZorder(nFiles: Int = 16): Unit = {
     import graft.ops.Layout
+    val upTo = maxSeq // read BEFORE the fold: a racing append stays "tail"
     val (n, e) = currentState
     val zn = s"$path/znodes"; val ze = s"$path/zedges"
     Seq(zn, ze).foreach(d => WarehouseMeta.deleteRecursively(Paths.get(d)))
@@ -155,6 +156,71 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
       ze, "_khs", "_khe", nFiles)
     Layout.zorderBloomBuild(spark, ze, "startuid")
     Layout.zorderBloomBuild(spark, ze, "enduid")
+    Layout.zorderBloomBuild(spark, ze, "uid") // edge takedowns prune too
+    Files.writeString(Paths.get(s"$path/zseq"), upTo.toString)
+  }
+
+  /** INCREMENTAL z-compaction — fold only the journal TAIL past the last
+    * compaction's seq marker into the z-tables, O(churn) instead of
+    * O(table): the touched uids' CURRENT z-rows read back through
+    * bloom-pruned point scans, the tail's diff docs replay over exactly
+    * those rows ([[Journal.fold]] over base-docs ∪ tail), and the result
+    * applies DELETE-THEN-INSERT — a string-key vectored tombstone of
+    * every touched uid (repeat-safe), an append+maintain of the
+    * surviving rows, and a gap-fill bloom refresh (only the rewritten
+    * files rescan, thanks to the same-generation sidecar carry). The
+    * marker advances LAST, so a crashed increment simply re-runs: the
+    * re-delete tombstones the crashed copies, the re-insert lands once —
+    * the CDC apply's idempotence argument, applied to the graph journal.
+    * Touched uids collect to the driver (churn-bounded per increment —
+    * size the cadence to the churn, the takedown loop's contract).
+    * Returns (touchedUids, nodeRowsLanded, edgeRowsLanded). */
+  def compactZorderIncremental(): (Long, Long, Long) = {
+    import graft.ops.Layout
+    val zn = s"$path/znodes"; val ze = s"$path/zedges"
+    val seqPath = Paths.get(s"$path/zseq")
+    require(Files.isRegularFile(seqPath) &&
+      Layout.currentGen(zn).isDefined && Layout.currentGen(ze).isDefined,
+      s"$path has no z-compaction to increment — run compactZorder() first")
+    val since = Files.readString(seqPath).trim.toLong
+    val upTo = maxSeq
+    if (upTo <= since) return (0L, 0L, 0L)
+    val tail = journal.filter(col("seq") > since)
+    val touched = tail.select("uid").distinct()
+      .collect().map(_.getString(0)).toSeq // churn-bounded, like the CDC poll
+    if (touched.isEmpty) {
+      Files.writeString(seqPath, upTo.toString); return (0L, 0L, 0L)
+    }
+    // current z-state of exactly the touched uids (bloom-pruned point
+    // scans — the read cost tracks the churn, not the table)
+    val baseN = graft.ops.ZTable.dataFrame(spark, zn).drop("_kh")
+      .filter(col("uid").isin(touched: _*))
+    val baseE = graft.ops.ZTable.dataFrame(spark, ze).drop("_khs", "_khe")
+      .filter(col("uid").isin(touched: _*))
+    val baseDocs = Journal.snapshotAsChanges(baseN, baseE,
+      startSeq = Long.MinValue + 1)
+    val snap = Journal.fold(spark, baseDocs.unionByName(tail), Long.MaxValue)
+    val newN = snap.nodes.withColumn("_kh", xxhash64(col("uid")))
+      .persist()
+    val newE = snap.edges.withColumn("_khs", xxhash64(col("startuid")))
+      .withColumn("_khe", xxhash64(col("enduid"))).persist()
+    try {
+      val (nN, nE) = (newN.count(), newE.count())
+      // DELETE-THEN-INSERT by uid: node and edge uids never collide
+      // (distinct random ids), so tombstoning the whole touched set
+      // against both tables is exact — absent keys are no-ops
+      Layout.zorderDeleteVectoredByKeyStr(spark, zn, "uid", touched)
+      Layout.zorderDeleteVectoredByKeyStr(spark, ze, "uid", touched)
+      if (nN > 0) { Layout.zorderAppend(newN, zn); Layout.zorderMaintain(spark, zn) }
+      if (nE > 0) { Layout.zorderAppend(newE, ze); Layout.zorderMaintain(spark, ze) }
+      // gap-fill refresh: only files the maintain rewrote rescan
+      Layout.zorderBloomBuild(spark, zn, "uid")
+      Layout.zorderBloomBuild(spark, ze, "startuid")
+      Layout.zorderBloomBuild(spark, ze, "enduid")
+      Layout.zorderBloomBuild(spark, ze, "uid")
+      Files.writeString(seqPath, upTo.toString)
+      (touched.size.toLong, nN, nE)
+    } finally { newN.unpersist(); newE.unpersist(); () }
   }
 
   private def zTable(dir: String, helpers: String*): DataFrame =

@@ -72,6 +72,54 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     assert(wh.zPointNode(extra.uid).count() == 1L)
   }
 
+  test("incremental z-compaction: the journal tail folds in O(churn) — untouched files carry, creates/modifies/deletes land exactly, crash-replay idempotent (r15)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zwhi").toString
+    val g = MemGraph(spark)
+    val ns = (1 to 300).map(i => g.node("P", "i" -> i).save()).toIndexedSeq
+    for (i <- 0 until 299) g.edge(ns(i), "E", ns(i + 1)).save()
+    val wh = new WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    wh.compactZorder(nFiles = 8)
+    assert(wh.compactZorderIncremental() == ((0L, 0L, 0L)),
+      "no tail → increment is a no-op")
+    // a churn batch in the SAME working set (its journal seqs continue
+    // past the already-appended history, so the tail appends directly):
+    // one create, one modify, one disconnect-delete (node + its edges)
+    val seq0 = wh.maxSeq
+    val fresh = g.node("P", "i" -> 9999).save()
+    ns(10)("nick") = "renamed"; ns(10).save()
+    val doomed = ns(150)
+    doomed.delete(disconnect = true)
+    val before = graft.ops.Layout.currentSpans(s"$dir/znodes").map(_.file).toSet
+    wh.append(g.changesDf.filter(col("seq") > seq0))
+    val (touched, nN, nE) = wh.compactZorderIncremental()
+    assert(touched > 0 && nN > 0)
+    // z-views ≡ the journal-folded truth after the increment
+    assert(wh.zNodes.select("uid").except(wh.nodes.select("uid")).count() == 0 &&
+      wh.nodes.select("uid").except(wh.zNodes.select("uid")).count() == 0,
+      "incremental z-nodes must equal the folded state")
+    assert(wh.zEdges.select("uid").except(wh.edges.select("uid")).count() == 0 &&
+      wh.edges.select("uid").except(wh.zEdges.select("uid")).count() == 0)
+    assert(wh.zPointNode(fresh.uid).count() == 1L)
+    assert(wh.zPointNode(doomed.uid).count() == 0L)
+    assert(wh.zPointNode(ns(10).uid).select("props").head().getString(0)
+      .contains("renamed"), "the modify must land")
+    // O(churn): untouched node files carried by name (the increment's
+    // delete tombstones, append routes — it never rewrites cold files)
+    val after = graft.ops.Layout.currentSpans(s"$dir/znodes").map(_.file).toSet
+    assert((before & after).nonEmpty,
+      s"untouched files must carry: before=${before.size} after=${after.size}")
+    // crash-replay: re-running the SAME tail (marker rolled back) must
+    // land net one copy — delete-then-insert idempotence
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/zseq"), seq0.toString)
+    wh.compactZorderIncremental()
+    assert(wh.zNodes.filter(col("uid") === fresh.uid).count() == 1L,
+      "a replayed increment must land exactly one copy")
+    assert(wh.zNodes.count() == wh.nodes.count())
+    assert(wh.compactZorderIncremental() == ((0L, 0L, 0L)), "caught-up no-op")
+  }
+
   private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
     // string-count so AQE-wrapped plans are included too
     "Exchange hashpartitioning".r
