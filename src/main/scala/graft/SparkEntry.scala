@@ -962,6 +962,166 @@ object SparkEntry {
       fol
     }
 
+  /** Memoized STREAMED journal→z mutable graph warehouse for w54 (r16 —
+    * the maintenance cadence the reference runs implicitly on every
+    * write, graphydb.py:1325-1326, as an exactly-once stream): the star
+    * projection (FK edges; Contains excluded — this exercises graph
+    * churn, not the fact table) lands as change docs in a
+    * [[graft.engine.WarehouseGraph]] journal. The pre-orders state
+    * compacts to z-tables, then two journal arrivals — the
+    * orders+PlacedBy create wave, and a delete/modify batch (every 7th
+    * supplier disconnect-deleted with its SuppNation edge; region nodes
+    * touched by a counts-neutral prop modify) — fold in through ONE
+    * [[graft.streaming.EventStreams.journalCompactStream]] run with the
+    * journal directory itself as the ticker. `collectThreshold = 1000`
+    * routes the create wave through the DISTRIBUTED path (semi-join
+    * readback + DataFrame-keyed vectored deletes) at every SF, and the
+    * cadence runs the advisor auto-pilot after each batch. A
+    * fresh-checkpoint replay must commit nothing (the zseq marker is the
+    * exactly-once seam) and the final z-state must equal the journal
+    * fold exactly — both REQUIREd here; the w54 oracle then counts every
+    * surviving kind from the raw tables. */
+  private val zgsMemo = layoutMemo
+  private def zGraphStreamFor(s: SparkSession, d: String): String =
+    memoizedLayout(zgsMemo, s, d) {
+      import graft.engine.{Journal, WarehouseGraph, WarehouseMeta}
+      val name = "graft_w54_" + WarehouseMeta.md5Hex(d).take(12)
+      val root = WarehouseMeta.tableLocation(s, name).toString
+      val wpath = s"$root/wh"
+      val fp = WarehouseMeta.md5Hex(WarehouseMeta.sourceSignature(d) + "#zgs16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(s"$wpath/znodes").isDefined &&
+          Layout.currentGen(s"$wpath/zedges").isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(root))
+          val g = StarGraph.build(s, d)
+          val nodes = g.nodes
+          val edges = g.edges.filter(col("kind") =!= "Contains")
+          val key = substring_index(col("uid"), ":", -1).cast("long")
+          val wh = new WarehouseGraph(s, wpath)
+          wh.append(Journal.snapshotAsChanges(
+            nodes.filter(col("kind") =!= "orders"),
+            edges.filter(col("kind") =!= "PlacedBy"), startSeq = 1L))
+          wh.compactZorder(nFiles = 16)
+          // arrival 1: the orders wave — a create doc per orders node and
+          // per PlacedBy edge (the bulk-restatement shape)
+          wh.append(Journal.snapshotAsChanges(
+            nodes.filter(col("kind") === "orders"),
+            edges.filter(col("kind") === "PlacedBy"),
+            startSeq = wh.maxSeq + 1))
+          // arrival 2: full-image REMOVE docs (delete = remove every key
+          // of the image, the fold's own delete rule) + a modify wave
+          // whose add doc merges a new prop over the region images
+          val doomedN = nodes.filter(col("kind") === "supplier" && key % 7 === 0)
+          val startKey = substring_index(col("startuid"), ":", -1).cast("long")
+          val doomedE = edges.filter(col("kind") === "SuppNation" &&
+            startKey % 7 === 0)
+          val del = Journal.snapshotAsChanges(doomedN, doomedE,
+              startSeq = wh.maxSeq + 1)
+            .select(col("seq"), col("uid"),
+              lit(null).cast("string").as("add"), col("add").as("remove"),
+              col("time"), col("rev"), col("batch"))
+          val mod = Journal.snapshotAsChanges(
+            nodes.filter(col("kind") === "region")
+              .withColumn("props", lit("""{"tag":"probed"}""")),
+            edges.limit(0), startSeq = wh.maxSeq + 1)
+          wh.append(del.unionByName(mod))
+          def run(ckpt: String): Unit =
+            graft.streaming.EventStreams.journalCompactStream(
+              graft.streaming.EventStreams.journalStream(s, s"$wpath/journal"),
+              wpath, ckpt, collectThreshold = 1000L, optimizeEvery = 1)
+              .awaitTermination()
+          run(s"$root/ckpt")
+          val genN = Layout.currentGen(s"$wpath/znodes").get
+          val genE = Layout.currentGen(s"$wpath/zedges").get
+          // fresh-checkpoint replay re-delivers every journal file: each
+          // re-tick is a caught-up no-op — nothing may commit
+          run(s"$root/ckpt_replay")
+          require(Layout.currentGen(s"$wpath/znodes").contains(genN) &&
+            Layout.currentGen(s"$wpath/zedges").contains(genE),
+            "replayed journal ticks must commit nothing")
+          require(wh.zNodes.select("uid").except(wh.nodes.select("uid"))
+              .count() == 0 &&
+            wh.nodes.select("uid").except(wh.zNodes.select("uid"))
+              .count() == 0 &&
+            wh.zEdges.select("uid").except(wh.edges.select("uid"))
+              .count() == 0 &&
+            wh.edges.select("uid").except(wh.zEdges.select("uid"))
+              .count() == 0,
+            "streamed z-state must equal the journal fold exactly")
+          require(wh.zPointNode("region:0").select("props").head()
+            .getString(0).contains("probed"), "the modify wave must land")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      wpath
+    }
+
+  /** Memoized MAINTAINED FTS POSTINGS z-table for g21 (r16 — VERDICT r15
+    * "What's missing" #2): part-name postings stored term-major via
+    * [[graft.ops.ZFts.init]] (z key = xxhash64(term), string blooms over
+    * term and uid), then exercised through every increment the surface
+    * offers before the fingerprint seals: an INSERT wave (the top-decile
+    * partkeys arrive via `updatefts`), an idempotent RE-SEND
+    * (delete-then-insert of docs already indexed), and a TAKEDOWN +
+    * RE-INDEX round trip (two uids tombstoned by `deletefts`, then
+    * restored). The builder REQUIREs the maintained index equals a fresh
+    * full tokenization EXACTLY (multiset), so the g21 MATCH twin checks
+    * the whole lifecycle. */
+  private val zftsMemo = layoutMemo
+  private def zFtsFor(s: SparkSession, d: String): String =
+    memoizedLayout(zftsMemo, s, d) {
+      import graft.engine.WarehouseMeta
+      import graft.ops.ZFts
+      val name = "graft_g21_" + WarehouseMeta.md5Hex(d).take(12)
+      val path = WarehouseMeta.tableLocation(s, name).toString
+      val fp = WarehouseMeta.md5Hex(
+        WarehouseMeta.sourceSignature(s"$d/part.parquet") + "#zfts16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(path).isDefined
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(path))
+          val parts = t(s, d, "part").select(
+            concat(lit("part:"), col("p_partkey")).as("uid"),
+            col("p_name"), col("p_partkey"))
+          val f2t = Map("name" -> "p_name")
+          val cut = parts.agg(max("p_partkey")).collect()(0)
+            .getLong(0) * 9 / 10
+          ZFts.init(s, parts.filter(col("p_partkey") <= cut), path,
+            "uid", f2t)
+          // insert increment: the tail docs arrive
+          ZFts.updatefts(s, path,
+            parts.filter(col("p_partkey") > cut), "uid", f2t)
+          // idempotent re-send: already-indexed docs delete-then-insert
+          ZFts.updatefts(s, path,
+            parts.filter(col("p_partkey") % 5 === 0), "uid", f2t)
+          // takedown + re-index round trip
+          val twoKeys = parts.orderBy("p_partkey").limit(2)
+            .select("uid").collect().map(_.getString(0)).toSeq
+          require(ZFts.deletefts(s, path, twoKeys)._1 > 0,
+            "deletefts must tombstone the two uids' postings")
+          ZFts.updatefts(s, path,
+            parts.filter(col("uid").isin(twoKeys: _*)), "uid", f2t)
+          // the maintained index ≡ a fresh full tokenization, exactly
+          // (name-ordered projection: column order is not part of the
+          // contract and exceptAll compares positionally)
+          val pCols = Seq("term", "field", "uid", "pos").map(col)
+          val full = graft.query.Fts.postings(parts, "uid", f2t)
+            .select(pCols: _*)
+          val live = ZFts.postings(s, path).select(pCols: _*)
+          require(live.exceptAll(full).count() == 0 &&
+            full.exceptAll(live).count() == 0,
+            "the maintained postings must equal the full build exactly")
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv", Map("sig" -> fp))
+        }
+      }
+      path
+    }
+
   /** Memoized AUTO-PILOT table for w53: a lineitem z-table dirtied every
     * way the advisor census watches — a bloom sidecar that will go stale,
     * unmaintained landing rows (the tail append), clamped-out-of-bounds
@@ -1003,7 +1163,10 @@ object SparkEntry {
             step = Layout.zorderOptimize(s, path,
               smallFileRows = 100L, tombstoneFraction = 0.01)
           }
-          require(guard < 16, s"auto-pilot must converge: $actions")
+          // convergence = the LAST probe came back empty (a run needing
+          // exactly 16 actions converges too — the guard only bounds the
+          // loop, it is not the convergence signal)
+          require(step.isEmpty, s"auto-pilot must converge: $actions")
           require(Layout.zorderAdvise(s, path,
               smallFileRows = 100L, tombstoneFraction = 0.01)
             .filter(col("fire")).count() == 0, "census must be all-clear")
@@ -1547,6 +1710,24 @@ object SparkEntry {
         order = Some("score DESC, p.uid ASC"),
         limit = Some(100)))
         .select("uid", "score")
+    }),
+
+    // MAINTAINED POSTINGS z-table (r16): the same OR-of-phrase-and-term
+    // match shape as g10, but running over the term-major postings
+    // z-table after its full increment lifecycle (insert wave, re-send,
+    // takedown+re-index — the builder REQUIREs exact parity with a fresh
+    // tokenization) — and the term-equality atoms must prune the
+    // planner's file listing through the STRING-domain term bloom
+    "g21_fts_ztable" -> ((s, d) => {
+      val path = zFtsFor(s, d)
+      val (df, fi) = graft.ops.ZTable.dataFrameWithIndex(s, path)
+      val res = graft.query.Fts.matchScores(df.drop("_tkh"),
+        "\"blue gear\" OR anvil")
+      res.collect() // force the planner's real listing, then audit it
+      require(fi.lastListed > 0 && fi.lastListed < fi.inputFiles.length,
+        s"term blooms must prune the planner listing: " +
+          s"${fi.lastListed}/${fi.inputFiles.length}")
+      res
     }),
 
     // DISTINCT collect ordered by a NON-collected alias: customers ranked by
@@ -3246,6 +3427,21 @@ object SparkEntry {
       res
     }),
 
+    // STREAMED JOURNAL→Z COMPACTION (r16): the mutable graph warehouse
+    // after the maintenance stream folded two journal arrivals (the
+    // orders create wave through the DISTRIBUTED path, then supplier
+    // disconnect-deletes + region modifies) into the z-tables, with the
+    // auto-pilot on the cadence and a replayed run proven commit-free in
+    // the builder — surviving per-kind counts must equal the raw tables
+    "w54_journal_z_stream" -> ((s, d) => {
+      val wh = new graft.engine.WarehouseGraph(s, zGraphStreamFor(s, d))
+      wh.zNodes.groupBy("kind").agg(count(lit(1)).as("n"))
+        .withColumn("side", lit("node"))
+        .unionByName(wh.zEdges.groupBy("kind").agg(count(lit(1)).as("n"))
+          .withColumn("side", lit("edge")))
+        .select("side", "kind", "n")
+    }),
+
     // ADVISOR AUTO-PILOT (r15): the table was dirtied every way the
     // census watches (stale bloom, landing rows, clamped bounds,
     // tombstones) and zorderOptimize ran until all-clear in the builder
@@ -3894,6 +4090,25 @@ object SparkEntry {
         |) parts GROUP BY uid)
         |SELECT m.uid AS uid, sc.score AS score FROM m JOIN sc ON m.uid = sc.uid
         |ORDER BY score DESC, uid ASC LIMIT 100""".stripMargin,
+
+    // the maintained postings lifecycle must be invisible to the match:
+    // the twin rebuilds positional postings inline from raw part (same
+    // CTE shape as g10) and mirrors the phrase + term atoms and tf score
+    "g21_fts_ztable" ->
+      """WITH t AS (SELECT 'part:' || p_partkey AS uid, list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> x <> '') AS toks FROM part),
+        |p AS (SELECT uid, u.s.t AS term, u.s.p AS pos
+        |      FROM t, unnest([{'t': toks[i], 'p': i - 1} for i in range(1, len(toks) + 1)]) u(s)),
+        |m AS (
+        |  (SELECT DISTINCT uid FROM p WHERE term = 'anvil')
+        |  UNION
+        |  (SELECT DISTINCT p0.uid AS uid FROM p p0 JOIN p p1 ON p1.uid = p0.uid AND p1.pos = p0.pos + 1 AND p1.term = 'gear' WHERE p0.term = 'blue')
+        |),
+        |sc AS (SELECT uid, CAST(SUM(c) AS BIGINT) AS score FROM (
+        |  SELECT uid, COUNT(*) AS c FROM p WHERE term = 'anvil' GROUP BY uid
+        |  UNION ALL
+        |  SELECT p0.uid AS uid, COUNT(*) AS c FROM p p0 JOIN p p1 ON p1.uid = p0.uid AND p1.pos = p0.pos + 1 AND p1.term = 'gear' WHERE p0.term = 'blue' GROUP BY p0.uid
+        |) parts GROUP BY uid)
+        |SELECT m.uid AS uid, sc.score AS score FROM m JOIN sc ON m.uid = sc.uid""".stripMargin,
 
     // mirrors the NEAR proximity join over inline-rebuilt positional postings
     "g12_fts_near" ->
@@ -5624,6 +5839,22 @@ object SparkEntry {
         |WHERE NOT (l_orderkey BETWEEN ma // 4 AND ma // 2
         |       AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2)
         |GROUP BY 1""".stripMargin,
+
+    // the streamed z-state ≡ per-kind counts over the raw tables: every
+    // kind survives whole except suppliers (and their SuppNation edges),
+    // which lose the % 7 == 0 keys to the delete wave; region modifies
+    // and the orders create wave are count-exact by construction
+    "w54_journal_z_stream" ->
+      """SELECT 'node' AS side, 'customer' AS kind, COUNT(*) AS n FROM customer
+        |UNION ALL SELECT 'node', 'supplier', COUNT(*) FROM supplier WHERE s_suppkey % 7 <> 0
+        |UNION ALL SELECT 'node', 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'node', 'region', COUNT(*) FROM region
+        |UNION ALL SELECT 'node', 'part', COUNT(*) FROM part
+        |UNION ALL SELECT 'node', 'orders', COUNT(*) FROM orders
+        |UNION ALL SELECT 'edge', 'InNation', COUNT(*) FROM customer
+        |UNION ALL SELECT 'edge', 'SuppNation', COUNT(*) FROM supplier WHERE s_suppkey % 7 <> 0
+        |UNION ALL SELECT 'edge', 'InRegion', COUNT(*) FROM nation
+        |UNION ALL SELECT 'edge', 'PlacedBy', COUNT(*) FROM orders""".stripMargin,
 
     // string-keyed point lookups through the planner ≡ a plain IN over
     // the same derived references on raw orders (the absent probe may

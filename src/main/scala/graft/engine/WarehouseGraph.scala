@@ -172,10 +172,21 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     * marker advances LAST, so a crashed increment simply re-runs: the
     * re-delete tombstones the crashed copies, the re-insert lands once —
     * the CDC apply's idempotence argument, applied to the graph journal.
-    * Touched uids collect to the driver (churn-bounded per increment —
-    * size the cadence to the churn, the takedown loop's contract).
+    *
+    * Scale shape (r16, the CDC apply's `collectThreshold` switch applied
+    * here): touched uids collect to the driver only while the tail's
+    * churn is at most `collectThreshold` distinct uids — the common
+    * cadence-sized increment, where driver-side keys buy BLOOM-PRUNED
+    * readback and deletes. Above it (a bulk journal restatement: mass
+    * re-tag, takedown sweep), uids stay DISTRIBUTED end to end: readback
+    * becomes a semi-join of the z-scans against the distinct tail keys
+    * and the deletes semi-join the same frame
+    * ([[graft.ops.Layout.zorderDeleteVectoredByKeyStr]]'s DataFrame
+    * overload) — driver memory stays flat no matter how large the
+    * restatement, and no IN-list of that size ever enters a plan.
     * Returns (touchedUids, nodeRowsLanded, edgeRowsLanded). */
-  def compactZorderIncremental(): (Long, Long, Long) = {
+  def compactZorderIncremental(
+      collectThreshold: Long = 100000L): (Long, Long, Long) = {
     import graft.ops.Layout
     val zn = s"$path/znodes"; val ze = s"$path/zedges"
     val seqPath = Paths.get(s"$path/zseq")
@@ -186,17 +197,28 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     val upTo = maxSeq
     if (upTo <= since) return (0L, 0L, 0L)
     val tail = journal.filter(col("seq") > since)
-    val touched = tail.select("uid").distinct()
-      .collect().map(_.getString(0)).toSeq // churn-bounded, like the CDC poll
-    if (touched.isEmpty) {
+    val touchedDf = tail.select("uid").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val nTouched = touchedDf.count() // ONE bounded driver action
+    if (nTouched == 0L) {
       Files.writeString(seqPath, upTo.toString); return (0L, 0L, 0L)
     }
-    // current z-state of exactly the touched uids (bloom-pruned point
-    // scans — the read cost tracks the churn, not the table)
-    val baseN = graft.ops.ZTable.dataFrame(spark, zn).drop("_kh")
-      .filter(col("uid").isin(touched: _*))
-    val baseE = graft.ops.ZTable.dataFrame(spark, ze).drop("_khs", "_khe")
-      .filter(col("uid").isin(touched: _*))
+    // churn-bounded increment: driver-side keys (bloom-pruned point
+    // scans and deletes — the read cost tracks the churn, not the
+    // table); bulk restatement: keys stay distributed (semi-joins)
+    val collected: Option[Seq[String]] =
+      if (nTouched <= collectThreshold)
+        Some(touchedDf.collect().map(_.getString(0)).toSeq)
+      else None
+    def touchedOnly(df: DataFrame): DataFrame = collected match {
+      case Some(keys) => df.filter(col("uid").isin(keys: _*))
+      case None => df.join(touchedDf, Seq("uid"), "left_semi")
+    }
+    // current z-state of exactly the touched uids
+    val baseN = touchedOnly(graft.ops.ZTable.dataFrame(spark, zn).drop("_kh"))
+    val baseE = touchedOnly(
+      graft.ops.ZTable.dataFrame(spark, ze).drop("_khs", "_khe"))
     val baseDocs = Journal.snapshotAsChanges(baseN, baseE,
       startSeq = Long.MinValue + 1)
     val snap = Journal.fold(spark, baseDocs.unionByName(tail), Long.MaxValue)
@@ -209,8 +231,14 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
       // DELETE-THEN-INSERT by uid: node and edge uids never collide
       // (distinct random ids), so tombstoning the whole touched set
       // against both tables is exact — absent keys are no-ops
-      Layout.zorderDeleteVectoredByKeyStr(spark, zn, "uid", touched)
-      Layout.zorderDeleteVectoredByKeyStr(spark, ze, "uid", touched)
+      collected match {
+        case Some(keys) =>
+          Layout.zorderDeleteVectoredByKeyStr(spark, zn, "uid", keys)
+          Layout.zorderDeleteVectoredByKeyStr(spark, ze, "uid", keys)
+        case None =>
+          Layout.zorderDeleteVectoredByKeyStr(spark, zn, "uid", touchedDf)
+          Layout.zorderDeleteVectoredByKeyStr(spark, ze, "uid", touchedDf)
+      }
       if (nN > 0) { Layout.zorderAppend(newN, zn); Layout.zorderMaintain(spark, zn) }
       if (nE > 0) { Layout.zorderAppend(newE, ze); Layout.zorderMaintain(spark, ze) }
       // gap-fill refresh: only files the maintain rewrote rescan
@@ -219,8 +247,9 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
       Layout.zorderBloomBuild(spark, ze, "enduid")
       Layout.zorderBloomBuild(spark, ze, "uid")
       Files.writeString(seqPath, upTo.toString)
-      (touched.size.toLong, nN, nE)
+      (nTouched, nN, nE)
     } finally { newN.unpersist(); newE.unpersist(); () }
+    } finally { touchedDf.unpersist(); () }
   }
 
   private def zTable(dir: String, helpers: String*): DataFrame =
@@ -232,6 +261,15 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     * through [[nodes]]/[[edges]], not here, until the next compaction. */
   def zNodes: DataFrame = zTable(s"$path/znodes", "_kh")
   def zEdges: DataFrame = zTable(s"$path/zedges", "_khs", "_khe")
+
+  /** The compacted z-state as a [[ViewGraph]] — every Fetch chain and
+    * Traversals operator runs over the MUTABLE warehouse's maintained
+    * z-tables unchanged, the same unification [[graft.ZStarWarehouse]]
+    * gives the star dir (r16, closing the last accessor gap): point
+    * predicates inside the chains prune through the string blooms, and
+    * the view carries the z-tables' snapshot semantics (state as of the
+    * last compaction/increment). */
+  def zView: ViewGraph = new ViewGraph(spark, zNodes, zEdges)
 
   /** Point node lookup over the compacted z-table — the reference's
     * `getuid` (graphydb.py:1025-1044) as a string-bloom-pruned scan. */

@@ -1597,15 +1597,18 @@ object Layout {
     val root0 = java.nio.file.Paths.get(path).toAbsolutePath
     val files = man.spans.map(_.file)
     // the key's hash domain follows the column's type: persisted schema
-    // when the generation is homogeneous, merged footers otherwise
+    // when the generation is homogeneous, ONE file footer otherwise (any
+    // footer decides: a file missing keyCol falls to "long", and a wrong
+    // domain never false-prunes — readers filter on domain match). A
+    // zero-span generation has no footer to read → pre-v3 "long" default.
     val dom = {
       val st = man.schemaJson
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .getOrElse(spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => root0.resolve(f).toString): _*).schema)
-      if (st.fieldNames.contains(keyCol) &&
-          st(keyCol).dataType == org.apache.spark.sql.types.StringType) "str"
+        .orElse(files.headOption.map(f =>
+          spark.read.parquet(root0.resolve(f).toString).schema))
+      if (st.exists(s => s.fieldNames.contains(keyCol) &&
+          s(keyCol).dataType == org.apache.spark.sql.types.StringType)) "str"
       else "long"
     }
     // carry from the newest retained sidecar with matching parameters —
@@ -2128,6 +2131,28 @@ object Layout {
       man => man.spans.indices.toSeq,
       (_, scan) => scan.join(k,
         scan(keyCol).cast("long") === k("_del_key"), "left_semi"))
+  }
+
+  /** [[zorderDeleteVectoredByKeyStr]] with a DISTRIBUTED key set — the
+    * string twin of the DataFrame-keys overload above, and the shape a
+    * bulk journal restatement needs (mass re-tag, takedown sweep):
+    * `keys` is a single-column DataFrame of string key values that never
+    * lands on the driver; doomed rows resolve through one semi-join of
+    * the candidate scan against it. No bloom narrowing (bitset probes
+    * need driver-side values), so every file scans — the right trade
+    * exactly when the key set is too big to collect, because churn that
+    * size touches most files anyway. NULL keys match nothing (join
+    * equality). Returns (rowsDeleted, filesTombstoned). */
+  def zorderDeleteVectoredByKeyStr(spark: SparkSession, path: String,
+      keyCol: String, keys: DataFrame): (Long, Int) = {
+    require(keys.columns.length == 1,
+      s"keys must be a single-column DataFrame, got ${keys.columns.length}")
+    val k = keys.select(
+      col(keys.columns.head).cast("string").as("_del_key"))
+    dvDeleteMatched(spark, path,
+      man => man.spans.indices.toSeq,
+      (_, scan) => scan.join(k,
+        scan(keyCol).cast("string") === k("_del_key"), "left_semi"))
   }
 
   /** PHYSICAL purge of every tombstone: rewrite exactly the files with
@@ -2757,11 +2782,23 @@ object Layout {
         // those files; absent/stale sidecars are never wrong, just
         // unpruned — this keeps the replica pruned too)
         blooms.foreach { n =>
-          val src = Files.readAllBytes(pRoot.resolve(n))
+          val srcP = pRoot.resolve(n)
           val dst = rRoot.resolve(n)
-          if (!Files.isRegularFile(dst) ||
-              !java.util.Arrays.equals(src, Files.readAllBytes(dst)))
-            writeAtomic(dst, new String(src, "UTF-8"))
+          // size/mtime short-circuit: a frequent no-op sync poll must not
+          // pay O(total sidecar bytes) per tick — only a sidecar whose
+          // size differs, or whose source is at least as new as the copy
+          // (equal-millis included: coarse mtime granularity could hide a
+          // same-second rebuild), falls through to the byte compare
+          val settled = Files.isRegularFile(dst) &&
+            Files.size(srcP) == Files.size(dst) &&
+            Files.getLastModifiedTime(srcP).toMillis <
+              Files.getLastModifiedTime(dst).toMillis
+          if (!settled) {
+            val src = Files.readAllBytes(srcP)
+            if (!Files.isRegularFile(dst) ||
+                !java.util.Arrays.equals(src, Files.readAllBytes(dst)))
+              writeAtomic(dst, new String(src, "UTF-8"))
+          }
         }
         return (0, 0)
       }

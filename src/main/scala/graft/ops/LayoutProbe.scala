@@ -35,6 +35,7 @@ object LayoutProbe {
     if (args.headOption.contains("ztable100k")) { runZTable100k(); return }
     if (args.headOption.contains("ztraverse100k")) { runTraverse100k(); return }
     if (args.headOption.contains("cdcdecades")) { runCdcDecades(); return }
+    if (args.headOption.contains("graphdecades")) { runGraphDecades(); return }
     val cpus = Runtime.getRuntime.availableProcessors().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -411,6 +412,91 @@ object LayoutProbe {
     println(s"""{"metric":"ztraverse_100k_point","files":${g * g},""" +
       s""""span_only_listed":$spanOnly,"bloom_listed":$hit,""" +
       s""""list_sec_per_query":${r4(sec)}}""")
+  }
+
+  /** The r16 INCREMENTAL GRAPH-COMPACTION decades (VERDICT r15 worklist
+    * #4 — the `zcdc_apply` recipe applied to the graph journal): the two
+    * curves that certify [[graft.engine.WarehouseGraph
+    * .compactZorderIncremental]]'s cost tracks the journal tail's CHURN,
+    * not the z-table size. Churn decade: fixed 1M-node graph, 10×/100×
+    * tail (half modifies of existing uids, half creates). History
+    * decade: fixed 10k churn, 4×/16× graph. One extra row drives the
+    * top churn through the DISTRIBUTED path (collectThreshold = 0), and
+    * the MILLION-uid journal restatement (a takedown-sweep-sized tail)
+    * runs distributed end to end with a GC-bracketed driver-heap delta —
+    * the flat-driver certificate for the bulk shape. Real warehouses,
+    * measured wall time. */
+  private[ops] def runGraphDecades(): Unit = {
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.engine.{Journal, WarehouseGraph}
+    def nodesDf(n: Long, tag: String): org.apache.spark.sql.DataFrame =
+      spark.range(n).select(
+        concat(lit("n"), col("id")).as("uid"), lit("P").as("kind"),
+        lit(0.0).as("ctime"), lit(0.0).as("mtime"),
+        lit(s"""{"t":"$tag"}""").as("props"))
+    def edgesDf(n: Long): org.apache.spark.sql.DataFrame =
+      spark.range(n - 1).select(
+        concat(lit("e"), col("id")).as("uid"), lit("E").as("kind"),
+        concat(lit("n"), col("id")).as("startuid"),
+        concat(lit("n"), col("id") + 1).as("enduid"),
+        lit(0.0).as("ctime"), lit(0.0).as("mtime"), lit("{}").as("props"))
+    def incrementSec(n: Long, files: Int, churn: Long,
+        collectThreshold: Long): Double = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gzd")
+      val wh = new WarehouseGraph(spark, s"$tmp/wh")
+      wh.append(Journal.snapshotAsChanges(nodesDf(n, "base"), edgesDf(n),
+        startSeq = 1L))
+      wh.compactZorder(files)
+      // the tail: half modifies of existing uids (full-image add docs
+      // with a changed prop), half creates of brand-new nodes
+      val news = spark.range(n * 2, n * 2 + churn / 2).select(
+        concat(lit("n"), col("id")).as("uid"), lit("P").as("kind"),
+        lit(0.0).as("ctime"), lit(0.0).as("mtime"), lit("{}").as("props"))
+      wh.append(Journal.snapshotAsChanges(
+        nodesDf(churn / 2, "mod").unionByName(news),
+        edgesDf(2).limit(0), startSeq = wh.maxSeq + 1))
+      var out = (0L, 0L, 0L)
+      val sec = time { out = wh.compactZorderIncremental(collectThreshold) }
+      require(out._1 == churn && out._2 == churn,
+        s"probe increment applied the wrong churn: $out vs $churn")
+      graft.engine.WarehouseMeta.deleteRecursively(tmp)
+      sec
+    }
+    // churn decade: fixed 1M-node (+1M-edge) graph, tail 1k → 10k → 100k
+    for (churn <- Seq(1000L, 10000L, 100000L)) {
+      val sec = incrementSec(1L << 20, 64, churn, collectThreshold = 100000L)
+      println(s"""{"metric":"zgraph_inc_churn","nodes":${1L << 20},""" +
+        s""""churn":$churn,"sec":${r4(sec)}}""")
+    }
+    // history decade: fixed 10k churn, graph 256k → 1M → 4M nodes
+    for ((n, files) <- Seq((1L << 18, 16), (1L << 20, 64), (1L << 22, 256))) {
+      val sec = incrementSec(n, files, 10000L, collectThreshold = 100000L)
+      println(s"""{"metric":"zgraph_inc_history","nodes":$n,""" +
+        s""""churn":10000,"sec":${r4(sec)}}""")
+    }
+    // the distributed path at the top churn (bulk restatement shape)
+    val dsec = incrementSec(1L << 20, 64, 100000L, collectThreshold = 0L)
+    println(s"""{"metric":"zgraph_inc_distributed","nodes":${1L << 20},""" +
+      s""""churn":100000,"sec":${r4(dsec)}}""")
+    // the MILLION-uid journal restatement through the distributed path —
+    // driver heap must stay flat (GC-bracketed delta, indicative)
+    locally {
+      val rt = Runtime.getRuntime
+      def usedMb(): Long = { System.gc(); (rt.totalMemory - rt.freeMemory) >> 20 }
+      val before = usedMb()
+      val xlSec = incrementSec(1L << 21, 128, 1L << 20, collectThreshold = 0L)
+      val after = usedMb()
+      println(s"""{"metric":"zgraph_inc_distributed_xl","nodes":${1L << 21},""" +
+        s""""churn":${1 << 20},"sec":${r4(xlSec)},""" +
+        s""""driver_heap_delta_mb":${after - before}}""")
+    }
+    spark.stop()
   }
 
   /** The r15 CDC-follower decades (VERDICT r14 worklist #7): the two

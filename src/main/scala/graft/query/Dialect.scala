@@ -334,10 +334,12 @@ object Dialect {
                   // '1e' → 1.0 (incomplete exponent drops), 'abc' → 0.0 —
                   // so when the direct cast misses, a second branch
                   // extracts that prefix (regex in backslash-free char
-                  // classes; empty extract → NULL → 0.0)
+                  // classes — the leading-skip class spells out the six
+                  // isspace() bytes sqlite3AtoF skips as RAW characters;
+                  // empty extract → NULL → 0.0)
                   s"coalesce(sum(coalesce(try_cast($x AS DOUBLE), " +
                     s"try_cast(regexp_extract(CAST($x AS STRING), " +
-                    "'^ *[+-]?([0-9]+[.]?[0-9]*|[.][0-9]+)([eE][+-]?[0-9]+)?', 0) " +
+                    "'^[ \t\n\u000B\f\r]*[+-]?([0-9]+[.]?[0-9]*|[.][0-9]+)([eE][+-]?[0-9]+)?', 0) " +
                     "AS DOUBLE), 0.0D)), 0.0D)"
                 case ("group_concat", List(x)) if x.toUpperCase.startsWith("DISTINCT ") =>
                   gc(x.drop("DISTINCT ".length).trim, "','", distinct = true)

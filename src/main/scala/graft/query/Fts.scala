@@ -507,6 +507,20 @@ object Fts {
     case MNot(l, _) => positives(l)
   }
 
+  /** TRUE iff the tree is a pure disjunction of positive leaves (a single
+    * atom counts). For that shape the match set IS `{uid | score > 0}`:
+    * every score row comes from a positive atom, and any uid matching any
+    * atom is in the OR's union — so [[matchSql]] can skip the match-set
+    * UNION + join entirely and answer from the one grouped score pass
+    * (r16: the g10-shape creep fix — half the subqueries, half the
+    * stages). AND/NOT anywhere disables it: an intersected or negated
+    * branch can exclude a uid that still scores. */
+  private def orOnly(n: MNode): Boolean = n match {
+    case MLeaf(_)  => true
+    case MOr(l, r) => orOnly(l) && orOnly(r)
+    case _         => false
+  }
+
   /** SQL subquery over a postings view returning matching uids with a tf
     * `score` (total posting rows matched by any POSITIVE query atom).
     * AND-ed atoms INTERSECT; negated atoms EXCEPT; OR branches UNION. */
@@ -537,15 +551,21 @@ object Fts {
     val root = parseQuery(query).map(n =>
       if (unicode61) foldNode(n) else n)
     require(root.nonEmpty, s"empty FTS match: '$query'")
-    val matches = nodeMatch(postingsView, root.get)
     val scores = positives(root.get)
       .map(scoreSelect(postingsView, _))
       .mkString("\nUNION ALL\n")
-    s"""SELECT m.uid AS uid, s.score AS score
-       |FROM ($matches) AS m
-       |JOIN (SELECT uid, CAST(SUM(c) AS BIGINT) AS score
-       |      FROM ($scores) AS parts GROUP BY uid) AS s
-       |ON m.uid = s.uid""".stripMargin
+    if (orOnly(root.get))
+      // pure-OR fast path: the grouped score pass alone IS the match
+      s"""SELECT uid, CAST(SUM(c) AS BIGINT) AS score
+         |FROM ($scores) AS parts GROUP BY uid""".stripMargin
+    else {
+      val matches = nodeMatch(postingsView, root.get)
+      s"""SELECT m.uid AS uid, s.score AS score
+         |FROM ($matches) AS m
+         |JOIN (SELECT uid, CAST(SUM(c) AS BIGINT) AS score
+         |      FROM ($scores) AS parts GROUP BY uid) AS s
+         |ON m.uid = s.uid""".stripMargin
+    }
   }
 
   /** SQL subquery computing Okapi BM25 scores for a match (Lucene-style

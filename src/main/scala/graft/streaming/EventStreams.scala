@@ -369,6 +369,56 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** STREAMING JOURNAL→Z COMPACTION loop over a mutable graph warehouse
+    * (r16 — the maintenance cadence the reference runs implicitly on
+    * every write, graphydb.py:1325-1326, as an exactly-once stream):
+    * each micro-batch of `ticks` (content ignored — a file stream over
+    * `<path>/journal` makes arrival itself the trigger; any ticker
+    * works) runs ONE [[graft.engine.WarehouseGraph
+    * .compactZorderIncremental]], folding the journal tail past the
+    * `zseq` marker into the maintained z-tables in O(churn). Exactly-
+    * once rides the MARKER, not the stream checkpoint: a replayed tick
+    * re-polls (caught-up marker → zero mutations), and a tick killed
+    * mid-increment replays the same tail — the re-delete tombstones the
+    * crashed copies, the re-insert lands once (the increment's own
+    * idempotence argument; EventStreamsSpec pins kill/restart and
+    * replay-no-op, same discipline as the other exactly-once loops
+    * here). Uids stay DISTRIBUTED above `collectThreshold` — a bulk
+    * journal restatement never materializes on the driver.
+    *
+    * `optimizeEvery` > 0 adds the advisor AUTO-PILOT to the cadence:
+    * every N batches, [[graft.ops.Layout.zorderOptimize]] drains the
+    * census on BOTH z-tables (bin-pack after churny increments,
+    * tombstone materialize, bloom refresh — bounded steps), so the
+    * mutable graph warehouse self-maintains; maintenance never changes
+    * answers (EventStreamsSpec pins chain equality across it). */
+  def journalCompactStream(ticks: DataFrame, warehousePath: String,
+      checkpoint: String, collectThreshold: Long = 100000L,
+      optimizeEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    ticks.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val wh = new graft.engine.WarehouseGraph(s, warehousePath)
+        wh.compactZorderIncremental(collectThreshold)
+        if (optimizeEvery > 0 && (id + 1) % optimizeEvery == 0) {
+          Seq(s"$warehousePath/znodes", s"$warehousePath/zedges")
+            .foreach { p =>
+              var guard = 0
+              var step = graft.ops.Layout.zorderOptimize(s, p)
+              while (step.isDefined && guard < 16) {
+                guard += 1
+                step = graft.ops.Layout.zorderOptimize(s, p)
+              }
+              require(step.isEmpty,
+                s"z-table auto-pilot did not converge at $p")
+            }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Convenience memory-sink runner for tests/demos: processes all available
     * input and returns the in-memory result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -71,4 +71,29 @@ class ZStarWarehouseSpec extends AnyFunSuite with SparkSpec {
     assert(graft.ops.Layout.currentGen(nPath) == before,
       "a fingerprint-matched reopen must not re-init the table")
   }
+
+  test("w54: streamed journal→z compaction lands the oracle's per-kind counts (r16)") {
+    // the driver row end to end at sf0.001 (its builder REQUIREs the
+    // replay no-op and z≡fold equality internally); here the surviving
+    // counts are pinned against the raw parquet tables — the same
+    // arithmetic the DuckDB twin runs
+    val got = SparkEntry.queries("w54_journal_z_stream")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    def cnt(t: String): Long = spark.read.parquet(s"$dir/$t.parquet").count()
+    val keptSuppliers = spark.read.parquet(s"$dir/supplier.parquet")
+      .filter(col("s_suppkey") % 7 =!= 0).count()
+    val expected = Map(
+      ("node", "customer") -> cnt("customer"),
+      ("node", "supplier") -> keptSuppliers,
+      ("node", "nation") -> cnt("nation"),
+      ("node", "region") -> cnt("region"),
+      ("node", "part") -> cnt("part"),
+      ("node", "orders") -> cnt("orders"),
+      ("edge", "InNation") -> cnt("customer"),
+      ("edge", "SuppNation") -> keptSuppliers,
+      ("edge", "InRegion") -> cnt("nation"),
+      ("edge", "PlacedBy") -> cnt("orders"))
+    assert(got == expected, s"w54 counts diverged: $got vs $expected")
+  }
 }

@@ -120,6 +120,65 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     assert(wh.compactZorderIncremental() == ((0L, 0L, 0L)), "caught-up no-op")
   }
 
+  test("incremental z-compaction DISTRIBUTED path (collectThreshold=0): semi-join readback/deletes land the same state, replay idempotent (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zwhd").toString
+    val g = MemGraph(spark)
+    val ns = (1 to 250).map(i => g.node("P", "i" -> i).save()).toIndexedSeq
+    for (i <- 0 until 249) g.edge(ns(i), "E", ns(i + 1)).save()
+    val wh = new WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    wh.compactZorder(nFiles = 8)
+    val seq0 = wh.maxSeq
+    val fresh = g.node("P", "i" -> 7777).save()
+    ns(20)("nick") = "renamed"; ns(20).save()
+    val doomed = ns(100)
+    doomed.delete(disconnect = true)
+    wh.append(g.changesDf.filter(col("seq") > seq0))
+    // threshold 0 → EVERY uid set routes through the distributed path
+    // (semi-join readback, DataFrame-keyed vectored deletes) — the exact
+    // shape a bulk journal restatement takes at scale
+    val (touched, nN, _) = wh.compactZorderIncremental(collectThreshold = 0L)
+    assert(touched > 0 && nN > 0)
+    assert(wh.zNodes.select("uid").except(wh.nodes.select("uid")).count() == 0 &&
+      wh.nodes.select("uid").except(wh.zNodes.select("uid")).count() == 0,
+      "distributed-path z-nodes must equal the folded state")
+    assert(wh.zEdges.select("uid").except(wh.edges.select("uid")).count() == 0 &&
+      wh.edges.select("uid").except(wh.zEdges.select("uid")).count() == 0)
+    assert(wh.zPointNode(fresh.uid).count() == 1L)
+    assert(wh.zPointNode(doomed.uid).count() == 0L)
+    assert(wh.zPointNode(ns(20).uid).select("props").head().getString(0)
+      .contains("renamed"))
+    // crash-replay through the distributed path: marker rolled back,
+    // re-run must land net one copy (delete-then-insert idempotence)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/zseq"), seq0.toString)
+    wh.compactZorderIncremental(collectThreshold = 0L)
+    assert(wh.zNodes.filter(col("uid") === fresh.uid).count() == 1L)
+    assert(wh.zNodes.count() == wh.nodes.count())
+    assert(wh.compactZorderIncremental(collectThreshold = 0L) == ((0L, 0L, 0L)),
+      "caught-up no-op")
+  }
+
+  test("zView: Fetch chains over the compacted mutable graph equal the journal-fold view (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zview").toString
+    val g = MemGraph(spark)
+    val ns = (1 to 120).map(i => g.node("P", "i" -> i).save())
+    for (i <- 0 until 119) g.edge(ns(i), "E", ns(i + 1)).save()
+    val wh = new WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    wh.compactZorder(nFiles = 8)
+    val args = graft.query.Fetch.Args(
+      chain = "[a:P] -(e:E)> (b:P)",
+      where = Seq("CAST(a.data.i AS BIGINT) % 10 = 3"))
+    def rows(src: GraphSource): Seq[String] =
+      graft.query.Fetch.df(src, args).select("uid")
+        .collect().map(_.getString(0)).toSeq.sorted
+    val viaZ = rows(wh.zView)
+    val viaFold = rows(new ViewGraph(spark, wh.nodes, wh.edges))
+    assert(viaZ.nonEmpty && viaZ == viaFold,
+      s"zView chain must equal the journal-fold chain: ${viaZ.size} vs ${viaFold.size}")
+  }
+
   private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
     // string-count so AQE-wrapped plans are included too
     "Exchange hashpartitioning".r

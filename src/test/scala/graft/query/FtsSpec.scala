@@ -194,6 +194,50 @@ class FtsSpec extends AnyFunSuite with SparkSpec {
     assert(Fts.matchUids(next, "quantum").collect().map(_.getString(0)).toSet == Set("u3"))
   }
 
+  test("ZFts: maintained postings z-table — init/updatefts/deletefts increments ≡ the DataFrame postings algebra, match parity across the grammar (r16)") {
+    import spark.implicits._
+    import graft.ops.ZFts
+    val path = java.nio.file.Files.createTempDirectory("graft_zfts")
+      .toString + "/idx"
+    val f2t = Map("title" -> "title", "body" -> "body")
+    ZFts.init(spark, docs, path, "uid", f2t, nFiles = 4)
+    var mem = Fts.postings(docs, "uid", f2t)
+    // compare by NAME: upsertPostings' uid join reorders columns
+    val postingCols = Seq("term", "field", "uid", "pos").map(col)
+    def assertParity(clue: String): Unit = {
+      val live = ZFts.postings(spark, path).select(postingCols: _*)
+      val memC = mem.select(postingCols: _*)
+      assert(live.exceptAll(memC).count() == 0 &&
+        memC.exceptAll(live).count() == 0,
+        s"$clue: maintained postings must equal the DataFrame algebra")
+    }
+    assertParity("after init")
+    // update = delete-then-insert: u3 re-texted, u4 created
+    val upd = Seq(("u3", "Quantum Cooking", "flavor waves"),
+      ("u4", "Wave Primer", "quantum waves again")).toDF("uid", "title", "body")
+    ZFts.updatefts(spark, path, upd, "uid", f2t)
+    mem = Fts.upsertPostings(mem, upd, "uid", f2t)
+    assertParity("after updatefts")
+    // pure tombstone delete
+    ZFts.deletefts(spark, path, Seq("u1"))
+    mem = Fts.deletePostings(mem, Seq("u1").toDF("uid"))
+    assertParity("after deletefts")
+    // the DISTRIBUTED path (collectThreshold = 0: semi-join tombstones)
+    val upd2 = Seq(("u2", "Newton Rings", "rod and ring primer"))
+      .toDF("uid", "title", "body")
+    ZFts.updatefts(spark, path, upd2, "uid", f2t, collectThreshold = 0L)
+    mem = Fts.upsertPostings(mem, upd2, "uid", f2t)
+    assertParity("after distributed updatefts")
+    // match parity across grammar forms, scores included
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    for (q <- Seq("quantum", "primer OR rings", "\"quantum waves\"",
+        "quantum NOT cooking", "NEAR(rod primer, 4)", "wav*",
+        "title:quantum", "^quantum"))
+      assert(rowsOf(ZFts.matchScores(spark, path, q))
+        == rowsOf(Fts.matchScores(mem, q)), s"query `$q` diverged")
+  }
+
   test("snippet: best window by (terms, hits, earliest), markers, edge ellipses") {
     import spark.implicits._
     val docs = Seq(

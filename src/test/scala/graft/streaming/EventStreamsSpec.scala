@@ -1118,6 +1118,83 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     graft.engine.WarehouseMeta.deleteRecursively(tmp)
   }
 
+  test("journalCompactStream: journal arrivals fold into the z-tables on cadence — kill/restart + replayed ticks no-op, auto-pilot census clears, chain answers unchanged (r16)") {
+    import graft.engine.{MemGraph, ViewGraph, WarehouseGraph}
+    import graft.ops.Layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jzs")
+    val dir = s"$tmp/wh"
+    val g = MemGraph(spark)
+    val ns = (1 to 200).map(i => g.node("P", "i" -> i).save()).toIndexedSeq
+    for (i <- 0 until 199) g.edge(ns(i), "E", ns(i + 1)).save()
+    val wh = new WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    wh.compactZorder(nFiles = 8)
+    // the journal dir itself is the ticker: a journal file arriving IS
+    // the maintenance trigger (content unused — the increment reads the
+    // warehouse's own journal past the zseq marker)
+    def run(ckpt: String): Unit = EventStreams.journalCompactStream(
+      EventStreams.journalStream(spark, s"$dir/journal"), dir,
+      s"$tmp/$ckpt", optimizeEvery = 1).awaitTermination()
+    val chainArgs = graft.query.Fetch.Args(
+      chain = "[a:P] -(e:E)> (b:P)",
+      where = Seq("CAST(a.data.i AS BIGINT) % 7 = 2"))
+    def chain(): Seq[String] =
+      graft.query.Fetch.df(wh.zView, chainArgs).select("uid")
+        .collect().map(_.getString(0)).toSeq.sorted
+    val chain0 = chain()
+    assert(chain0.nonEmpty)
+    // batch 0 delivers the base journal: the increment is a caught-up
+    // no-op (zseq at maxSeq) and the auto-pilot may bin-pack/refresh —
+    // answers must be invariant under maintenance
+    run("ckpt")
+    assert(chain() == chain0, "auto-pilot maintenance must not change answers")
+    assert(Layout.zorderAdvise(spark, s"$dir/znodes")
+      .filter(col("fire")).count() == 0, "node census must be all-clear")
+    assert(Layout.zorderAdvise(spark, s"$dir/zedges")
+      .filter(col("fire")).count() == 0, "edge census must be all-clear")
+    // churn lands in the journal; the NEXT tick folds it in O(churn)
+    val seq0 = wh.maxSeq
+    val fresh = g.node("P", "i" -> 5555).save()
+    ns(30)("nick") = "streamed"; ns(30).save()
+    val doomed = ns(90)
+    doomed.delete(disconnect = true)
+    wh.append(g.changesDf.filter(col("seq") > seq0))
+    run("ckpt")
+    assert(wh.zNodes.select("uid").except(wh.nodes.select("uid")).count() == 0 &&
+      wh.nodes.select("uid").except(wh.zNodes.select("uid")).count() == 0,
+      "streamed increment must land the folded state")
+    assert(wh.zPointNode(fresh.uid).count() == 1L)
+    assert(wh.zPointNode(doomed.uid).count() == 0L)
+    assert(wh.zPointNode(ns(30).uid).select("props").head().getString(0)
+      .contains("streamed"))
+    // kill/restart on the SAME checkpoint: no new arrivals, nothing runs;
+    // a FRESH checkpoint replays every journal file — each re-tick is a
+    // caught-up no-op (exactly-once rides the zseq marker, not the sink)
+    val genN = Layout.currentGen(s"$dir/znodes").get
+    val genE = Layout.currentGen(s"$dir/zedges").get
+    run("ckpt")
+    run("ckpt_replay")
+    assert(Layout.currentGen(s"$dir/znodes").contains(genN) &&
+      Layout.currentGen(s"$dir/zedges").contains(genE),
+      "replayed ticks must commit nothing")
+    assert(wh.zNodes.count() == wh.nodes.count())
+    // crash injection at the exactly-once seam: the marker rolled back
+    // mid-increment (as if the tick died before advancing it) — the next
+    // replay re-runs the SAME tail and must land net one copy
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/zseq"), seq0.toString)
+    run("ckpt_crash")
+    assert(wh.zNodes.filter(col("uid") === fresh.uid).count() == 1L,
+      "a replayed increment must land exactly one copy")
+    assert(wh.zNodes.count() == wh.nodes.count() &&
+      wh.zEdges.count() == wh.edges.count())
+    // the z-view chain agrees with the journal-fold chain end to end
+    assert(graft.query.Fetch.df(new ViewGraph(spark, wh.nodes, wh.edges),
+        chainArgs).select("uid").collect().map(_.getString(0)).toSeq.sorted
+      == chain())
+    graft.engine.WarehouseMeta.deleteRecursively(tmp)
+  }
+
   test("journal stream tails warehouse appends") {
     val dir = java.nio.file.Files.createTempDirectory("graft_js").toString
     val g = graft.engine.MemGraph(spark)
