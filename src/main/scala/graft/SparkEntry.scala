@@ -988,12 +988,13 @@ object SparkEntry {
       val name = "graft_w54_" + WarehouseMeta.md5Hex(d).take(12)
       val root = WarehouseMeta.tableLocation(s, name).toString
       val wpath = s"$root/wh"
-      val fp = WarehouseMeta.md5Hex(WarehouseMeta.sourceSignature(d) + "#zgs16")
+      val fp = WarehouseMeta.md5Hex(WarehouseMeta.sourceSignature(d) + "#zgs16b")
       WarehouseMeta.withBuildLock(s, name) {
         val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
           .exists(_.get("sig").contains(fp)) &&
           Layout.currentGen(s"$wpath/znodes").isDefined &&
-          Layout.currentGen(s"$wpath/zedges").isDefined
+          Layout.currentGen(s"$wpath/zedges").isDefined &&
+          Layout.currentGen(s"$wpath/zfts").isDefined
         if (!ok) {
           WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(root))
           val g = StarGraph.build(s, d)
@@ -1005,6 +1006,10 @@ object SparkEntry {
             nodes.filter(col("kind") =!= "orders"),
             edges.filter(col("kind") =!= "PlacedBy"), startSeq = 1L))
           wh.compactZorder(nFiles = 16)
+          // graph FTS over the mutable warehouse (g22): part names index
+          // into the maintained postings z-table; every later increment
+          // (including the streamed ones below) keeps it fresh
+          wh.resetZFts(Seq("p_name"))
           // arrival 1: the orders wave — a create doc per orders node and
           // per PlacedBy edge (the bulk-restatement shape)
           wh.append(Journal.snapshotAsChanges(
@@ -3442,6 +3447,18 @@ object SparkEntry {
         .select("side", "kind", "n")
     }),
 
+    // GRAPH FTS OVER THE MUTABLE WAREHOUSE (r16): a Fetch MATCH param
+    // running through w54's maintained postings z-table — resetZFts
+    // indexed part names before the streamed increments, every increment
+    // kept the index fresh along the same zseq seam, and the chain's
+    // match set must equal a fresh regex scan of raw part names
+    "g22_wh_fts_fetch" -> ((s, d) => {
+      val wh = new graft.engine.WarehouseGraph(s, zGraphStreamFor(s, d))
+      graft.query.Fetch.df(wh.zView, graft.query.Fetch.Args(
+        chain = "(p:part)", params = Map("p_fts" -> "red OR anvil")))
+        .select("uid")
+    }),
+
     // ADVISOR AUTO-PILOT (r15): the table was dirtied every way the
     // census watches (stale bloom, landing rows, clamped bounds,
     // tombstones) and zorderOptimize ran until all-clear in the builder
@@ -5839,6 +5856,13 @@ object SparkEntry {
         |WHERE NOT (l_orderkey BETWEEN ma // 4 AND ma // 2
         |       AND l_suppkey BETWEEN mb * 2 // 5 AND mb // 2)
         |GROUP BY 1""".stripMargin,
+
+    // the maintained-postings MATCH through a Fetch chain ≡ a regex word
+    // scan of raw part names (parts survive w54's churn untouched)
+    "g22_wh_fts_fetch" ->
+      """SELECT 'part:' || p_partkey AS uid FROM part
+        |WHERE regexp_matches(LOWER(p_name), '\bred\b')
+        |   OR regexp_matches(LOWER(p_name), '\banvil\b')""".stripMargin,
 
     // the streamed z-state ≡ per-kind counts over the raw tables: every
     // kind survives whole except suppliers (and their SuppNation edges),

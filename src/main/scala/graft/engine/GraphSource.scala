@@ -78,15 +78,19 @@ object GraphSource {
   }
 }
 
-/** Wrap arbitrary DataFrames (already in node/edge schema) as a graph. */
+/** Wrap arbitrary DataFrames (already in node/edge schema) as a graph.
+  * `ftsU61` must state how the supplied postings were tokenized so MATCH
+  * query terms fold identically (default = the plain pre-r15 tokenizer). */
 final class ViewGraph(
     val spark: SparkSession,
     nodesDf: DataFrame,
     edgesDf: DataFrame,
     nodeFtsDf: Option[DataFrame] = None,
-    edgeFtsDf: Option[DataFrame] = None) extends GraphSource {
+    edgeFtsDf: Option[DataFrame] = None,
+    ftsU61: Boolean = false) extends GraphSource {
   def nodes: DataFrame = nodesDf
   def edges: DataFrame = edgesDf
   override def nodeFts: DataFrame = nodeFtsDf.getOrElse(GraphSource.emptyFts(spark))
   override def edgeFts: DataFrame = edgeFtsDf.getOrElse(GraphSource.emptyFts(spark))
+  override def ftsUnicode61: Boolean = ftsU61
 }

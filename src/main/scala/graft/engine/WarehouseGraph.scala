@@ -51,6 +51,55 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
+  // ------------------------------ journal tail by FILE (r16 scale fix)
+  //
+  // snapshotAsChanges seqs come from monotonically_increasing_id, so
+  // EVERY append file spans nearly the full seq range — a seq-range
+  // predicate prunes no parquet footers and `journal.filter(seq > since)`
+  // rescans the WHOLE journal on every increment, an O(history) term the
+  // graphdecades probe measured growing 7.3 → 18.2 s across a 16× table.
+  // But journal part files are IMMUTABLE once visible (Spark stages to
+  // _temporary and moves), so the folded frontier is exactly a FILE SET:
+  // the marker records which files each compaction consumed, and an
+  // increment reads only the new ones — O(tail), however long the
+  // history. Re-reading a file after a torn marker write is harmless:
+  // replaying a uid's ordered doc-suffix over a state that already
+  // folded it is idempotent (adds overwrite with the same values,
+  // removes of removed keys no-op), the same argument the crash-replay
+  // pin exercises.
+
+  private def zseqFilesPath = Paths.get(s"$path/zseq-files")
+
+  private def journalFileNames(): Seq[String] = {
+    val dir = Paths.get(journalDir)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toList.sorted
+    } finally s.close()
+  }
+
+  private def seenJournalFiles: Option[Set[String]] =
+    if (Files.isRegularFile(zseqFilesPath))
+      Some(Files.readString(zseqFilesPath).linesIterator
+        .filter(_.nonEmpty).toSet)
+    else None // pre-r16 marker: fall back to the full-scan tail once
+
+  private def writeSeenJournalFiles(files: Seq[String]): Unit = {
+    val tmp = Paths.get(s"$path/zseq-files.tmp")
+    Files.writeString(tmp, files.sorted.mkString("\n"))
+    Files.move(tmp, zseqFilesPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readJournalFiles(names: Seq[String]): DataFrame =
+    if (names.isEmpty) emptyChanges
+    else spark.read.schema(Rows.changeSchema)
+      .parquet(names.map(n => s"$journalDir/$n"): _*)
+
   /** Append a batch of change docs (rows in changeSchema). Seq numbers must
     * already be above [[maxSeq]] — [[WarehouseSession.merge]] rebases working
     * sets; raw streams of pre-ordered docs can append directly. */
@@ -144,20 +193,37 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
   def compactZorder(nFiles: Int = 16): Unit = {
     import graft.ops.Layout
     val upTo = maxSeq // read BEFORE the fold: a racing append stays "tail"
+    // captured WITH upTo: a file landing after this listing re-folds on
+    // the next increment (suffix replay is idempotent — see the tail-by-
+    // file note above)
+    val snapFiles = journalFileNames()
     val (n, e) = currentState
     val zn = s"$path/znodes"; val ze = s"$path/zedges"
     Seq(zn, ze).foreach(d => WarehouseMeta.deleteRecursively(Paths.get(d)))
     Layout.zorderInit(spark, n.withColumn("_kh", xxhash64(col("uid"))),
       zn, "_kh", "_kh", nFiles)
-    Layout.zorderBloomBuild(spark, zn, "uid")
+    // auto-sized bitsets: the default 2^16 saturates at warehouse row
+    // counts and a saturated bloom prunes nothing (r16, zorderBloomAutoBits)
+    Layout.zorderBloomBuild(spark, zn, "uid",
+      bits = Layout.zorderBloomAutoBits(zn, "uid"))
     Layout.zorderInit(spark,
       e.withColumn("_khs", xxhash64(col("startuid")))
         .withColumn("_khe", xxhash64(col("enduid"))),
       ze, "_khs", "_khe", nFiles)
-    Layout.zorderBloomBuild(spark, ze, "startuid")
-    Layout.zorderBloomBuild(spark, ze, "enduid")
-    Layout.zorderBloomBuild(spark, ze, "uid") // edge takedowns prune too
+    Layout.zorderBloomBuild(spark, ze, "startuid",
+      bits = Layout.zorderBloomAutoBits(ze, "startuid"))
+    Layout.zorderBloomBuild(spark, ze, "enduid",
+      bits = Layout.zorderBloomAutoBits(ze, "enduid"))
+    Layout.zorderBloomBuild(spark, ze, "uid", // edge takedowns prune too
+      bits = Layout.zorderBloomAutoBits(ze, "uid"))
+    // a full re-materialization rebuilds the maintained FTS wholesale
+    // (same fields/tokenizer — the config survives the rebuild)
+    if (Files.isRegularFile(zftsMetaPath)) {
+      val (fields, u61) = zftsConfig
+      resetZFts(fields, u61)
+    }
     Files.writeString(Paths.get(s"$path/zseq"), upTo.toString)
+    writeSeenJournalFiles(snapFiles)
   }
 
   /** INCREMENTAL z-compaction — fold only the journal TAIL past the last
@@ -186,7 +252,7 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     * restatement, and no IN-list of that size ever enters a plan.
     * Returns (touchedUids, nodeRowsLanded, edgeRowsLanded). */
   def compactZorderIncremental(
-      collectThreshold: Long = 100000L): (Long, Long, Long) = {
+      collectThreshold: Long = 10000L): (Long, Long, Long) = {
     import graft.ops.Layout
     val zn = s"$path/znodes"; val ze = s"$path/zedges"
     val seqPath = Paths.get(s"$path/zseq")
@@ -194,15 +260,45 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
       Layout.currentGen(zn).isDefined && Layout.currentGen(ze).isDefined,
       s"$path has no z-compaction to increment — run compactZorder() first")
     val since = Files.readString(seqPath).trim.toLong
-    val upTo = maxSeq
-    if (upTo <= since) return (0L, 0L, 0L)
-    val tail = journal.filter(col("seq") > since)
+    // tail by FILE: only journal files the last marker has not consumed
+    // are read — O(tail) regardless of history length (see the note at
+    // journalFileNames); a pre-r16 marker without a file list falls back
+    // to the seq-filtered full scan once and upgrades on commit
+    val seenOpt = seenJournalFiles
+    val nowFiles = journalFileNames()
+    val newFiles = seenOpt match {
+      case Some(seen) => nowFiles.filterNot(seen)
+      case None => nowFiles
+    }
+    if (seenOpt.isDefined && newFiles.isEmpty) return (0L, 0L, 0L)
+    // fold any landing FIRST: an increment that crashed between its
+    // append and its maintain left insert rows in landing/, INVISIBLE to
+    // the vectored delete (it tombstones manifest rows only) — committing
+    // them here lets the replay's re-delete reach the crashed copies,
+    // closing the at-least-once window (the CDC apply's r14 lesson,
+    // applied to the graph increment)
+    Layout.zorderMaintain(spark, zn)
+    Layout.zorderMaintain(spark, ze)
+    if (zFtsEnabled) { Layout.zorderMaintain(spark, zftsDir); () }
+    val tail = seenOpt match {
+      case Some(_) => readJournalFiles(newFiles).filter(col("seq") > since)
+      case None => journal.filter(col("seq") > since)
+    }
+    val mxRow = tail.agg(max("seq")).head() // one agg over the TAIL only
+    if (mxRow.isNullAt(0)) { // new files carry no post-marker docs
+      writeSeenJournalFiles(
+        (seenOpt.getOrElse(Set.empty) ++ newFiles).toSeq)
+      return (0L, 0L, 0L)
+    }
+    val upTo = math.max(since, mxRow.getLong(0))
     val touchedDf = tail.select("uid").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val nTouched = touchedDf.count() // ONE bounded driver action
     if (nTouched == 0L) {
-      Files.writeString(seqPath, upTo.toString); return (0L, 0L, 0L)
+      Files.writeString(seqPath, upTo.toString)
+      writeSeenJournalFiles((seenOpt.getOrElse(Set.empty) ++ newFiles).toSeq)
+      return (0L, 0L, 0L)
     }
     // churn-bounded increment: driver-side keys (bloom-pruned point
     // scans and deletes — the read cost tracks the churn, not the
@@ -241,16 +337,106 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
       }
       if (nN > 0) { Layout.zorderAppend(newN, zn); Layout.zorderMaintain(spark, zn) }
       if (nE > 0) { Layout.zorderAppend(newE, ze); Layout.zorderMaintain(spark, ze) }
-      // gap-fill refresh: only files the maintain rewrote rescan
-      Layout.zorderBloomBuild(spark, zn, "uid")
-      Layout.zorderBloomBuild(spark, ze, "startuid")
-      Layout.zorderBloomBuild(spark, ze, "enduid")
-      Layout.zorderBloomBuild(spark, ze, "uid")
+      // gap-fill refresh ONLY where a maintain rewrote files: a
+      // delete-only commit CARRIES its sidecars exactly (the DV touches
+      // no data file), so a table whose side of the churn landed zero
+      // rows skips the O(files × bits) sidecar rewrite entirely — at a
+      // node-only increment that halves the tick's fixed cost
+      // (auto-bits reuses the current sidecar's params, so carries hold)
+      if (nN > 0) {
+        Layout.zorderBloomBuild(spark, zn, "uid",
+          bits = Layout.zorderBloomAutoBits(zn, "uid"))
+        ()
+      }
+      if (nE > 0) {
+        Layout.zorderBloomBuild(spark, ze, "startuid",
+          bits = Layout.zorderBloomAutoBits(ze, "startuid"))
+        Layout.zorderBloomBuild(spark, ze, "enduid",
+          bits = Layout.zorderBloomAutoBits(ze, "enduid"))
+        Layout.zorderBloomBuild(spark, ze, "uid",
+          bits = Layout.zorderBloomAutoBits(ze, "uid"))
+        ()
+      }
+      // maintained FTS rides the same seam: tombstone the touched uids'
+      // postings, re-insert the survivors' — before the marker, so a
+      // crashed increment replays the index delete-then-insert too
+      if (zFtsEnabled) {
+        val (fields, u61) = zftsConfig
+        collected match {
+          case Some(keys) =>
+            Layout.zorderDeleteVectoredByKeyStr(spark, zftsDir, "uid", keys)
+          case None =>
+            Layout.zorderDeleteVectoredByKeyStr(spark, zftsDir, "uid",
+              touchedDf)
+        }
+        val (docs, f2t) = zftsDocs(newN.drop("_kh"), fields)
+        graft.ops.ZFts.insert(spark, zftsDir, docs, "uid", f2t, u61)
+        ()
+      }
       Files.writeString(seqPath, upTo.toString)
+      writeSeenJournalFiles((seenOpt.getOrElse(Set.empty) ++ newFiles).toSeq)
       (nTouched, nN, nE)
     } finally { newN.unpersist(); newE.unpersist(); () }
     } finally { touchedDf.unpersist(); () }
   }
+
+  // ------------------------------------------- maintained FTS postings
+  //
+  // The reference's node FTS (resetfts/updatefts/deletefts,
+  // graphydb.py:1141-1196, 1237-1244) for the MUTABLE warehouse: postings
+  // live in their own maintained z-table ([[graft.ops.ZFts]] term-major
+  // layout) and ride the SAME zseq seam as the z-tables — every
+  // compactZorderIncremental tombstones the touched uids' postings and
+  // re-inserts the survivors', so a crash replays idempotently and the
+  // index is always exactly as-of the z-state. Node postings only: edge
+  // props carry no text in the reference's FTS surface.
+
+  private val zftsDir = s"$path/zfts"
+  private val zftsMetaPath = Paths.get(s"$path/zfts-meta.tsv")
+
+  /** Whether a maintained postings z-table rides this warehouse. */
+  def zFtsEnabled: Boolean = Files.isRegularFile(zftsMetaPath) &&
+    graft.ops.Layout.currentGen(zftsDir).isDefined
+
+  private def zftsConfig: (Seq[String], Boolean) = {
+    val kv = Files.readString(zftsMetaPath).linesIterator
+      .map(_.split("\t", 2)).collect { case Array(k, v) => k -> v }.toMap
+    (kv("fields").split(",").toSeq, kv("unicode61").toBoolean)
+  }
+
+  /** (docs, field→textCol) for tokenization: one extracted JSON prop
+    * column per indexed field (absent props → null → zero postings). */
+  private def zftsDocs(nodesDf: DataFrame,
+      fields: Seq[String]): (DataFrame, Map[String, String]) = {
+    val cols = fields.zipWithIndex.map { case (f, i) =>
+      get_json_object(col("props"), s"$$.$f").as(s"_zf$i")
+    }
+    (nodesDf.select(col("uid") +: cols: _*),
+      fields.zipWithIndex.map { case (f, i) => f -> s"_zf$i" }.toMap)
+  }
+
+  /** `resetfts` for the warehouse: (re)build the maintained postings
+    * z-table from the CURRENT z-state's node props (run after
+    * [[compactZorder]]); the field list + tokenizer flag persist so
+    * every later increment (manual or streamed) maintains the index
+    * automatically. unicode61 defaults ON — the engine default (r15). */
+  def resetZFts(fields: Seq[String], unicode61: Boolean = true,
+      nFiles: Int = 8): Unit = {
+    require(fields.nonEmpty, "resetZFts needs at least one field")
+    require(fields.forall(f => !f.exists(",\t\n".contains(_))),
+      s"field names must not contain ',', tab, or newline: $fields")
+    require(graft.ops.Layout.currentGen(s"$path/znodes").isDefined,
+      s"$path has no z-compaction — run compactZorder() before resetZFts")
+    WarehouseMeta.deleteRecursively(Paths.get(zftsDir))
+    val (docs, f2t) = zftsDocs(zNodes, fields)
+    graft.ops.ZFts.init(spark, docs, zftsDir, "uid", f2t, unicode61, nFiles)
+    Files.writeString(zftsMetaPath,
+      s"fields\t${fields.mkString(",")}\nunicode61\t$unicode61\n")
+    ()
+  }
+
+  /** The maintained postings (planner-integrated read). */
+  def zFtsPostings: DataFrame = graft.ops.ZFts.postings(spark, zftsDir)
 
   private def zTable(dir: String, helpers: String*): DataFrame =
     graft.ops.ZTable.dataFrame(spark, dir).drop(helpers: _*)
@@ -268,8 +454,16 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     * gives the star dir (r16, closing the last accessor gap): point
     * predicates inside the chains prune through the string blooms, and
     * the view carries the z-tables' snapshot semantics (state as of the
-    * last compaction/increment). */
-  def zView: ViewGraph = new ViewGraph(spark, zNodes, zEdges)
+    * last compaction/increment). When [[resetZFts]] has run, the view
+    * carries the maintained postings too — `*_fts` MATCH params in Fetch
+    * chains work over the mutable warehouse, query terms folded to match
+    * the index's tokenizer. */
+  def zView: ViewGraph =
+    if (zFtsEnabled) {
+      val (_, u61) = zftsConfig
+      new ViewGraph(spark, zNodes, zEdges,
+        nodeFtsDf = Some(zFtsPostings), ftsU61 = u61)
+    } else new ViewGraph(spark, zNodes, zEdges)
 
   /** Point node lookup over the compacted z-table — the reference's
     * `getuid` (graphydb.py:1025-1044) as a string-bloom-pruned scan. */

@@ -1577,6 +1577,28 @@ object Layout {
       case Some(ws) => bloomMightContain(ws, pos)
     }
 
+  /** Bloom sizing for a MAINTAINED table (r16 — the graphdecades probe
+    * caught the default 2^16 bits saturating at warehouse row counts:
+    * 16k keys/file × 5 hashes → ~1.2 load → ~90% false-positive rate, so
+    * every keyed delete/readback scanned the whole table and the
+    * history-decade curve tracked table size instead of churn). Reuse
+    * the CURRENT generation's sidecar parameters when one exists for
+    * `keyCol` (the gap-fill carry requires matching params), else size
+    * ~10 bits per expected key per file from the manifest row counts,
+    * clamped to [2^16, 2^22] (2^22 = 512 KiB/file — past that, shard). */
+  def zorderBloomAutoBits(path: String, keyCol: String): Int =
+    currentGen(path).flatMap(g => readBloom(path, g, keyCol))
+      .map(_.bits).getOrElse {
+        val spans = currentSpans(path)
+        val rows = spans.map(_.rows).sum
+        val perFile =
+          if (spans.isEmpty) 1L else math.max(1L, rows / spans.size)
+        val target = perFile * 10L
+        var bits = 1 << 16
+        while (bits < target && bits < (1 << 22)) bits <<= 1
+        bits
+      }
+
   /** Build (or incrementally refresh) the CURRENT generation's bloom
     * sidecar over `keyCol`. Integral columns hash as long (the original
     * sidecars); STRING columns (r15) hash the raw UTF-8 value and the

@@ -447,19 +447,36 @@ object LayoutProbe {
         concat(lit("n"), col("id") + 1).as("enduid"),
         lit(0.0).as("ctime"), lit(0.0).as("mtime"), lit("{}").as("props"))
     def incrementSec(n: Long, files: Int, churn: Long,
-        collectThreshold: Long): Double = {
+        collectThreshold: Long, banded: Boolean = false): Double = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_gzd")
       val wh = new WarehouseGraph(spark, s"$tmp/wh")
       wh.append(Journal.snapshotAsChanges(nodesDf(n, "base"), edgesDf(n),
         startSeq = 1L))
       wh.compactZorder(files)
       // the tail: half modifies of existing uids (full-image add docs
-      // with a changed prop), half creates of brand-new nodes
-      val news = spark.range(n * 2, n * 2 + churn / 2).select(
-        concat(lit("n"), col("id")).as("uid"), lit("P").as("kind"),
-        lit(0.0).as("ctime"), lit(0.0).as("mtime"), lit("{}").as("props"))
+      // with a changed prop), half creates of brand-new nodes. Scattered
+      // (default) picks uniformly hash-spread uids — at churn ≥ files
+      // every file holds a victim, the adversarial bound; banded picks
+      // the lowest-xxhash band — z-LOCAL churn (a hot bucket refresh),
+      // where the uid blooms + spans keep the candidate scans O(churn)
+      // banded = pure modifies (creates hash anywhere by construction —
+      // they would scatter the maintain's fold right back across the
+      // curve); scattered = the realistic modify+create mix
+      val mods =
+        if (!banded) nodesDf(churn / 2, "mod")
+        else spark.range(n)
+          .select(concat(lit("n"), col("id")).as("uid"))
+          .withColumn("h", xxhash64(col("uid")))
+          .orderBy("h").limit(churn.toInt).drop("h")
+          .select(col("uid"), lit("P").as("kind"), lit(0.0).as("ctime"),
+            lit(0.0).as("mtime"), lit("""{"t":"mod"}""").as("props"))
+      val news =
+        if (banded) nodesDf(1, "never").limit(0)
+        else spark.range(n * 2, n * 2 + churn / 2).select(
+          concat(lit("n"), col("id")).as("uid"), lit("P").as("kind"),
+          lit(0.0).as("ctime"), lit(0.0).as("mtime"), lit("{}").as("props"))
       wh.append(Journal.snapshotAsChanges(
-        nodesDf(churn / 2, "mod").unionByName(news),
+        mods.unionByName(news),
         edgesDf(2).limit(0), startSeq = wh.maxSeq + 1))
       var out = (0L, 0L, 0L)
       val sec = time { out = wh.compactZorderIncremental(collectThreshold) }
@@ -468,19 +485,31 @@ object LayoutProbe {
       graft.engine.WarehouseMeta.deleteRecursively(tmp)
       sec
     }
-    // churn decade: fixed 1M-node (+1M-edge) graph, tail 1k → 10k → 100k
+    // churn decade at the SHIPPED default threshold (10k): 1k/10k ride
+    // the bloom-pruned collected path, 100k routes distributed
     for (churn <- Seq(1000L, 10000L, 100000L)) {
-      val sec = incrementSec(1L << 20, 64, churn, collectThreshold = 100000L)
+      val sec = incrementSec(1L << 20, 64, churn, collectThreshold = 10000L)
       println(s"""{"metric":"zgraph_inc_churn","nodes":${1L << 20},""" +
         s""""churn":$churn,"sec":${r4(sec)}}""")
     }
     // history decade: fixed 10k churn, graph 256k → 1M → 4M nodes
     for ((n, files) <- Seq((1L << 18, 16), (1L << 20, 64), (1L << 22, 256))) {
-      val sec = incrementSec(n, files, 10000L, collectThreshold = 100000L)
+      val sec = incrementSec(n, files, 10000L, collectThreshold = 10000L)
       println(s"""{"metric":"zgraph_inc_history","nodes":$n,""" +
         s""""churn":10000,"sec":${r4(sec)}}""")
     }
-    // the distributed path at the top churn (bulk restatement shape)
+    // history decade with Z-LOCAL churn (the banded lowest-hash 10k):
+    // candidate scans prune through the uid blooms, cost tracks churn
+    for ((n, files) <- Seq((1L << 18, 16), (1L << 20, 64), (1L << 22, 256))) {
+      val sec = incrementSec(n, files, 10000L, collectThreshold = 10000L,
+        banded = true)
+      println(s"""{"metric":"zgraph_inc_history_banded","nodes":$n,""" +
+        s""""churn":10000,"sec":${r4(sec)}}""")
+    }
+    // the threshold comparison at the top churn: collected vs distributed
+    val csec = incrementSec(1L << 20, 64, 100000L, collectThreshold = 100000L)
+    println(s"""{"metric":"zgraph_inc_collected","nodes":${1L << 20},""" +
+      s""""churn":100000,"sec":${r4(csec)}}""")
     val dsec = incrementSec(1L << 20, 64, 100000L, collectThreshold = 0L)
     println(s"""{"metric":"zgraph_inc_distributed","nodes":${1L << 20},""" +
       s""""churn":100000,"sec":${r4(dsec)}}""")

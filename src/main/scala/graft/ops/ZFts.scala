@@ -41,9 +41,13 @@ object ZFts {
 
   private def refreshBlooms(spark: SparkSession, path: String): Unit = {
     // gap-fill refresh: the generation carry means only files the
-    // maintain rewrote rescan
-    Layout.zorderBloomBuild(spark, path, "term", bits = BloomBits)
-    Layout.zorderBloomBuild(spark, path, "uid", bits = BloomBits)
+    // maintain rewrote rescan. Auto-bits reuses the current sidecar's
+    // params (carry-compatible) and sizes the first build from the
+    // manifest, floored at [[BloomBits]] — term vocabularies are large
+    Layout.zorderBloomBuild(spark, path, "term",
+      bits = math.max(BloomBits, Layout.zorderBloomAutoBits(path, "term")))
+    Layout.zorderBloomBuild(spark, path, "uid",
+      bits = math.max(BloomBits, Layout.zorderBloomAutoBits(path, "uid")))
     ()
   }
 
@@ -93,11 +97,34 @@ object ZFts {
       if (nRows > 0) {
         Layout.zorderAppend(fresh, path)
         Layout.zorderMaintain(spark, path)
-        ()
+        // delete-only updates carry their sidecars — rebuild only after
+        // a maintain actually rewrote files
+        refreshBlooms(spark, path)
       }
-      refreshBlooms(spark, path)
       (nTouched, nRows)
     } finally { fresh.unpersist(); uids.unpersist(); () }
+  }
+
+  /** Tokenize-and-land WITHOUT the tombstone phase — the seam for callers
+    * that already deleted the touched uids themselves (the incremental
+    * graph compaction tombstones its whole touched set once, then inserts
+    * the survivors' postings here). Returns posting rows landed. */
+  def insert(spark: SparkSession, path: String, docs: DataFrame,
+      uidCol: String, fieldToTextCol: Map[String, String],
+      unicode61: Boolean = false): Long = {
+    val fresh = withKey(Fts.postings(docs, uidCol, fieldToTextCol, unicode61))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        Layout.zorderAppend(fresh, path)
+        Layout.zorderMaintain(spark, path)
+        // a delete-only increment carries its sidecars exactly — the
+        // rebuild is only owed when a maintain rewrote files
+        refreshBlooms(spark, path)
+      }
+      n
+    } finally { fresh.unpersist(); () }
   }
 
   /** `deletefts` (graphydb.py:1237-1244) as a pure tombstone increment:

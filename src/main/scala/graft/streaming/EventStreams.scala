@@ -393,7 +393,7 @@ object EventStreams {
     * mutable graph warehouse self-maintains; maintenance never changes
     * answers (EventStreamsSpec pins chain equality across it). */
   def journalCompactStream(ticks: DataFrame, warehousePath: String,
-      checkpoint: String, collectThreshold: Long = 100000L,
+      checkpoint: String, collectThreshold: Long = 10000L,
       optimizeEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     ticks.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -401,7 +401,9 @@ object EventStreams {
         val wh = new graft.engine.WarehouseGraph(s, warehousePath)
         wh.compactZorderIncremental(collectThreshold)
         if (optimizeEvery > 0 && (id + 1) % optimizeEvery == 0) {
-          Seq(s"$warehousePath/znodes", s"$warehousePath/zedges")
+          val zfts = Seq(s"$warehousePath/zfts")
+            .filter(p => graft.ops.Layout.currentGen(p).isDefined)
+          (Seq(s"$warehousePath/znodes", s"$warehousePath/zedges") ++ zfts)
             .foreach { p =>
               var guard = 0
               var step = graft.ops.Layout.zorderOptimize(s, p)

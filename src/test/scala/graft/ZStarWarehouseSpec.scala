@@ -96,4 +96,16 @@ class ZStarWarehouseSpec extends AnyFunSuite with SparkSpec {
       ("edge", "PlacedBy") -> cnt("orders"))
     assert(got == expected, s"w54 counts diverged: $got vs $expected")
   }
+
+  test("g22: Fetch MATCH through the warehouse's maintained postings ≡ a regex word scan of raw part names (r16)") {
+    val got = SparkEntry.queries("g22_wh_fts_fetch")(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    val expected = spark.read.parquet(s"$dir/part.parquet")
+      .filter(lower(col("p_name")).rlike("\\bred\\b") ||
+        lower(col("p_name")).rlike("\\banvil\\b"))
+      .select(concat(lit("part:"), col("p_partkey")))
+      .collect().map(_.getString(0)).toSet
+    assert(got == expected && got.nonEmpty,
+      s"g22 diverged: ${got.size} vs ${expected.size}")
+  }
 }

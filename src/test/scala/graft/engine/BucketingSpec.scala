@@ -113,6 +113,10 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     // land net one copy — delete-then-insert idempotence
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/zseq"), seq0.toString)
+    // a real crash precedes BOTH marker writes — drop the consumed-file
+    // list too (its absence also exercises the pre-r16 full-scan fallback)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/zseq-files"))
     wh.compactZorderIncremental()
     assert(wh.zNodes.filter(col("uid") === fresh.uid).count() == 1L,
       "a replayed increment must land exactly one copy")
@@ -152,6 +156,10 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     // re-run must land net one copy (delete-then-insert idempotence)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/zseq"), seq0.toString)
+    // a real crash precedes BOTH marker writes — drop the consumed-file
+    // list too (its absence also exercises the pre-r16 full-scan fallback)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/zseq-files"))
     wh.compactZorderIncremental(collectThreshold = 0L)
     assert(wh.zNodes.filter(col("uid") === fresh.uid).count() == 1L)
     assert(wh.zNodes.count() == wh.nodes.count())
@@ -177,6 +185,87 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     val viaFold = rows(new ViewGraph(spark, wh.nodes, wh.edges))
     assert(viaZ.nonEmpty && viaZ == viaFold,
       s"zView chain must equal the journal-fold chain: ${viaZ.size} vs ${viaFold.size}")
+  }
+
+  test("incremental z-compaction: a crash BETWEEN append and maintain replays to net one copy (fold-first seam, r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zwhc").toString
+    val g = MemGraph(spark)
+    val ns = (1 to 80).map(i => g.node("P", "i" -> i).save())
+    for (i <- 0 until 79) g.edge(ns(i), "E", ns(i + 1)).save()
+    val wh = new WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    wh.compactZorder(nFiles = 4)
+    val seq0 = wh.maxSeq
+    ns(5)("nick") = "crashy"; ns(5).save()
+    wh.append(g.changesDf.filter(col("seq") > seq0))
+    // simulate the increment killed between its append and its maintain:
+    // touched uid tombstoned, fresh copy sitting in landing/, NO marker
+    // advance — the exact at-least-once window the fold-first seam closes
+    graft.ops.Layout.zorderDeleteVectoredByKeyStr(spark, s"$dir/znodes",
+      "uid", Seq(ns(5).uid))
+    graft.ops.Layout.zorderAppend(
+      wh.nodes.filter(col("uid") === ns(5).uid)
+        .withColumn("_kh", xxhash64(col("uid"))), s"$dir/znodes")
+    // the replay must fold the crashed landing FIRST (so its copy is
+    // reachable by the re-delete) and land net exactly one updated row
+    wh.compactZorderIncremental()
+    assert(wh.zNodes.filter(col("uid") === ns(5).uid).count() == 1L,
+      "the crashed landing copy must be tombstoned by the replay")
+    assert(wh.zPointNode(ns(5).uid).select("props").head().getString(0)
+      .contains("crashy"))
+    assert(wh.zNodes.count() == wh.nodes.count())
+  }
+
+  test("warehouse FTS: maintained postings ride the journal seam — resetZFts, churn increments, crash replay, fetch MATCH over zView (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zwfts").toString
+    val g = MemGraph(spark)
+    val names = Seq("red widget", "blue gear", "red gear", "cold anvil",
+      "blue widget")
+    val ns = names.zipWithIndex.map { case (n, i) =>
+      g.node("P", "name" -> n, "i" -> i).save()
+    }
+    for (i <- 0 until names.length - 1) g.edge(ns(i), "E", ns(i + 1)).save()
+    val wh = new WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    wh.compactZorder(nFiles = 4)
+    assert(!wh.zFtsEnabled)
+    wh.resetZFts(Seq("name"))
+    assert(wh.zFtsEnabled)
+    def matches(q: String): Set[String] =
+      graft.query.Fetch.df(wh.zView, graft.query.Fetch.Args(
+        chain = "(a:P)", params = Map("a_fts" -> q)))
+        .select("uid").collect().map(_.getString(0)).toSet
+    def uidOf(i: Int*): Set[String] = i.map(ns(_).uid).toSet
+    assert(matches("red") == uidOf(0, 2))
+    assert(matches("red OR anvil") == uidOf(0, 2, 3))
+    assert(matches("\"blue gear\"") == uidOf(1))
+    // churn: a rename away from 'red', a delete, a fresh 'red' doc — the
+    // increment must tombstone + re-insert exactly the touched uids
+    val seq0 = wh.maxSeq
+    ns(2)("name") = "green gear"; ns(2).save()
+    ns(0).delete(disconnect = true)
+    val freshN = g.node("P", "name" -> "red anvil", "i" -> 99).save()
+    wh.append(g.changesDf.filter(col("seq") > seq0))
+    wh.compactZorderIncremental()
+    assert(matches("red") == Set(freshN.uid))
+    assert(matches("gear") == uidOf(1, 2))
+    assert(matches("green") == uidOf(2))
+    // crash replay: marker rollback, re-increment → net one posting copy
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/zseq"), seq0.toString)
+    // a real crash precedes BOTH marker writes — drop the consumed-file
+    // list too (its absence also exercises the pre-r16 full-scan fallback)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/zseq-files"))
+    wh.compactZorderIncremental()
+    assert(matches("red") == Set(freshN.uid))
+    assert(wh.zFtsPostings.filter(col("uid") === freshN.uid &&
+      col("term") === "red").count() == 1L,
+      "a replayed increment must land exactly one posting copy")
+    // a full re-materialization rebuilds the index wholesale (config
+    // survives), answers unchanged
+    wh.compactZorder(nFiles = 4)
+    assert(wh.zFtsEnabled && matches("red") == Set(freshN.uid))
   }
 
   private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {

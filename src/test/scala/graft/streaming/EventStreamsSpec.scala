@@ -1183,6 +1183,10 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     // replay re-runs the SAME tail and must land net one copy
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/zseq"), seq0.toString)
+    // a real crash precedes BOTH marker writes — drop the consumed-file
+    // list too (its absence also exercises the pre-r16 full-scan fallback)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/zseq-files"))
     run("ckpt_crash")
     assert(wh.zNodes.filter(col("uid") === fresh.uid).count() == 1L,
       "a replayed increment must land exactly one copy")
