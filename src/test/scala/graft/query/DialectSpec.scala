@@ -67,7 +67,9 @@ class DialectSpec extends AnyFunSuite {
       "coalesce(sum(coalesce(try_cast(get_json_object(n.props, '$.v') " +
         "AS DOUBLE), try_cast(regexp_extract(CAST(get_json_object(n.props, " +
         "'$.v') AS STRING), " +
-        "'^ *[+-]?([0-9]+[.]?[0-9]*|[.][0-9]+)([eE][+-]?[0-9]+)?', 0) " +
+        // r16: the leading-skip class covers the six isspace() bytes
+        // sqlite3AtoF skips (raw chars inside the SQL literal)
+        "'^[ \t\n\u000B\f\r]*[+-]?([0-9]+[.]?[0-9]*|[.][0-9]+)([eE][+-]?[0-9]+)?', 0) " +
         "AS DOUBLE), 0.0D)), 0.0D)")
     // nested inside another call; inner rewrites still apply
     assert(Dialect.translate("length(group_concat(c.uid, ','))") ==
@@ -115,7 +117,10 @@ class DialectSpec extends AnyFunSuite {
       ("12abc", 12.0), (".5x", 0.5), ("1e2y", 100.0), ("1e", 1.0),
       ("1e+", 1.0), ("-3.5junk", -3.5), ("  7rest", 7.0), ("0x1A", 0.0),
       ("abc", 0.0), ("", 0.0), ("+.25z", 0.25), ("1.2.3", 1.2),
-      ("42", 42.0), ("-0.0", -0.0), ("e5", 0.0))
+      ("42", 42.0), ("-0.0", -0.0), ("e5", 0.0),
+      // r16 (advisor): sqlite3AtoF skips ALL isspace() whitespace, not
+      // just spaces — tab/newline/CR-prefixed numerics must parse
+      ("\t12abc", 12.0), ("\n 8x", 8.0), ("\r\t-4.5q", -4.5))
     cases.zipWithIndex.foreach { case ((in, want), i) =>
       Seq(in).toDF("v").createOrReplaceTempView(s"dialect_total_pin_$i")
       val got = spark.sql("SELECT " + Dialect.translate("total(v)") +
