@@ -219,8 +219,8 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     // a full re-materialization rebuilds the maintained FTS wholesale
     // (same fields/tokenizer — the config survives the rebuild)
     if (Files.isRegularFile(zftsMetaPath)) {
-      val (fields, u61) = zftsConfig
-      resetZFts(fields, u61)
+      val (nf, ef, u61) = zftsConfig
+      resetZFts(nf, u61, edgeFields = ef)
     }
     Files.writeString(Paths.get(s"$path/zseq"), upTo.toString)
     writeSeenJournalFiles(snapFiles)
@@ -279,7 +279,11 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     // applied to the graph increment)
     Layout.zorderMaintain(spark, zn)
     Layout.zorderMaintain(spark, ze)
-    if (zFtsEnabled) { Layout.zorderMaintain(spark, zftsDir); () }
+    if (zFtsEnabled) {
+      val (nf, ef, _) = zftsConfig
+      if (nf.nonEmpty) { Layout.zorderMaintain(spark, zftsDir); () }
+      if (ef.nonEmpty) { Layout.zorderMaintain(spark, zftseDir); () }
+    }
     val tail = seenOpt match {
       case Some(_) => readJournalFiles(newFiles).filter(col("seq") > since)
       case None => journal.filter(col("seq") > since)
@@ -361,17 +365,23 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
       // postings, re-insert the survivors' — before the marker, so a
       // crashed increment replays the index delete-then-insert too
       if (zFtsEnabled) {
-        val (fields, u61) = zftsConfig
-        collected match {
-          case Some(keys) =>
-            Layout.zorderDeleteVectoredByKeyStr(spark, zftsDir, "uid", keys)
-          case None =>
-            Layout.zorderDeleteVectoredByKeyStr(spark, zftsDir, "uid",
-              touchedDf)
+        val (nf, ef, u61) = zftsConfig
+        def ftsIncrement(dir: String, survivors: DataFrame,
+            fs: Seq[String]): Unit = {
+          collected match {
+            case Some(keys) =>
+              Layout.zorderDeleteVectoredByKeyStr(spark, dir, "uid", keys)
+            case None =>
+              Layout.zorderDeleteVectoredByKeyStr(spark, dir, "uid",
+                touchedDf)
+          }
+          val (docs, f2t) = zftsDocs(survivors, fs)
+          graft.ops.ZFts.insert(spark, dir, docs, "uid", f2t, u61)
+          ()
         }
-        val (docs, f2t) = zftsDocs(newN.drop("_kh"), fields)
-        graft.ops.ZFts.insert(spark, zftsDir, docs, "uid", f2t, u61)
-        ()
+        if (nf.nonEmpty) ftsIncrement(zftsDir, newN.drop("_kh"), nf)
+        if (ef.nonEmpty)
+          ftsIncrement(zftseDir, newE.drop("_khs", "_khe"), ef)
       }
       Files.writeString(seqPath, upTo.toString)
       writeSeenJournalFiles((seenOpt.getOrElse(Set.empty) ++ newFiles).toSeq)
@@ -388,20 +398,31 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
   // layout) and ride the SAME zseq seam as the z-tables — every
   // compactZorderIncremental tombstones the touched uids' postings and
   // re-inserts the survivors', so a crash replays idempotently and the
-  // index is always exactly as-of the z-state. Node postings only: edge
-  // props carry no text in the reference's FTS surface.
+  // index is always exactly as-of the z-state. Node AND edge fields
+  // (the reference's `resetfts(nodefields, edgefields)`,
+  // graphydb.py:638-658): each configured side gets its own table.
 
   private val zftsDir = s"$path/zfts"
+  private val zftseDir = s"$path/zftse"
   private val zftsMetaPath = Paths.get(s"$path/zfts-meta.tsv")
 
-  /** Whether a maintained postings z-table rides this warehouse. */
-  def zFtsEnabled: Boolean = Files.isRegularFile(zftsMetaPath) &&
-    graft.ops.Layout.currentGen(zftsDir).isDefined
+  /** Whether maintained postings z-tables ride this warehouse (every
+    * CONFIGURED side must have a committed generation). */
+  def zFtsEnabled: Boolean = Files.isRegularFile(zftsMetaPath) && {
+    val (nf, ef, _) = zftsConfig
+    (nf.isEmpty || graft.ops.Layout.currentGen(zftsDir).isDefined) &&
+      (ef.isEmpty || graft.ops.Layout.currentGen(zftseDir).isDefined)
+  }
 
-  private def zftsConfig: (Seq[String], Boolean) = {
+  /** (nodeFields, edgeFields, unicode61); `efields` absent in pre-edge
+    * metas → empty (backward compatible). */
+  private def zftsConfig: (Seq[String], Seq[String], Boolean) = {
     val kv = Files.readString(zftsMetaPath).linesIterator
       .map(_.split("\t", 2)).collect { case Array(k, v) => k -> v }.toMap
-    (kv("fields").split(",").toSeq, kv("unicode61").toBoolean)
+    def fieldsOf(v: Option[String]): Seq[String] =
+      v.map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    (fieldsOf(kv.get("fields")), fieldsOf(kv.get("efields")),
+      kv("unicode61").toBoolean)
   }
 
   /** (docs, field→textCol) for tokenization: one extracted JSON prop
@@ -415,28 +436,45 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
       fields.zipWithIndex.map { case (f, i) => f -> s"_zf$i" }.toMap)
   }
 
-  /** `resetfts` for the warehouse: (re)build the maintained postings
-    * z-table from the CURRENT z-state's node props (run after
-    * [[compactZorder]]); the field list + tokenizer flag persist so
-    * every later increment (manual or streamed) maintains the index
-    * automatically. unicode61 defaults ON — the engine default (r15). */
+  /** `resetfts` for the warehouse (graphydb.py:638-658 — node AND edge
+    * field lists): (re)build the maintained postings z-table(s) from the
+    * CURRENT z-state's props (run after [[compactZorder]]); the field
+    * lists + tokenizer flag persist so every later increment (manual or
+    * streamed) maintains the index automatically. unicode61 defaults ON
+    * — the engine default (r15). */
   def resetZFts(fields: Seq[String], unicode61: Boolean = true,
-      nFiles: Int = 8): Unit = {
-    require(fields.nonEmpty, "resetZFts needs at least one field")
-    require(fields.forall(f => !f.exists(",\t\n".contains(_))),
+      nFiles: Int = 8, edgeFields: Seq[String] = Seq.empty): Unit = {
+    require(fields.nonEmpty || edgeFields.nonEmpty,
+      "resetZFts needs at least one node or edge field")
+    require((fields ++ edgeFields).forall(f =>
+        !f.exists(",\t\n".contains(_))),
       s"field names must not contain ',', tab, or newline: $fields")
     require(graft.ops.Layout.currentGen(s"$path/znodes").isDefined,
       s"$path has no z-compaction — run compactZorder() before resetZFts")
-    WarehouseMeta.deleteRecursively(Paths.get(zftsDir))
-    val (docs, f2t) = zftsDocs(zNodes, fields)
-    graft.ops.ZFts.init(spark, docs, zftsDir, "uid", f2t, unicode61, nFiles)
+    Seq(zftsDir, zftseDir).foreach(d =>
+      WarehouseMeta.deleteRecursively(Paths.get(d)))
+    if (fields.nonEmpty) {
+      val (docs, f2t) = zftsDocs(zNodes, fields)
+      graft.ops.ZFts.init(spark, docs, zftsDir, "uid", f2t, unicode61,
+        nFiles)
+    }
+    if (edgeFields.nonEmpty) {
+      val (docs, f2t) = zftsDocs(zEdges, edgeFields)
+      graft.ops.ZFts.init(spark, docs, zftseDir, "uid", f2t, unicode61,
+        nFiles)
+    }
     Files.writeString(zftsMetaPath,
-      s"fields\t${fields.mkString(",")}\nunicode61\t$unicode61\n")
+      s"fields\t${fields.mkString(",")}\n" +
+        s"efields\t${edgeFields.mkString(",")}\nunicode61\t$unicode61\n")
     ()
   }
 
-  /** The maintained postings (planner-integrated read). */
+  /** The maintained NODE postings (planner-integrated read). */
   def zFtsPostings: DataFrame = graft.ops.ZFts.postings(spark, zftsDir)
+
+  /** The maintained EDGE postings (planner-integrated read). */
+  def zFtsEdgePostings: DataFrame =
+    graft.ops.ZFts.postings(spark, zftseDir)
 
   private def zTable(dir: String, helpers: String*): DataFrame =
     graft.ops.ZTable.dataFrame(spark, dir).drop(helpers: _*)
@@ -460,9 +498,11 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     * the index's tokenizer. */
   def zView: ViewGraph =
     if (zFtsEnabled) {
-      val (_, u61) = zftsConfig
+      val (nf, ef, u61) = zftsConfig
       new ViewGraph(spark, zNodes, zEdges,
-        nodeFtsDf = Some(zFtsPostings), ftsU61 = u61)
+        nodeFtsDf = if (nf.nonEmpty) Some(zFtsPostings) else None,
+        edgeFtsDf = if (ef.nonEmpty) Some(zFtsEdgePostings) else None,
+        ftsU61 = u61)
     } else new ViewGraph(spark, zNodes, zEdges)
 
   /** Point node lookup over the compacted z-table — the reference's

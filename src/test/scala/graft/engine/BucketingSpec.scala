@@ -224,13 +224,24 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     val ns = names.zipWithIndex.map { case (n, i) =>
       g.node("P", "name" -> n, "i" -> i).save()
     }
-    for (i <- 0 until names.length - 1) g.edge(ns(i), "E", ns(i + 1)).save()
+    val rels = Seq("close friend", "distant colleague", "close rival",
+      "distant cousin")
+    val es = rels.zipWithIndex.map { case (r, i) =>
+      g.edge(ns(i), "E", ns(i + 1), "rel" -> r).save()
+    }
     val wh = new WarehouseGraph(spark, dir)
     wh.append(g.changesDf)
     wh.compactZorder(nFiles = 4)
     assert(!wh.zFtsEnabled)
-    wh.resetZFts(Seq("name"))
+    // node + EDGE field lists — the reference's resetfts(nodefields,
+    // edgefields) shape (graphydb.py:638-658)
+    wh.resetZFts(Seq("name"), edgeFields = Seq("rel"))
     assert(wh.zFtsEnabled)
+    def edgeMatches(q: String): Set[String] =
+      graft.query.Fetch.df(wh.zView, graft.query.Fetch.Args(
+        chain = "(a:P) -[e:E]> (b:P)", params = Map("e_fts" -> q)))
+        .select("uid").collect().map(_.getString(0)).toSet
+    assert(edgeMatches("close") == Set(es(0).uid, es(2).uid))
     def matches(q: String): Set[String] =
       graft.query.Fetch.df(wh.zView, graft.query.Fetch.Args(
         chain = "(a:P)", params = Map("a_fts" -> q)))
@@ -243,13 +254,17 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     // increment must tombstone + re-insert exactly the touched uids
     val seq0 = wh.maxSeq
     ns(2)("name") = "green gear"; ns(2).save()
-    ns(0).delete(disconnect = true)
+    es(1)("rel") = "close associate"; es(1).save() // edge-side modify
+    ns(0).delete(disconnect = true) // also deletes es(0) ("close friend")
     val freshN = g.node("P", "name" -> "red anvil", "i" -> 99).save()
     wh.append(g.changesDf.filter(col("seq") > seq0))
     wh.compactZorderIncremental()
     assert(matches("red") == Set(freshN.uid))
     assert(matches("gear") == uidOf(1, 2))
     assert(matches("green") == uidOf(2))
+    // edge index rode the same increment: es0 gone with its node, es1
+    // re-tokenized into the 'close' set
+    assert(edgeMatches("close") == Set(es(1).uid, es(2).uid))
     // crash replay: marker rollback, re-increment → net one posting copy
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/zseq"), seq0.toString)
@@ -266,6 +281,8 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     // survives), answers unchanged
     wh.compactZorder(nFiles = 4)
     assert(wh.zFtsEnabled && matches("red") == Set(freshN.uid))
+    assert(edgeMatches("close") == Set(es(1).uid, es(2).uid),
+      "the full rebuild must regenerate the edge index too")
   }
 
   private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
