@@ -52,19 +52,29 @@ object ZStarWarehouse {
     * fingerprint). */
   def invalidate(): Unit = memo.clear()
 
+  private def ftsPathOf(spark: SparkSession, dir: String): String = {
+    import graft.engine.WarehouseMeta
+    val name = "graft_zstar_" + WarehouseMeta.md5Hex(dir).take(12)
+    WarehouseMeta.tableLocation(spark, s"${name}_fts").toString
+  }
+
   private def build(spark: SparkSession, dir: String): (String, String) = {
     import graft.engine.WarehouseMeta
     val name = "graft_zstar_" + WarehouseMeta.md5Hex(dir).take(12)
     val nPath = WarehouseMeta.tableLocation(spark, s"${name}_nodes").toString
     val ePath = WarehouseMeta.tableLocation(spark, s"${name}_edges").toString
-    val fp = WarehouseMeta.md5Hex(WarehouseMeta.sourceSignature(dir) + "#zstar1")
+    val fPath = ftsPathOf(spark, dir)
+    val fp = WarehouseMeta.md5Hex(WarehouseMeta.sourceSignature(dir) + "#zstar2")
     WarehouseMeta.withBuildLock(spark, name) {
       val ok = WarehouseMeta.readSidecar(spark, s"${name}_meta.tsv")
         .exists(_.get("sig").contains(fp)) &&
-        Layout.currentGen(nPath).isDefined && Layout.currentGen(ePath).isDefined
+        Layout.currentGen(nPath).isDefined &&
+        Layout.currentGen(ePath).isDefined &&
+        Layout.currentGen(fPath).isDefined
       if (!ok) {
         WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(nPath))
         WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(ePath))
+        WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(fPath))
         val g = StarGraph.build(spark, dir)
         Layout.zorderInit(spark,
           g.nodes.withColumn("_key", keyOf("uid")),
@@ -81,6 +91,16 @@ object ZStarWarehouse {
         Layout.zorderBloomBuild(spark, nPath, "_key", bits = 1 << 18)
         Layout.zorderBloomBuild(spark, ePath, "_start_key", bits = 1 << 18)
         Layout.zorderBloomBuild(spark, ePath, "_end_key", bits = 1 << 18)
+        // the star FTS (part names, field "name") as a MAINTAINED
+        // postings z-table (r16): same tokenizer as StarGraph's cached
+        // postings (plain lower — the star projection predates the
+        // unicode61 default and its oracles pin that), so FTS chains
+        // answer identically over all three storage layouts
+        graft.ops.ZFts.init(spark,
+          spark.read.parquet(s"$dir/part.parquet").select(
+            concat(lit("part:"), col("p_partkey")).as("uid"),
+            col("p_name")),
+          fPath, "uid", Map("name" -> "p_name"))
         WarehouseMeta.writeSidecar(spark, s"${name}_meta.tsv", Map("sig" -> fp))
       }
     }
@@ -96,7 +116,11 @@ object ZStarWarehouse {
     val (nPath, ePath) = tables(spark, dir)
     new ViewGraph(spark,
       ZTable.dataFrame(spark, nPath).drop("_key"),
-      ZTable.dataFrame(spark, ePath).drop("_start_key", "_end_key"))
+      ZTable.dataFrame(spark, ePath).drop("_start_key", "_end_key"),
+      // maintained part-name postings: `p_fts` MATCH params in chains
+      // run over the z-layout too, term atoms pruning via the term bloom
+      nodeFtsDf = Some(graft.ops.ZFts.postings(spark,
+        ftsPathOf(spark, dir))))
   }
 
   /** The edge z-table plus its [[ManifestFileIndex]] (pruning audit). */

@@ -26,7 +26,14 @@ class ZStarWarehouseSpec extends AnyFunSuite with SparkSpec {
         group = Some("c.uid"),
         params = Map("ordercount" -> "COUNT(o.uid)")), // g01's shape
       Fetch.Args(chain = "(n:nation) <(e:InNation)- [c:customer]",
-        where = Seq("n.uid = 'nation:3'")))
+        where = Seq("n.uid = 'nation:3'")),
+      // FTS MATCH params over the MAINTAINED postings z-table (r16):
+      // g07's and g10's shapes must answer identically on the z-layout
+      Fetch.Args(chain = "(p:part)", params = Map("p_fts" -> "red")),
+      Fetch.Args(chain = "[p:part,score]",
+        params = Map("score" -> "p_fts.score",
+          "p_fts" -> "red OR widget OR \"red widget\""),
+        order = Some("score DESC, p.uid ASC"), limit = Some(100)))
     chains.foreach { args =>
       assert(rows(Fetch.df(zg, args)) == rows(Fetch.df(sg, args)),
         s"z-table fetch diverged on ${args.chain}")
