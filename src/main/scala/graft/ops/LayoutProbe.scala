@@ -36,6 +36,7 @@ object LayoutProbe {
     if (args.headOption.contains("ztraverse100k")) { runTraverse100k(); return }
     if (args.headOption.contains("cdcdecades")) { runCdcDecades(); return }
     if (args.headOption.contains("graphdecades")) { runGraphDecades(); return }
+    if (args.headOption.contains("zftsprobe")) { runZFtsProbe(); return }
     val cpus = Runtime.getRuntime.availableProcessors().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -412,6 +413,50 @@ object LayoutProbe {
     println(s"""{"metric":"ztraverse_100k_point","files":${g * g},""" +
       s""""span_only_listed":$spanOnly,"bloom_listed":$hit,""" +
       s""""list_sec_per_query":${r4(sec)}}""")
+  }
+
+  /** The r16 MAINTAINED-POSTINGS pruning probe: ZFts over the REAL sf0.1
+    * documents corpus (term-major layout, string-domain term bloom), one
+    * OR MATCH through [[graft.query.Fts.matchScores]] — the planner's
+    * listing must cut to the files that may hold the query's terms (the
+    * FTS5-term-b-tree analogue, measured on real data instead of a
+    * claim). Prints corpus/posting sizes, the listing cut, and cold/warm
+    * match wall time. */
+  private[ops] def runZFtsProbe(): Unit = {
+    val cpus = Runtime.getRuntime.availableProcessors().toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zftsp")
+    val idx = s"$tmp/fts"
+    val buildSec = time {
+      ZFts.init(spark, docs, idx, "doc_id", Map("body" -> "text"),
+        nFiles = 64)
+    }
+    val nPostings = ZFts.postings(spark, idx).count()
+    val (df, fi) = ZTable.dataFrameWithIndex(spark, idx)
+    def matchOnce(): Long = {
+      val res = graft.query.Fts.matchScores(df.drop("_tkh"),
+        "spark OR vector")
+      res.collect().length.toLong
+    }
+    var hits = 0L
+    val coldSec = time { hits = matchOnce() }
+    val warmSec = time { matchOnce() }
+    require(fi.lastListed > 0 && fi.lastListed < fi.inputFiles.length,
+      s"term blooms must prune: ${fi.lastListed}/${fi.inputFiles.length}")
+    println(s"""{"metric":"zfts_match_prune","docs":${docs.count()},""" +
+      s""""postings":$nPostings,"files":${fi.inputFiles.length},""" +
+      s""""listed":${fi.lastListed},"hits":$hits,""" +
+      s""""build_sec":${r4(buildSec)},"cold_sec":${r4(coldSec)},""" +
+      s""""warm_sec":${r4(warmSec)}}""")
+    graft.engine.WarehouseMeta.deleteRecursively(tmp)
+    spark.stop()
   }
 
   /** The r16 INCREMENTAL GRAPH-COMPACTION decades (VERDICT r15 worklist
