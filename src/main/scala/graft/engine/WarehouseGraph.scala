@@ -250,6 +250,12 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     * ([[graft.ops.Layout.zorderDeleteVectoredByKeyStr]]'s DataFrame
     * overload) — driver memory stays flat no matter how large the
     * restatement, and no IN-list of that size ever enters a plan.
+    *
+    * Limit (inherited from the vectored delete's whole-table guard, the
+    * CDC apply's same rule): a tail whose touched set covers EVERY live
+    * uid of a table refuses rather than tombstone the entire table —
+    * a full restatement is a re-materialization by definition; run
+    * [[compactZorder]] for it.
     * Returns (touchedUids, nodeRowsLanded, edgeRowsLanded). */
   def compactZorderIncremental(
       collectThreshold: Long = 10000L): (Long, Long, Long) = {
