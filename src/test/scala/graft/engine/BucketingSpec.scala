@@ -285,6 +285,71 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       "the full rebuild must regenerate the edge index too")
   }
 
+  test("incremental z-compaction PROPERTY: random churn batches with random crash rollbacks always converge to the journal fold, FTS included (r16)") {
+    val rnd = new scala.util.Random(20260816L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zprop").toString
+    val g = MemGraph(spark)
+    val vocab = Seq("red", "blue", "gear", "widget", "anvil", "rod")
+    def word(): String = vocab(rnd.nextInt(vocab.length))
+    val alive = scala.collection.mutable.ArrayBuffer.empty[Node]
+    for (i <- 1 to 50) alive += g.node("P", "i" -> i,
+      "nick" -> s"${word()} ${word()}").save()
+    for (i <- 0 until 49) g.edge(alive(i), "E", alive(i + 1)).save()
+    val wh = new WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    wh.compactZorder(nFiles = 4)
+    wh.resetZFts(Seq("nick"))
+    def assertConverged(round: Int): Unit = {
+      assert(wh.zNodes.select("uid").except(wh.nodes.select("uid")).count() == 0 &&
+        wh.nodes.select("uid").except(wh.zNodes.select("uid")).count() == 0,
+        s"round $round: z-nodes must equal the fold")
+      assert(wh.zEdges.select("uid").except(wh.edges.select("uid")).count() == 0 &&
+        wh.edges.select("uid").except(wh.zEdges.select("uid")).count() == 0,
+        s"round $round: z-edges must equal the fold")
+      // the FTS index must equal a fresh tokenization of the fold state
+      val pCols = Seq("term", "field", "uid", "pos").map(col)
+      val expected = graft.query.Fts.postings(
+        wh.nodes.select(col("uid"),
+          get_json_object(col("props"), "$.nick").as("t")),
+        "uid", Map("nick" -> "t"), unicode61 = true).select(pCols: _*)
+      val live = wh.zFtsPostings.select(pCols: _*)
+      assert(live.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(live).count() == 0,
+        s"round $round: maintained postings must equal a fresh tokenization")
+    }
+    for (round <- 1 to 4) {
+      val seq0 = wh.maxSeq
+      // random churn: creates (with an edge to a live node), modifies,
+      // disconnect-deletes — all against the SAME working set
+      for (_ <- 0 until rnd.nextInt(5)) {
+        val n = g.node("P", "i" -> (1000 + rnd.nextInt(100000)),
+          "nick" -> s"${word()} ${word()}").save()
+        g.edge(n, "E", alive(rnd.nextInt(alive.length))).save()
+        alive += n
+      }
+      for (_ <- 0 until rnd.nextInt(5)) {
+        val n = alive(rnd.nextInt(alive.length))
+        n("nick") = s"${word()} ${word()}"; n.save()
+      }
+      for (_ <- 0 until rnd.nextInt(3); if alive.length > 5) {
+        val idx = rnd.nextInt(alive.length)
+        alive.remove(idx).delete(disconnect = true)
+      }
+      wh.append(g.changesDf.filter(col("seq") > seq0))
+      val threshold = if (rnd.nextBoolean()) 0L else 10000L
+      wh.compactZorderIncremental(collectThreshold = threshold)
+      if (rnd.nextBoolean()) { // crash replay: both markers rolled back
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/zseq"), seq0.toString)
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$dir/zseq-files"))
+        wh.compactZorderIncremental(collectThreshold = threshold)
+      }
+      assertConverged(round)
+    }
+    assert(wh.compactZorderIncremental() == ((0L, 0L, 0L)), "caught-up no-op")
+  }
+
   private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
     // string-count so AQE-wrapped plans are included too
     "Exchange hashpartitioning".r
