@@ -88,9 +88,12 @@ object ZStarWarehouse {
         // to files that may actually CONTAIN it (the getuid/outE shape).
         // 2^18 bits keeps the per-file load low enough to prune at sf0.1
         // (~30k keys/file → ~0.6 bits/key load at 5 hashes)
-        Layout.zorderBloomBuild(spark, nPath, "_key", bits = 1 << 18)
-        Layout.zorderBloomBuild(spark, ePath, "_start_key", bits = 1 << 18)
-        Layout.zorderBloomBuild(spark, ePath, "_end_key", bits = 1 << 18)
+        Layout.zorderBloomBuild(spark, nPath, "_key", bits = 1 << 18,
+          shards = Layout.zorderBloomAutoShards(nPath, "_key"))
+        Layout.zorderBloomBuild(spark, ePath, "_start_key", bits = 1 << 18,
+          shards = Layout.zorderBloomAutoShards(ePath, "_start_key"))
+        Layout.zorderBloomBuild(spark, ePath, "_end_key", bits = 1 << 18,
+          shards = Layout.zorderBloomAutoShards(ePath, "_end_key"))
         // the star FTS (part names, field "name") as a MAINTAINED
         // postings z-table (r16): same tokenizer as StarGraph's cached
         // postings (plain lower — the star projection predates the

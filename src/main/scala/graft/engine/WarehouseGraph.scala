@@ -203,19 +203,25 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     Layout.zorderInit(spark, n.withColumn("_kh", xxhash64(col("uid"))),
       zn, "_kh", "_kh", nFiles)
     // auto-sized bitsets: the default 2^16 saturates at warehouse row
-    // counts and a saturated bloom prunes nothing (r16, zorderBloomAutoBits)
+    // counts and a saturated bloom prunes nothing (r16, zorderBloomAutoBits);
+    // auto-sharded sidecars so the incremental refresh can hard-link
+    // untouched shards instead of re-serializing the whole sidecar
     Layout.zorderBloomBuild(spark, zn, "uid",
-      bits = Layout.zorderBloomAutoBits(zn, "uid"))
+      bits = Layout.zorderBloomAutoBits(zn, "uid"),
+      shards = Layout.zorderBloomAutoShards(zn, "uid"))
     Layout.zorderInit(spark,
       e.withColumn("_khs", xxhash64(col("startuid")))
         .withColumn("_khe", xxhash64(col("enduid"))),
       ze, "_khs", "_khe", nFiles)
     Layout.zorderBloomBuild(spark, ze, "startuid",
-      bits = Layout.zorderBloomAutoBits(ze, "startuid"))
+      bits = Layout.zorderBloomAutoBits(ze, "startuid"),
+      shards = Layout.zorderBloomAutoShards(ze, "startuid"))
     Layout.zorderBloomBuild(spark, ze, "enduid",
-      bits = Layout.zorderBloomAutoBits(ze, "enduid"))
+      bits = Layout.zorderBloomAutoBits(ze, "enduid"),
+      shards = Layout.zorderBloomAutoShards(ze, "enduid"))
     Layout.zorderBloomBuild(spark, ze, "uid", // edge takedowns prune too
-      bits = Layout.zorderBloomAutoBits(ze, "uid"))
+      bits = Layout.zorderBloomAutoBits(ze, "uid"),
+      shards = Layout.zorderBloomAutoShards(ze, "uid"))
     // a full re-materialization rebuilds the maintained FTS wholesale
     // (same fields/tokenizer — the config survives the rebuild)
     if (Files.isRegularFile(zftsMetaPath)) {
@@ -352,19 +358,25 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
       // no data file), so a table whose side of the churn landed zero
       // rows skips the O(files × bits) sidecar rewrite entirely — at a
       // node-only increment that halves the tick's fixed cost
-      // (auto-bits reuses the current sidecar's params, so carries hold)
+      // (auto-bits and auto-shards reuse the current sidecar's params,
+      // so carries hold AND untouched shards hard-link: the refresh
+      // writes O(touched shards) sidecar bytes, not O(files × bits))
       if (nN > 0) {
         Layout.zorderBloomBuild(spark, zn, "uid",
-          bits = Layout.zorderBloomAutoBits(zn, "uid"))
+          bits = Layout.zorderBloomAutoBits(zn, "uid"),
+          shards = Layout.zorderBloomAutoShards(zn, "uid"))
         ()
       }
       if (nE > 0) {
         Layout.zorderBloomBuild(spark, ze, "startuid",
-          bits = Layout.zorderBloomAutoBits(ze, "startuid"))
+          bits = Layout.zorderBloomAutoBits(ze, "startuid"),
+          shards = Layout.zorderBloomAutoShards(ze, "startuid"))
         Layout.zorderBloomBuild(spark, ze, "enduid",
-          bits = Layout.zorderBloomAutoBits(ze, "enduid"))
+          bits = Layout.zorderBloomAutoBits(ze, "enduid"),
+          shards = Layout.zorderBloomAutoShards(ze, "enduid"))
         Layout.zorderBloomBuild(spark, ze, "uid",
-          bits = Layout.zorderBloomAutoBits(ze, "uid"))
+          bits = Layout.zorderBloomAutoBits(ze, "uid"),
+          shards = Layout.zorderBloomAutoShards(ze, "uid"))
         ()
       }
       // maintained FTS rides the same seam: tombstone the touched uids'

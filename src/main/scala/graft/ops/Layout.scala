@@ -1499,9 +1499,72 @@ object Layout {
       parts.flatMap(_.words).toMap, domain = parts.head.domain))
   }
 
+  /** Every on-disk file of (gen, keyCol) across BOTH layouts (the legacy
+    * single file AND any shard set, whatever the shard count) — the
+    * deletion universe for a rebuild, so no stale file survives a
+    * layout change for the reader to merge in. */
+  private def bloomLayoutFiles(path: String, gen: Long,
+      keyCol: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    val single = bloomPath(path, gen, keyCol)
+    val shardPrefix = s"bloom-$gen-$keyCol.shard"
+    val sharded = if (!java.nio.file.Files.isDirectory(root)) Seq.empty else {
+      val ls = java.nio.file.Files.list(root)
+      try ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(shardPrefix) &&
+          p.getFileName.toString.endsWith(".tsv")).toList
+      finally ls.close()
+    }
+    (sharded :+ single).filter(java.nio.file.Files.isRegularFile(_))
+  }
+
+  /** Shard count of gen's on-disk sidecar over keyCol (1 = the single
+    * file; 0 = no sidecar). Read from the shard filenames themselves. */
+  private def bloomShardCountOf(path: String, gen: Long,
+      keyCol: String): Int = {
+    val files = bloomFiles(path, gen, keyCol)
+    if (files.isEmpty) 0
+    else if (files == Seq(bloomPath(path, gen, keyCol))) 1
+    else {
+      val n = files.head.getFileName.toString
+      n.substring(n.indexOf("of") + 2).stripSuffix(".tsv").toIntOption
+        .getOrElse(0)
+    }
+  }
+
+  /** Hard-link `src` at `dest` atomically (link a tmp sibling, move over)
+    * — the O(1) carry for an immutable sidecar unit whose content is
+    * byte-identical across generations. Falls back to a byte copy where
+    * links aren't supported (object-store mounts, cross-device tmp). */
+  private def linkOrCopyAtomic(src: java.nio.file.Path,
+      dest: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = dest.resolveSibling(dest.getFileName.toString + ".tmp")
+    Files.deleteIfExists(tmp)
+    try Files.createLink(tmp, src)
+    catch { case scala.util.control.NonFatal(_) =>
+      Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING) }
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Persist (gen, keyCol)'s sidecar. `carryFrom = Some((srcGen,
+    * srcShards, srcFiles))` names an existing COMPLETE sidecar whose
+    * parameters (bits, hashes, domain) match and whose bitset rows for
+    * every file in `srcFiles ∩ words.keySet` are verbatim in `words` —
+    * [[zorderBloomBuild]]'s carry contract. Under that contract any
+    * output shard whose file set is EXACTLY the source shard's file set
+    * is byte-identical to the source shard (same header, same sorted
+    * rows), so it is hard-linked instead of re-serialized: an
+    * incremental refresh after a maintain that touched f of F files
+    * rewrites O(f/F) of the sidecar bytes instead of all of them —
+    * the write-side twin of the build's carry-don't-rescan. Returns
+    * (unitsSerialized, unitsLinked). */
   private[ops] def writeBloom(path: String, gen: Long, keyCol: String, bits: Int,
       hashes: Int, words: Map[String, Map[Int, Long]],
-      shards: Int = 1, domain: String = "long"): Unit = {
+      shards: Int = 1, domain: String = "long",
+      carryFrom: Option[(Long, Int, Set[String])] = None): (Int, Int) = {
     def body(ws: Map[String, Map[Int, Long]]) =
       (Seq(s"#bits\t$bits", s"#hashes\t$hashes") ++
         (if (domain == "long") Seq.empty else Seq(s"#domain\t$domain")) ++
@@ -1510,17 +1573,56 @@ object Layout {
             .map { case (i, v) => s"$i:${java.lang.Long.toHexString(v)}" }
             .mkString(",")
         }).mkString("\n")
-    // clear BOTH layouts first: a rebuild with a different shard count
-    // must not leave stale files the reader would merge in
-    (bloomFiles(path, gen, keyCol) :+ bloomPath(path, gen, keyCol)).foreach { p =>
-      java.nio.file.Files.deleteIfExists(p)
-      bloomCache.remove(p.toAbsolutePath.toString)
+    val units: IndexedSeq[(java.nio.file.Path, Map[String, Map[Int, Long]])] =
+      if (shards <= 1) IndexedSeq(bloomPath(path, gen, keyCol) -> words)
+      else (0 until shards).map { k =>
+        bloomShardPath(path, gen, keyCol, k, shards) ->
+          words.filter { case (f, _) => bloomShardOf(f, shards) == k }
+      }
+    // which output units are byte-identical to a source unit (linkable)?
+    val linkSrc: Int => Option[java.nio.file.Path] = carryFrom match {
+      case Some((srcGen, srcShards, srcFiles)) if srcShards == shards =>
+        val srcByUnit: Map[Int, Set[String]] =
+          if (shards <= 1) Map(0 -> srcFiles)
+          else srcFiles.groupBy(bloomShardOf(_, shards))
+        k => if (srcByUnit.getOrElse(k, Set.empty) == units(k)._2.keySet)
+          Some(if (shards <= 1) bloomPath(path, srcGen, keyCol)
+               else bloomShardPath(path, srcGen, keyCol, k, shards))
+        else None
+      case _ => _ => None
     }
-    if (shards <= 1) writeAtomic(bloomPath(path, gen, keyCol), body(words))
-    else (0 until shards).foreach { k =>
-      writeAtomic(bloomShardPath(path, gen, keyCol, k, shards),
-        body(words.filter { case (f, _) => bloomShardOf(f, shards) == k }))
+    // same-generation refresh: an unchanged unit's dest file IS its
+    // source — keep it untouched (and un-deleted) below
+    val kept = units.indices.flatMap(k => linkSrc(k).filter(_ == units(k)._1))
+      .toSet
+    // clear BOTH layouts of anything we won't overwrite or keep: a
+    // rebuild with a different shard count must not leave stale files
+    // the reader would merge in (readers catch a racing partial set via
+    // the shard-completeness check and fall back unpruned, never wrong)
+    val destSet = units.map(_._1).toSet
+    bloomLayoutFiles(path, gen, keyCol)
+      .filterNot(p => destSet.contains(p) || kept.contains(p)).foreach { p =>
+        java.nio.file.Files.deleteIfExists(p)
+        bloomCache.remove(p.toAbsolutePath.toString)
+      }
+    var serialized = 0; var linked = 0
+    units.indices.foreach { k =>
+      val (dest, ws) = units(k)
+      linkSrc(k) match {
+        case Some(src) if src == dest &&
+            java.nio.file.Files.isRegularFile(dest) =>
+          linked += 1 // same-generation refresh, unit unchanged: keep
+        case Some(src) if java.nio.file.Files.isRegularFile(src) =>
+          try { linkOrCopyAtomic(src, dest); linked += 1 }
+          catch { case scala.util.control.NonFatal(_) =>
+            writeAtomic(dest, body(ws)); serialized += 1 }
+          bloomCache.remove(dest.toAbsolutePath.toString)
+        case _ =>
+          writeAtomic(dest, body(ws)); serialized += 1
+          bloomCache.remove(dest.toAbsolutePath.toString)
+      }
     }
+    (serialized, linked)
   }
 
   /** Driver twin of the build's `xxhash64(key, seed)` — the SAME Catalyst
@@ -1599,6 +1701,33 @@ object Layout {
         bits
       }
 
+  /** Shard sizing twin of [[zorderBloomAutoBits]]. Reuses the CURRENT
+    * generation's on-disk shard count when a sidecar exists for `keyCol`
+    * — shard-count stability is what lets an incremental refresh
+    * hard-link untouched shards across generations ([[writeBloom]]'s
+    * carry) — else sizes to the COARSER of two targets, rounded up to a
+    * power of two and clamped to [1, 1024]: ~64 files per shard (the
+    * linking granule — a churn touching f files re-serializes at most
+    * ~2f shards and links the rest) and ~8 MB of worst-case TSV per
+    * shard (dense bitsets at ~13 text bytes per 64-bit word — bounds a
+    * single cold parse). A 100k-file table at 2^16 bits lands 1024
+    * shards of ~100 files, so a 10-file maintain rewrites ~20 shards
+    * (~2%) instead of 800 MB of sidecar. */
+  def zorderBloomAutoShards(path: String, keyCol: String): Int =
+    currentGen(path)
+      .map(g => bloomShardCountOf(path, g, keyCol))
+      .filter(_ >= 1)
+      .getOrElse {
+        val files = currentSpans(path).size
+        val bits = zorderBloomAutoBits(path, keyCol)
+        val bytesPerFile = math.max(1L, (bits / 64L) * 13L)
+        val filesPerShard = math.min(64L,
+          math.max(1L, 8L * 1024 * 1024 / bytesPerFile))
+        var s = 1
+        while (s < 1024 && s.toLong * filesPerShard < files) s <<= 1
+        s
+      }
+
   /** Build (or incrementally refresh) the CURRENT generation's bloom
     * sidecar over `keyCol`. Integral columns hash as long (the original
     * sidecars); STRING columns (r15) hash the raw UTF-8 value and the
@@ -1637,11 +1766,13 @@ object Layout {
     // INCLUDING the current generation's own (a same-generation refresh
     // after a maintain-then-bloom-carry gap is the advisor's
     // bloom_stale remedy, and must rescan only the gap files)
+    val priorSel: Option[(Long, BloomSidecar)] =
+      retainedGens(path).sorted.reverse.iterator
+        .flatMap(g => readBloom(path, g, keyCol).map(g -> _))
+        .find { case (_, b) =>
+          b.bits == bits && b.hashes == hashes && b.domain == dom }
     val prior: Map[String, Map[Int, Long]] =
-      retainedGens(path).sorted.reverse
-        .flatMap(g => readBloom(path, g, keyCol))
-        .find(b => b.bits == bits && b.hashes == hashes && b.domain == dom)
-        .map(_.words).getOrElse(Map.empty)
+      priorSel.map(_._2.words).getOrElse(Map.empty)
     val carried = files.filter(prior.contains)
     val toScan = files.filterNot(prior.contains)
     val fresh: Map[String, Map[Int, Long]] =
@@ -1673,8 +1804,17 @@ object Layout {
         // probe prunes them, and null never equals a probe value
         toScan.map(f => f -> built.getOrElse(f, Map.empty[Int, Long])).toMap
       }
+    // carry contract for the link-write: prior rows are verbatim in the
+    // output map (carried values come straight from `prior`; toScan is
+    // disjoint from it by construction), so any output shard whose file
+    // set equals the source shard's links as O(1) instead of
+    // re-serializing — the incremental refresh after a maintain stops
+    // paying O(files × bits) sidecar bytes for untouched shards
+    val carryInfo = priorSel.map { case (g, b) =>
+      (g, bloomShardCountOf(path, g, keyCol), b.words.keySet) }
     writeBloom(path, cur, keyCol, bits, hashes,
-      carried.map(f => f -> prior(f)).toMap ++ fresh, shards, domain = dom)
+      carried.map(f => f -> prior(f)).toMap ++ fresh, shards, domain = dom,
+      carryFrom = carryInfo)
     (toScan.size, carried.size)
   }
 
@@ -2059,9 +2199,14 @@ object Layout {
         case i => stem.substring(0, i)
       }).distinct
 
-  /** Copy every bloom sidecar file of `fromGen` under `toGen`'s names —
+  /** Carry every bloom sidecar file of `fromGen` under `toGen`'s names —
     * the zero-rescan carry for commits that rewrite no data file
-    * (vectored deletes). Driver-side TSV copies, atomic per file. */
+    * (vectored deletes). Sidecar files are immutable once written, so
+    * the carry HARD-LINKS each unit (O(1) per file, atomic via a tmp
+    * link + move) instead of re-copying its bytes — a delete-heavy
+    * workload's per-commit sidecar cost drops from O(files × bits) bytes
+    * to O(shards) directory entries. Byte-copy fallback where links
+    * aren't supported. */
   private def carryBloomSidecars(path: String, fromGen: Long,
       toGen: Long): Unit = {
     val root = java.nio.file.Paths.get(path)
@@ -2069,8 +2214,7 @@ object Layout {
     val files = bloomSidecarNames(path, fromGen)
     files.foreach { n =>
       val target = root.resolve(s"bloom-$toGen-" + n.stripPrefix(prefix))
-      writeAtomic(target, new String(
-        java.nio.file.Files.readAllBytes(root.resolve(n)), "UTF-8"))
+      linkOrCopyAtomic(root.resolve(n), target)
       bloomCache.remove(target.toAbsolutePath.toString)
     }
   }

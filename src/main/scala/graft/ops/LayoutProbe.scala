@@ -37,6 +37,7 @@ object LayoutProbe {
     if (args.headOption.contains("cdcdecades")) { runCdcDecades(); return }
     if (args.headOption.contains("graphdecades")) { runGraphDecades(); return }
     if (args.headOption.contains("zftsprobe")) { runZFtsProbe(); return }
+    if (args.headOption.contains("bloomlink")) { runBloomLink(); return }
     val cpus = Runtime.getRuntime.availableProcessors().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -734,5 +735,69 @@ object LayoutProbe {
     require(res16 == res, s"sharded answers must equal single-file: $res16 vs $res")
     println(s"""{"metric":"zbloom_10k_sharded","files":$nFiles,"shards":16,""" +
       s""""open":${res16._1},"cold_sec":${r4(coldSharded)},"warm_sec":${r4(warmSharded)}}""")
+  }
+
+  /** The incremental refresh's WRITE cost at the 10k-file regime (r16:
+    * the carry made the SCAN O(fresh) long ago, but every refresh still
+    * re-serialized all files × bits of sidecar text — the repo's last
+    * named per-maintain scale residual). Measures a 10-file churn's
+    * sidecar rewrite through the old full-serialize path vs the
+    * link-carry path, driver-only (no Spark session needed). */
+  private def runBloomLink(): Unit = {
+    // 256 shards = what zorderBloomAutoShards picks at 10k files (the
+    // ~64-files-per-shard linking granule)
+    val nFiles = 10000; val bits = 1 << 16; val hashes = 5; val shards = 256
+    val touched = 10
+    def mkWords(names: Seq[String]): Map[String, Map[Int, Long]] =
+      names.zipWithIndex.map { case (f, i) =>
+        f -> (0 until bits / 64).map { w =>
+          var x = i.toLong * 1099511628211L + w * 2654435761L
+          x ^= (x << 13); x ^= (x >>> 7); x ^= (x << 17)
+          w -> (x & x >>> 1) // ~25-30% ones
+        }.toMap
+      }.toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_lblink")
+      .toString + "/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val names0 = (0 until nFiles).map(i => s"data/g0/f$i.parquet")
+    val words0 = mkWords(names0)
+    Layout.writeBloom(dir, 0L, "k", bits, hashes, words0, shards)
+    // churn: `touched` files rewritten under generation-1 names — the
+    // shape every compactZorderIncremental tick produces
+    val names1 = names0.drop(touched) ++
+      (0 until touched).map(i => s"data/g1/f$i.parquet")
+    val words1 = (words0 -- names0.take(touched)) ++
+      mkWords((0 until touched).map(i => s"data/g1/f$i.parquet"))
+    def genBytes(gen: Long): Long = (0 until shards).map { k =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(dir,
+        s"bloom-$gen-k.shard${k}of$shards.tsv"))
+    }.sum
+    // old path: full re-serialization of every shard
+    val fullSec = time {
+      Layout.writeBloom(dir, 1L, "k", bits, hashes, words1, shards)
+    }
+    val fullBytes = genBytes(1L)
+    (0 until shards).foreach(k => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, s"bloom-1-k.shard${k}of$shards.tsv")))
+    // link path: untouched shards hard-link from gen 0
+    var serialized = 0; var linked = 0
+    val linkSec = time {
+      val (s, l) = Layout.writeBloom(dir, 1L, "k", bits, hashes, words1,
+        shards, carryFrom = Some((0L, shards, words0.keySet)))
+      serialized = s; linked = l
+    }
+    val newBytes = (0 until shards).map { k =>
+      val p1 = java.nio.file.Paths.get(dir, s"bloom-1-k.shard${k}of$shards.tsv")
+      val p0 = java.nio.file.Paths.get(dir, s"bloom-0-k.shard${k}of$shards.tsv")
+      if (java.nio.file.Files.isSameFile(p0, p1)) 0L
+      else java.nio.file.Files.size(p1)
+    }.sum
+    require(serialized + linked == shards && linked > 0,
+      s"expected a mostly-linked refresh, got $serialized/$linked")
+    println(s"""{"metric":"zbloom_link_write","files":$nFiles,""" +
+      s""""shards":$shards,"touched_files":$touched,""" +
+      s""""full_serialize_sec":${r4(fullSec)},"full_bytes":$fullBytes,""" +
+      s""""link_sec":${r4(linkSec)},"serialized_shards":$serialized,""" +
+      s""""linked_shards":$linked,"new_bytes":$newBytes}""")
   }
 }

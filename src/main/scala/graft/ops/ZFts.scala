@@ -45,9 +45,11 @@ object ZFts {
     // params (carry-compatible) and sizes the first build from the
     // manifest, floored at [[BloomBits]] — term vocabularies are large
     Layout.zorderBloomBuild(spark, path, "term",
-      bits = math.max(BloomBits, Layout.zorderBloomAutoBits(path, "term")))
+      bits = math.max(BloomBits, Layout.zorderBloomAutoBits(path, "term")),
+      shards = Layout.zorderBloomAutoShards(path, "term"))
     Layout.zorderBloomBuild(spark, path, "uid",
-      bits = math.max(BloomBits, Layout.zorderBloomAutoBits(path, "uid")))
+      bits = math.max(BloomBits, Layout.zorderBloomAutoBits(path, "uid")),
+      shards = Layout.zorderBloomAutoShards(path, "uid"))
     ()
   }
 

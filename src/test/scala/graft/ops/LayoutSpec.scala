@@ -2296,4 +2296,72 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       assert(cnt2.head().getLong(0) == 768L)
     } finally graft.plans.ManifestAggs.disable(spark)
   }
+
+  test("bloom sidecar carries are O(1) hard links: DV commits link whole units, incremental refresh links untouched shards and serializes only touched ones") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_zlink").toString + "/t"
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
+        col("id").as("k"))
+    Layout.zorderInit(spark, base, dir, "a", "b", nFiles = 16,
+      keepGenerations = 2)
+    // fresh small table sizes to one shard; an existing sidecar's count
+    // is REUSED (stability is what makes cross-generation links land)
+    assert(Layout.zorderBloomAutoShards(dir, "k") == 1)
+    Layout.zorderBloomBuild(spark, dir, "k", bits = 1 << 14, shards = 8)
+    assert(Layout.zorderBloomAutoShards(dir, "k") == 8,
+      "auto-shards must reuse the on-disk shard count")
+    def shardPaths(gen: Long) = (0 until 8).map(i =>
+      Paths.get(dir, s"bloom-$gen-k.shard${i}of8.tsv"))
+    assert(shardPaths(0).forall(Files.isRegularFile(_)))
+
+    // a DV commit carries the sidecar as hard links — same inode, no
+    // byte copy (the delete-heavy workload's per-commit sidecar cost)
+    val (deleted, _) = Layout.zorderDeleteVectored(spark, dir, (4L, 11L), (4L, 11L))
+    assert(deleted == 64L)
+    assert(shardPaths(1).forall(Files.isRegularFile(_)))
+    assert(shardPaths(1).zip(shardPaths(0)).forall { case (n, o) =>
+      Files.isSameFile(n, o) }, "DV carry must link, not copy")
+
+    // maintain rewrites a few files; the refresh serializes ONLY shards
+    // whose file membership changed and hard-links the rest from gen 1
+    Layout.zorderAppend(Seq((5L, 6L, 999999L)).toDF("a", "b", "k"), dir)
+    val (_, rewritten, carriedFiles) = Layout.zorderMaintain(spark, dir)
+    assert(rewritten >= 1 && carriedFiles >= 8, s"$rewritten/$carriedFiles")
+    val (s1, c1) = Layout.zorderBloomBuild(spark, dir, "k",
+      bits = 1 << 14, shards = 8)
+    assert(s1 == rewritten && c1 == carriedFiles)
+    val cur = Layout.currentGen(dir).get
+    val linkedShards = shardPaths(cur).zip(shardPaths(1))
+      .count { case (n, o) => Files.isRegularFile(o) && Files.isSameFile(n, o) }
+    assert(linkedShards >= 1,
+      s"untouched shards must hard-link across generations: $linkedShards/8")
+    assert(linkedShards < 8,
+      "shards holding rewritten files must re-serialize")
+    // answers stay exact and pruned through the linked sidecar
+    val (open, total, used) = Layout.zorderLookupFiles(dir, "k", Seq(999999L))
+    assert(used && open < total, s"$open/$total")
+    assert(Layout.zorderPointLookup(spark, dir, "k", Seq(999999L)).count() == 1)
+    assert(Layout.zorderPointLookup(spark, dir, "k", Seq(7L, 999999L)).count() == 2)
+
+    // the linked+serialized sidecar is BYTE-identical to a from-scratch
+    // build (body serialization is deterministic: sorted files, sorted
+    // words) — linking never changes what a reader parses
+    val before = shardPaths(cur).map(p => new String(
+      Files.readAllBytes(p), "UTF-8"))
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(Paths.get(dir))
+    try ls.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("bloom-"))
+      .toList.foreach(Files.delete(_))
+    finally ls.close()
+    val (sAll, cNone) = Layout.zorderBloomBuild(spark, dir, "k",
+      bits = 1 << 14, shards = 8)
+    assert(cNone == 0 && sAll == rewritten + carriedFiles)
+    val after = shardPaths(cur).map(p => new String(
+      Files.readAllBytes(p), "UTF-8"))
+    assert(before == after,
+      "incremental link-write ≡ from-scratch serialization, byte for byte")
+  }
 }
