@@ -2935,6 +2935,50 @@ object Layout {
         finally ls.close()
       }
       val blooms = bloomNames(pRoot)
+      // one sidecar shipper for BOTH sync paths. Two cost cuts on top of
+      // the plain byte copy:
+      //   - size/mtime short-circuit: a frequent no-op sync poll must not
+      //     pay O(total sidecar bytes) per tick — only a sidecar whose
+      //     size differs, or whose source is at least as new as the copy
+      //     (equal-millis included: coarse mtime granularity could hide a
+      //     same-second rebuild), falls through to the byte compare
+      //   - inode dedup: the primary's carries are hard links
+      //     ([[carryBloomSidecars]], [[writeBloom]]'s link-carry), so
+      //     most retained generations' sidecar names alias the same
+      //     bytes — ship each distinct inode ONCE per sync and hard-link
+      //     the replica's other names to the first landed copy (a
+      //     delete-heavy primary stops re-shipping its whole sidecar set
+      //     on every DV commit). fileKey() is null on filesystems that
+      //     can't identify inodes — those just fall back to the copy.
+      def shipSidecars(): Unit = {
+        val landed = scala.collection.mutable.Map.empty[Object, java.nio.file.Path]
+        blooms.foreach { n =>
+          val srcP = pRoot.resolve(n)
+          val dst = rRoot.resolve(n)
+          val settled = Files.isRegularFile(dst) &&
+            Files.size(srcP) == Files.size(dst) &&
+            Files.getLastModifiedTime(srcP).toMillis <
+              Files.getLastModifiedTime(dst).toMillis
+          val key = try Files.readAttributes(srcP,
+            classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+          catch { case scala.util.control.NonFatal(_) => null }
+          if (settled) {
+            if (key != null) landed.getOrElseUpdate(key, dst)
+            ()
+          } else {
+            (if (key == null) None else landed.get(key)) match {
+              case Some(prev) => linkOrCopyAtomic(prev, dst)
+              case None =>
+                val src = Files.readAllBytes(srcP)
+                if (!Files.isRegularFile(dst) ||
+                    !java.util.Arrays.equals(src, Files.readAllBytes(dst)))
+                  writeAtomic(dst, new String(src, "UTF-8"))
+                if (key != null) landed.put(key, dst)
+                ()
+            }
+          }
+        }
+      }
       val upToDate = currentGen(replicaPath).contains(pCur) &&
         gens.forall(g => Files.isRegularFile(manifestPath(replicaPath, g)))
       if (upToDate) {
@@ -2947,25 +2991,7 @@ object Layout {
         // name-only check would leave replica point lookups unpruned for
         // those files; absent/stale sidecars are never wrong, just
         // unpruned — this keeps the replica pruned too)
-        blooms.foreach { n =>
-          val srcP = pRoot.resolve(n)
-          val dst = rRoot.resolve(n)
-          // size/mtime short-circuit: a frequent no-op sync poll must not
-          // pay O(total sidecar bytes) per tick — only a sidecar whose
-          // size differs, or whose source is at least as new as the copy
-          // (equal-millis included: coarse mtime granularity could hide a
-          // same-second rebuild), falls through to the byte compare
-          val settled = Files.isRegularFile(dst) &&
-            Files.size(srcP) == Files.size(dst) &&
-            Files.getLastModifiedTime(srcP).toMillis <
-              Files.getLastModifiedTime(dst).toMillis
-          if (!settled) {
-            val src = Files.readAllBytes(srcP)
-            if (!Files.isRegularFile(dst) ||
-                !java.util.Arrays.equals(src, Files.readAllBytes(dst)))
-              writeAtomic(dst, new String(src, "UTF-8"))
-          }
-        }
+        shipSidecars()
         return (0, 0)
       }
       // 1. data files (including deletion vectors) the replica is missing
@@ -2995,10 +3021,7 @@ object Layout {
           manifests += 1
         }
       }
-      blooms.foreach { n =>
-        writeAtomic(rRoot.resolve(n), new String(
-          Files.readAllBytes(pRoot.resolve(n)), "UTF-8"))
-      }
+      shipSidecars()
       writeAtomic(retentionPath(replicaPath), keep.toString)
       writeAtomic(tableIdPath(replicaPath), pId)
       Files.createDirectories(landingDir(replicaPath))

@@ -2364,4 +2364,42 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(before == after,
       "incremental link-write ≡ from-scratch serialization, byte for byte")
   }
+
+  test("mirror ships each distinct sidecar inode once: the primary's linked carries land as replica-side links, replica stays pruned") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val pri = Files.createTempDirectory("graft_zmlkp").toString + "/t"
+    val rep = Files.createTempDirectory("graft_zmlkr").toString + "/t"
+    val base = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), (col("id") % 64).as("b"),
+        col("id").as("k"))
+    Layout.zorderInit(spark, base, pri, "a", "b", nFiles = 16,
+      keepGenerations = 2)
+    Layout.zorderBloomBuild(spark, pri, "k", bits = 1 << 14, shards = 8)
+    // DV commit: the primary carries gen 1's sidecar as hard links
+    val (deleted, _) = Layout.zorderDeleteVectored(spark, pri, (4L, 11L), (4L, 11L))
+    assert(deleted == 64L)
+    Layout.zorderMirror(pri, rep)
+    def repShards(gen: Long) = (0 until 8).map(i =>
+      Paths.get(rep, s"bloom-$gen-k.shard${i}of8.tsv"))
+    assert(repShards(0).forall(Files.isRegularFile(_)))
+    assert(repShards(1).forall(Files.isRegularFile(_)))
+    // the two generations alias ONE inode on the primary — the sync must
+    // land ONE replica copy and link the second name to it, not ship the
+    // whole sidecar set once per retained generation
+    assert(repShards(1).zip(repShards(0)).forall { case (n, o) =>
+      Files.isSameFile(n, o) },
+      "replica must link generation-aliased sidecars, not re-copy them")
+    // the replica answers pruned and exact through the linked sidecars
+    val (open, total, used) = Layout.zorderLookupFiles(rep, "k", Seq(777L))
+    assert(used && open < total, s"$open/$total")
+    assert(Layout.zorderPointLookup(spark, rep, "k", Seq(777L)).count() ==
+      (if (777L / 64 >= 4 && 777L / 64 <= 11 && 777L % 64 >= 4 &&
+        777L % 64 <= 11) 0 else 1))
+    // a repeat sync stays a no-op on the sidecars (settled short-circuit)
+    val mt = repShards(1).map(Files.getLastModifiedTime(_))
+    assert(Layout.zorderMirror(pri, rep) == ((0, 0)))
+    assert(repShards(1).map(Files.getLastModifiedTime(_)) == mt,
+      "settled sidecars must not be rewritten by a no-op sync")
+  }
 }
