@@ -1064,6 +1064,76 @@ object SparkEntry {
       wpath
     }
 
+  /** Memoized TIME-TRAVEL graph warehouse for w55 (r16 — the zsnap
+    * snapshot log): the star projection (Contains excluded) lands in a
+    * [[graft.engine.WarehouseGraph]], compacts to z-tables (cut 0), then
+    * a disconnect-delete wave (every 5th customer with its InNation and
+    * PlacedBy edges, full-image REMOVE docs) folds in through ONE
+    * increment (cut 1). The zsnap log records both consistent cuts, so
+    * [[graft.engine.WarehouseGraph.zViewAt]] at cut 0's seq serves the
+    * FULL pre-delete graph — planned from the retained generations —
+    * while the live view misses the doomed customers. The builder
+    * REQUIREs both cuts' customer counts; `<root>/seq0` persists cut 0's
+    * seq for the query. */
+  private val zttMemo = layoutMemo
+  private def zTimeTravelFor(s: SparkSession, d: String): String =
+    memoizedLayout(zttMemo, s, d) {
+      import graft.engine.{Journal, WarehouseGraph, WarehouseMeta}
+      val name = "graft_w55_" + WarehouseMeta.md5Hex(d).take(12)
+      val root = WarehouseMeta.tableLocation(s, name).toString
+      val wpath = s"$root/wh"
+      val fp = WarehouseMeta.md5Hex(WarehouseMeta.sourceSignature(d) + "#ztt16")
+      WarehouseMeta.withBuildLock(s, name) {
+        val ok = WarehouseMeta.readSidecar(s, s"${name}_meta.tsv")
+          .exists(_.get("sig").contains(fp)) &&
+          Layout.currentGen(s"$wpath/znodes").isDefined &&
+          java.nio.file.Files.isRegularFile(
+            java.nio.file.Paths.get(s"$root/seq0"))
+        if (!ok) {
+          WarehouseMeta.deleteRecursively(java.nio.file.Paths.get(root))
+          val g = StarGraph.build(s, d)
+          val nodes = g.nodes
+          val edges = g.edges.filter(col("kind") =!= "Contains")
+          val wh = new WarehouseGraph(s, wpath)
+          wh.append(Journal.snapshotAsChanges(nodes, edges, startSeq = 1L))
+          wh.compactZorder(nFiles = 16)
+          val seq0 = wh.maxSeq
+          val nCustFull = nodes.filter(col("kind") === "customer").count()
+          // disconnect-delete every 5th customer: the node plus every
+          // edge touching it (InNation starts at it, PlacedBy ends at
+          // it), as full-image REMOVE docs — the fold's delete rule
+          def doomedCust(c: Column): Column =
+            c.startsWith("customer:") &&
+              substring_index(c, ":", -1).cast("long") % 5 === 0
+          val doomedN = nodes.filter(col("kind") === "customer" &&
+            doomedCust(col("uid")))
+          val doomedE = edges.filter(doomedCust(col("startuid")) ||
+            doomedCust(col("enduid")))
+          val del = Journal.snapshotAsChanges(doomedN, doomedE,
+              startSeq = wh.maxSeq + 1)
+            .select(col("seq"), col("uid"),
+              lit(null).cast("string").as("add"), col("add").as("remove"),
+              col("time"), col("rev"), col("batch"))
+          wh.append(del)
+          wh.compactZorderIncremental()
+          // the live cut lost the doomed customers; the historical cut
+          // still serves every one of them — the snapshot log's claim
+          val nCustLive = wh.zNodes
+            .filter(col("kind") === "customer").count()
+          require(nCustLive < nCustFull,
+            s"delete wave must land: $nCustLive vs $nCustFull")
+          require(wh.zViewAt(seq0).nodes
+              .filter(col("kind") === "customer").count() == nCustFull,
+            "the historical cut must serve the full pre-delete graph")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$root/seq0"), seq0.toString)
+          WarehouseMeta.writeSidecar(s, s"${name}_meta.tsv",
+            Map("sig" -> fp))
+        }
+      }
+      wpath
+    }
+
   /** Memoized MAINTAINED FTS POSTINGS z-table for g21 (r16 — VERDICT r15
     * "What's missing" #2): part-name postings stored term-major via
     * [[graft.ops.ZFts.init]] (z key = xxhash64(term), string blooms over
@@ -3443,6 +3513,28 @@ object SparkEntry {
       wh.zNodes.groupBy("kind").agg(count(lit(1)).as("n"))
         .withColumn("side", lit("node"))
         .unionByName(wh.zEdges.groupBy("kind").agg(count(lit(1)).as("n"))
+          .withColumn("side", lit("edge")))
+        .select("side", "kind", "n")
+    }),
+
+    // GRAPH TIME TRAVEL (r16): the mutable warehouse's zsnap log maps
+    // any journal seq to a CONSISTENT cross-table cut; reading cut 0
+    // after a delete wave folded in must serve the FULL pre-delete
+    // graph (the entry REQUIREs the live cut differs, so this cannot
+    // accidentally read current state) — per-kind counts equal the raw
+    // tables with no survivors rule
+    "w55_zview_time_travel" -> ((s, d) => {
+      val wpath = zTimeTravelFor(s, d)
+      val wh = new graft.engine.WarehouseGraph(s, wpath)
+      val seq0 = java.nio.file.Files.readString(java.nio.file.Paths
+        .get(wpath).getParent.resolve("seq0")).trim.toLong
+      val v = wh.zViewAt(seq0)
+      require(wh.zNodes.filter(col("kind") === "customer").count() <
+        v.nodes.filter(col("kind") === "customer").count(),
+        "the historical cut must predate the delete wave")
+      v.nodes.groupBy("kind").agg(count(lit(1)).as("n"))
+        .withColumn("side", lit("node"))
+        .unionByName(v.edges.groupBy("kind").agg(count(lit(1)).as("n"))
           .withColumn("side", lit("edge")))
         .select("side", "kind", "n")
     }),
@@ -5863,6 +5955,21 @@ object SparkEntry {
       """SELECT 'part:' || p_partkey AS uid FROM part
         |WHERE regexp_matches(LOWER(p_name), '\bred\b')
         |   OR regexp_matches(LOWER(p_name), '\banvil\b')""".stripMargin,
+
+    // the historical cut predates the customer delete wave entirely, so
+    // every kind counts FULL from the raw tables (each edge kind is
+    // 1:1 with its source table's rows)
+    "w55_zview_time_travel" ->
+      """SELECT 'node' AS side, 'customer' AS kind, COUNT(*) AS n FROM customer
+        |UNION ALL SELECT 'node', 'supplier', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'node', 'nation', COUNT(*) FROM nation
+        |UNION ALL SELECT 'node', 'region', COUNT(*) FROM region
+        |UNION ALL SELECT 'node', 'part', COUNT(*) FROM part
+        |UNION ALL SELECT 'node', 'orders', COUNT(*) FROM orders
+        |UNION ALL SELECT 'edge', 'InNation', COUNT(*) FROM customer
+        |UNION ALL SELECT 'edge', 'SuppNation', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'edge', 'InRegion', COUNT(*) FROM nation
+        |UNION ALL SELECT 'edge', 'PlacedBy', COUNT(*) FROM orders""".stripMargin,
 
     // the streamed z-state ≡ per-kind counts over the raw tables: every
     // kind survives whole except suppliers (and their SuppNation edges),

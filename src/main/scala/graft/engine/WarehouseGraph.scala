@@ -70,6 +70,117 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
 
   private def zseqFilesPath = Paths.get(s"$path/zseq-files")
 
+  // --------------------- cross-table snapshot pointer (zsnap, r16)
+  //
+  // The z-tables commit GENERATIONS independently (znodes, zedges, and
+  // the postings tables each have their own manifest chain), so without
+  // a cross-table anchor an increment is visible piecewise: a reader
+  // between the node-delete commit and the edge-delete commit sees a
+  // node updated but its edges not — a torn graph. Worse, a REPLAY of
+  // an increment that crashed between its delete commits and its append
+  // reads back a base where the touched uids are already tombstoned, so
+  // a PARTIAL modify doc (MemGraph write-elision diffs carry only the
+  // changed keys) folds over an empty payload and silently drops the
+  // node's other keys.
+  //
+  // `zsnap` fixes both with one atomic file: the (seq, gen-per-table)
+  // tuple of the last COMPLETED compaction, advanced only after every
+  // table committed. Readers ([[zNodes]]/[[zEdges]]/[[zView]]/the
+  // postings) plan AT the pinned generations — always one consistent
+  // cross-table cut — and the increment's own readback pins too, so a
+  // replay recomputes from the last completed snapshot no matter which
+  // phase crashed: the doc algebra never folds over a half-applied
+  // base. `zsnap-log` appends one line per advance, giving the mutable
+  // graph TIME TRAVEL ([[zViewAt]]) over whatever generations the
+  // retention window keeps.
+  //
+  // Pinned generations survive in-flight increments because
+  // [[compactZorder]] raises the tables' retention to
+  // [[WarehouseGraph.SnapshotRetention]]; if maintenance ever outruns
+  // it (16+ commits with no pointer advance — e.g. heavy external
+  // optimize without [[refreshZsnap]]), readers fall back to CURRENT
+  // (today's semantics: never wrong data on a quiesced table, only the
+  // loss of the isolation pin) and the next advance re-pins.
+
+  private def zsnapPath = Paths.get(s"$path/zsnap")
+  private def zsnapLogPath = Paths.get(s"$path/zsnap-log")
+
+  private case class ZSnap(seq: Long, zn: Long, ze: Long, zf: Long,
+      zfe: Long)
+
+  private def parseZsnap(line: String): Option[ZSnap] =
+    line.split("\t") match {
+      case Array(s, a, b, c, d) =>
+        try Some(ZSnap(s.toLong, a.toLong, b.toLong, c.toLong, d.toLong))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+
+  private def readZsnap: Option[ZSnap] =
+    if (!Files.isRegularFile(zsnapPath)) None
+    else parseZsnap(Files.readString(zsnapPath).trim)
+
+  private def currentZsnap(seq: Long): ZSnap = {
+    import graft.ops.Layout
+    def g(d: String): Long = Layout.currentGen(d).getOrElse(-1L)
+    ZSnap(seq, g(s"$path/znodes"), g(s"$path/zedges"), g(zftsDir),
+      g(zftseDir))
+  }
+
+  /** Publish the CURRENT generations as the consistent snapshot at
+    * `seq`: log line first (an orphaned line is harmless — access is
+    * validated), then the pointer via atomic move. */
+  private def advanceZsnap(seq: Long): Unit = {
+    val zs = currentZsnap(seq)
+    val line = s"${zs.seq}\t${zs.zn}\t${zs.ze}\t${zs.zf}\t${zs.zfe}"
+    Files.writeString(zsnapLogPath, line + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    val tmp = Paths.get(s"$path/zsnap.tmp")
+    Files.writeString(tmp, line)
+    Files.move(tmp, zsnapPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Re-pin the snapshot pointer to the tables' CURRENT generations
+    * without changing its seq — for callers that ran maintenance
+    * OUTSIDE the increment (advisor auto-pilot, manual
+    * optimize/vacuum): restatements preserve logical content, so the
+    * new pin serves the same graph, but old generations can now age
+    * out safely. The streaming cadence calls this after each optimize
+    * drain. */
+  def refreshZsnap(): Unit = {
+    val seq = readZsnap.map(_.seq).orElse {
+      // pre-zsnap warehouse (upgrade path): the zseq marker holds the
+      // folded frontier; publishing it creates the pointer
+      val p = Paths.get(s"$path/zseq")
+      if (Files.isRegularFile(p)) Some(Files.readString(p).trim.toLong)
+      else None
+    }.getOrElse(throw new IllegalStateException(
+      s"$path has no z-compaction — run compactZorder() first"))
+    advanceZsnap(seq)
+  }
+
+  /** The snapshot pointer's journal seq (None before the first
+    * z-compaction) — the upper bound of what the pinned z-state folds. */
+  def zsnapSeq: Option[Long] = readZsnap.map(_.seq)
+
+  /** A pinned read of one z-table: the zsnap generation when it is
+    * still retained, else CURRENT (documented fallback — see the zsnap
+    * note above). */
+  private def pinnedZ(dir: String, pin: Option[Long],
+      helpers: String*): DataFrame = {
+    import graft.ops.Layout
+    val df = pin match {
+      case Some(g) if g >= 0 && Layout.currentGen(dir).isDefined &&
+          Layout.retainedGens(dir).contains(g) =>
+        graft.ops.ZTable.dataFrameAsOf(spark, dir, g)
+      case _ => graft.ops.ZTable.dataFrame(spark, dir)
+    }
+    df.drop(helpers: _*)
+  }
+
   private def journalFileNames(): Seq[String] = {
     val dir = Paths.get(journalDir)
     if (!Files.isDirectory(dir)) return Seq.empty
@@ -200,8 +311,14 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     val (n, e) = currentState
     val zn = s"$path/znodes"; val ze = s"$path/zedges"
     Seq(zn, ze).foreach(d => WarehouseMeta.deleteRecursively(Paths.get(d)))
+    // the old pointer and log reference generations of the directories
+    // just deleted — a full re-materialization starts history fresh
+    // (this also makes resetZFts below skip its pointer advance; the
+    // single advance at the end publishes the whole new snapshot)
+    Files.deleteIfExists(zsnapPath); Files.deleteIfExists(zsnapLogPath)
     Layout.zorderInit(spark, n.withColumn("_kh", xxhash64(col("uid"))),
       zn, "_kh", "_kh", nFiles)
+    Layout.setRetention(zn, WarehouseGraph.SnapshotRetention)
     // auto-sized bitsets: the default 2^16 saturates at warehouse row
     // counts and a saturated bloom prunes nothing (r16, zorderBloomAutoBits);
     // auto-sharded sidecars so the incremental refresh can hard-link
@@ -213,6 +330,7 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
       e.withColumn("_khs", xxhash64(col("startuid")))
         .withColumn("_khe", xxhash64(col("enduid"))),
       ze, "_khs", "_khe", nFiles)
+    Layout.setRetention(ze, WarehouseGraph.SnapshotRetention)
     Layout.zorderBloomBuild(spark, ze, "startuid",
       bits = Layout.zorderBloomAutoBits(ze, "startuid"),
       shards = Layout.zorderBloomAutoShards(ze, "startuid"))
@@ -228,22 +346,31 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
       val (nf, ef, u61) = zftsConfig
       resetZFts(nf, u61, edgeFields = ef)
     }
+    // publish-then-consume: the pointer names the consistent snapshot
+    // FIRST; a crash before the markers replays the tail over the
+    // published state, which the pinned readback makes idempotent
+    advanceZsnap(upTo)
     Files.writeString(Paths.get(s"$path/zseq"), upTo.toString)
     writeSeenJournalFiles(snapFiles)
   }
 
   /** INCREMENTAL z-compaction — fold only the journal TAIL past the last
     * compaction's seq marker into the z-tables, O(churn) instead of
-    * O(table): the touched uids' CURRENT z-rows read back through
-    * bloom-pruned point scans, the tail's diff docs replay over exactly
-    * those rows ([[Journal.fold]] over base-docs ∪ tail), and the result
-    * applies DELETE-THEN-INSERT — a string-key vectored tombstone of
-    * every touched uid (repeat-safe), an append+maintain of the
-    * surviving rows, and a gap-fill bloom refresh (only the rewritten
-    * files rescan, thanks to the same-generation sidecar carry). The
-    * marker advances LAST, so a crashed increment simply re-runs: the
-    * re-delete tombstones the crashed copies, the re-insert lands once —
-    * the CDC apply's idempotence argument, applied to the graph journal.
+    * O(table): the touched uids' z-rows AS OF THE ZSNAP CUT read back
+    * through bloom-pruned point scans, the tail's diff docs replay over
+    * exactly those rows ([[Journal.fold]] over base-docs ∪ tail), and
+    * the result applies DELETE-THEN-INSERT — a string-key vectored
+    * tombstone of every touched uid (repeat-safe), an append+maintain of
+    * the surviving rows, and a gap-fill bloom refresh (only the
+    * rewritten files rescan, thanks to the same-generation sidecar
+    * carry). The zsnap pointer then publishes the new consistent cut and
+    * the markers advance LAST, so a crashed increment simply re-runs —
+    * and because the replay's readback pins the last COMPLETED snapshot
+    * (not the half-applied current generations), it recomputes the same
+    * survivors no matter which phase died: crash-after-delete cannot
+    * fold a partial modify over an empty base, crash-after-append
+    * re-tombstones the crashed copies (fold-first maintain below), and
+    * crash-after-pointer replays the tail as a value-identical no-op.
     *
     * Scale shape (r16, the CDC apply's `collectThreshold` switch applied
     * here): touched uids collect to the driver only while the tail's
@@ -327,10 +454,15 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
       case Some(keys) => df.filter(col("uid").isin(keys: _*))
       case None => df.join(touchedDf, Seq("uid"), "left_semi")
     }
-    // current z-state of exactly the touched uids
-    val baseN = touchedOnly(graft.ops.ZTable.dataFrame(spark, zn).drop("_kh"))
-    val baseE = touchedOnly(
-      graft.ops.ZTable.dataFrame(spark, ze).drop("_khs", "_khe"))
+    // the touched uids' state AS OF THE LAST COMPLETED SNAPSHOT (zsnap
+    // pin) — not the current generation: a replay of an increment that
+    // crashed after its delete commits would otherwise read back an
+    // empty base and fold PARTIAL modify docs over nothing, dropping
+    // the untouched keys. Pinning makes every replay recompute from
+    // the same completed state, so any crash point converges exactly.
+    val pin = readZsnap
+    val baseN = touchedOnly(pinnedZ(zn, pin.map(_.zn), "_kh"))
+    val baseE = touchedOnly(pinnedZ(ze, pin.map(_.ze), "_khs", "_khe"))
     val baseDocs = Journal.snapshotAsChanges(baseN, baseE,
       startSeq = Long.MinValue + 1)
     val snap = Journal.fold(spark, baseDocs.unionByName(tail), Long.MaxValue)
@@ -401,6 +533,12 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
         if (ef.nonEmpty)
           ftsIncrement(zftseDir, newE.drop("_khs", "_khe"), ef)
       }
+      // publish the new consistent cut BEFORE consuming the tail: a
+      // crash between pointer and markers replays the tail over the
+      // just-published state, which the doc algebra applies as a no-op
+      // (full images re-land identical, partial adds re-merge the same
+      // values, removes of removed keys do nothing)
+      advanceZsnap(upTo)
       Files.writeString(seqPath, upTo.toString)
       writeSeenJournalFiles((seenOpt.getOrElse(Set.empty) ++ newFiles).toSeq)
       (nTouched, nN, nE)
@@ -475,34 +613,47 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
       val (docs, f2t) = zftsDocs(zNodes, fields)
       graft.ops.ZFts.init(spark, docs, zftsDir, "uid", f2t, unicode61,
         nFiles)
+      graft.ops.Layout.setRetention(zftsDir,
+        WarehouseGraph.SnapshotRetention)
     }
     if (edgeFields.nonEmpty) {
       val (docs, f2t) = zftsDocs(zEdges, edgeFields)
       graft.ops.ZFts.init(spark, docs, zftseDir, "uid", f2t, unicode61,
         nFiles)
+      graft.ops.Layout.setRetention(zftseDir,
+        WarehouseGraph.SnapshotRetention)
     }
     Files.writeString(zftsMetaPath,
       s"fields\t${fields.mkString(",")}\n" +
         s"efields\t${edgeFields.mkString(",")}\nunicode61\t$unicode61\n")
+    // a standalone rebuild changes the postings generations under an
+    // existing snapshot — re-publish so the pinned view carries the new
+    // index (inside compactZorder the pointer is absent here and the
+    // compaction's own final advance publishes everything at once)
+    if (Files.isRegularFile(zsnapPath)) refreshZsnap()
     ()
   }
 
-  /** The maintained NODE postings (planner-integrated read). */
-  def zFtsPostings: DataFrame = graft.ops.ZFts.postings(spark, zftsDir)
+  /** The maintained NODE postings (planner-integrated read, pinned to
+    * the zsnap cut). */
+  def zFtsPostings: DataFrame =
+    pinnedZ(zftsDir, readZsnap.map(_.zf), "_tkh")
 
-  /** The maintained EDGE postings (planner-integrated read). */
+  /** The maintained EDGE postings (planner-integrated read, pinned to
+    * the zsnap cut). */
   def zFtsEdgePostings: DataFrame =
-    graft.ops.ZFts.postings(spark, zftseDir)
-
-  private def zTable(dir: String, helpers: String*): DataFrame =
-    graft.ops.ZTable.dataFrame(spark, dir).drop(helpers: _*)
+    pinnedZ(zftseDir, readZsnap.map(_.zfe), "_tkh")
 
   /** The compacted z-table views (planner-integrated reads; require a
     * prior [[compactZorder]]). Snapshot semantics: the z-tables hold the
-    * state AS OF the compaction — journal appends after it are visible
-    * through [[nodes]]/[[edges]], not here, until the next compaction. */
-  def zNodes: DataFrame = zTable(s"$path/znodes", "_kh")
-  def zEdges: DataFrame = zTable(s"$path/zedges", "_khs", "_khe")
+    * state AS OF the last completed compaction's zsnap pointer — one
+    * CONSISTENT cross-table cut, isolated from any in-flight increment's
+    * piecewise commits; journal appends after it are visible through
+    * [[nodes]]/[[edges]], not here, until the next increment. */
+  def zNodes: DataFrame =
+    pinnedZ(s"$path/znodes", readZsnap.map(_.zn), "_kh")
+  def zEdges: DataFrame =
+    pinnedZ(s"$path/zedges", readZsnap.map(_.ze), "_khs", "_khe")
 
   /** The compacted z-state as a [[ViewGraph]] — every Fetch chain and
     * Traversals operator runs over the MUTABLE warehouse's maintained
@@ -514,14 +665,69 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     * carries the maintained postings too — `*_fts` MATCH params in Fetch
     * chains work over the mutable warehouse, query terms folded to match
     * the index's tokenizer. */
-  def zView: ViewGraph =
+  def zView: ViewGraph = {
+    // ONE pointer read serves every table — per-accessor reads could
+    // straddle a concurrent advance and re-introduce the torn cut
+    val pin = readZsnap
+    val n = pinnedZ(s"$path/znodes", pin.map(_.zn), "_kh")
+    val e = pinnedZ(s"$path/zedges", pin.map(_.ze), "_khs", "_khe")
     if (zFtsEnabled) {
       val (nf, ef, u61) = zftsConfig
-      new ViewGraph(spark, zNodes, zEdges,
-        nodeFtsDf = if (nf.nonEmpty) Some(zFtsPostings) else None,
-        edgeFtsDf = if (ef.nonEmpty) Some(zFtsEdgePostings) else None,
+      new ViewGraph(spark, n, e,
+        nodeFtsDf =
+          if (nf.nonEmpty) Some(pinnedZ(zftsDir, pin.map(_.zf), "_tkh"))
+          else None,
+        edgeFtsDf =
+          if (ef.nonEmpty)
+            Some(pinnedZ(zftseDir, pin.map(_.zfe), "_tkh"))
+          else None,
         ftsU61 = u61)
-    } else new ViewGraph(spark, zNodes, zEdges)
+    } else new ViewGraph(spark, n, e)
+  }
+
+  /** GRAPH TIME TRAVEL over the mutable warehouse (r16): the zsnap log
+    * records one consistent (seq, generations) cut per completed
+    * compaction/increment, so any journal seq maps to the last cut at
+    * or before it — a [[ViewGraph]] whose Fetch chains and traversals
+    * answer AS OF that moment, planned from the retained manifests
+    * (same pruning as the live view). History depth is the tables'
+    * retention window ([[WarehouseGraph.SnapshotRetention]] by default
+    * — raise it with [[graft.ops.Layout.setRetention]] BEFORE the
+    * history you need); a [[compactZorder]] re-materialization resets
+    * history. The postings tables ride along when their generations are
+    * still retained (derived state — the view simply omits MATCH
+    * support when they aged out). */
+  def zViewAt(seq: Long): ViewGraph = {
+    require(Files.isRegularFile(zsnapLogPath),
+      s"$path has no snapshot log — run compactZorder() first")
+    val entries = Files.readString(zsnapLogPath).linesIterator
+      .flatMap(parseZsnap).toSeq
+    val at = entries.filter(_.seq <= seq).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot at or before seq=$seq (earliest: " +
+          s"${entries.headOption.map(_.seq).getOrElse("none")})"))
+    import graft.ops.{Layout, ZTable}
+    def asOf(dir: String, gen: Long, helpers: String*): DataFrame = {
+      require(Layout.currentGen(dir).isDefined &&
+        Layout.retainedGens(dir).contains(gen),
+        s"generation $gen of $dir is no longer retained — raise " +
+          "Layout.setRetention BEFORE the history you need")
+      ZTable.dataFrameAsOf(spark, dir, gen).drop(helpers: _*)
+    }
+    def ftsAsOf(dir: String, gen: Long): Option[DataFrame] =
+      if (gen >= 0 && Layout.currentGen(dir).isDefined &&
+        Layout.retainedGens(dir).contains(gen))
+        Some(ZTable.dataFrameAsOf(spark, dir, gen).drop("_tkh"))
+      else None
+    val n = asOf(s"$path/znodes", at.zn, "_kh")
+    val e = asOf(s"$path/zedges", at.ze, "_khs", "_khe")
+    if (Files.isRegularFile(zftsMetaPath)) {
+      val (_, _, u61) = zftsConfig
+      new ViewGraph(spark, n, e,
+        nodeFtsDf = ftsAsOf(zftsDir, at.zf),
+        edgeFtsDf = ftsAsOf(zftseDir, at.zfe), ftsU61 = u61)
+    } else new ViewGraph(spark, n, e)
+  }
 
   /** Point node lookup over the compacted z-table — the reference's
     * `getuid` (graphydb.py:1025-1044) as a string-bloom-pruned scan. */
@@ -561,4 +767,17 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     empty.write.mode(SaveMode.Overwrite).parquet(journalDir)
     invalidate()
   }
+}
+
+object WarehouseGraph {
+  /** Default generation retention for the maintained z-tables: wide
+    * enough that the zsnap-pinned cut survives an in-flight increment
+    * (≤4 commits per table per tick) plus several crashed replays, and
+    * gives [[WarehouseGraph.zViewAt]] a few increments of history out
+    * of the box. A retained generation costs one manifest (file-list
+    * rows) plus the rewritten-file tail it uniquely references —
+    * carried files are shared across manifests — so the window is
+    * cheap; raise it per table with [[graft.ops.Layout.setRetention]]
+    * for deeper time travel. */
+  val SnapshotRetention: Int = 16
 }

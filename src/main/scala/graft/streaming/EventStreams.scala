@@ -401,7 +401,7 @@ object EventStreams {
         val wh = new graft.engine.WarehouseGraph(s, warehousePath)
         wh.compactZorderIncremental(collectThreshold)
         if (optimizeEvery > 0 && (id + 1) % optimizeEvery == 0) {
-          val zfts = Seq(s"$warehousePath/zfts")
+          val zfts = Seq(s"$warehousePath/zfts", s"$warehousePath/zftse")
             .filter(p => graft.ops.Layout.currentGen(p).isDefined)
           (Seq(s"$warehousePath/znodes", s"$warehousePath/zedges") ++ zfts)
             .foreach { p =>
@@ -414,6 +414,11 @@ object EventStreams {
               require(step.isEmpty,
                 s"z-table auto-pilot did not converge at $p")
             }
+          // the drain's maintains/materializes advanced generations
+          // OUTSIDE the increment — re-pin the snapshot pointer so the
+          // pinned cut tracks the restated (logically identical) state
+          // and the superseded generations can age out
+          wh.refreshZsnap()
         }
         ()
       }

@@ -216,6 +216,111 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     assert(wh.zNodes.count() == wh.nodes.count())
   }
 
+  test("zsnap: a crash BETWEEN the delete commits and the append replays PARTIAL modifies exactly; readers hold the consistent cut (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zsnap").toString
+    val g = MemGraph(spark)
+    val ns = (1 to 12).map(i => g.node("P", "i" -> i, "nick" -> s"n$i").save())
+    for (i <- 0 until 11) g.edge(ns(i), "E", ns(i + 1)).save()
+    val wh = new WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    wh.compactZorder(nFiles = 4)
+    val nodes0 = wh.zNodes.count(); val edges0 = wh.zEdges.count()
+    val seq0 = wh.maxSeq
+    // churn: a PARTIAL modify (write elision diffs only `nick` — the doc
+    // that loses its siblings if it ever folds over an empty base), a
+    // disconnect delete, and a create with an edge
+    ns(2)("nick") = "renamed"; ns(2).save()
+    ns(6).delete(disconnect = true)
+    val n13 = g.node("P", "i" -> 13, "nick" -> "n13").save()
+    g.edge(n13, "E", ns(0)).save()
+    wh.append(g.changesDf.filter(col("seq") > seq0))
+    // simulate the increment killed right after its DELETE phase: every
+    // touched uid tombstoned on BOTH tables, nothing appended, no marker,
+    // no pointer — the crash window where the current generations hold a
+    // half-applied state
+    val touched = wh.journal.filter(col("seq") > seq0)
+      .select("uid").distinct().collect().map(_.getString(0)).toSeq
+    graft.ops.Layout.zorderDeleteVectoredByKeyStr(spark, s"$dir/znodes",
+      "uid", touched)
+    graft.ops.Layout.zorderDeleteVectoredByKeyStr(spark, s"$dir/zedges",
+      "uid", touched)
+    // reader isolation: the pinned cut still serves the full pre-churn
+    // graph even though the CURRENT generation lost the touched rows
+    assert(graft.ops.ZTable.dataFrame(spark, s"$dir/znodes")
+      .filter(col("uid") === ns(2).uid).count() == 0L,
+      "the current generation must reflect the crashed delete")
+    assert(wh.zNodes.filter(col("uid") === ns(2).uid).count() == 1L &&
+      wh.zNodes.count() == nodes0 && wh.zEdges.count() == edges0,
+      "pinned readers must hold the last COMPLETED cut")
+    assert(wh.zPointNode(ns(2).uid).select("props").head().getString(0)
+      .contains("n3"), "the pinned cut serves the pre-churn values")
+    // the replay must read its base from the pinned cut too: the partial
+    // modify folds over the FULL old payload, keeping kind and `i`
+    wh.compactZorderIncremental()
+    val row = wh.zPointNode(ns(2).uid)
+      .select("kind", "props").head()
+    assert(row.getString(0) == "P",
+      "replay must not fold a partial modify over an empty base (kind)")
+    assert(row.getString(1).contains("renamed") &&
+      row.getString(1).contains("\"i\":3"),
+      s"partial modify must merge over the snapshot base: ${row.getString(1)}")
+    assert(wh.zPointNode(ns(6).uid).count() == 0L, "the delete lands")
+    assert(wh.zPointNode(n13.uid).count() == 1L, "the create lands")
+    assert(wh.zNodes.select("uid").except(wh.nodes.select("uid")).count() == 0 &&
+      wh.nodes.select("uid").except(wh.zNodes.select("uid")).count() == 0 &&
+      wh.zEdges.select("uid").except(wh.edges.select("uid")).count() == 0 &&
+      wh.edges.select("uid").except(wh.zEdges.select("uid")).count() == 0,
+      "replayed increment must converge to the journal fold")
+  }
+
+  test("zViewAt: consistent graph time travel over the snapshot log (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ztt").toString
+    val g = MemGraph(spark)
+    val ns = (1 to 30).map(i => g.node("P", "i" -> i, "nick" -> s"n$i").save())
+    for (i <- 0 until 29) g.edge(ns(i), "E", ns(i + 1)).save()
+    val wh = new WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    wh.compactZorder(nFiles = 4)
+    val s0 = wh.maxSeq
+    ns(4).delete(disconnect = true)
+    ns(7)("nick") = "revised"; ns(7).save()
+    wh.append(g.changesDf.filter(col("seq") > s0))
+    wh.compactZorderIncremental()
+    val s1 = wh.maxSeq
+    val n31 = g.node("P", "i" -> 31, "nick" -> "n31").save()
+    g.edge(n31, "E", ns(0)).save()
+    wh.append(g.changesDf.filter(col("seq") > s1))
+    wh.compactZorderIncremental()
+    val s2 = wh.maxSeq
+    // each recorded cut answers exactly as the journal folded to its seq
+    for (s <- Seq(s0, s1, s2)) {
+      val v = wh.zViewAt(s)
+      val exp = Journal.fold(spark,
+        wh.journal.filter(col("seq") <= s), Long.MaxValue)
+      assert(v.nodes.select("uid").except(exp.nodes.select("uid")).count() == 0 &&
+        exp.nodes.select("uid").except(v.nodes.select("uid")).count() == 0,
+        s"nodes at seq=$s must equal the fold")
+      assert(v.edges.select("uid").except(exp.edges.select("uid")).count() == 0 &&
+        exp.edges.select("uid").except(v.edges.select("uid")).count() == 0,
+        s"edges at seq=$s must equal the fold")
+    }
+    // the deleted node exists ONLY before s1; the late node only at s2
+    assert(wh.zViewAt(s0).nodes.filter(col("uid") === ns(4).uid).count() == 1L)
+    assert(wh.zViewAt(s1).nodes.filter(col("uid") === ns(4).uid).count() == 0L)
+    assert(wh.zViewAt(s1).nodes.filter(col("uid") === n31.uid).count() == 0L)
+    assert(wh.zViewAt(s2).nodes.filter(col("uid") === n31.uid).count() == 1L)
+    // floor semantics: a seq BETWEEN cuts serves the earlier cut
+    assert(wh.zViewAt(s1 - 1).nodes
+      .filter(col("uid") === ns(4).uid).count() == 1L,
+      "a seq inside a tail window must serve the preceding cut")
+    // before recorded history: loud refusal
+    intercept[IllegalArgumentException] { wh.zViewAt(s0 - 1000) }
+    // a full re-materialization resets history to one fresh cut
+    wh.compactZorder(nFiles = 4)
+    assert(wh.zViewAt(wh.maxSeq).nodes.count() == wh.nodes.count())
+    intercept[IllegalArgumentException] { wh.zViewAt(s0) }
+  }
+
   test("warehouse FTS: maintained postings ride the journal seam — resetZFts, churn increments, crash replay, fetch MATCH over zView (r16)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zwfts").toString
     val g = MemGraph(spark)
@@ -337,6 +442,22 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       }
       wh.append(g.changesDf.filter(col("seq") > seq0))
       val threshold = if (rnd.nextBoolean()) 0L else 10000L
+      if (rnd.nextBoolean()) {
+        // crashed-prefix injection: as if an increment died right after
+        // its DELETE phase — touched uids tombstoned on both tables,
+        // nothing appended, no markers, no pointer. The increment below
+        // IS the replay; its zsnap-pinned readback must recompute from
+        // the last completed cut (a partial modify folding over the
+        // tombstoned current state would lose its sibling keys)
+        val touched = wh.journal.filter(col("seq") > seq0)
+          .select("uid").distinct().collect().map(_.getString(0)).toSeq
+        if (touched.nonEmpty) {
+          graft.ops.Layout.zorderDeleteVectoredByKeyStr(spark,
+            s"$dir/znodes", "uid", touched)
+          graft.ops.Layout.zorderDeleteVectoredByKeyStr(spark,
+            s"$dir/zedges", "uid", touched)
+        }
+      }
       wh.compactZorderIncremental(collectThreshold = threshold)
       if (rnd.nextBoolean()) { // crash replay: both markers rolled back
         java.nio.file.Files.writeString(

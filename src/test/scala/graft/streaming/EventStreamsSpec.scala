@@ -1192,6 +1192,18 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       "a replayed increment must land exactly one copy")
     assert(wh.zNodes.count() == wh.nodes.count() &&
       wh.zEdges.count() == wh.edges.count())
+    // the cadence re-pins the snapshot pointer after its optimize drain:
+    // the published cut must name the CURRENT generations (otherwise the
+    // drain's restatements would strand pinned readers on generations
+    // the retention window will age out)
+    val snap = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/zsnap")).trim.split("\t")
+    assert(snap(0).toLong == wh.maxSeq &&
+      wh.zsnapSeq.contains(wh.maxSeq),
+      "the pointer's seq must be the consumed journal frontier")
+    assert(snap(1).toLong == Layout.currentGen(s"$dir/znodes").get &&
+      snap(2).toLong == Layout.currentGen(s"$dir/zedges").get,
+      "the cadence must re-pin the pointer to the current generations")
     // the z-view chain agrees with the journal-fold chain end to end
     assert(graft.query.Fetch.df(new ViewGraph(spark, wh.nodes, wh.edges),
         chainArgs).select("uid").collect().map(_.getString(0)).toSeq.sorted
