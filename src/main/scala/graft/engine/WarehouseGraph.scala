@@ -106,12 +106,16 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
   private def zsnapLogPath = Paths.get(s"$path/zsnap-log")
 
   private case class ZSnap(seq: Long, zn: Long, ze: Long, zf: Long,
-      zfe: Long)
+      zfe: Long, time: Long = -1L)
 
   private def parseZsnap(line: String): Option[ZSnap] =
     line.split("\t") match {
-      case Array(s, a, b, c, d) =>
+      case Array(s, a, b, c, d) => // pre-time pointer (upgrade path)
         try Some(ZSnap(s.toLong, a.toLong, b.toLong, c.toLong, d.toLong))
+        catch { case _: NumberFormatException => None }
+      case Array(s, a, b, c, d, t) =>
+        try Some(ZSnap(s.toLong, a.toLong, b.toLong, c.toLong, d.toLong,
+          t.toLong))
         catch { case _: NumberFormatException => None }
       case _ => None
     }
@@ -132,7 +136,8 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     * validated), then the pointer via atomic move. */
   private def advanceZsnap(seq: Long): Unit = {
     val zs = currentZsnap(seq)
-    val line = s"${zs.seq}\t${zs.zn}\t${zs.ze}\t${zs.zf}\t${zs.zfe}"
+    val line = s"${zs.seq}\t${zs.zn}\t${zs.ze}\t${zs.zf}\t${zs.zfe}" +
+      s"\t${System.currentTimeMillis()}"
     Files.writeString(zsnapLogPath, line + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
@@ -698,14 +703,34 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     * still retained (derived state — the view simply omits MATCH
     * support when they aged out). */
   def zViewAt(seq: Long): ViewGraph = {
-    require(Files.isRegularFile(zsnapLogPath),
-      s"$path has no snapshot log — run compactZorder() first")
-    val entries = Files.readString(zsnapLogPath).linesIterator
-      .flatMap(parseZsnap).toSeq
-    val at = entries.filter(_.seq <= seq).lastOption.getOrElse(
+    val entries = zsnapEntries
+    zViewOf(entries.filter(_.seq <= seq).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot at or before seq=$seq (earliest: " +
-          s"${entries.headOption.map(_.seq).getOrElse("none")})"))
+          s"${entries.headOption.map(_.seq).getOrElse("none")})")))
+  }
+
+  /** [[zViewAt]] keyed by WALL CLOCK instead of journal seq: the last
+    * consistent cut published at or before `epochMs` (each zsnap-log
+    * line records its publish time). Unlike seqs — which restart when
+    * [[compact]] truncates the journal — publish times are monotonic
+    * for the life of the z-tables, so this is the stable way to name
+    * history from outside the seq-space. */
+  def zViewAsOfTime(epochMs: Long): ViewGraph = {
+    val entries = zsnapEntries.filter(_.time >= 0)
+    zViewOf(entries.filter(_.time <= epochMs).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot at or before time=$epochMs (earliest: " +
+          s"${entries.headOption.map(_.time).getOrElse("none")})")))
+  }
+
+  private def zsnapEntries: Seq[ZSnap] = {
+    require(Files.isRegularFile(zsnapLogPath),
+      s"$path has no snapshot log — run compactZorder() first")
+    Files.readString(zsnapLogPath).linesIterator.flatMap(parseZsnap).toSeq
+  }
+
+  private def zViewOf(at: ZSnap): ViewGraph = {
     import graft.ops.{Layout, ZTable}
     def asOf(dir: String, gen: Long, helpers: String*): DataFrame = {
       require(Layout.currentGen(dir).isDefined &&
@@ -755,8 +780,24 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
   /** Materialize the snapshot, truncate the journal. The snapshot is written
     * ONCE to a temp dir then renamed over the final location (atomic on one
     * filesystem; a crash mid-compact leaves the journal intact, so the state
-    * is recoverable by re-folding). */
+    * is recoverable by re-folding).
+    *
+    * Z-SEAM RE-BASE (r16): truncating the journal RESTARTS the seq-space
+    * at 1, which would strand a stale `zseq` marker above every future
+    * append — increments would filter the whole tail out forever and the
+    * z-tables would silently diverge. When z-tables ride this warehouse,
+    * compact() first folds any pending tail into them (so nothing is
+    * lost), then re-bases the seam to the new space: marker 0, consumed
+    * files = the truncated journal's listing, snapshot log restarted at
+    * one cut (clearchanges DROPS history in the reference too,
+    * graphydb.py:536-543 — seq-keyed time travel cannot span a seq-space
+    * reset; [[zViewAsOfTime]] stays monotonic across it). */
   def compact(): Unit = {
+    import graft.ops.Layout
+    val hasZ = Files.isRegularFile(Paths.get(s"$path/zseq")) &&
+      Layout.currentGen(s"$path/znodes").isDefined &&
+      Layout.currentGen(s"$path/zedges").isDefined
+    if (hasZ) { compactZorderIncremental(); () }
     val (n, e) = currentState
     n.write.mode(SaveMode.Overwrite).parquet(nodesDir + "_tmp")
     e.write.mode(SaveMode.Overwrite).parquet(edgesDir + "_tmp")
@@ -765,6 +806,12 @@ final class WarehouseGraph(val spark: SparkSession, val path: String) extends Gr
     // truncate journal (clearchanges semantics)
     val empty = emptyChanges
     empty.write.mode(SaveMode.Overwrite).parquet(journalDir)
+    if (hasZ) {
+      Files.writeString(Paths.get(s"$path/zseq"), "0")
+      writeSeenJournalFiles(journalFileNames())
+      Files.deleteIfExists(zsnapLogPath)
+      advanceZsnap(0L)
+    }
     invalidate()
   }
 }

@@ -321,6 +321,54 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] { wh.zViewAt(s0) }
   }
 
+  test("compact() (clearchanges) re-bases the z seam: pending tail folds first, post-compact churn still lands, wall-clock travel spans the reset (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zcmp").toString
+    val g = MemGraph(spark)
+    val ns = (1 to 20).map(i => g.node("P", "i" -> i, "nick" -> s"n$i").save())
+    for (i <- 0 until 19) g.edge(ns(i), "E", ns(i + 1)).save()
+    val wh = new WarehouseGraph(spark, dir)
+    wh.append(g.changesDf)
+    wh.compactZorder(nFiles = 4)
+    // churn A lands in the journal but is NOT incremented before compact
+    val seqA = wh.maxSeq
+    ns(0)("nick") = "pending"; ns(0).save()
+    wh.append(g.changesDf.filter(col("seq") > seqA))
+    // without the re-base, truncation strands the zseq marker above every
+    // future append and the z-tables diverge silently
+    wh.compact()
+    assert(wh.maxSeq == 0L, "journal truncated (clearchanges)")
+    assert(wh.zPointNode(ns(0).uid).select("props").head().getString(0)
+      .contains("pending"),
+      "the pending tail must fold into the z-tables before truncation")
+    assert(wh.zNodes.count() == wh.nodes.count())
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(20)
+    // churn B arrives in the RESTARTED seq space (MemGraph's own seqs
+    // keep rising — any seq above the re-based marker folds)
+    val seqB = g.changesDf.agg(max(col("seq"))).head().getLong(0)
+    ns(1)("nick") = "after"; ns(1).save()
+    val fresh = g.node("P", "i" -> 99, "nick" -> "fresh").save()
+    wh.append(g.changesDf.filter(col("seq") > seqB))
+    wh.compactZorderIncremental()
+    assert(wh.zPointNode(ns(1).uid).select("props").head().getString(0)
+      .contains("after"), "post-compact modifies must land")
+    assert(wh.zPointNode(fresh.uid).count() == 1L,
+      "post-compact creates must land")
+    assert(wh.zNodes.select("uid").except(wh.nodes.select("uid")).count() == 0 &&
+      wh.nodes.select("uid").except(wh.zNodes.select("uid")).count() == 0 &&
+      wh.zEdges.select("uid").except(wh.edges.select("uid")).count() == 0 &&
+      wh.edges.select("uid").except(wh.zEdges.select("uid")).count() == 0,
+      "post-compact increment must converge to the fold")
+    // seq-keyed history cannot span the reset (one fresh cut at seq 0);
+    // WALL-CLOCK travel stays monotonic across it
+    assert(wh.zViewAsOfTime(tMid).nodes
+      .filter(col("uid") === fresh.uid).count() == 0L,
+      "the pre-churn instant must serve the compact-time cut")
+    assert(wh.zViewAsOfTime(System.currentTimeMillis()).nodes
+      .filter(col("uid") === fresh.uid).count() == 1L,
+      "the current instant must serve the newest cut")
+  }
+
   test("warehouse FTS: maintained postings ride the journal seam — resetZFts, churn increments, crash replay, fetch MATCH over zView (r16)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zwfts").toString
     val g = MemGraph(spark)
