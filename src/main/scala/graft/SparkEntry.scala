@@ -2121,7 +2121,9 @@ object SparkEntry {
           .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
       val pairs = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
         .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst")), "ok")
-        .filter(col("src") =!= col("dst"))
+        .filter(col("src") < col("dst")) // one orientation per unordered pair:
+        // canonEdges least/greatest+distinct downstream yields the identical
+        // simple graph from half the join output (r16 opt, guide §2.3)
       graft.ops.Analytics.adamicAdar(pairs, maxDegree = 40)
         .orderBy(col("aa_score").desc, col("a"), col("b"))
         .limit(20)
@@ -2622,7 +2624,9 @@ object SparkEntry {
           .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
       val pairs = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
         .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst")), "ok")
-        .filter(col("src") =!= col("dst"))
+        .filter(col("src") < col("dst")) // one orientation per unordered pair:
+        // canonEdges least/greatest+distinct downstream yields the identical
+        // simple graph from half the join output (r16 opt, guide §2.3)
       graft.ops.Analytics.triangleCounts(pairs)
         .orderBy(col("triangles").desc, col("v"))
         .limit(20)
@@ -2638,7 +2642,9 @@ object SparkEntry {
           .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
       val pairs = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
         .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst")), "ok")
-        .filter(col("src") =!= col("dst"))
+        .filter(col("src") < col("dst")) // one orientation per unordered pair:
+        // canonEdges least/greatest+distinct downstream yields the identical
+        // simple graph from half the join output (r16 opt, guide §2.3)
       graft.ops.Analytics.clusteringCoefficients(pairs)
         .orderBy(col("coeff").desc, col("triangles").desc, col("v"))
         .limit(20)

@@ -399,7 +399,7 @@ object Dedup {
     * vectors 2.1–2.6×, shingle strings 1.25–1.5×); with slim rows the
     * codegen join is the right plan and AQE handles the exchange sizing. */
   def hammingBandPairs(hashes: DataFrame, bits: Int, maxHamming: Int,
-      bands: Int, probeRadius: Int = 0): DataFrame = {
+      bands: Int, probeRadius: Int = 0, keyCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming <= bands * (probeRadius + 1) - 1,
       s"band-blocking recall is only complete for maxHamming <= bands*(probeRadius+1)-1 " +
         s"($maxHamming > ${bands * (probeRadius + 1) - 1})")
@@ -407,13 +407,32 @@ object Dedup {
     val width = bits / bands
     require(probeRadius <= width, s"probeRadius $probeRadius exceeds slice width $width")
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val banded = hashes.select(col("id"), col("hash"),
+    val kCols = keyCols.map(col)
+    val banded0 = hashes.select(Seq(col("id"), col("hash")) ++ kCols :+
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           (shiftrightunsigned(col("hash"), b * width).bitwiseAND(lit(mask))).as("slice"))
-      }: _*)).as("bs"))
-      .select(col("id"), col("hash"), col("bs.band").as("band"), col("bs.slice").as("slice"))
-    val a = banded.select(col("id").as("id_a"), col("hash").as("ha"), col("band"), col("slice"))
+      }: _*)).as("bs"): _*)
+      .select(Seq(col("id"), col("hash")) ++ kCols ++
+        Seq(col("bs.band").as("band"), col("bs.slice").as("slice")): _*)
+    // Radius probing defeats the radius-0 path's two-sided exchange reuse:
+    // the probe side explodes BEFORE its exchange, so the two join inputs
+    // are different subtrees and EACH side re-executes the full upstream
+    // chain — for the media queries that chain is synthesize+decode+
+    // fingerprint, the most expensive stage of the whole query (measured
+    // r16 opt: m05's two heaviest stages were the same 50 CPU-s pipeline
+    // run twice). Persist + eagerly materialize the slim banded rows once
+    // (bands × 16-ish bytes per input row); both sides then scan the cache
+    // (guide §2.4 "remove shuffles outright" applied to a duplicated scan,
+    // §5 caching-when-reused). Blocks are dropped by the ContextCleaner
+    // when the plan is GC'd.
+    val banded = if (probeRadius == 0) banded0 else {
+      val b = banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      b.count()
+      b
+    }
+    val a = banded.select(Seq(col("id").as("id_a"), col("hash").as("ha"),
+      col("band"), col("slice")) ++ kCols: _*)
     // GENERALIZED pigeonhole (r11): if hamming(x, y) <= maxHamming, some
     // band slice pair differs by <= floor(maxHamming/bands) bits — so for
     // thresholds ABOVE bands-1 the b-side probes every slice within
@@ -426,12 +445,13 @@ object Dedup {
     // bucket values: ~120x fewer candidates at the same complete recall,
     // shuffle stays linear (548 slim rows per input row). probeRadius=0 is
     // the exact-band fast path (SimHash d07's plan, byte-identical).
-    val b0 = banded.select(col("id").as("id_b"), col("hash").as("hb"), col("band"), col("slice"))
+    val b0 = banded.select(Seq(col("id").as("id_b"), col("hash").as("hb"),
+      col("band"), col("slice")) ++ kCols: _*)
     val b =
       if (probeRadius == 0) b0
-      else b0.select(col("id_b"), col("hb"), col("band"),
+      else b0.select(Seq(col("id_b"), col("hb"), col("band")) ++ kCols :+
         explode(array(graft.ops.Similarity.probeMasks(width, probeRadius)
-          .map(m => col("slice").bitwiseXOR(lit(m))): _*)).as("slice"))
+          .map(m => col("slice").bitwiseXOR(lit(m))): _*)).as("slice"): _*)
     // the explode breaks Catalyst's size estimate (Generate keeps the
     // input's sizeInBytes), so an unhinted radius plan BROADCASTS the
     // 548×-exploded probe side — measured driver OOM at 50k images with
@@ -439,12 +459,17 @@ object Dedup {
     // shuffle join with the unexploded rows as the build side: per-task
     // memory is bounded by n×bands/partitions slim rows, and the exploded
     // stream is neither sorted nor collected.
+    // Extra equality keys (e.g. the video slot) join IN the bucket key
+    // instead of post-filtering the pair stream: candidates that can never
+    // survive the residual equality are never generated, shrinking the join
+    // output and the Hamming verifies by the key's fan-out (guide §3.3 —
+    // don't explode the join, restrict it).
     val aSide = if (probeRadius == 0) a else a.hint("shuffle_hash")
-    aSide.join(b, Seq("band", "slice"))
+    aSide.join(b, Seq("band", "slice") ++ keyCols)
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").distinct()
+      .select((Seq("id_a", "id_b") ++ keyCols :+ "hamming").map(col): _*).distinct()
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming —

@@ -1208,19 +1208,21 @@ object Multimodal {
       targetFrames: Int = 4, maxHamming: Int = 10,
       bands: Int = 4, probeRadius: Int = 2,
       minMatchingSlots: Int = 2): DataFrame = {
-    require(targetFrames >= 1 && targetFrames <= 1024, "slot packing needs targetFrames <= 1024")
+    require(targetFrames >= 1 && targetFrames <= 1024, "targetFrames bounds the slot count")
     require(minMatchingSlots >= 1 && minMatchingSlots <= targetFrames,
       "minMatchingSlots must be within the sampled slot count")
+    // The slot rides IN the band-bucket key (hammingBandPairs keyCols)
+    // instead of the old pack-into-id + post-join pmod filter: cross-slot
+    // candidates — which the residual filter discarded anyway — are never
+    // generated, so the band join's output and Hamming verifies shrink by
+    // the slot fan-out (r16 opt, guide §3.3). Same pair set by
+    // construction: a pair survived before iff both frames shared the slot.
     val frames = sampleVideoFrames(spark, media, targetFrames)
       .filter(col("status") === "ok")
-      .select((col("media_id") * 1024 + col("slot")).as("id"), col("dhash").as("hash"))
-    Dedup.hammingBandPairs(frames, bits = 64, maxHamming, bands, probeRadius)
-      .filter(pmod(col("id_a"), lit(1024)) === pmod(col("id_b"), lit(1024)))
-      // arithmetic shift, NOT `/`: long/int division is a DOUBLE in Spark,
-      // which rounds past 2^53 and truncates-toward-zero for negatives —
-      // shiftright floors exactly, matching the pmod slot filter
-      .select(shiftright(col("id_a"), 10).as("video_a"),
-        shiftright(col("id_b"), 10).as("video_b"))
+      .select(col("media_id").as("id"), col("slot"), col("dhash").as("hash"))
+    Dedup.hammingBandPairs(frames, bits = 64, maxHamming, bands, probeRadius,
+        keyCols = Seq("slot"))
+      .select(col("id_a").as("video_a"), col("id_b").as("video_b"))
       .groupBy("video_a", "video_b")
       .agg(count(lit(1)).as("matching_slots"))
       .filter(col("matching_slots") >= minMatchingSlots)
@@ -1410,31 +1412,53 @@ object Multimodal {
     import spark.implicits._
     require(groupSize >= 1, "bad corpus params")
     val bins = fingerprintBins(rate)
-    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    // The 65-tone mix is GROUP-keyed (amps seed on id / groupSize); only the
+    // tiny noise floor is id-keyed. Co-locate and order each group's members
+    // (one slim shuffle of longs + an in-partition long sort) so the 65×4096
+    // mul-add accumulation — the dominant term of the synthesis, measured
+    // r16 opt: the synth stage was ~50 CPU-s at sf0.1 — runs once per GROUP
+    // and members reuse the base signal; per-id work drops to the noise add
+    // + WAV encode. Bit-identical output: acc·scale was already identical
+    // across members, it is now computed once instead of groupSize times
+    // (guide §1.2 step 2 — per-task work, after the job shape is right).
+    ids.select(col(idCol).cast("long").as("_tid"))
+      .repartition(expr(s"_tid div $groupSize")) // integer floor-div group key
+      .sortWithinPartitions("_tid")
+      .as[Long].mapPartitions { it =>
       // the 65×4096 tone matrix is id-independent — synthesize it ONCE per
       // partition (266k sins) instead of per clip (sin dominated the naive
       // loop: ~13G transcendental calls across a 50k-doc fixture)
       val tones = Array.tabulate(65, FpWindow)((j, i) =>
         math.sin(2.0 * math.Pi * bins(j) * i / FpWindow))
+      var curGroup = Long.MinValue
+      val base = new Array[Double](FpWindow)
       it.map { id =>
         val group = id / groupSize
-        // 64 amplitude levels, min adjacent-level energy gap far above the
-        // noise floor (ties at p=1/64 per adjacent pair are the only
-        // within-group bit flips)
-        val amps = Array.tabulate(65)(j =>
-          0.15 + 0.0125 * ((mix64(group * 131L + j) >>> 8) & 63L))
-        val scale = 0.8 / amps.sum
+        if (group != curGroup) {
+          // 64 amplitude levels, min adjacent-level energy gap far above the
+          // noise floor (ties at p=1/64 per adjacent pair are the only
+          // within-group bit flips)
+          val amps = Array.tabulate(65)(j =>
+            0.15 + 0.0125 * ((mix64(group * 131L + j) >>> 8) & 63L))
+          val scale = 0.8 / amps.sum
+          var i = 0
+          while (i < FpWindow) {
+            var acc = 0.0
+            var j = 0
+            while (j < 65) {
+              acc += amps(j) * tones(j)(i)
+              j += 1
+            }
+            base(i) = acc * scale
+            i += 1
+          }
+          curGroup = group
+        }
         val samples = new Array[Float](FpWindow)
         var i = 0
         while (i < FpWindow) {
-          var acc = 0.0
-          var j = 0
-          while (j < 65) {
-            acc += amps(j) * tones(j)(i)
-            j += 1
-          }
           val noise = ((mix64(id * 0x9E3779B9L + i) & 0xffff) / 65536.0 - 0.5) * 0.002
-          samples(i) = (acc * scale + noise).toFloat
+          samples(i) = (base(i) + noise).toFloat
           i += 1
         }
         (id, encodeWav(rate, samples))

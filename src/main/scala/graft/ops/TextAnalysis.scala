@@ -376,12 +376,24 @@ object TextAnalysis {
     import spark.implicits._
     require(nMerges >= 1, "need nMerges >= 1")
     require(batchSize >= 1, "need batchSize >= 1")
-    var vocab = df.select(explode(split(col(textCol), " ")).as("w"))
+    val vocab0 = df.select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(concat(split(col("w"), ""), array(lit(eow))).as("syms"), col("freq"))
       .as[(Seq[String], Long)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SCALE-ADAPTIVE round partitioning (r16 opt, guide §1.2/§2.6): the
+    // trainer's cost is O(rounds × scheduling floor) once the corpus has
+    // collapsed to its word vocabulary — at bench scale the vocab is a few
+    // tens of thousands of rows, and every round previously paid 2-3 stages
+    // × 32 near-empty tasks (measured: t26 warm = ~44 stages, none over
+    // 160 ms of work). Size the per-round parallelism from the MATERIALIZED
+    // vocab row count (~64k symbol rows per task), never below 1, never
+    // above the session default — a 100 TB corpus vocabulary still fans out.
+    val nVocab = vocab0.count()
+    val roundParallelism = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nVocab / 65536L + 1L)).toInt
+    var vocab = vocab0.coalesce(roundParallelism)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
       var dry = false
@@ -389,16 +401,32 @@ object TextAnalysis {
       while (merges.size < nMerges && !dry) {
         val want = math.min(batchSize, nMerges - merges.size)
         // 4× headroom: disjointness conflicts skip candidates, and the
-        // take() is a driver-side list of short strings — tiny either way
-        val top = vocab.flatMap { case (syms, freq) =>
-            syms.sliding(2).collect { case Seq(l, r) => ((l, r), freq) }
-          }
-          .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-          .map { case ((l, r), n) => (n, l, r) }
+        // take() is a driver-side list of short strings — tiny either way.
+        // Pair counting is a whole-stage-codegen DataFrame aggregation
+        // (explode over adjacent struct pairs + sum(freq)) instead of the
+        // old groupByKey/reduceGroups Dataset shape: no tuple encoders on
+        // the shuffle, and the explicit repartition by the group key at
+        // roundParallelism is reused by the aggregate (ENSURE_REQUIREMENTS
+        // satisfied), so the reduce side stops running 32 near-empty tasks
+        // per round (guide §2.3 narrow rows, §2.4 shared exchange).
+        val top = vocab.toDF("syms", "freq")
+          // fully-merged single-symbol words carry no pair — and sequence()
+          // with start > stop infers step -1, so the guard is load-bearing
+          .filter(org.apache.spark.sql.functions.size(col("syms")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+              |  i -> struct(element_at(syms, i) AS l,
+              |              element_at(syms, i + 1) AS r))""".stripMargin)).as("p"),
+            col("freq"))
+          .repartition(roundParallelism, col("p.l"), col("p.r"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("n"))
           // most frequent wins; ties break lexicographically for
           // reproducible merge tables across runs and partitionings
-          .orderBy(col("_1").desc, col("_2"), col("_3"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .select(col("n"), col("l"), col("r"))
           .take(want * 4)
+          .map(row => (row.getLong(0), row.getString(1), row.getString(2)))
         val used = scala.collection.mutable.Set.empty[String]
         val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         for ((_, l, r) <- top if picked.size < want)
@@ -439,7 +467,13 @@ object TextAnalysis {
         }
       }
       merges.toSeq
-    } finally vocab.unpersist(false)
+    } finally {
+      // vocab0's cache backs round 1's coalesced view (coalesce is a plan
+      // transform, so unpersisting the view would be a CacheManager no-op);
+      // release the root explicitly alongside the last round's cache
+      vocab0.unpersist(false)
+      vocab.unpersist(false)
+    }
   }
 
   /** Greedy BPE segmentation of ONE word under a trained merge table:
