@@ -2964,10 +2964,18 @@ object SparkEntry {
       val docs = t(s, d, "documents")
         .withColumn("text_acc",
           translate(col("text"), "ea", "éà"))
-      Fts.matchScoresU61(
-        Fts.postings(docs, "doc_id", Map("text" -> "text_acc"),
-          unicode61 = true),
-        "thé AND scan")
+      // AND-of-terms compiles to a per-atom match-set intersection JOINed
+      // against the grouped score pass — four reads of the postings view,
+      // and these DERIVED postings re-tokenize the corpus on every read as
+      // serial one-task stages (measured r16 opt: 4 × ~300 ms). Persist +
+      // materialize once; the four reads scan the cache (guide §5). The
+      // g-family chains need no such hand-holding — their postings live in
+      // StarGraph's per-kind cache already.
+      val postings = Fts.postings(docs, "doc_id", Map("text" -> "text_acc"),
+        unicode61 = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      postings.count()
+      Fts.matchScoresU61(postings, "thé AND scan")
         .withColumnRenamed("uid", "doc_id")
     }),
 

@@ -256,22 +256,35 @@ object TextAnalysis {
     * end-to-end — a 100 TB corpus' whitespace vocabulary never fits a
     * driver or a broadcast, and never needs to. */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
-      model: Option[DataFrame] = None): DataFrame = {
-    val source = model.getOrElse(df)
-    val mToks = source.select(explode(split(col(textCol), " ")).as("tok"))
-    unigramLogProbFromCounts(df, idCol, textCol,
-      mToks.groupBy("tok").agg(count(lit(1)).as("tf")),
-      mToks.select(count(lit(1)).cast("double").as("_total")))
+      model: Option[DataFrame] = None): DataFrame = model match {
+    case Some(source) =>
+      val mToks = source.select(explode(split(col(textCol), " ")).as("tok"))
+      unigramLogProbFromCounts(df, idCol, textCol,
+        mToks.groupBy("tok").agg(count(lit(1)).as("tf")),
+        mToks.select(count(lit(1)).cast("double").as("_total")))
+    case None =>
+      // SELF-TRAINED: kept as INDEPENDENT raw-token passes on purpose.
+      // r16 opt tried both "fewer passes" restructures and both measured
+      // SLOWER at sf0.1: (a) deriving the model from the per-doc counts —
+      // 1.3–1.5× (per-doc token counts barely compress, so the rollup
+      // re-reads a near-raw exchange instead of map-side-partialling raw
+      // tokens into a tiny shuffle); (b) deriving the corpus total from
+      // the model counts — still ~1.25× (the broadcast total then DEPENDS
+      // on the model exchange, serializing scans that previously ran as
+      // independent parallel jobs). Guide §1.1's "ideal plan has a gotcha"
+      // loop, documented so the next round doesn't re-try it.
+      val mToks = df.select(explode(split(col(textCol), " ")).as("tok"))
+      unigramLogProbFromCounts(df, idCol, textCol,
+        mToks.groupBy("tok").agg(count(lit(1)).as("tf")),
+        mToks.select(count(lit(1)).cast("double").as("_total")))
   }
 
-  /** [[unigramLogProb]] scoring against a PRE-AGGREGATED model: `counts` is
-    * (tok, tf), `total` a single-row `_total` — the form a maintained model
-    * store serves. An EMPTY model is well-defined (total floors at 1, every
-    * token floors at tf=1 → score 0): the prequential batch-0 case. */
-  def unigramLogProbFromCounts(df: DataFrame, idCol: String, textCol: String,
-      counts: DataFrame, total: DataFrame): DataFrame = {
-    val docTok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+  private def docTokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
+
+  private def scoreAgainstModel(docTok: DataFrame, idCol: String,
+      counts: DataFrame, total: DataFrame): DataFrame =
     // left join: a token unseen by the model (reference-corpus setup) floors
     // at tf=1 — the add-one estimate, maximal surprisal without a log(0)
     docTok.join(counts, Seq("tok"), "left").crossJoin(broadcast(total))
@@ -280,7 +293,14 @@ object TextAnalysis {
         round(sum(col("n") * -log(coalesce(col("tf"), lit(1L))
             / greatest(col("_total"), lit(1.0))))
           / sum(col("n")), 4).as("avg_neg_logp"))
-  }
+
+  /** [[unigramLogProb]] scoring against a PRE-AGGREGATED model: `counts` is
+    * (tok, tf), `total` a single-row `_total` — the form a maintained model
+    * store serves. An EMPTY model is well-defined (total floors at 1, every
+    * token floors at tf=1 → score 0): the prequential batch-0 case. */
+  def unigramLogProbFromCounts(df: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame, total: DataFrame): DataFrame =
+    scoreAgainstModel(docTokenCounts(df, idCol, textCol), idCol, counts, total)
 
   /** Per-document BIGRAM surprisal — [[unigramLogProb]]'s order-2 upgrade
     * (context-aware perplexity, the stronger CCNet-style quality signal):
@@ -304,6 +324,11 @@ object TextAnalysis {
         .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     }
     val source = model.getOrElse(df)
+    // NOT restructured to derive the model from the per-doc counts: tried
+    // r16 opt, measured 1.57× SLOWER at sf0.1 — per-doc bigram counts
+    // barely compress, so routing the model rollup through them replaces a
+    // map-side-partial raw aggregation (tiny shuffle) with a second read
+    // of the fat (id, w1, w2) exchange. Direct aggregation stands.
     val mBig = bigramsOf(source).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     // context totals derive from the bigram counts (no third corpus pass)
     val ctx = mBig.groupBy("w1").agg(sum("c12").as("c1"))
@@ -1222,6 +1247,9 @@ object TextAnalysis {
     * distributed like [[unigramLogProb]]'s. */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       target: DataFrame): DataFrame = {
+    // Kept as independent raw-token passes — the "derive totals/models
+    // from other aggregates" restructures both measured SLOWER at sf0.1
+    // (see unigramLogProb's self-trained note for the two mechanisms).
     def toks(src: DataFrame) =
       src.select(explode(split(col(textCol), " ")).as("tok"))
     val tToks = toks(target)

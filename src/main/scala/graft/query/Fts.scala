@@ -773,7 +773,19 @@ object Fts {
   def matchBm25(postings: DataFrame, query: String,
       k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 4,
       fieldWeights: Map[String, Double] = Map.empty,
-      unicode61: Boolean = false): DataFrame =
-    withView(postings)(bm25Sql(_, query, k1, b, roundTo, fieldWeights,
+      unicode61: Boolean = false): DataFrame = {
+    // bm25Sql reads the postings view ≥ 4 times (lens, one tf CTE per atom,
+    // the per-atom df scalar subqueries, the match set) — over DERIVED
+    // postings (tokenize + posexplode of the corpus) each read re-runs the
+    // whole derivation, and the df scalar subqueries run it as SERIAL
+    // one-task stages (measured r16 opt: t05 = six ~250 ms single-task
+    // stages, all the same tokenize). Persist + materialize once; every
+    // view read then scans the cache (guide §5 caching-when-reused; blocks
+    // drop via ContextCleaner when the plan is GC'd). For already-cached
+    // postings (StarGraph's) CacheManager skips the duplicate entry.
+    val p = postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    withView(p)(bm25Sql(_, query, k1, b, roundTo, fieldWeights,
       unicode61))
+  }
 }
