@@ -48,7 +48,17 @@ object Dedup {
         sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
       .otherwise(array())
-    df.select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
+    // The explicit IsNotNull(id) is LOAD-BEARING for exchange reuse (r16
+    // opt): a verify stage that inner-joins the signature table on id gets
+    // isnotnull(id) inferred and pushed into ITS copy of this subtree's
+    // scan, while the candidate side's copy has no such filter — the two
+    // otherwise-identical minhash pipelines then fail to canonicalize
+    // equal and BOTH execute (measured: d12 ran the full shingle+minhash
+    // aggregation twice). Filtering here puts the same pushed filter on
+    // every copy, so ReuseExchange dedupes them; a null id never produced
+    // a candidate pair anyway (least/greatest of null compares false).
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), explode(array_distinct(sh)).as("shingle"))
   }
 
   /** Optional skew guard: drop shingles appearing in more than `maxDf` docs
